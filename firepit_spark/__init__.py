@@ -1,0 +1,38 @@
+"""firepit_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of opencybersecurityalliance/firepit.
+
+The reference (/root/reference) is a SQL-text generator over sqlite/PostgreSQL
+(see SURVEY.md). This package re-expresses the same surface Spark-first:
+
+* ingest: ``spark.read.json`` -> DataFrame flatten pipeline (raft.py parity)
+* query DSL: clause objects compiled to DataFrame transformations, optimized
+  by Catalyst (query.py parity)
+* STIX patterns: hand-rolled parser -> pyspark Column expressions (stix20.py
+  parity, no SQL text)
+* views/variables: temp views + a symtable catalog (sqlstorage.py parity)
+* plus large-scale data-pipeline operators (dedup, similarity search,
+  text analysis, multimodal plumbing) the reference does not have.
+"""
+
+__version__ = "0.1.0"
+
+from firepit_spark.exceptions import (
+    InvalidAttr,
+    InvalidObject,
+    InvalidStixPath,
+    InvalidViewname,
+    IncompatibleType,
+    UnknownViewname,
+)
+
+
+def get_storage(path: str, session_id: str = "spark", spark=None):
+    """Return a SparkStorage rooted at ``path`` (warehouse directory).
+
+    Mirrors ``firepit.get_storage`` (reference firepit/__init__.py:15-30)
+    but always Spark-backed: ``path`` is a directory of per-type Parquet
+    tables instead of a sqlite file / PG connstring.
+    """
+    from firepit_spark.storage import SparkStorage
+
+    return SparkStorage(path, session_id=session_id, spark=spark)

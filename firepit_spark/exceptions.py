@@ -1,0 +1,47 @@
+"""Exception types (parity with reference firepit/exceptions.py)."""
+
+
+class StixPatternError(Exception):
+    pass
+
+
+class InvalidAttr(Exception):
+    def __init__(self, attr):
+        super().__init__(f"invalid attribute: {attr}")
+        self.attr = attr
+
+
+class InvalidObject(Exception):
+    pass
+
+
+class InvalidStixPath(Exception):
+    pass
+
+
+class InvalidViewname(Exception):
+    pass
+
+
+class InvalidQuery(Exception):
+    pass
+
+
+class IncompatibleType(Exception):
+    pass
+
+
+class UnknownViewname(Exception):
+    pass
+
+
+class DuplicateTable(Exception):
+    pass
+
+
+class SessionExists(Exception):
+    pass
+
+
+class SessionNotFound(Exception):
+    pass

@@ -1,0 +1,6 @@
+"""Scalar/column function library.
+
+Everything here is built from ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen eligible) unless genuinely impossible, in which case an
+Arrow-batched Pandas UDF is used — never row-at-a-time Python UDFs.
+"""

@@ -1,0 +1,209 @@
+"""STIX property metadata: reference-path typing, auto-aggregation
+inference, and object-path parsing.
+
+Parity targets in the reference: ``ref_type`` (firepit/props.py:437-490),
+``auto_agg``/``auto_agg_tuple`` (firepit/props.py:386-433),
+``parse_path``/``parse_prop`` (firepit/props.py:498-530),
+``primary_prop`` (firepit/props.py:363-383). Re-expressed as data tables
+instead of if-chains; aggregation emits pyspark Column expressions instead
+of SQL text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firepit_spark.timestamp import TIMESTAMP_PROPS
+
+# --- reference-property -> target SCO type(s) ------------------------------
+# Data distilled from reference firepit/props.py:437-490 (semantics of the
+# STIX 2.1 spec plus OCA/IBM extensions).
+
+_GLOBAL_REF_TYPES = {
+    "parent_ref": ["process"],
+    "src_ref": ["ipv4-addr", "ipv6-addr"],
+    "dst_ref": ["ipv4-addr", "ipv6-addr"],
+    "src_ip_ref": ["ipv4-addr", "ipv6-addr"],
+    "dst_ip_ref": ["ipv4-addr", "ipv6-addr"],
+    "binary_ref": ["file"],
+    "image_ref": ["file"],
+    "parent_directory_ref": ["directory"],
+    "creator_user_ref": ["user-account"],
+    "src_os_ref": ["software"],
+    "dst_os_ref": ["software"],
+    "src_application_ref": ["software"],
+    "dst_application_ref": ["software"],
+    "ip_refs": ["ipv4-addr", "ipv6-addr"],
+    "mac_refs": ["mac-addr"],
+    "opened_connection_refs": ["network-traffic"],
+    "src_payload_ref": ["artifact"],
+    "dst_payload_ref": ["artifact"],
+}
+
+_SCOPED_REF_TYPES = {
+    ("ipv4-addr", "resolves_to_refs"): ["mac-addr"],
+    ("ipv6-addr", "resolves_to_refs"): ["mac-addr"],
+    ("domain-name", "resolves_to_refs"): ["ipv4-addr", "ipv6-addr"],
+    ("x-oca-event", "original_ref"): ["artifact"],
+    ("x-oca-event", "host_ref"): ["x-oca-asset"],
+    ("x-oca-event", "url_ref"): ["url"],
+    ("x-oca-event", "file_ref"): ["file"],
+    ("x-oca-event", "domain_ref"): ["domain-name"],
+    ("x-oca-event", "registry_ref"): ["windows-registry-key"],
+    ("x-oca-event", "network_ref"): ["network-traffic"],
+    ("x-oca-event", "user_ref"): ["user-account"],
+    ("email-message", "from_ref"): ["email-addr"],
+    ("email-message", "sender_ref"): ["email-addr"],
+    ("email-message", "to_refs"): ["email-addr"],
+    ("email-message", "cc_refs"): ["email-addr"],
+    ("email-message", "bcc_refs"): ["email-addr"],
+}
+
+# primary display property per SCO type (reference firepit/props.py:363-383)
+_PRIMARY_PROPS = {
+    "user-account": "user_id",
+    "file": "name",
+    "mutex": "name",
+    "process": "name",
+    "software": "name",
+    "windows-registry-value-type": "name",
+    "x-ibm-finding": "name",
+    "directory": "path",
+    "autonomous-system": "number",
+    "windows-registry-key": "key",
+    "x509-certificate": "serial_number",
+    "x-oca-asset": "hostname",
+    "x-oca-event": "action",
+}
+
+
+def primary_prop(sco_type: str) -> str:
+    return _PRIMARY_PROPS.get(sco_type, "value")
+
+
+def is_ref(name: str) -> bool:
+    return name.endswith("_ref") or name.endswith("_refs")
+
+
+def ref_type(sco_type: str, part: str) -> list:
+    """Possible target SCO types for reference property ``part`` of
+    ``sco_type``."""
+    hit = _SCOPED_REF_TYPES.get((sco_type, part))
+    if hit:
+        return hit
+    hit = _GLOBAL_REF_TYPES.get(part)
+    if hit:
+        return hit
+    if sco_type == "x-oca-event" and "process" in part and part.endswith("_ref"):
+        return ["process"]
+    if sco_type == "x-ibm-finding" and part.endswith("_user_ref"):
+        return ["user-account"]
+    return []
+
+
+def parse_path(path: str) -> list:
+    """Parse ``type:a.b_ref.c`` into (node|rel) link tuples.
+
+    Returns a list of ``('node', parent_type, prop)`` and
+    ``('rel', from_type, ref_prop, to_type)`` entries; empty list when a ref
+    cannot be typed (parity: reference firepit/props.py:498-530).
+    """
+    sco_type, _, prop = path.rpartition(":")
+    return parse_prop(sco_type, prop)
+
+
+def parse_prop(sco_type: str, prop: str) -> list:
+    if "_ref." not in prop and "_refs" not in prop:
+        return [("node", sco_type, prop)]
+    links = []
+    cur_type = sco_type
+    for part in prop.split("."):
+        is_list = part.endswith("[*]")
+        if is_list:
+            part = part[:-3]
+        if is_ref(part):
+            targets = ref_type(cur_type, part)
+            if not targets:
+                return []  # untypeable ref: caller must skip (reference parity)
+            links.append(("rel", cur_type, part, targets[0]))
+            cur_type = targets[0]
+        else:
+            links.append(("node", cur_type, part + ("[*]" if is_list else "")))
+            cur_type = part
+    return links
+
+
+# --- auto-aggregation inference -------------------------------------------
+
+_NUMERIC_SPARK_TYPES = {"int", "integer", "bigint", "long", "smallint", "tinyint"}
+
+# identifier length guard kept from the reference (PG 63-char limit,
+# firepit/props.py:407-409) so aliases stay portable to the oracle side
+MAX_ALIAS_LEN = 63
+
+
+def auto_agg_tuple(sco_type: str, prop: str, col_type: str):
+    """Infer ``(func, column, alias)`` for a grouped column, or None to skip.
+
+    Inference rules are behavior-parity with reference
+    firepit/props.py:412-433: observation counters SUM/MIN/MAX, ports and
+    pids count-distinct, other ints average, everything else count-distinct.
+    """
+    last = prop.rsplit(".", 1)[-1].rsplit(":", 1)[-1]
+    if last in ("x_root", "x_contained_by_ref", "type", "id"):
+        return None
+    if prop == "number_observed":
+        return ("SUM", prop, prop)
+    if prop in ("first_observed", "start"):
+        return ("MIN", prop, prop)
+    if prop in ("last_observed", "end"):
+        return ("MAX", prop, prop)
+    if (sco_type == "network-traffic" and prop.endswith("_port")) or (
+        sco_type == "process" and prop.endswith("pid")
+    ):
+        return ("NUNIQUE", prop, f"unique_{prop}")
+    if str(col_type).lower() in _NUMERIC_SPARK_TYPES:
+        return ("AVG", prop, f"mean_{prop}")
+    return ("NUNIQUE", prop, f"unique_{prop}")
+
+
+_AGG_BUILDERS = {
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+    "AVG": F.avg,
+    "COUNT": F.count,
+    "NUNIQUE": F.countDistinct,
+}
+
+
+def auto_agg(sco_type: str, prop: str, col_type: str):
+    """Spark Column aggregation for a grouped column, or None to skip."""
+    spec = auto_agg_tuple(sco_type, prop, col_type)
+    if not spec:
+        return None
+    func, colname, alias = spec
+    if len(alias) > MAX_ALIAS_LEN:
+        return None
+    return _AGG_BUILDERS[func](F.col(colname)).alias(alias)
+
+
+def auto_aggs(sco_type: str, schema, group_cols) -> list:
+    """Aggregations for every non-grouped column of ``schema``
+    (parity: reference firepit/sqlstorage.py:76-86 ``_make_aggs``)."""
+    group_set = set(group_cols)
+    aggs = []
+    for field in schema.fields:
+        if field.name in group_set or field.name in ("id", "type"):
+            continue
+        if field.name in TIMESTAMP_PROPS and field.name not in (
+            "first_observed",
+            "last_observed",
+            "start",
+            "end",
+        ):
+            continue
+        agg = auto_agg(sco_type, field.name, field.dataType.simpleString())
+        if agg is not None:
+            aggs.append(agg)
+    return aggs

@@ -1,0 +1,550 @@
+"""Query DSL: clause objects compiled to DataFrame transformations.
+
+Surface parity with the reference DSL (firepit/query.py: Table, Column,
+CoalescedColumn, BinnedColumn, Predicate, Filter, Order, Projection, Group,
+Aggregation, Join, Count, Unique, CountUnique, Limit, Offset, Query), but
+where the reference renders SQL text for sqlite/PostgreSQL, this module
+builds a ``pyspark.sql.DataFrame`` plan and lets Catalyst do predicate
+pushdown, column pruning, and join strategy selection.
+
+Scale notes:
+* Everything stays declarative (no collect, no Python row loops), so the
+  same plan runs unchanged on a 1000-executor cluster.
+* Subquery predicates (``col IN (Query)``) become left-semi joins, the
+  distributed equivalent of the reference's ``IN (SELECT ...)``
+  (firepit/query.py:194-199).
+* Small-side joins are eligible for broadcast via Catalyst/AQE; callers can
+  pass ``hint='broadcast'`` on Join for explicit control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.exceptions import InvalidAttr, InvalidQuery
+from firepit_spark.validate import NAME_PATTERN
+
+# comparison operators accepted by Predicate (reference firepit/query.py:7-8)
+COMP_OPS = [
+    "=",
+    "<>",
+    "!=",
+    "<",
+    ">",
+    "<=",
+    ">=",
+    "LIKE",
+    "NOT LIKE",
+    "IN",
+    "NOT IN",
+    "IS",
+    "IS NOT",
+    "MATCHES",
+    "NOT MATCHES",
+    "ISSUBSET",
+    "NOT ISSUBSET",
+]
+PRED_OPS = ["AND", "OR"]
+JOIN_TYPES = ["INNER", "OUTER", "LEFT OUTER", "RIGHT OUTER", "CROSS"]
+AGG_FUNCS = ["COUNT", "SUM", "MIN", "MAX", "AVG", "NUNIQUE", "STDDEV", "VAR"]
+
+_JOIN_HOW = {
+    "INNER": "inner",
+    "OUTER": "full_outer",
+    "LEFT OUTER": "left_outer",
+    "RIGHT OUTER": "right_outer",
+    "CROSS": "cross",
+}
+
+_AGG_BUILDERS = {
+    "COUNT": F.count,
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+    "AVG": F.avg,
+    "NUNIQUE": F.countDistinct,
+    "STDDEV": F.stddev,
+    "VAR": F.variance,
+}
+
+
+def _validate_column_name(name: str) -> str:
+    # allow qualified "table.col" and dotted STIX columns like src_ref.value
+    if not isinstance(name, str) or not all(
+        NAME_PATTERN.match(p) or p == "*" for p in name.replace("'", "").split(".")
+    ):
+        raise InvalidAttr(name)
+    return name
+
+
+def _colref(name):
+    """Resolve a string/column-ish DSL reference to a pyspark Column.
+
+    Dotted names ("src_ref.value") are literal column names (STIX deref
+    aliases), so the DSL uses ':' for table qualification
+    ("alias:column") to stay unambiguous.
+    """
+    if isinstance(name, (Column, CoalescedColumn, BinnedColumn)):
+        return name.to_spark()
+    if not isinstance(name, str):
+        return F.lit(name)
+    if ":" in name:
+        qualifier, col = name.split(":", 1)
+        _validate_column_name(qualifier)
+        _validate_column_name(col)
+        return F.col(f"{qualifier}.`{col}`")
+    _validate_column_name(name)
+    return F.col(f"`{name}`")
+
+
+class Table:
+    """FROM-clause table/view (reference firepit/query.py:31-43)."""
+
+    def __init__(self, name: str, alias: str | None = None):
+        self.name = _validate_column_name(name)
+        self.alias = alias
+
+
+class Column:
+    """Optionally table-qualified, optionally aliased column
+    (reference firepit/query.py:70-93)."""
+
+    def __init__(self, name: str, table: str | None = None, alias: str | None = None):
+        self.name = _validate_column_name(name)
+        self.table = table
+        self.alias = alias
+
+    def to_spark(self):
+        ref = f"{self.table}.`{self.name}`" if self.table else f"`{self.name}`"
+        col = F.col(ref)
+        return col.alias(self.alias) if self.alias else col
+
+
+class CoalescedColumn:
+    """COALESCE(a, b, ...) AS alias — used to merge ipv4/ipv6 join legs
+    (reference firepit/query.py:96-109)."""
+
+    def __init__(self, names: list, alias: str):
+        self.names = names
+        self.alias = alias
+
+    def to_spark(self):
+        return F.coalesce(*[_colref(n) for n in self.names]).alias(self.alias)
+
+
+class BinnedColumn:
+    """Bucket a timestamp or numeric column for grouping
+    (reference firepit/query.py:112-157).
+
+    Timestamps: ``floor(epoch / bin_seconds) * bin_seconds`` back to a
+    timestamp — identical semantics to the reference's per-dialect SQL but
+    as one Catalyst expression. Numerics: ``floor(col / n) * n``.
+    """
+
+    _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+    def __init__(self, prop: str, n: int, unit: str | None = None, alias: str | None = None):
+        self.prop = _validate_column_name(prop)
+        self.n = int(n)
+        self.unit = unit
+        self.alias = alias or f"{prop}_bin"
+        if unit is not None and unit not in self._UNIT_SECONDS:
+            raise InvalidQuery(f"unknown bin unit: {unit}")
+
+    def to_spark(self):
+        col = F.col(f"`{self.prop}`")
+        if self.unit:
+            seconds = self.n * self._UNIT_SECONDS[self.unit]
+            binned = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(col) / seconds).cast("long") * seconds
+            )
+        else:
+            binned = (F.floor(col / self.n) * self.n).cast("long")
+        return binned.alias(self.alias)
+
+
+class Predicate:
+    """Typed comparison ``lhs op rhs`` (reference firepit/query.py:160-252).
+
+    ``rhs`` may be a literal, a list/tuple (IN), a Column (column-column
+    compare), or a Query (subquery membership -> left-semi join).
+    """
+
+    def __init__(self, lhs, op: str, rhs):
+        if op not in COMP_OPS and op not in ("==",):
+            raise InvalidQuery(f"unknown op: {op}")
+        self.lhs = lhs
+        self.op = "=" if op == "==" else op
+        self.rhs = rhs
+        # NULL normalization (reference firepit/query.py:190-193): comparing
+        # to None/'null' routes to IS [NOT] NULL
+        if rhs is None or (isinstance(rhs, str) and rhs.lower() == "null"):
+            if self.op in ("=", "IS", "LIKE"):
+                self.op, self.rhs = "IS", None
+            elif self.op in ("!=", "<>", "IS NOT", "NOT LIKE"):
+                self.op, self.rhs = "IS NOT", None
+
+    @property
+    def is_subquery(self) -> bool:
+        return isinstance(self.rhs, Query)
+
+    def to_spark(self):
+        if self.is_subquery:
+            raise InvalidQuery("subquery predicates compile at Filter level")
+        lhs = _colref(self.lhs)
+        rhs = self.rhs
+        if isinstance(rhs, (Column, CoalescedColumn, BinnedColumn)):
+            rhs = rhs.to_spark()
+        op = self.op
+        if op == "=":
+            return lhs == rhs
+        if op in ("!=", "<>"):
+            return lhs != rhs
+        if op == "<":
+            return lhs < rhs
+        if op == ">":
+            return lhs > rhs
+        if op == "<=":
+            return lhs <= rhs
+        if op == ">=":
+            return lhs >= rhs
+        if op == "LIKE":
+            return lhs.like(rhs)
+        if op == "NOT LIKE":
+            return ~lhs.like(rhs)
+        if op == "MATCHES":
+            return lhs.rlike(rhs)
+        if op == "NOT MATCHES":
+            return ~lhs.rlike(rhs)
+        if op == "IN":
+            return lhs.isin(list(rhs))
+        if op == "NOT IN":
+            return ~lhs.isin(list(rhs))
+        if op == "IS":
+            return lhs.isNull()
+        if op == "IS NOT":
+            return lhs.isNotNull()
+        if op in ("ISSUBSET", "NOT ISSUBSET"):
+            from firepit_spark.functions.net import in_subnet
+
+            cond = in_subnet(lhs, rhs)
+            return cond if op == "ISSUBSET" else ~cond
+        raise InvalidQuery(f"unhandled op: {op}")
+
+
+class Filter:
+    """AND/OR of predicates (reference firepit/query.py:255-280).
+
+    Added before a Group it is a WHERE; after, a HAVING
+    (reference firepit/query.py:563-567).
+    """
+
+    OR = "OR"
+    AND = "AND"
+
+    def __init__(self, preds, op: str = "AND"):
+        if op not in PRED_OPS:
+            raise InvalidQuery(f"unknown filter op: {op}")
+        self.preds = list(preds)
+        self.op = op
+
+    def split_subqueries(self):
+        """(plain_predicates, subquery_predicates); subqueries only compose
+        under AND (the distributed semi-join has no OR form)."""
+        subs = [p for p in self.preds if isinstance(p, Predicate) and p.is_subquery]
+        if subs and self.op == self.OR:
+            raise InvalidQuery("subquery predicates cannot be OR-combined")
+        return [p for p in self.preds if p not in subs], subs
+
+    def to_spark(self, preds=None):
+        preds = self.preds if preds is None else preds
+        cols = [p.to_spark() for p in preds]
+        if not cols:
+            return None
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out | c) if self.op == self.OR else (out & c)
+        return out
+
+
+class Order:
+    """ORDER BY (reference firepit/query.py:283-302)."""
+
+    ASC = "ASC"
+    DESC = "DESC"
+
+    def __init__(self, cols):
+        self.cols = []
+        for item in cols:
+            if isinstance(item, tuple):
+                name, direction = item
+                self.cols.append((name, direction.upper()))
+            else:
+                self.cols.append((item, self.ASC))
+
+    def to_spark(self):
+        out = []
+        for name, direction in self.cols:
+            col = _colref(name)
+            out.append(col.desc() if direction == self.DESC else col.asc())
+        return out
+
+
+class Projection:
+    """SELECT column list (reference firepit/query.py:305-315)."""
+
+    def __init__(self, cols):
+        self.cols = list(cols)
+
+    def to_spark(self):
+        return [_colref(c) if isinstance(c, str) else c.to_spark() for c in self.cols]
+
+
+class Group:
+    """GROUP BY (reference firepit/query.py:329-353). Cols may include
+    BinnedColumn buckets."""
+
+    def __init__(self, cols):
+        self.cols = list(cols)
+
+
+class Aggregation:
+    """Aggregations as (func, col, alias) tuples
+    (reference firepit/query.py:356-395). ``col=None`` with COUNT is
+    COUNT(*); NUNIQUE is COUNT(DISTINCT col). Group columns are included in
+    the result automatically."""
+
+    def __init__(self, aggs):
+        self.aggs = []
+        for item in aggs:
+            if isinstance(item, tuple):
+                func, col, alias = (list(item) + [None, None])[:3]
+            else:
+                func, col, alias = item, None, None
+            func = func.upper()
+            if func not in AGG_FUNCS:
+                raise InvalidQuery(f"unknown aggregation: {func}")
+            if alias is None:
+                alias = f"{func.lower()}_{col}" if col else func.lower()
+            self.aggs.append((func, col, alias))
+        self.group_cols = []  # filled by Query when a Group is present
+
+    def to_spark(self):
+        out = []
+        for func, col, alias in self.aggs:
+            if func == "COUNT" and col is None:
+                out.append(F.count(F.lit(1)).alias(alias or "count"))
+            else:
+                out.append(_AGG_BUILDERS[func](_colref(col)).alias(alias))
+        return out
+
+
+class Count:
+    """COUNT(*) wrapper (reference firepit/query.py:418-425)."""
+
+
+class Unique:
+    """SELECT DISTINCT (reference firepit/query.py:428-435)."""
+
+
+class CountUnique:
+    """COUNT(DISTINCT cols) (reference firepit/query.py:438-450)."""
+
+    def __init__(self, cols=None):
+        self.cols = cols
+
+
+class Limit:
+    def __init__(self, num: int):
+        self.num = int(num)
+
+
+class Offset:
+    def __init__(self, num: int):
+        self.num = int(num)
+
+
+class Join:
+    """Join clause (reference firepit/query.py:453-515).
+
+    ``name`` is the right-side table/view; equi-join via
+    ``left_col op right_col`` or an arbitrary predicate list. ``lhs`` names
+    the left side (defaults to the query's current lineage, mirroring the
+    reference's implicit chaining at firepit/query.py:609-615).
+    ``hint='broadcast'`` marks the right side for broadcast join — use for
+    small dimension tables at scale.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        left_col: str | None = None,
+        op: str | None = None,
+        right_col: str | None = None,
+        preds=None,
+        how: str = "INNER",
+        alias: str | None = None,
+        lhs: str | None = None,
+        hint: str | None = None,
+    ):
+        if how.upper() not in _JOIN_HOW:
+            raise InvalidQuery(f"unknown join type: {how}")
+        self.name = _validate_column_name(name)
+        self.left_col = left_col
+        self.op = op or "="
+        self.right_col = right_col
+        self.preds = preds
+        self.how = how.upper()
+        self.alias = alias or name
+        self.lhs = lhs
+        self.hint = hint
+
+
+class Query:
+    """Clause container + DataFrame compiler (reference firepit/query.py:518-671).
+
+    Usage matches the reference::
+
+        q = Query('lineitem')
+        q.append(Filter([Predicate('l_shipdate', '<=', '1998-09-02')]))
+        q.append(Group(['l_returnflag']))
+        q.append(Aggregation([('SUM', 'l_quantity', 'sum_qty')]))
+        df = q.resolve(resolver)   # resolver: name -> DataFrame
+    """
+
+    def __init__(self, arg=None):
+        self.table: Table | None = None
+        self.joins: list[Join] = []
+        self.where: list[Filter] = []
+        self.groupby: Group | None = None
+        self.aggs: Aggregation | None = None
+        self.having: list[Filter] = []
+        self.proj: Projection | None = None
+        self.order: Order | None = None
+        self.limit: Limit | None = None
+        self.offset: Offset | None = None
+        self.unique = False
+        self.count = False
+        self.count_unique: CountUnique | None = None
+        if arg is not None:
+            if isinstance(arg, str):
+                self.append(Table(arg))
+            elif isinstance(arg, (list, tuple)):
+                for item in arg:
+                    self.append(item)
+            else:
+                self.append(arg)
+
+    def append(self, item):
+        if isinstance(item, Table):
+            self.table = item
+        elif isinstance(item, Join):
+            self.joins.append(item)
+        elif isinstance(item, Filter):
+            # Filter after Group routes to HAVING (reference parity)
+            if self.groupby or self.aggs:
+                self.having.append(item)
+            else:
+                self.where.append(item)
+        elif isinstance(item, Group):
+            self.groupby = item
+        elif isinstance(item, Aggregation):
+            self.aggs = item
+        elif isinstance(item, Projection):
+            self.proj = item
+        elif isinstance(item, Order):
+            self.order = item
+        elif isinstance(item, Limit):
+            self.limit = item
+        elif isinstance(item, Offset):
+            self.offset = item
+        elif isinstance(item, Unique):
+            self.unique = True
+        elif isinstance(item, Count):
+            self.count = True
+        elif isinstance(item, CountUnique):
+            self.count_unique = item
+        else:
+            raise InvalidQuery(f"can't append: {item!r}")
+        return self
+
+    # -- compilation --------------------------------------------------------
+
+    def _apply_filters(self, df: DataFrame, filters, resolver) -> DataFrame:
+        for flt in filters:
+            plain, subs = flt.split_subqueries()
+            cond = flt.to_spark(plain) if plain else None
+            if cond is not None:
+                df = df.filter(cond)
+            for pred in subs:
+                sub_df = pred.rhs.resolve(resolver)
+                subcol = sub_df.columns[0]
+                how = "left_anti" if pred.op.startswith("NOT") else "left_semi"
+                df = df.join(
+                    sub_df.select(F.col(f"`{subcol}`").alias("__subq__")).distinct(),
+                    on=_colref(pred.lhs) == F.col("__subq__"),
+                    how=how,
+                )
+        return df
+
+    def resolve(self, resolver) -> DataFrame:
+        """Compile to a DataFrame. ``resolver(name)`` returns the DataFrame
+        for a table/view name (storage symtable or raw parquet loader)."""
+        if self.table is None:
+            raise InvalidQuery("no table")
+        df = resolver(self.table.name)
+        df = df.alias(self.table.alias or self.table.name)
+
+        prev_name = self.table.alias or self.table.name
+        for join in self.joins:
+            right = resolver(join.name).alias(join.alias)
+            if join.hint == "broadcast":
+                right = F.broadcast(right)
+            left_name = join.lhs or prev_name
+            prev_name = join.alias
+            if join.preds is not None:
+                cond = None
+                for pred in join.preds:
+                    c = pred.to_spark()
+                    cond = c if cond is None else (cond & c)
+            elif join.how == "CROSS":
+                cond = None
+            else:
+                cond = Predicate(
+                    f"{left_name}:{join.left_col}", join.op, Column(join.right_col, join.alias)
+                ).to_spark()
+            if cond is None:
+                df = df.crossJoin(right)
+            else:
+                df = df.join(right, on=cond, how=_JOIN_HOW[join.how])
+
+        df = self._apply_filters(df, self.where, resolver)
+
+        if self.groupby:
+            group_exprs = [
+                _colref(c) if isinstance(c, str) else c.to_spark() for c in self.groupby.cols
+            ]
+            agg_exprs = self.aggs.to_spark() if self.aggs else [F.count(F.lit(1)).alias("count")]
+            df = df.groupBy(*group_exprs).agg(*agg_exprs)
+        elif self.aggs:
+            df = df.agg(*self.aggs.to_spark())
+
+        df = self._apply_filters(df, self.having, resolver)
+
+        if self.proj:
+            df = df.select(*self.proj.to_spark())
+        if self.unique and not self.count_unique:
+            df = df.distinct()
+        if self.count_unique:
+            cols = self.count_unique.cols
+            base = df.select(*[_colref(c) for c in cols]) if cols else df
+            df = base.distinct().agg(F.count(F.lit(1)).alias("count"))
+        if self.order:
+            df = df.orderBy(*self.order.to_spark())
+        if self.offset:
+            df = df.offset(self.offset.num)
+        if self.limit:
+            df = df.limit(self.limit.num)
+        if self.count:
+            df = df.agg(F.count(F.lit(1)).alias("count"))
+        return df

@@ -1,0 +1,53 @@
+"""SparkSession construction with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def build_spark(app_name: str = "firepit_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local defaults mirror the test harness (local[N], shuffle partitions ~=
+    cores, AQE on). On a real cluster the same config holds: AQE handles
+    post-shuffle coalescing and skew joins, so a static
+    ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        # duckdb/oracle comparisons need UTC-naive timestamp agreement
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # some upstream parquet carries TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long and convert in the resolver
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def testdata_resolver(spark: SparkSession, sf_dir: str):
+    """name -> DataFrame resolver over the driver's parquet tables."""
+
+    def resolve(name: str):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # TIMESTAMP(NANOS) parquet columns arrive as long (see build_spark);
+        # truncate ns -> us exactly like DuckDB's TIMESTAMP read does
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+
+    return resolve

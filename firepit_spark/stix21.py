@@ -1,0 +1,142 @@
+"""Deterministic STIX 2.1 SCO identifiers.
+
+Behavior-parity with reference firepit/stix21.py:53-106: the id is
+``<type>--uuid5(NAMESPACE, canonical_json(contributing_props))`` with
+per-type contributing properties, the spec's hash preference order, and the
+vendor ``process`` uniqueness workaround. Ids must match the reference
+byte-for-byte, so the canonical JSON emulates ujson's output format
+(compact separators, escaped forward slashes, ensure_ascii=False).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+ID_NAMESPACE = uuid.UUID("00abedb4-aa42-466c-9c01-fed23315a9b7")
+
+HASH_PREFERENCE = ["MD5", "'SHA-1'", "'SHA-256'", "'SHA-512'"]
+
+# id-contributing properties per SCO type (STIX 2.1 spec §2.9 + firepit's
+# process/x-oca-asset extensions; reference firepit/stix21.py:12-34)
+ID_PROPS = {
+    "artifact": ("hashes", "payload_bin"),
+    "autonomous-system": ("number",),
+    "directory": ("path",),
+    "domain-name": ("value",),
+    "email-addr": ("value",),
+    "email-message": ("from_ref", "subject", "body"),
+    "file": ("hashes", "name", "extensions", "parent_directory_ref"),
+    "ipv4-addr": ("value",),
+    "ipv6-addr": ("value",),
+    "mac-addr": ("value",),
+    "mutex": ("name",),
+    "network-traffic": (
+        "start",
+        "end",
+        "src_ref",
+        "dst_ref",
+        "src_port",
+        "dst_port",
+        "protocols",
+        "extensions",
+    ),
+    "process": ("x_unique_id",),  # non-standard, kept for reference parity
+    "software": ("name", "cpe", "swid", "vendor", "version"),
+    "url": ("value",),
+    "user-account": ("account_type", "user_id", "account_login"),
+    "windows-registry-keys": ("key", "values"),
+    "x509-certificate": ("hashes", "serial_number"),
+    "x-oca-asset": ("host_id", "device_id", "name", "hostname"),
+}
+
+# vendor EDR extension properties that carry a unique process id
+# (reference firepit/stix21.py:36-41)
+PROCESS_UNIQUE_ID_PROPS = (
+    "process_id",
+    "process_uid",
+    "process_unique_id",
+    "process_guid",
+)
+
+
+def _canonical_json(obj) -> str:
+    """ujson-compatible canonical serialization (sorted keys, no spaces,
+    ``/`` escaped as ``\\/``, non-ASCII passed through)."""
+    text = json.dumps(obj, sort_keys=True, ensure_ascii=False, separators=(",", ":"))
+    # ujson escapes forward slashes by default; '/' can only occur inside
+    # string values, so a global replace is equivalent
+    return text.replace("/", "\\/")
+
+
+def _select_hash(hashes: dict) -> dict | None:
+    """Pick the single spec-preferred hash entry (MD5 > SHA-1 > SHA-256 >
+    SHA-512, else first alphabetically)."""
+    if not hashes:
+        return None
+    for pref in HASH_PREFERENCE:
+        if hashes.get(pref):
+            return {pref.strip("'"): hashes[pref]}
+    key = sorted(hashes.keys())[0]
+    return {key.strip("'"): hashes[key]}
+
+
+def _asset_identifier(observation: dict):
+    """host_id/hostname of the first x-oca-asset in a 2.0 observation."""
+    for sco in observation.get("objects", {}).values():
+        if sco.get("type") == "x-oca-asset":
+            for prop in ("host_id", "hostname"):
+                if prop in sco:
+                    return sco[prop]
+    return None
+
+
+def _process_unique_id(sco: dict, observation: dict | None):
+    for ext in sco.get("extensions", {}).values():
+        if not isinstance(ext, dict):
+            continue
+        for prop in PROCESS_UNIQUE_ID_PROPS:
+            if ext.get(prop):
+                return ext[prop]
+    if observation:
+        pid = sco.get("pid")
+        asset = _asset_identifier(observation)
+        if pid and asset:
+            ts = observation["last_observed"]
+            return f"{pid}_{asset}_{ts}"
+    return None
+
+
+def makeid(sco: dict, observation: dict | None = None) -> str:
+    """Deterministic (uuid5) or random (uuid4) id for a SCO dict.
+
+    ``observation`` is the enclosing STIX 2.0 observed-data, used to resolve
+    numeric-index ``*_ref`` values to the referenced object's deterministic
+    id, and for the process-uniqueness fallback.
+    """
+    sco_type = sco["type"]
+    contrib = {}
+    for prop in ID_PROPS.get(sco_type, ()):
+        if prop == "hashes":
+            picked = _select_hash(sco.get("hashes"))
+            if picked:
+                contrib["hashes"] = picked
+        elif prop in sco:
+            value = sco[prop]
+            if prop.endswith("_ref") and observation:
+                # STIX 2.0: refs are indexes into the observation's objects map
+                target = observation["objects"].get(value)
+                if target:
+                    contrib[prop] = makeid(target)
+                    continue
+            contrib[prop] = value
+
+    if sco_type == "process" and "x_unique_id" not in contrib:
+        unique_id = _process_unique_id(sco, observation)
+        if unique_id:
+            contrib["x_unique_id"] = unique_id
+
+    if contrib:
+        digest = uuid.uuid5(ID_NAMESPACE, _canonical_json(contrib))
+        return f"{sco_type}--{digest}"
+    return f"{sco_type}--{uuid.uuid4()}"

@@ -1,0 +1,61 @@
+"""Timestamp handling.
+
+The reference stores timestamps as RFC-3339 strings with <=3-digit fractions
+(firepit/timestamp.py:16-29) and relies on lexicographic ordering. We use
+real ``TimestampType`` columns (equivalent ordering, better pruning) and only
+format strings at the edges.
+"""
+
+from datetime import datetime, timezone
+
+# property names treated as timestamps (reference firepit/timestamp.py:3-13)
+TIMESTAMP_PROPS = {
+    "created",
+    "created_time",
+    "modified",
+    "first_observed",
+    "last_observed",
+    "start",
+    "end",
+    "atime",
+    "ctime",
+    "mtime",
+    "account_created",
+    "account_expires",
+    "account_first_login",
+    "account_last_login",
+    "credential_last_changed",
+    "valid_from",
+    "valid_until",
+    "date",
+    "ingested",
+    "published",
+}
+
+KNOWN_TIMESTAMPS = TIMESTAMP_PROPS  # alias used by props module
+
+
+def is_timestamp_prop(name: str) -> bool:
+    base = name.rsplit(".", 1)[-1].rsplit(":", 1)[-1]
+    return base in TIMESTAMP_PROPS
+
+
+def to_datetime(value) -> datetime:
+    """Parse an RFC-3339/STIX timestamp string to an aware UTC datetime."""
+    if isinstance(value, datetime):
+        dt = value
+    else:
+        s = str(value)
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
+
+
+def format_stix(dt: datetime) -> str:
+    """Format as STIX 2.1 timestamp: ms precision, trailing Z
+    (reference firepit/timestamp.py:16-29)."""
+    dt = to_datetime(dt)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"

@@ -1,0 +1,31 @@
+"""Identifier validation (parity: reference firepit/validate.py:8-25).
+
+Names still flow into ``spark.sql`` fragments and temp-view names, so the
+anti-injection checks stay load-bearing in the Spark rebuild.
+"""
+
+import re
+
+from firepit_spark.exceptions import InvalidStixPath, InvalidViewname
+
+# view / table names: word chars and dashes only
+NAME_PATTERN = re.compile(r"^[\w-]+$")
+
+# STIX object path: type:prop.path with optional 'quoted' parts, [*] markers,
+# x_ extensions, hyphens in type names
+PATH_PATTERN = re.compile(
+    r"^(([a-z0-9][a-z0-9-]*:)?[a-zA-Z_][a-zA-Z_0-9]*"
+    r"([.']+[a-zA-Z_0-9#@-]+'?(\[\*\])?)*)$"
+)
+
+
+def validate_name(name: str) -> str:
+    if not isinstance(name, str) or not NAME_PATTERN.match(name):
+        raise InvalidViewname(name)
+    return name
+
+
+def validate_path(path: str) -> str:
+    if not isinstance(path, str) or not PATH_PATTERN.match(path):
+        raise InvalidStixPath(path)
+    return path
