@@ -1,38 +1,876 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the firepit_spark engine surface (SURVEY.md §2) on
+the driver's parquet tables: the relational DSL (projection, filters,
+predicates, joins, grouping, aggregation, binning, sort/limit/offset, set
+ops, subqueries, window extensions) plus the large-scale pipeline operators
+(dedup exact/minhash/simhash/ngram-jaccard, cosine similarity search, text
+analysis). Every entry has an ANSI-SQL oracle in ``oracle_sql()`` unless
+marked rows-only.
+
+Determinism rules used throughout (both sides):
+* double SUMs go through DECIMAL(28,6) so partial-aggregation order can't
+  change the result; final values cast back to double
+* AVGs and cosines are rounded to 6 decimals
+* hashes are md5-derived (engine-portable), never xxhash/murmur
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from firepit_spark.functions import dedup as dd
+from firepit_spark.functions import similarity as sim
+from firepit_spark.functions import text as tx
+from firepit_spark.query import (
+    Aggregation,
+    BinnedColumn,
+    CoalescedColumn,
+    Count,
+    CountUnique,
+    Filter,
+    Group,
+    Join,
+    Limit,
+    Offset,
+    Order,
+    Predicate,
+    Projection,
+    Query,
+    Unique,
+)
+from firepit_spark.session import testdata_resolver
+
+
+def _dec_sum(col, alias):
+    """Order-independent double sum: exact decimal accumulate, double out."""
+    return F.sum(col.cast("decimal(28,6)")).cast("double").alias(alias)
+
+
+def _resolver(spark: SparkSession, sf_dir: str):
+    return testdata_resolver(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# relational DSL battery
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter + groupBy + multi-agg + order (A1-A4, P1-P6)."""
+    q = Query("lineitem")
+    q.append(Filter([Predicate("l_shipdate", "<=", "1998-09-02 00:00:00")]))
+    q.append(Group(["l_returnflag", "l_linestatus"]))
+    q.append(
+        Aggregation(
+            [
+                ("SUM", F.col("l_quantity").cast("decimal(28,6)"), "_sq"),
+                ("SUM", F.col("l_extendedprice").cast("decimal(28,6)"), "_sbp"),
+                (
+                    "SUM",
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(28,6)"),
+                    "_sdp",
+                ),
+                ("AVG", F.col("l_discount").cast("decimal(28,6)"), "_ad"),
+                ("COUNT", None, "count_order"),
+            ]
+        )
+    )
+    df = q.resolve(_resolver(spark, sf_dir))
+    return df.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.round(F.col("_ad").cast("double"), 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_like(spark, sf_dir):
+    """LIKE + AND filter + projection (P1, P5, P6)."""
+    q = Query("part")
+    q.append(
+        Filter([Predicate("p_name", "LIKE", "%re%"), Predicate("p_size", ">=", 10)])
+    )
+    q.append(Projection(["p_partkey", "p_name", "p_size"]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q02_SQL = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE p_name LIKE '%re%' AND p_size >= 10
+"""
+
+
+def q03_filter_in(spark, sf_dir):
+    """IN-list + OR filter (P5)."""
+    q = Query("orders")
+    q.append(
+        Filter(
+            [
+                Predicate("o_orderpriority", "IN", ["1-URGENT", "2-HIGH"]),
+                Predicate("o_totalprice", ">", 450000.0),
+            ],
+            op="OR",
+        )
+    )
+    q.append(Projection(["o_orderkey", "o_custkey", "o_orderpriority"]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q03_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_totalprice > 450000.0
+"""
+
+
+def q04_join_agg(spark, sf_dir):
+    """Star join with broadcast dims + grouped agg (J1, J2, A1-A4)."""
+    q = Query("orders")
+    q.append(Join("customer", "o_custkey", "=", "c_custkey", hint="broadcast"))
+    q.append(Join("nation", "c_nationkey", "=", "n_nationkey", hint="broadcast"))
+    q.append(Join("region", "n_regionkey", "=", "r_regionkey", hint="broadcast"))
+    q.append(Group(["r_name", "n_name"]))
+    q.append(
+        Aggregation(
+            [
+                ("COUNT", None, "num_orders"),
+                ("SUM", F.col("o_totalprice").cast("decimal(28,6)"), "_tp"),
+            ]
+        )
+    )
+    df = q.resolve(_resolver(spark, sf_dir))
+    return df.select(
+        "r_name", "n_name", "num_orders", F.col("_tp").cast("double").alias("total_price")
+    )
+
+
+_Q04_SQL = """
+SELECT r_name, n_name, COUNT(*) AS num_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q05_left_join(spark, sf_dir):
+    """LEFT OUTER join keeping customers with zero orders (J1)."""
+    q = Query("customer")
+    q.append(Join("orders", "c_custkey", "=", "o_custkey", how="LEFT OUTER"))
+    q.append(Group(["c_custkey"]))
+    q.append(Aggregation([("COUNT", "o_orderkey", "num_orders")]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q05_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS num_orders
+FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q06_semijoin_subquery(spark, sf_dir):
+    """IN (subquery) -> distributed left-semi join (J5/P5 subquery rhs)."""
+    sub = Query("customer")
+    sub.append(Filter([Predicate("c_mktsegment", "=", "BUILDING")]))
+    sub.append(Projection(["c_custkey"]))
+    q = Query("orders")
+    q.append(Filter([Predicate("o_custkey", "IN", sub)]))
+    q.append(Projection(["o_orderkey", "o_custkey", "o_totalprice"]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q06_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q07_topk_revenue(spark, sf_dir):
+    """Join + group + order + limit top-k (O1-O4, J1, A1)."""
+    q = Query("lineitem")
+    q.append(Join("orders", "l_orderkey", "=", "o_orderkey"))
+    q.append(Group(["o_custkey"]))
+    q.append(
+        Aggregation(
+            [
+                (
+                    "SUM",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(28,6)"
+                    ),
+                    "_rev",
+                )
+            ]
+        )
+    )
+    df = q.resolve(_resolver(spark, sf_dir))
+    return (
+        df.select("o_custkey", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+_Q07_SQL = """
+SELECT o_custkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+def q08_distinct(spark, sf_dir):
+    """SELECT DISTINCT (U/A6)."""
+    q = Query("lineitem")
+    q.append(Projection(["l_returnflag", "l_linestatus"]))
+    q.append(Unique())
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q08_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q09_count_unique(spark, sf_dir):
+    """COUNT(DISTINCT ...) (A7)."""
+    q = Query("orders")
+    q.append(CountUnique(["o_custkey"]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q09_SQL = "SELECT COUNT(*) AS count FROM (SELECT DISTINCT o_custkey FROM orders)"
+
+
+def q10_having(spark, sf_dir):
+    """Filter-after-Group routes to HAVING (P6 routing)."""
+    q = Query("orders")
+    q.append(Group(["o_custkey"]))
+    q.append(Aggregation([("COUNT", None, "n_orders")]))
+    q.append(Filter([Predicate("n_orders", ">", 15)]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q10_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING COUNT(*) > 15
+"""
+
+
+def q11_time_bin(spark, sf_dir):
+    """Timestamp binning (P4 BinnedColumn) + grouped sums."""
+    q = Query("events")
+    q.append(Group([BinnedColumn("ts", 1, "h", alias="hour")]))
+    q.append(
+        Aggregation(
+            [
+                ("COUNT", None, "n_events"),
+                ("SUM", F.col("value").cast("decimal(28,6)"), "_v"),
+            ]
+        )
+    )
+    df = q.resolve(_resolver(spark, sf_dir))
+    return df.select("hour", "n_events", F.col("_v").cast("double").alias("total_value"))
+
+
+_Q11_SQL = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q12_numeric_bin(spark, sf_dir):
+    """Numeric binning (P4) + count."""
+    q = Query("part")
+    q.append(Group([BinnedColumn("p_retailprice", 10, alias="price_bin")]))
+    q.append(Aggregation([("COUNT", None, "n_parts")]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q12_SQL = """
+SELECT CAST(floor(p_retailprice / 10) * 10 AS BIGINT) AS price_bin, COUNT(*) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
+def q13_sort_offset_limit(spark, sf_dir):
+    """Order + Offset + Limit pagination (O1-O3)."""
+    q = Query("orders")
+    q.append(Projection(["o_orderkey", "o_totalprice"]))
+    q.append(Order([("o_totalprice", "DESC"), ("o_orderkey", "ASC")]))
+    q.append(Offset(10))
+    q.append(Limit(20))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q13_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10
+"""
+
+
+def q14_coalesce(spark, sf_dir):
+    """CoalescedColumn across an outer join (P3)."""
+    q = Query("customer")
+    q.append(Join("orders", "c_custkey", "=", "o_custkey", how="LEFT OUTER"))
+    q.append(
+        Projection(
+            [
+                "c_custkey",
+                "o_orderkey",
+                CoalescedColumn(["o_orderstatus", "c_mktsegment"], "status_or_segment"),
+            ]
+        )
+    )
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q14_SQL = """
+SELECT c_custkey, o_orderkey, COALESCE(o_orderstatus, c_mktsegment) AS status_or_segment
+FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def q15_union_merge(spark, sf_dir):
+    """UNION-with-dedup set op (U1 merge semantics)."""
+    r = _resolver(spark, sf_dir)
+    a = Query("orders")
+    a.append(Filter([Predicate("o_totalprice", ">", 450000.0)]))
+    a.append(Projection(["o_orderkey", "o_custkey"]))
+    b = Query("orders")
+    b.append(Filter([Predicate("o_orderpriority", "=", "1-URGENT")]))
+    b.append(Projection(["o_orderkey", "o_custkey"]))
+    return a.resolve(r).unionByName(b.resolve(r)).distinct()
+
+
+_Q15_SQL = """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 450000.0
+UNION
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q16_window_topk_per_group(spark, sf_dir):
+    """Top-1 order per customer via window row_number (Spark-native upgrade;
+    the reference has no window functions, SURVEY §2.6)."""
+    r = _resolver(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        r("orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+_Q16_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q17_json_extract(spark, sf_dir):
+    """Semi-structured props column: regex extraction + grouped agg."""
+    r = _resolver(spark, sf_dir)
+    return (
+        r("events")
+        .withColumn(
+            "k_val", F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            F.countDistinct("k_val").alias("unique_k"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS unique_k
+FROM events GROUP BY event_type
+"""
+
+
+def q18_regex_match(spark, sf_dir):
+    """MATCHES -> rlike (P10)."""
+    q = Query("part")
+    q.append(Filter([Predicate("p_name", "MATCHES", "^(red|blue) ")]))
+    q.append(Projection(["p_partkey", "p_name", "p_brand"]))
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q18_SQL = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE regexp_matches(p_name, '^(red|blue) ')
+"""
+
+
+def q19_multi_agg(spark, sf_dir):
+    """MIN/MAX/COUNT/NUNIQUE inference-style aggs (A1, A3)."""
+    q = Query("lineitem")
+    q.append(Group(["l_returnflag"]))
+    q.append(
+        Aggregation(
+            [
+                ("MIN", "l_shipdate", "first_ship"),
+                ("MAX", "l_shipdate", "last_ship"),
+                ("COUNT", None, "n_items"),
+                ("NUNIQUE", "l_suppkey", "unique_suppliers"),
+                ("MIN", "l_quantity", "min_qty"),
+                ("MAX", "l_quantity", "max_qty"),
+            ]
+        )
+    )
+    return q.resolve(_resolver(spark, sf_dir))
+
+
+_Q19_SQL = """
+SELECT l_returnflag, MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+       COUNT(*) AS n_items, COUNT(DISTINCT l_suppkey) AS unique_suppliers,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q20_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap via window lag + running sum
+    (streaming-adjacent op the reference lacks; SURVEY §2.10)."""
+    r = _resolver(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = r("events").withColumn("ep", F.col("ts").cast("double"))
+    gap = F.when(
+        F.lag("ep").over(w).isNull() | ((F.col("ep") - F.lag("ep").over(w)) > 1800.0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_Q20_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, epoch(ts) AS ep,
+         CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text-analysis / dedup / similarity battery (documents, embeddings)
+# --------------------------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, string_split(" + _NORM + ", ' ') AS t FROM documents)"
+)
+
+
+def _sw_list(lang):
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang]) + "]"
+
+
+def q21_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text (dedup primitive)."""
+    r = _resolver(spark, sf_dir)
+    return r("documents").select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+_Q21_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
+
+
+def q22_token_stats(spark, sf_dir):
+    """Token counting + punctuation/stopword ratios (quality primitives)."""
+    r = _resolver(spark, sf_dir)
+    t = F.col("text")
+    return r("documents").select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
+    )
+
+
+_Q22_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT d.doc_id,
+       len(t.t) AS n_tokens,
+       ROUND(CASE WHEN length(d.text) > 0
+             THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
+             ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN len(t.t) > 0
+             THEN CAST(len(list_filter(t.t, x -> list_contains({_sw_list('en')}, x))) AS DOUBLE) / len(t.t)
+             ELSE 0.0 END, 6) AS stopword_ratio
+FROM documents d JOIN toks t USING (doc_id)
+"""
+
+
+def q23_lang_guess(spark, sf_dir):
+    """Stopword-vote language identification, aggregated by true label."""
+    r = _resolver(spark, sf_dir)
+    return (
+        r("documents")
+        .select("lang", tx.lang_guess(F.col("text")).alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_case():
+    hits = {
+        lang: f"len(list_filter(t, x -> list_contains({_sw_list(lang)}, x)))"
+        for lang in tx.STOPWORDS
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'" for lang in tx.STOPWORDS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+_Q23_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT d.lang, {_lang_case()} AS guessed, COUNT(*) AS n_docs
+FROM documents d JOIN toks USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+def q24_quality(spark, sf_dir):
+    """Composite quality score per document."""
+    r = _resolver(spark, sf_dir)
+    return r("documents").select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+_Q24_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT d.doc_id,
+         length(d.text) AS n_chars,
+         CASE WHEN len(t.t) > 0
+              THEN CAST(len(list_filter(t.t, x -> list_contains({_sw_list('en')}, x))) AS DOUBLE) / len(t.t)
+              ELSE 0.0 END AS sw_ratio,
+         CASE WHEN length(d.text) > 0
+              THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
+              ELSE 0.0 END AS p_ratio
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id,
+       ROUND(least(n_chars / 500.0, 1.0) * 0.4
+             + least(sw_ratio * 5.0, 1.0) * 0.4
+             + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+FROM m
+"""
+
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, t[n] || ' ' || t[n+1] || ' ' || t[n+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(n)
+  WHERE len(t) >= 3
+)
+"""
+
+
+def q25_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    r = _resolver(spark, sf_dir)
+    return dd.ngram_jaccard_pairs(r("documents"), k=3, threshold=0.03)
+
+
+_Q25_SQL = f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.03
+"""
+
+
+def q26_minhash(spark, sf_dir):
+    """MinHash signatures (16 permutations, long format)."""
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").filter(F.col("doc_id") < 50)
+    return dd.minhash_signatures(docs, num_perm=16)
+
+
+def _minhash_sql():
+    terms = []
+    for i, (a, b) in enumerate(dd.minhash_params(16)):
+        a30 = a & ((1 << 30) - 1)
+        bm = b % dd.MINHASH_PRIME
+        terms.append(
+            f"SELECT doc_id, {i} AS perm, "
+            f"CAST(MIN((h::HUGEINT * {a30} + {bm}) % {dd.MINHASH_PRIME}) AS BIGINT) AS minhash "
+            f"FROM hashes GROUP BY doc_id"
+        )
+    union = " UNION ALL ".join(terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents WHERE doc_id < 50
+),
+{_SHINGLES_CTE},
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+)
+{union}
+"""
+
+
+_Q26_SQL = _minhash_sql()
+
+
+def q27_simhash(spark, sf_dir):
+    """32-bit SimHash per document."""
+    r = _resolver(spark, sf_dir)
+    return dd.simhash(r("documents").filter(F.col("doc_id") < 100), bits=32)
+
+
+def _simhash_sql(bits=32):
+    bit_sums = ", ".join(f"SUM((h >> {j}) & 1) AS b{j}" for j in range(bits))
+    recon = " + ".join(
+        f"(CASE WHEN b{j} * 2 > n THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[n] || ' ' || t[n+1] AS shingle
+  FROM toks, UNNEST(range(1, len(t))) AS r(n)
+  WHERE len(t) >= 2
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+c AS (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM c
+"""
+
+
+_Q27_SQL = _simhash_sql()
+
+
+def q28_dedup_exact(spark, sf_dir):
+    """Exact dedup: one keeper per distinct normalized text."""
+    r = _resolver(spark, sf_dir)
+    return dd.dedup_exact(r("documents")).select("doc_id", "source")
+
+
+_Q28_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE doc_id IN (
+  SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM})
+)
+"""
+
+
+def q29_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    r = _resolver(spark, sf_dir)
+    vecs = r("embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.brute_force_topk(vecs, queries, k=5)
+
+
+_Q29_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6) AS cos_sim
+  FROM v CROSS JOIN q
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+def q30_label_centroids(spark, sf_dir):
+    """Per-label centroid components (long format for oracle comparison)."""
+    r = _resolver(spark, sf_dir)
+    exploded = r("embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("decimal(28,10)")).cast("double"), 6).alias("mean_v")
+    )
+
+
+_Q30_SQL = """
+SELECT label, CAST(r.n - 1 AS INT) AS pos,
+       ROUND(CAST(AVG(CAST(e[r.n] AS DECIMAL(28,10))) AS DOUBLE), 6) AS mean_v
+FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+     UNNEST(range(1, 65)) AS r(n)
+GROUP BY 1, 2
+"""
+
+
+def q31_lsh_topk(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH buckets (rows-only check:
+    bucket membership is engine-deterministic but float-literal round-trips
+    through SQL text are not worth the risk)."""
+    r = _resolver(spark, sf_dir)
+    vecs = r("embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.lsh_topk(vecs, queries, k=5)
+
+
+def q32_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs (rows-only: banding layout is an
+    implementation detail; the jaccard verify of candidates is q25)."""
+    r = _resolver(spark, sf_dir)
+    return dd.minhash_lsh_candidates(r("documents"), num_perm=16, bands=8)
+
+
+# --------------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: star join + grouped aggregation."""
+    return q04_join_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_like": q02_filter_like,
+        "q03_filter_in": q03_filter_in,
+        "q04_join_agg": q04_join_agg,
+        "q05_left_join": q05_left_join,
+        "q06_semijoin_subquery": q06_semijoin_subquery,
+        "q07_topk_revenue": q07_topk_revenue,
+        "q08_distinct": q08_distinct,
+        "q09_count_unique": q09_count_unique,
+        "q10_having": q10_having,
+        "q11_time_bin": q11_time_bin,
+        "q12_numeric_bin": q12_numeric_bin,
+        "q13_sort_offset_limit": q13_sort_offset_limit,
+        "q14_coalesce": q14_coalesce,
+        "q15_union_merge": q15_union_merge,
+        "q16_window_topk_per_group": q16_window_topk_per_group,
+        "q17_json_extract": q17_json_extract,
+        "q18_regex_match": q18_regex_match,
+        "q19_multi_agg": q19_multi_agg,
+        "q20_sessionize": q20_sessionize,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_token_stats": q22_token_stats,
+        "q23_lang_guess": q23_lang_guess,
+        "q24_quality": q24_quality,
+        "q25_ngram_jaccard": q25_ngram_jaccard,
+        "q26_minhash": q26_minhash,
+        "q27_simhash": q27_simhash,
+        "q28_dedup_exact": q28_dedup_exact,
+        "q29_cosine_topk": q29_cosine_topk,
+        "q30_label_centroids": q30_label_centroids,
+        "q31_lsh_topk": q31_lsh_topk,
+        "q32_minhash_lsh_pairs": q32_minhash_lsh_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_filter_like": _Q02_SQL,
+        "q03_filter_in": _Q03_SQL,
+        "q04_join_agg": _Q04_SQL,
+        "q05_left_join": _Q05_SQL,
+        "q06_semijoin_subquery": _Q06_SQL,
+        "q07_topk_revenue": _Q07_SQL,
+        "q08_distinct": _Q08_SQL,
+        "q09_count_unique": _Q09_SQL,
+        "q10_having": _Q10_SQL,
+        "q11_time_bin": _Q11_SQL,
+        "q12_numeric_bin": _Q12_SQL,
+        "q13_sort_offset_limit": _Q13_SQL,
+        "q14_coalesce": _Q14_SQL,
+        "q15_union_merge": _Q15_SQL,
+        "q16_window_topk_per_group": _Q16_SQL,
+        "q17_json_extract": _Q17_SQL,
+        "q18_regex_match": _Q18_SQL,
+        "q19_multi_agg": _Q19_SQL,
+        "q20_sessionize": _Q20_SQL,
+        "q21_fingerprint": _Q21_SQL,
+        "q22_token_stats": _Q22_SQL,
+        "q23_lang_guess": _Q23_SQL,
+        "q24_quality": _Q24_SQL,
+        "q25_ngram_jaccard": _Q25_SQL,
+        "q26_minhash": _Q26_SQL,
+        "q27_simhash": _Q27_SQL,
+        "q28_dedup_exact": _Q28_SQL,
+        "q29_cosine_topk": _Q29_SQL,
+        "q30_label_centroids": _Q30_SQL,
+        # q31, q32: rows-only (approximate operators)
+    }

@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four families, all shuffle-conscious:
+
+* exact      — hash-groupBy on a content fingerprint (one shuffle)
+* minhash    — MinHash signatures + LSH banding (shuffle on band buckets,
+               never the full cross-join)
+* simhash    — 64-bit SimHash per document (embarrassingly parallel)
+* ngram      — exact Jaccard on word shingles via shingle-inverted-index
+               self-join (shuffle on shingle; candidate pairs only)
+
+Hash functions are md5-derived so the DuckDB oracle reproduces them exactly
+(Spark's xxhash64/hash are engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.functions.text import fingerprint, word_shingles
+
+# MinHash universal-hash parameters: h_i(x) = (a_i * x + b_i) mod P.
+# P is a Mersenne prime (2^61 - 1); a/b are fixed (seeded) so signatures are
+# deterministic across engines and runs.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_params(num_perm: int = 16) -> list:
+    """Deterministic (a, b) pairs via a small LCG (no RNG dependency)."""
+    params, state = [], 0x5DEECE66D
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % MINHASH_PRIME
+        a = state | 1  # must be odd/nonzero
+        state = (state * 6364136223846793005 + 1442695040888963407) % MINHASH_PRIME
+        b = state
+        params.append((a, b))
+    return params
+
+
+def shingle_hash(col) -> F.Column:
+    """60-bit integer hash of a shingle string, reproducible in ANSI SQL:
+    first 15 hex digits of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents (after whitespace normalization).
+
+    Returns one row per duplicated fingerprint: keeper id (min), dup count.
+    Single hash-shuffle on the fingerprint; partial aggregation is map-side.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct normalized text."""
+    w = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w.select(id_col), on=id_col, how="left_semi")
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) exploded inverted-index rows.
+
+    Repartitions the input first: shingling inflates each document ~50×, so
+    parallelism must be established *before* the explode — a small parquet
+    file otherwise arrives as one partition and the whole pipeline runs on
+    one core (and at cluster scale, pre-explode rows are the cheap thing to
+    shuffle).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism, id_col)
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle inverted index.
+
+    Never materializes the doc×doc cross product: candidate pairs come from
+    co-occurrence in the shingle index, with hot shingles (appearing in >
+    ``max_shingle_freq`` docs) dropped — the standard frequency cutoff that
+    bounds the join fan-out at corpus scale.
+    """
+    # the shingle index feeds three plan branches (sizes, freq filter, pair
+    # join); persist it so the explode isn't recomputed per branch
+    sh = shingle_rows(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq")).filter(
+        F.col("df_freq") <= max_shingle_freq
+    )
+    sh = sh.join(freq_ok.select("shingle"), "shingle")
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """One row per (doc, permutation): the MinHash value.
+
+    Computed as min over the doc's shingle hashes of (a*h + b) mod P.
+    Stays long-format (id, perm, minhash) so the oracle SQL is a plain
+    GROUP BY; ``minhash_signature_array`` pivots to array form.
+    """
+    sh = shingle_rows(df, text_col, id_col, k).withColumn("h", shingle_hash(F.col("shingle")))
+    perms = None
+    for i, (a, b) in enumerate(minhash_params(num_perm)):
+        # (a*h + b) mod P in double-safe pieces: h < 2^60, a,b < 2^61 —
+        # direct multiply overflows long, so use (a mod P * h mod P) via
+        # split multiply: a*h mod P with 128-bit emulation is overkill here;
+        # instead reduce a to < 2^30 to keep a*h within 90 bits -> decimal
+        a30 = a & ((1 << 30) - 1)
+        expr = (
+            (F.col("h").cast("decimal(38,0)") * F.lit(a30) + F.lit(b % MINHASH_PRIME))
+            % F.lit(MINHASH_PRIME)
+        ).cast("bigint")
+        row = F.struct(F.lit(i).alias("perm"), expr.alias("hv"))
+        perms = F.array(row) if perms is None else F.concat(perms, F.array(row))
+    exploded = sh.select(id_col, F.explode(perms).alias("p")).select(
+        id_col, F.col("p.perm").alias("perm"), F.col("p.hv").alias("hv")
+    )
+    return exploded.groupBy(id_col, "perm").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_signature_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
+    return sig.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("perm", "minhash"))
+        ).alias("_s")
+    ).select(id_col, F.transform("_s", lambda s: s["minhash"]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    Signatures are split into ``bands``; docs sharing any band hash become a
+    candidate pair. The only shuffles are the signature groupBy and the
+    band-bucket self-join — never doc×doc.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm).withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int")
+    )
+    band_hash = sig.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias(
+            "bucket"
+        )
+    )
+    a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-document SimHash over word shingle hashes.
+
+    Bit ``j`` of the result is 1 when the majority of the doc's shingle
+    hashes have bit ``j`` set. Pure aggregation (explode + groupBy), one
+    shuffle on the id. 32 bits keeps every intermediate in longs so the
+    ANSI-SQL oracle matches exactly.
+    """
+    sh = shingle_rows(df, text_col, id_col, 2).withColumn("h", shingle_hash(F.col("shingle")))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(bits):
+        aggs.append(F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}"))
+    counts = sh.groupBy(id_col).agg(*aggs)
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+    return counts.select(F.col(id_col), out.alias("simhash"))

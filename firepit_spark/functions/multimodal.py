@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus typed metadata, processed with
+Arrow-batched ``mapInPandas`` so each task handles a partition of blobs
+without ever collecting to the driver. The actual codec work (decode,
+resize, frame-sample, feature-extract) needs image/audio libraries that are
+NOT in this container, so the codec kernels are stubbed: the Spark-side
+schema, partitioning, UDF signatures, and batch shapes are real and tested,
+the pixel math raises ``NotImplementedError`` unless a deterministic fake is
+requested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("mime_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+        StructField("feature", StringType()),
+    ]
+)
+
+
+def _fake_feature(content: bytes) -> str:
+    """Deterministic stand-in for a real feature extractor."""
+    import hashlib
+
+    return hashlib.md5(content or b"").hexdigest()[:16]
+
+
+def decode_stub(kind: str, content: bytes):
+    """Placeholder for the real codec. Raises: the container has no
+    image/audio libraries. Replace with PIL/librosa/av in production."""
+    raise NotImplementedError(f"no {kind} codec available in this environment")
+
+
+def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
+    """Per-blob feature extraction over ``mapInPandas``.
+
+    Arrow moves each partition's blobs as one batch; the Python worker sees
+    a ``pd.DataFrame`` per batch (never whole-table). With ``use_fake`` the
+    deterministic md5 feature exercises the full distributed path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                    "content_md5": pdf["content"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "feature": pdf["content"].map(
+                        _fake_feature
+                        if use_fake
+                        else (lambda b: decode_stub("image", b))
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Expand each video row into frame-timestamp rows (the sampling plan);
+    the frame decode itself is the stubbed kernel. Pure column ops."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        content = bytes((i * j) % 256 for j in range(128 + (i % 64)))
+        rows.append(
+            (
+                i,
+                kind,
+                content,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 + i % 32 if kind == "image" else None,
+                64 + i % 16 if kind == "image" else None,
+                1000 * (i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)

@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.column import Column as SparkColumn
 
 from firepit_spark.exceptions import InvalidAttr, InvalidQuery
 from firepit_spark.validate import NAME_PATTERN
@@ -86,6 +87,8 @@ def _colref(name):
     """
     if isinstance(name, (Column, CoalescedColumn, BinnedColumn)):
         return name.to_spark()
+    if isinstance(name, SparkColumn):
+        return name  # raw pyspark Column escape hatch
     if not isinstance(name, str):
         return F.lit(name)
     if ":" in name:
@@ -297,7 +300,7 @@ class Projection:
         self.cols = list(cols)
 
     def to_spark(self):
-        return [_colref(c) if isinstance(c, str) else c.to_spark() for c in self.cols]
+        return [_colref(c) for c in self.cols]
 
 
 class Group:
@@ -521,9 +524,7 @@ class Query:
         df = self._apply_filters(df, self.where, resolver)
 
         if self.groupby:
-            group_exprs = [
-                _colref(c) if isinstance(c, str) else c.to_spark() for c in self.groupby.cols
-            ]
+            group_exprs = [_colref(c) for c in self.groupby.cols]
             agg_exprs = self.aggs.to_spark() if self.aggs else [F.count(F.lit(1)).alias("count")]
             df = df.groupBy(*group_exprs).agg(*agg_exprs)
         elif self.aggs:
