@@ -1,0 +1,175 @@
+"""Automatic reference dereferencing — the reference's flagship operator
+(firepit/deref.py:73-177) re-expressed as DataFrame join planning.
+
+``auto_deref`` DFS-walks every ``*_ref`` column of a view, left-outer joins
+the target type's table (aliased per path so e.g. network-traffic can join
+ipv4-addr twice), and projects referenced properties as dotted columns
+(``src_ref.value``). Special cases kept from the reference: mixed ipv4+ipv6
+double-join merged with COALESCE (firepit/deref.py:28-59), the
+``process:parent_ref`` self-join (firepit/deref.py:142-150), cycle
+avoidance, and ``paths=`` pruning.
+
+Scale notes: every join here is a left-outer equi-join on ``id`` against an
+SCO dimension table; those dims are small relative to the event stream at
+100 TB, so each join leg is broadcast when under the AQE threshold. Join
+legs not requested via ``paths`` are simply not emitted (cheaper than
+relying on the optimizer to prune them).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.props import ref_type
+
+DEFAULT_IGNORE = {"x-oca-asset": ["parent_process_ref"]}
+
+
+def _last_part(prop: str) -> str:
+    return prop.rsplit(".", 1)[-1].rsplit(":", 1)[-1]
+
+
+def _aliased(df: DataFrame, prefix: str, ref_prop: str) -> tuple:
+    """Rename target columns to 'prefix.col' dotted names, dropping nested
+    *_ref columns (recursion handles those) and the joining ref itself."""
+    keep = [
+        c
+        for c in df.columns
+        if c != ref_prop and not c.endswith("_ref") and c != "type"
+    ]
+    renamed = df.select(
+        F.col("id").alias(f"__join_id_{prefix}"),
+        *[F.col(f"`{c}`").alias(f"{prefix}.{c}") for c in keep if c != "id"],
+        *([F.col("id").alias(f"{prefix}.id")] if "id" in keep else []),
+    )
+    return renamed, f"__join_id_{prefix}"
+
+
+class DerefPlanner:
+    """Builds the deref join tree over a storage's type tables."""
+
+    def __init__(self, storage, ignore: dict | None = None):
+        self.storage = storage
+        self.ignore = ignore if ignore is not None else DEFAULT_IGNORE
+
+    @property
+    def types(self) -> set:
+        return set(self.storage.types())
+
+    def deref(self, df: DataFrame, sco_type: str, paths=None) -> DataFrame:
+        """Return ``df`` with dotted deref columns appended; *_ref columns
+        themselves are dropped from the result (reference parity:
+        firepit/deref.py:120-123)."""
+        if "id" not in df.columns:
+            return df  # aggregate view: nothing to deref
+        wanted = None
+        if paths is not None and paths != ["*"]:
+            wanted = set()
+            for p in paths:
+                wanted.add(p.split(".")[0] if "_ref" in p and p not in df.columns else p)
+        df = self._walk(df, sco_type, prefix="", depth=0, wanted=wanted)
+        drop = [
+            c
+            for c in df.columns
+            if c.endswith("_ref")
+            and "." not in c
+            and not (sco_type == "relationship" and c in ("source_ref", "target_ref"))
+        ]
+        out = df.drop(*drop)
+        if paths is not None and paths != ["*"]:
+            cols = [p for p in paths if p in out.columns]
+            if cols:
+                out = out.select(*[F.col(f"`{c}`") for c in cols])
+        return out
+
+    def _walk(self, df: DataFrame, sco_type: str, prefix: str, depth: int, wanted):
+        if depth > 5:
+            return df
+        ref_cols = [
+            c
+            for c in df.columns
+            if c.endswith("_ref")
+            and (prefix == "" or c.startswith(prefix))
+            and c not in self.ignore.get(sco_type, [])
+        ]
+        for col in ref_cols:
+            local = col[len(prefix):] if prefix else col
+            if "." in local:
+                continue  # belongs to a deeper prefix
+            if wanted is not None and prefix == "" and col not in wanted:
+                continue
+            targets = [t for t in ref_type(sco_type, _last_part(local)) if t in self.types]
+            if not targets:
+                continue
+            path = f"{prefix}{local}" if prefix else local
+            if len(targets) > 1 and {"ipv4-addr", "ipv6-addr"} <= set(targets):
+                df = self._join_mixed_ips(df, col, path)
+                continue
+            target = targets[0]
+            if target == sco_type and not (
+                sco_type == "process" and local == "parent_ref"
+            ):
+                continue  # cycle
+            tdf = self.storage.table_df(target)
+            renamed, join_id = _aliased(tdf, path, local)
+            df = df.join(
+                F.broadcast(renamed), df[f"`{col}`"] == renamed[join_id], "left_outer"
+            ).drop(join_id)
+            if not (target == sco_type):
+                df = self._walk(df, target, prefix=f"{path}.", depth=depth + 1, wanted=wanted)
+        return df
+
+    def _join_mixed_ips(self, df: DataFrame, col: str, path: str) -> DataFrame:
+        """Both ipv4-addr and ipv6-addr exist: join both, COALESCE the
+        common columns (reference firepit/deref.py:28-59)."""
+        legs = {}
+        for ver in (4, 6):
+            t = f"ipv{ver}-addr"
+            if t not in self.types:
+                continue
+            tdf = self.storage.table_df(t)
+            renamed, join_id = _aliased(tdf, f"__{path}{ver}", col)
+            df = df.join(
+                F.broadcast(renamed), df[f"`{col}`"] == renamed[join_id], "left_outer"
+            ).drop(join_id)
+            legs[ver] = [
+                c[len(f"__{path}{ver}.") :]
+                for c in renamed.columns
+                if c.startswith(f"__{path}{ver}.")
+            ]
+        common = set(legs.get(4, [])) & set(legs.get(6, []))
+        exprs = []
+        for c in sorted(common):
+            exprs.append(
+                F.coalesce(F.col(f"`__{path}4.{c}`"), F.col(f"`__{path}6.{c}`")).alias(
+                    f"{path}.{c}"
+                )
+            )
+        for ver in (4, 6):
+            for c in sorted(set(legs.get(ver, [])) - common):
+                exprs.append(F.col(f"`__{path}{ver}.{c}`").alias(f"{path}.{c}"))
+        keep = [c for c in df.columns if not c.startswith(f"__{path}4.") and not c.startswith(f"__{path}6.")]
+        return df.select(*[F.col(f"`{c}`") for c in keep], *exprs)
+
+
+def unresolve(objects: list):
+    """Inverse of deref: split dotted ``x_ref.prop`` columns back into
+    standalone typed objects (parity: firepit/deref.py:194-220)."""
+    for obj in objects:
+        pruned = {}
+        reffed = defaultdict(dict)
+        for prop in sorted(obj):
+            if "_ref." in prop:
+                ref, _, rest = prop.partition(".")
+                reffed[ref][rest] = obj[prop]
+                if rest == "id":
+                    pruned[ref] = obj[prop]
+            else:
+                pruned[prop] = obj[prop]
+        for sub in reffed.values():
+            if sub.get("id"):
+                sub["type"] = sub["id"].partition("--")[0]
+                yield from unresolve([sub])
+        yield pruned

@@ -1,0 +1,339 @@
+"""STIX pattern compiler: pattern text -> DSL predicates -> Column exprs.
+
+Parity target: the reference's Lark grammar + transformer
+(firepit/paramstix.lark, firepit/stix20.py:14-159), re-implemented as a
+hand-rolled tokenizer + recursive-descent parser (same LALR language; no
+parser-generator dependency) that emits ``firepit_spark.query`` Predicate
+trees instead of SQL text:
+
+* comparisons on SCO types other than the target are dropped, and AND/OR
+  absorb the dropped side (firepit/stix20.py:110-113 semantics)
+* reference paths (``network-traffic:src_ref.value``) compile to nested
+  membership subqueries -> distributed left-semi joins
+  (firepit/stix20.py:64-84)
+* ``_refs`` list paths route through the ``__reflist`` edge table
+* START/STOP qualifiers parse but are ignored (firepit/stix20.py:154-156)
+* list-valued props (``protocols[*]``) use native array semantics
+  (array_contains / exists+like) instead of the reference's
+  LIKE-on-JSON-text hack (firepit/query.py:180-187) — a deliberate
+  improvement enabled by real ArrayType columns
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from firepit_spark.exceptions import StixPatternError
+from firepit_spark.props import parse_prop
+from firepit_spark.query import Filter, Join, Predicate, Projection, Query
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<TS>t'[^']*')
+  | (?P<STRING>'(?:\\'|[^'])*')
+  | (?P<NUMBER>-?\d+(?:\.\d+)?)
+  | (?P<LBRACK>\[) | (?P<RBRACK>\])
+  | (?P<LPAREN>\() | (?P<RPAREN>\))
+  | (?P<COMMA>,)
+  | (?P<COLON>:)
+  | (?P<OP><=|>=|!=|<>|=|<|>)
+  | (?P<WORD>[A-Za-z][\w-]*(?:\[\*\])?(?:\.(?:[\w'#@-]|\[\*\])+)*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "IN", "LIKE", "MATCHES", "ISSUBSET", "ISSUPERSET",
+             "START", "STOP", "WITHIN", "REPEATS", "TIMES", "SECONDS"}
+
+
+def _tokenize(text: str):
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise StixPatternError(f"bad pattern at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        value = m.group()
+        if kind == "WORD" and value.upper() in _KEYWORDS:
+            tokens.append((value.upper(), value))
+        else:
+            tokens.append((kind, value))
+    tokens.append(("EOF", ""))
+    return tokens
+
+
+class _Parser:
+    """Recursive descent over the paramstix token stream.
+
+    AST nodes: ('comp', sco_type, prop, op, value) / ('and', l, r) /
+    ('or', l, r). Observation brackets dissolve into the same node space
+    (the reference transformer does the same flattening)."""
+
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i][0]
+
+    def next(self, expect=None):
+        kind, value = self.toks[self.i]
+        if expect and kind != expect:
+            raise StixPatternError(f"expected {expect}, got {kind} {value!r}")
+        self.i += 1
+        return value
+
+    def parse(self):
+        node = self.obs_disj()
+        # optional START t'...' STOP t'...' qualifier: parsed, ignored
+        if self.peek() == "START":
+            self.next()
+            self.next("TS")
+            self.next("STOP")
+            self.next("TS")
+        if self.peek() != "EOF":
+            raise StixPatternError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def obs_disj(self):
+        node = self.obs_conj()
+        while self.peek() == "OR":
+            self.next()
+            node = ("or", node, self.obs_conj())
+        return node
+
+    def obs_conj(self):
+        node = self.obs_exp()
+        while self.peek() == "AND":
+            self.next()
+            node = ("and", node, self.obs_exp())
+        return node
+
+    def obs_exp(self):
+        if self.peek() == "LBRACK":
+            self.next()
+            node = self.comp_disj()
+            self.next("RBRACK")
+            return node
+        self.next("LPAREN")
+        node = self.obs_disj()
+        self.next("RPAREN")
+        return node
+
+    def comp_disj(self):
+        node = self.comp_conj()
+        while self.peek() == "OR":
+            self.next()
+            node = ("or", node, self.comp_conj())
+        return node
+
+    def comp_conj(self):
+        node = self.comp_exp()
+        while self.peek() == "AND":
+            self.next()
+            node = ("and", node, self.comp_exp())
+        return node
+
+    def comp_exp(self):
+        if self.peek() == "LPAREN":
+            self.next()
+            node = self.comp_disj()
+            self.next("RPAREN")
+            return node
+        return self.comparison()
+
+    def comparison(self):
+        sco_type = self.next("WORD")
+        self.next("COLON")
+        prop = self.next("WORD")
+        op = self._operator()
+        value = self._value()
+        return ("comp", sco_type, prop, op, value)
+
+    def _operator(self):
+        neg = ""
+        if self.peek() == "NOT":
+            self.next()
+            neg = "NOT "
+        kind = self.peek()
+        if kind == "OP":
+            if neg:
+                raise StixPatternError("NOT only combines with IN/LIKE/MATCHES/ISSUBSET")
+            return self.next()
+        if kind in ("IN", "LIKE", "MATCHES", "ISSUBSET", "ISSUPERSET"):
+            return neg + self.next()
+        raise StixPatternError(f"expected comparison operator, got {kind}")
+
+    def _value(self):
+        kind = self.peek()
+        if kind == "STRING":
+            return self._unquote(self.next())
+        if kind == "NUMBER":
+            raw = self.next()
+            return float(raw) if "." in raw else int(raw)
+        if kind == "TS":
+            return self.next()[2:-1]
+        if kind == "LPAREN":
+            self.next()
+            items = [self._value()]
+            while self.peek() == "COMMA":
+                self.next()
+                items.append(self._value())
+            self.next("RPAREN")
+            return items
+        raise StixPatternError(f"expected value, got {kind}")
+
+    @staticmethod
+    def _unquote(raw):
+        # STIX single-quoted strings escape backslash and quote with '\'
+        return re.sub(r"\\(['\\])", r"\1", raw[1:-1])
+
+
+def parse_pattern(pattern: str):
+    """Pattern text -> AST (validates the full pattern regardless of type)."""
+    return _Parser(_tokenize(pattern)).parse()
+
+
+# ---------------------------------------------------------------------------
+# AST -> DSL predicates for one target SCO type
+# ---------------------------------------------------------------------------
+
+
+def _list_prop_predicate(prop: str, op: str, value):
+    """Native array semantics for ``prop[*]`` paths."""
+    base, _, subprop = prop.partition("[*]")
+    col = F.col(f"`{base}`")
+    neg = op.startswith("NOT ")
+    if neg:
+        op = op[4:]
+    if subprop:
+        # array of structs: match any element's field
+        sub = subprop.lstrip(".")
+        cond = F.exists(col, lambda e: e[sub] == F.lit(value))
+    elif op in ("=", "!=", "<>"):
+        cond = F.array_contains(col, value)
+        if op in ("!=", "<>"):
+            neg = not neg
+    elif op == "LIKE":
+        cond = F.exists(col, lambda e: e.like(value))
+    elif op == "MATCHES":
+        cond = F.exists(col, lambda e: e.rlike(value))
+    elif op == "IN":
+        cond = F.arrays_overlap(col, F.array(*[F.lit(v) for v in value]))
+    else:
+        raise StixPatternError(f"unsupported list-prop operator: {op}")
+    cond = ~cond if neg else cond
+    return Predicate(cond, "=", True)
+
+
+def _payload_bin_predicate(prop: str, op: str, value):
+    """LIKE/MATCHES against base64 payloads: decode once, match JVM-side
+    (replaces the reference's like_bin/match_bin UDFs,
+    firepit/sqlitestorage.py:70-87)."""
+    decoded = F.unbase64(F.col(f"`{prop}`")).cast("string")
+    neg = op.startswith("NOT ")
+    if neg:
+        op = op[4:]
+    cond = decoded.rlike(value) if op == "MATCHES" else decoded.like(value)
+    cond = ~cond if neg else cond
+    return Predicate(cond, "=", True)
+
+
+def _leaf_predicate(sco_type: str, prop: str, op: str, value):
+    if "[*]" in prop:
+        return _list_prop_predicate(prop, op, value)
+    if prop.endswith("payload_bin") and op.lstrip("NOT ") in ("LIKE", "MATCHES"):
+        return _payload_bin_predicate(prop, op, value)
+    if op in ("ISSUPERSET", "NOT ISSUPERSET"):
+        # value is the address, column is the CIDR: rarely used; evaluate as
+        # membership of the literal in each row's network via driver-side
+        # flip only when the column holds a single CIDR string — defer
+        raise StixPatternError("ISSUPERSET is not supported yet")
+    return Predicate(prop, op, value)
+
+
+def _comp_to_predicate(sco_type, prop, op, value, storage=None):
+    """One comparison -> Predicate, following reference paths through
+    membership subqueries (parity: comp2sql, firepit/stix20.py:64-84)."""
+    links = parse_prop(sco_type, prop)
+    if not links:
+        # untypeable ref path: reference drops it
+        return None
+    pred = None
+    for link in reversed(links):
+        if link[0] == "node":
+            pred = _leaf_predicate(link[1] or sco_type, link[2], op, value)
+        else:
+            _, from_type, ref_name, to_type = link
+            sub = Query(storage.table_name(to_type) if storage else to_type)
+            sub.append(Filter([pred]))
+            sub.append(Projection(["id"]))
+            if ref_name.endswith("_refs"):
+                refq = Query(storage.table_name(REFLIST_TABLE) if storage else REFLIST_TABLE)
+                refq.append(Filter([Predicate("ref_name", "=", ref_name),
+                                    Predicate("target_ref", "IN", sub)]))
+                refq.append(Projection(["source_ref"]))
+                pred = Predicate("id", "IN", refq)
+            else:
+                pred = Predicate(ref_name, "IN", sub)
+    return pred
+
+
+REFLIST_TABLE = "__reflist"
+
+
+def compile_pattern(pattern: str, sco_type: str, storage=None) -> list:
+    """Compile ``pattern`` for ``sco_type`` into a list of DSL Filters
+    (AND-combined). Comparisons on other SCO types are dropped; AND/OR
+    absorb dropped operands (reference firepit/stix20.py:110-124)."""
+    ast = parse_pattern(pattern)
+
+    def walk(node):
+        kind = node[0]
+        if kind == "comp":
+            _, styp, prop, op, value = node
+            if styp != sco_type:
+                return None
+            return _comp_to_predicate(styp, prop, op, value, storage)
+        _, left, right = node
+        lp, rp = walk(left), walk(right)
+        if lp is None:
+            return rp
+        if rp is None:
+            return lp
+        return (("and" if kind == "and" else "or"), lp, rp)
+
+    tree = walk(ast)
+    if tree is None:
+        return []
+    return [_tree_to_filters(tree)]
+
+
+def _tree_to_filters(tree):
+    """Predicate tree -> a single Filter; AND of subtrees flattens, OR
+    requires plain (non-subquery) predicates except when alone."""
+    if isinstance(tree, Predicate):
+        return Filter([tree])
+    kind, left, right = tree
+    lf, rf = _tree_to_filters(left), _tree_to_filters(right)
+    if kind == "and":
+        if lf.op == "AND" and rf.op == "AND":
+            return Filter(lf.preds + rf.preds)
+        return Filter([_filter_as_predicate(lf), _filter_as_predicate(rf)])
+    return Filter([_filter_as_predicate(lf), _filter_as_predicate(rf)], op="OR")
+
+
+def _filter_as_predicate(flt: Filter):
+    """Collapse a Filter to one composite Predicate so it can nest inside
+    another Filter. Subquery predicates can't nest under OR (no distributed
+    OR-of-semi-joins yet); they surface as InvalidQuery at resolve time."""
+    if len(flt.preds) == 1:
+        return flt.preds[0]
+    cond = flt.to_spark()
+    return Predicate(cond, "=", True)

@@ -1,0 +1,748 @@
+"""SparkStorage: the session/warehouse layer — parity with the reference's
+``SqlStorage`` (firepit/sqlstorage.py) re-expressed on Spark.
+
+Layout: one Parquet table per SCO type under ``{path}/tables/``, plus the
+edge tables ``__contains`` / ``__reflist`` and the ingest tag table
+``__queries``. "Variables" (named views) are stored as rebuildable
+definitions in an in-memory symtable: dependent views stay *live* (the
+reference's SQL views re-resolve on read, firepit/sqlitestorage.py:192-218)
+and self-redefinition snapshots the old definition (the reference's
+copy-on-write rename, firepit/sqlitestorage.py:199-211).
+
+Upsert-on-id merge semantics (firepit/sqlstorage.py:367-404):
+``first_observed`` MIN, ``last_observed`` MAX, ``number_observed`` SUM,
+everything else COALESCE(new, old); ``observed-data`` conflicts keep the
+first row (DO NOTHING parity). Implemented as a full-outer merge per
+ingest batch — the Delta-MERGE shape, runnable on plain Parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from collections import defaultdict
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from firepit_spark import flatten as raftmod
+from firepit_spark.deref import DerefPlanner, unresolve
+from firepit_spark.exceptions import (
+    IncompatibleType,
+    InvalidAttr,
+    InvalidObject,
+    StixPatternError,
+    UnknownViewname,
+)
+from firepit_spark.identifiers import makeid
+from firepit_spark.patterns import compile_pattern
+from firepit_spark.props import auto_aggs, parse_path, primary_prop
+from firepit_spark.query import (
+    Aggregation,
+    BinnedColumn,
+    Filter,
+    Group,
+    Order,
+    Predicate,
+    Query,
+)
+from firepit_spark.timestamp import TIMESTAMP_PROPS, to_datetime
+from firepit_spark.validate import validate_name, validate_path
+
+CONTAINS = "__contains"
+REFLIST = "__reflist"
+QUERIES = "__queries"
+_INTERNAL = {CONTAINS, REFLIST, QUERIES}
+
+_EXT_SHORTEN = re.compile(r"^extensions\.'(x-)?([\w\d_-]+)'\.")
+
+
+def shorten_extension_name(key: str) -> str:
+    """``extensions.'x-foo'.bar`` -> ``x_bar`` (parity: firepit/splitter.py:19-20)."""
+    return _EXT_SHORTEN.sub("x_", key)
+
+
+@dataclass
+class ViewDef:
+    sco_type: str | None
+    builder: Callable[[], DataFrame]
+    appdata: str | None = None
+    deps: list = field(default_factory=list)
+
+
+class SparkStorage:
+    def __init__(self, path: str, session_id: str = "spark", spark=None):
+        from firepit_spark.session import build_spark
+
+        self.spark = spark or build_spark(f"firepit-{session_id}")
+        self.path = path
+        self.tables_dir = os.path.join(path, "tables")
+        os.makedirs(self.tables_dir, exist_ok=True)
+        self._views: dict[str, ViewDef] = {}
+        self._df_cache: dict[str, DataFrame] = {}
+        self._deref = DerefPlanner(self)
+
+    # ---------------------------------------------------------------- tables
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.tables_dir, name)
+
+    def table_name(self, sco_type: str) -> str:
+        return sco_type
+
+    def tables(self) -> list:
+        return sorted(
+            t for t in os.listdir(self.tables_dir) if not t.startswith("__")
+        )
+
+    def types(self) -> list:
+        """SCO type tables (excludes SDO/metadata tables, parity:
+        firepit/sqlstorage.py:700-711)."""
+        return sorted(
+            t
+            for t in os.listdir(self.tables_dir)
+            if not t.startswith("__")
+            and t not in ("identity", "observed-data", "relationship")
+        )
+
+    def views(self) -> list:
+        return sorted(self._views)
+
+    def table_df(self, name: str) -> DataFrame:
+        if name not in self._df_cache:
+            p = self._table_path(name)
+            if not os.path.exists(p):
+                raise UnknownViewname(name)
+            self._df_cache[name] = self.spark.read.parquet(p)
+        return self._df_cache[name]
+
+    def _resolve(self, name: str) -> DataFrame:
+        if name in self._views:
+            return self._views[name].builder()
+        return self.table_df(name)
+
+    def get_df(self, name: str) -> DataFrame:
+        """Public resolver: view or table -> DataFrame."""
+        return self._resolve(name)
+
+    def columns(self, name: str) -> list:
+        return self._resolve(name).columns
+
+    def schema(self, name: str) -> list:
+        df = self._resolve(name)
+        return [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+
+    def table_type(self, name: str) -> str | None:
+        """SCO type behind a view/table (parity: firepit/sqlstorage.py:693-698)."""
+        if name in self._views:
+            return self._views[name].sco_type
+        return name if os.path.exists(self._table_path(name)) else None
+
+    def count(self, name: str) -> int:
+        return self._resolve(name).count()
+
+    # ---------------------------------------------------------------- ingest
+
+    def cache(self, query_id: str, bundles, batchsize: int = 2000, **kwargs):
+        """Ingest STIX bundle(s) tagged with ``query_id``
+        (parity: firepit/sqlstorage.py:410-444)."""
+        if not isinstance(bundles, list):
+            bundles = [bundles]
+        objects = []
+        for bundle in bundles:
+            for obj in raftmod.get_objects(bundle):
+                objects.extend(raftmod.flatten(obj))
+        self._write_objects(objects, str(query_id))
+
+    def load(
+        self,
+        viewname: str,
+        objects: list,
+        sco_type: str | None = None,
+        query_id: str | None = None,
+        preserve_ids: bool = True,
+    ) -> str:
+        """Import plain dicts/strings as a typed view
+        (parity: firepit/sqlstorage.py:471-502)."""
+        validate_name(viewname)
+        if not query_id:
+            query_id = (
+                objects[0].get("query_id")
+                if isinstance(objects[0], dict) and "query_id" in objects[0]
+                else str(uuid.uuid4())
+            )
+        prepared = []
+        for obj in objects:
+            if isinstance(obj, str):
+                if not sco_type:
+                    raise InvalidObject("data is a string but no sco_type given")
+                obj = {"type": sco_type, primary_prop(sco_type): obj}
+            elif not isinstance(obj, dict):
+                raise InvalidObject("Unknown data format")
+            if not sco_type:
+                if "type" not in obj:
+                    raise InvalidObject("missing `type`")
+                sco_type = obj["type"]
+            obj.setdefault("type", sco_type)
+            if "id" not in obj or not preserve_ids:
+                obj["id"] = makeid(obj)
+            prepared.append(raftmod.normalize_obj(obj))
+        self._write_objects(prepared, str(query_id))
+        self.extract(viewname, sco_type, query_id, "")
+        return sco_type
+
+    def reassign(self, viewname: str, objects: list):
+        """Write back (possibly enriched) objects behind a view
+        (parity: firepit/sqlstorage.py:504-539)."""
+        validate_name(viewname)
+        if not objects:
+            return
+        if "id" in objects[0]:
+            split = [o for o in unresolve(objects)]
+            for obj in split:
+                if "type" not in obj:
+                    raise InvalidObject("missing `type`")
+            self._write_objects(split, None)
+            # view definition itself is unchanged; clear caches so dependents
+            # see the merged rows
+        else:
+            # aggregate-shaped data: snapshot as a standalone table
+            recs = [dict(o) for o in objects]
+            per_type = {viewname: recs}
+            self._write_type_batch(viewname, recs, None)
+            self._views.pop(viewname, None)
+
+    def _write_objects(self, objects: list, query_id: str | None):
+        by_type = defaultdict(list)
+        for obj in objects:
+            rec = {shorten_extension_name(k): v for k, v in obj.items()}
+            by_type[rec["type"]].append(rec)
+        for otype, recs in by_type.items():
+            self._write_type_batch(otype, recs, query_id)
+
+    # -- schema inference / record coercion ---------------------------------
+
+    @staticmethod
+    def _infer_field(key: str, values: list) -> StructField:
+        base = key.rsplit(".", 1)[-1].rsplit(":", 1)[-1].strip("'")
+        if base in TIMESTAMP_PROPS:
+            return StructField(key, TimestampType())
+        kinds = set()
+        for v in values:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                kinds.add("bool")
+            elif isinstance(v, int):
+                kinds.add("int")
+            elif isinstance(v, float):
+                kinds.add("float")
+            elif isinstance(v, list):
+                kinds.add("list")
+            elif isinstance(v, dict):
+                kinds.add("dict")
+            else:
+                kinds.add("str")
+        if kinds == {"bool"}:
+            return StructField(key, BooleanType())
+        if kinds == {"int"}:
+            return StructField(key, LongType())
+        if kinds <= {"int", "float"} and kinds:
+            return StructField(key, DoubleType())
+        if kinds == {"list"}:
+            return StructField(key, ArrayType(StringType()))
+        return StructField(key, StringType())
+
+    @classmethod
+    def _batch_schema(cls, recs: list) -> StructType:
+        cols = {}
+        for rec in recs:
+            for k in rec:
+                if k != "type":
+                    cols.setdefault(k, []).append(rec[k])
+        fields = [cls._infer_field(k, vs) for k, vs in cols.items()]
+        return StructType(fields)
+
+    @staticmethod
+    def _coerce(value, dtype):
+        if value is None:
+            return None
+        if isinstance(dtype, TimestampType):
+            return to_datetime(value).replace(tzinfo=None)
+        if isinstance(dtype, LongType):
+            return int(value)
+        if isinstance(dtype, DoubleType):
+            return float(value)
+        if isinstance(dtype, BooleanType):
+            return bool(value)
+        if isinstance(dtype, ArrayType):
+            if not isinstance(value, (list, tuple)):
+                value = [value]
+            return [
+                v if isinstance(v, str) else json.dumps(v, sort_keys=True)
+                for v in value
+            ]
+        if isinstance(value, (dict, list)):
+            return json.dumps(value, sort_keys=True)
+        return str(value)
+
+    def _records_to_df(self, recs: list) -> DataFrame:
+        schema = self._batch_schema(recs)
+        rows = [
+            tuple(self._coerce(rec.get(f.name), f.dataType) for f in schema.fields)
+            for rec in recs
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    # -- merge ---------------------------------------------------------------
+
+    def _write_type_batch(self, otype: str, recs: list, query_id: str | None):
+        new_df = self._records_to_df(recs)
+        if otype == CONTAINS:
+            self._merge_edges(otype, new_df, ["source_ref", "target_ref"])
+        elif otype == REFLIST:
+            self._merge_edges(otype, new_df, ["ref_name", "source_ref", "target_ref"])
+        elif "id" in new_df.columns:
+            new_df = self._merge_batch_dups(otype, new_df)
+            self._merge_upsert(otype, new_df)
+            if query_id:
+                tags = new_df.select(
+                    F.col("id").alias("sco_id"), F.lit(query_id).alias("query_id")
+                )
+                self._merge_edges(QUERIES, tags, ["sco_id", "query_id"])
+        else:
+            self._append(otype, new_df)
+
+    def _merge_batch_dups(self, otype: str, df: DataFrame) -> DataFrame:
+        """Collapse duplicate ids within one batch using upsert semantics
+        (the groupBy-merge shape of firepit/aio/ingest.py:674-677)."""
+        aggs = []
+        for c in df.columns:
+            if c == "id":
+                continue
+            if c == "first_observed":
+                aggs.append(F.min(c).alias(c))
+            elif c == "last_observed":
+                aggs.append(F.max(c).alias(c))
+            elif c == "number_observed":
+                aggs.append(F.sum(c).alias(c))
+            else:
+                aggs.append(F.first(F.col(f"`{c}`"), ignorenulls=True).alias(c))
+        if not aggs:
+            return df.distinct()
+        return df.groupBy("id").agg(*aggs)
+
+    def _merge_upsert(self, otype: str, new_df: DataFrame):
+        path = self._table_path(otype)
+        if not os.path.exists(path):
+            self._write(otype, new_df)
+            return
+        old = self.table_df(otype)
+        o, n = old.alias("o"), new_df.alias("n")
+        joined = o.join(n, F.col("o.id") == F.col("n.id"), "full_outer")
+        old_cols, new_cols = set(old.columns), set(new_df.columns)
+        exprs = []
+        old_wins = otype == "observed-data"  # DO NOTHING parity
+        for c in sorted(old_cols | new_cols):
+            oc = F.col(f"o.`{c}`") if c in old_cols else F.lit(None)
+            nc = F.col(f"n.`{c}`") if c in new_cols else F.lit(None)
+            if c == "id":
+                expr = F.coalesce(oc, nc)
+            elif old_wins:
+                expr = F.coalesce(oc, nc)
+            elif c == "first_observed":
+                expr = F.least(oc, nc)
+            elif c == "last_observed":
+                expr = F.greatest(oc, nc)
+            elif c == "number_observed":
+                expr = F.when(
+                    oc.isNull() & nc.isNull(), F.lit(None)
+                ).otherwise(F.coalesce(oc, F.lit(0)) + F.coalesce(nc, F.lit(0)))
+            else:
+                expr = F.coalesce(nc, oc)
+            exprs.append(expr.alias(c))
+        self._write(otype, joined.select(*exprs))
+
+    def _merge_edges(self, otype: str, new_df: DataFrame, keys: list):
+        path = self._table_path(otype)
+        if os.path.exists(path):
+            old = self.table_df(otype)
+            new_df = old.unionByName(new_df, allowMissingColumns=True)
+        cols = new_df.columns
+        aggs = [F.max(F.col(f"`{c}`")).alias(c) for c in cols if c not in keys]
+        merged = new_df.groupBy(*keys).agg(*aggs) if aggs else new_df.distinct()
+        self._write(otype, merged)
+
+    def _append(self, otype: str, new_df: DataFrame):
+        path = self._table_path(otype)
+        if os.path.exists(path):
+            old = self.table_df(otype)
+            new_df = old.unionByName(new_df, allowMissingColumns=True)
+        self._write(otype, new_df)
+
+    def _write(self, otype: str, df: DataFrame):
+        """Materialize to a tmp dir then swap — the table being replaced may
+        be an input of ``df``'s lineage, so an in-place overwrite would read
+        its own partial output."""
+        path = self._table_path(otype)
+        tmp = path + ".__tmp__"
+        df.write.mode("overwrite").parquet(tmp)
+        self._df_cache.pop(otype, None)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    # ----------------------------------------------------------------- views
+
+    def _register(self, name, sco_type, builder, deps):
+        validate_name(name)
+        if name in self._views and name in deps:
+            # self-redefinition: snapshot the old definition (copy-on-write
+            # parity with the reference's table-rename trick)
+            frozen = self._views[name]
+            old_builder = frozen.builder
+
+            def resolve_with_snapshot(n, _old=old_builder, _name=name):
+                return _old() if n == _name else self._resolve(n)
+
+            self._views[name] = ViewDef(
+                sco_type, lambda: builder(resolve_with_snapshot), appdata=frozen.appdata, deps=deps
+            )
+        else:
+            appdata = self._views[name].appdata if name in self._views else None
+            self._views[name] = ViewDef(
+                sco_type, lambda: builder(self._resolve), appdata=appdata, deps=deps
+            )
+
+    def assign_query(self, viewname: str, query: Query, sco_type: str | None = None):
+        """Store a DSL query as a named view (parity:
+        firepit/sqlstorage.py:829-852). Grouped queries with no explicit
+        aggs get auto-aggregation."""
+        if query.groupby and not query.aggs:
+            base_name = query.table.name
+            base_df = self._resolve(base_name)
+            stype = sco_type or self.table_type(base_name) or base_name
+            group_cols = [
+                c if isinstance(c, str) else getattr(c, "alias", None)
+                for c in query.groupby.cols
+            ]
+            aggs = auto_aggs(stype, base_df.schema, [c for c in group_cols if c])
+            if aggs:
+                query.aggs = Aggregation([])
+                query.aggs.aggs = []
+                query.aggs.to_spark = lambda: aggs  # pre-built Column aggs
+        if not sco_type:
+            sco_type = self.table_type(query.table.name)
+        deps = [query.table.name] + [j.name for j in query.joins]
+        self._register(viewname, sco_type, lambda resolve: query.resolve(resolve), deps)
+
+    def extract(self, viewname: str, sco_type: str, query_id, pattern: str):
+        """Pattern-filtered view over one ingest batch
+        (parity: firepit/sqlstorage.py:568-577 + _extract 340-365)."""
+        validate_name(viewname)
+        try:
+            filters = compile_pattern(pattern, sco_type, self) if pattern else []
+        except StixPatternError:
+            raise
+        except Exception as e:
+            raise StixPatternError(f"{pattern}: {e}") from e
+        qid = str(query_id) if query_id else None
+
+        def build(resolve):
+            df = resolve(self.table_name(sco_type))
+            if qid:
+                tags = resolve(QUERIES).filter(F.col("query_id") == qid)
+                df = df.join(
+                    tags.select(F.col("sco_id")).distinct(),
+                    df["id"] == F.col("sco_id"),
+                    "left_semi",
+                )
+            q = Query(sco_type)
+            for flt in filters:
+                q.append(flt)
+            return q._apply_filters(df.alias(sco_type), q.where, resolve)
+
+        self._register(viewname, sco_type, build, deps=[sco_type])
+
+    def filter(self, viewname: str, sco_type: str, input_view: str, pattern: str):
+        """Re-filter an existing view with a pattern
+        (parity: firepit/sqlstorage.py:579-600)."""
+        validate_name(viewname)
+        validate_name(input_view)
+        filters = compile_pattern(pattern, sco_type, self) if pattern else []
+
+        def build(resolve):
+            df = resolve(input_view).alias(sco_type)
+            q = Query(sco_type)
+            for flt in filters:
+                q.append(flt)
+            return q._apply_filters(df, q.where, resolve)
+
+        self._register(viewname, sco_type, build, deps=[input_view])
+
+    def merge(self, viewname: str, input_views: list):
+        """UNION same-typed views (parity: firepit/sqlstorage.py:777-793)."""
+        validate_name(viewname)
+        types = {self.table_type(v) for v in input_views}
+        if len(types) > 1:
+            raise IncompatibleType(f"cannot merge types {types}")
+
+        def build(resolve):
+            dfs = [resolve(v) for v in input_views]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out.distinct()
+
+        self._register(viewname, types.pop(), build, deps=list(input_views))
+
+    def join(self, viewname: str, l_var: str, l_val: str, r_var: str, r_val: str):
+        """View-level inner equi-join; shared columns merged with IFNULL
+        (parity: firepit/sqlstorage.py:541-566)."""
+        validate_name(viewname)
+
+        def build(resolve):
+            l, r = resolve(l_var).alias("l"), resolve(r_var).alias("r")
+            shared = set(l.columns) & set(r.columns)
+            exprs = []
+            for c in l.columns:
+                if c in shared:
+                    exprs.append(
+                        F.coalesce(F.col(f"l.`{c}`"), F.col(f"r.`{c}`")).alias(c)
+                    )
+                else:
+                    exprs.append(F.col(f"l.`{c}`"))
+            exprs.extend(F.col(f"r.`{c}`") for c in r.columns if c not in shared)
+            return l.join(
+                r, F.col(f"l.`{l_val}`") == F.col(f"r.`{r_val}`"), "inner"
+            ).select(*exprs)
+
+        self._register(viewname, self.table_type(l_var), build, deps=[l_var, r_var])
+
+    def group(self, newname: str, viewname: str, by, aggs=None, bins=None):
+        """Group a view by STIX paths with auto or explicit aggs
+        (parity: firepit/sqlstorage.py:1028-1077)."""
+        validate_name(newname)
+        if isinstance(by, str):
+            by = [by]
+        group_cols = []
+        deref_paths = []
+        for item in by:
+            if isinstance(item, BinnedColumn):
+                group_cols.append(item)
+                continue
+            prop = item.rpartition(":")[2] if ":" in item else item
+            group_cols.append(prop)
+            if prop not in self.columns(viewname):
+                deref_paths.append(prop)
+        sco_type = self.table_type(viewname)
+
+        def build(resolve):
+            df = resolve(viewname)
+            if deref_paths:
+                df = self._deref.deref(df, sco_type, paths=None)
+            plain = [c for c in group_cols if isinstance(c, str)]
+            exprs = [
+                c.to_spark() if isinstance(c, BinnedColumn) else F.col(f"`{c}`")
+                for c in group_cols
+            ]
+            if aggs:
+                agg_exprs = Aggregation(aggs).to_spark()
+            else:
+                agg_exprs = auto_aggs(sco_type, df.schema, plain)
+                if not agg_exprs:
+                    agg_exprs = [F.count(F.lit(1)).alias("count")]
+            names = [
+                c.alias if isinstance(c, BinnedColumn) else c for c in group_cols
+            ]
+            return (
+                df.groupBy(*exprs)
+                .agg(*agg_exprs)
+                .orderBy(*[F.col(f"`{n}`") for n in names])
+            )
+
+        self._register(newname, sco_type, build, deps=[viewname])
+
+    def assign(self, viewname, on, op=None, by=None, ascending=True, limit=None):
+        """Legacy sort/group op (parity: firepit/sqlstorage.py:446-469)."""
+        validate_name(viewname)
+        validate_name(on)
+        sco_type = self.table_type(on)
+        if by and ":" in by:
+            validate_path(by)
+            by = by.rpartition(":")[2]
+
+        def build(resolve):
+            df = resolve(on)
+            if by and by not in df.columns:
+                df = self._deref.deref(df, sco_type, paths=None)
+            if op == "sort":
+                col = F.col(f"`{by}`")
+                df = df.orderBy(col.asc() if ascending else col.desc())
+                if limit:
+                    df = df.limit(limit)
+            elif op == "group":
+                df = df.groupBy(F.col(f"`{by}`")).agg(
+                    *(auto_aggs(sco_type, df.schema, [by]) or [F.count(F.lit(1)).alias("count")])
+                )
+            return df
+
+        self._register(viewname, sco_type, build, deps=[on])
+
+    # -------------------------------------------------------------- retrieval
+
+    def lookup(self, viewname: str, cols=None, limit=None, offset=None, col_dict=None):
+        """Fetch a view with auto-deref + pagination, rows as dicts
+        (parity: firepit/sqlstorage.py:602-665)."""
+        validate_name(viewname)
+        df = self._resolve(viewname)
+        sco_type = self.table_type(viewname)
+        if sco_type and "id" in df.columns:
+            df = self._deref.deref(df, sco_type, paths=cols)
+        elif cols:
+            df = df.select(*[F.col(f"`{c}`") for c in cols if c in df.columns])
+        if offset:
+            df = df.offset(offset)
+        if limit:
+            df = df.limit(limit)
+        rows = [r.asDict() for r in df.collect()]
+        if sco_type:
+            for r in rows:
+                r.setdefault("type", sco_type)
+        return rows
+
+    def values(self, path: str, viewname: str) -> list:
+        """Single-column extraction by STIX path
+        (parity: firepit/sqlstorage.py:667-683)."""
+        validate_path(path)
+        validate_name(viewname)
+        sco_type, _, prop = path.rpartition(":")
+        df = self._resolve(viewname)
+        if prop not in df.columns:
+            df = self._deref.deref(df, sco_type or self.table_type(viewname), paths=[prop])
+            if prop not in df.columns:
+                raise InvalidAttr(path)
+        return [r[0] for r in df.select(F.col(f"`{prop}`")).collect()]
+
+    def run_query(self, query: Query) -> list:
+        return [r.asDict() for r in query.resolve(self._resolve).collect()]
+
+    # ----------------------------------------------- observation-count family
+
+    def _obs_join(self, df: DataFrame) -> DataFrame:
+        """view ⋈ __contains ⋈ observed-data (the J6 triple join used by
+        every observation-counting op, e.g. firepit/sqlstorage.py:896-900)."""
+        contains = self.table_df(CONTAINS).alias("c")
+        obs = self.table_df("observed-data").alias("obs")
+        return (
+            df.alias("v")
+            .join(contains, F.col("v.id") == F.col("c.target_ref"), "inner")
+            .join(obs, F.col("c.source_ref") == F.col("obs.id"), "inner")
+        )
+
+    def timestamped(
+        self, viewname: str, path=None, timestamp="first_observed", run=True, limit=None
+    ):
+        """Attach observation timestamps to each row
+        (parity: firepit/sqlstorage.py:913-961)."""
+        validate_name(viewname)
+        df = self._resolve(viewname)
+        sco_type = self.table_type(viewname)
+        base_cols = [F.col(f"v.`{c}`") for c in df.columns]
+        joined = self._obs_join(df).select(
+            F.col(f"obs.`{timestamp}`").alias(timestamp), *base_cols
+        )
+        joined = joined.orderBy(timestamp)
+        if limit:
+            joined = joined.limit(limit)
+        if not run:
+            return joined
+        return [r.asDict() for r in joined.collect()]
+
+    def summary(self, viewname: str, path=None):
+        """MIN(first_observed), MAX(last_observed), SUM(number_observed)
+        (parity: firepit/sqlstorage.py:992-1026)."""
+        validate_name(viewname)
+        df = self._resolve(viewname)
+        row = (
+            self._obs_join(df)
+            .agg(
+                F.min("obs.first_observed").alias("first_observed"),
+                F.max("obs.last_observed").alias("last_observed"),
+                F.sum("obs.number_observed").alias("number_observed"),
+            )
+            .collect()[0]
+        )
+        return row.asDict()
+
+    def value_counts(self, viewname: str, path: str):
+        """Per-value observation counts (parity: firepit/sqlstorage.py:854-874)."""
+        validate_name(viewname)
+        sco_type, _, prop = path.rpartition(":")
+        df = self._resolve(viewname)
+        if prop not in df.columns:
+            df = self._deref.deref(df, sco_type or self.table_type(viewname), paths=None)
+        out = (
+            self._obs_join(df)
+            .groupBy(F.col(f"v.`{prop}`").alias(prop))
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+        return [r.asDict() for r in out.collect()]
+
+    def number_observed(self, viewname: str, path: str, value=None) -> int:
+        """SUM(number_observed) for a path (+ optional value filter)
+        (parity: firepit/sqlstorage.py:891-911)."""
+        validate_name(viewname)
+        sco_type, _, prop = path.rpartition(":")
+        df = self._resolve(viewname)
+        if prop not in df.columns:
+            df = self._deref.deref(df, sco_type or self.table_type(viewname), paths=None)
+        if value is not None:
+            df = df.filter(F.col(f"`{prop}`") == value)
+        row = self._obs_join(df).agg(F.sum("obs.number_observed")).collect()[0]
+        return row[0] or 0
+
+    # -------------------------------------------------------------- catalog
+
+    def remove_view(self, viewname: str):
+        validate_name(viewname)
+        self._views.pop(viewname, None)
+
+    def rename_view(self, oldname: str, newname: str):
+        validate_name(oldname)
+        validate_name(newname)
+        if oldname not in self._views:
+            raise UnknownViewname(oldname)
+        self._views[newname] = self._views.pop(oldname)
+
+    def set_appdata(self, viewname: str, data: str):
+        self._views[viewname].appdata = data
+
+    def get_appdata(self, viewname: str):
+        return self._views[viewname].appdata
+
+    def get_view_data(self, viewnames=None) -> list:
+        names = viewnames or self.views()
+        return [
+            {"name": n, "type": self._views[n].sco_type, "appdata": self._views[n].appdata}
+            for n in names
+            if n in self._views
+        ]

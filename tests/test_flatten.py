@@ -1,0 +1,101 @@
+"""Flatten semantics (parity target firepit/raft.py)."""
+
+import copy
+
+from firepit_spark.flatten import CONTAINS, REFLIST, flatten, normalize_obj
+from tests.conftest import make_bundle
+
+
+def _one_observation():
+    return copy.deepcopy(make_bundle(1)["objects"][1])
+
+
+def test_normalize_nested_dotted():
+    flat = normalize_obj(
+        {"type": "file", "name": "a.exe", "hashes": {"SHA-1": "aa", "MD5": "bb"}}
+    )
+    assert flat["hashes.'SHA-1'"] == "aa"
+    assert flat["hashes.MD5"] == "bb"
+
+
+def test_normalize_custom_no_recurse():
+    flat = normalize_obj({"type": "x-vendor-thing", "nested": {"a": 1}})
+    assert flat["nested"] == {"a": 1}  # custom SCOs keep nested dicts
+
+
+def test_normalize_extensions_recurse():
+    flat = normalize_obj(
+        {"type": "process", "extensions": {"x-vendor": {"process_uid": "u1"}}}
+    )
+    assert flat["extensions.'x-vendor'.process_uid"] == "u1"
+
+
+def test_flatten_assigns_ids_and_edges():
+    results = flatten(_one_observation())
+    types = [r["type"] for r in results]
+    assert types.count(CONTAINS) == 5  # 2 ips + nt + url + user-account
+    scos = [r for r in results if r["type"] not in (CONTAINS, REFLIST, "observed-data")]
+    assert all(r["id"].startswith(r["type"] + "--") for r in scos)
+    nt = next(r for r in results if r["type"] == "network-traffic")
+    assert nt["src_ref"].startswith("ipv4-addr--")
+    assert nt["dst_ref"].startswith("ipv4-addr--")
+
+
+def test_flatten_root_ranking_src_over_dst():
+    results = flatten(_one_observation())
+    ranked = [r for r in results if r["type"] == CONTAINS and r.get("x_firepit_rank")]
+    ranked_targets = {r["target_ref"].partition("--")[0] for r in ranked}
+    # network-traffic is a root; for ip pairs only src is preferred
+    assert "network-traffic" in ranked_targets
+    ip_ranked = [r for r in ranked if r["target_ref"].startswith("ipv4-addr--")]
+    assert len(ip_ranked) == 1  # src only, not dst
+
+
+def test_flatten_21_reflists():
+    obj = {
+        "type": "domain-name",
+        "id": "domain-name--x",
+        "spec_version": "2.1",
+        "value": "example.com",
+        "resolves_to_refs": ["ipv4-addr--a", "ipv4-addr--b"],
+    }
+    results = flatten(obj)
+    refs = [r for r in results if r["type"] == REFLIST]
+    assert len(refs) == 2
+    assert all(r["ref_name"] == "resolves_to_refs" for r in refs)
+    flat = next(r for r in results if r["type"] == "domain-name")
+    assert "resolves_to_refs" not in flat
+
+
+def test_flatten_21_observed_data():
+    obj = {
+        "type": "observed-data",
+        "id": "observed-data--y",
+        "spec_version": "2.1",
+        "object_refs": ["url--1", "url--2"],
+        "first_observed": "2024-01-01T00:00:00Z",
+        "last_observed": "2024-01-01T00:00:00Z",
+        "number_observed": 1,
+    }
+    results = flatten(obj)
+    edges = [r for r in results if r["type"] == CONTAINS]
+    assert {e["target_ref"] for e in edges} == {"url--1", "url--2"}
+    obs = next(r for r in results if r["type"] == "observed-data")
+    assert "object_refs" not in obs
+
+
+def test_flatten_dangling_ref_dropped():
+    obs = {
+        "type": "observed-data",
+        "id": "observed-data--z",
+        "first_observed": "2024-01-01T00:00:00Z",
+        "last_observed": "2024-01-01T00:00:00Z",
+        "number_observed": 1,
+        "objects": {
+            "0": {"type": "network-traffic", "src_ref": "99", "src_port": 1,
+                  "dst_port": 2, "protocols": ["tcp"]},
+        },
+    }
+    results = flatten(obs)
+    nt = next(r for r in results if r["type"] == "network-traffic")
+    assert "src_ref" not in nt  # unresolvable 2.0 index ref removed

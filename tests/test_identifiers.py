@@ -1,0 +1,86 @@
+"""makeid determinism and semantics (parity target firepit/stix21.py)."""
+
+from firepit_spark.identifiers import makeid
+
+
+def test_deterministic():
+    a = makeid({"type": "ipv4-addr", "value": "10.0.0.1"})
+    b = makeid({"type": "ipv4-addr", "value": "10.0.0.1"})
+    assert a == b
+    assert a.startswith("ipv4-addr--")
+
+
+def test_distinct_values():
+    assert makeid({"type": "ipv4-addr", "value": "10.0.0.1"}) != makeid(
+        {"type": "ipv4-addr", "value": "10.0.0.2"}
+    )
+
+
+def test_url_slash_escaping_regression():
+    # the reference serializes with ujson, which escapes '/' — ids must stay
+    # stable against this exact canonical form
+    oid = makeid({"type": "url", "value": "https://example.com/research/index.html"})
+    assert oid == "url--d8a501a1-cd5a-50dc-abf7-1412c4d8572d"
+
+
+def test_hash_preference_order():
+    md5 = makeid({"type": "file", "hashes": {"MD5": "a" * 32, "'SHA-256'": "b" * 64}})
+    md5_only = makeid({"type": "file", "hashes": {"MD5": "a" * 32}})
+    assert md5 == md5_only  # MD5 wins over SHA-256
+    sha = makeid({"type": "file", "hashes": {"'SHA-256'": "b" * 64}})
+    assert sha != md5
+
+
+def test_unknown_hash_sorted_fallback():
+    a = makeid({"type": "file", "hashes": {"zzz": "1", "aaa": "2"}})
+    b = makeid({"type": "file", "hashes": {"aaa": "2"}})
+    assert a == b
+
+
+def test_random_when_no_contributing_props():
+    a = makeid({"type": "process", "pid": 5})
+    b = makeid({"type": "process", "pid": 5})
+    assert a != b  # uuid4 fallback
+
+
+def test_process_extension_unique_id():
+    sco = {
+        "type": "process",
+        "pid": 5,
+        "extensions": {"x-vendor": {"process_uid": "abc123"}},
+    }
+    assert makeid(sco) == makeid(sco)
+
+
+def test_process_pid_asset_fallback():
+    obs = {
+        "last_observed": "2024-01-01T00:00:00Z",
+        "objects": {
+            "0": {"type": "x-oca-asset", "hostname": "h1"},
+            "1": {"type": "process", "pid": 42},
+        },
+    }
+    a = makeid(obs["objects"]["1"], obs)
+    b = makeid({"type": "process", "x_unique_id": "42_h1_2024-01-01T00:00:00Z"})
+    assert a == b
+
+
+def test_ref_resolution_20():
+    obs = {
+        "objects": {
+            "0": {"type": "ipv4-addr", "value": "1.2.3.4"},
+            "1": {"type": "network-traffic", "src_ref": "0", "src_port": 80,
+                  "dst_port": 443, "protocols": ["tcp"]},
+        }
+    }
+    with_idx = makeid(obs["objects"]["1"], obs)
+    resolved = makeid(
+        {
+            "type": "network-traffic",
+            "src_ref": makeid({"type": "ipv4-addr", "value": "1.2.3.4"}),
+            "src_port": 80,
+            "dst_port": 443,
+            "protocols": ["tcp"],
+        }
+    )
+    assert with_idx == resolved

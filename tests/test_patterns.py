@@ -1,0 +1,110 @@
+"""STIX pattern parsing + compilation (parity target firepit/stix20.py)."""
+
+import pytest
+
+from firepit_spark.exceptions import StixPatternError
+from firepit_spark.patterns import compile_pattern, parse_pattern
+
+
+def test_parse_simple():
+    ast = parse_pattern("[ipv4-addr:value = '10.0.0.1']")
+    assert ast == ("comp", "ipv4-addr", "value", "=", "10.0.0.1")
+
+
+def test_parse_and_or():
+    ast = parse_pattern(
+        "[url:value LIKE '%x%'] AND ([ipv4-addr:value = '1.1.1.1'] OR [url:value = 'y'])"
+    )
+    assert ast[0] == "and"
+    assert ast[2][0] == "or"
+
+
+def test_parse_in_list():
+    ast = parse_pattern("[network-traffic:dst_port IN (22, 443)]")
+    assert ast == ("comp", "network-traffic", "dst_port", "IN", [22, 443])
+
+
+def test_parse_not_like():
+    ast = parse_pattern("[url:value NOT LIKE '%page%']")
+    assert ast[3] == "NOT LIKE"
+
+
+def test_parse_escaped_quote():
+    ast = parse_pattern(r"[process:command_line = 'say \'hi\'']")
+    assert ast[4] == "say 'hi'"
+
+
+def test_parse_start_stop_ignored():
+    ast = parse_pattern(
+        "[url:value = 'x'] START t'2024-01-01T00:00:00Z' STOP t'2024-01-02T00:00:00Z'"
+    )
+    assert ast[0] == "comp"
+
+
+def test_parse_errors():
+    for bad in ["[url:value ='", "url:value = 'x'", "[value = 'x']", "[url:value ~~ 3]"]:
+        with pytest.raises(StixPatternError):
+            parse_pattern(bad)
+
+
+def test_compile_drops_other_types():
+    filters = compile_pattern(
+        "[ipv4-addr:value = '1.1.1.1'] AND [url:value LIKE '%p%']", "url"
+    )
+    assert len(filters) == 1
+    assert len(filters[0].preds) == 1  # ipv4 comparison dropped
+
+
+def test_compile_all_dropped():
+    assert compile_pattern("[ipv4-addr:value = '1.1.1.1']", "url") == []
+
+
+def test_compile_filters_rows(spark):
+    df = spark.createDataFrame(
+        [("u1", "http://a/page/1"), ("u2", "http://b/other")], ["id", "value"]
+    )
+    filters = compile_pattern("[url:value LIKE '%page%']", "url")
+    out = df.filter(filters[0].to_spark())
+    assert [r.id for r in out.collect()] == ["u1"]
+
+
+def test_compile_issubset(spark):
+    df = spark.createDataFrame(
+        [("a", "10.1.2.3"), ("b", "192.168.1.5")], ["id", "value"]
+    )
+    filters = compile_pattern("[ipv4-addr:value ISSUBSET '10.0.0.0/8']", "ipv4-addr")
+    assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
+
+
+def test_compile_matches(spark):
+    df = spark.createDataFrame([("a", "foo123"), ("b", "bar")], ["id", "value"])
+    filters = compile_pattern(r"[url:value MATCHES '\\d+']", "url")
+    assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
+
+
+def test_compile_list_prop_native(spark):
+    df = spark.createDataFrame(
+        [("a", ["ip", "tcp"]), ("b", ["ip", "udp"])], ["id", "protocols"]
+    )
+    filters = compile_pattern(
+        "[network-traffic:protocols[*] = 'tcp']", "network-traffic"
+    )
+    assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
+
+
+def test_compile_payload_bin(spark):
+    import base64
+
+    payload = base64.b64encode(b"GET /admin HTTP/1.1").decode()
+    df = spark.createDataFrame([("a", payload)], ["id", "payload_bin"])
+    filters = compile_pattern("[artifact:payload_bin LIKE '%admin%']", "artifact")
+    assert df.filter(filters[0].to_spark()).count() == 1
+
+
+def test_ref_path_semijoin(store):
+    # network-traffic whose dst address is in the 192.168.0.0/16 block
+    store.extract("nt", "network-traffic", "q1",
+                  "[network-traffic:dst_ref.value ISSUBSET '192.168.0.0/16']")
+    rows = store.lookup("nt")
+    assert rows
+    assert all(r["dst_ref.value"].startswith("192.168.") for r in rows)

@@ -1,0 +1,218 @@
+"""End-to-end storage tests over the synthesized bundle (modeled on the
+reference's test strategy, SURVEY.md §5)."""
+
+from firepit_spark.query import (
+    Aggregation,
+    BinnedColumn,
+    Filter,
+    Group,
+    Limit,
+    Order,
+    Predicate,
+    Projection,
+    Query,
+)
+
+from tests.conftest import distinct_urls, url_occurrences
+
+# bundle facts (see tests/conftest.py): 100 obs, 90 url occurrences over
+# distinct_urls() values, 14 user logins, dst 192.168.x, src 10.0.x
+
+
+def test_tables_and_types(store):
+    assert "ipv4-addr" in store.types()
+    assert "network-traffic" in store.types()
+    assert "observed-data" in store.tables()
+    assert store.table_type("url") == "url"
+
+
+def test_dedup_on_ingest(store):
+    # urls repeat across observations and collapse to one row per value
+    assert store.count("url") == distinct_urls()
+    # every observation row survives
+    assert store.count("observed-data") == 100
+
+
+def test_extract_like(store):
+    store.extract("urls", "url", "q1", "[url:value LIKE '%page/1']")
+    values = store.values("url:value", "urls")
+    assert values and all(v.endswith("page/1") for v in values)
+
+
+def test_extract_no_pattern(store):
+    store.extract("all_urls", "url", "q1", "")
+    assert store.count("all_urls") == distinct_urls()
+
+
+def test_extract_issubset(store):
+    store.extract("dsts", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '192.168.0.0/16']")
+    vals = store.values("ipv4-addr:value", "dsts")
+    assert vals and all(v.startswith("192.168.") for v in vals)
+
+
+def test_filter_view(store):
+    store.extract("urls", "url", "q1", "")
+    store.filter("p1", "url", "urls", "[url:value LIKE '%page/1%']")
+    assert 0 < store.count("p1") < store.count("urls")
+
+
+def test_views_live_dependency(store):
+    """Redefining a base view changes dependents (reference behavior at
+    tests/test_storage.py:84-91)."""
+    store.extract("urls", "url", "q1", "")
+    store.assign("sorted_urls", "urls", op="sort", by="url:value")
+    n_before = store.count("sorted_urls")
+    store.extract("urls", "url", "q1", "[url:value LIKE '%page/1%']")
+    assert store.count("sorted_urls") == store.count("urls") < n_before
+
+
+def test_self_redefinition_snapshot(store):
+    store.extract("urls", "url", "q1", "")
+    store.filter("urls", "url", "urls", "[url:value LIKE '%page/2%']")
+    vals = store.values("url:value", "urls")
+    assert vals and all("page/2" in v for v in vals)
+
+
+def test_lookup_deref(store):
+    store.extract("conns", "network-traffic", "q1", "")
+    rows = store.lookup("conns", limit=5)
+    assert len(rows) == 5
+    sample = rows[0]
+    assert "src_ref.value" in sample and "dst_ref.value" in sample
+    assert sample["type"] == "network-traffic"
+
+
+def test_values_via_deref(store):
+    store.extract("conns", "network-traffic", "q1", "")
+    vals = store.values("network-traffic:dst_ref.value", "conns")
+    assert vals and all(v.startswith("192.168.") for v in vals)
+
+
+def test_merge_views(store):
+    store.extract("p1", "url", "q1", "[url:value LIKE '%page/1']")
+    store.extract("p2", "url", "q1", "[url:value LIKE '%page/2']")
+    store.merge("both", ["p1", "p2"])
+    assert store.count("both") == store.count("p1") + store.count("p2")
+
+
+def test_join_views(store):
+    store.extract("conns", "network-traffic", "q1", "")
+    store.extract("ips", "ipv4-addr", "q1", "")
+    store.join("j", "conns", "dst_ref", "ips", "id")
+    assert store.count("j") == store.count("conns")
+
+
+def test_group_auto_agg(store):
+    store.extract("conns", "network-traffic", "q1", "")
+    store.group("by_dport", "conns", "network-traffic:dst_port")
+    rows = store.lookup("by_dport")
+    cols = set(rows[0].keys())
+    assert "dst_port" in cols
+    assert "unique_src_port" in cols  # NUNIQUE inference for ports
+
+
+def test_group_explicit_aggs(store):
+    store.extract("urls2", "url", "q1", "")
+    store.group("g", "urls2", "url:value", aggs=[("COUNT", "id", "n")])
+    rows = store.lookup("g")
+    assert all(r["n"] >= 1 for r in rows)
+
+
+def test_assign_sort_limit(store):
+    store.extract("urls", "url", "q1", "")
+    store.assign("top", "urls", op="sort", by="url:value", ascending=False, limit=3)
+    rows = store.lookup("top")
+    assert len(rows) == 3
+    vals = [r["value"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_summary_and_number_observed(store):
+    store.extract("urls", "url", "q1", "")
+    s = store.summary("urls")
+    assert s["first_observed"] is not None
+    assert s["number_observed"] > 0
+    total = store.number_observed("urls", "url:value")
+    assert total == s["number_observed"]
+
+
+def test_value_counts(store):
+    store.extract("accts", "user-account", "q1", "")
+    counts = store.value_counts("accts", "user-account:account_login")
+    assert sum(c["count"] for c in counts) == 100  # every obs has one account
+    assert len(counts) == 14
+
+
+def test_timestamped(store):
+    store.extract("urls", "url", "q1", "")
+    rows = store.timestamped("urls")
+    assert len(rows) == url_occurrences()  # one per containing observation
+    assert "first_observed" in rows[0]
+
+
+def test_assign_query_dsl(store):
+    q = Query("network-traffic")
+    q.append(Filter([Predicate("dst_port", "IN", [22, 443])]))
+    q.append(Projection(["id", "dst_port"]))
+    store.assign_query("well_known", q)
+    rows = store.lookup("well_known", cols=["id", "dst_port"])
+    assert rows and all(r["dst_port"] in (22, 443) for r in rows)
+
+
+def test_assign_query_auto_agg_group(store):
+    q = Query("network-traffic")
+    q.append(Group(["dst_port"]))
+    store.assign_query("by_port", q)
+    rows = store.lookup("by_port")
+    assert "unique_src_port" in rows[0]
+
+
+def test_time_binning(store):
+    store.extract("od", "observed-data", "q1", "")
+    q = Query("od")
+    q.append(Group([BinnedColumn("first_observed", 2, "m", alias="bucket")]))
+    q.append(Aggregation([("SUM", "number_observed", "total")]))
+    q.append(Order(["bucket"]))
+    rows = store.run_query(q)
+    assert len(rows) == 3  # 5-minute span / 2-minute bins
+    assert sum(r["total"] for r in rows) == sum(1 + (i % 3) for i in range(100))
+
+
+def test_load_and_reassign(store):
+    objs = [
+        {"type": "x-note", "id": "x-note--1", "label": "a"},
+        {"type": "x-note", "id": "x-note--2", "label": "b"},
+    ]
+    store.load("notes", objs, sco_type="x-note", query_id="q9")
+    assert store.count("notes") == 2
+    store.reassign("notes", [{"type": "x-note", "id": "x-note--1", "label": "z"}])
+    labels = {r["label"] for r in store.lookup("notes")}
+    assert labels == {"z", "b"}
+
+
+def test_load_strings(store):
+    store.load("just_urls", ["http://x/1", "http://x/2"], sco_type="url", query_id="q8")
+    assert sorted(store.values("url:value", "just_urls")) == ["http://x/1", "http://x/2"]
+
+
+def test_rename_remove_appdata(store):
+    store.extract("urls", "url", "q1", "")
+    store.set_appdata("urls", '{"k": 1}')
+    store.rename_view("urls", "urls2")
+    assert store.get_appdata("urls2") == '{"k": 1}'
+    assert "urls" not in store.views()
+    store.remove_view("urls2")
+    assert "urls2" not in store.views()
+
+
+def test_query_id_isolation(store, bundle):
+    import copy
+
+    extra = copy.deepcopy(bundle)
+    # retag a second batch: same objects under another query id
+    store.cache("q2", extra)
+    store.extract("urls_q2", "url", "q2", "")
+    store.extract("urls_q1", "url", "q1", "")
+    assert store.count("urls_q2") == store.count("urls_q1") == distinct_urls()
+    # dedup survived the double ingest
+    assert store.count("url") == distinct_urls()
