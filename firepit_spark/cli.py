@@ -1,0 +1,218 @@
+"""Command-line interface mirroring the reference CLI
+(firepit/cli.py commands: cache, extract, filter, assign, join, lookup,
+values, tables, views, viewdata, columns, type, schema, count, delete,
+set-appdata, get-appdata, sql, plus merge/group/summary/value-counts).
+
+argparse-based (no third-party CLI dependency). Views created here are
+materialized to parquet so successive invocations see them — each CLI run
+is a fresh Spark session.
+
+Usage: python -m firepit_spark.cli --dbname /path/to/warehouse <command> ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv as csvmod
+import io
+import json
+import sys
+
+from firepit_spark import get_storage
+
+
+def print_rows(rows: list, fmt: str):
+    if fmt == "json":
+        print(json.dumps(rows, default=str, indent=2))
+        return
+    if not rows:
+        return
+    cols = list(rows[0].keys())
+    if fmt == "csv":
+        buf = io.StringIO()
+        w = csvmod.DictWriter(buf, fieldnames=cols)
+        w.writeheader()
+        w.writerows(rows)
+        print(buf.getvalue(), end="")
+        return
+    widths = {c: max(len(str(c)), *(len(str(r.get(c))) for r in rows)) for c in cols}
+    print(" | ".join(str(c).ljust(widths[c]) for c in cols))
+    print("-+-".join("-" * widths[c] for c in cols))
+    for r in rows:
+        print(" | ".join(str(r.get(c)).ljust(widths[c]) for c in cols))
+
+
+def main(argv=None):
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument(
+        "--format", default="table", choices=["table", "json", "csv"]
+    )
+    ap = argparse.ArgumentParser(prog="firepit-spark", parents=[common])
+    ap.add_argument("--dbname", required=True, help="warehouse directory")
+    ap.add_argument("--session", default="cli")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("cache", help="ingest bundle files", parents=[common])
+    p.add_argument("query_id")
+    p.add_argument("files", nargs="+")
+
+    p = sub.add_parser("extract", help="create a pattern-filtered view", parents=[common])
+    p.add_argument("name")
+    p.add_argument("sco_type")
+    p.add_argument("query_id")
+    p.add_argument("pattern")
+
+    p = sub.add_parser("filter", help="filter an existing view", parents=[common])
+    p.add_argument("name")
+    p.add_argument("sco_type")
+    p.add_argument("source")
+    p.add_argument("pattern")
+
+    p = sub.add_parser("assign", help="sort/group a view", parents=[common])
+    p.add_argument("name")
+    p.add_argument("source")
+    p.add_argument("--op", choices=["sort", "group"], required=True)
+    p.add_argument("--by", required=True)
+    p.add_argument("--desc", action="store_true")
+    p.add_argument("--limit", type=int)
+
+    p = sub.add_parser("join", help="join two views", parents=[common])
+    p.add_argument("name")
+    p.add_argument("left_view")
+    p.add_argument("left_on")
+    p.add_argument("right_view")
+    p.add_argument("right_on")
+
+    p = sub.add_parser("merge", help="union same-typed views", parents=[common])
+    p.add_argument("name")
+    p.add_argument("views", nargs="+")
+
+    p = sub.add_parser("group", help="group a view by a path", parents=[common])
+    p.add_argument("name")
+    p.add_argument("source")
+    p.add_argument("by")
+
+    p = sub.add_parser("lookup", help="fetch a view's rows", parents=[common])
+    p.add_argument("name")
+    p.add_argument("--limit", type=int)
+    p.add_argument("--offset", type=int)
+    p.add_argument("--columns")
+
+    p = sub.add_parser("values", help="one column by STIX path", parents=[common])
+    p.add_argument("path")
+    p.add_argument("name")
+
+    sub.add_parser("tables", parents=[common])
+    sub.add_parser("views", parents=[common])
+
+    p = sub.add_parser("viewdata", parents=[common])
+    p.add_argument("views", nargs="*")
+
+    p = sub.add_parser("columns", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("type", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("schema", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("count", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("delete", help="remove a view", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("set-appdata", parents=[common])
+    p.add_argument("name")
+    p.add_argument("data")
+
+    p = sub.add_parser("get-appdata", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("summary", parents=[common])
+    p.add_argument("name")
+
+    p = sub.add_parser("value-counts", parents=[common])
+    p.add_argument("name")
+    p.add_argument("path")
+
+    p = sub.add_parser("sql", help="run Spark SQL over tables/views", parents=[common])
+    p.add_argument("statement")
+
+    args = ap.parse_args(argv)
+    store = get_storage(args.dbname, args.session)
+    fmt = args.format
+
+    def _persist(name):
+        store.materialize(name)
+
+    cmd = args.command
+    if cmd == "cache":
+        store.cache(args.query_id, list(args.files))
+    elif cmd == "extract":
+        store.extract(args.name, args.sco_type, args.query_id, args.pattern)
+        _persist(args.name)
+    elif cmd == "filter":
+        store.filter(args.name, args.sco_type, args.source, args.pattern)
+        _persist(args.name)
+    elif cmd == "assign":
+        store.assign(
+            args.name, args.source, op=args.op, by=args.by,
+            ascending=not args.desc, limit=args.limit,
+        )
+        _persist(args.name)
+    elif cmd == "join":
+        store.join(args.name, args.left_view, args.left_on, args.right_view, args.right_on)
+        _persist(args.name)
+    elif cmd == "merge":
+        store.merge(args.name, args.views)
+        _persist(args.name)
+    elif cmd == "group":
+        store.group(args.name, args.source, args.by)
+        _persist(args.name)
+    elif cmd == "lookup":
+        cols = args.columns.split(",") if args.columns else None
+        print_rows(store.lookup(args.name, cols=cols, limit=args.limit, offset=args.offset), fmt)
+    elif cmd == "values":
+        for v in store.values(args.path, args.name):
+            print(v)
+    elif cmd == "tables":
+        for t in store.tables():
+            print(t)
+    elif cmd == "views":
+        for v in store.views():
+            print(v)
+    elif cmd == "viewdata":
+        print_rows(store.get_view_data(args.views or None), fmt)
+    elif cmd == "columns":
+        print(", ".join(store.columns(args.name)))
+    elif cmd == "type":
+        print(store.table_type(args.name))
+    elif cmd == "schema":
+        print_rows(store.schema(args.name), fmt)
+    elif cmd == "count":
+        print(store.count(args.name))
+    elif cmd == "delete":
+        store.remove_view(args.name)
+    elif cmd == "set-appdata":
+        store.set_appdata(args.name, args.data)
+        if args.name in store._meta:
+            pass  # saved by set_appdata
+    elif cmd == "get-appdata":
+        print(store.get_appdata(args.name))
+    elif cmd == "summary":
+        print_rows([store.summary(args.name)], fmt)
+    elif cmd == "value-counts":
+        print_rows(store.value_counts(args.name, args.path), fmt)
+    elif cmd == "sql":
+        for t in store.tables():
+            store.get_df(t).createOrReplaceTempView(t.replace("-", "_"))
+        for v in store.views():
+            store.get_df(v).createOrReplaceTempView(v.replace("-", "_"))
+        print_rows([r.asDict() for r in store.spark.sql(args.statement).collect()], fmt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,2 @@
+"""Source connectors: STIX bundles (batch + distributed), log-format
+converters, and loaders."""

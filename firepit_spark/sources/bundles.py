@@ -1,0 +1,87 @@
+"""Distributed STIX bundle ingest.
+
+The storage's ``cache()`` parses small bundles driver-side (reference
+parity: firepit/sqlstorage.py:410-444 is inherently driver-side too). This
+module is the 100 TB path: bundle files are read by executors, each
+observation is flattened *where it is read* via ``mapInPandas`` (the same
+pure-Python flatten kernel), and per-type DataFrames come back through
+``spark.read.json`` schema inference on the flattened records — so the
+driver never holds object data, only schemas.
+
+Pipeline shape (all distributed):
+  read bundles -> explode objects -> mapInPandas(flatten) ->
+  (type, json) rows -> per-type json parse -> upsert merge
+
+Shuffle analysis: the only wide operations are the per-type upsert
+groupBy(id) and the final merge join — both keyed on the deterministic SCO
+id, which is uniformly distributed (uuid5), so no skew. Flattening is
+map-only.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from firepit_spark.flatten import flatten
+
+_FLAT_SCHEMA = StructType(
+    [StructField("otype", StringType()), StructField("record", StringType())]
+)
+
+
+def read_bundle_objects(spark: SparkSession, paths) -> DataFrame:
+    """One row per STIX object (as a JSON string) from bundle file(s).
+
+    ``multiLine`` JSON gives one task per bundle file — ingest parallelism
+    comes from the number of files, which is how 100 TB arrives in practice
+    (many bundle files on object storage).
+    """
+    raw = spark.read.option("multiLine", "true").json(paths)
+    if "objects" not in raw.columns:
+        raise ValueError("not a STIX bundle: missing 'objects'")
+    return raw.select(F.explode("objects").alias("obj")).select(
+        F.to_json("obj").alias("value")
+    )
+
+
+def flatten_objects(objects_df: DataFrame) -> DataFrame:
+    """(json string) rows -> (otype, flattened record json) rows.
+
+    Arrow-batched: each worker flattens its partition's observations with
+    the identical kernel the driver-side path uses, so both ingest paths
+    produce byte-identical records.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_t, out_r = [], []
+            for raw in pdf["value"]:
+                obj = json.loads(raw)
+                for rec in flatten(obj):
+                    out_t.append(rec["type"])
+                    out_r.append(json.dumps(rec, default=str))
+            yield pd.DataFrame({"otype": out_t, "record": out_r})
+
+    return objects_df.mapInPandas(run, schema=_FLAT_SCHEMA)
+
+
+def cache_distributed(storage, query_id: str, paths, repartition: int | None = None):
+    """Distributed equivalent of ``storage.cache`` for large bundle sets."""
+    spark = storage.spark
+    objects = read_bundle_objects(spark, paths)
+    if repartition:
+        objects = objects.repartition(repartition)
+    flat = flatten_objects(objects).persist()
+    try:
+        types = [r[0] for r in flat.select("otype").distinct().collect()]
+        for otype in types:
+            recs = flat.filter(F.col("otype") == otype).select("record")
+            type_df = spark.read.json(recs.rdd.map(lambda r: r[0]))
+            storage.ingest_dataframe(otype, type_df, str(query_id))
+    finally:
+        flat.unpersist()

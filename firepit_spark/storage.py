@@ -92,10 +92,19 @@ class SparkStorage:
         self.spark = spark or build_spark(f"firepit-{session_id}")
         self.path = path
         self.tables_dir = os.path.join(path, "tables")
+        self.views_dir = os.path.join(path, "views")
+        self._symtable_path = os.path.join(path, "symtable.json")
         os.makedirs(self.tables_dir, exist_ok=True)
+        os.makedirs(self.views_dir, exist_ok=True)
         self._views: dict[str, ViewDef] = {}
         self._df_cache: dict[str, DataFrame] = {}
         self._deref = DerefPlanner(self)
+        # materialized-view symtable: views snapshotted to parquet so a new
+        # process (e.g. the CLI) sees them; live in-memory defs take priority
+        self._meta: dict[str, dict] = {}
+        if os.path.exists(self._symtable_path):
+            with open(self._symtable_path) as fp:
+                self._meta = json.load(fp)
 
     # ---------------------------------------------------------------- tables
 
@@ -121,7 +130,30 @@ class SparkStorage:
         )
 
     def views(self) -> list:
-        return sorted(self._views)
+        return sorted(set(self._views) | set(self._meta))
+
+    def _save_meta(self):
+        with open(self._symtable_path, "w") as fp:
+            json.dump(self._meta, fp, indent=1)
+
+    def materialize(self, viewname: str):
+        """Snapshot a view to parquet + symtable so later processes can read
+        it (the reference's views persist in the DB; this is the Parquet
+        analog — a snapshot, by design, since there is no shared catalog)."""
+        validate_name(viewname)
+        df = self._resolve(viewname)
+        target = os.path.join(self.views_dir, viewname)
+        tmp = target + ".__tmp__"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.replace(tmp, target)
+        live = self._views.get(viewname)
+        self._meta[viewname] = {
+            "type": live.sco_type if live else self._meta.get(viewname, {}).get("type"),
+            "appdata": live.appdata if live else self._meta.get(viewname, {}).get("appdata"),
+        }
+        self._save_meta()
 
     def table_df(self, name: str) -> DataFrame:
         if name not in self._df_cache:
@@ -134,6 +166,9 @@ class SparkStorage:
     def _resolve(self, name: str) -> DataFrame:
         if name in self._views:
             return self._views[name].builder()
+        mat = os.path.join(self.views_dir, name)
+        if name in self._meta and os.path.exists(mat):
+            return self.spark.read.parquet(mat)
         return self.table_df(name)
 
     def get_df(self, name: str) -> DataFrame:
@@ -154,6 +189,8 @@ class SparkStorage:
         """SCO type behind a view/table (parity: firepit/sqlstorage.py:693-698)."""
         if name in self._views:
             return self._views[name].sco_type
+        if name in self._meta:
+            return self._meta[name].get("type")
         return name if os.path.exists(self._table_path(name)) else None
 
     def count(self, name: str) -> int:
@@ -229,6 +266,40 @@ class SparkStorage:
             per_type = {viewname: recs}
             self._write_type_batch(viewname, recs, None)
             self._views.pop(viewname, None)
+
+    def ingest_dataframe(self, otype: str, df: DataFrame, query_id: str | None = None):
+        """Merge an already-flattened per-type DataFrame into the warehouse —
+        the distributed-ingest entry point (see sources/bundles.py). Applies
+        the same schema normalization as the driver-side path: known
+        timestamp props become TimestampType, struct columns (un-recursed
+        custom SCO dicts) become JSON text."""
+        from pyspark.sql.types import StructType as _St
+
+        drop = [c for c in ("type",) if c in df.columns]
+        df = df.drop(*drop)
+        for f in df.schema.fields:
+            name = f.name
+            base = name.rsplit(".", 1)[-1].rsplit(":", 1)[-1].strip("'")
+            col = F.col(f"`{name}`")
+            if base in TIMESTAMP_PROPS and f.dataType.simpleString() == "string":
+                df = df.withColumn(name, F.to_timestamp(col))
+            elif isinstance(f.dataType, _St):
+                df = df.withColumn(name, F.to_json(col))
+        df = df.toDF(*[shorten_extension_name(c) for c in df.columns])
+        if otype == CONTAINS:
+            self._merge_edges(otype, df, ["source_ref", "target_ref"])
+        elif otype == REFLIST:
+            self._merge_edges(otype, df, ["ref_name", "source_ref", "target_ref"])
+        elif "id" in df.columns:
+            df = self._merge_batch_dups(otype, df)
+            self._merge_upsert(otype, df)
+            if query_id:
+                tags = df.select(
+                    F.col("id").alias("sco_id"), F.lit(query_id).alias("query_id")
+                )
+                self._merge_edges(QUERIES, tags, ["sco_id", "query_id"])
+        else:
+            self._append(otype, df)
 
     def _write_objects(self, objects: list, query_id: str | None):
         by_type = defaultdict(list)
@@ -725,24 +796,52 @@ class SparkStorage:
     def remove_view(self, viewname: str):
         validate_name(viewname)
         self._views.pop(viewname, None)
+        if viewname in self._meta:
+            del self._meta[viewname]
+            self._save_meta()
+            mat = os.path.join(self.views_dir, viewname)
+            if os.path.exists(mat):
+                shutil.rmtree(mat)
 
     def rename_view(self, oldname: str, newname: str):
         validate_name(oldname)
         validate_name(newname)
-        if oldname not in self._views:
+        if oldname not in self._views and oldname not in self._meta:
             raise UnknownViewname(oldname)
-        self._views[newname] = self._views.pop(oldname)
+        if oldname in self._views:
+            self._views[newname] = self._views.pop(oldname)
+        if oldname in self._meta:
+            self._meta[newname] = self._meta.pop(oldname)
+            old_mat = os.path.join(self.views_dir, oldname)
+            if os.path.exists(old_mat):
+                os.replace(old_mat, os.path.join(self.views_dir, newname))
+            self._save_meta()
 
     def set_appdata(self, viewname: str, data: str):
-        self._views[viewname].appdata = data
+        if viewname in self._views:
+            self._views[viewname].appdata = data
+        if viewname in self._meta:
+            self._meta[viewname]["appdata"] = data
+            self._save_meta()
+        elif viewname not in self._views:
+            raise UnknownViewname(viewname)
 
     def get_appdata(self, viewname: str):
-        return self._views[viewname].appdata
+        if viewname in self._views:
+            return self._views[viewname].appdata
+        if viewname in self._meta:
+            return self._meta[viewname].get("appdata")
+        raise UnknownViewname(viewname)
 
     def get_view_data(self, viewnames=None) -> list:
         names = viewnames or self.views()
-        return [
-            {"name": n, "type": self._views[n].sco_type, "appdata": self._views[n].appdata}
-            for n in names
-            if n in self._views
-        ]
+        out = []
+        for n in names:
+            if n in self._views:
+                out.append(
+                    {"name": n, "type": self._views[n].sco_type,
+                     "appdata": self._views[n].appdata}
+                )
+            elif n in self._meta:
+                out.append({"name": n, **self._meta[n]})
+        return out

@@ -1,0 +1,2 @@
+"""Structured Streaming ingest (additive — the reference is batch-only,
+SURVEY.md §2.10)."""

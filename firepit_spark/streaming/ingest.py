@@ -1,0 +1,70 @@
+"""Streaming STIX ingest: watch a directory (or any streaming source) of
+bundle files and merge each micro-batch into the warehouse.
+
+The reference has no streaming (its "streaming" is incremental JSON
+parsing, firepit/raft.py:37-44); this is the Spark-native upgrade. Each
+micro-batch reuses the exact batch ingest path through ``foreachBatch`` —
+exactly-once per file via the file-source's checkpointed log, idempotent
+re-merge via deterministic SCO ids.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from firepit_spark.sources.bundles import _FLAT_SCHEMA, flatten_objects
+
+_BUNDLE_SCHEMA = StructType([StructField("value", StringType())])
+
+
+def stream_bundles(
+    storage,
+    input_dir: str,
+    query_id: str = "stream",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Start a streaming query ingesting ``*.json`` bundle files dropped
+    into ``input_dir``. Returns the StreamingQuery (call
+    ``processAllAvailable()`` + ``stop()`` for synchronous smoke runs)."""
+    spark = storage.spark
+    raw = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .load(input_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int):
+        # bundle text -> one row per object json
+        def explode_bundle(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for text in pdf["value"]:
+                    bundle = json.loads(text)
+                    out.extend(
+                        json.dumps(o) for o in bundle.get("objects", [])
+                    )
+                yield pd.DataFrame({"value": out})
+
+        objects = batch_df.mapInPandas(explode_bundle, schema=_BUNDLE_SCHEMA)
+        flat = flatten_objects(objects).persist()
+        try:
+            types = [r[0] for r in flat.select("otype").distinct().collect()]
+            for otype in types:
+                recs = flat.filter(F.col("otype") == otype).select("record")
+                type_df = spark.read.json(recs.rdd.map(lambda r: r[0]))
+                storage.ingest_dataframe(otype, type_df, f"{query_id}-{epoch_id}")
+        finally:
+            flat.unpersist()
+
+    writer = raw.writeStream.foreachBatch(handle_batch).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,64 @@
+"""Distributed + streaming ingest must match the driver-side path exactly."""
+
+import copy
+import json
+
+from firepit_spark.storage import SparkStorage
+from firepit_spark.sources.bundles import cache_distributed
+from tests.conftest import distinct_urls, make_bundle
+
+
+def _url_rows(st):
+    return sorted(
+        (r["id"], r["value"]) for r in st.get_df("url").collect()
+    )
+
+
+def test_distributed_matches_driver(spark, tmp_path):
+    bundle = make_bundle(50)
+    bundle_path = tmp_path / "b.json"
+    bundle_path.write_text(json.dumps(bundle))
+
+    driver_st = SparkStorage(str(tmp_path / "wh_driver"), spark=spark)
+    driver_st.cache("q1", copy.deepcopy(bundle))
+
+    dist_st = SparkStorage(str(tmp_path / "wh_dist"), spark=spark)
+    cache_distributed(dist_st, "q1", str(bundle_path))
+
+    assert sorted(dist_st.tables()) == sorted(driver_st.tables())
+    assert _url_rows(dist_st) == _url_rows(driver_st)
+    nt_a = {r["id"]: r["dst_port"] for r in dist_st.get_df("network-traffic").collect()}
+    nt_b = {r["id"]: r["dst_port"] for r in driver_st.get_df("network-traffic").collect()}
+    assert nt_a == nt_b
+    # observation metadata incl. parsed timestamps
+    od = dist_st.get_df("observed-data")
+    assert dict(od.dtypes)["first_observed"] == "timestamp"
+    assert od.count() == 50
+    # extract works identically on top
+    dist_st.extract("urls", "url", "q1", "[url:value LIKE '%page/1%']")
+    driver_st.extract("urls", "url", "q1", "[url:value LIKE '%page/1%']")
+    assert dist_st.count("urls") == driver_st.count("urls")
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from firepit_spark.streaming.ingest import stream_bundles
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    st = SparkStorage(str(tmp_path / "wh_stream"), spark=spark)
+
+    (indir / "b1.json").write_text(json.dumps(make_bundle(30)))
+    q = stream_bundles(
+        st, str(indir), checkpoint_dir=str(tmp_path / "ckpt"), query_id="s1"
+    )
+    try:
+        q.processAllAvailable()
+        n1 = st.count("observed-data")
+        assert n1 == 30
+        # drop a second file; ids overlap -> upsert keeps table deduped
+        (indir / "b2.json").write_text(json.dumps(make_bundle(40)))
+        q.processAllAvailable()
+        assert st.count("observed-data") == 40
+        assert st.count("url") == distinct_urls(40)
+    finally:
+        q.stop()
