@@ -1,0 +1,109 @@
+"""JVM-side deterministic STIX id minting.
+
+The driver-side ingest mints ids with :func:`firepit_spark.identifiers.makeid`
+(pure python, reference parity with firepit/stix21.py:53-106). For
+column-shaped ingest (log conversion, CSV load) running that per-row in
+Python would put a Python UDF in the hot path; uuid5 is merely
+``SHA1(namespace || name)`` with version/variant bits patched in, so the
+whole computation is expressible with Spark built-ins (``sha1``,
+``substring``, ``conv``) and stays inside whole-stage codegen.
+
+``uuid5_col`` is bit-identical to ``uuid.uuid5`` (tested against it), and
+``sco_id_col`` reproduces ``makeid``'s canonical-JSON contract for
+column-valued contributing properties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from firepit_spark.identifiers import ID_NAMESPACE, ID_PROPS
+
+_NS_BYTES = ID_NAMESPACE.bytes
+
+
+def uuid5_col(name: Column, namespace_bytes: bytes = _NS_BYTES) -> Column:
+    """RFC-4122 uuid5 of a string column, computed entirely JVM-side.
+
+    uuid5 = SHA1(namespace_bytes + utf8(name))[:16] with the version nibble
+    forced to 5 and the variant bits to 10xx; sha1() gives the lowercase hex
+    digest, so the uuid is assembled by slicing it and patching two nibbles.
+    """
+    h = F.sha1(F.concat(F.lit(namespace_bytes), F.encode(name, "UTF-8")))
+    # variant nibble: (x & 0x3) | 0x8  ==  (x mod 4) + 8  for a hex digit
+    variant = F.lower(
+        F.conv(((F.conv(F.substring(h, 17, 1), 16, 10) % 4) + 8).cast("string"), 10, 16)
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def _json_escape(col: Column) -> Column:
+    """Escape a string for embedding in the canonical JSON: backslash, quote,
+    control chars are out of scope for log fields, but ``/`` must become
+    ``\\/`` (ujson compatibility — see identifiers._canonical_json)."""
+    col = F.regexp_replace(col, r"\\", r"\\\\")
+    col = F.regexp_replace(col, '"', '\\\\"')
+    return F.regexp_replace(col, "/", "\\\\/")
+
+
+def _render_value(col: Column, kind: str) -> Column:
+    if kind == "int":
+        return col.cast("long").cast("string")
+    if kind == "str_list":
+        # JSON array of strings, e.g. protocols: ["tcp"]
+        return F.concat(
+            F.lit("["),
+            F.concat_ws(
+                ",",
+                F.transform(col, lambda x: F.concat(F.lit('"'), _json_escape(x), F.lit('"'))),
+            ),
+            F.lit("]"),
+        )
+    return F.concat(F.lit('"'), _json_escape(col.cast("string")), F.lit('"'))
+
+
+def canonical_json_col(props: dict) -> Column:
+    """Canonical JSON object over column-valued properties.
+
+    ``props`` maps property name -> (Column, kind) with kind in
+    {"str", "int", "str_list"}. Keys are emitted sorted, null-valued
+    properties are skipped (concat_ws drops null fragments), matching
+    identifiers._canonical_json for flat values.
+    """
+    fragments = []
+    for key in sorted(props):
+        col, kind = props[key]
+        fragments.append(
+            F.when(
+                col.isNotNull(),
+                F.concat(F.lit(f'"{key}":'), _render_value(col, kind)),
+            )
+        )
+    return F.concat(F.lit("{"), F.concat_ws(",", *fragments), F.lit("}"))
+
+
+def sco_id_col(sco_type: str, props: dict) -> Column:
+    """``<type>--uuid5(...)`` id column, random uuid when no contributing
+    property is set (parity: firepit/stix21.py:100-106).
+
+    ``props`` as in :func:`canonical_json_col`; callers pass only
+    id-contributing properties (see identifiers.ID_PROPS).
+    """
+    unknown = set(props) - set(ID_PROPS.get(sco_type, props))
+    if unknown:
+        raise ValueError(f"non-contributing props for {sco_type}: {sorted(unknown)}")
+    any_set = None
+    for col, _ in props.values():
+        any_set = col.isNotNull() if any_set is None else (any_set | col.isNotNull())
+    det = F.concat(F.lit(f"{sco_type}--"), uuid5_col(canonical_json_col(props)))
+    rand = F.concat(F.lit(f"{sco_type}--"), F.expr("uuid()"))
+    if any_set is None:
+        return rand
+    return F.when(any_set, det).otherwise(rand)

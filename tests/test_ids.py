@@ -1,0 +1,79 @@
+"""JVM-side uuid5 / sco_id_col parity with the python makeid."""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions.ids import canonical_json_col, sco_id_col, uuid5_col
+from firepit_spark.identifiers import ID_NAMESPACE, makeid
+
+
+NAMES = [
+    "hello",
+    "1.2.3.4",
+    '{"value":"https:\\/\\/example.com\\/a?b=c"}',
+    "unicode-éλ中",
+    "",
+]
+
+
+def test_uuid5_matches_python(spark):
+    df = spark.createDataFrame([(n,) for n in NAMES], ["name"])
+    got = [r[0] for r in df.select(uuid5_col(F.col("name"))).collect()]
+    want = [str(uuid.uuid5(ID_NAMESPACE, n)) for n in NAMES]
+    assert got == want
+
+
+SCOS = [
+    {"type": "ipv4-addr", "value": "10.0.0.1"},
+    {"type": "url", "value": "https://example.com/page/1?q=a b"},
+    {"type": "domain-name", "value": "ex.example.org"},
+    {"type": "user-account", "user_id": "alice"},
+]
+
+
+def test_sco_id_col_matches_makeid(spark):
+    rows = [(s.get("value"), s.get("user_id")) for s in SCOS]
+    df = spark.createDataFrame(rows, ["value", "user_id"])
+    for sco in SCOS:
+        t = sco["type"]
+        props = (
+            {"value": (F.col("value"), "str")}
+            if "value" in sco
+            else {"user_id": (F.col("user_id"), "str")}
+        )
+        got = (
+            df.filter(F.col(list(sco.keys() - {"type"})[0]) == list(sco.values())[1])
+            .select(sco_id_col(t, props))
+            .collect()[0][0]
+        )
+        assert got == makeid(sco), t
+
+
+def test_canonical_json_sorted_and_null_skipped(spark):
+    df = spark.createDataFrame(
+        [(80, None, ["tcp"])], "dport int, sport int, protos array<string>"
+    )
+    out = df.select(
+        canonical_json_col(
+            {
+                "src_port": (F.col("sport"), "int"),
+                "dst_port": (F.col("dport"), "int"),
+                "protocols": (F.col("protos"), "str_list"),
+            }
+        )
+    ).collect()[0][0]
+    assert out == '{"dst_port":80,"protocols":["tcp"]}'
+
+
+def test_sco_id_col_rejects_noncontributing():
+    with pytest.raises(ValueError):
+        sco_id_col("ipv4-addr", {"nope": (F.lit("x"), "str")})
+
+
+def test_sco_id_col_random_fallback(spark):
+    df = spark.createDataFrame([(None,), (None,)], "value string")
+    vals = [r[0] for r in df.select(sco_id_col("url", {"value": (F.col("value"), "str")})).collect()]
+    assert all(v.startswith("url--") for v in vals)
+    assert vals[0] != vals[1]

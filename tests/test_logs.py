@@ -1,0 +1,107 @@
+"""Spark-native log -> STIX conversion (sources/logs.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.identifiers import makeid
+from firepit_spark.sources.logs import (
+    convert_log,
+    detect_mapping,
+    expand_reg_hive,
+    to_wide,
+    wide_to_scos,
+)
+from firepit_spark.storage import SparkStorage
+
+ZEEK_ROWS = [
+    # ts, orig_h, orig_p, resp_h, resp_p, proto, orig_ip_bytes, resp_ip_bytes
+    (1600000000.5, "192.168.1.10", 49152, "10.0.0.5", 443, "tcp", 1200, 4096),
+    (1600000001.0, "192.168.1.11", 49153, "10.0.0.5", 443, "tcp", 800, 2048),
+    (1600000002.0, "2001:db8::1", 5353, "ff02::fb", 5353, "udp", 100, 0),
+    # duplicate of row 0's src addr -> id-merge should dedup the ipv4 row
+    (1600000003.0, "192.168.1.10", 49154, "10.0.0.9", 80, "tcp", 10, 20),
+]
+ZEEK_SCHEMA = (
+    "ts double, `id.orig_h` string, `id.orig_p` int, `id.resp_h` string, "
+    "`id.resp_p` int, proto string, orig_ip_bytes long, resp_ip_bytes long"
+)
+
+
+@pytest.fixture
+def zeek_df(spark):
+    return spark.createDataFrame(ZEEK_ROWS, ZEEK_SCHEMA)
+
+
+def test_detect_mapping(zeek_df):
+    assert detect_mapping(zeek_df.columns) == "zeek_conn_csv"
+    assert detect_mapping(["id_orig_h", "query", "ts"]) == "zeek_dns_json"
+    assert detect_mapping(["EventID", "TimeCreated"]) == "windows_events"
+    assert detect_mapping(["foo"]) is None
+
+
+def test_wide_and_split(zeek_df):
+    from firepit_spark.sources.logs import ZEEK_CONN_CSV
+
+    wide = to_wide(zeek_df, ZEEK_CONN_CSV)
+    assert "network-traffic:src_ref.value" in wide.columns
+    assert "first_observed" in wide.columns
+    scos = wide_to_scos(wide)
+    assert set(scos) >= {"network-traffic", "ipv4-addr", "ipv6-addr",
+                         "observed-data", "__contains"}
+    # ipv4 side: 4 distinct v4 source/dest addrs appear across rows
+    v4 = {r["value"] for r in scos["ipv4-addr"].collect()}
+    assert v4 == {"192.168.1.10", "192.168.1.11", "10.0.0.5", "10.0.0.9"}
+    v6 = {r["value"] for r in scos["ipv6-addr"].collect()}
+    assert v6 == {"2001:db8::1", "ff02::fb"}
+    # deterministic ids match the python makeid
+    row = scos["ipv4-addr"].filter(F.col("value") == "10.0.0.5").first()
+    assert row["id"] == makeid({"type": "ipv4-addr", "value": "10.0.0.5"})
+    # network-traffic refs point at minted addr ids
+    nt = scos["network-traffic"].filter(F.col("src_port") == 49152).first()
+    assert nt["src_ref"] == makeid({"type": "ipv4-addr", "value": "192.168.1.10"})
+    assert nt["dst_ref"] == makeid({"type": "ipv4-addr", "value": "10.0.0.5"})
+    assert nt["protocols"] == ["tcp"]
+
+
+def test_network_traffic_id_parity(zeek_df):
+    """The JVM-minted network-traffic id must equal makeid over the resolved
+    contributing props (ports, protocols, ref target ids)."""
+    from firepit_spark.sources.logs import ZEEK_CONN_CSV
+
+    scos = wide_to_scos(to_wide(zeek_df, ZEEK_CONN_CSV))
+    nt = scos["network-traffic"].filter(F.col("src_port") == 49152).first()
+    sco = {
+        "type": "network-traffic",
+        "src_ref": makeid({"type": "ipv4-addr", "value": "192.168.1.10"}),
+        "dst_ref": makeid({"type": "ipv4-addr", "value": "10.0.0.5"}),
+        "src_port": 49152,
+        "dst_port": 443,
+        "protocols": ["tcp"],
+    }
+    assert nt["id"] == makeid(sco)
+
+
+def test_convert_log_ingests(spark, tmp_path, zeek_df):
+    store = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    types = convert_log(store, zeek_df, query_id="zeek1")
+    assert "network-traffic" in types
+    assert store.count("network-traffic") == 4
+    assert store.count("ipv4-addr") == 4  # merged duplicate 192.168.1.10
+    assert store.count("ipv6-addr") == 2
+    assert store.count("observed-data") == 4
+    # every network-traffic row is reachable from an observation
+    edges = store.table_df("__contains")
+    nt_edges = edges.filter(F.col("target_ref").startswith("network-traffic--"))
+    assert nt_edges.count() == 4
+
+
+def test_expand_reg_hive(spark):
+    df = spark.createDataFrame(
+        [("HKLM\\SOFTWARE\\x",), ("HKCU\\y",), ("other",)], "key string"
+    )
+    got = [r[0] for r in df.select(expand_reg_hive(F.col("key"))).collect()]
+    assert got == [
+        "HKEY_LOCAL_MACHINE\\SOFTWARE\\x",
+        "HKEY_CURRENT_USER\\y",
+        "other",
+    ]
