@@ -48,7 +48,7 @@ def main(argv=None):
         "--format", default="table", choices=["table", "json", "csv"]
     )
     ap = argparse.ArgumentParser(prog="firepit-spark", parents=[common])
-    ap.add_argument("--dbname", required=True, help="warehouse directory")
+    ap.add_argument("--dbname", help="warehouse directory (not needed for splint)")
     ap.add_argument("--session", default="cli")
     sub = ap.add_subparsers(dest="command", required=True)
 
@@ -140,7 +140,48 @@ def main(argv=None):
     p = sub.add_parser("sql", help="run Spark SQL over tables/views", parents=[common])
     p.add_argument("statement")
 
+    # splint-parity bundle utilities (reference firepit/splint.py:50-220);
+    # these transform a bundle file without touching the warehouse
+    p = sub.add_parser("splint", help="bundle utilities", parents=[common])
+    p.add_argument(
+        "util",
+        choices=["randomize-ids", "dedup-ids", "limit", "upgrade", "timeshift"],
+    )
+    p.add_argument("file")
+    p.add_argument("splint_args", nargs="*")
+
+    p = sub.add_parser(
+        "convert-log", help="convert + ingest a log file (zeek/windows)",
+        parents=[common],
+    )
+    p.add_argument("file")
+    p.add_argument("--mapping", default=None)
+    p.add_argument("--query-id", default=None)
+
     args = ap.parse_args(argv)
+
+    if args.command == "splint":
+        import json as _json
+
+        from firepit_spark import tools
+
+        with open(args.file) as fp:
+            bundle = _json.load(fp)
+        util, extra = args.util, args.splint_args
+        if util == "randomize-ids":
+            bundle = tools.randomize_ids(bundle)
+        elif util == "dedup-ids":
+            bundle = tools.dedup_ids(bundle)
+        elif util == "limit":
+            bundle = tools.limit_bundle(bundle, int(extra[0]))
+        elif util == "upgrade":
+            bundle = tools.upgrade_bundle(bundle)
+        elif util == "timeshift":
+            bundle = tools.timeshift_bundle(bundle, extra[0], extra[1])
+        print(json.dumps(bundle, indent=1))
+        return
+    if not args.dbname:
+        ap.error("--dbname is required for this command")
     store = get_storage(args.dbname, args.session)
     fmt = args.format
 
@@ -150,6 +191,17 @@ def main(argv=None):
     cmd = args.command
     if cmd == "cache":
         store.cache(args.query_id, list(args.files))
+    elif cmd == "convert-log":
+        from firepit_spark.sources.logs import convert_log
+
+        if args.file.endswith(".csv"):
+            df = store.spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(args.file)
+        else:
+            df = store.spark.read.json(args.file)
+        types = convert_log(store, df, mapping=args.mapping, query_id=args.query_id)
+        print(", ".join(types))
     elif cmd == "extract":
         store.extract(args.name, args.sco_type, args.query_id, args.pattern)
         _persist(args.name)

@@ -481,6 +481,10 @@ class SparkStorage:
             shutil.rmtree(path)
         os.replace(tmp, path)
 
+    def overwrite_table(self, otype: str, df: DataFrame):
+        """Replace a table's contents (tmp-dir swap, lineage-safe)."""
+        self._write(otype, df)
+
     # ----------------------------------------------------------------- views
 
     def _register(self, name, sco_type, builder, deps):
@@ -729,24 +733,71 @@ class SparkStorage:
             .join(obs, F.col("c.source_ref") == F.col("obs.id"), "inner")
         )
 
-    def timestamped(
-        self, viewname: str, path=None, timestamp="first_observed", run=True, limit=None
+    def extract_observeddata_attribute(
+        self,
+        viewname: str,
+        name_of_attribute,
+        path=None,
+        value=None,
+        limit=None,
+        run=True,
     ):
-        """Attach observation timestamps to each row
-        (parity: firepit/sqlstorage.py:913-961)."""
+        """Attach observed-data attributes to each row of a view, optionally
+        projected to specific STIX paths and filtered to one value
+        (parity: firepit/sqlstorage.py:913-975).
+
+        ``name_of_attribute`` is a str or list of observed-data columns; the
+        ``id`` attribute is aliased ``observation_id`` as in the reference.
+        """
         validate_name(viewname)
+        if isinstance(name_of_attribute, str):
+            attrs = [name_of_attribute]
+        elif isinstance(name_of_attribute, list):
+            attrs = name_of_attribute
+        else:
+            raise TypeError("name_of_attribute must be str or list[str]")
         df = self._resolve(viewname)
         sco_type = self.table_type(viewname)
-        base_cols = [F.col(f"v.`{c}`") for c in df.columns]
-        joined = self._obs_join(df).select(
-            F.col(f"obs.`{timestamp}`").alias(timestamp), *base_cols
-        )
-        joined = joined.orderBy(timestamp)
+        if isinstance(path, (list, tuple)):
+            paths, column = list(path), None
+        elif path:
+            paths, column = [path], path
+        else:
+            paths, column = [], None
+        props = [
+            (p, p.rpartition(":")[2] if ":" in p else p) for p in paths if p != "*"
+        ]
+        if any(prop not in df.columns for _, prop in props):
+            df = self._deref.deref(df, sco_type, paths=None)
+        joined = self._obs_join(df)
+        if column is not None and value is not None:
+            prop = column.rpartition(":")[2] if ":" in column else column
+            joined = joined.filter(F.col(f"v.`{prop}`") == value)
+        sel = [
+            F.col(f"obs.`{a}`").alias("observation_id" if a == "id" else a)
+            for a in attrs
+        ]
+        order = ["observation_id" if a == "id" else a for a in attrs]
+        if props:
+            proj = [F.col(f"v.`{prop}`").alias(p) for p, prop in props]
+        else:
+            proj = [F.col(f"v.`{c}`").alias(c) for c in df.columns]
+        out = joined.select(*sel, *proj).orderBy(*order)
         if limit:
-            joined = joined.limit(limit)
+            out = out.limit(limit)
         if not run:
-            return joined
-        return [r.asDict() for r in joined.collect()]
+            return out
+        return [r.asDict() for r in out.collect()]
+
+    def timestamped(
+        self, viewname: str, path=None, value=None, timestamp="first_observed",
+        limit=None, run=True,
+    ):
+        """Attach observation timestamps to each row
+        (parity: firepit/sqlstorage.py:977-990)."""
+        return self.extract_observeddata_attribute(
+            viewname, timestamp, path, value, limit, run
+        )
 
     def summary(self, viewname: str, path=None):
         """MIN(first_observed), MAX(last_observed), SUM(number_observed)

@@ -59,3 +59,11 @@ def format_stix(dt: datetime) -> str:
     (reference firepit/timestamp.py:16-29)."""
     dt = to_datetime(dt)
     return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond // 1000:03d}Z"
+
+
+def timefmt(dt: datetime, prec: int = 3) -> str:
+    """Reference-named formatter with selectable fraction precision
+    (firepit/timestamp.py:16-29; splint uses prec=6 for SCO timestamps)."""
+    dt = to_datetime(dt)
+    frac = f"{dt.microsecond:06d}"[:prec]
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + frac + "Z"

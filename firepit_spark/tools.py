@@ -1,0 +1,162 @@
+"""Bundle / warehouse utilities (parity: firepit/splint.py:50-220).
+
+The reference ships these as a file-to-file CLI over streamed bundle JSON;
+here they are functions over bundle dicts (the CLI wraps them), plus a
+distributed ``timeshift_storage`` that rescales every timestamp column of
+every ingested table as DataFrame arithmetic — the Spark-native form of
+splint's two-pass file rewrite.
+"""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from firepit_spark.flatten import upgrade_2021
+from firepit_spark.timestamp import TIMESTAMP_PROPS, timefmt, to_datetime
+
+
+def _now() -> str:
+    return timefmt(datetime.datetime.utcnow())
+
+
+def randomize_ids(bundle: dict) -> dict:
+    """Random ids for every object; created_by_ref re-pointed at the (new)
+    identity id (parity: firepit/splint.py:50-73)."""
+    objects = bundle.get("objects", [])
+    ds_id = None
+    for obj in objects:
+        if "type" not in obj:
+            continue
+        new_id = f"{obj['type']}--{uuid.uuid4()}"
+        if obj["type"] == "identity" and not ds_id:
+            ds_id = new_id
+        elif ds_id:
+            obj["created_by_ref"] = ds_id
+        obj["id"] = new_id
+        if "modified" in obj:
+            obj["modified"] = _now()
+    return bundle
+
+
+def dedup_ids(bundle: dict) -> dict:
+    """Replace duplicate ids with random ones (parity: firepit/splint.py:75-109)."""
+    objects = bundle.get("objects", [])
+    seen: set = set()
+    ds_id, ds_id_changed = None, False
+    for obj in objects:
+        if "type" not in obj:
+            continue
+        old_id = obj.get("id", "")
+        modified = False
+        if old_id in seen:
+            obj["id"] = f"{obj['type']}--{uuid.uuid4()}"
+            modified = True
+        seen.add(obj["id"])
+        if obj["type"] == "identity" and not ds_id:
+            ds_id = obj["id"]
+            ds_id_changed = modified
+        elif ds_id_changed:
+            obj["created_by_ref"] = ds_id
+            modified = True
+        if "modified" in obj and modified:
+            obj["modified"] = _now()
+    return bundle
+
+
+def limit_bundle(bundle: dict, n: int) -> dict:
+    """Truncate to the first n+1 objects (parity: firepit/splint.py:112-125,
+    which emits objects while ``count <= n``)."""
+    out = dict(bundle)
+    out["objects"] = bundle.get("objects", [])[: n + 1]
+    return out
+
+
+def upgrade_bundle(bundle: dict) -> dict:
+    """STIX 2.0 -> 2.1 (parity: firepit/splint.py:128-139, via the same
+    upgrade kernel the flatten pipeline uses)."""
+    out_objs = []
+    for obj in bundle.get("objects", []):
+        if obj.get("type") == "observed-data":
+            out_objs.extend(upgrade_2021(obj))
+        else:
+            out_objs.append(obj)
+    out = dict(bundle)
+    out["objects"] = out_objs
+    return out
+
+
+def _shift_dt(dt, orig_start, new_start, scale):
+    return new_start + datetime.timedelta(
+        seconds=(dt - orig_start).total_seconds() * scale
+    )
+
+
+def timeshift_bundle(bundle: dict, start: str, end: str) -> dict:
+    """Re-map observation timestamps onto [start, end], preserving relative
+    spacing (parity: firepit/splint.py:142-213)."""
+    obs = [o for o in bundle.get("objects", []) if o.get("type") == "observed-data"]
+    if not obs:
+        return bundle
+    firsts = [to_datetime(o["first_observed"]) for o in obs]
+    ots0, ots1 = min(firsts), max(firsts)
+    nts0, nts1 = to_datetime(start), to_datetime(end)
+    orig_duration = ots1 - ots0
+    scale = (
+        (nts1 - nts0) / orig_duration if orig_duration.total_seconds() else 1.0
+    )
+    for o in obs:
+        fo = to_datetime(o["first_observed"])
+        new_fo = _shift_dt(fo, ots0, nts0, scale)
+        dur = to_datetime(o["last_observed"]) - fo
+        o["first_observed"] = timefmt(new_fo)
+        o["last_observed"] = timefmt(new_fo + dur * scale)
+        for sco in o.get("objects", {}).values():
+            for prop, val in list(sco.items()):
+                if prop in TIMESTAMP_PROPS:
+                    sco[prop] = timefmt(
+                        _shift_dt(to_datetime(val), ots0, nts0, scale), prec=6
+                    )
+        if "modified" in o:
+            o["modified"] = _now()
+    return bundle
+
+
+def timeshift_storage(storage, start, end, tables=None):
+    """Distributed timeshift: linearly re-map every TimestampType column of
+    the given (default: all) tables onto [start, end].
+
+    One aggregation finds the original observed timeframe; each table is then
+    rewritten with pure column arithmetic
+    (``new0 + (ts - orig0) * scale`` on fractional epoch seconds) — map-only,
+    no shuffle, no Python in the row path.
+    """
+    nts0 = to_datetime(start) if isinstance(start, str) else start
+    nts1 = to_datetime(end) if isinstance(end, str) else end
+    obs = storage.table_df("observed-data")
+    row = obs.agg(
+        F.min("first_observed").alias("lo"), F.max("first_observed").alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        return
+    orig0 = row["lo"]
+    orig_span = (row["hi"] - orig0).total_seconds()
+    scale = ((nts1 - nts0).total_seconds() / orig_span) if orig_span else 1.0
+    new0 = nts0.timestamp()
+    o0 = orig0.timestamp()
+    for name in tables or storage.tables():
+        df = storage.table_df(name)
+        ts_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, TimestampType)
+        ]
+        if not ts_cols:
+            continue
+        for c in ts_cols:
+            epoch = F.col(f"`{c}`").cast("double")
+            df = df.withColumn(
+                c, F.timestamp_seconds(F.lit(new0) + (epoch - F.lit(o0)) * F.lit(scale))
+            )
+        storage.overwrite_table(name, df)

@@ -1,0 +1,149 @@
+"""splint-parity bundle utilities + distributed timeshift + C7 operator."""
+
+import copy
+
+import pytest
+
+from firepit_spark.storage import SparkStorage
+from firepit_spark.timestamp import to_datetime
+from firepit_spark.tools import (
+    dedup_ids,
+    limit_bundle,
+    randomize_ids,
+    timeshift_bundle,
+    timeshift_storage,
+    upgrade_bundle,
+)
+
+
+def _bundle():
+    return {
+        "type": "bundle",
+        "id": "bundle--x",
+        "objects": [
+            {"type": "identity", "id": "identity--1", "name": "test"},
+            {
+                "type": "observed-data",
+                "id": "observed-data--1",
+                "created_by_ref": "identity--1",
+                "first_observed": "2020-01-01T00:00:00.000Z",
+                "last_observed": "2020-01-01T00:10:00.000Z",
+                "number_observed": 1,
+                "objects": {
+                    "0": {"type": "ipv4-addr", "value": "10.0.0.1"},
+                    "1": {
+                        "type": "network-traffic",
+                        "src_ref": "0",
+                        "dst_port": 80,
+                        "protocols": ["tcp"],
+                        "start": "2020-01-01T00:00:00.000Z",
+                    },
+                },
+            },
+            {
+                "type": "observed-data",
+                "id": "observed-data--1",  # duplicate id on purpose
+                "created_by_ref": "identity--1",
+                "first_observed": "2020-01-02T00:00:00.000Z",
+                "last_observed": "2020-01-02T00:00:00.000Z",
+                "number_observed": 2,
+                "objects": {"0": {"type": "url", "value": "http://a/b"}},
+            },
+        ],
+    }
+
+
+def test_randomize_ids():
+    b = randomize_ids(_bundle())
+    ids = [o["id"] for o in b["objects"]]
+    assert len(set(ids)) == 3
+    assert not any(i in ("identity--1", "observed-data--1") for i in ids)
+    ident = b["objects"][0]["id"]
+    assert all(o["created_by_ref"] == ident for o in b["objects"][1:])
+
+
+def test_dedup_ids():
+    b = dedup_ids(_bundle())
+    ids = [o["id"] for o in b["objects"]]
+    assert len(set(ids)) == 3
+    assert ids[1] == "observed-data--1"  # first occurrence kept
+    assert ids[2] != "observed-data--1"
+
+
+def test_limit_bundle():
+    b = limit_bundle(_bundle(), 1)
+    assert len(b["objects"]) == 2
+
+
+def test_upgrade_bundle():
+    b = upgrade_bundle(_bundle())
+    types = [o["type"] for o in b["objects"]]
+    assert types.count("observed-data") == 2
+    assert "ipv4-addr" in types and "network-traffic" in types and "url" in types
+    obs = next(o for o in b["objects"] if o["type"] == "observed-data")
+    assert "objects" not in obs and obs["spec_version"] == "2.1"
+    nt = next(o for o in b["objects"] if o["type"] == "network-traffic")
+    assert nt["src_ref"].startswith("ipv4-addr--")
+
+
+def test_timeshift_bundle():
+    b = timeshift_bundle(
+        copy.deepcopy(_bundle()), "2023-06-01T00:00:00Z", "2023-06-02T00:00:00Z"
+    )
+    obs = [o for o in b["objects"] if o["type"] == "observed-data"]
+    firsts = sorted(to_datetime(o["first_observed"]) for o in obs)
+    assert firsts[0] == to_datetime("2023-06-01T00:00:00Z")
+    assert firsts[-1] == to_datetime("2023-06-02T00:00:00Z")
+    # embedded SCO timestamps shift too
+    nt = next(
+        s
+        for o in obs
+        for s in o.get("objects", {}).values()
+        if s["type"] == "network-traffic"
+    )
+    assert to_datetime(nt["start"]) == to_datetime("2023-06-01T00:00:00Z")
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    s = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    b = _bundle()
+    b["objects"][2]["id"] = "observed-data--2"  # distinct obs rows for joins
+    s.cache("q1", [b])
+    return s
+
+
+def test_timeshift_storage(store):
+    timeshift_storage(store, "2024-01-01T00:00:00Z", "2024-01-03T00:00:00Z")
+    # url was observed at the original max (2020-01-02) -> maps to the new end
+    summ = store.summary("url")
+    assert summ["first_observed"] == to_datetime("2024-01-03T00:00:00Z").replace(
+        tzinfo=None
+    )
+    obs = store.table_df("observed-data")
+    lo, hi = obs.agg({"first_observed": "min"}).first()[0], obs.agg(
+        {"first_observed": "max"}
+    ).first()[0]
+    assert lo == to_datetime("2024-01-01T00:00:00Z").replace(tzinfo=None)
+    assert hi == to_datetime("2024-01-03T00:00:00Z").replace(tzinfo=None)
+
+
+def test_extract_observeddata_attribute(store):
+    rows = store.extract_observeddata_attribute("url", ["id", "last_observed"])
+    assert len(rows) == 1
+    assert rows[0]["observation_id"].startswith("observed-data--")
+    assert "last_observed" in rows[0] and "value" in rows[0]
+    # path + value filter
+    rows = store.extract_observeddata_attribute(
+        "url", "first_observed", path="url:value", value="http://a/b"
+    )
+    assert len(rows) == 1 and rows[0]["url:value"] == "http://a/b"
+    rows = store.extract_observeddata_attribute(
+        "url", "first_observed", path="url:value", value="nope"
+    )
+    assert rows == []
+
+
+def test_timestamped_with_value(store):
+    rows = store.timestamped("url", path="url:value", value="http://a/b")
+    assert len(rows) == 1 and "first_observed" in rows[0]
