@@ -1,0 +1,144 @@
+"""Direct unit tests for the scale-pipeline operator families
+(similarity search, multimodal plumbing, dedup kernels) — these are
+otherwise covered only through the driver's oracle gate."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import dedup as dd
+from firepit_spark.functions import similarity as sim
+from firepit_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+
+
+# ------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    got = sim.brute_force_topk(vectors, q, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in got] == [(0, 1), (1, 2)]
+    assert got[0]["cos_sim"] == 1.0
+    expect = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(got[1]["cos_sim"] - expect) < 1e-5
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0])], "query_id long, query_vec array<double>"
+    )
+    exact = {r["neighbor_id"] for r in sim.brute_force_topk(vectors, q, k=5).collect()}
+    approx = sim.lsh_topk(vectors, q, k=5, n_planes=4).collect()
+    # LSH returns a subset of the corpus, every hit also present in exact
+    assert {r["neighbor_id"] for r in approx} <= exact
+    assert len(approx) >= 1  # the query's own bucket can't be empty
+
+
+def test_label_centroids(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [0.0, 4.0])],
+        "label string, embedding array<double>",
+    )
+    got = {r["label"]: r["centroid"] for r in sim.label_centroids(df).collect()}
+    assert got["a"] == [2.0, 1.0]
+    assert got["b"] == [0.0, 4.0]
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_extract_features_shapes(spark):
+    media = synthesize_media(spark, n=30, partitions=3)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    byid = {r["media_id"]: r for r in rows}
+    assert byid[0]["n_bytes"] == 128
+    assert byid[0]["feature"] == byid[0]["content_md5"][:16]
+    assert set(r["kind"] for r in rows) == {"image", "audio", "video"}
+    # deterministic across runs
+    again = {r["media_id"]: r["content_md5"] for r in extract_features(media).collect()}
+    assert again == {r["media_id"]: r["content_md5"] for r in rows}
+
+
+def test_decode_stub_raises(spark):
+    media = synthesize_media(spark, n=3, partitions=1)
+    feats = extract_features(media, use_fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|no image codec"):
+        feats.collect()
+
+
+def test_frame_sample_plan(spark):
+    media = synthesize_media(spark, n=9, partitions=2)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+    # video rows only (kind == video is i % 3 == 2)
+    vids = {r["media_id"] for r in rows}
+    assert vids == {2, 5, 8}
+    # duration 1000*(i%30) -> media 5 has 5000ms -> 6 frames (0..5000)
+    assert sum(1 for r in rows if r["media_id"] == 5) == 6
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_duplicates_and_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "  The  quick brown FOX "),  # dup after lowercase + ws-normalize
+            (3, "the quick brown fox"),
+            (4, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    dups = dd.exact_duplicates(df).collect()
+    assert len(dups) == 1 and dups[0]["keeper"] == 1 and dups[0]["n_docs"] == 3
+    kept = sorted(r["doc_id"] for r in dd.dedup_exact(df).collect())
+    assert kept == [1, 4]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "totally different words here now ok yes no"),
+        ],
+        "doc_id long, text string",
+    )
+    got = dd.ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    assert len(got) == 1
+    assert (got[0]["id_a"], got[0]["id_b"], got[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "x y z q r s t")],
+        "doc_id long, text string",
+    )
+    sig = dd.minhash_signature_array(df, num_perm=8).collect()
+    by = {r["doc_id"]: r["signature"] for r in sig}
+    assert by[1] == by[2]
+    assert by[1] != by[3]
+    assert len(by[1]) == 8
