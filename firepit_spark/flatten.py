@@ -249,9 +249,10 @@ def _set_rank(results: list, sco_id: str, rank: int = 1):
 
 
 def get_objects(source, types=None):
-    """Yield STIX objects from a bundle dict, JSON file path, or file-like
-    (parity: firepit/raft.py:54-68; http fetch intentionally omitted —
-    distributed reads go through spark.read instead)."""
+    """Yield STIX objects from a bundle dict, JSON file path, http(s) URL,
+    or file-like (parity: firepit/raft.py:54-68; URL fetch is driver-side
+    stdlib like the reference's — bulk distributed reads go through
+    spark.read / sources.bundles instead)."""
     import json
 
     if isinstance(source, dict):
@@ -263,6 +264,11 @@ def get_objects(source, types=None):
         return
     if hasattr(source, "read"):
         bundle = json.load(source)
+    elif isinstance(source, str) and source.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        with urlopen(source) as resp:
+            bundle = json.load(resp)
     else:
         with open(source) as fp:
             bundle = json.load(fp)

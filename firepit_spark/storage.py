@@ -485,6 +485,13 @@ class SparkStorage:
         """Replace a table's contents (tmp-dir swap, lineage-safe)."""
         self._write(otype, df)
 
+    def export_json(self, name: str, path: str, mode: str = "overwrite"):
+        """Write a table/view out as JSON lines (parity with the reference's
+        per-type JsonWriter sink, firepit/splitter.py:23-69 — distributed
+        write, one file per partition)."""
+        validate_name(name)
+        self._resolve(name).write.mode(mode).json(path)
+
     # ----------------------------------------------------------------- views
 
     def _register(self, name, sco_type, builder, deps):
