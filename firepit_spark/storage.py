@@ -67,6 +67,11 @@ from firepit_spark.validate import validate_name, validate_path
 CONTAINS = "__contains"
 REFLIST = "__reflist"
 QUERIES = "__queries"
+
+# batch-partition naming for LSM-style table layout; partition discovery
+# surfaces the batch number as this column at read time
+BATCH_COL = "_fp_batch"
+BATCH_PREFIX = BATCH_COL + "="
 _INTERNAL = {CONTAINS, REFLIST, QUERIES}
 
 _EXT_SHORTEN = re.compile(r"^extensions\.'(x-)?([\w\d_-]+)'\.")
@@ -99,6 +104,8 @@ class SparkStorage:
         self._views: dict[str, ViewDef] = {}
         self._df_cache: dict[str, DataFrame] = {}
         self._deref = DerefPlanner(self)
+        # fold batch partitions back into one past this many (see compact())
+        self.auto_compact_batches = 32
         # materialized-view symtable: views snapshotted to parquet so a new
         # process (e.g. the CLI) sees them; live in-memory defs take priority
         self._meta: dict[str, dict] = {}
@@ -155,12 +162,117 @@ class SparkStorage:
         }
         self._save_meta()
 
+    # -- batch layout -----------------------------------------------------
+    # Tables are LSM-style: each ingest batch lands as its own partition dir
+    # ``<table>/_fp_batch=<n>/`` (an O(batch) write that never reads old
+    # data), and the upsert-merge happens lazily at read over the batch
+    # number that partition discovery provides for free. ``compact()``
+    # (the analog of the reference's deferred ``finish()``,
+    # firepit/pgstorage.py:210-221,487-501) folds batches back into one to
+    # bound read amplification; it auto-triggers past ``auto_compact_batches``.
+    # At 100 TB this is the difference between O(batch) and O(table) ingest.
+
+    def _batch_numbers(self, path: str) -> list:
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            int(d[len(BATCH_PREFIX):])
+            for d in os.listdir(path)
+            if d.startswith(BATCH_PREFIX)
+        )
+
+    def _write_batch(self, otype: str, df: DataFrame, reset: bool = False):
+        """Append ``df`` as the next batch partition. With ``reset`` the new
+        batch is materialized first, then older batches are dropped — safe
+        even when ``df``'s lineage reads this table."""
+        path = self._table_path(otype)
+        nums = self._batch_numbers(path)
+        n = (nums[-1] + 1) if nums else 0
+        tmp = path + f".__tmp__{n}"
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(path, exist_ok=True)
+        os.replace(tmp, os.path.join(path, f"{BATCH_PREFIX}{n}"))
+        if reset:
+            for d in os.listdir(path):
+                if d.startswith(BATCH_PREFIX) and d != f"{BATCH_PREFIX}{n}":
+                    shutil.rmtree(os.path.join(path, d))
+        self._df_cache.pop(otype, None)
+        if not reset and len(self._batch_numbers(path)) > self.auto_compact_batches:
+            self.compact(otype)
+
+    def _merge_batches(self, name: str, raw: DataFrame, n_batches: int) -> DataFrame:
+        """Fold batch partitions into the logical table state."""
+        if BATCH_COL not in raw.columns:
+            return raw
+        if n_batches <= 1:
+            return raw.drop(BATCH_COL)
+        if name == QUERIES:
+            return raw.drop(BATCH_COL).distinct()
+        if name in (CONTAINS, REFLIST):
+            keys = (
+                ["source_ref", "target_ref"]
+                if name == CONTAINS
+                else ["ref_name", "source_ref", "target_ref"]
+            )
+            others = [c for c in raw.columns if c not in keys and c != BATCH_COL]
+            if not others:
+                return raw.drop(BATCH_COL).distinct()
+            return raw.groupBy(*keys).agg(
+                *[F.max(F.col(f"`{c}`")).alias(c) for c in others]
+            )
+        if "id" not in raw.columns:
+            return raw.drop(BATCH_COL)
+        # upsert semantics across batches (parity: firepit/sqlstorage.py:367-380):
+        # first_observed=MIN, last_observed=MAX, number_observed=SUM, other
+        # columns latest-non-null; observed-data keeps the earliest write
+        # (ON CONFLICT DO NOTHING parity).
+        old_wins = name == "observed-data"
+        batch = F.col(BATCH_COL)
+        aggs = []
+        for c in raw.columns:
+            if c in ("id", BATCH_COL):
+                continue
+            col = F.col(f"`{c}`")
+            ordk = F.when(col.isNotNull(), batch)
+            if old_wins:
+                expr = F.min_by(col, ordk)
+            elif c == "first_observed":
+                expr = F.min(col)
+            elif c == "last_observed":
+                expr = F.max(col)
+            elif c == "number_observed":
+                expr = F.sum(col)
+            else:
+                expr = F.max_by(col, ordk)
+            aggs.append(expr.alias(c))
+        if not aggs:
+            return raw.drop(BATCH_COL).distinct()
+        return raw.groupBy("id").agg(*aggs)
+
+    def compact(self, otype: str | None = None):
+        """Materialize merged table state into a single batch partition
+        (the reference's ``finish()`` moment: firepit/sqlstorage.py:824-827).
+        Call with no argument to compact every multi-batch table."""
+        names = [otype] if otype else list(
+            t for t in os.listdir(self.tables_dir)
+            if os.path.isdir(self._table_path(t))
+        )
+        for name in names:
+            path = self._table_path(name)
+            if len(self._batch_numbers(path)) <= 1:
+                continue
+            self._df_cache.pop(name, None)
+            self._write_batch(name, self.table_df(name), reset=True)
+
     def table_df(self, name: str) -> DataFrame:
         if name not in self._df_cache:
             p = self._table_path(name)
             if not os.path.exists(p):
                 raise UnknownViewname(name)
-            self._df_cache[name] = self.spark.read.parquet(p)
+            raw = self.spark.read.option("mergeSchema", "true").parquet(p)
+            self._df_cache[name] = self._merge_batches(
+                name, raw, len(self._batch_numbers(p))
+            )
         return self._df_cache[name]
 
     def _resolve(self, name: str) -> DataFrame:
@@ -422,68 +534,29 @@ class SparkStorage:
         return df.groupBy("id").agg(*aggs)
 
     def _merge_upsert(self, otype: str, new_df: DataFrame):
-        path = self._table_path(otype)
-        if not os.path.exists(path):
-            self._write(otype, new_df)
-            return
-        old = self.table_df(otype)
-        o, n = old.alias("o"), new_df.alias("n")
-        joined = o.join(n, F.col("o.id") == F.col("n.id"), "full_outer")
-        old_cols, new_cols = set(old.columns), set(new_df.columns)
-        exprs = []
-        old_wins = otype == "observed-data"  # DO NOTHING parity
-        for c in sorted(old_cols | new_cols):
-            oc = F.col(f"o.`{c}`") if c in old_cols else F.lit(None)
-            nc = F.col(f"n.`{c}`") if c in new_cols else F.lit(None)
-            if c == "id":
-                expr = F.coalesce(oc, nc)
-            elif old_wins:
-                expr = F.coalesce(oc, nc)
-            elif c == "first_observed":
-                expr = F.least(oc, nc)
-            elif c == "last_observed":
-                expr = F.greatest(oc, nc)
-            elif c == "number_observed":
-                expr = F.when(
-                    oc.isNull() & nc.isNull(), F.lit(None)
-                ).otherwise(F.coalesce(oc, F.lit(0)) + F.coalesce(nc, F.lit(0)))
-            else:
-                expr = F.coalesce(nc, oc)
-            exprs.append(expr.alias(c))
-        self._write(otype, joined.select(*exprs))
+        """O(batch) upsert: the batch (already id-deduped) lands as a new
+        batch partition; cross-batch merge semantics apply lazily at read
+        (see _merge_batches)."""
+        self._write_batch(otype, new_df)
 
     def _merge_edges(self, otype: str, new_df: DataFrame, keys: list):
-        path = self._table_path(otype)
-        if os.path.exists(path):
-            old = self.table_df(otype)
-            new_df = old.unionByName(new_df, allowMissingColumns=True)
-        cols = new_df.columns
-        aggs = [F.max(F.col(f"`{c}`")).alias(c) for c in cols if c not in keys]
-        merged = new_df.groupBy(*keys).agg(*aggs) if aggs else new_df.distinct()
-        self._write(otype, merged)
+        """Edge rows: dedupe within the batch, merge across batches at read."""
+        others = [c for c in new_df.columns if c not in keys]
+        if others:
+            new_df = new_df.groupBy(*keys).agg(
+                *[F.max(F.col(f"`{c}`")).alias(c) for c in others]
+            )
+        else:
+            new_df = new_df.distinct()
+        self._write_batch(otype, new_df)
 
     def _append(self, otype: str, new_df: DataFrame):
-        path = self._table_path(otype)
-        if os.path.exists(path):
-            old = self.table_df(otype)
-            new_df = old.unionByName(new_df, allowMissingColumns=True)
-        self._write(otype, new_df)
-
-    def _write(self, otype: str, df: DataFrame):
-        """Materialize to a tmp dir then swap — the table being replaced may
-        be an input of ``df``'s lineage, so an in-place overwrite would read
-        its own partial output."""
-        path = self._table_path(otype)
-        tmp = path + ".__tmp__"
-        df.write.mode("overwrite").parquet(tmp)
-        self._df_cache.pop(otype, None)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        self._write_batch(otype, new_df)
 
     def overwrite_table(self, otype: str, df: DataFrame):
-        """Replace a table's contents (tmp-dir swap, lineage-safe)."""
-        self._write(otype, df)
+        """Replace a table's contents (new batch materialized first, old
+        batches dropped after — safe when df's lineage reads this table)."""
+        self._write_batch(otype, df, reset=True)
 
     def export_json(self, name: str, path: str, mode: str = "overwrite"):
         """Write a table/view out as JSON lines (parity with the reference's

@@ -1,0 +1,103 @@
+"""LSM-style batch layout: O(batch) writes, merge-on-read, compaction."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from firepit_spark.storage import BATCH_PREFIX, SparkStorage
+
+
+def _bundle(url_val, first, last, n, obs_id="observed-data--1"):
+    return {
+        "type": "bundle",
+        "id": "bundle--x",
+        "objects": [
+            {"type": "identity", "id": "identity--1", "name": "t"},
+            {
+                "type": "observed-data",
+                "id": obs_id,
+                "created_by_ref": "identity--1",
+                "first_observed": first,
+                "last_observed": last,
+                "number_observed": n,
+                "objects": {"0": {"type": "url", "value": url_val}},
+            },
+        ],
+    }
+
+
+def _batches(store, table):
+    path = store._table_path(table)
+    return [d for d in os.listdir(path) if d.startswith(BATCH_PREFIX)]
+
+
+def test_multi_batch_upsert_merge(spark, tmp_path):
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    st.cache("q1", [_bundle("http://a/1", "2020-01-05T00:00:00Z", "2020-01-06T00:00:00Z", 2)])
+    st.cache("q2", [_bundle("http://a/1", "2020-01-01T00:00:00Z", "2020-01-02T00:00:00Z", 3)])
+    st.cache("q3", [_bundle("http://a/1", "2020-01-03T00:00:00Z", "2020-01-09T00:00:00Z", 5)])
+
+    # three ingests -> three batch dirs, no table rewrite
+    assert len(_batches(st, "url")) == 3
+
+    # url rows dedup by deterministic id across batches
+    assert st.count("url") == 1
+
+    # observation upsert semantics across batches: first=MIN last=MAX n=SUM
+    obs = st.table_df("observed-data").collect()
+    assert len(obs) == 1
+    row = obs[0]
+    assert str(row["first_observed"]).startswith("2020-01-05")  # old-wins (DO NOTHING)
+    # __queries keeps one tag row per (sco, query)
+    q = st.table_df("__queries")
+    url_id = st.table_df("url").first()["id"]
+    tags = {r["query_id"] for r in q.filter(F.col("sco_id") == url_id).collect()}
+    assert tags == {"q1", "q2", "q3"}
+    # __contains deduped across the three identical ingests
+    assert st.table_df("__contains").count() == 1
+    # the batch column never leaks
+    for t in ("url", "observed-data", "__contains", "__queries"):
+        assert "_fp_batch" not in st.columns(t)
+
+
+def test_latest_non_null_wins(spark, tmp_path):
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    # home_dir/display_name are NOT id-contributing -> both rows share an id
+    st.load("v1", [{"type": "user-account", "user_id": "u1", "home_dir": "/home/a"}])
+    st.load("v2", [{"type": "user-account", "user_id": "u1", "display_name": "Alice X"}])
+    rows = st.table_df("user-account").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["home_dir"] == "/home/a"  # null in batch 2 -> batch 1 value survives
+    assert r["display_name"] == "Alice X"  # new column via mergeSchema
+
+
+def test_compaction_preserves_state(spark, tmp_path):
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    for i in range(4):
+        st.cache(
+            f"q{i}",
+            [_bundle(f"http://a/{i % 2}", "2020-01-01T00:00:00Z",
+                     "2020-01-02T00:00:00Z", 1, obs_id=f"observed-data--{i}")],
+        )
+    before_urls = sorted(r["value"] for r in st.table_df("url").collect())
+    before_obs = st.count("observed-data")
+    assert len(_batches(st, "url")) == 4
+    st.compact()
+    assert len(_batches(st, "url")) == 1
+    assert sorted(r["value"] for r in st.table_df("url").collect()) == before_urls
+    assert st.count("observed-data") == before_obs
+    # post-compaction ingest still works and re-merges
+    st.cache("q9", [_bundle("http://a/0", "2019-12-30T00:00:00Z",
+                            "2020-01-02T00:00:00Z", 1, obs_id="observed-data--9")])
+    assert sorted(r["value"] for r in st.table_df("url").collect()) == before_urls
+    assert st.count("observed-data") == before_obs + 1
+
+
+def test_auto_compaction_bound(spark, tmp_path):
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    st.auto_compact_batches = 3
+    for i in range(6):
+        st.load("vv", [{"type": "url", "value": f"http://b/{i}"}])
+    assert len(_batches(st, "url")) <= 3 + 1
+    assert st.count("url") == 6
