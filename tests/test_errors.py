@@ -1,0 +1,123 @@
+"""Negative / security tests (strategy parity: reference tests/test_errors.py:
+injection attempts must raise, bad patterns/views raise, malformed objects
+raise — names and paths reach spark.sql fragments, so these stay load-bearing)."""
+
+import pytest
+
+from firepit_spark.exceptions import (
+    IncompatibleType,
+    InvalidObject,
+    InvalidStixPath,
+    InvalidViewname,
+    StixPatternError,
+    UnknownViewname,
+)
+from firepit_spark.patterns import compile_pattern, parse_pattern
+from firepit_spark.storage import SparkStorage
+from firepit_spark.validate import validate_name, validate_path
+
+INJECTIONS = [
+    "urls; DROP TABLE urls",
+    "urls' OR '1'='1",
+    'urls" OR "1"="1',
+    "urls--",  # trailing SQL comment is not a valid name either? '-' allowed
+    "urls/*x*/",
+    "urls\x00",
+    "urls union select * from secrets",
+]
+
+
+@pytest.mark.parametrize("bad", [i for i in INJECTIONS if i != "urls--"])
+def test_validate_name_rejects_injections(bad):
+    with pytest.raises(InvalidViewname):
+        validate_name(bad)
+
+
+def test_validate_name_rejects_nonstring():
+    for bad in (None, 42, ["urls"]):
+        with pytest.raises(InvalidViewname):
+            validate_name(bad)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "url:value; DROP TABLE urls",
+        "url:value' --",
+        "url:value OR 1=1",
+        "",
+        None,
+    ],
+)
+def test_validate_path_rejects(bad):
+    with pytest.raises(InvalidStixPath):
+        validate_path(bad)
+
+
+@pytest.mark.parametrize(
+    "good",
+    ["url:value", "network-traffic:src_ref.value", "file:hashes.'SHA-1'",
+     "process:parent_ref.name", "x-oca-event:action"],
+)
+def test_validate_path_accepts(good):
+    assert validate_path(good) == good
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "[url:value = 'x'",          # unclosed bracket
+        "url:value = 'x'",           # missing brackets
+        "[url:value ?? 'x']",        # bad operator
+        "[url:value = ]",            # missing rhs
+        "[]",
+    ],
+)
+def test_bad_patterns_raise(bad):
+    with pytest.raises(StixPatternError):
+        parse_pattern(bad)
+
+
+def test_pattern_injection_stays_literal():
+    # SQL-ish content inside a string literal parses as a plain value
+    tree = parse_pattern("[url:value = 'x; DROP TABLE urls;--']")
+    assert tree is not None
+    filters = compile_pattern("[url:value = 'nope OR 1=1']", "url")
+    assert filters  # compiles to a Column equality on the literal
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return SparkStorage(str(tmp_path / "wh"), spark=spark)
+
+
+def test_storage_rejects_bad_names(store):
+    with pytest.raises(InvalidViewname):
+        store.extract("bad;name", "url", "q1", "[url:value = 'x']")
+    with pytest.raises(InvalidViewname):
+        store.lookup("bad name")
+    with pytest.raises(InvalidViewname):
+        store.rename_view("nope nope", "x")
+
+
+def test_unknown_view_raises(store):
+    with pytest.raises(UnknownViewname):
+        store.lookup("never_created")
+    with pytest.raises(UnknownViewname):
+        store.rename_view("never_created", "x")
+
+
+def test_load_malformed_objects(store):
+    with pytest.raises(InvalidObject):
+        store.load("v", ["just-a-string"])  # no sco_type
+    with pytest.raises(InvalidObject):
+        store.load("v", [{"value": "x"}])  # no type key
+    with pytest.raises(InvalidObject):
+        store.load("v", [12345])
+
+
+def test_merge_incompatible_types(store):
+    store.load("u1", [{"type": "url", "value": "http://a/1"}])
+    store.load("a1", [{"type": "ipv4-addr", "value": "10.0.0.1"}])
+    with pytest.raises(IncompatibleType):
+        store.merge("m", ["u1", "a1"])
