@@ -1,0 +1,134 @@
+"""Stateful streaming operators over observation streams.
+
+The reference is batch-only (SURVEY §2.10); these are the Spark-native
+additions a continuously-fed warehouse needs:
+
+* ``windowed_observation_rollup`` — watermarked tumbling-window counts
+  (built-in windowed aggregation, late data handled by the watermark).
+* ``gap_sessions`` — custom stateful operator via ``applyInPandasWithState``:
+  groups a keyed event stream into sessions separated by ``gap_seconds`` of
+  event-time inactivity. Event-time timeouts (not processing-time) make the
+  operator deterministic — sessions close exactly when the watermark passes
+  last_event + gap, never on wall-clock races — and keep the micro-batch
+  engine quiescent between arrivals. State per key is O(1) (start, last,
+  count), the shape that scales to an unbounded stream on a cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("count", LongType()),
+    ]
+)
+
+
+def windowed_observation_rollup(
+    stream: DataFrame,
+    ts_col: str = "first_observed",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window observation counts with late-data watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_observations"),
+            F.sum("number_observed").alias("number_observed"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_observations",
+            "number_observed",
+        )
+    )
+
+
+def gap_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 300,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Sessionize a keyed stream by event-time inactivity gap.
+
+    A session closes when the watermark passes ``last_event + gap_seconds``;
+    the closed session row is emitted and its state dropped. Equivalent
+    batch operator: ``__spark_entry__.q20_sessionize``.
+    """
+    gap_ms = gap_seconds * 1000
+    delay = watermark_delay or f"{gap_seconds} seconds"
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, count = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [count],
+                }
+            )
+            return
+        lo, hi, n = None, None, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            lo = min(ts.min(), lo) if lo is not None else ts.min()
+            hi = max(ts.max(), hi) if hi is not None else ts.max()
+            n += len(pdf)
+        if n:
+            if state.exists:
+                start_us, last_us, count = state.get
+                start_us = min(start_us, lo.value // 1000)
+                last_us = max(last_us, hi.value // 1000)
+                count += n
+            else:
+                start_us, last_us, count = lo.value // 1000, hi.value // 1000, n
+            state.update((start_us, last_us, count))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    return (
+        stream.select(F.col(key_col).alias("key"), F.col(ts_col))
+        .withWatermark(ts_col, delay)
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

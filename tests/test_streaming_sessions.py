@@ -1,0 +1,95 @@
+"""Stateful streaming operators (streaming/sessions.py)."""
+
+import json
+import time
+
+from firepit_spark.streaming.sessions import (
+    gap_sessions,
+    windowed_observation_rollup,
+)
+
+
+def _write_events(path, rows):
+    with open(path, "w") as fp:
+        for r in rows:
+            fp.write(json.dumps(r) + "\n")
+
+
+def test_windowed_rollup(spark, tmp_path):
+    indir = tmp_path / "obs"
+    indir.mkdir()
+    rows = [
+        {"first_observed": f"2020-01-01T00:0{m}:00", "number_observed": m + 1}
+        for m in range(10)
+    ]
+    _write_events(indir / "a.json", rows)
+    schema = "first_observed timestamp, number_observed long"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    out = windowed_observation_rollup(stream, window="5 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup_t")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            str(r["window_start"]): (r["n_observations"], r["number_observed"])
+            for r in spark.sql("select * from rollup_t").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        "2020-01-01 00:00:00": (5, 15),  # minutes 0-4 -> 1+2+3+4+5
+        "2020-01-01 00:05:00": (5, 40),  # minutes 5-9 -> 6+..+10
+    }
+
+
+def test_gap_sessions_emit_on_watermark(spark, tmp_path):
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    rows = [
+        {"src": "a", "ts": "2020-01-01T00:00:00"},
+        {"src": "a", "ts": "2020-01-01T00:00:30"},
+        {"src": "b", "ts": "2020-01-01T00:01:00"},
+    ]
+    _write_events(indir / "a.json", rows)
+    schema = "src string, ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    sess = gap_sessions(stream, "src", "ts", gap_seconds=60)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing can close before the watermark moves
+        assert spark.sql("select * from sess_t").count() == 0
+        # an event far in event-time future pushes the watermark past
+        # last_event + gap for keys a and b -> their sessions close
+        _write_events(indir / "b.json", [{"src": "c", "ts": "2020-01-01T01:00:00"}])
+        q.processAllAvailable()
+        deadline = time.time() + 60
+        rows_out = []
+        while time.time() < deadline:
+            rows_out = spark.sql("select * from sess_t").collect()
+            if len(rows_out) >= 2:
+                break
+            _write_events(
+                indir / f"tick_{int(time.time()*1000)}.json",
+                [{"src": "c", "ts": "2020-01-01T01:00:01"}],
+            )
+            q.processAllAvailable()
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    by_key = {r["key"]: r for r in rows_out}
+    assert "a" in by_key and "b" in by_key
+    a = by_key["a"]
+    assert a["n_events"] == 2
+    assert str(a["session_start"]).startswith("2020-01-01 00:00:00")
+    assert str(a["session_end"]).startswith("2020-01-01 00:00:30")
+    assert by_key["b"]["n_events"] == 1
