@@ -793,6 +793,18 @@ def q32_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_candidates(r("documents"), num_perm=16, bands=8)
 
 
+def q33_ivf_topk(spark, sf_dir):
+    """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
+    rows-only check: the k-means fit is an iterative MLlib algorithm with
+    no SQL equivalent)."""
+    r = _resolver(spark, sf_dir)
+    vecs = r("embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_topk(vecs, queries, k=5, n_cells=8, n_probe=2)
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -837,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_label_centroids": q30_label_centroids,
         "q31_lsh_topk": q31_lsh_topk,
         "q32_minhash_lsh_pairs": q32_minhash_lsh_pairs,
+        "q33_ivf_topk": q33_ivf_topk,
     }
 
 

@@ -124,6 +124,80 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    Build: k-means (pyspark.ml) partitions the corpus into ``n_cells``
+    Voronoi cells; each vector is assigned to its nearest centroid — the
+    inverted lists. Search: each query scans only its ``n_probe`` nearest
+    cells, so the scored set is ~(n_probe/n_cells) of the corpus. The join
+    is an equi-join on cell id (queries side broadcast), which scales the
+    same way the LSH variant does but with data-adaptive partitioning —
+    the standard IVF-Flat trade of recall vs cells probed.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = vectors.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("__v")
+
+    centroids = [list(c) for c in model.clusterCenters()]
+
+    def _cells_for(qv: Column) -> Column:
+        """Array of the n_probe nearest cell ids for a query vector."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                qv,
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_probe).getField("cell")
+
+    qv = queries.withColumn("__cells", _cells_for(F.col(query_vec_col))).withColumn(
+        "__cell", F.explode("__cells")
+    ).drop("__cells")
+
+    scored = assigned.join(F.broadcast(qv), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def label_centroids(
     vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -53,6 +53,31 @@ def test_lsh_topk_subset_of_exact(spark, vectors):
     assert len(approx) >= 1  # the query's own bucket can't be empty
 
 
+def test_ivf_topk(spark):
+    import random
+
+    rng = random.Random(7)
+    # two well-separated blobs so 2 cells split them cleanly
+    rows = [(i, [rng.gauss(5, 0.1), rng.gauss(5, 0.1)]) for i in range(20)] + [
+        (100 + i, [rng.gauss(-5, 0.1), rng.gauss(-5, 0.1)]) for i in range(20)
+    ]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(1, [5.0, 5.0]), (2, [-5.0, -5.0])], "query_id long, query_vec array<double>"
+    )
+    got = sim.ivf_topk(vectors, q, k=3, n_cells=2, n_probe=1)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(n < 100 for n in by_q[1])  # query 1 only probes the +5 blob
+    assert all(n >= 100 for n in by_q[2])
+    assert len(by_q[1]) == 3 and len(by_q[2]) == 3
+    # with both cells probed, matches brute force exactly
+    full = sim.ivf_topk(vectors, q, k=3, n_cells=2, n_probe=2)
+    brute = sim.brute_force_topk(vectors, q, k=3)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+
+
 def test_label_centroids(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [0.0, 4.0])],
