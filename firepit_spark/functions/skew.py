@@ -1,0 +1,79 @@
+"""Skew-mitigation helpers for hot-key aggregations and joins.
+
+AQE's skew-join handling (enabled in build_spark) covers sort-merge joins
+at runtime; these helpers cover the two cases AQE cannot: hot-key
+``groupBy`` aggregations (a single reducer key) and broadcast-ineligible
+joins against a skewed fact side. Both use the classic salting shape:
+
+* ``salted_agg`` — two-phase aggregate: groupBy(key, salt) partial,
+  then groupBy(key) final. Works for algebraic aggregates (sum/count/
+  min/max — the upsert-merge family).
+* ``salted_join`` — replicate the (small-ish) right side ``n_salts``
+  times; the fact side picks a random salt, so one hot key spreads over
+  ``n_salts`` reducers. Right side stays n_salts x its size — use only
+  when the right side is too big to broadcast but small enough to
+  replicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SALT = "__salt"
+
+
+def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Deterministic-ish uniform salt (pmod of a hash over all columns is
+    overkill; spark_partition_id + monotonically_increasing_id stays
+    shuffle-free and uniform enough)."""
+    return df.withColumn(
+        SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list,
+    aggs: dict,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {"sum", "count", "min", "max"}. The partial phase reduces each hot key
+    into at most ``n_salts`` rows; the final phase re-aggregates those.
+    """
+    partial_fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    final_fns = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for _, (col, fn) in aggs.items():
+        if fn not in partial_fns:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, SALT).agg(
+        *[
+            partial_fns[fn](F.col(f"`{col}`")).alias(out)
+            for out, (col, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            final_fns[fn](F.col(f"`{out}`")).alias(out)
+            for out, (_, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: fact rows pick a salt, dim rows are replicated
+    across every salt, the join key becomes (key, salt)."""
+    f = with_salt(fact, n_salts)
+    d = dim.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, on=[on, SALT], how=how).drop(SALT)

@@ -167,3 +167,46 @@ def test_minhash_identical_docs_same_signature(spark):
     assert by[1] == by[2]
     assert by[1] != by[3]
     assert len(by[1]) == 8
+
+
+# ------------------------------------------------------------------- skew
+
+
+def test_salted_agg_matches_plain(spark):
+    from firepit_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i, i * 2) for i in range(100)] + [("cold", 1, 5)],
+        "k string, a long, b long",
+    )
+    got = {
+        r["k"]: (r["total_a"], r["n"], r["max_b"])
+        for r in salted_agg(
+            df, ["k"], {"total_a": ("a", "sum"), "n": ("a", "count"), "max_b": ("b", "max")}
+        ).collect()
+    }
+    assert got["hot"] == (sum(range(100)), 100, 198)
+    assert got["cold"] == (1, 1, 5)
+
+
+def test_salted_agg_rejects_nonalgebraic(spark):
+    from firepit_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame([("k", 1)], "k string, a long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"m": ("a", "avg")})
+
+
+def test_salted_join_matches_plain(spark):
+    from firepit_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, f"row{i}") for i in range(50)] + [(2, "only")], "fk long, payload string"
+    )
+    dim = spark.createDataFrame([(1, "dim1"), (2, "dim2"), (3, "dim3")], "fk long, name string")
+    got = salted_join(fact, dim, on="fk", n_salts=4)
+    plain = fact.join(dim, "fk")
+    assert got.count() == plain.count() == 51
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
