@@ -216,3 +216,36 @@ def test_query_id_isolation(store, bundle):
     assert store.count("urls_q2") == store.count("urls_q1") == distinct_urls()
     # dedup survived the double ingest
     assert store.count("url") == distinct_urls()
+
+
+def test_load_predereffed_csv_rows(spark, tmp_path):
+    """Pre-deref'ed dot-keyed rows (the reference's test_procs.csv scenario,
+    reference tests/test_storage.py:119-136) load as-is and lookup returns
+    the dotted columns."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    rows = [
+        {
+            "type": "process", "id": "process--aaa_0", "pid": 864, "name": "reg.exe",
+            "parent_ref.type": "process", "parent_ref.id": "process--aaa_3",
+            "parent_ref.pid": 3140, "parent_ref.command_line": "cmd.exe /c x",
+            "binary_ref.parent_directory_ref.path": "C:\\Windows\\System32",
+            "first_observed": "2017-05-01T20:20:39.851Z", "number_observed": 1,
+        },
+        {
+            "type": "process", "id": "process--bbb_0", "pid": 123, "name": "calc.exe",
+            "parent_ref.type": "process", "parent_ref.id": "process--bbb_3",
+            "parent_ref.pid": 99, "parent_ref.command_line": "explorer.exe",
+            "binary_ref.parent_directory_ref.path": "C:\\Windows",
+            "first_observed": "2017-05-01T20:20:42.959Z", "number_observed": 1,
+        },
+    ]
+    assert st.load("test_procs", rows) == "process"
+    out = st.lookup("test_procs")
+    assert len(out) == 2
+    r = next(x for x in out if x["pid"] == 864)
+    assert r["parent_ref.command_line"] == "cmd.exe /c x"
+    assert r["binary_ref.parent_directory_ref.path"] == "C:\\Windows\\System32"
+    ids = {x["id"] for x in out}
+    assert ids == {"process--aaa_0", "process--bbb_0"}
