@@ -91,12 +91,16 @@ class _Parser:
 
     def parse(self):
         node = self.obs_disj()
-        # optional START t'...' STOP t'...' qualifier: parsed, ignored
+        # optional START t'...' STOP t'...' qualifier: captured for opt-in
+        # honoring (the reference parses then ignores, firepit/stix20.py:154-156
+        # — extract(honor_qualifiers=True) applies it as a time filter)
+        self.qualifier = None
         if self.peek() == "START":
             self.next()
-            self.next("TS")
+            start = self.next("TS")
             self.next("STOP")
-            self.next("TS")
+            stop = self.next("TS")
+            self.qualifier = (start, stop)
         if self.peek() != "EOF":
             raise StixPatternError(f"trailing tokens: {self.toks[self.i:]}")
         return node
@@ -198,6 +202,17 @@ class _Parser:
 def parse_pattern(pattern: str):
     """Pattern text -> AST (validates the full pattern regardless of type)."""
     return _Parser(_tokenize(pattern)).parse()
+
+
+def pattern_time_range(pattern: str):
+    """(start, stop) of a top-level START/STOP qualifier, or None.
+
+    The timestamps come back as the raw ``t'...'`` literal contents."""
+    p = _Parser(_tokenize(pattern))
+    p.parse()
+    if not p.qualifier:
+        return None
+    return tuple(q[2:-1] if q.startswith("t'") else q for q in p.qualifier)
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,7 @@ from firepit_spark.exceptions import (
     UnknownViewname,
 )
 from firepit_spark.identifiers import makeid
-from firepit_spark.patterns import compile_pattern
+from firepit_spark.patterns import compile_pattern, pattern_time_range
 from firepit_spark.props import auto_aggs, parse_path, primary_prop
 from firepit_spark.query import (
     Aggregation,
@@ -609,12 +609,28 @@ class SparkStorage:
         deps = [query.table.name] + [j.name for j in query.joins]
         self._register(viewname, sco_type, lambda resolve: query.resolve(resolve), deps)
 
-    def extract(self, viewname: str, sco_type: str, query_id, pattern: str):
+    def extract(
+        self,
+        viewname: str,
+        sco_type: str,
+        query_id,
+        pattern: str,
+        honor_qualifiers: bool = False,
+    ):
         """Pattern-filtered view over one ingest batch
-        (parity: firepit/sqlstorage.py:568-577 + _extract 340-365)."""
+        (parity: firepit/sqlstorage.py:568-577 + _extract 340-365).
+
+        ``honor_qualifiers`` upgrades on the reference (which parses then
+        ignores START/STOP, firepit/stix20.py:154-156): when set, matches are
+        restricted to SCOs whose containing observation overlaps the
+        qualifier's [start, stop] interval.
+        """
         validate_name(viewname)
         try:
             filters = compile_pattern(pattern, sco_type, self) if pattern else []
+            time_range = (
+                pattern_time_range(pattern) if honor_qualifiers and pattern else None
+            )
         except StixPatternError:
             raise
         except Exception as e:
@@ -630,6 +646,20 @@ class SparkStorage:
                     df["id"] == F.col("sco_id"),
                     "left_semi",
                 )
+            if time_range:
+                start, stop = time_range
+                obs = resolve("observed-data").filter(
+                    (F.col("last_observed") >= F.to_timestamp(F.lit(start)))
+                    & (F.col("first_observed") <= F.to_timestamp(F.lit(stop)))
+                )
+                in_range = (
+                    resolve(CONTAINS)
+                    .join(
+                        obs.select(F.col("id").alias("source_ref")), "source_ref"
+                    )
+                    .select(F.col("target_ref").alias("id"))
+                )
+                df = df.join(in_range, "id", "left_semi")
             q = Query(sco_type)
             for flt in filters:
                 q.append(flt)

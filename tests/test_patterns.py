@@ -108,3 +108,35 @@ def test_ref_path_semijoin(store):
     rows = store.lookup("nt")
     assert rows
     assert all(r["dst_ref.value"].startswith("192.168.") for r in rows)
+
+
+def test_pattern_time_range():
+    from firepit_spark.patterns import pattern_time_range
+
+    rng = pattern_time_range(
+        "[url:value LIKE '%x%'] START t'2020-01-01T00:00:00Z' STOP t'2020-01-02T00:00:00Z'"
+    )
+    assert rng == ("2020-01-01T00:00:00Z", "2020-01-02T00:00:00Z")
+    assert pattern_time_range("[url:value = 'a']") is None
+
+
+def test_extract_honor_qualifiers(spark, tmp_path):
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    def bundle(url, first, oid):
+        return {"type": "bundle", "id": "bundle--x", "objects": [
+            {"type": "identity", "id": "identity--1", "name": "t"},
+            {"type": "observed-data", "id": oid, "created_by_ref": "identity--1",
+             "first_observed": first, "last_observed": first, "number_observed": 1,
+             "objects": {"0": {"type": "url", "value": url}}}]}
+    st.cache("q1", [bundle("http://a/early", "2020-01-01T12:00:00Z", "observed-data--1"),
+                    bundle("http://a/late", "2020-06-01T12:00:00Z", "observed-data--2")])
+    pat = "[url:value LIKE '%a%'] START t'2020-01-01T00:00:00Z' STOP t'2020-01-02T00:00:00Z'"
+    # reference-parity default: qualifier ignored -> both urls
+    st.extract("all_urls", "url", "q1", pat)
+    assert st.count("all_urls") == 2
+    # honored: only the observation inside the window
+    st.extract("early_urls", "url", "q1", pat, honor_qualifiers=True)
+    vals = [r["value"] for r in st.lookup("early_urls")]
+    assert vals == ["http://a/early"]
