@@ -70,8 +70,22 @@ def flatten_objects(objects_df: DataFrame) -> DataFrame:
     return objects_df.mapInPandas(run, schema=_FLAT_SCHEMA)
 
 
-def cache_distributed(storage, query_id: str, paths, repartition: int | None = None):
-    """Distributed equivalent of ``storage.cache`` for large bundle sets."""
+def cache_distributed(
+    storage,
+    query_id: str,
+    paths,
+    repartition: int | None = None,
+    max_concurrent_types: int = 4,
+):
+    """Distributed equivalent of ``storage.cache`` for large bundle sets.
+
+    Per-type parse/merge/write jobs are independent Spark jobs over the
+    persisted flat index, so they run concurrently from a small driver
+    thread pool — type count (~10) rather than data size bounds the win,
+    and the batch-partition write path needs no cross-type coordination.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = storage.spark
     objects = read_bundle_objects(spark, paths)
     if repartition:
@@ -79,9 +93,13 @@ def cache_distributed(storage, query_id: str, paths, repartition: int | None = N
     flat = flatten_objects(objects).persist()
     try:
         types = [r[0] for r in flat.select("otype").distinct().collect()]
-        for otype in types:
+
+        def ingest_one(otype: str):
             recs = flat.filter(F.col("otype") == otype).select("record")
             type_df = spark.read.json(recs.rdd.map(lambda r: r[0]))
             storage.ingest_dataframe(otype, type_df, str(query_id))
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_types) as pool:
+            list(pool.map(ingest_one, types))
     finally:
         flat.unpersist()

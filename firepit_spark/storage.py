@@ -22,6 +22,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import uuid
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -106,6 +107,10 @@ class SparkStorage:
         self._deref = DerefPlanner(self)
         # fold batch partitions back into one past this many (see compact())
         self.auto_compact_batches = 32
+        # one lock per table: concurrent ingest threads (cache_distributed
+        # runs per-type jobs in parallel) contend only on shared tables
+        # like __queries, where the next-batch-number probe must be atomic
+        self._write_locks = defaultdict(threading.Lock)
         # materialized-view symtable: views snapshotted to parquet so a new
         # process (e.g. the CLI) sees them; live in-memory defs take priority
         self._meta: dict[str, dict] = {}
@@ -185,19 +190,21 @@ class SparkStorage:
         """Append ``df`` as the next batch partition. With ``reset`` the new
         batch is materialized first, then older batches are dropped — safe
         even when ``df``'s lineage reads this table."""
-        path = self._table_path(otype)
-        nums = self._batch_numbers(path)
-        n = (nums[-1] + 1) if nums else 0
-        tmp = path + f".__tmp__{n}"
-        df.write.mode("overwrite").parquet(tmp)
-        os.makedirs(path, exist_ok=True)
-        os.replace(tmp, os.path.join(path, f"{BATCH_PREFIX}{n}"))
-        if reset:
-            for d in os.listdir(path):
-                if d.startswith(BATCH_PREFIX) and d != f"{BATCH_PREFIX}{n}":
-                    shutil.rmtree(os.path.join(path, d))
-        self._df_cache.pop(otype, None)
-        if not reset and len(self._batch_numbers(path)) > self.auto_compact_batches:
+        with self._write_locks[otype]:
+            path = self._table_path(otype)
+            nums = self._batch_numbers(path)
+            n = (nums[-1] + 1) if nums else 0
+            tmp = path + f".__tmp__{n}"
+            df.write.mode("overwrite").parquet(tmp)
+            os.makedirs(path, exist_ok=True)
+            os.replace(tmp, os.path.join(path, f"{BATCH_PREFIX}{n}"))
+            if reset:
+                for d in os.listdir(path):
+                    if d.startswith(BATCH_PREFIX) and d != f"{BATCH_PREFIX}{n}":
+                        shutil.rmtree(os.path.join(path, d))
+            self._df_cache.pop(otype, None)
+            over = len(self._batch_numbers(path)) > self.auto_compact_batches
+        if not reset and over:
             self.compact(otype)
 
     def _merge_batches(self, name: str, raw: DataFrame, n_batches: int) -> DataFrame:
