@@ -137,6 +137,12 @@ def main(argv=None):
     p.add_argument("name")
     p.add_argument("path")
 
+    p = sub.add_parser(
+        "compact", help="fold batch partitions (the reference's finish())",
+        parents=[common],
+    )
+    p.add_argument("name", nargs="?")
+
     p = sub.add_parser("sql", help="run Spark SQL over tables/views", parents=[common])
     p.add_argument("statement")
 
@@ -255,6 +261,8 @@ def main(argv=None):
         print(store.get_appdata(args.name))
     elif cmd == "summary":
         print_rows([store.summary(args.name)], fmt)
+    elif cmd == "compact":
+        store.compact(args.name)
     elif cmd == "value-counts":
         print_rows(store.value_counts(args.name, args.path), fmt)
     elif cmd == "sql":
