@@ -124,12 +124,63 @@ WINDOWS_EVENTS = {
     "TargetUserName": "user-account:user_id",
 }
 
+# ISC honeypot web logs (parity: firepit/woodchipper.py:723-746). The
+# reference back-fills missing ports/dest/proto with fixed values and glues
+# date+time into a timestamp; here those are column expressions.
+ISC_HONEYPOT = {
+    "url": "url:value",
+    "source": "network-traffic:src_ref.value",
+    "__ts": (
+        ["first_observed", "last_observed"],
+        lambda _ignored: F.to_timestamp(
+            F.concat(F.col("date"), F.lit("T"), F.col("time"), F.lit(".000Z"))
+        ),
+    ),
+    "__sport": ("network-traffic:src_port", lambda _ignored: F.lit(0)),
+    "__dport": ("network-traffic:dst_port", lambda _ignored: F.lit(80)),
+    "__dest": (
+        "network-traffic:dst_ref.value",
+        lambda _ignored: F.lit("127.0.0.1"),
+    ),
+    "__proto": (
+        "network-traffic:protocols",
+        lambda _ignored: F.array(F.lit("tcp")),
+    ),
+}
+
 MAPPINGS = {
     "zeek_conn_csv": ZEEK_CONN_CSV,
     "zeek_conn_json": ZEEK_CONN_JSON,
     "zeek_dns_json": ZEEK_DNS_JSON,
     "windows_events": WINDOWS_EVENTS,
+    "isc_honeypot": ISC_HONEYPOT,
 }
+
+
+def flat_json_mapping(columns, otype: str) -> dict:
+    """Generic flat-JSON mapping (parity: FlatJsonMapper,
+    firepit/woodchipper.py:750-775): every column maps to ``otype:<col>``,
+    observation props pass through, and the first known-timestamp column
+    doubles as first/last_observed when those are absent."""
+    obs_props = {"first_observed", "last_observed", "number_observed"}
+    mapping: dict = {}
+    ts_fallback = None
+    for c in columns:
+        if c == "type":
+            continue
+        if c in obs_props:
+            mapping[c] = c
+        else:
+            mapping[c] = f"{otype}:{c}"
+            if c in TIMESTAMP_PROPS and ts_fallback is None:
+                ts_fallback = c
+    if ts_fallback and "first_observed" not in mapping.values():
+        mapping[ts_fallback] = [
+            f"{otype}:{ts_fallback}",
+            "first_observed",
+            "last_observed",
+        ]
+    return mapping
 
 
 def detect_mapping(columns) -> str | None:
@@ -143,32 +194,43 @@ def detect_mapping(columns) -> str | None:
         return "zeek_dns_json" if "query" in cols else "zeek_conn_json"
     if "EventID" in cols:
         return "windows_events"
+    if {"url", "user_agent", "source"} <= cols:
+        return "isc_honeypot"
     return None
 
 
 def to_wide(df: DataFrame, mapping: dict) -> DataFrame:
-    """Log rows -> one column per mapped STIX path (map-only select)."""
+    """Log rows -> one column per mapped STIX path (map-only select).
+
+    Keys starting with ``__`` are synthetic: they need not exist in the
+    input, and their transform builds the value from literals or other
+    columns (the ISC mapping's made-up ports, firepit/woodchipper.py:740-744).
+    """
     exprs = []
     for log_col, target in mapping.items():
-        if log_col not in df.columns:
+        synthetic = log_col.startswith("__")
+        if not synthetic and log_col not in df.columns:
             continue
         fn = None
         if isinstance(target, tuple):
             target, fn = target
         paths = target if isinstance(target, list) else [target]
-        src = F.col(f"`{log_col}`")
+        src = F.lit(None) if synthetic else F.col(f"`{log_col}`")
         col = fn(src) if fn else src
         for path in paths:
             prop = path.rsplit(":", 1)[-1].rsplit(".", 1)[-1]
             out = col
-            if prop in TIMESTAMP_PROPS and fn is None:
-                out = F.to_timestamp(col)
-            elif prop in INTEGER_PROPS:
-                out = col.cast("long")
-            elif prop == "protocols":
-                out = F.array(F.lower(col.cast("string")))
-            elif prop == "key":
-                out = expand_reg_hive(col)
+            if fn is None:
+                # default coercions only apply to raw columns — a custom
+                # transform already produced the final value/type
+                if prop in TIMESTAMP_PROPS:
+                    out = F.to_timestamp(col)
+                elif prop in INTEGER_PROPS:
+                    out = col.cast("long")
+                elif prop == "protocols":
+                    out = F.array(F.lower(col.cast("string")))
+                elif prop == "key":
+                    out = expand_reg_hive(col)
             exprs.append(out.alias(path))
     if not exprs:
         raise ValueError("mapping matched no columns")
@@ -310,6 +372,31 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
         k: (v.drop("__obs_id") if "__obs_id" in v.columns else v)
         for k, v in out.items()
     }
+
+
+def convert_flat_json(
+    storage,
+    df: DataFrame,
+    otype: str | None = None,
+    query_id: str | None = None,
+    identity_id: str | None = None,
+):
+    """Generic flat-JSON ingest: rows are single-SCO events whose columns
+    are the SCO's properties (parity: FlatJsonMapper,
+    firepit/woodchipper.py:750-775). ``otype`` defaults to the constant
+    ``type`` column value."""
+    if otype is None:
+        if "type" not in df.columns:
+            raise ValueError("flat JSON needs a 'type' column or explicit otype")
+        types = [r[0] for r in df.select("type").distinct().limit(2).collect()]
+        if len(types) != 1:
+            raise ValueError(f"expected one event type per frame, got {types}")
+        otype = types[0]
+    mapping = flat_json_mapping([c for c in df.columns if c != "type"], otype)
+    return convert_log(
+        storage, df.drop("type"), mapping=mapping, query_id=query_id,
+        identity_id=identity_id,
+    )
 
 
 def convert_log(

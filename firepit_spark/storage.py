@@ -654,19 +654,7 @@ class SparkStorage:
                     "left_semi",
                 )
             if time_range:
-                start, stop = time_range
-                obs = resolve("observed-data").filter(
-                    (F.col("last_observed") >= F.to_timestamp(F.lit(start)))
-                    & (F.col("first_observed") <= F.to_timestamp(F.lit(stop)))
-                )
-                in_range = (
-                    resolve(CONTAINS)
-                    .join(
-                        obs.select(F.col("id").alias("source_ref")), "source_ref"
-                    )
-                    .select(F.col("target_ref").alias("id"))
-                )
-                df = df.join(in_range, "id", "left_semi")
+                df = self._obs_time_filter(df, time_range, resolve)
             q = Query(sco_type)
             for flt in filters:
                 q.append(flt)
@@ -674,21 +662,48 @@ class SparkStorage:
 
         self._register(viewname, sco_type, build, deps=[sco_type])
 
-    def filter(self, viewname: str, sco_type: str, input_view: str, pattern: str):
+    def filter(
+        self,
+        viewname: str,
+        sco_type: str,
+        input_view: str,
+        pattern: str,
+        honor_qualifiers: bool = False,
+    ):
         """Re-filter an existing view with a pattern
-        (parity: firepit/sqlstorage.py:579-600)."""
+        (parity: firepit/sqlstorage.py:579-600; ``honor_qualifiers`` as in
+        :meth:`extract`)."""
         validate_name(viewname)
         validate_name(input_view)
         filters = compile_pattern(pattern, sco_type, self) if pattern else []
+        time_range = (
+            pattern_time_range(pattern) if honor_qualifiers and pattern else None
+        )
 
         def build(resolve):
-            df = resolve(input_view).alias(sco_type)
+            df = resolve(input_view)
+            if time_range:
+                df = self._obs_time_filter(df, time_range, resolve)
             q = Query(sco_type)
             for flt in filters:
                 q.append(flt)
-            return q._apply_filters(df, q.where, resolve)
+            return q._apply_filters(df.alias(sco_type), q.where, resolve)
 
         self._register(viewname, sco_type, build, deps=[input_view])
+
+    def _obs_time_filter(self, df: DataFrame, time_range, resolve) -> DataFrame:
+        """Keep rows whose containing observation overlaps [start, stop]."""
+        start, stop = time_range
+        obs = resolve("observed-data").filter(
+            (F.col("last_observed") >= F.to_timestamp(F.lit(start)))
+            & (F.col("first_observed") <= F.to_timestamp(F.lit(stop)))
+        )
+        in_range = (
+            resolve(CONTAINS)
+            .join(obs.select(F.col("id").alias("source_ref")), "source_ref")
+            .select(F.col("target_ref").alias("id"))
+        )
+        return df.join(in_range, "id", "left_semi")
 
     def merge(self, viewname: str, input_views: list):
         """UNION same-typed views (parity: firepit/sqlstorage.py:777-793)."""

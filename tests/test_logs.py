@@ -105,3 +105,42 @@ def test_expand_reg_hive(spark):
         "HKEY_CURRENT_USER\\y",
         "other",
     ]
+
+
+def test_isc_honeypot_mapping(spark, tmp_path):
+    from firepit_spark.sources.logs import convert_log
+
+    df = spark.createDataFrame(
+        [("http://bad/1", "curl/7.1", "1.2.3.4", "2020-01-01", "10:00:00"),
+         ("http://bad/2", "wget", "5.6.7.8", "2020-01-01", "11:00:00")],
+        "url string, user_agent string, source string, date string, time string",
+    )
+    store = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    types = convert_log(store, df, query_id="isc1")  # auto-detected
+    assert "url" in types and "network-traffic" in types
+    nt = store.table_df("network-traffic").collect()
+    assert all(r["dst_port"] == 80 and r["src_port"] == 0 for r in nt)
+    assert all(r["protocols"] == ["tcp"] for r in nt)
+    dst = {r["value"] for r in store.table_df("ipv4-addr").collect()}
+    assert "127.0.0.1" in dst and "1.2.3.4" in dst
+    summ = store.summary("url")
+    assert str(summ["first_observed"]).startswith("2020-01-01 10:00:00")
+
+
+def test_flat_json_mapping(spark, tmp_path):
+    from firepit_spark.sources.logs import convert_flat_json
+
+    df = spark.createDataFrame(
+        [("user-account", "alice", "2020-02-01T00:00:00Z"),
+         ("user-account", "bob", "2020-02-02T00:00:00Z")],
+        "type string, user_id string, account_created string",
+    )
+    store = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    types = convert_flat_json(store, df, query_id="fj1")
+    assert "user-account" in types
+    rows = store.table_df("user-account").collect()
+    assert {r["user_id"] for r in rows} == {"alice", "bob"}
+    # known-timestamp column doubled as first/last observed
+    summ = store.summary("user-account")
+    assert str(summ["first_observed"]).startswith("2020-02-01")
+    assert str(summ["last_observed"]).startswith("2020-02-02")

@@ -140,3 +140,21 @@ def test_extract_honor_qualifiers(spark, tmp_path):
     st.extract("early_urls", "url", "q1", pat, honor_qualifiers=True)
     vals = [r["value"] for r in st.lookup("early_urls")]
     assert vals == ["http://a/early"]
+
+
+def test_filter_honor_qualifiers(spark, tmp_path):
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    def bundle(url, first, oid):
+        return {"type": "bundle", "id": "bundle--x", "objects": [
+            {"type": "identity", "id": "identity--1", "name": "t"},
+            {"type": "observed-data", "id": oid, "created_by_ref": "identity--1",
+             "first_observed": first, "last_observed": first, "number_observed": 1,
+             "objects": {"0": {"type": "url", "value": url}}}]}
+    st.cache("q1", [bundle("http://a/early", "2020-01-01T12:00:00Z", "observed-data--1"),
+                    bundle("http://a/late", "2020-06-01T12:00:00Z", "observed-data--2")])
+    st.extract("all_urls", "url", "q1", "[url:value LIKE '%a%']")
+    pat = "[url:value LIKE '%/%'] START t'2020-05-01T00:00:00Z' STOP t'2020-07-01T00:00:00Z'"
+    st.filter("late_urls", "url", "all_urls", pat, honor_qualifiers=True)
+    assert [r["value"] for r in st.lookup("late_urls")] == ["http://a/late"]
