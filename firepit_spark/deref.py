@@ -84,6 +84,74 @@ class DerefPlanner:
                 out = out.select(*[F.col(f"`{c}`") for c in cols])
         return out
 
+    def deref_path(self, df: DataFrame, sco_type: str, prop: str) -> tuple:
+        """Resolve one dotted path that may traverse ``_refs`` list
+        references; returns ``(df, column_name)``.
+
+        ``_ref`` hops join the target table directly; ``_refs`` hops go
+        through the ``__reflist`` edge table (reference parity: the 2-join
+        chain of get_path_joins, firepit/sqlstorage.py:107-140). List hops
+        multiply rows — one output row per (source row, list element), as
+        in the reference.
+        """
+        from firepit_spark.props import parse_prop
+
+        links = parse_prop(sco_type, prop)
+        if not links:
+            raise ValueError(f"cannot type path {sco_type}:{prop}")
+        if len(links) == 1 and links[0][0] == "node":
+            return df, links[0][2]
+        out = df
+        cur_id = "id"  # column holding the current hop's object id
+        parts = []
+        for kind, *rest in links:
+            if kind == "node":
+                _, final_prop = rest
+                col = f"{'.'.join(parts)}.{_last_part(final_prop)}"
+                return out, col
+            ftype, ref, ttype = rest
+            parts.append(ref)
+            prefix = ".".join(parts)
+            if ref.endswith("_refs"):
+                rl = (
+                    self.storage.table_df("__reflist")
+                    .filter(F.col("ref_name") == ref)
+                    .select(
+                        F.col("source_ref").alias("__rl_src"),
+                        F.col("target_ref").alias("__rl_tgt"),
+                    )
+                )
+                out = out.join(
+                    rl, F.col(f"`{cur_id}`") == F.col("__rl_src"), "inner"
+                ).drop("__rl_src")
+                join_col = "__rl_tgt"
+            else:
+                ref_col = ref if len(parts) == 1 else f"{'.'.join(parts[:-1])}.{ref}"
+                if ref_col not in out.columns:
+                    raise ValueError(f"missing ref column {ref_col}")
+                join_col = ref_col
+            tdf = self.storage.table_df(ttype)
+            # unlike _aliased, keep the target's *_ref columns: a deeper hop
+            # may join through them (e.g. binary_ref.parent_directory_ref.path)
+            join_id = f"__join_id_{prefix}"
+            renamed = tdf.select(
+                F.col("id").alias(join_id),
+                *[
+                    F.col(f"`{c}`").alias(f"{prefix}.{c}")
+                    for c in tdf.columns
+                    if c != "type"
+                ],
+            )
+            out = out.join(
+                F.broadcast(renamed),
+                F.col(f"`{join_col}`") == renamed[join_id],
+                "inner",
+            ).drop(join_id)
+            if join_col == "__rl_tgt":
+                out = out.drop("__rl_tgt")
+            cur_id = f"{prefix}.id"
+        raise ValueError(f"path {sco_type}:{prop} has no terminal property")
+
     def _walk(self, df: DataFrame, sco_type: str, prefix: str, depth: int, wanted):
         if depth > 5:
             return df

@@ -843,11 +843,19 @@ class SparkStorage:
         validate_name(viewname)
         sco_type, _, prop = path.rpartition(":")
         df = self._resolve(viewname)
+        col = prop
         if prop not in df.columns:
-            df = self._deref.deref(df, sco_type or self.table_type(viewname), paths=[prop])
-            if prop not in df.columns:
-                raise InvalidAttr(path)
-        return [r[0] for r in df.select(F.col(f"`{prop}`")).collect()]
+            stype = sco_type or self.table_type(viewname)
+            df2 = self._deref.deref(df, stype, paths=[prop])
+            if prop in df2.columns:
+                df = df2
+            else:
+                try:
+                    # reflist / multi-hop path (J3's __reflist double hop)
+                    df, col = self._deref.deref_path(df, stype, prop)
+                except Exception:
+                    raise InvalidAttr(path)
+        return [r[0] for r in df.select(F.col(f"`{col}`")).collect()]
 
     def run_query(self, query: Query) -> list:
         return [r.asDict() for r in query.resolve(self._resolve).collect()]

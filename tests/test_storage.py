@@ -249,3 +249,28 @@ def test_load_predereffed_csv_rows(spark, tmp_path):
     assert r["binary_ref.parent_directory_ref.path"] == "C:\\Windows\\System32"
     ids = {x["id"] for x in out}
     assert ids == {"process--aaa_0", "process--bbb_0"}
+
+
+def test_reflist_path_values(spark, tmp_path):
+    """_refs list paths resolve through the __reflist double hop
+    (J3 parity: firepit/sqlstorage.py:107-140)."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    bundle = {"type": "bundle", "id": "bundle--x", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 1,
+         "objects": {
+             "0": {"type": "domain-name", "value": "ex.org",
+                   "resolves_to_refs": ["1", "2"]},
+             "1": {"type": "ipv4-addr", "value": "10.0.0.1"},
+             "2": {"type": "ipv4-addr", "value": "10.0.0.2"}}}]}
+    st.cache("q1", [bundle])
+    st.extract("doms", "domain-name", "q1", "")
+    vals = st.values("domain-name:resolves_to_refs.value", "doms")
+    assert sorted(vals) == ["10.0.0.1", "10.0.0.2"]
+    # plain column and single-_ref paths still work
+    assert st.values("domain-name:value", "doms") == ["ex.org"]
