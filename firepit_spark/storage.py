@@ -841,20 +841,7 @@ class SparkStorage:
         (parity: firepit/sqlstorage.py:667-683)."""
         validate_path(path)
         validate_name(viewname)
-        sco_type, _, prop = path.rpartition(":")
-        df = self._resolve(viewname)
-        col = prop
-        if prop not in df.columns:
-            stype = sco_type or self.table_type(viewname)
-            df2 = self._deref.deref(df, stype, paths=[prop])
-            if prop in df2.columns:
-                df = df2
-            else:
-                try:
-                    # reflist / multi-hop path (J3's __reflist double hop)
-                    df, col = self._deref.deref_path(df, stype, prop)
-                except Exception:
-                    raise InvalidAttr(path)
+        df, col = self._path_column(viewname, path)
         return [r[0] for r in df.select(F.col(f"`{col}`")).collect()]
 
     def run_query(self, query: Query) -> list:
@@ -955,13 +942,26 @@ class SparkStorage:
         )
         return row.asDict()
 
+    def _path_column(self, viewname: str, path: str):
+        """(df, column) for a STIX path over a view: direct column, flat
+        deref, or the reflist/multi-hop deref_path fallback."""
+        sco_type, _, prop = path.rpartition(":")
+        df = self._resolve(viewname)
+        if prop in df.columns:
+            return df, prop
+        stype = sco_type or self.table_type(viewname)
+        df2 = self._deref.deref(df, stype, paths=None)
+        if prop in df2.columns:
+            return df2, prop
+        try:
+            return self._deref.deref_path(df, stype, prop)
+        except Exception:
+            raise InvalidAttr(path)
+
     def value_counts(self, viewname: str, path: str):
         """Per-value observation counts (parity: firepit/sqlstorage.py:854-874)."""
         validate_name(viewname)
-        sco_type, _, prop = path.rpartition(":")
-        df = self._resolve(viewname)
-        if prop not in df.columns:
-            df = self._deref.deref(df, sco_type or self.table_type(viewname), paths=None)
+        df, prop = self._path_column(viewname, path)
         out = (
             self._obs_join(df)
             .groupBy(F.col(f"v.`{prop}`").alias(prop))
@@ -973,10 +973,7 @@ class SparkStorage:
         """SUM(number_observed) for a path (+ optional value filter)
         (parity: firepit/sqlstorage.py:891-911)."""
         validate_name(viewname)
-        sco_type, _, prop = path.rpartition(":")
-        df = self._resolve(viewname)
-        if prop not in df.columns:
-            df = self._deref.deref(df, sco_type or self.table_type(viewname), paths=None)
+        df, prop = self._path_column(viewname, path)
         if value is not None:
             df = df.filter(F.col(f"`{prop}`") == value)
         row = self._obs_join(df).agg(F.sum("obs.number_observed")).collect()[0]

@@ -274,3 +274,27 @@ def test_reflist_path_values(spark, tmp_path):
     assert sorted(vals) == ["10.0.0.1", "10.0.0.2"]
     # plain column and single-_ref paths still work
     assert st.values("domain-name:value", "doms") == ["ex.org"]
+
+
+def test_obs_counts_over_ref_paths(spark, tmp_path):
+    """value_counts / number_observed accept deref'ed and reflist paths."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    bundle = {"type": "bundle", "id": "bundle--x", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 3,
+         "objects": {
+             "0": {"type": "network-traffic", "src_ref": "1", "dst_port": 80,
+                   "protocols": ["tcp"]},
+             "1": {"type": "ipv4-addr", "value": "10.0.0.1"}}}]}
+    st.cache("q1", [bundle])
+    st.extract("conns", "network-traffic", "q1", "")
+    # deref path through src_ref
+    vc = st.value_counts("conns", "network-traffic:src_ref.value")
+    assert vc == [{"src_ref.value": "10.0.0.1", "count": 1}]
+    n = st.number_observed("conns", "network-traffic:src_ref.value", "10.0.0.1")
+    assert n == 3
