@@ -315,7 +315,9 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
                 part if ref_type not in out else out[ref_type].unionByName(part)
             )
 
-    # 2. direct-prop SCO types
+    # 2. direct-prop SCO types: compute every type's id expression first so
+    # x-oca-event can cross-reference sibling SCOs, then project frames
+    type_exprs: dict[str, tuple] = {}  # otype -> (id_col, any_set, cols)
     for otype, props in by_type.items():
         id_contrib = {}
         for prop, path in props.items():
@@ -342,6 +344,26 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
                 cols.append(addr_ids[path].alias(rname))
                 nn = F.col(f"`{path}`").isNotNull()
                 any_set = nn if any_set is None else (any_set | nn)
+        type_exprs[otype] = (id_col, any_set, cols)
+
+    # cross-link the event record to its sibling SCOs from the same log row
+    # (parity: the x-oca-event fix-up in dict2observation,
+    # firepit/woodchipper.py:265-287)
+    if "x-oca-event" in type_exprs:
+        _, ev_any, ev_cols = type_exprs["x-oca-event"]
+        links = {
+            "process": "process_ref",
+            "x-oca-asset": "host_ref",
+            "network-traffic": "network_ref",
+            "domain-name": "domain_ref",
+        }
+        for t, rname in links.items():
+            if t in type_exprs:
+                t_id, t_any, _ = type_exprs[t]
+                ref = t_id if t_any is None else F.when(t_any, t_id)
+                ev_cols.append(ref.alias(rname))
+
+    for otype, (id_col, any_set, cols) in type_exprs.items():
         df = wide.select(*cols, F.col("__obs_id"))
         if any_set is not None:
             df = wide.filter(any_set).select(*cols, F.col("__obs_id"))

@@ -766,6 +766,13 @@ class SparkStorage:
             df = resolve(viewname)
             if deref_paths:
                 df = self._deref.deref(df, sco_type, paths=None)
+                for prop in deref_paths:
+                    if prop not in df.columns:
+                        # reflist / multi-hop path (J3 double hop); applied
+                        # on the deref'ed frame so flat columns survive
+                        df, col = self._deref.deref_path(df, sco_type, prop)
+                        if col != prop:
+                            df = df.withColumn(prop, F.col(f"`{col}`"))
             plain = [c for c in group_cols if isinstance(c, str)]
             exprs = [
                 c.to_spark() if isinstance(c, BinnedColumn) else F.col(f"`{c}`")

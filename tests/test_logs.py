@@ -144,3 +144,30 @@ def test_flat_json_mapping(spark, tmp_path):
     summ = store.summary("user-account")
     assert str(summ["first_observed"]).startswith("2020-02-01")
     assert str(summ["last_observed"]).startswith("2020-02-02")
+
+
+def test_windows_event_cross_links(spark, tmp_path):
+    """x-oca-event rows reference sibling SCOs from the same log row
+    (parity: the dict2observation fix-up, firepit/woodchipper.py:265-287)."""
+    from firepit_spark.sources.logs import convert_log
+
+    df = spark.createDataFrame(
+        [("2021-03-01T10:00:00Z", "Security", "4688", 4688, "HOST-1", 512,
+          "{abc-123}", "C:\\w\\cmd.exe", "alice")],
+        "TimeCreated string, Channel string, SourceName string, EventID int, "
+        "Hostname string, ProcessId int, ProcessGuid string, Image string, "
+        "TargetUserName string",
+    )
+    store = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    types = convert_log(store, df, query_id="win1")
+    assert {"x-oca-event", "x-oca-asset", "process", "user-account"} <= set(types)
+    ev = store.table_df("x-oca-event").first()
+    proc = store.table_df("process").first()
+    asset = store.table_df("x-oca-asset").first()
+    assert ev["process_ref"] == proc["id"]
+    assert ev["host_ref"] == asset["id"]
+    assert ev["code"] == 4688 and ev["module"] == "Security"
+    assert proc["pid"] == 512 and proc["x_unique_id"] == "{abc-123}"
+    # lookup auto-derefs the event's refs
+    row = store.lookup("x-oca-event")[0]
+    assert row["host_ref.hostname"] == "HOST-1"

@@ -298,3 +298,31 @@ def test_obs_counts_over_ref_paths(spark, tmp_path):
     assert vc == [{"src_ref.value": "10.0.0.1", "count": 1}]
     n = st.number_observed("conns", "network-traffic:src_ref.value", "10.0.0.1")
     assert n == 3
+
+
+def test_group_by_reflist_path(spark, tmp_path):
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    bundle = {"type": "bundle", "id": "bundle--x", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 1,
+         "objects": {
+             "0": {"type": "domain-name", "value": "a.org",
+                   "resolves_to_refs": ["2", "3"]},
+             "1": {"type": "domain-name", "value": "b.org",
+                   "resolves_to_refs": ["2"]},
+             "2": {"type": "ipv4-addr", "value": "10.0.0.1"},
+             "3": {"type": "ipv4-addr", "value": "10.0.0.2"}}}]}
+    st.cache("q1", [bundle])
+    st.extract("doms", "domain-name", "q1", "")
+    st.group("by_ip", "doms", "domain-name:resolves_to_refs.value")
+    rows = st.lookup("by_ip")
+    counts = {r["resolves_to_refs.value"]: r for r in rows}
+    assert set(counts) == {"10.0.0.1", "10.0.0.2"}
+    # 10.0.0.1 resolves from both domains
+    assert counts["10.0.0.1"]["unique_value"] == 2
+    assert counts["10.0.0.2"]["unique_value"] == 1
