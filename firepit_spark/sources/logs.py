@@ -111,12 +111,42 @@ ZEEK_DNS_JSON = {
     "query": "domain-name:value",
 }
 
+# well-known Windows/Sysmon event ids -> action names (public event catalog;
+# the reference keeps a larger table, firepit/woodchipper.py windows_events)
+WINDOWS_EVENT_NAMES = {
+    1: "Process creation",
+    3: "Network connection",
+    5: "Process terminated",
+    7: "Image loaded",
+    8: "CreateRemoteThread",
+    10: "ProcessAccess",
+    11: "FileCreate",
+    12: "RegistryEvent (Object create and delete)",
+    13: "RegistryEvent (Value Set)",
+    22: "DNSEvent (DNS query)",
+    4624: "An account was successfully logged on",
+    4625: "An account failed to log on",
+    4688: "A new process has been created",
+    4689: "A process has exited",
+    4720: "A user account was created",
+}
+
+
+def _win_action(_ignored):
+    col = F.col("EventID").cast("int")
+    out = F.lit(None).cast("string")
+    for code, name in WINDOWS_EVENT_NAMES.items():
+        out = F.when(col == code, F.lit(name)).otherwise(out)
+    return out
+
+
 WINDOWS_EVENTS = {
     "TimeCreated": ["first_observed", "last_observed"],
     "@timestamp": ["first_observed", "last_observed"],
     "Channel": "x-oca-event:module",
     "SourceName": "x-oca-event:provider",
     "EventID": "x-oca-event:code",
+    "__action": ("x-oca-event:action", _win_action),
     "Hostname": "x-oca-asset:hostname",
     "ProcessId": "process:pid",
     "ProcessGuid": "process:x_unique_id",

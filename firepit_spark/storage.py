@@ -89,6 +89,11 @@ class ViewDef:
     builder: Callable[[], DataFrame]
     appdata: str | None = None
     deps: list = field(default_factory=list)
+    # (column, ascending) re-applied at lookup: joins added by auto-deref do
+    # not preserve row order, so sorted views carry explicit sort metadata
+    # (the reference scrapes ORDER BY from the stored viewdef text instead,
+    # firepit/sqlstorage.py:607-621)
+    sort: tuple | None = None
 
 
 class SparkStorage:
@@ -574,7 +579,7 @@ class SparkStorage:
 
     # ----------------------------------------------------------------- views
 
-    def _register(self, name, sco_type, builder, deps):
+    def _register(self, name, sco_type, builder, deps, sort=None):
         validate_name(name)
         if name in self._views and name in deps:
             # self-redefinition: snapshot the old definition (copy-on-write
@@ -586,12 +591,12 @@ class SparkStorage:
                 return _old() if n == _name else self._resolve(n)
 
             self._views[name] = ViewDef(
-                sco_type, lambda: builder(resolve_with_snapshot), appdata=frozen.appdata, deps=deps
+                sco_type, lambda: builder(resolve_with_snapshot), appdata=frozen.appdata, deps=deps, sort=sort
             )
         else:
             appdata = self._views[name].appdata if name in self._views else None
             self._views[name] = ViewDef(
-                sco_type, lambda: builder(self._resolve), appdata=appdata, deps=deps
+                sco_type, lambda: builder(self._resolve), appdata=appdata, deps=deps, sort=sort
             )
 
     def assign_query(self, viewname: str, query: Query, sco_type: str | None = None):
@@ -819,7 +824,8 @@ class SparkStorage:
                 )
             return df
 
-        self._register(viewname, sco_type, build, deps=[on])
+        sort = (by, ascending) if op == "sort" and by else None
+        self._register(viewname, sco_type, build, deps=[on], sort=sort)
 
     # -------------------------------------------------------------- retrieval
 
@@ -833,6 +839,10 @@ class SparkStorage:
             df = self._deref.deref(df, sco_type, paths=cols)
         elif cols:
             df = df.select(*[F.col(f"`{c}`") for c in cols if c in df.columns])
+        vd = self._views.get(viewname)
+        if vd and vd.sort and vd.sort[0] in df.columns:
+            sc = F.col(f"`{vd.sort[0]}`")
+            df = df.orderBy(sc.asc() if vd.sort[1] else sc.desc())
         if offset:
             df = df.offset(offset)
         if limit:

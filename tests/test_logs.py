@@ -167,6 +167,7 @@ def test_windows_event_cross_links(spark, tmp_path):
     assert ev["process_ref"] == proc["id"]
     assert ev["host_ref"] == asset["id"]
     assert ev["code"] == 4688 and ev["module"] == "Security"
+    assert ev["action"] == "A new process has been created"
     assert proc["pid"] == 512 and proc["x_unique_id"] == "{abc-123}"
     # lookup auto-derefs the event's refs
     row = store.lookup("x-oca-event")[0]

@@ -326,3 +326,30 @@ def test_group_by_reflist_path(spark, tmp_path):
     # 10.0.0.1 resolves from both domains
     assert counts["10.0.0.1"]["unique_value"] == 2
     assert counts["10.0.0.2"]["unique_value"] == 1
+
+
+def test_sorted_view_order_survives_lookup_deref(spark, tmp_path):
+    """Sorted views re-apply their order at lookup even though auto-deref
+    adds joins (the reference scrapes ORDER BY from viewdef text;
+    firepit/sqlstorage.py:607-621)."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    objs = {str(i): {"type": "network-traffic", "src_ref": "9",
+                     "dst_port": 100 - i, "protocols": ["tcp"],
+                     "src_port": 1000 + i} for i in range(8)}
+    objs["9"] = {"type": "ipv4-addr", "value": "10.9.9.9"}
+    st.cache("q1", [{"type": "bundle", "id": "bundle--x", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 1,
+         "objects": objs}]}])
+    st.extract("conns", "network-traffic", "q1", "")
+    st.assign("by_port", "conns", op="sort", by="dst_port", ascending=False)
+    rows = st.lookup("by_port")
+    ports = [r["dst_port"] for r in rows]
+    assert ports == sorted(ports, reverse=True)
+    # deref columns present alongside the preserved order
+    assert rows[0]["src_ref.value"] == "10.9.9.9"
