@@ -163,6 +163,9 @@ def main(argv=None):
     p.add_argument("file")
     p.add_argument("--mapping", default=None)
     p.add_argument("--query-id", default=None)
+    p.add_argument("--flat-json", action="store_true",
+                   help="rows are single-SCO events (generic flat mapper)")
+    p.add_argument("--otype", default=None)
 
     args = ap.parse_args(argv)
 
@@ -206,7 +209,14 @@ def main(argv=None):
             ).csv(args.file)
         else:
             df = store.spark.read.json(args.file)
-        types = convert_log(store, df, mapping=args.mapping, query_id=args.query_id)
+        if args.flat_json:
+            from firepit_spark.sources.logs import convert_flat_json
+
+            types = convert_flat_json(
+                store, df, otype=args.otype, query_id=args.query_id
+            )
+        else:
+            types = convert_log(store, df, mapping=args.mapping, query_id=args.query_id)
         print(", ".join(types))
     elif cmd == "extract":
         store.extract(args.name, args.sco_type, args.query_id, args.pattern)

@@ -166,9 +166,11 @@ class SparkStorage:
             shutil.rmtree(target)
         os.replace(tmp, target)
         live = self._views.get(viewname)
+        old = self._meta.get(viewname, {})
         self._meta[viewname] = {
-            "type": live.sco_type if live else self._meta.get(viewname, {}).get("type"),
-            "appdata": live.appdata if live else self._meta.get(viewname, {}).get("appdata"),
+            "type": live.sco_type if live else old.get("type"),
+            "appdata": live.appdata if live else old.get("appdata"),
+            "sort": list(live.sort) if live and live.sort else old.get("sort"),
         }
         self._save_meta()
 
@@ -840,9 +842,13 @@ class SparkStorage:
         elif cols:
             df = df.select(*[F.col(f"`{c}`") for c in cols if c in df.columns])
         vd = self._views.get(viewname)
-        if vd and vd.sort and vd.sort[0] in df.columns:
-            sc = F.col(f"`{vd.sort[0]}`")
-            df = df.orderBy(sc.asc() if vd.sort[1] else sc.desc())
+        sort = vd.sort if vd else None
+        if sort is None and viewname in self._meta:
+            meta_sort = self._meta[viewname].get("sort")
+            sort = tuple(meta_sort) if meta_sort else None
+        if sort and sort[0] in df.columns:
+            sc = F.col(f"`{sort[0]}`")
+            df = df.orderBy(sc.asc() if sort[1] else sc.desc())
         if offset:
             df = df.offset(offset)
         if limit:

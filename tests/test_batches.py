@@ -101,3 +101,19 @@ def test_auto_compaction_bound(spark, tmp_path):
         st.load("vv", [{"type": "url", "value": f"http://b/{i}"}])
     assert len(_batches(st, "url")) <= 3 + 1
     assert st.count("url") == 6
+
+
+def test_materialized_sorted_view_keeps_order(spark, tmp_path):
+    """A second process (fresh storage over the same warehouse) re-applies
+    a materialized view's sort from the symtable."""
+    from firepit_spark.storage import SparkStorage
+
+    wh = str(tmp_path / "wh")
+    st = SparkStorage(wh, spark=spark)
+    st.load("v", [{"type": "url", "value": f"http://x/{i}"} for i in (3, 1, 2)])
+    st.assign("sorted_urls", "v", op="sort", by="value", ascending=False)
+    st.materialize("sorted_urls")
+
+    st2 = SparkStorage(wh, spark=spark)  # fresh symtable-only process
+    vals = [r["value"] for r in st2.lookup("sorted_urls")]
+    assert vals == sorted(vals, reverse=True)

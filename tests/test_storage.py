@@ -353,3 +353,22 @@ def test_sorted_view_order_survives_lookup_deref(spark, tmp_path):
     assert ports == sorted(ports, reverse=True)
     # deref columns present alongside the preserved order
     assert rows[0]["src_ref.value"] == "10.9.9.9"
+
+
+def test_relationship_objects_ingest(spark, tmp_path):
+    """STIX relationship SDOs land in their own table and keep
+    source_ref/target_ref (deref leaves them untyped, like the reference)."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    st.cache("q1", [{"type": "bundle", "id": "bundle--x", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "relationship", "id": "relationship--1",
+         "relationship_type": "resolves-to",
+         "source_ref": "domain-name--aaa", "target_ref": "ipv4-addr--bbb",
+         "created": "2020-01-01T00:00:00Z"}]}])
+    assert "relationship" in st.tables()
+    rows = st.lookup("relationship")
+    assert rows[0]["relationship_type"] == "resolves-to"
+    assert rows[0]["source_ref"] == "domain-name--aaa"
+    assert rows[0]["target_ref"] == "ipv4-addr--bbb"
