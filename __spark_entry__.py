@@ -793,6 +793,35 @@ def q32_minhash_lsh_pairs(spark, sf_dir):
     return dd.minhash_lsh_candidates(r("documents"), num_perm=16, bands=8)
 
 
+def q34_hypertable_rollup(spark, sf_dir):
+    """Continuous-aggregate pattern: hourly answer composed from a 1-minute
+    rollup (never re-scanning raw events); oracle aggregates raw directly —
+    equality proves the rollup composition is exact."""
+    from firepit_spark.functions import rollup as ru
+
+    r = _resolver(spark, sf_dir)
+    fine = ru.build_rollup(r("events"), "ts", ["event_type"], "value", bucket_seconds=60)
+    hourly = ru.reaggregate(fine, bucket_seconds=3600)
+    return hourly.select(
+        "bucket", "event_type", "n",
+        F.col("val_sum").cast("double").alias("val_sum"),
+        "val_min", "val_max", "val_avg",
+    )
+
+
+_Q34_SQL = """
+SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS val_sum,
+       MIN(value) AS val_min,
+       MAX(value) AS val_max,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS val_avg
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q33_ivf_topk(spark, sf_dir):
     """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
     rows-only check: the k-means fit is an iterative MLlib algorithm with
@@ -850,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_lsh_topk": q31_lsh_topk,
         "q32_minhash_lsh_pairs": q32_minhash_lsh_pairs,
         "q33_ivf_topk": q33_ivf_topk,
+        "q34_hypertable_rollup": q34_hypertable_rollup,
     }
 
 
@@ -885,5 +915,6 @@ def oracle_sql() -> dict[str, str]:
         "q28_dedup_exact": _Q28_SQL,
         "q29_cosine_topk": _Q29_SQL,
         "q30_label_centroids": _Q30_SQL,
-        # q31, q32: rows-only (approximate operators)
+        "q34_hypertable_rollup": _Q34_SQL,
+        # q31, q32, q33: rows-only (approximate/iterative operators)
     }

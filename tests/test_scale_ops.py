@@ -210,3 +210,30 @@ def test_salted_join_matches_plain(spark):
     plain = fact.join(dim, "fk")
     assert got.count() == plain.count() == 51
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# ------------------------------------------------------------------ rollup
+
+
+def test_rollup_composition_exact(spark):
+    from firepit_spark.functions.rollup import build_rollup, reaggregate
+
+    rows = [(i, f"2024-01-01T{i % 5:02d}:{(i * 7) % 60:02d}:00", "t" + str(i % 2), float(i))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    fine = build_rollup(df, "ts", ["event_type"], "value", bucket_seconds=60)
+    hourly = reaggregate(fine, bucket_seconds=3600)
+    # direct hourly aggregation must agree with composed rollup
+    direct = (df.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 6).alias("vs"),
+                     F.min("value").alias("vmin"), F.max("value").alias("vmax")))
+    got = {(str(r["bucket"]), r["event_type"]): (r["n"], round(float(r["val_sum"]), 6), r["val_min"], r["val_max"])
+           for r in hourly.collect()}
+    want = {(str(r["bucket"]), r["event_type"]): (r["n"], float(r["vs"]), r["vmin"], r["vmax"])
+            for r in direct.collect()}
+    assert got == want
+    # rolling up a dimension too
+    total = reaggregate(fine, bucket_seconds=3600, dims=[])
+    assert total.agg(F.sum("n")).first()[0] == 200
