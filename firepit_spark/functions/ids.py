@@ -45,11 +45,18 @@ def uuid5_col(name: Column, namespace_bytes: bytes = _NS_BYTES) -> Column:
 
 
 def _json_escape(col: Column) -> Column:
-    """Escape a string for embedding in the canonical JSON: backslash, quote,
-    control chars are out of scope for log fields, but ``/`` must become
-    ``\\/`` (ujson compatibility — see identifiers._canonical_json)."""
+    """Escape a string for embedding in the canonical JSON exactly as
+    json.dumps does: backslash, quote, the short control escapes, and the
+    ujson ``\\/`` slash escape (see identifiers._canonical_json). Other
+    control characters (< 0x20) are not expected in id-contributing values
+    and are guarded by the parity fuzz test's domain."""
     col = F.regexp_replace(col, r"\\", r"\\\\")
     col = F.regexp_replace(col, '"', '\\\\"')
+    col = F.regexp_replace(col, "\b", "\\\\b")
+    col = F.regexp_replace(col, "\f", "\\\\f")
+    col = F.regexp_replace(col, "\n", "\\\\n")
+    col = F.regexp_replace(col, "\r", "\\\\r")
+    col = F.regexp_replace(col, "\t", "\\\\t")
     return F.regexp_replace(col, "/", "\\\\/")
 
 

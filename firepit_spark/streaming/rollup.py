@@ -1,0 +1,48 @@
+"""Streaming maintenance of continuous aggregates.
+
+Each micro-batch's fine-grained rollup (functions/rollup.py) is appended to
+a parquet directory; reads fold the accumulated partial rollups with
+``reaggregate`` — because every kept aggregate is algebraic, the fold is
+exact no matter how the stream was chopped into batches. This is the
+streaming half of the hypertable pattern: the raw stream is touched once,
+dashboards only ever read the (much smaller) rollup directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from firepit_spark.functions.rollup import build_rollup, reaggregate
+
+
+def stream_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    ts_col: str,
+    dims: list,
+    value_col: str,
+    bucket_seconds: int = 60,
+    checkpoint_dir: str | None = None,
+):
+    """Start a streaming query appending per-batch fine rollups to
+    ``out_dir``. Returns the StreamingQuery."""
+
+    def handle(batch_df: DataFrame, epoch_id: int):
+        part = build_rollup(batch_df, ts_col, dims, value_col, bucket_seconds)
+        part.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession,
+    out_dir: str,
+    bucket_seconds: int,
+    dims: list | None = None,
+) -> DataFrame:
+    """Current rollup state at the requested granularity (folds the
+    partial per-batch rollups; exact for algebraic aggregates)."""
+    return reaggregate(spark.read.parquet(out_dir), bucket_seconds, dims)

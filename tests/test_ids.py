@@ -77,3 +77,38 @@ def test_sco_id_col_random_fallback(spark):
     vals = [r[0] for r in df.select(sco_id_col("url", {"value": (F.col("value"), "str")})).collect()]
     assert all(v.startswith("url--") for v in vals)
     assert vals[0] != vals[1]
+
+
+def test_uuid5_fuzz_parity(spark):
+    """Property fuzz: JVM uuid5 and canonical-JSON escaping must agree with
+    the python implementation for arbitrary unicode values."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from firepit_spark.functions.ids import sco_id_col
+
+    # batch all examples into one Spark job per hypothesis case list
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=1, max_size=40).filter(
+                # sub-0x20 chars other than the five short escapes would
+                # need \uXXXX forms; they cannot appear in log/STIX values
+                lambda s: all(ord(c) >= 0x20 or c in "\b\f\n\r\t" for c in s)
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(values):
+        df = spark.createDataFrame([(v,) for v in values], "value string")
+        got = dict(
+            df.select(
+                "value", sco_id_col("url", {"value": (F.col("value"), "str")})
+            ).collect()
+        )
+        for v in values:
+            assert got[v] == makeid({"type": "url", "value": v}), repr(v)
+
+    check()

@@ -93,3 +93,38 @@ def test_gap_sessions_emit_on_watermark(spark, tmp_path):
     assert str(a["session_start"]).startswith("2020-01-01 00:00:00")
     assert str(a["session_end"]).startswith("2020-01-01 00:00:30")
     assert by_key["b"]["n_events"] == 1
+
+
+def test_stream_rollup_exact_across_batches(spark, tmp_path):
+    """The streaming continuous aggregate equals the batch answer no matter
+    how the stream was chopped into micro-batches."""
+    from firepit_spark.functions.rollup import build_rollup, reaggregate
+    from firepit_spark.streaming.rollup import read_rollup, stream_rollup
+
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    out = str(tmp_path / "ru")
+    rows1 = [{"ts": f"2024-01-01T00:{m:02d}:00", "event_type": "a", "value": float(m)}
+             for m in range(30)]
+    rows2 = [{"ts": f"2024-01-01T00:{m:02d}:30", "event_type": "b", "value": float(m)}
+             for m in range(30)]
+    _write_events(indir / "a.json", rows1)
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    q = stream_rollup(stream, out, "ts", ["event_type"], "value",
+                      bucket_seconds=60, checkpoint_dir=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        _write_events(indir / "b.json", rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = read_rollup(spark, out, bucket_seconds=600)
+    batch_df = spark.read.schema(schema).json(str(indir))
+    want = reaggregate(
+        build_rollup(batch_df, "ts", ["event_type"], "value", 60), 600
+    )
+    key = lambda r: (str(r["bucket"]), r["event_type"])
+    g = {key(r): (r["n"], float(r["val_sum"]), r["val_min"], r["val_max"]) for r in got.collect()}
+    w = {key(r): (r["n"], float(r["val_sum"]), r["val_min"], r["val_max"]) for r in want.collect()}
+    assert g == w and len(g) >= 6
