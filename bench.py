@@ -4,7 +4,8 @@ JSON line with per-query wall seconds.
 
 Headline set spans the cost spectrum: scan+agg (q01), star join (q04),
 shuffle join + topk (q07), window sessionize (q20), time binning (q11),
-shingle self-join dedup (q25), minhash (q26), brute-force ANN (q29).
+shingle self-join dedup (q25), minhash (q26), brute-force ANN (q29),
+continuous-aggregate rollup (q34).
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ HEADLINE = [
     "q25_ngram_jaccard",
     "q26_minhash",
     "q29_cosine_topk",
+    "q34_hypertable_rollup",
 ]
 
 

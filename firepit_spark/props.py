@@ -81,6 +81,27 @@ def primary_prop(sco_type: str) -> str:
     return _PRIMARY_PROPS.get(sco_type, "value")
 
 
+def feature_type(prop: str, col_type: str | None = None) -> str:
+    """Classify a property for downstream analytics: ``timestamp`` /
+    ``numerical`` / ``categorical`` (the reference encodes this in the
+    hand-maintained KNOWN_PROPS table plus name heuristics,
+    firepit/props.py:15-313,330-351; here name + Spark dtype heuristics
+    cover the same surface without the table)."""
+    last = prop.rsplit(".", 1)[-1].rsplit(":", 1)[-1]
+    if last in TIMESTAMP_PROPS:
+        return "timestamp"
+    # ports, pids, ids-as-numbers are categorical despite integer storage
+    if last.endswith("_port") or last.endswith("pid") or last in (
+        "number", "code", "protocols",
+    ):
+        return "categorical"
+    if last.endswith("_count") or last in ("size", "number_observed") or (
+        col_type and str(col_type).lower() in _NUMERIC_SPARK_TYPES | {"double", "float", "decimal"}
+    ):
+        return "numerical"
+    return "categorical"
+
+
 def is_ref(name: str) -> bool:
     return name.endswith("_ref") or name.endswith("_refs")
 

@@ -393,6 +393,17 @@ class SparkStorage:
             self._write_type_batch(viewname, recs, None)
             self._views.pop(viewname, None)
 
+    def enrich(self, otype: str, df: DataFrame):
+        """Distributed enrichment write-back: ``df`` carries ``id`` plus new
+        or updated columns for an existing SCO type; the LSM latest-non-null
+        merge (see _merge_batches) applies them without touching other
+        columns or rows. The DataFrame-shaped, executor-side counterpart of
+        ``reassign`` — at scale the enrichment source is itself a join
+        output, never a driver-side object list."""
+        if "id" not in df.columns:
+            raise InvalidObject("enrichment frame needs an `id` column")
+        self.ingest_dataframe(otype, df)
+
     def ingest_dataframe(self, otype: str, df: DataFrame, query_id: str | None = None):
         """Merge an already-flattened per-type DataFrame into the warehouse —
         the distributed-ingest entry point (see sources/bundles.py). Applies

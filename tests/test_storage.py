@@ -372,3 +372,31 @@ def test_relationship_objects_ingest(spark, tmp_path):
     assert rows[0]["relationship_type"] == "resolves-to"
     assert rows[0]["source_ref"] == "domain-name--aaa"
     assert rows[0]["target_ref"] == "ipv4-addr--bbb"
+
+
+def test_enrich_dataframe(spark, tmp_path):
+    from firepit_spark.storage import SparkStorage
+    from pyspark.sql import functions as F
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    st.load("u", [{"type": "url", "value": "http://a/1"},
+                  {"type": "url", "value": "http://a/2"}])
+    base = st.table_df("url").select("id", "value")
+    # distributed enrichment: derive a column on executors, write back
+    enriched = base.withColumn("x_len", F.length("value")).drop("value")
+    st.enrich("url", enriched)
+    rows = {r["value"]: r["x_len"] for r in st.table_df("url").collect()}
+    assert rows == {"http://a/1": 10, "http://a/2": 10}
+    # existing columns survive (latest-non-null merge)
+    assert st.count("url") == 2
+
+
+def test_feature_type():
+    from firepit_spark.props import feature_type
+
+    assert feature_type("first_observed") == "timestamp"
+    assert feature_type("network-traffic:src_port", "int") == "categorical"
+    assert feature_type("process:pid", "bigint") == "categorical"
+    assert feature_type("src_byte_count", "bigint") == "numerical"
+    assert feature_type("value", "double") == "numerical"
+    assert feature_type("url:value", "string") == "categorical"
