@@ -1,0 +1,87 @@
+"""Graph-shaped security analytics over SCO reference edges.
+
+The reference's process handling stops at one ``parent_ref`` hop
+(firepit/deref.py:142-150); investigations usually need the whole ancestry
+chain. ``ancestors`` computes the bounded transitive closure with
+iterative self-joins — each round doubles nothing (linear frontier
+expansion), every join is an equi-join on uuid ids (uniform keys, AQE
+handles the rest), and the loop is bounded by ``max_depth``, so the plan
+stays a fixed-size DAG the optimizer can reason about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def edges_from(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
+    """(child, parent) edge list from a SCO table's ref column."""
+    return df.filter(F.col(ref_col).isNotNull()).select(
+        F.col("id").alias("child"), F.col(ref_col).alias("parent")
+    )
+
+
+def ancestors(
+    df: DataFrame, ref_col: str = "parent_ref", max_depth: int = 8
+) -> DataFrame:
+    """(descendant_id, ancestor_id, depth) pairs up to ``max_depth``.
+
+    depth=1 is the direct parent. Cycles are cut by the depth bound (STIX
+    process graphs are acyclic in practice; a cycle would simply stop
+    contributing after max_depth).
+    """
+    edges = edges_from(df, ref_col)
+    level = edges.select(
+        F.col("child").alias("descendant_id"),
+        F.col("parent").alias("ancestor_id"),
+        F.lit(1).alias("depth"),
+    )
+    out = level
+    for d in range(2, max_depth + 1):
+        level = (
+            level.alias("l")
+            .join(edges.alias("e"), F.col("l.ancestor_id") == F.col("e.child"))
+            .select(
+                F.col("l.descendant_id"),
+                F.col("e.parent").alias("ancestor_id"),
+                F.lit(d).alias("depth"),
+            )
+        )
+        # stop early when the frontier is empty (driver-side check is one
+        # cheap job per level; levels are tiny after the first few hops)
+        if level.isEmpty():
+            break
+        out = out.unionByName(level)
+    return out
+
+
+def roots(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
+    """Processes with no (known) parent — the tree roots."""
+    e = edges_from(df, ref_col)
+    known_children = e.select(F.col("child").alias("id"))
+    no_parent = df.filter(F.col(ref_col).isNull()).select("id")
+    dangling = (
+        e.select(F.col("parent").alias("id"))
+        .join(df.select("id"), "id", "left_anti")
+        .distinct()
+    )
+    return no_parent.unionByName(dangling).distinct()
+
+
+def process_tree(df: DataFrame, ref_col: str = "parent_ref", max_depth: int = 8) -> DataFrame:
+    """Each process annotated with its root ancestor and depth below it."""
+    anc = ancestors(df, ref_col, max_depth)
+    r = roots(df, ref_col).select(F.col("id").alias("ancestor_id"))
+    to_root = anc.join(r, "ancestor_id").select(
+        F.col("descendant_id").alias("id"),
+        F.col("ancestor_id").alias("root_id"),
+        "depth",
+    )
+    own_root = r.select(
+        F.col("ancestor_id").alias("id"),
+        F.col("ancestor_id").alias("root_id"),
+        F.lit(0).alias("depth"),
+    )
+    # processes whose parent chain dead-ends outside the table keep their
+    # deepest known ancestor as root
+    return own_root.unionByName(to_root)

@@ -237,3 +237,36 @@ def test_rollup_composition_exact(spark):
     # rolling up a dimension too
     total = reaggregate(fine, bucket_seconds=3600, dims=[])
     assert total.agg(F.sum("n")).first()[0] == 200
+
+
+# ------------------------------------------------------------------- graph
+
+
+def test_process_ancestors_and_tree(spark):
+    from firepit_spark.functions.graph import ancestors, process_tree, roots
+
+    # r1 -> a -> b -> c ; r2 (isolated root)
+    rows = [("r1", None), ("a", "r1"), ("b", "a"), ("c", "b"), ("r2", None)]
+    df = spark.createDataFrame(rows, "id string, parent_ref string")
+    anc = {(r["descendant_id"], r["ancestor_id"]): r["depth"]
+           for r in ancestors(df).collect()}
+    assert anc[("a", "r1")] == 1
+    assert anc[("c", "b")] == 1 and anc[("c", "a")] == 2 and anc[("c", "r1")] == 3
+    assert ("r1", "a") not in anc
+    assert {r["id"] for r in roots(df).collect()} == {"r1", "r2"}
+    tree = {r["id"]: (r["root_id"], r["depth"]) for r in process_tree(df).collect()}
+    assert tree["c"] == ("r1", 3)
+    assert tree["r2"] == ("r2", 0)
+    assert tree["r1"] == ("r1", 0)
+
+
+def test_ancestors_depth_bound(spark):
+    from firepit_spark.functions.graph import ancestors
+
+    # chain of 6; max_depth=3 truncates
+    rows = [(str(i), str(i - 1) if i else None) for i in range(6)]
+    df = spark.createDataFrame(rows, "id string, parent_ref string")
+    anc = ancestors(df, max_depth=3).collect()
+    assert max(r["depth"] for r in anc) == 3
+    assert ("5", "2") in {(r["descendant_id"], r["ancestor_id"]) for r in anc
+                          if r["depth"] == 3}
