@@ -822,6 +822,44 @@ GROUP BY 1, 2
 """
 
 
+def q35_event_chain_ancestry(spark, sf_dir):
+    """Bounded transitive closure over per-user event chains: each event's
+    parent is the user's previous event; ancestors up to depth 3. Exercises
+    the iterative-join closure (functions/graph.py) against a recursive-CTE
+    oracle."""
+    from firepit_spark.functions.graph import ancestors
+
+    r = _resolver(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = r("events").select(
+        F.col("event_id").cast("string").alias("id"),
+        F.lag(F.col("event_id").cast("string")).over(w).alias("parent_ref"),
+    )
+    anc = ancestors(edges, max_depth=3)
+    return anc.select(
+        F.col("descendant_id").cast("long").alias("descendant_id"),
+        F.col("ancestor_id").cast("long").alias("ancestor_id"),
+        "depth",
+    )
+
+
+_Q35_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_id AS id,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS parent
+  FROM events
+), a AS (
+  SELECT id AS descendant_id, parent AS ancestor_id, 1 AS depth
+  FROM e WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT a.descendant_id, e.parent, a.depth + 1
+  FROM a JOIN e ON a.ancestor_id = e.id
+  WHERE e.parent IS NOT NULL AND a.depth < 3
+)
+SELECT descendant_id, ancestor_id, depth FROM a
+"""
+
+
 def q33_ivf_topk(spark, sf_dir):
     """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
     rows-only check: the k-means fit is an iterative MLlib algorithm with
@@ -880,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_minhash_lsh_pairs": q32_minhash_lsh_pairs,
         "q33_ivf_topk": q33_ivf_topk,
         "q34_hypertable_rollup": q34_hypertable_rollup,
+        "q35_event_chain_ancestry": q35_event_chain_ancestry,
     }
 
 
@@ -916,5 +955,6 @@ def oracle_sql() -> dict[str, str]:
         "q29_cosine_topk": _Q29_SQL,
         "q30_label_centroids": _Q30_SQL,
         "q34_hypertable_rollup": _Q34_SQL,
+        "q35_event_chain_ancestry": _Q35_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }
