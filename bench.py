@@ -29,6 +29,7 @@ HEADLINE = [
     "q26_minhash",
     "q29_cosine_topk",
     "q34_hypertable_rollup",
+    "q35_event_chain_ancestry",
 ]
 
 

@@ -30,12 +30,15 @@ def ancestors(
     process graphs are acyclic in practice; a cycle would simply stop
     contributing after max_depth).
     """
-    edges = edges_from(df, ref_col)
+    # each level is persisted: the union output and the next level's join
+    # both read it, and the empty-frontier probe would otherwise recompute
+    # the whole join chain once per remaining level (O(depth^2) rework)
+    edges = edges_from(df, ref_col).persist()
     level = edges.select(
         F.col("child").alias("descendant_id"),
         F.col("parent").alias("ancestor_id"),
         F.lit(1).alias("depth"),
-    )
+    ).persist()
     out = level
     for d in range(2, max_depth + 1):
         level = (
@@ -46,9 +49,7 @@ def ancestors(
                 F.col("e.parent").alias("ancestor_id"),
                 F.lit(d).alias("depth"),
             )
-        )
-        # stop early when the frontier is empty (driver-side check is one
-        # cheap job per level; levels are tiny after the first few hops)
+        ).persist()
         if level.isEmpty():
             break
         out = out.unionByName(level)
