@@ -860,6 +860,34 @@ SELECT descendant_id, ancestor_id, depth FROM a
 """
 
 
+def q36_asof_join(spark, sf_dir):
+    """As-of join: each event gets the user's most recent purchase value
+    at-or-before its timestamp (union+window carry-forward; DuckDB native
+    ASOF JOIN as the oracle)."""
+    from firepit_spark.functions.temporal import asof_join
+
+    r = _resolver(spark, sf_dir)
+    ev = r("events").select("user_id", "ts", "event_id")
+    st = (
+        r("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("value").alias("purchase_value"))
+    )
+    out = asof_join(ev, st, on="user_id")
+    return out.select("event_id", "user_id", "ts", "purchase_value_right")
+
+
+_Q36_SQL = """
+WITH st AS (
+  SELECT user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, e.ts, st.purchase_value AS purchase_value_right
+FROM events e ASOF LEFT JOIN st
+  ON e.user_id = st.user_id AND e.ts >= st.ts
+"""
+
+
 def q33_ivf_topk(spark, sf_dir):
     """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
     rows-only check: the k-means fit is an iterative MLlib algorithm with
@@ -919,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_ivf_topk": q33_ivf_topk,
         "q34_hypertable_rollup": q34_hypertable_rollup,
         "q35_event_chain_ancestry": q35_event_chain_ancestry,
+        "q36_asof_join": q36_asof_join,
     }
 
 
@@ -956,5 +985,6 @@ def oracle_sql() -> dict[str, str]:
         "q30_label_centroids": _Q30_SQL,
         "q34_hypertable_rollup": _Q34_SQL,
         "q35_event_chain_ancestry": _Q35_SQL,
+        "q36_asof_join": _Q36_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -47,7 +47,9 @@ def testdata_resolver(spark: SparkSession, sf_dir: str):
         # TIMESTAMP(NANOS) parquet columns arrive as long (see build_spark);
         # truncate ns -> us exactly like DuckDB's TIMESTAMP read does
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            # integral division: float `/` loses precision above 2^53 ns and
+            # lands a microsecond off on ~12% of values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
 
     return resolve

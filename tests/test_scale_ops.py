@@ -270,3 +270,58 @@ def test_ancestors_depth_bound(spark):
     assert max(r["depth"] for r in anc) == 3
     assert ("5", "2") in {(r["descendant_id"], r["ancestor_id"]) for r in anc
                           if r["depth"] == 3}
+
+
+# ---------------------------------------------------------------- temporal
+
+
+def test_asof_join_basic(spark):
+    from firepit_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01T00:05:00", "e1"),
+         ("u1", "2024-01-01T00:20:00", "e2"),
+         ("u2", "2024-01-01T00:10:00", "e3"),
+         ("u1", "2024-01-01T00:00:00", "e0")],  # before any state
+        "k string, ts string, ev string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01T00:03:00", 10.0),
+         ("u1", "2024-01-01T00:20:00", 20.0),  # equal-ts visible
+         ("u2", "2024-01-01T00:09:00", 30.0)],
+        "k string, ts string, state double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["ev"]: r["state_right"] for r in asof_join(left, right, "k").collect()}
+    assert got == {"e0": None, "e1": 10.0, "e2": 20.0, "e3": 30.0}
+
+
+def test_asof_join_tolerance(spark):
+    from firepit_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01T01:00:00", "late")], "k string, ts string, ev string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01T00:00:00", 1.0)], "k string, ts string, state double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ok = asof_join(left, right, "k", tolerance_seconds=7200).collect()[0]
+    assert ok["state_right"] == 1.0
+    out = asof_join(left, right, "k", tolerance_seconds=60).collect()[0]
+    assert out["state_right"] is None
+
+
+def test_range_join_keyless_bucketized(spark):
+    from firepit_spark.functions.temporal import range_join
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01T00:30:00"), (2, "2024-01-01T05:00:00"),
+         (3, "2024-01-02T00:00:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [("w1", "2024-01-01T00:00:00", "2024-01-01T01:00:00"),
+         ("w2", "2024-01-01T04:00:00", "2024-01-01T06:00:00")],
+        "name string, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
+    got = sorted((r["event_id"], r["name"]) for r in range_join(events, iv, "ts").collect())
+    assert got == [(1, "w1"), (2, "w2")]
