@@ -888,6 +888,40 @@ FROM events e ASOF LEFT JOIN st
 """
 
 
+def q37_range_join(spark, sf_dir):
+    """Keyless bucketized range join: events inside +/-5-minute windows
+    around purchase events (fan-out bounded by span/bucket, never a
+    nested-loop cross product); plain inequality-join oracle."""
+    from firepit_spark.functions.temporal import range_join
+
+    r = _resolver(spark, sf_dir)
+    ev = r("events").select("event_id", "ts")
+    iv = (
+        r("events")
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("event_id") < 200)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"),
+        )
+    )
+    out = range_join(ev, iv, "ts", bucket_seconds=600)
+    return out.select("window_id", "event_id", "ts")
+
+
+_Q37_SQL = """
+WITH iv AS (
+  SELECT event_id AS window_id,
+         ts - INTERVAL 5 MINUTE AS w_start,
+         ts + INTERVAL 5 MINUTE AS w_end
+  FROM events WHERE event_type = 'purchase' AND event_id < 200
+)
+SELECT iv.window_id, e.event_id, e.ts
+FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts <= iv.w_end
+"""
+
+
 def q33_ivf_topk(spark, sf_dir):
     """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
     rows-only check: the k-means fit is an iterative MLlib algorithm with
@@ -948,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_hypertable_rollup": q34_hypertable_rollup,
         "q35_event_chain_ancestry": q35_event_chain_ancestry,
         "q36_asof_join": q36_asof_join,
+        "q37_range_join": q37_range_join,
     }
 
 
@@ -986,5 +1021,6 @@ def oracle_sql() -> dict[str, str]:
         "q34_hypertable_rollup": _Q34_SQL,
         "q35_event_chain_ancestry": _Q35_SQL,
         "q36_asof_join": _Q36_SQL,
+        "q37_range_join": _Q37_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }
