@@ -922,6 +922,27 @@ FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts <= iv.w_end
 """
 
 
+def q38_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, bounded subset);
+    oracle via DuckDB list_cosine_similarity."""
+    r = _resolver(spark, sf_dir)
+    vecs = r("embeddings").filter(F.col("vec_id") < 300)
+    return sim.cosine_near_dup_pairs(vecs, threshold=0.35)
+
+
+_Q38_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+"""
+
+
 def q33_ivf_topk(spark, sf_dir):
     """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
     rows-only check: the k-means fit is an iterative MLlib algorithm with
@@ -983,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_event_chain_ancestry": q35_event_chain_ancestry,
         "q36_asof_join": q36_asof_join,
         "q37_range_join": q37_range_join,
+        "q38_cosine_near_dup": q38_cosine_near_dup,
     }
 
 
@@ -1022,5 +1044,6 @@ def oracle_sql() -> dict[str, str]:
         "q35_event_chain_ancestry": _Q35_SQL,
         "q36_asof_join": _Q36_SQL,
         "q37_range_join": _Q37_SQL,
+        "q38_cosine_near_dup": _Q38_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -124,6 +124,59 @@ def lsh_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cosine >= threshold).
+
+    Brute-force O(n^2/2) baseline for modest corpora / verification; the
+    scale path is :func:`lsh_near_dup_pairs`, which only scores pairs
+    sharing an LSH bucket.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates limited to same-bucket pairs
+    (recall loss at bucket boundaries is the standard trade; raise recall
+    with fewer planes or multiple plane sets)."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = lsh_planes(dim, n_planes)
+    v = vectors.withColumn("__bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

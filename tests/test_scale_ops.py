@@ -325,3 +325,16 @@ def test_range_join_keyless_bucketized(spark):
     ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
     got = sorted((r["event_id"], r["name"]) for r in range_join(events, iv, "ts").collect())
     assert got == [(1, "w1"), (2, "w2")]
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    got = sim.cosine_near_dup_pairs(vectors, threshold=0.99).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs  # [1,0,0] vs [.9,.1,0] -> cos ~0.9939? no: 0.9939 < 0.99?
+    # compute: cos = .9/sqrt(.82) = 0.9939 -> included at 0.99
+    assert (2, 3) in pairs  # [0,1,0] vs [0,.9,.1] -> same structure
+    assert all(r["cos_sim"] >= 0.99 for r in got)
+    # LSH variant returns a subset of the exact pairs
+    approx = {(r["id_a"], r["id_b"])
+              for r in sim.lsh_near_dup_pairs(vectors, threshold=0.99, n_planes=2).collect()}
+    assert approx <= pairs
