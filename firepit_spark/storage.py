@@ -844,7 +844,13 @@ class SparkStorage:
 
     def lookup(self, viewname: str, cols=None, limit=None, offset=None, col_dict=None):
         """Fetch a view with auto-deref + pagination, rows as dicts
-        (parity: firepit/sqlstorage.py:602-665)."""
+        (parity: firepit/sqlstorage.py:602-665).
+
+        ``col_dict`` is accepted for API compatibility only: in the
+        reference it is a pre-fetched column-metadata cache that avoids DB
+        introspection round-trips (firepit/sqlstorage.py:641-646); Spark
+        DataFrame schemas are driver-local, so there is nothing to cache.
+        """
         validate_name(viewname)
         df = self._resolve(viewname)
         sco_type = self.table_type(viewname)

@@ -338,3 +338,21 @@ def test_cosine_near_dup_pairs(spark, vectors):
     approx = {(r["id_a"], r["id_b"])
               for r in sim.lsh_near_dup_pairs(vectors, threshold=0.99, n_planes=2).collect()}
     assert approx <= pairs
+
+
+def test_asof_join_multi_key(spark):
+    from firepit_spark.functions.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", "a", "2024-01-01T00:10:00", "e1"),
+         ("u1", "b", "2024-01-01T00:10:00", "e2")],
+        "k1 string, k2 string, ts string, ev string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u1", "a", "2024-01-01T00:05:00", 1.0),
+         ("u1", "b", "2024-01-01T00:06:00", 2.0)],
+        "k1 string, k2 string, ts string, state double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["ev"]: r["state_right"]
+           for r in asof_join(left, right, ["k1", "k2"]).collect()}
+    assert got == {"e1": 1.0, "e2": 2.0}
