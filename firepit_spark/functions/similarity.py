@@ -200,7 +200,7 @@ def ivf_topk(
     the standard IVF-Flat trade of recall vs cells probed.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     with_vec = vectors.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")

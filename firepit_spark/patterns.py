@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from firepit_spark.exceptions import StixPatternError
 from firepit_spark.props import parse_prop
-from firepit_spark.query import Filter, Join, Predicate, Projection, Query
+from firepit_spark.query import Filter, Predicate, Projection, Query
 
 _TOKEN_RE = re.compile(
     r"""

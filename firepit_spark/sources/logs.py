@@ -322,7 +322,6 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
     )
 
     out: dict[str, DataFrame] = {}
-    sco_id_exprs: dict[str, Column] = {}  # minted id column per produced sco
 
     # 1. referenced address/domain objects, split per guessed type
     # (first matching case wins, so each row lands in exactly one table)
@@ -330,7 +329,6 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
     for path, (otype, rname) in ref_cols.items():
         id_col, case_filters = _addr_split(wide, path)
         addr_ids[path] = id_col
-        sco_id_exprs[path] = id_col
         v = F.col(f"`{path}`").cast("string")
         seen = None
         for ref_type, cond in case_filters.items():

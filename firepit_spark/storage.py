@@ -52,16 +52,8 @@ from firepit_spark.exceptions import (
 )
 from firepit_spark.identifiers import makeid
 from firepit_spark.patterns import compile_pattern, pattern_time_range
-from firepit_spark.props import auto_aggs, parse_path, primary_prop
-from firepit_spark.query import (
-    Aggregation,
-    BinnedColumn,
-    Filter,
-    Group,
-    Order,
-    Predicate,
-    Query,
-)
+from firepit_spark.props import auto_aggs, primary_prop
+from firepit_spark.query import Aggregation, BinnedColumn, Query
 from firepit_spark.timestamp import TIMESTAMP_PROPS, to_datetime
 from firepit_spark.validate import validate_name, validate_path
 
@@ -73,7 +65,6 @@ QUERIES = "__queries"
 # surfaces the batch number as this column at read time
 BATCH_COL = "_fp_batch"
 BATCH_PREFIX = BATCH_COL + "="
-_INTERNAL = {CONTAINS, REFLIST, QUERIES}
 
 _EXT_SHORTEN = re.compile(r"^extensions\.'(x-)?([\w\d_-]+)'\.")
 
@@ -389,7 +380,6 @@ class SparkStorage:
         else:
             # aggregate-shaped data: snapshot as a standalone table
             recs = [dict(o) for o in objects]
-            per_type = {viewname: recs}
             self._write_type_batch(viewname, recs, None)
             self._views.pop(viewname, None)
 

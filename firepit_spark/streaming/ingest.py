@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
-from firepit_spark.sources.bundles import _FLAT_SCHEMA, flatten_objects
+from firepit_spark.sources.bundles import flatten_objects
 
 _BUNDLE_SCHEMA = StructType([StructField("value", StringType())])
 
