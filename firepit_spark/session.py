@@ -39,10 +39,32 @@ def build_spark(app_name: str = "firepit_spark", master: str | None = None) -> S
     return builder.getOrCreate()
 
 
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Make an arbitrary (harness-supplied) session safe for the testdata.
+
+    ``queries()`` must be self-contained on ANY live SparkSession, not just
+    one built by :func:`build_spark`.  Both confs below are runtime-settable:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: ``events.parquet`` carries
+      TIMESTAMP(NANOS) which Spark has no native type for; without this the
+      read dies with PARQUET_TYPE_ILLEGAL.
+    - ``spark.sql.session.timeZone=UTC``: timestamp<->string agreement with
+      the DuckDB oracle.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        # read-only conf on some managed sessions; proceed and let the
+        # read surface any real incompatibility
+        pass
+
+
 def testdata_resolver(spark: SparkSession, sf_dir: str):
     """name -> DataFrame resolver over the driver's parquet tables."""
 
     def resolve(name: str):
+        _ensure_runtime_confs(spark)
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         # TIMESTAMP(NANOS) parquet columns arrive as long (see build_spark);
         # truncate ns -> us exactly like DuckDB's TIMESTAMP read does

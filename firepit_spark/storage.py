@@ -832,15 +832,9 @@ class SparkStorage:
 
     # -------------------------------------------------------------- retrieval
 
-    def lookup(self, viewname: str, cols=None, limit=None, offset=None, col_dict=None):
-        """Fetch a view with auto-deref + pagination, rows as dicts
-        (parity: firepit/sqlstorage.py:602-665).
-
-        ``col_dict`` is accepted for API compatibility only: in the
-        reference it is a pre-fetched column-metadata cache that avoids DB
-        introspection round-trips (firepit/sqlstorage.py:641-646); Spark
-        DataFrame schemas are driver-local, so there is nothing to cache.
-        """
+    def _lookup_df(self, viewname: str, cols=None, limit=None, offset=None) -> DataFrame:
+        """Shared plan-builder for lookup()/lookup_iter(): auto-deref, stored
+        sort order, offset/limit — everything except driver materialization."""
         validate_name(viewname)
         df = self._resolve(viewname)
         sco_type = self.table_type(viewname)
@@ -860,19 +854,57 @@ class SparkStorage:
             df = df.offset(offset)
         if limit:
             df = df.limit(limit)
-        rows = [r.asDict() for r in df.collect()]
+        return df
+
+    def lookup(self, viewname: str, cols=None, limit=None, offset=None, col_dict=None):
+        """Fetch a view with auto-deref + pagination, rows as dicts
+        (parity: firepit/sqlstorage.py:602-665).
+
+        With a ``limit`` this collects the bounded page directly.  With no
+        limit the rows are pulled through ``toLocalIterator`` — one partition
+        in driver memory at a time instead of the whole view materialized
+        JVM-side at once (the returned list is still unbounded; callers that
+        can stream should use :meth:`lookup_iter`).
+
+        ``col_dict`` is accepted for API compatibility only: in the
+        reference it is a pre-fetched column-metadata cache that avoids DB
+        introspection round-trips (firepit/sqlstorage.py:641-646); Spark
+        DataFrame schemas are driver-local, so there is nothing to cache.
+        """
+        df = self._lookup_df(viewname, cols=cols, limit=limit, offset=offset)
+        sco_type = self.table_type(viewname)
+        if limit:
+            rows = [r.asDict() for r in df.collect()]
+        else:
+            rows = [r.asDict() for r in df.toLocalIterator(prefetchPartitions=True)]
         if sco_type:
             for r in rows:
                 r.setdefault("type", sco_type)
         return rows
 
+    def lookup_iter(self, viewname: str, cols=None, offset=None):
+        """Streaming twin of :meth:`lookup`: a generator of row dicts that
+        never materializes the view on the driver (one Spark partition in
+        flight at a time).  This is the 100-TB-safe retrieval path — additive
+        over the reference, whose ``lookup`` is cursor-backed and so never
+        had the materialization hazard (firepit/sqlstorage.py:602-665)."""
+        df = self._lookup_df(viewname, cols=cols, offset=offset)
+        sco_type = self.table_type(viewname)
+        for r in df.toLocalIterator(prefetchPartitions=True):
+            d = r.asDict()
+            if sco_type:
+                d.setdefault("type", sco_type)
+            yield d
+
     def values(self, path: str, viewname: str) -> list:
         """Single-column extraction by STIX path
-        (parity: firepit/sqlstorage.py:667-683)."""
+        (parity: firepit/sqlstorage.py:667-683).  Unbounded by contract, so
+        pulled partition-at-a-time rather than one full JVM collect."""
         validate_path(path)
         validate_name(viewname)
         df, col = self._path_column(viewname, path)
-        return [r[0] for r in df.select(F.col(f"`{col}`")).collect()]
+        sel = df.select(F.col(f"`{col}`"))
+        return [r[0] for r in sel.toLocalIterator(prefetchPartitions=True)]
 
     def run_query(self, query: Query) -> list:
         return [r.asDict() for r in query.resolve(self._resolve).collect()]

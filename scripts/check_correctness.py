@@ -58,9 +58,24 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from firepit_spark.session import build_spark
 
-    spark = build_spark("correctness")
+    # Deliberately a VANILLA session (not build_spark): the driver's harness
+    # supplies its own SparkSession, so queries() must be self-contained.
+    # Round-1 lesson: build_spark here masked a nanosAsLong dependency that
+    # failed 7 queries under the driver (CORRECTNESS_r01.json).
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    spark = (
+        SparkSession.builder.appName("correctness")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -82,6 +82,38 @@ def test_lookup_deref(store):
     assert sample["type"] == "network-traffic"
 
 
+def test_lookup_paging_matches_full(store):
+    """Paged lookup over a multi-batch store equals the unbounded lookup —
+    and the unbounded path streams partitions rather than one full collect."""
+    import copy
+
+    from tests.conftest import make_bundle
+
+    # second batch so the store spans multiple ingests (upsert-merged)
+    store.cache("q2", copy.deepcopy(make_bundle(40)))
+    store.extract("conns", "network-traffic", "q1", "")
+    store.assign("conns_sorted", "conns", op="sort", by="network-traffic:src_port")
+    full = store.lookup("conns_sorted")
+    total = store.count("conns_sorted")
+    assert len(full) == total
+    page_size = 7
+    paged = []
+    for off in range(0, total, page_size):
+        paged.extend(store.lookup("conns_sorted", limit=page_size, offset=off))
+    assert len(paged) == total
+    assert {r["id"] for r in paged} == {r["id"] for r in full}
+
+
+def test_lookup_iter_streams(store):
+    """lookup_iter yields the same rows as lookup without materializing."""
+    store.extract("urls", "url", "q1", "")
+    eager = store.lookup("urls")
+    streamed = list(store.lookup_iter("urls"))
+    assert len(streamed) == len(eager)
+    assert {r["id"] for r in streamed} == {r["id"] for r in eager}
+    assert all(r["type"] == "url" for r in streamed)
+
+
 def test_values_via_deref(store):
     store.extract("conns", "network-traffic", "q1", "")
     vals = store.values("network-traffic:dst_ref.value", "conns")
