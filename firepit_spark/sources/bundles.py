@@ -4,18 +4,26 @@ The storage's ``cache()`` parses small bundles driver-side (reference
 parity: firepit/sqlstorage.py:410-444 is inherently driver-side too). This
 module is the 100 TB path: bundle files are read by executors, each
 observation is flattened *where it is read* via ``mapInPandas`` (the same
-pure-Python flatten kernel), and per-type DataFrames come back through
-``spark.read.json`` schema inference on the flattened records — so the
-driver never holds object data, only schemas.
+pure-Python flatten kernel), and per-type schemas are captured **in the
+same pass** — each flatten partition emits per-type "kind fragments"
+(column -> {bool,int,float,list,str}) alongside the records, the driver
+merges the fragments with the exact type lattice the driver-side ingest
+uses (storage._infer_field), and each type is parsed with one JVM-side
+``from_json`` scan against that explicit schema.  No ``spark.read.json``
+schema inference anywhere, so ingest is one flatten pass + one bounded
+parse pass per type instead of ~2 full scans per type, and both ingest
+paths now agree on column types byte-for-byte (dicts -> sort_keys JSON
+text, mixed numerics -> double, lists -> array<string>).
 
 Pipeline shape (all distributed):
-  read bundles -> explode objects -> mapInPandas(flatten) ->
-  (type, json) rows -> per-type json parse -> upsert merge
+  read bundles -> explode objects -> mapInPandas(flatten + kind capture) ->
+  (type, json) rows -> per-type from_json(explicit schema) -> upsert merge
 
 Shuffle analysis: the only wide operations are the per-type upsert
 groupBy(id) and the final merge join — both keyed on the deterministic SCO
 id, which is uniformly distributed (uuid5), so no skew. Flattening is
-map-only.
+map-only; fragment collection moves only (types x columns) metadata to the
+driver, never object data.
 """
 
 from __future__ import annotations
@@ -25,13 +33,57 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from firepit_spark.flatten import flatten
 
 _FLAT_SCHEMA = StructType(
     [StructField("otype", StringType()), StructField("record", StringType())]
 )
+
+# in-band marker for per-partition schema fragments ("\x00" can never be a
+# STIX type name, which the validators restrict to [a-z0-9-])
+SCHEMA_MARKER = "\x00schema"
+
+
+def _kind(v) -> str:
+    """Python-value kind tag; mirrors storage._infer_field's lattice input."""
+    if isinstance(v, bool):  # bool before int: bool is an int subclass
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, list):
+        return "list"
+    return "str"
+
+
+def _canonicalize(rec: dict) -> dict:
+    """Pre-serialize the values the driver path coerces (storage._coerce):
+    dicts -> sort_keys JSON text, list elements -> strings.  Doing it in the
+    kernel keeps the downstream ``from_json`` parse lossless and makes both
+    ingest paths produce identical bytes."""
+    out = {}
+    for k, v in rec.items():
+        if isinstance(v, dict):
+            out[k] = json.dumps(v, sort_keys=True)
+        elif isinstance(v, list):
+            out[k] = [
+                x if isinstance(x, str) else json.dumps(x, sort_keys=True)
+                for x in v
+            ]
+        else:
+            out[k] = v
+    return out
 
 
 def read_bundle_objects(spark: SparkSession, paths) -> DataFrame:
@@ -50,7 +102,9 @@ def read_bundle_objects(spark: SparkSession, paths) -> DataFrame:
 
 
 def flatten_objects(objects_df: DataFrame) -> DataFrame:
-    """(json string) rows -> (otype, flattened record json) rows.
+    """(json string) rows -> (otype, flattened record json) rows, plus one
+    ``SCHEMA_MARKER`` row per (partition-batch, type) carrying the observed
+    column kinds.
 
     Arrow-batched: each worker flattens its partition's observations with
     the identical kernel the driver-side path uses, so both ingest paths
@@ -60,14 +114,112 @@ def flatten_objects(objects_df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_t, out_r = [], []
+            kinds: dict[str, dict[str, set]] = {}
             for raw in pdf["value"]:
                 obj = json.loads(raw)
                 for rec in flatten(obj):
-                    out_t.append(rec["type"])
-                    out_r.append(json.dumps(rec, default=str))
+                    canon = _canonicalize(rec)
+                    t = canon["type"]
+                    kmap = kinds.setdefault(t, {})
+                    for k, v in canon.items():
+                        if k == "type":
+                            continue
+                        s = kmap.setdefault(k, set())
+                        if v is not None:
+                            s.add(_kind(v))
+                    out_t.append(t)
+                    out_r.append(json.dumps(canon, default=str))
+            for t, cols in kinds.items():
+                out_t.append(SCHEMA_MARKER)
+                out_r.append(
+                    json.dumps(
+                        {"otype": t, "cols": {c: sorted(ks) for c, ks in cols.items()}}
+                    )
+                )
             yield pd.DataFrame({"otype": out_t, "record": out_r})
 
     return objects_df.mapInPandas(run, schema=_FLAT_SCHEMA)
+
+
+def _merge_fragments(frag_rows) -> dict:
+    """Merge per-partition kind fragments -> {otype: {col: set(kinds)}}."""
+    merged: dict[str, dict[str, set]] = {}
+    for raw in frag_rows:
+        d = json.loads(raw)
+        cols = merged.setdefault(d["otype"], {})
+        for c, ks in d["cols"].items():
+            cols.setdefault(c, set()).update(ks)
+    return merged
+
+
+def _type_schema(cols: dict) -> StructType:
+    """Kind sets -> Spark schema; the same lattice as storage._infer_field
+    (timestamp props stay strings here — ingest_dataframe converts them,
+    exactly as it did for the inferred-schema path)."""
+    fields = []
+    for c in sorted(cols):
+        ks = cols[c]
+        if ks == {"bool"}:
+            t = BooleanType()
+        elif ks == {"int"}:
+            t = LongType()
+        elif ks and ks <= {"int", "float"}:
+            t = DoubleType()
+        elif ks == {"list"}:
+            t = ArrayType(StringType())
+        else:
+            # mixed kinds / all-null / text: from_json renders any token as
+            # its text when the target is string (verified: numbers, objects,
+            # arrays all arrive as raw JSON text, not null)
+            t = StringType()
+        fields.append(StructField(c, t))
+    return StructType(fields)
+
+
+def ingest_flat(
+    storage,
+    flat: DataFrame,
+    query_id: str,
+    max_concurrent_types: int = 4,
+):
+    """Merge a ``flatten_objects`` output frame into the warehouse.
+
+    Shared by batch (:func:`cache_distributed`) and streaming
+    (streaming/ingest.py) — one fragment-collect over the persisted flat
+    frame, then one ``from_json`` parse scan per type.  Per-type parse/
+    merge/write jobs are independent Spark jobs, so they run concurrently
+    from a small driver thread pool — type count (~10) rather than data
+    size bounds the win, and the batch-partition write path needs no
+    cross-type coordination.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    flat = flat.persist()
+    try:
+        frags = [
+            r[0]
+            for r in flat.filter(F.col("otype") == SCHEMA_MARKER)
+            .select("record")
+            .collect()
+        ]
+        merged = _merge_fragments(frags)
+
+        def ingest_one(otype: str):
+            cols = merged[otype]
+            if not cols:
+                return
+            schema = _type_schema(cols)
+            type_df = (
+                flat.filter(F.col("otype") == otype)
+                .select(F.from_json("record", schema).alias("r"))
+                .select("r.*")
+            )
+            storage.ingest_dataframe(otype, type_df, str(query_id))
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_types) as pool:
+            list(pool.map(ingest_one, sorted(merged)))
+    finally:
+        flat.unpersist()
 
 
 def cache_distributed(
@@ -77,29 +229,14 @@ def cache_distributed(
     repartition: int | None = None,
     max_concurrent_types: int = 4,
 ):
-    """Distributed equivalent of ``storage.cache`` for large bundle sets.
-
-    Per-type parse/merge/write jobs are independent Spark jobs over the
-    persisted flat index, so they run concurrently from a small driver
-    thread pool — type count (~10) rather than data size bounds the win,
-    and the batch-partition write path needs no cross-type coordination.
-    """
-    from concurrent.futures import ThreadPoolExecutor
-
+    """Distributed equivalent of ``storage.cache`` for large bundle sets."""
     spark = storage.spark
     objects = read_bundle_objects(spark, paths)
     if repartition:
         objects = objects.repartition(repartition)
-    flat = flatten_objects(objects).persist()
-    try:
-        types = [r[0] for r in flat.select("otype").distinct().collect()]
-
-        def ingest_one(otype: str):
-            recs = flat.filter(F.col("otype") == otype).select("record")
-            type_df = spark.read.json(recs.rdd.map(lambda r: r[0]))
-            storage.ingest_dataframe(otype, type_df, str(query_id))
-
-        with ThreadPoolExecutor(max_workers=max_concurrent_types) as pool:
-            list(pool.map(ingest_one, types))
-    finally:
-        flat.unpersist()
+    ingest_flat(
+        storage,
+        flatten_objects(objects),
+        str(query_id),
+        max_concurrent_types=max_concurrent_types,
+    )

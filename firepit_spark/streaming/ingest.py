@@ -14,10 +14,10 @@ import json
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.types import StringType, StructField, StructType
 
-from firepit_spark.sources.bundles import flatten_objects
+from firepit_spark.sources.bundles import flatten_objects, ingest_flat
 
 _BUNDLE_SCHEMA = StructType([StructField("value", StringType())])
 
@@ -52,15 +52,8 @@ def stream_bundles(
                 yield pd.DataFrame({"value": out})
 
         objects = batch_df.mapInPandas(explode_bundle, schema=_BUNDLE_SCHEMA)
-        flat = flatten_objects(objects).persist()
-        try:
-            types = [r[0] for r in flat.select("otype").distinct().collect()]
-            for otype in types:
-                recs = flat.filter(F.col("otype") == otype).select("record")
-                type_df = spark.read.json(recs.rdd.map(lambda r: r[0]))
-                storage.ingest_dataframe(otype, type_df, f"{query_id}-{epoch_id}")
-        finally:
-            flat.unpersist()
+        # same single-scan-schema merge path as batch cache_distributed
+        ingest_flat(storage, flatten_objects(objects), f"{query_id}-{epoch_id}")
 
     writer = raw.writeStream.foreachBatch(handle_batch).outputMode("append")
     if checkpoint_dir:

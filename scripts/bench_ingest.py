@@ -1,0 +1,62 @@
+"""Ingest-throughput microbenchmark for the distributed bundle path.
+
+Writes 16 synthetic bundle files x 1000 observations (the BASELINE.md
+configuration), then times cache_distributed end-to-end on local[32].
+
+Usage: python scripts/bench_ingest.py [n_files] [obs_per_file]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, ".")
+
+
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n_obs = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+
+    from firepit_spark.session import build_spark
+    from firepit_spark.sources.bundles import cache_distributed
+    from firepit_spark.storage import SparkStorage
+    from tests.conftest import make_bundle
+
+    spark = build_spark("bench_ingest")
+    tmp = Path(tempfile.mkdtemp())
+    bundles = tmp / "bundles"
+    bundles.mkdir()
+    for i in range(n_files):
+        b = make_bundle(n_obs)
+        # perturb ids per file so files don't fully dedup into one
+        for o in b["objects"]:
+            if o["type"] == "observed-data":
+                o["id"] = o["id"][:-4] + f"{i:04d}"
+        (bundles / f"b{i:02d}.json").write_text(json.dumps(b))
+
+    st = SparkStorage(str(tmp / "wh"), spark=spark)
+    t0 = time.time()
+    cache_distributed(st, "bench", str(bundles / "*.json"))
+    dt = time.time() - t0
+    total = n_files * n_obs
+    print(
+        json.dumps(
+            {
+                "metric": "ingest_obs_per_sec",
+                "value": round(total / dt, 1),
+                "unit": "obs/s",
+                "obs": total,
+                "sec": round(dt, 2),
+                "obs_rows": st.count("observed-data"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
