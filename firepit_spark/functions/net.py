@@ -1,10 +1,16 @@
 """Network predicates as native Catalyst expressions.
 
 The reference implements CIDR membership as a per-row Python/SQL UDF
-(``in_subnet``: firepit/sqlitestorage.py:54-61, firepit/pgcommon.py:45-48).
-Here it is pure column arithmetic — splittable, codegen-friendly, and it
-keeps predicate pushdown available, which matters at 100 TB where a UDF
-would force a full scan + Python round-trip.
+(``in_subnet``: firepit/sqlitestorage.py:54-61, firepit/pgcommon.py:45-48)
+and only for IPv4 (firepit/stix20.py:24-39 has "#TODO: ipv6-addr").
+Here both families are pure column arithmetic — splittable,
+codegen-friendly, and predicate pushdown stays available, which matters at
+100 TB where a UDF would force a full scan + Python round-trip:
+
+- IPv4 packs to a 32-bit long; membership is one BETWEEN.
+- IPv6 normalizes to the 32-digit zero-padded hex expansion, where
+  lexicographic string order equals numeric order, so membership is a
+  BETWEEN on strings (constant-length, whole-stage-codegen friendly).
 """
 
 from __future__ import annotations
@@ -27,16 +33,115 @@ def ipv4_to_long(col: Column) -> Column:
     return F.when(valid, value)
 
 
+def ipv6_to_hex(col: Column) -> Column:
+    """IPv6 string -> normalized 32-char lowercase hex string (NULL if not
+    a valid IPv6 address).  Handles ``::`` zero-compression and embedded
+    IPv4 tails (``::ffff:192.168.0.1``).  Lexicographic order on the result
+    equals numeric order on the 128-bit value."""
+    s = F.lower(F.trim(col))
+    # embedded dotted-quad tail -> two hex groups
+    v4_tail = F.regexp_extract(s, r"(\d{1,3}(?:\.\d{1,3}){3})$", 1)
+    v4_long = ipv4_to_long(v4_tail)
+    tail_hex = F.concat(
+        F.lpad(F.lower(F.conv((v4_long / 65536).cast("long").cast("string"), 10, 16)), 4, "0"),
+        F.lit(":"),
+        F.lpad(F.lower(F.conv((v4_long % 65536).cast("string"), 10, 16)), 4, "0"),
+    )
+    s = F.when(
+        v4_long.isNotNull() & s.contains(":"),
+        F.concat(F.regexp_replace(s, r"\d{1,3}(\.\d{1,3}){3}$", ""), tail_hex),
+    ).otherwise(s)
+    halves = F.split(s, "::", -1)
+    left = F.filter(
+        F.split(F.element_at(halves, 1), ":", -1), lambda x: x != F.lit("")
+    )
+    right = F.when(
+        F.size(halves) == 2,
+        F.filter(F.split(F.element_at(halves, 2), ":", -1), lambda x: x != F.lit("")),
+    ).otherwise(F.array().cast("array<string>"))
+    missing = F.greatest(F.lit(0), F.lit(8) - F.size(left) - F.size(right))
+    groups = F.when(
+        F.size(halves) == 2,
+        F.concat(left, F.array_repeat(F.lit("0"), missing), right),
+    ).otherwise(left)
+    ok = (
+        (F.size(halves) <= 2)
+        & (F.size(groups) == 8)
+        & F.forall(groups, lambda g: g.rlike("^[0-9a-f]{1,4}$"))
+    )
+    hexstr = F.concat_ws("", F.transform(groups, lambda g: F.lpad(g, 4, "0")))
+    return F.when(ok, hexstr)
+
+
+def _strip_prefix(col: Column) -> Column:
+    """'net/len' -> 'net'; plain addresses pass through.  Mirrors the
+    reference UDF's CIDR-column handling, which reduces a network value to
+    its network address (firepit/sqlitestorage.py:55-57)."""
+    return F.element_at(F.split(col, "/"), 1)
+
+
 def in_subnet(col: Column, cidr: str) -> Column:
-    """True when the IPv4 string in ``col`` is inside ``cidr``.
+    """True when the IP string in ``col`` is inside ``cidr`` (STIX ISSUBSET).
 
     The network bounds are computed driver-side once; the row-side test is a
-    single BETWEEN on the packed integer.
+    single BETWEEN on the packed integer (v4) or on the fixed-width hex
+    expansion (v6).
     """
     net = ipaddress.ip_network(str(cidr), strict=False)
-    if net.version != 4:
-        raise NotImplementedError("ISSUBSET currently supports IPv4 CIDRs")
-    lo = int(net.network_address)
-    hi = int(net.broadcast_address)
-    packed = ipv4_to_long(col)
-    return packed.isNotNull() & packed.between(F.lit(lo), F.lit(hi))
+    base = _strip_prefix(col)
+    if net.version == 4:
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        packed = ipv4_to_long(base)
+        return packed.isNotNull() & packed.between(F.lit(lo), F.lit(hi))
+    lo = format(int(net.network_address), "032x")
+    hi = format(int(net.broadcast_address), "032x")
+    packed6 = ipv6_to_hex(base)
+    return packed6.isNotNull() & packed6.between(F.lit(lo), F.lit(hi))
+
+
+def subnet_contains(col: Column, addr: str) -> Column:
+    """True when the network in ``col`` (a CIDR string, or a plain address
+    treated as /32 resp. /128) contains ``addr`` (STIX ISSUPERSET).
+
+    Reference semantics: ISSUPERSET flips in_subnet's arguments
+    (firepit/stix20.py:32-39), and a CIDR-shaped ``addr`` contributes its
+    network address (firepit/sqlitestorage.py:54-61).  The per-row network
+    prefix makes this a masked-equality test instead of a constant BETWEEN;
+    everything is still expression-level arithmetic (power-of-two modular
+    masking — no bit-shift builtins needed, so no UDF).
+    """
+    a = ipaddress.ip_network(str(addr), strict=False)
+    parts = F.split(col, "/")
+    if a.version == 4:
+        addr_int = int(a.network_address)
+        base = ipv4_to_long(F.element_at(parts, 1))
+        prefix = F.when(
+            F.size(parts) == 2, F.element_at(parts, 2).cast("int")
+        ).otherwise(F.lit(32))
+        # span = 2^(32-prefix); network = base with host bits cleared
+        span = F.pow(F.lit(2.0), F.lit(32) - prefix).cast("long")
+        network = base - (base % span)
+        return (
+            base.isNotNull()
+            & prefix.between(0, 32)
+            & (F.lit(addr_int) >= network)
+            & (F.lit(addr_int) < network + span)
+        )
+    addr_hex = format(int(a.network_address), "032x")
+    base_hex = ipv6_to_hex(F.element_at(parts, 1))
+    prefix = F.when(
+        F.size(parts) == 2, F.element_at(parts, 2).cast("int")
+    ).otherwise(F.lit(128))
+    nibbles = (prefix / F.lit(4)).cast("int")
+    rem_bits = prefix % F.lit(4)
+    full_eq = F.substring(F.lit(addr_hex), F.lit(1), nibbles) == F.substring(
+        base_hex, F.lit(1), nibbles
+    )
+    # partial nibble: compare the top rem_bits of the next hex digit
+    den = F.pow(F.lit(2.0), F.lit(4) - rem_bits).cast("int")
+    nxt_a = F.conv(F.substring(F.lit(addr_hex), nibbles + 1, F.lit(1)), 16, 10).cast("int")
+    nxt_b = F.conv(F.substring(base_hex, nibbles + 1, F.lit(1)), 16, 10).cast("int")
+    rem_eq = (rem_bits == 0) | (
+        (nxt_a / den).cast("int") == (nxt_b / den).cast("int")
+    )
+    return base_hex.isNotNull() & prefix.between(0, 128) & full_eq & rem_eq

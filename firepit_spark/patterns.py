@@ -265,11 +265,15 @@ def _leaf_predicate(sco_type: str, prop: str, op: str, value):
         return _list_prop_predicate(prop, op, value)
     if prop.endswith("payload_bin") and op.lstrip("NOT ") in ("LIKE", "MATCHES"):
         return _payload_bin_predicate(prop, op, value)
-    if op in ("ISSUPERSET", "NOT ISSUPERSET"):
-        # value is the address, column is the CIDR: rarely used; evaluate as
-        # membership of the literal in each row's network via driver-side
-        # flip only when the column holds a single CIDR string — defer
-        raise StixPatternError("ISSUPERSET is not supported yet")
+    if op.lstrip("NOT ") in ("ISSUBSET", "ISSUPERSET"):
+        # the reference restricts both to address SCOs / ref'd address
+        # values and raises otherwise (firepit/stix20.py:24-39); it is
+        # IPv4-only there — the v6 extension is ours (functions/net.py)
+        if sco_type not in ("ipv4-addr", "ipv6-addr") and prop not in (
+            "src_ref.value",
+            "dst_ref.value",
+        ):
+            raise StixPatternError(f"{op} not supported for SCO type {sco_type}")
     return Predicate(prop, op, value)
 
 

@@ -44,6 +44,8 @@ COMP_OPS = [
     "NOT MATCHES",
     "ISSUBSET",
     "NOT ISSUBSET",
+    "ISSUPERSET",
+    "NOT ISSUPERSET",
 ]
 PRED_OPS = ["AND", "OR"]
 JOIN_TYPES = ["INNER", "OUTER", "LEFT OUTER", "RIGHT OUTER", "CROSS"]
@@ -232,6 +234,11 @@ class Predicate:
 
             cond = in_subnet(lhs, rhs)
             return cond if op == "ISSUBSET" else ~cond
+        if op in ("ISSUPERSET", "NOT ISSUPERSET"):
+            from firepit_spark.functions.net import subnet_contains
+
+            cond = subnet_contains(lhs, rhs)
+            return cond if op == "ISSUPERSET" else ~cond
         raise InvalidQuery(f"unhandled op: {op}")
 
 

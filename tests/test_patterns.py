@@ -76,6 +76,51 @@ def test_compile_issubset(spark):
     assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
 
 
+def test_compile_issubset_ipv6(spark):
+    df = spark.createDataFrame(
+        [("a", "2001:db8::5"), ("b", "2001:db9::5"), ("c", "fe80::1")],
+        ["id", "value"],
+    )
+    filters = compile_pattern(
+        "[ipv6-addr:value ISSUBSET '2001:db8::/32']", "ipv6-addr"
+    )
+    assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
+
+
+def test_compile_issuperset(spark):
+    # column holds networks; pattern asks which contain the literal address
+    # (reference semantics: in_subnet with flipped args, firepit/stix20.py:32-39)
+    df = spark.createDataFrame(
+        [("a", "10.0.0.0/8"), ("b", "10.2.0.0/16"), ("c", "192.168.0.0/24")],
+        ["id", "value"],
+    )
+    filters = compile_pattern(
+        "[ipv4-addr:value ISSUPERSET '10.1.2.3']", "ipv4-addr"
+    )
+    assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
+
+
+def test_compile_issuperset_ipv6(spark):
+    df = spark.createDataFrame(
+        [("a", "2001:db8::/32"), ("b", "2001:db8:1::/48"), ("c", "2001:db9::/32")],
+        ["id", "value"],
+    )
+    filters = compile_pattern(
+        "[ipv6-addr:value ISSUPERSET '2001:db8::1']", "ipv6-addr"
+    )
+    assert [r.id for r in df.filter(filters[0].to_spark()).collect()] == ["a"]
+
+
+def test_issubset_restricted_to_addr_types():
+    # reference raises for non-address SCO types (firepit/stix20.py:26-39)
+    import pytest
+
+    from firepit_spark.exceptions import StixPatternError
+
+    with pytest.raises(StixPatternError):
+        compile_pattern("[url:value ISSUPERSET '10.0.0.0/8']", "url")
+
+
 def test_compile_matches(spark):
     df = spark.createDataFrame([("a", "foo123"), ("b", "bar")], ["id", "value"])
     filters = compile_pattern(r"[url:value MATCHES '\\d+']", "url")
