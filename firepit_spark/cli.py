@@ -87,6 +87,36 @@ def main(argv=None):
     p.add_argument("name")
     p.add_argument("views", nargs="+")
 
+    # load/reassign/rename/timestamped/number-observed mirror the reference
+    # CLI (firepit/cli.py:259-355)
+    p = sub.add_parser("load", help="load JSON/CSV objects as a view", parents=[common])
+    p.add_argument("name")
+    p.add_argument("filename")
+    p.add_argument("--sco-type", default=None)
+    p.add_argument("--query-id", default=None)
+    p.add_argument("--no-preserve-ids", action="store_true")
+
+    p = sub.add_parser("reassign", help="update/replace view data", parents=[common])
+    p.add_argument("name")
+    p.add_argument("filename")
+
+    p = sub.add_parser("rename", help="rename a view", parents=[common])
+    p.add_argument("oldname")
+    p.add_argument("newname")
+
+    p = sub.add_parser("timestamped", help="rows with observation timestamps", parents=[common])
+    p.add_argument("name")
+    p.add_argument("columns", nargs="*")
+    p.add_argument("--value", default=None)
+    p.add_argument("--timestamp", default="first_observed",
+                   choices=["first_observed", "last_observed"])
+    p.add_argument("--limit", type=int)
+
+    p = sub.add_parser("number-observed", help="SUM(number_observed) for a path", parents=[common])
+    p.add_argument("name")
+    p.add_argument("column")
+    p.add_argument("--value", default=None)
+
     p = sub.add_parser("group", help="group a view by a path", parents=[common])
     p.add_argument("name")
     p.add_argument("source")
@@ -236,6 +266,33 @@ def main(argv=None):
     elif cmd == "merge":
         store.merge(args.name, args.views)
         _persist(args.name)
+    elif cmd == "load":
+        # JSON first, CSV fallback — reference behavior (firepit/cli.py:259-275)
+        try:
+            with open(args.filename) as fp:
+                data = json.load(fp)
+        except ValueError:
+            with open(args.filename) as fp:
+                data = list(csvmod.DictReader(fp))
+        store.load(
+            args.name, data, args.sco_type, args.query_id,
+            preserve_ids=not args.no_preserve_ids,
+        )
+        _persist(args.name)
+    elif cmd == "reassign":
+        with open(args.filename) as fp:
+            data = json.load(fp)
+        store.reassign(args.name, data)
+        _persist(args.name)
+    elif cmd == "rename":
+        store.rename_view(args.oldname, args.newname)
+    elif cmd == "timestamped":
+        rows = store.timestamped(
+            args.name, args.columns or None, args.value, args.timestamp, args.limit
+        )
+        print_rows(rows, fmt)
+    elif cmd == "number-observed":
+        print(store.number_observed(args.name, args.column, args.value))
     elif cmd == "group":
         store.group(args.name, args.source, args.by)
         _persist(args.name)

@@ -85,6 +85,12 @@ class ViewDef:
     # (the reference scrapes ORDER BY from the stored viewdef text instead,
     # firepit/sqlstorage.py:607-621)
     sort: tuple | None = None
+    # JSON-serializable recipe for rebuilding this view in a later process
+    # (the Parquet-warehouse analog of the reference's stored view DDL,
+    # firepit/sqlstorage.py:150-170): {"op": "extract"|"filter"|..., params}.
+    # None when the definition is closure-only (DSL queries, self-
+    # redefinition snapshots) — those fall back to the materialized parquet.
+    spec: dict | None = None
 
 
 class SparkStorage:
@@ -113,6 +119,8 @@ class SparkStorage:
         if os.path.exists(self._symtable_path):
             with open(self._symtable_path) as fp:
                 self._meta = json.load(fp)
+        # cycle guard for replaying persisted view recipes (_rebuild_view)
+        self._rebuilding: set[str] = set()
 
     # ---------------------------------------------------------------- tables
 
@@ -162,6 +170,10 @@ class SparkStorage:
             "type": live.sco_type if live else old.get("type"),
             "appdata": live.appdata if live else old.get("appdata"),
             "sort": list(live.sort) if live and live.sort else old.get("sort"),
+            # rebuild recipe: later processes re-register the view LIVE from
+            # this (so table updates flow through, as with the reference's
+            # DB views); the parquet above is only the closure-only fallback
+            "def": live.spec if live else old.get("def"),
         }
         self._save_meta()
 
@@ -283,10 +295,46 @@ class SparkStorage:
     def _resolve(self, name: str) -> DataFrame:
         if name in self._views:
             return self._views[name].builder()
+        spec = self._meta.get(name, {}).get("def")
+        if spec and name not in self._rebuilding:
+            self._rebuilding.add(name)
+            try:
+                self._rebuild_view(name, spec)
+                if name in self._views:
+                    return self._views[name].builder()
+            except Exception:
+                # stale/unusable recipe: fall back to the snapshot
+                self._views.pop(name, None)
+            finally:
+                self._rebuilding.discard(name)
         mat = os.path.join(self.views_dir, name)
         if name in self._meta and os.path.exists(mat):
             return self.spark.read.parquet(mat)
         return self.table_df(name)
+
+    def _rebuild_view(self, name: str, spec: dict):
+        """Re-register a persisted view definition as a live view (the
+        reference reloads view DDL from the DB; this replays the stored op
+        recipe so cross-process views see current table data)."""
+        op = spec.get("op")
+        if op == "extract":
+            self.extract(name, spec["sco_type"], spec["query_id"], spec["pattern"],
+                         honor_qualifiers=spec.get("honor_qualifiers", False))
+        elif op == "filter":
+            self.filter(name, spec["sco_type"], spec["input_view"], spec["pattern"],
+                        honor_qualifiers=spec.get("honor_qualifiers", False))
+        elif op == "merge":
+            self.merge(name, list(spec["views"]))
+        elif op == "join":
+            self.join(name, spec["l_var"], spec["l_val"], spec["r_var"], spec["r_val"])
+        elif op == "group":
+            self.group(name, spec["source"], list(spec["by"]))
+        elif op == "assign":
+            self.assign(name, spec["on"], op=spec.get("assign_op"),
+                        by=spec.get("by"), ascending=spec.get("ascending", True),
+                        limit=spec.get("limit"))
+        else:
+            raise ValueError(f"unknown view spec op: {op}")
 
     def get_df(self, name: str) -> DataFrame:
         """Public resolver: view or table -> DataFrame."""
@@ -382,6 +430,13 @@ class SparkStorage:
             recs = [dict(o) for o in objects]
             self._write_type_batch(viewname, recs, None)
             self._views.pop(viewname, None)
+            if viewname in self._meta:
+                # drop any persisted recipe/snapshot: the table IS the data now
+                del self._meta[viewname]
+                self._save_meta()
+                mat = os.path.join(self.views_dir, viewname)
+                if os.path.exists(mat):
+                    shutil.rmtree(mat)
 
     def enrich(self, otype: str, df: DataFrame):
         """Distributed enrichment write-back: ``df`` carries ``id`` plus new
@@ -582,11 +637,12 @@ class SparkStorage:
 
     # ----------------------------------------------------------------- views
 
-    def _register(self, name, sco_type, builder, deps, sort=None):
+    def _register(self, name, sco_type, builder, deps, sort=None, spec=None):
         validate_name(name)
         if name in self._views and name in deps:
             # self-redefinition: snapshot the old definition (copy-on-write
-            # parity with the reference's table-rename trick)
+            # parity with the reference's table-rename trick); the snapshot
+            # closure is process-local, so no rebuild spec
             frozen = self._views[name]
             old_builder = frozen.builder
 
@@ -599,7 +655,7 @@ class SparkStorage:
         else:
             appdata = self._views[name].appdata if name in self._views else None
             self._views[name] = ViewDef(
-                sco_type, lambda: builder(self._resolve), appdata=appdata, deps=deps, sort=sort
+                sco_type, lambda: builder(self._resolve), appdata=appdata, deps=deps, sort=sort, spec=spec
             )
 
     def assign_query(self, viewname: str, query: Query, sco_type: str | None = None):
@@ -668,7 +724,11 @@ class SparkStorage:
                 q.append(flt)
             return q._apply_filters(df.alias(sco_type), q.where, resolve)
 
-        self._register(viewname, sco_type, build, deps=[sco_type])
+        self._register(
+            viewname, sco_type, build, deps=[sco_type],
+            spec={"op": "extract", "sco_type": sco_type, "query_id": qid,
+                  "pattern": pattern, "honor_qualifiers": honor_qualifiers},
+        )
 
     def filter(
         self,
@@ -697,7 +757,11 @@ class SparkStorage:
                 q.append(flt)
             return q._apply_filters(df.alias(sco_type), q.where, resolve)
 
-        self._register(viewname, sco_type, build, deps=[input_view])
+        self._register(
+            viewname, sco_type, build, deps=[input_view],
+            spec={"op": "filter", "sco_type": sco_type, "input_view": input_view,
+                  "pattern": pattern, "honor_qualifiers": honor_qualifiers},
+        )
 
     def _obs_time_filter(self, df: DataFrame, time_range, resolve) -> DataFrame:
         """Keep rows whose containing observation overlaps [start, stop]."""
@@ -727,7 +791,10 @@ class SparkStorage:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out.distinct()
 
-        self._register(viewname, types.pop(), build, deps=list(input_views))
+        self._register(
+            viewname, types.pop(), build, deps=list(input_views),
+            spec={"op": "merge", "views": list(input_views)},
+        )
 
     def join(self, viewname: str, l_var: str, l_val: str, r_var: str, r_val: str):
         """View-level inner equi-join; shared columns merged with IFNULL
@@ -750,7 +817,11 @@ class SparkStorage:
                 r, F.col(f"l.`{l_val}`") == F.col(f"r.`{r_val}`"), "inner"
             ).select(*exprs)
 
-        self._register(viewname, self.table_type(l_var), build, deps=[l_var, r_var])
+        self._register(
+            viewname, self.table_type(l_var), build, deps=[l_var, r_var],
+            spec={"op": "join", "l_var": l_var, "l_val": l_val,
+                  "r_var": r_var, "r_val": r_val},
+        )
 
     def group(self, newname: str, viewname: str, by, aggs=None, bins=None):
         """Group a view by STIX paths with auto or explicit aggs
@@ -801,7 +872,12 @@ class SparkStorage:
                 .orderBy(*[F.col(f"`{n}`") for n in names])
             )
 
-        self._register(newname, sco_type, build, deps=[viewname])
+        # recipe only for the plain-path form (BinnedColumn/explicit aggs are
+        # closure-only; those views fall back to their parquet snapshot)
+        plain_spec = None
+        if aggs is None and bins is None and all(isinstance(i, str) for i in by):
+            plain_spec = {"op": "group", "source": viewname, "by": list(by)}
+        self._register(newname, sco_type, build, deps=[viewname], spec=plain_spec)
 
     def assign(self, viewname, on, op=None, by=None, ascending=True, limit=None):
         """Legacy sort/group op (parity: firepit/sqlstorage.py:446-469)."""
@@ -828,7 +904,11 @@ class SparkStorage:
             return df
 
         sort = (by, ascending) if op == "sort" and by else None
-        self._register(viewname, sco_type, build, deps=[on], sort=sort)
+        self._register(
+            viewname, sco_type, build, deps=[on], sort=sort,
+            spec={"op": "assign", "on": on, "assign_op": op, "by": by,
+                  "ascending": ascending, "limit": limit},
+        )
 
     # -------------------------------------------------------------- retrieval
 

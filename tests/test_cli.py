@@ -1,0 +1,87 @@
+"""CLI smoke tests (the reference CLI is covered by its own test suite;
+these drive the argparse wiring in-process against a tmp warehouse)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from firepit_spark import cli
+from tests.conftest import make_bundle
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    """A warehouse dir with the synthetic bundle cached via the CLI."""
+    bundle_file = tmp_path / "bundle.json"
+    bundle_file.write_text(json.dumps(make_bundle(50)))
+    db = str(tmp_path / "wh")
+    cli.main(["--dbname", db, "cache", "q1", str(bundle_file)])
+    return db
+
+
+def test_cli_extract_count(wh, capsys):
+    cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
+    cli.main(["--dbname", wh, "count", "urls"])
+    out = capsys.readouterr().out.strip()
+    assert int(out) > 0
+
+
+def test_cli_load_csv_and_json(wh, tmp_path, capsys):
+    csv_file = tmp_path / "users.csv"
+    csv_file.write_text("user_id\nalice\nbob\n")
+    cli.main(
+        ["--dbname", wh, "load", "users", str(csv_file), "--sco-type", "user-account"]
+    )
+    cli.main(["--dbname", wh, "count", "users"])
+    assert int(capsys.readouterr().out.strip()) == 2
+
+    json_file = tmp_path / "ips.json"
+    json_file.write_text(
+        json.dumps([{"type": "ipv4-addr", "value": "10.9.9.9"}])
+    )
+    cli.main(["--dbname", wh, "load", "ips", str(json_file)])
+    cli.main(["--dbname", wh, "count", "ips"])
+    assert int(capsys.readouterr().out.strip()) == 1
+
+
+def test_cli_reassign(wh, tmp_path, capsys):
+    """reassign refreshes an existing view with enriched objects
+    (reference firepit/sqlstorage.py:504-539: id-carrying objects are
+    upserted and the view recreated)."""
+    cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
+    from firepit_spark import get_storage
+
+    store = get_storage(wh, "cli")
+    rows = store.lookup("urls", limit=2)
+    for r in rows:
+        r["risk"] = "high"
+    data_file = tmp_path / "update.json"
+    data_file.write_text(json.dumps(rows, default=str))
+    cli.main(["--dbname", wh, "reassign", "urls", str(data_file)])
+    cli.main(["--dbname", wh, "lookup", "urls", "--format", "json"])
+    out = json.loads(capsys.readouterr().out)
+    enriched = [r for r in out if r.get("risk") == "high"]
+    assert len(enriched) == 2
+
+
+def test_cli_rename(wh, capsys):
+    cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
+    cli.main(["--dbname", wh, "rename", "urls", "renamed_urls"])
+    cli.main(["--dbname", wh, "views"])
+    lines = capsys.readouterr().out.split()
+    assert "renamed_urls" in lines and "urls" not in lines
+
+
+def test_cli_timestamped(wh, capsys):
+    cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
+    cli.main(["--dbname", wh, "timestamped", "urls", "--format", "json"])
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and all("first_observed" in r for r in rows)
+
+
+def test_cli_number_observed(wh, capsys):
+    cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
+    cli.main(["--dbname", wh, "number-observed", "urls", "value"])
+    assert int(capsys.readouterr().out.strip()) > 0

@@ -82,7 +82,41 @@ def test_lookup_deref(store):
     assert sample["type"] == "network-traffic"
 
 
-def test_lookup_paging_matches_full(store):
+def test_view_spec_rebuilds_live_across_processes(store):
+    """A materialized view re-registers LIVE from its persisted recipe in a
+    new storage instance, so later table updates flow through (reference
+    views are DB views and behave this way; the parquet snapshot is only a
+    fallback for closure-only definitions)."""
+    import copy
+
+    from firepit_spark.storage import SparkStorage
+    from tests.conftest import make_bundle
+
+    store.extract("urls", "url", "q1", "[url:value LIKE '%page/1%']")
+    store.materialize("urls")
+    n_before = store.count("urls")
+
+    # a second batch lands AFTER materialization
+    st2 = SparkStorage(store.path, spark=store.spark)
+    st2.cache("q1", copy.deepcopy(make_bundle(100)))  # same ids, no-op
+    extra = {
+        "type": "bundle",
+        "id": "bundle--extra",
+        "objects": [
+            {"type": "identity", "id": "identity--9", "name": "x"},
+            {
+                "type": "observed-data",
+                "id": "observed-data--extra1",
+                "created_by_ref": "identity--9",
+                "first_observed": "2024-05-02T00:00:00Z",
+                "last_observed": "2024-05-02T00:00:00Z",
+                "number_observed": 1,
+                "objects": {"0": {"type": "url", "value": "http://new.example.com/page/1"}},
+            },
+        ],
+    }
+    st2.cache("q1", extra)
+    assert st2.count("urls") == n_before + 1  # live rebuild, not stale snapshot
     """Paged lookup over a multi-batch store equals the unbounded lookup —
     and the unbounded path streams partitions rather than one full collect."""
     import copy
