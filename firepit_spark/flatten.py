@@ -76,10 +76,19 @@ def upgrade_2021(obs: dict) -> list:
         for prop, val in list(obj.items()):
             if prop.endswith("_ref"):
                 if isinstance(val, str) and val.isdigit():
-                    obj[prop] = ref_map[val]
+                    # guard: a malformed bundle can reference a nonexistent
+                    # object index — drop the dangling ref instead of raising
+                    if val in ref_map:
+                        obj[prop] = ref_map[val]
+                    else:
+                        del obj[prop]
             elif prop.endswith("_refs"):
                 vals = val if isinstance(val, list) else [val]
-                refs = [ref_map[v] for v in vals if isinstance(v, str) and v.isdigit()]
+                refs = [
+                    ref_map[v]
+                    for v in vals
+                    if isinstance(v, str) and v.isdigit() and v in ref_map
+                ]
                 if refs:
                     obj[prop] = refs
                 else:
@@ -210,6 +219,7 @@ def flatten(obs: dict) -> list:
         results.append(flat)
 
     # second pass: rewrite 2.0 index refs to ids, drop unresolvable refs
+    drop_rows = []
     for obj in results:
         if obj["type"] in (CONTAINS, "relationship"):
             continue
@@ -220,6 +230,11 @@ def flatten(obs: dict) -> list:
                     obj[prop] = ref_map[val]
                 else:
                     dangling.append(prop)
+        if obj["type"] == REFLIST and dangling:
+            # an edge row with an unresolvable endpoint is malformed —
+            # drop the whole row rather than ingest a partial edge
+            drop_rows.append(id(obj))
+            continue
         for prop in dangling:
             del obj[prop]
 
@@ -237,6 +252,8 @@ def flatten(obs: dict) -> list:
                         _set_rank(results, scos[key]["id"])
                     break
 
+    if drop_rows:
+        results = [r for r in results if id(r) not in drop_rows]
     del obs["objects"]
     results.append(normalize_obj(obs))
     return results

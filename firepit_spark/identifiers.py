@@ -124,11 +124,13 @@ def makeid(sco: dict, observation: dict | None = None) -> str:
         elif prop in sco:
             value = sco[prop]
             if prop.endswith("_ref") and observation:
-                # STIX 2.0: refs are indexes into the observation's objects map
+                # STIX 2.0: refs are indexes into the observation's objects
+                # map; a dangling index contributes nothing (the reference
+                # drops the prop — firepit/stix21.py:73-79)
                 target = observation["objects"].get(value)
                 if target:
                     contrib[prop] = makeid(target)
-                    continue
+                continue
             contrib[prop] = value
 
     if sco_type == "process" and "x_unique_id" not in contrib:

@@ -586,21 +586,36 @@ class SparkStorage:
 
     def _merge_batch_dups(self, otype: str, df: DataFrame) -> DataFrame:
         """Collapse duplicate ids within one batch using upsert semantics
-        (the groupBy-merge shape of firepit/aio/ingest.py:674-677)."""
+        (the groupBy-merge shape of firepit/aio/ingest.py:674-677).
+
+        A monotonic within-batch ordinal makes the merge deterministic
+        last-non-null-wins — matching the reference's sequential upsert
+        (last write wins) and this store's cross-batch ``max_by(batch)``
+        merge — instead of shuffle-order-dependent ``first()``.
+        Observed-data keeps the earliest write (ON CONFLICT DO NOTHING
+        parity), mirroring ``_merge_batches``.
+        """
+        ord_col = "__fp_ord"
+        df = df.withColumn(ord_col, F.monotonically_increasing_id())
+        old_wins = otype == "observed-data"
         aggs = []
         for c in df.columns:
-            if c == "id":
+            if c in ("id", ord_col):
                 continue
-            if c == "first_observed":
-                aggs.append(F.min(c).alias(c))
+            col = F.col(f"`{c}`")
+            ordk = F.when(col.isNotNull(), F.col(ord_col))
+            if old_wins:
+                aggs.append(F.min_by(col, ordk).alias(c))
+            elif c == "first_observed":
+                aggs.append(F.min(col).alias(c))
             elif c == "last_observed":
-                aggs.append(F.max(c).alias(c))
+                aggs.append(F.max(col).alias(c))
             elif c == "number_observed":
-                aggs.append(F.sum(c).alias(c))
+                aggs.append(F.sum(col).alias(c))
             else:
-                aggs.append(F.first(F.col(f"`{c}`"), ignorenulls=True).alias(c))
+                aggs.append(F.max_by(col, ordk).alias(c))
         if not aggs:
-            return df.distinct()
+            return df.drop(ord_col).distinct()
         return df.groupBy("id").agg(*aggs)
 
     def _merge_upsert(self, otype: str, new_df: DataFrame):

@@ -72,6 +72,27 @@ def test_latest_non_null_wins(spark, tmp_path):
     assert r["display_name"] == "Alice X"  # new column via mergeSchema
 
 
+def test_within_batch_last_non_null_wins(spark, tmp_path):
+    # same-id duplicates inside ONE load must merge deterministically
+    # last-non-null-wins (the reference's sequential upsert), matching the
+    # cross-batch max_by(batch) semantics — not shuffle-order first()
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    st.load(
+        "v1",
+        [
+            {"type": "user-account", "user_id": "u1", "home_dir": "/home/a",
+             "display_name": "Old"},
+            {"type": "user-account", "user_id": "u1", "display_name": "New"},
+            {"type": "user-account", "user_id": "u1", "home_dir": "/home/b"},
+        ],
+    )
+    rows = st.table_df("user-account").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["home_dir"] == "/home/b"  # last non-null
+    assert r["display_name"] == "New"  # null in row 3 -> row 2 value survives
+
+
 def test_compaction_preserves_state(spark, tmp_path):
     st = SparkStorage(str(tmp_path / "wh"), spark=spark)
     for i in range(4):

@@ -84,6 +84,33 @@ def test_flatten_21_observed_data():
     assert "object_refs" not in obs
 
 
+def test_upgrade_2021_dangling_refs_skipped():
+    # a malformed 2.0 bundle referencing a nonexistent object index must not
+    # abort the upgrade (KeyError) — dangling refs are dropped
+    from firepit_spark.flatten import upgrade_2021
+
+    obs = {
+        "type": "observed-data",
+        "id": "observed-data--u",
+        "first_observed": "2024-01-01T00:00:00Z",
+        "last_observed": "2024-01-01T00:00:00Z",
+        "number_observed": 1,
+        "objects": {
+            "0": {"type": "ipv4-addr", "value": "1.2.3.4"},
+            "1": {"type": "network-traffic", "src_ref": "0", "dst_ref": "99",
+                  "src_port": 1, "dst_port": 2, "protocols": ["tcp"]},
+            "2": {"type": "domain-name", "value": "a.example",
+                  "resolves_to_refs": ["77"]},
+        },
+    }
+    results = upgrade_2021(obs)
+    nt = next(r for r in results if r["type"] == "network-traffic")
+    assert nt["src_ref"].startswith("ipv4-addr--")
+    assert "dst_ref" not in nt
+    dn = next(r for r in results if r["type"] == "domain-name")
+    assert "resolves_to_refs" not in dn
+
+
 def test_flatten_dangling_ref_dropped():
     obs = {
         "type": "observed-data",

@@ -65,6 +65,22 @@ def test_process_pid_asset_fallback():
     assert a == b
 
 
+def test_dangling_ref_dropped_from_id():
+    # a *_ref whose index target is missing contributes nothing — the
+    # reference drops the prop (firepit/stix21.py:73-79), so the id must
+    # equal the same SCO with the ref absent, not one keyed on the raw index
+    obs = {"objects": {"1": {"type": "network-traffic", "src_ref": "99",
+                             "src_port": 80, "dst_port": 443,
+                             "protocols": ["tcp"]}}}
+    dangling = makeid(obs["objects"]["1"], obs)
+    without = makeid({"type": "network-traffic", "src_port": 80,
+                      "dst_port": 443, "protocols": ["tcp"]})
+    raw_idx = makeid({"type": "network-traffic", "src_ref": "99",
+                      "src_port": 80, "dst_port": 443, "protocols": ["tcp"]})
+    assert dangling == without
+    assert dangling != raw_idx
+
+
 def test_ref_resolution_20():
     obs = {
         "objects": {
