@@ -4,3 +4,22 @@ Everything here is built from ``pyspark.sql.functions`` expressions (JVM-side,
 whole-stage-codegen eligible) unless genuinely impossible, in which case an
 Arrow-batched Pandas UDF is used — never row-at-a-time Python UDFs.
 """
+
+
+def release(df) -> None:
+    """Free intermediate caches attached to a DataFrame returned by an
+    iterative/multi-consumer operator (``ancestors``, ``ngram_jaccard_pairs``).
+
+    Those operators persist intermediates that the returned lazy plan still
+    reads; Spark's CacheManager holds them until explicitly unpersisted, so a
+    long-lived session should call ``release(result)`` after the terminal
+    action. One-shot jobs can skip it (session teardown frees everything).
+    Safe to call on any DataFrame; no-op when nothing is attached.
+    """
+    for cached in getattr(df, "_fp_caches", ()):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    if hasattr(df, "_fp_caches"):
+        df._fp_caches = []

@@ -128,7 +128,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
+    result = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -140,6 +140,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # the persisted shingle frame rides along; long-lived sessions call
+    # firepit_spark.functions.release(result) after the terminal action
+    result._fp_caches = [arr]
+    return result
 
 
 def minhash_signatures(

@@ -32,13 +32,17 @@ def ancestors(
     """
     # each level is persisted: the union output and the next level's join
     # both read it, and the empty-frontier probe would otherwise recompute
-    # the whole join chain once per remaining level (O(depth^2) rework)
+    # the whole join chain once per remaining level (O(depth^2) rework).
+    # The handles ride on the result; long-lived sessions call
+    # firepit_spark.functions.release(result) after the terminal action.
     edges = edges_from(df, ref_col).persist()
+    caches = [edges]
     level = edges.select(
         F.col("child").alias("descendant_id"),
         F.col("parent").alias("ancestor_id"),
         F.lit(1).alias("depth"),
     ).persist()
+    caches.append(level)
     out = level
     for d in range(2, max_depth + 1):
         level = (
@@ -51,15 +55,18 @@ def ancestors(
             )
         ).persist()
         if level.isEmpty():
+            # dead frontier: nothing references it, free it immediately
+            level.unpersist()
             break
+        caches.append(level)
         out = out.unionByName(level)
+    out._fp_caches = caches
     return out
 
 
 def roots(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
     """Processes with no (known) parent — the tree roots."""
     e = edges_from(df, ref_col)
-    known_children = e.select(F.col("child").alias("id"))
     no_parent = df.filter(F.col(ref_col).isNull()).select("id")
     dangling = (
         e.select(F.col("parent").alias("id"))
@@ -85,4 +92,6 @@ def process_tree(df: DataFrame, ref_col: str = "parent_ref", max_depth: int = 8)
     )
     # processes whose parent chain dead-ends outside the table keep their
     # deepest known ancestor as root
-    return own_root.unionByName(to_root)
+    result = own_root.unionByName(to_root)
+    result._fp_caches = getattr(anc, "_fp_caches", [])
+    return result

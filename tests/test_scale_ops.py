@@ -272,6 +272,38 @@ def test_ancestors_depth_bound(spark):
                           if r["depth"] == 3}
 
 
+def test_release_frees_operator_caches(spark):
+    """Iterative/multi-consumer operators persist intermediates; release()
+    must return the session to its prior cache footprint (long-lived
+    sessions would otherwise accumulate executor storage per call)."""
+    from firepit_spark.functions import release
+    from firepit_spark.functions.graph import ancestors
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    before = n_cached()
+
+    rows = [(str(i), str(i - 1) if i else None) for i in range(5)]
+    df = spark.createDataFrame(rows, "id string, parent_ref string")
+    anc = ancestors(df, max_depth=4)
+    anc.collect()
+    assert n_cached() > before  # levels are cached during/after the run
+    release(anc)
+    assert n_cached() == before
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id int, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    pairs.collect()
+    release(pairs)
+    assert n_cached() == before
+    release(pairs)  # idempotent, and safe on plain DataFrames
+    release(docs)
+
+
 # ---------------------------------------------------------------- temporal
 
 
