@@ -955,6 +955,68 @@ def q33_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(vecs, queries, k=5, n_cells=8, n_probe=2)
 
 
+def q39_media_probe(spark, sf_dir):
+    """Multimodal kernels end-to-end: synthesize a REAL PNG per document
+    (pure-python encoder — zlib+numpy, no codec libs), then sniff the
+    container, parse header dimensions, and decode the pixels for the mean
+    — all distributed via Arrow ``mapInPandas``. The oracle recomputes
+    dimensions and pixel mean arithmetically, so a hash match proves the
+    byte-level encode/probe/decode round-trip, not just plumbing."""
+    from firepit_spark.functions import multimodal as mm
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(F.col("doc_id").cast("long").alias("doc_id")).filter(
+        F.col("doc_id") < 200
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firepit_spark.functions.multimodal import png_encode
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                w, h = 16 + int(d) % 13, 8 + int(d) % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                blobs.append(png_encode(((xx + yy + int(d)) % 256).astype("uint8")))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    probed = mm.probe_media(media)
+    feats = mm.image_features(media).select(
+        "media_id", F.col("mean_px").cast("double").alias("mean_px")
+    )
+    return probed.join(feats, "media_id").select(
+        F.col("media_id").alias("doc_id"),
+        "mime_sniffed",
+        "width",
+        "height",
+        "mean_px",
+    )
+
+
+_Q39_SQL = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, 16 + doc_id % 13 AS w, 8 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT d.doc_id, d.w, d.h, CAST((x.x + y.y + d.doc_id) % 256 AS DOUBLE) AS v
+  FROM d
+  JOIN generate_series(0, 27) AS x(x) ON x.x < d.w
+  JOIN generate_series(0, 13) AS y(y) ON y.y < d.h
+)
+SELECT doc_id,
+       'image/png' AS mime_sniffed,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       AVG(v) AS mean_px
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1005,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_asof_join": q36_asof_join,
         "q37_range_join": q37_range_join,
         "q38_cosine_near_dup": q38_cosine_near_dup,
+        "q39_media_probe": q39_media_probe,
     }
 
 
@@ -1045,5 +1108,6 @@ def oracle_sql() -> dict[str, str]:
         "q36_asof_join": _Q36_SQL,
         "q37_range_join": _Q37_SQL,
         "q38_cosine_near_dup": _Q38_SQL,
+        "q39_media_probe": _Q39_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -2,18 +2,27 @@
 
 Media are opaque ``binary`` columns plus typed metadata, processed with
 Arrow-batched ``mapInPandas`` so each task handles a partition of blobs
-without ever collecting to the driver. The actual codec work (decode,
-resize, frame-sample, feature-extract) needs image/audio libraries that are
-NOT in this container, so the codec kernels are stubbed: the Spark-side
-schema, partitioning, UDF signatures, and batch shapes are real and tested,
-the pixel math raises ``NotImplementedError`` unless a deterministic fake is
-requested.
+without ever collecting to the driver.
+
+Kernels come in two tiers:
+
+- **Real, pure-python**: container sniffing (magic numbers), header
+  dimension parsing (PNG/JPEG/GIF/BMP), and a full PNG codec
+  (decode/encode/resize/stats — PNG is zlib+filters, both stdlib, pixels
+  land in numpy). These run distributed under ``mapInPandas``.
+- **Stubbed**: formats whose codecs genuinely need external libraries
+  (JPEG entropy decode, audio/video) raise ``NotImplementedError`` from
+  ``decode_stub``; the Spark-side schema, partitioning, UDF signatures,
+  and batch shapes around them are real and tested.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
@@ -56,9 +65,218 @@ def _fake_feature(content: bytes) -> str:
 
 
 def decode_stub(kind: str, content: bytes):
-    """Placeholder for the real codec. Raises: the container has no
-    image/audio libraries. Replace with PIL/librosa/av in production."""
+    """Placeholder for codecs that need external libraries (JPEG entropy
+    decode, audio, video). Replace with PIL/librosa/av in production;
+    PNG has a real pure-python kernel here (:func:`png_decode`)."""
     raise NotImplementedError(f"no {kind} codec available in this environment")
+
+
+# ---------------------------------------------------------------- sniffing
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+]
+
+
+def sniff_mime(content: bytes | None) -> str | None:
+    """Container type from magic numbers (no codec needed)."""
+    if not content:
+        return None
+    for magic, mime in _MAGIC:
+        if content.startswith(magic):
+            return mime
+    if len(content) >= 12 and content[:4] == b"RIFF":
+        if content[8:12] == b"WAVE":
+            return "audio/wav"
+        if content[8:12] == b"WEBP":
+            return "image/webp"
+    if len(content) >= 12 and content[4:8] == b"ftyp":
+        return "video/mp4"
+    if content[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+        return "audio/mpeg"
+    return None
+
+
+def image_dims(content: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from image container headers — PNG/GIF/BMP read
+    fixed offsets, JPEG walks the segment table to the first SOF marker.
+    Pure byte inspection; no pixel decode."""
+    if not content:
+        return None
+    mime = sniff_mime(content)
+    try:
+        if mime == "image/png" and len(content) >= 24:
+            w, h = struct.unpack(">II", content[16:24])
+            return (w, h)
+        if mime == "image/gif" and len(content) >= 10:
+            w, h = struct.unpack("<HH", content[6:10])
+            return (w, h)
+        if mime == "image/bmp" and len(content) >= 26:
+            w, h = struct.unpack("<ii", content[18:26])
+            return (w, abs(h))  # negative height = top-down rows
+        if mime == "image/jpeg":
+            return _jpeg_dims(content)
+    except struct.error:
+        return None
+    return None
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    # walk marker segments to the first frame header (SOFn); C4/C8/CC are
+    # not frame markers (Huffman/arithmetic tables)
+    i = 2
+    n = len(b)
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+# ---------------------------------------------------------------- PNG codec
+#
+# PNG is the one mainstream image format decodable with the stdlib alone:
+# zlib inflate + per-row unfiltering. 8-bit gray/RGB/RGBA, no interlace —
+# the shapes a training-data pipeline synthesizes and audits.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # colortype -> samples per pixel
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer: 8-bit, filter 0, one IDAT. ``pixels`` is
+    (h, w) gray, or (h, w, 3|4) RGB/RGBA uint8."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        arr = arr[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color_type = {3: 2, 4: 6}[arr.shape[2]]
+        channels = arr.shape[2]
+    else:
+        raise ValueError(f"unsupported pixel shape {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 prepended to every scanline
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * channels)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(content: bytes) -> np.ndarray:
+    """Pure-python PNG decode: (h, w, channels) uint8 (gray returns
+    channels=1). Supports 8-bit colortypes 0/2/6, no interlace."""
+    if not content or not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in _CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}"
+                )
+            meta = (w, h, _CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, channels = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:  # up: fully vectorized
+            recon = line + prev
+        else:  # sub/average/paeth need the in-row running value
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                # each reconstructed byte must be reduced mod 256 before it
+                # feeds the next prediction (avg/paeth aren't congruence-
+                # preserving), so mask as we go
+                left = recon[x - channels] if x >= channels else 0
+                up = int(prev[x])
+                if ftype == 1:
+                    recon[x] = (line[x] + left) & 0xFF
+                elif ftype == 3:
+                    recon[x] = (line[x] + ((left + up) >> 1)) & 0xFF
+                elif ftype == 4:
+                    ul = int(prev[x - channels]) if x >= channels else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    recon[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = prev = (recon & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather — no interpolation libs."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+def image_stats(pixels: np.ndarray) -> dict:
+    """Per-image brightness/contrast summary used as the feature vector."""
+    arr = pixels.astype(np.float64)
+    return {
+        "mean": float(arr.mean()),
+        "std": float(arr.std()),
+        "min": int(arr.min()),
+        "max": int(arr.max()),
+    }
 
 
 def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
@@ -93,6 +311,79 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime_sniffed", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def probe_media(media: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Distributed container probe: magic-number mime + header dimensions.
+
+    Real (not stubbed) for PNG/JPEG/GIF/BMP/WAV/WEBP/MP4 — header parsing
+    needs no codec. Arrow moves each partition's blobs as one batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf[content_col].map(image_dims)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "mime_sniffed": pdf[content_col].map(sniff_mime),
+                    "width": dims.map(lambda d: d[0] if d else None),
+                    "height": dims.map(lambda d: d[1] if d else None),
+                    "n_bytes": pdf[content_col].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_px", StringType()),  # repr'd floats: exact compare
+        StructField("std_px", StringType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def image_features(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Real pixel features for PNG blobs (decode + stats in numpy);
+    non-PNG rows carry the codec error instead of failing the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    px = png_decode(blob)
+                    st = image_stats(px)
+                    recs.append(
+                        (mid, px.shape[1], px.shape[0],
+                         repr(st["mean"]), repr(st["std"]), None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    recs.append((mid, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Expand each video row into frame-timestamp rows (the sampling plan);
     the frame decode itself is the stubbed kernel. Pure column ops."""
@@ -105,19 +396,27 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic media table for tests/benchmarks. Image rows carry
+    REAL PNG bytes (round-trippable through :func:`png_decode`); audio and
+    video rows carry opaque deterministic bytes."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        content = bytes((i * j) % 256 for j in range(128 + (i % 64)))
+        if kind == "image":
+            w, h = 64 + i % 32, 64 + i % 16
+            yy, xx = np.mgrid[0:h, 0:w]
+            content = png_encode(((xx + yy + i) % 256).astype(np.uint8))
+        else:
+            w = h = None
+            content = bytes((i * j) % 256 for j in range(128 + (i % 64)))
         rows.append(
             (
                 i,
                 kind,
                 content,
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + i % 32 if kind == "image" else None,
-                64 + i % 16 if kind == "image" else None,
+                w,
+                h,
                 1000 * (i % 30) if kind != "image" else None,
             )
         )

@@ -4,6 +4,7 @@ otherwise covered only through the driver's oracle gate."""
 
 import math
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -97,7 +98,7 @@ def test_extract_features_shapes(spark):
     rows = feats.collect()
     assert len(rows) == 30
     byid = {r["media_id"]: r for r in rows}
-    assert byid[0]["n_bytes"] == 128
+    assert byid[1]["n_bytes"] == 129  # audio rows keep raw deterministic bytes
     assert byid[0]["feature"] == byid[0]["content_md5"][:16]
     assert set(r["kind"] for r in rows) == {"image", "audio", "video"}
     # deterministic across runs
@@ -110,6 +111,149 @@ def test_decode_stub_raises(spark):
     feats = extract_features(media, use_fake=False)
     with pytest.raises(Exception, match="NotImplementedError|no image codec"):
         feats.collect()
+
+
+def test_sniff_mime_magic():
+    from firepit_spark.functions import multimodal as mm
+
+    assert mm.sniff_mime(b"\x89PNG\r\n\x1a\n" + b"\0" * 16) == "image/png"
+    assert mm.sniff_mime(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
+    assert mm.sniff_mime(b"GIF89a" + b"\0" * 8) == "image/gif"
+    assert mm.sniff_mime(b"BM" + b"\0" * 30) == "image/bmp"
+    assert mm.sniff_mime(b"RIFF\0\0\0\0WAVEfmt ") == "audio/wav"
+    assert mm.sniff_mime(b"RIFF\0\0\0\0WEBPVP8 ") == "image/webp"
+    assert mm.sniff_mime(b"\0\0\0\x20ftypisom\0\0") == "video/mp4"
+    assert mm.sniff_mime(b"ID3\x04\0") == "audio/mpeg"
+    assert mm.sniff_mime(b"garbage") is None
+    assert mm.sniff_mime(None) is None
+    assert mm.sniff_mime(b"") is None
+
+
+def test_image_dims_headers():
+    import struct
+
+    from firepit_spark.functions import multimodal as mm
+
+    # JPEG: APP0 then SOF0 carrying height=480 width=640
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", 480, 640)
+        + b"\x03" + b"\0" * 9
+    )
+    assert mm.image_dims(jpeg) == (640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\0\0\0"
+    assert mm.image_dims(gif) == (320, 200)
+    # BMP with top-down (negative) height
+    bmp = b"BM" + b"\0" * 16 + struct.pack("<ii", 100, -50) + b"\0" * 8
+    assert mm.image_dims(bmp) == (100, 50)
+    png = mm.png_encode(np.zeros((7, 11), dtype=np.uint8))
+    assert mm.image_dims(png) == (11, 7)
+    assert mm.image_dims(b"not an image") is None
+    assert mm.image_dims(None) is None
+
+
+def test_png_roundtrip():
+    from firepit_spark.functions import multimodal as mm
+
+    yy, xx = np.mgrid[0:13, 0:17]
+    gray = ((3 * xx + 5 * yy) % 256).astype(np.uint8)
+    assert np.array_equal(mm.png_decode(mm.png_encode(gray))[:, :, 0], gray)
+    rgb = np.stack([(xx + yy) % 256, (2 * xx) % 256, (3 * yy) % 256], axis=2).astype(np.uint8)
+    assert np.array_equal(mm.png_decode(mm.png_encode(rgb)), rgb)
+    rgba = np.concatenate([rgb, np.full((13, 17, 1), 200, np.uint8)], axis=2)
+    assert np.array_equal(mm.png_decode(mm.png_encode(rgba)), rgba)
+
+
+def test_png_decode_all_filters():
+    """Decode a hand-filtered PNG using every filter type (0,1,2,3,4)."""
+    import struct
+    import zlib
+
+    from firepit_spark.functions import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int32)
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(w * ch):
+            left = int(cur[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            raw.append((int(cur[x]) - pred) & 0xFF)
+        prev = cur
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(mm.png_decode(blob), px)
+
+
+def test_resize_nearest():
+    from firepit_spark.functions import multimodal as mm
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    img = ((xx + yy) % 256).astype(np.uint8)
+    up = mm.resize_nearest(img, 16, 16)
+    assert up.shape == (16, 16)
+    assert np.array_equal(up[::2, ::2], img)
+    down = mm.resize_nearest(img, 4, 4)
+    assert np.array_equal(down, img[::2, ::2])
+
+
+def test_probe_media_distributed(spark):
+    from firepit_spark.functions.multimodal import probe_media
+
+    media = synthesize_media(spark, n=30, partitions=3)
+    probed = {r["media_id"]: r for r in probe_media(media).collect()}
+    assert len(probed) == 30
+    for i in range(30):
+        if i % 3 == 0:  # image: real PNG with known dims
+            assert probed[i]["mime_sniffed"] == "image/png"
+            assert probed[i]["width"] == 64 + i % 32
+            assert probed[i]["height"] == 64 + i % 16
+        else:  # opaque deterministic bytes: no container signature
+            assert probed[i]["mime_sniffed"] is None
+            assert probed[i]["width"] is None
+
+
+def test_image_features_real_decode(spark):
+    from firepit_spark.functions.multimodal import image_features
+
+    media = synthesize_media(spark, n=9, partitions=2)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    # image 3: 67x65 gradient ((x+y+3)%256) — compare mean to numpy
+    w, h = 64 + 3 % 32, 64 + 3 % 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    expected = ((xx + yy + 3) % 256).astype(np.uint8)
+    assert feats[3]["width"] == w and feats[3]["height"] == h
+    assert feats[3]["mean_px"] == repr(float(expected.mean()))
+    assert feats[3]["err"] is None
+    # non-PNG rows quarantine the codec error instead of failing the job
+    assert feats[1]["err"] is not None and feats[1]["width"] is None
 
 
 def test_frame_sample_plan(spark):
