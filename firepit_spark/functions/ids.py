@@ -63,6 +63,9 @@ def _json_escape(col: Column) -> Column:
 def _render_value(col: Column, kind: str) -> Column:
     if kind == "int":
         return col.cast("long").cast("string")
+    if kind == "raw":
+        # caller pre-rendered the JSON fragment (e.g. a hashes sub-object)
+        return col
     if kind == "str_list":
         # JSON array of strings, e.g. protocols: ["tcp"]
         return F.concat(

@@ -112,18 +112,32 @@ ZEEK_DNS_JSON = {
 }
 
 # well-known Windows/Sysmon event ids -> action names (public event catalog;
-# the reference keeps a larger table, firepit/woodchipper.py windows_events)
+# parity: firepit/woodchipper.py:402-425 windows_events, plus the security-
+# log 46xx names the reference leaves unnamed)
 WINDOWS_EVENT_NAMES = {
-    1: "Process creation",
-    3: "Network connection",
-    5: "Process terminated",
-    7: "Image loaded",
-    8: "CreateRemoteThread",
-    10: "ProcessAccess",
-    11: "FileCreate",
-    12: "RegistryEvent (Object create and delete)",
-    13: "RegistryEvent (Value Set)",
-    22: "DNSEvent (DNS query)",
+    1: "Process Creation",
+    2: "Process Changed a file creation time",
+    3: "Network Connection",
+    4: "Sysmon Service State Change",
+    5: "Process Terminated",
+    6: "Driver Loaded",
+    7: "Image Loaded",
+    8: "Create Remote Thread",
+    9: "Raw File Access Read",
+    10: "Process Access",
+    11: "File Create",
+    12: "Registry Create and Delete",
+    13: "Registry Value Set",
+    14: "Registry Key and Value Rename",
+    15: "File Create Stream Hash",
+    16: "Sysmon Config Change",
+    17: "Pipe Event Created",
+    18: "Pipe Event Connected",
+    19: "WMI EventFilter activity",
+    20: "WMI EventConsumer activity",
+    21: "WMI EventConsumerToFilter activity",
+    22: "DNS Query",
+    255: "Sysmon error",
     4624: "An account was successfully logged on",
     4625: "An account failed to log on",
     4688: "A new process has been created",
@@ -131,28 +145,31 @@ WINDOWS_EVENT_NAMES = {
     4720: "A user account was created",
 }
 
-
-def _win_action(_ignored):
-    col = F.col("EventID").cast("int")
-    out = F.lit(None).cast("string")
-    for code, name in WINDOWS_EVENT_NAMES.items():
-        out = F.when(col == code, F.lit(name)).otherwise(out)
-    return out
-
-
-WINDOWS_EVENTS = {
-    "TimeCreated": ["first_observed", "last_observed"],
-    "@timestamp": ["first_observed", "last_observed"],
-    "Channel": "x-oca-event:module",
-    "SourceName": "x-oca-event:provider",
-    "EventID": "x-oca-event:code",
-    "__action": ("x-oca-event:action", _win_action),
-    "Hostname": "x-oca-asset:hostname",
-    "ProcessId": "process:pid",
-    "ProcessGuid": "process:x_unique_id",
-    "Image": "process:command_line",
-    "TargetUserName": "user-account:user_id",
+# Message EventType -> event id (Security-Datasets logs; parity:
+# firepit/woodchipper.py:615-622 SdsMapper.event_types)
+SDS_EVENT_TYPES = {
+    "SetValue": 13,
+    "DeleteValue": 12,
+    "CreateKey": 12,
+    "DeleteKey": 12,
+    "CreatePipe": 17,
+    "ConnectPipe": 18,
 }
+
+# file-centric event ids (parity: firepit/woodchipper.py:331-332)
+FILE_EVENT_IDS = (6, 7, 9, 11, 15)
+
+
+def _proto_names() -> dict:
+    """IP protocol number -> lowercase name (parity:
+    firepit/woodchipper.py:319-328 PROTO_TABLE, same stdlib source)."""
+    import socket
+
+    return {
+        num: name[8:].lower()
+        for name, num in vars(socket).items()
+        if name.startswith("IPPROTO")
+    }
 
 # ISC honeypot web logs (parity: firepit/woodchipper.py:723-746). The
 # reference back-fills missing ports/dest/proto with fixed values and glues
@@ -182,7 +199,8 @@ MAPPINGS = {
     "zeek_conn_csv": ZEEK_CONN_CSV,
     "zeek_conn_json": ZEEK_CONN_JSON,
     "zeek_dns_json": ZEEK_DNS_JSON,
-    "windows_events": WINDOWS_EVENTS,
+    # windows_events routes to the node-graph engine (windows_to_scos),
+    # not the flat path mapper
     "isc_honeypot": ISC_HONEYPOT,
 }
 
@@ -294,7 +312,28 @@ def _addr_split(wide: DataFrame, path: str):
     return F.when(v.isNotNull(), id_col), dict(cases)
 
 
-def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
+class ScoFrames(dict):
+    """``{otype: DataFrame}`` plus the persisted wide-frame handle backing
+    the per-type projections.
+
+    The wide frame is persisted because the observation ids (and SCO ids of
+    types with no contributing props) are ``uuid()`` — nondeterministic
+    expressions that would re-evaluate to DIFFERENT values in each output
+    frame's job, silently breaking ``__contains``/ref consistency. The
+    cache pins one evaluation; call :meth:`release` after ingesting.
+    """
+
+    def __init__(self, frames: dict, cache: DataFrame | None = None):
+        super().__init__(frames)
+        self._cache = cache
+
+    def release(self):
+        if self._cache is not None:
+            self._cache.unpersist()
+            self._cache = None
+
+
+def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> "ScoFrames":
     """Wide observation frame -> {otype: DataFrame} including the
     ``observed-data`` table and ``__contains`` edges.
 
@@ -319,7 +358,7 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
 
     wide = wide.withColumn(
         "__obs_id", F.concat(F.lit("observed-data--"), F.expr("uuid()"))
-    )
+    ).persist()
 
     out: dict[str, DataFrame] = {}
 
@@ -418,10 +457,513 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> dict:
     if contains is not None:
         out["__contains"] = contains
 
-    return {
-        k: (v.drop("__obs_id") if "__obs_id" in v.columns else v)
-        for k, v in out.items()
-    }
+    return ScoFrames(
+        {
+            k: (v.drop("__obs_id") if "__obs_id" in v.columns else v)
+            for k, v in out.items()
+        },
+        cache=wide,
+    )
+
+
+# ------------------------------------------------------- windows/sysmon
+#
+# Per-EventID node graph (parity: firepit/woodchipper.py:432-523
+# windows_mapping merged over SdsMapper.common_mapping:598-614, with the
+# split_image/split_file_path/split_reg_key_value helpers:361-400 and the
+# SdsMapper message enhancement:575-595). The reference converts row dicts
+# on the driver; here every per-EventID rule is a CASE column expression, so
+# the whole conversion is one map-only select in whole-stage codegen.
+
+
+def _basename_col(col: Column) -> Column:
+    return F.regexp_extract(col, r"([^\\/]*)$", 1)
+
+
+def _dirname_col(col: Column) -> Column:
+    # like ntpath.dirname: "" when the path has no separator
+    return F.regexp_extract(col, r"^(.*)[\\/][^\\/]*$", 1)
+
+
+def _hash_part(col: Column, tag: str) -> Column:
+    """One hash from a Sysmon 'SHA1=..,MD5=..,SHA256=..' string."""
+    return F.nullif(F.regexp_extract(col, tag + r"=([0-9A-Fa-f]+)", 1), F.lit(""))
+
+
+def _hashes_json(md5: Column, sha1: Column, sha256: Column) -> Column:
+    """Pre-rendered canonical-JSON hashes fragment in the reference's
+    preference order (identifiers.HASH_PREFERENCE: MD5 first)."""
+    return (
+        F.when(md5.isNotNull(), F.concat(F.lit('{"MD5":"'), md5, F.lit('"}')))
+        .when(sha1.isNotNull(), F.concat(F.lit('{"SHA-1":"'), sha1, F.lit('"}')))
+        .when(sha256.isNotNull(), F.concat(F.lit('{"SHA-256":"'), sha256, F.lit('"}')))
+    )
+
+
+def _addr_guess_id(v: Column) -> tuple:
+    """(id column, ordered [(type, filter)]) for an address-valued string
+    (same guess ladder as _addr_split)."""
+    cases = [
+        ("mac-addr", v.rlike(MAC_RE)),
+        ("ipv4-addr", v.rlike(V4_RE)),
+        ("ipv6-addr", v.contains(":")),
+        ("domain-name", F.lit(True)),
+    ]
+    id_col = None
+    for otype, cond in reversed(cases):
+        this = sco_id_col(otype, {"value": (v, "str")})
+        id_col = this if id_col is None else F.when(cond, this).otherwise(id_col)
+    return F.when(v.isNotNull(), id_col), cases
+
+
+def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
+    """Windows/Sysmon event log -> {otype: DataFrame} node graph.
+
+    Builds the process (with parent/binary/user refs), file+directory,
+    network-traffic (+ ``opened_connection_refs`` reflist edge), registry,
+    DNS, event/asset/artifact nodes the reference's per-EventID matrix
+    produces, as pure column expressions over one wide projection.
+    """
+    have = set(df.columns)
+
+    def src(name: str) -> Column:
+        if name in have:
+            return F.col(f"`{name}`").cast("string")
+        return F.lit(None).cast("string")
+
+    eid = src("EventID").cast("int")
+
+    def by_event(spec: dict, default: Column | None = None) -> Column:
+        out = default if default is not None else F.lit(None).cast("string")
+        for ids, c in spec.items():
+            ids = ids if isinstance(ids, tuple) else (ids,)
+            out = F.when(eid.isin(*ids) & c.isNotNull(), c).otherwise(out)
+        return out
+
+    msg = src("Message")
+    ts = F.to_timestamp(F.coalesce(src("UtcTime"), src("TimeCreated"), src("@timestamp")))
+
+    # --- process + parent (events 1 Sysmon, 4688 Security; common fallback)
+    image = by_event(
+        {(1, 3, 5, 7, 10, 11, 12, 13): src("Image"), 4688: src("NewProcessName")},
+        default=F.coalesce(src("Application"), src("ProcessName")),
+    )
+    pid = by_event({4688: src("NewProcessId")}, default=src("ProcessId")).cast("long")
+    guid = src("ProcessGuid")
+    cmdline = by_event({(1, 7, 4688): src("CommandLine")})
+    created = F.when(eid == 1, ts)
+    p_image = by_event({1: src("ParentImage"), 4688: src("ParentProcessName")})
+    p_pid = by_event({1: src("ParentProcessId"), 4688: src("ProcessId")}).cast("long")
+    p_guid = by_event({(1, 4688): src("ParentProcessGuid")})
+    p_cmdline = by_event({1: src("ParentCommandLine")})
+
+    # user (1: User, 4688: SubjectUserName; else the SdsMapper
+    # TargetUserName/SubjectUserName fallback, '-' meaning none)
+    user_raw = F.coalesce(
+        by_event({1: src("User"), 4688: src("SubjectUserName")}),
+        src("TargetUserName"),
+        src("SubjectUserName"),
+    )
+    user_id = F.when(user_raw != "-", user_raw)
+
+    # --- network connection (3 Sysmon, 5156 Security firewall)
+    proto_num = src("Protocol")
+    proto_named = F.lit(None).cast("string")
+    for num, name in sorted(_proto_names().items()):
+        proto_named = F.when(proto_num == str(num), F.lit(name)).otherwise(proto_named)
+    protocol = F.lower(
+        by_event({3: src("Protocol"), 5156: F.coalesce(proto_named, proto_num)})
+    )
+    src_ip = by_event({3: src("SourceIp"), 5156: src("SourceAddress")})
+    dst_ip = by_event({3: src("DestinationIp"), 5156: src("DestAddress")})
+    src_port = F.when(eid.isin(3, 5156), src("SourcePort")).cast("long")
+    dst_port = by_event({3: src("DestinationPort"), 5156: src("DestPort")}).cast("long")
+
+    # --- files: process image, parent image, loaded image (7), created (11)
+    img_hashes = F.when(eid == 1, src("Hashes"))
+    loaded_hashes = F.when(eid == 7, src("Hashes"))
+    loaded_image = F.when(eid == 7, src("ImageLoaded"))
+    target_file = F.when(eid == 11, src("TargetFilename"))
+
+    # --- registry (12 create/delete: whole key; 13 set: key \ value name;
+    # SDS 'Details: DWORD (...)' message carries the value payload)
+    tobj = src("TargetObject")
+    reg_key = expand_reg_hive(
+        by_event({12: tobj, 13: F.regexp_extract(tobj, r"^(.*)[\\][^\\]*$", 1)})
+    )
+    details = F.nullif(F.regexp_extract(msg, r'Details: ([^"]*)', 1), F.lit(""))
+    details_type = F.nullif(F.regexp_extract(details, r"^(DWORD|QWORD)", 1), F.lit(""))
+    details_data = F.regexp_extract(details, r"^(?:DWORD|QWORD)\s+(\S+)", 1)
+    reg_values = F.when(
+        eid == 13,
+        F.array(F.to_json(F.struct(_basename_col(tobj).alias("name")))),
+    ).otherwise(
+        F.when(
+            details_type.isNotNull(),
+            F.array(
+                F.to_json(
+                    F.struct(
+                        details_data.alias("data"), details_type.alias("data_type")
+                    )
+                )
+            ),
+        )
+    )
+
+    # --- DNS (Sysmon 22, DNS-Client 3018)
+    qname = F.when(eid.isin(22, 3018), src("QueryName"))
+    qip = F.nullif(
+        F.regexp_extract(src("QueryResults"), r"((?:[0-9]{1,3}\.){3}[0-9]{1,3})", 1),
+        F.lit(""),
+    )
+
+    # --- event action: EventType-derived beats Message prefix beats the
+    # event-id catalog (the reference's last-write-wins dict order)
+    etype = F.nullif(F.regexp_extract(msg, r"EventType: (\w+)", 1), F.lit(""))
+    etype_action = F.lit(None).cast("string")
+    for ename, code in SDS_EVENT_TYPES.items():
+        etype_action = F.when(
+            etype == ename, F.lit(f"{WINDOWS_EVENT_NAMES[code]} - {ename}")
+        ).otherwise(etype_action)
+    prefix_action = F.nullif(F.regexp_extract(msg, r"^([^:.]*)", 1), F.lit(""))
+    table_action = F.lit(None).cast("string")
+    for code, name in WINDOWS_EVENT_NAMES.items():
+        table_action = F.when(eid == code, F.lit(name)).otherwise(table_action)
+    action = F.coalesce(etype_action, prefix_action, table_action)
+
+    # node ids with a RANDOM fallback must be materialized inside the
+    # persisted wide frame — a uuid() evaluated per output projection would
+    # mint a different id in each frame and break ref/edge consistency
+    pproc_any_src = (
+        p_image.isNotNull()
+        | p_pid.isNotNull()
+        | p_guid.isNotNull()
+        | p_cmdline.isNotNull()
+    )
+    reg_any_src = reg_key.isNotNull() | reg_values.isNotNull()
+
+    wide = df.select(
+        eid.alias("eid"),
+        ts.alias("ts"),
+        sco_id_col("process", {"x_unique_id": (guid, "str")}).alias("proc_id"),
+        F.when(
+            pproc_any_src, sco_id_col("process", {"x_unique_id": (p_guid, "str")})
+        ).alias("pproc_id"),
+        F.when(
+            reg_any_src, F.concat(F.lit("windows-registry-key--"), F.expr("uuid()"))
+        ).alias("reg_id"),
+        src("Channel").alias("module"),
+        src("SourceName").alias("provider"),
+        F.when(src("Category").isNotNull(), F.array(src("Category"))).alias("category"),
+        action.alias("action"),
+        F.when(msg.isNotNull(), F.base64(F.encode(msg, "UTF-8"))).alias("payload_bin"),
+        src("Hostname").alias("hostname"),
+        image.alias("image"),
+        pid.alias("pid"),
+        guid.alias("guid"),
+        cmdline.alias("cmdline"),
+        created.alias("created"),
+        p_image.alias("p_image"),
+        p_pid.alias("p_pid"),
+        p_guid.alias("p_guid"),
+        p_cmdline.alias("p_cmdline"),
+        user_id.alias("user_id"),
+        protocol.alias("protocol"),
+        src_ip.alias("src_ip"),
+        dst_ip.alias("dst_ip"),
+        src_port.alias("src_port"),
+        dst_port.alias("dst_port"),
+        img_hashes.alias("img_hashes"),
+        loaded_hashes.alias("loaded_hashes"),
+        loaded_image.alias("loaded_image"),
+        target_file.alias("target_file"),
+        reg_key.alias("reg_key"),
+        reg_values.alias("reg_values"),
+        qname.alias("qname"),
+        qip.alias("qip"),
+    ).withColumn(
+        "__obs_id", F.concat(F.lit("observed-data--"), F.expr("uuid()"))
+    ).persist()
+
+    c = F.col
+    out: dict[str, DataFrame] = {}
+    contains: list = []
+
+    def emit(otype: str, presence: Column, cols: list):
+        frame = wide.filter(presence).select(*cols, c("__obs_id"))
+        out[otype] = (
+            frame
+            if otype not in out
+            else out[otype].unionByName(frame, allowMissingColumns=True)
+        )
+
+    # file + directory nodes: (name, dir, hashes-json, presence)
+    def file_node(path_col: Column, hashes_str: Column | None):
+        name = _basename_col(path_col)
+        dirp = _dirname_col(path_col)
+        if hashes_str is not None:
+            hj = _hashes_json(
+                _hash_part(hashes_str, "MD5"),
+                _hash_part(hashes_str, "SHA1"),
+                _hash_part(hashes_str, "SHA256"),
+            )
+        else:
+            hj = F.lit(None).cast("string")
+        dir_id = F.when(
+            path_col.isNotNull(), sco_id_col("directory", {"path": (dirp, "str")})
+        )
+        file_id = F.when(
+            path_col.isNotNull(),
+            sco_id_col(
+                "file",
+                {
+                    "name": (name, "str"),
+                    "hashes": (hj, "raw"),
+                    "parent_directory_ref": (dir_id, "str"),
+                },
+            ),
+        )
+        return name, dirp, hj, dir_id, file_id
+
+    img_name, img_dir, img_hj, img_dir_id, img_file_id = file_node(
+        c("image"), c("img_hashes")
+    )
+    p_name, p_dir, _, p_dir_id, p_file_id = file_node(c("p_image"), None)
+    l_name, l_dir, l_hj, l_dir_id, l_file_id = file_node(
+        c("loaded_image"), c("loaded_hashes")
+    )
+    t_name, t_dir, _, t_dir_id, t_file_id = file_node(c("target_file"), None)
+
+    proc_id = c("proc_id")
+    pproc_any = (
+        c("p_image").isNotNull()
+        | c("p_pid").isNotNull()
+        | c("p_guid").isNotNull()
+        | c("p_cmdline").isNotNull()
+    )
+    pproc_id = c("pproc_id")
+    user_sco_id = F.when(
+        c("user_id").isNotNull(),
+        sco_id_col("user-account", {"user_id": (c("user_id"), "str")}),
+    )
+    asset_id = F.when(
+        c("hostname").isNotNull(),
+        sco_id_col("x-oca-asset", {"hostname": (c("hostname"), "str")}),
+    )
+    src_addr_id, _ = _addr_guess_id(c("src_ip"))
+    dst_addr_id, _ = _addr_guess_id(c("dst_ip"))
+    qip_id, _ = _addr_guess_id(c("qip"))
+    nt_any = (
+        c("src_ip").isNotNull()
+        | c("dst_ip").isNotNull()
+        | c("src_port").isNotNull()
+        | c("dst_port").isNotNull()
+    )
+    protocols = F.when(c("protocol").isNotNull(), F.array(c("protocol")))
+    nt_id = F.when(
+        nt_any,
+        sco_id_col(
+            "network-traffic",
+            {
+                "src_ref": (src_addr_id, "str"),
+                "dst_ref": (dst_addr_id, "str"),
+                "src_port": (c("src_port"), "int"),
+                "dst_port": (c("dst_port"), "int"),
+                "protocols": (protocols, "str_list"),
+            },
+        ),
+    )
+    dns_id = F.when(
+        c("qname").isNotNull(),
+        sco_id_col("domain-name", {"value": (c("qname"), "str")}),
+    )
+    # windows-registry-key has no contributing props (the reference's
+    # ID_PROPS carries the 'windows-registry-keys' typo, so makeid falls
+    # back to uuid4 — firepit/stix21.py:28): random id, reference parity
+    reg_any = c("reg_key").isNotNull() | c("reg_values").isNotNull()
+    reg_id = c("reg_id")
+    artifact_id = F.when(
+        c("payload_bin").isNotNull(),
+        sco_id_col("artifact", {"payload_bin": (c("payload_bin"), "str")}),
+    )
+    proc_any = (
+        c("pid").isNotNull()
+        | c("guid").isNotNull()
+        | c("image").isNotNull()
+        | c("cmdline").isNotNull()
+    )
+
+    # x-oca-event links (parity: dict2observation fix-up,
+    # firepit/woodchipper.py:248-287; file_ref only for file-centric events)
+    file_ref = F.when(c("eid") == 7, l_file_id).when(c("eid") == 11, t_file_id)
+    emit(
+        "x-oca-event",
+        c("eid").isNotNull(),
+        [
+            F.concat(F.lit("x-oca-event--"), F.expr("uuid()")).alias("id"),
+            c("eid").alias("code"),
+            c("action").alias("action"),
+            c("module").alias("module"),
+            c("provider").alias("provider"),
+            c("category").alias("category"),
+            F.when(proc_any, proc_id).alias("process_ref"),
+            pproc_id.alias("parent_process_ref"),
+            nt_id.alias("network_ref"),
+            dns_id.alias("domain_ref"),
+            asset_id.alias("host_ref"),
+            file_ref.alias("file_ref"),
+        ],
+    )
+    emit(
+        "x-oca-asset",
+        c("hostname").isNotNull(),
+        [asset_id.alias("id"), c("hostname").alias("hostname")],
+    )
+    emit(
+        "artifact",
+        c("payload_bin").isNotNull(),
+        [artifact_id.alias("id"), c("payload_bin").alias("payload_bin")],
+    )
+    emit(
+        "process",
+        proc_any,
+        [
+            proc_id.alias("id"),
+            c("pid").alias("pid"),
+            c("guid").alias("x_unique_id"),
+            img_name.alias("name"),
+            c("cmdline").alias("command_line"),
+            c("created").alias("created"),
+            img_file_id.alias("binary_ref"),
+            pproc_id.alias("parent_ref"),
+            user_sco_id.alias("creator_user_ref"),
+        ],
+    )
+    emit(
+        "process",
+        pproc_any,
+        [
+            pproc_id.alias("id"),
+            c("p_pid").alias("pid"),
+            c("p_guid").alias("x_unique_id"),
+            p_name.alias("name"),
+            c("p_cmdline").alias("command_line"),
+            p_file_id.alias("binary_ref"),
+        ],
+    )
+    for path_col, name, dirp, hj, dir_id, file_id in (
+        ("image", img_name, img_dir, img_hj, img_dir_id, img_file_id),
+        ("p_image", p_name, p_dir, None, p_dir_id, p_file_id),
+        ("loaded_image", l_name, l_dir, l_hj, l_dir_id, l_file_id),
+        ("target_file", t_name, t_dir, None, t_dir_id, t_file_id),
+    ):
+        present = c(path_col).isNotNull()
+        file_cols = [
+            file_id.alias("id"),
+            name.alias("name"),
+            dir_id.alias("parent_directory_ref"),
+        ]
+        if hj is not None:
+            src_hashes = c("img_hashes") if path_col == "image" else c("loaded_hashes")
+            file_cols += [
+                _hash_part(src_hashes, "MD5").alias("hashes.MD5"),
+                _hash_part(src_hashes, "SHA1").alias("hashes.'SHA-1'"),
+                _hash_part(src_hashes, "SHA256").alias("hashes.'SHA-256'"),
+            ]
+        emit("file", present, file_cols)
+        emit("directory", present, [dir_id.alias("id"), dirp.alias("path")])
+    emit(
+        "user-account",
+        c("user_id").isNotNull(),
+        [user_sco_id.alias("id"), c("user_id").alias("user_id")],
+    )
+    # address nodes split per guessed type, first match wins
+    for ip_col, addr_id in (("src_ip", src_addr_id), ("dst_ip", dst_addr_id), ("qip", qip_id)):
+        v = c(ip_col)
+        seen = None
+        for ref_type, cond_builder in _addr_guess_id(v)[1]:
+            cond = cond_builder
+            eff = cond if seen is None else cond & ~seen
+            seen = cond if seen is None else (seen | cond)
+            emit(
+                ref_type,
+                v.isNotNull() & eff,
+                [
+                    sco_id_col(ref_type, {"value": (v, "str")}).alias("id"),
+                    v.alias("value"),
+                ],
+            )
+    emit(
+        "network-traffic",
+        nt_any,
+        [
+            nt_id.alias("id"),
+            src_addr_id.alias("src_ref"),
+            dst_addr_id.alias("dst_ref"),
+            c("src_port").alias("src_port"),
+            c("dst_port").alias("dst_port"),
+            protocols.alias("protocols"),
+        ],
+    )
+    emit(
+        "domain-name",
+        c("qname").isNotNull(),
+        [dns_id.alias("id"), c("qname").alias("value")],
+    )
+    emit(
+        "windows-registry-key",
+        reg_any,
+        [
+            reg_id.alias("id"),
+            c("reg_key").alias("key"),
+            c("reg_values").alias("values"),
+        ],
+    )
+
+    # observed-data + containment edges
+    obs_cols = [
+        c("__obs_id").alias("id"),
+        c("ts").alias("first_observed"),
+        c("ts").alias("last_observed"),
+        F.lit(1).alias("number_observed"),
+    ]
+    if identity_id:
+        obs_cols.append(F.lit(identity_id).alias("created_by_ref"))
+    out["observed-data"] = wide.select(*obs_cols)
+
+    for otype, frame in list(out.items()):
+        if otype == "observed-data":
+            continue
+        contains.append(
+            frame.select(
+                c("__obs_id").alias("source_ref"), c("id").alias("target_ref")
+            )
+        )
+    edges = contains[0]
+    for e in contains[1:]:
+        edges = edges.unionByName(e)
+    out["__contains"] = edges
+
+    # reflist edges: process -> network-traffic, domain-name -> resolved ip
+    conn = wide.filter(nt_any & proc_any).select(
+        F.lit("opened_connection_refs").alias("ref_name"),
+        proc_id.alias("source_ref"),
+        nt_id.alias("target_ref"),
+    )
+    resolved = wide.filter(c("qname").isNotNull() & c("qip").isNotNull()).select(
+        F.lit("resolves_to_refs").alias("ref_name"),
+        dns_id.alias("source_ref"),
+        qip_id.alias("target_ref"),
+    )
+    out["__reflist"] = conn.unionByName(resolved)
+
+    return ScoFrames(
+        {
+            k: (v.drop("__obs_id") if "__obs_id" in v.columns else v)
+            for k, v in out.items()
+        },
+        cache=wide,
+    )
 
 
 def convert_flat_json(
@@ -462,10 +1004,16 @@ def convert_log(
         mapping = detect_mapping(df.columns)
         if mapping is None:
             raise ValueError(f"cannot detect log format from columns {df.columns}")
-    if isinstance(mapping, str):
-        mapping = MAPPINGS[mapping]
-    wide = to_wide(df, mapping)
-    scos = wide_to_scos(wide, identity_id=identity_id)
-    for otype, sco_df in scos.items():
-        storage.ingest_dataframe(otype, sco_df, query_id)
+    if mapping == "windows_events":
+        scos = windows_to_scos(df, identity_id=identity_id)
+    else:
+        if isinstance(mapping, str):
+            mapping = MAPPINGS[mapping]
+        wide = to_wide(df, mapping)
+        scos = wide_to_scos(wide, identity_id=identity_id)
+    try:
+        for otype, sco_df in scos.items():
+            storage.ingest_dataframe(otype, sco_df, query_id)
+    finally:
+        scos.release()
     return sorted(scos)

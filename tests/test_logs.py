@@ -153,22 +153,142 @@ def test_windows_event_cross_links(spark, tmp_path):
 
     df = spark.createDataFrame(
         [("2021-03-01T10:00:00Z", "Security", "4688", 4688, "HOST-1", 512,
-          "{abc-123}", "C:\\w\\cmd.exe", "alice")],
+          400, "{abc-123}", "{par-99}", "C:\\w\\cmd.exe", "C:\\w\\pwsh.exe",
+          "alice")],
         "TimeCreated string, Channel string, SourceName string, EventID int, "
-        "Hostname string, ProcessId int, ProcessGuid string, Image string, "
-        "TargetUserName string",
+        "Hostname string, NewProcessId int, ProcessId int, ProcessGuid string, "
+        "ParentProcessGuid string, NewProcessName string, "
+        "ParentProcessName string, SubjectUserName string",
     )
     store = SparkStorage(str(tmp_path / "wh"), spark=spark)
     types = convert_log(store, df, query_id="win1")
-    assert {"x-oca-event", "x-oca-asset", "process", "user-account"} <= set(types)
+    assert {"x-oca-event", "x-oca-asset", "process", "user-account",
+            "file", "directory"} <= set(types)
     ev = store.table_df("x-oca-event").first()
-    proc = store.table_df("process").first()
+    procs = {r["x_unique_id"]: r for r in store.table_df("process").collect()}
     asset = store.table_df("x-oca-asset").first()
-    assert ev["process_ref"] == proc["id"]
+    child, parent = procs["{abc-123}"], procs["{par-99}"]
+    assert ev["process_ref"] == child["id"]
+    assert ev["parent_process_ref"] == parent["id"]
     assert ev["host_ref"] == asset["id"]
     assert ev["code"] == 4688 and ev["module"] == "Security"
     assert ev["action"] == "A new process has been created"
-    assert proc["pid"] == 512 and proc["x_unique_id"] == "{abc-123}"
+    # 4688: NewProcessId is the child pid, ProcessId the parent's
+    # (reference windows_mapping[4688], firepit/woodchipper.py:501-511)
+    assert child["pid"] == 512 and child["name"] == "cmd.exe"
+    assert child["parent_ref"] == parent["id"]
+    assert parent["pid"] == 400 and parent["name"] == "pwsh.exe"
+    user = store.table_df("user-account").first()
+    assert user["user_id"] == "alice" and child["creator_user_ref"] == user["id"]
     # lookup auto-derefs the event's refs
     row = store.lookup("x-oca-event")[0]
     assert row["host_ref.hostname"] == "HOST-1"
+
+
+def test_sysmon_event_matrix(spark, tmp_path):
+    """Per-EventID mapping breadth (parity: firepit/woodchipper.py:432-523
+    windows_mapping + SdsMapper:575-646): process create with parent/binary/
+    user refs, network connect with reflist edge, image load, file create,
+    registry value set from TargetObject+Message, DNS query resolution."""
+    from firepit_spark.sources.logs import convert_log
+
+    schema = (
+        "EventID int, UtcTime string, TimeCreated string, Channel string, "
+        "SourceName string, Hostname string, Image string, ProcessId int, "
+        "ProcessGuid string, CommandLine string, ParentImage string, "
+        "ParentProcessId int, ParentProcessGuid string, ParentCommandLine "
+        "string, User string, Hashes string, SourceIp string, DestinationIp "
+        "string, SourcePort int, DestinationPort int, Protocol string, "
+        "ImageLoaded string, TargetFilename string, TargetObject string, "
+        "QueryName string, QueryResults string, Message string"
+    )
+    base = {k.split(" ")[0]: None for k in schema.split(", ")}
+
+    def row(**kw):
+        return {**base, **kw, "UtcTime": "2021-05-01 10:00:00",
+                "Hostname": "WS01", "Channel": "Sysmon"}
+
+    rows = [
+        row(EventID=1, Image="C:\\Windows\\System32\\cmd.exe", ProcessId=100,
+            ProcessGuid="{g1}", CommandLine="cmd /c dir",
+            ParentImage="C:\\Windows\\explorer.exe", ParentProcessId=50,
+            ParentProcessGuid="{g0}", ParentCommandLine="explorer",
+            User="DOM\\alice", Hashes="SHA1=AB12,MD5=CD34,SHA256=EF56"),
+        row(EventID=3, Image="C:\\Windows\\System32\\cmd.exe", ProcessId=100,
+            ProcessGuid="{g1}", SourceIp="10.0.0.1", DestinationIp="8.8.8.8",
+            SourcePort=5000, DestinationPort=53, Protocol="udp"),
+        row(EventID=5, Image="C:\\Windows\\System32\\cmd.exe", ProcessId=100,
+            ProcessGuid="{g1}"),
+        row(EventID=7, Image="C:\\Windows\\System32\\cmd.exe", ProcessId=100,
+            ProcessGuid="{g1}", CommandLine="cmd /c dir",
+            ImageLoaded="C:\\Windows\\System32\\kernel32.dll",
+            Hashes="MD5=AA11"),
+        row(EventID=11, Image="C:\\w\\writer.exe", ProcessId=200,
+            ProcessGuid="{g2}", TargetFilename="C:\\Users\\bob\\evil.exe"),
+        row(EventID=13, Image="C:\\w\\reg.exe", ProcessId=300,
+            ProcessGuid="{g3}", TargetObject="HKLM\\SOFTWARE\\Run\\Updater",
+            Message='Registry value set: EventType: SetValue ... '
+                    'Details: DWORD (0x00000001)"'),
+        row(EventID=22, QueryName="evil.example.com",
+            QueryResults="type: 5 alias;93.184.216.34;"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    store = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    types = convert_log(store, df, query_id="sys1")
+    assert {"process", "file", "directory", "network-traffic", "ipv4-addr",
+            "domain-name", "windows-registry-key", "user-account",
+            "x-oca-event", "x-oca-asset", "observed-data", "__contains",
+            "__reflist", "artifact"} <= set(types)
+
+    procs = {r["x_unique_id"]: r for r in store.table_df("process").collect()}
+    assert set(procs) == {"{g0}", "{g1}", "{g2}", "{g3}"}
+    g1 = procs["{g1}"]
+    assert g1["pid"] == 100 and g1["name"] == "cmd.exe"
+    assert g1["parent_ref"] == procs["{g0}"]["id"]
+    assert g1["created"] is not None  # event 1 maps UtcTime -> process:created
+
+    file_rows = store.table_df("file").collect()
+    files = {}
+    for r in file_rows:
+        files.setdefault(r["name"], []).append(r)
+    assert {"cmd.exe", "explorer.exe", "kernel32.dll", "evil.exe",
+            "writer.exe", "reg.exe"} <= set(files)
+    # event 1 carries Hashes, so its cmd.exe file node has a hash-bearing id
+    # distinct from the hashless nodes of events 3/5/7 (makeid parity: a
+    # hashes contribution changes the uuid5)
+    assert any(r["hashes.MD5"] == "CD34" for r in files["cmd.exe"])
+    assert any(r["hashes.MD5"] == "AA11" for r in files["kernel32.dll"])
+    assert g1["binary_ref"] in {r["id"] for r in files["cmd.exe"]}
+    dirs = {r["path"] for r in store.table_df("directory").collect()}
+    assert {"C:\\Windows\\System32", "C:\\Windows", "C:\\Users\\bob"} <= dirs
+
+    nt = store.table_df("network-traffic").first()
+    assert nt["src_port"] == 5000 and nt["dst_port"] == 53
+    assert nt["protocols"] == ["udp"]
+    addrs = {r["value"] for r in store.table_df("ipv4-addr").collect()}
+    assert {"10.0.0.1", "8.8.8.8", "93.184.216.34"} <= addrs
+
+    refl = store.table_df("__reflist").collect()
+    by_name = {}
+    for r in refl:
+        by_name.setdefault(r["ref_name"], []).append(r)
+    assert by_name["opened_connection_refs"][0]["source_ref"] == g1["id"]
+    assert by_name["opened_connection_refs"][0]["target_ref"] == nt["id"]
+    dn = store.table_df("domain-name").first()
+    assert dn["value"] == "evil.example.com"
+    assert by_name["resolves_to_refs"][0]["source_ref"] == dn["id"]
+
+    reg = store.table_df("windows-registry-key").first()
+    assert reg["key"] == "HKEY_LOCAL_MACHINE\\SOFTWARE\\Run"
+    assert reg["values"] == ['{"name":"Updater"}']
+    ev13 = [r for r in store.table_df("x-oca-event").collect() if r["code"] == 13]
+    assert ev13[0]["action"] == "Registry Value Set - SetValue"
+    ev7 = [r for r in store.table_df("x-oca-event").collect() if r["code"] == 7]
+    assert ev7[0]["file_ref"] in {r["id"] for r in files["kernel32.dll"]}
+    ev1 = [r for r in store.table_df("x-oca-event").collect() if r["code"] == 1]
+    assert ev1[0]["action"] == "Process Creation"
+    # every contains edge resolves to a real observation (the persisted-wide
+    # contract: random obs ids are minted exactly once)
+    obs_ids = {r["id"] for r in store.table_df("observed-data").collect()}
+    edge_srcs = {r["source_ref"] for r in store.table_df("__contains").collect()}
+    assert edge_srcs <= obs_ids
