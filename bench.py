@@ -5,7 +5,8 @@ JSON line with per-query wall seconds.
 Headline set spans the cost spectrum: scan+agg (q01), star join (q04),
 shuffle join + topk (q07), window sessionize (q20), time binning (q11),
 shingle self-join dedup (q25), minhash (q26), brute-force ANN (q29),
-continuous-aggregate rollup (q34).
+continuous-aggregate rollup (q34), iterative closure (q35), as-of join
+(q36), bucketized range join (q37).
 """
 
 from __future__ import annotations
@@ -30,6 +31,8 @@ HEADLINE = [
     "q29_cosine_topk",
     "q34_hypertable_rollup",
     "q35_event_chain_ancestry",
+    "q36_asof_join",
+    "q37_range_join",
 ]
 
 

@@ -7,13 +7,17 @@ without ever collecting to the driver.
 Kernels come in two tiers:
 
 - **Real, pure-python**: container sniffing (magic numbers), header
-  dimension parsing (PNG/JPEG/GIF/BMP), and a full PNG codec
+  dimension parsing (PNG/JPEG/GIF/BMP), a full PNG codec
   (decode/encode/resize/stats — PNG is zlib+filters, both stdlib, pixels
-  land in numpy). These run distributed under ``mapInPandas``.
-- **Stubbed**: formats whose codecs genuinely need external libraries
-  (JPEG entropy decode, audio/video) raise ``NotImplementedError`` from
-  ``decode_stub``; the Spark-side schema, partitioning, UDF signatures,
-  and batch shapes around them are real and tested.
+  land in numpy), a WAV/PCM codec (RIFF chunk walk + sample decode, so
+  audio features are real numpy math), and an MP4 box walker (duration/
+  timescale/track metadata from ``mvhd``/``tkhd``). These run
+  distributed under ``mapInPandas``.
+- **Stubbed**: kernels that genuinely need external libraries (JPEG
+  entropy decode, compressed-audio decode, video frame extraction)
+  raise ``NotImplementedError`` from ``decode_stub``; the Spark-side
+  schema, partitioning, UDF signatures, and batch shapes around them
+  are real and tested.
 """
 
 from __future__ import annotations
@@ -260,6 +264,155 @@ def png_decode(content: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+# ---------------------------------------------------------------- WAV codec
+#
+# RIFF/WAVE with integer PCM (format 1) or float PCM (format 3) is pure
+# struct + numpy: chunk walk to `fmt ` and `data`, then a frombuffer.
+
+_WAV_DTYPES = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32,
+               (3, 32): np.float32, (3, 64): np.float64}
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal WAV writer: 16-bit PCM. ``samples`` is (n,) mono or
+    (n, channels) in [-1, 1] float or already int16."""
+    arr = np.asarray(samples)
+    if arr.dtype.kind == "f":
+        arr = (arr.clip(-1, 1) * 32767).astype(np.int16)
+    arr = arr.astype(np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_decode(content: bytes) -> tuple[np.ndarray, int]:
+    """(samples, sample_rate) from WAV bytes. Samples come back float64 in
+    [-1, 1], shape (n, channels). Integer PCM 8/16/32-bit and IEEE-float
+    32/64-bit supported — the shapes synthetic/training audio uses."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV")
+    audio_fmt, n_ch, rate, _br, _ba, bits = fmt
+    dtype = _WAV_DTYPES.get((audio_fmt, bits))
+    if dtype is None:
+        raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")
+    arr = np.frombuffer(data[: len(data) - len(data) % (n_ch * bits // 8)], dtype=dtype)
+    arr = arr.reshape(-1, n_ch).astype(np.float64)
+    if dtype == np.uint8:
+        arr = (arr - 128.0) / 128.0
+    elif dtype == np.int16:
+        arr = arr / 32768.0
+    elif dtype == np.int32:
+        arr = arr / 2147483648.0
+    return arr, rate
+
+
+def audio_stats(samples: np.ndarray, rate: int) -> dict:
+    """Loudness/shape summary used as the audio feature vector."""
+    mono = samples.mean(axis=1)
+    zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return {
+        "duration_ms": int(round(len(mono) * 1000.0 / rate)) if rate else 0,
+        "sample_rate": int(rate),
+        "channels": int(samples.shape[1]),
+        "rms": float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0,
+        "peak": float(np.abs(mono).max()) if len(mono) else 0.0,
+        "zero_crossings": zc,
+    }
+
+
+# ---------------------------------------------------------------- MP4 probe
+#
+# ISO-BMFF is length-prefixed boxes; duration and track metadata live in
+# fixed offsets of `mvhd`/`tkhd`/`mdhd` — a byte walk, no codec.
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        btype = b[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+            body = pos + 8
+        else:
+            body = pos + 8
+        if size < 8 or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def mp4_probe(content: bytes) -> dict:
+    """{'brand', 'duration_ms', 'timescale', 'n_tracks'} from MP4 boxes."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4")
+    info = {"brand": content[8:12].decode("ascii", "replace"),
+            "duration_ms": None, "timescale": None, "n_tracks": 0}
+    for btype, body, bend in _walk_boxes(content, 0, len(content)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _walk_boxes(content, body, bend):
+            if ctype == b"mvhd":
+                version = content[cbody]
+                if version == 1:
+                    ts, dur = struct.unpack(">IQ", content[cbody + 20 : cbody + 32])
+                else:
+                    ts, dur = struct.unpack(">II", content[cbody + 12 : cbody + 20])
+                info["timescale"] = ts
+                info["duration_ms"] = int(dur * 1000 // ts) if ts else None
+            elif ctype == b"trak":
+                info["n_tracks"] += 1
+    return info
+
+
+def mp4_encode_stub(duration_ms: int, timescale: int = 1000, n_tracks: int = 1) -> bytes:
+    """Minimal structurally-valid MP4 (ftyp + moov/mvhd/trak shells) for
+    tests — real muxing needs a codec library, but the metadata boxes the
+    probe reads are bit-exact."""
+    dur = duration_ms * timescale // 1000
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">III", 0, 0, timescale)
+        + struct.pack(">I", dur)
+        + b"\x00" * 80,
+    )
+    traks = b"".join(box(b"trak", box(b"tkhd", b"\x00" * 84)) for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize via index gather — no interpolation libs."""
     h, w = pixels.shape[:2]
@@ -384,6 +537,85 @@ def image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("rms", StringType()),  # repr'd floats: exact compare
+        StructField("peak", StringType()),
+        StructField("zero_crossings", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Real sample-level features for WAV blobs (PCM decode + numpy stats);
+    non-WAV rows carry the codec error instead of failing the job."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    samples, rate = wav_decode(blob)
+                    st = audio_stats(samples, rate)
+                    recs.append(
+                        (mid, st["duration_ms"], st["sample_rate"],
+                         st["channels"], repr(st["rms"]), repr(st["peak"]),
+                         st["zero_crossings"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    recs.append((mid, None, None, None, None, None, None,
+                                 str(exc)[:200]))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("timescale", LongType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def video_probe(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """MP4 container metadata (mvhd duration/timescale, track count) via
+    the pure-byte box walker; frame decode stays behind ``decode_stub``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    info = mp4_probe(blob)
+                    recs.append(
+                        (mid, info["brand"], info["duration_ms"],
+                         info["timescale"], info["n_tracks"], None)
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    recs.append((mid, None, None, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in VIDEO_PROBE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_PROBE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Expand each video row into frame-timestamp rows (the sampling plan);
     the frame decode itself is the stubbed kernel. Pure column ops."""
@@ -396,19 +628,28 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
-    """Deterministic media table for tests/benchmarks. Image rows carry
-    REAL PNG bytes (round-trippable through :func:`png_decode`); audio and
-    video rows carry opaque deterministic bytes."""
+    """Deterministic media table for tests/benchmarks. Every row carries
+    REAL container bytes: PNG round-trippable through :func:`png_decode`,
+    WAV through :func:`wav_decode`, MP4 metadata through
+    :func:`mp4_probe`."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
+        w = h = dur = None
         if kind == "image":
             w, h = 64 + i % 32, 64 + i % 16
             yy, xx = np.mgrid[0:h, 0:w]
             content = png_encode(((xx + yy + i) % 256).astype(np.uint8))
+        elif kind == "audio":
+            rate = 8000
+            dur = 100 + 10 * (i % 20)
+            t = np.arange(int(rate * dur / 1000.0)) / rate
+            content = wav_encode(
+                0.5 * np.sin(2 * np.pi * (200 + 10 * i) * t), sample_rate=rate
+            )
         else:
-            w = h = None
-            content = bytes((i * j) % 256 for j in range(128 + (i % 64)))
+            dur = 1000 * (1 + i % 30)
+            content = mp4_encode_stub(dur, n_tracks=1 + i % 2)
         rows.append(
             (
                 i,
@@ -417,7 +658,7 @@ def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 w,
                 h,
-                1000 * (i % 30) if kind != "image" else None,
+                dur,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)

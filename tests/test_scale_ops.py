@@ -98,7 +98,7 @@ def test_extract_features_shapes(spark):
     rows = feats.collect()
     assert len(rows) == 30
     byid = {r["media_id"]: r for r in rows}
-    assert byid[1]["n_bytes"] == 129  # audio rows keep raw deterministic bytes
+    assert byid[1]["n_bytes"] > 44  # audio rows carry a real WAV container
     assert byid[0]["feature"] == byid[0]["content_md5"][:16]
     assert set(r["kind"] for r in rows) == {"image", "audio", "video"}
     # deterministic across runs
@@ -235,8 +235,11 @@ def test_probe_media_distributed(spark):
             assert probed[i]["mime_sniffed"] == "image/png"
             assert probed[i]["width"] == 64 + i % 32
             assert probed[i]["height"] == 64 + i % 16
-        else:  # opaque deterministic bytes: no container signature
-            assert probed[i]["mime_sniffed"] is None
+        elif i % 3 == 1:  # audio: real WAV container
+            assert probed[i]["mime_sniffed"] == "audio/wav"
+            assert probed[i]["width"] is None
+        else:  # video: real MP4 ftyp box
+            assert probed[i]["mime_sniffed"] == "video/mp4"
             assert probed[i]["width"] is None
 
 
@@ -256,6 +259,74 @@ def test_image_features_real_decode(spark):
     assert feats[1]["err"] is not None and feats[1]["width"] is None
 
 
+def test_wav_roundtrip():
+    from firepit_spark.functions import multimodal as mm
+
+    t = np.arange(8000) / 8000.0
+    mono = 0.25 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = mm.wav_decode(mm.wav_encode(mono, sample_rate=8000))
+    assert rate == 8000 and samples.shape == (8000, 1)
+    # int16 quantization: truncating cast + 32767/32768 scale mismatch
+    assert np.abs(samples[:, 0] - mono).max() < 1.0 / 16000
+    stereo = np.stack([mono, -mono], axis=1)
+    s2, _ = mm.wav_decode(mm.wav_encode(stereo, sample_rate=8000))
+    assert s2.shape == (8000, 2)
+    with pytest.raises(ValueError):
+        mm.wav_decode(b"RIFF\0\0\0\0AVI LIST")
+    with pytest.raises(ValueError):
+        mm.wav_decode(b"not audio")
+
+
+def test_audio_stats_exact():
+    from firepit_spark.functions import multimodal as mm
+
+    rate = 1000
+    sq = np.where(np.arange(1000) % 100 < 50, 0.5, -0.5)  # 1 s square wave
+    st = mm.audio_stats(sq[:, None], rate)
+    assert st["duration_ms"] == 1000 and st["sample_rate"] == 1000
+    assert st["channels"] == 1
+    assert abs(st["rms"] - 0.5) < 1e-12 and st["peak"] == 0.5
+    assert st["zero_crossings"] == 19  # 10 half-periods alternate 20 times - 1
+
+
+def test_audio_features_distributed(spark):
+    from firepit_spark.functions.multimodal import audio_features
+
+    media = synthesize_media(spark, n=9, partitions=2)
+    feats = {r["media_id"]: r for r in audio_features(media).collect()}
+    # audio 1: 8 kHz sine, duration 100 + 10*(1%20) = 110 ms
+    assert feats[1]["err"] is None
+    assert feats[1]["sample_rate"] == 8000 and feats[1]["channels"] == 1
+    assert feats[1]["duration_ms"] == 110
+    # sine rms ~ 0.5/sqrt(2) (int16-quantized)
+    assert abs(float(feats[1]["rms"]) - 0.5 / np.sqrt(2)) < 1e-3
+    # non-WAV rows quarantine the codec error instead of failing the job
+    assert feats[0]["err"] is not None and feats[0]["sample_rate"] is None
+
+
+def test_mp4_probe_and_video_probe(spark):
+    from firepit_spark.functions import multimodal as mm
+    from firepit_spark.functions.multimodal import video_probe
+
+    blob = mm.mp4_encode_stub(12345, timescale=600, n_tracks=2)
+    info = mm.mp4_probe(blob)
+    assert info["brand"] == "isom" and info["n_tracks"] == 2
+    assert info["timescale"] == 600
+    # duration round-trips through the timescale conversion
+    assert abs(info["duration_ms"] - 12345) <= 1000 // 600 + 1
+    with pytest.raises(ValueError):
+        mm.mp4_probe(b"RIFF\0\0\0\0WAVEfmt ")
+
+    media = synthesize_media(spark, n=9, partitions=2)
+    probed = {r["media_id"]: r for r in video_probe(media).collect()}
+    # video 5: duration 1000*(1+5%30) = 6000 ms, 1 + 5%2 = 2 tracks
+    assert probed[5]["err"] is None
+    assert probed[5]["duration_ms"] == 6000 and probed[5]["n_tracks"] == 2
+    assert probed[5]["brand"] == "isom"
+    # image rows quarantine the non-MP4 error
+    assert probed[0]["err"] is not None
+
+
 def test_frame_sample_plan(spark):
     media = synthesize_media(spark, n=9, partitions=2)
     plan = frame_sample_plan(media, every_ms=1000)
@@ -264,8 +335,8 @@ def test_frame_sample_plan(spark):
     # video rows only (kind == video is i % 3 == 2)
     vids = {r["media_id"] for r in rows}
     assert vids == {2, 5, 8}
-    # duration 1000*(i%30) -> media 5 has 5000ms -> 6 frames (0..5000)
-    assert sum(1 for r in rows if r["media_id"] == 5) == 6
+    # duration 1000*(1+i%30) -> media 5 has 6000ms -> 7 frames (0..6000)
+    assert sum(1 for r in rows if r["media_id"] == 5) == 7
 
 
 # ------------------------------------------------------------------ dedup
