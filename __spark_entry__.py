@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from firepit_spark.functions import dedup as dd
+from firepit_spark.functions import pipeline as pl
 from firepit_spark.functions import similarity as sim
 from firepit_spark.functions import text as tx
 from firepit_spark.query import (
@@ -1017,6 +1018,87 @@ GROUP BY doc_id, w, h
 """
 
 
+def q40_hash_sample(spark, sf_dir):
+    """Deterministic content-addressed sampling: membership depends only on
+    md5(salt || key), so the draw reproduces across runs, engines, and
+    partitionings. Map-only filter — the 100-TB shape (no shuffle, scan
+    pushdown)."""
+    r = _resolver(spark, sf_dir)
+    return pl.hash_sample(r("documents"), "doc_id", 0.25, salt="s1").select(
+        "doc_id", "lang"
+    )
+
+
+_Q40_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{pl.hash_threshold(0.25)}'
+"""
+
+
+def q41_context_pack(spark, sf_dir):
+    """Context-window packing: greedy document -> ~2048-token pack
+    assignment via a per-language window prefix-sum (no iterative driver
+    logic; the sort is per partition key, never global)."""
+    r = _resolver(spark, sf_dir)
+    packed = pl.pack_documents(r("documents"), budget=2048, part_col="lang")
+    return pl.pack_stats(packed, part_col="lang")
+
+
+_Q41_SQL = f"""
+WITH {_TOKS_CTE},
+tc AS (
+  SELECT d.doc_id, d.lang, len(t.t) AS n_tokens
+  FROM documents d JOIN toks t USING (doc_id)
+),
+c AS (
+  SELECT lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM tc
+)
+SELECT lang,
+       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
+def q42_corpus_prep(spark, sf_dir):
+    """The pre-training funnel as ONE Catalyst plan: quality filter (pushed
+    to the scan) -> exact dedup (single fingerprint hash-shuffle, min-id
+    keeper) -> per-language survivor counts / token mass / mean quality."""
+    r = _resolver(spark, sf_dir)
+    return pl.corpus_prep(r("documents"), min_quality=0.5)
+
+
+_Q42_SQL = f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT d.doc_id, d.lang, len(t.t) AS n_toks,
+         md5({_NORM}) AS fp,
+         least(length(d.text) / 500.0, 1.0) * 0.4
+         + least(CASE WHEN len(t.t) > 0
+                 THEN CAST(len(list_filter(t.t, x -> list_contains({{sw}}, x))) AS DOUBLE) / len(t.t)
+                 ELSE 0.0 END * 5.0, 1.0) * 0.4
+         + (1.0 - least(CASE WHEN length(d.text) > 0
+                 THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
+                 ELSE 0.0 END * 10.0, 1.0)) * 0.2 AS q
+  FROM documents d JOIN toks t USING (doc_id)
+),
+f AS (SELECT * FROM m WHERE q >= 0.5),
+k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fp)
+SELECT f.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f.n_toks) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(f.q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_quality
+FROM f JOIN k USING (doc_id)
+GROUP BY f.lang
+""".replace("{sw}", _sw_list("en"))
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1068,6 +1150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_range_join": q37_range_join,
         "q38_cosine_near_dup": q38_cosine_near_dup,
         "q39_media_probe": q39_media_probe,
+        "q40_hash_sample": q40_hash_sample,
+        "q41_context_pack": q41_context_pack,
+        "q42_corpus_prep": q42_corpus_prep,
     }
 
 
@@ -1109,5 +1194,8 @@ def oracle_sql() -> dict[str, str]:
         "q37_range_join": _Q37_SQL,
         "q38_cosine_near_dup": _Q38_SQL,
         "q39_media_probe": _Q39_SQL,
+        "q40_hash_sample": _Q40_SQL,
+        "q41_context_pack": _Q41_SQL,
+        "q42_corpus_prep": _Q42_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

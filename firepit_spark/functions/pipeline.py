@@ -1,0 +1,137 @@
+"""Training-data pipeline operators: deterministic sampling, context
+packing, and corpus preparation composition.
+
+These are the corpus-shaping steps between raw documents and a training
+shard: choose a reproducible subset, bound each training example by a
+token budget, and compose quality-filter -> dedup -> stats into one plan.
+
+Scale design: every operator here is a pure column expression or a
+window partitioned by a data key — no driver-side loops, no UDFs, no
+global coordination. ``hash_sample`` is a map-only filter (fully
+parallel, prunable at the scan). ``pack_documents`` windows within a
+partition key so the sort is per-key, not global — on 100 TB you pack
+per shard/language, which is also what a training pipeline wants
+(homogeneous packs). The composition in :func:`corpus_prep` stays one
+Catalyst plan end-to-end, so the quality filter is pushed into the scan
+that feeds the dedup shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import fingerprint, quality_score, token_count
+
+
+def hash_threshold(rate: float) -> str:
+    """8-hex-digit threshold such that uniformly-hashed keys fall under it
+    with probability ``rate``. Lexicographic compare on fixed-width
+    lowercase hex == numeric compare, so the same literal works in any
+    engine with md5 (Spark, DuckDB, Trino, ...)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def hash_keep(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean: does this key fall in the deterministic ``rate`` sample?"""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8) < F.lit(
+        hash_threshold(rate)
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic content-addressed sampling: keep a row iff
+    ``md5(salt || key)`` lands below the rate threshold.
+
+    Unlike ``df.sample`` this is reproducible across runs, engines, and
+    partitionings (membership depends only on the key), and the same key
+    always resolves the same way — so resampling a grown corpus keeps
+    the previous sample as a subset. ``salt`` decorrelates independent
+    draws. Map-only: no shuffle, combines with scan-level filter
+    pushdown.
+    """
+    return df.filter(hash_keep(F.col(key_col), rate, salt))
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    token_col: str | None = None,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a context-window pack of ~``budget`` tokens.
+
+    Documents are laid out in ``order_col`` order (within ``part_col`` if
+    given) and split greedily: a document starts a new pack when the
+    running token total before it has crossed the next budget boundary
+    (``pack_id = floor(prefix_sum_before / budget)``). Deterministic and
+    expressible as one window prefix-sum — no iterative driver logic.
+
+    With ``part_col`` the sort/shuffle is per partition key (language,
+    shard, ...), never global, which is the scalable layout; omitting it
+    funnels everything through one window partition and is only sensible
+    for small corpora.
+    """
+    toks = F.col(token_col) if token_col else token_count(F.col(text_col))
+    w = Window.orderBy(order_col) if part_col is None else Window.partitionBy(
+        part_col
+    ).orderBy(order_col)
+    cum = F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    out = df.withColumn("n_tokens", toks).withColumn(
+        "pack_id", F.floor((cum - F.col("n_tokens")) / F.lit(budget))
+    )
+    return out
+
+
+def pack_stats(packed: DataFrame, part_col: str | None = None) -> DataFrame:
+    """Per-pack document count and token total (audit view of a packing)."""
+    keys = ([part_col] if part_col else []) + ["pack_id"]
+    return packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def corpus_prep(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Quality-filter -> exact-dedup -> per-group corpus stats, one plan.
+
+    The canonical pre-training funnel: drop low-quality docs, keep one
+    representative (min id) per normalized-text fingerprint, then report
+    per-group survivor counts and token mass. The filter happens before
+    the dedup shuffle (Catalyst pushes it into the scan), and dedup is a
+    single hash-shuffle on the fingerprint.
+    """
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        t.alias(text_col),
+        quality_score(t).alias("__q"),
+    ).filter(F.col("__q") >= min_quality)
+    keepers = (
+        scored.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    kept = scored.join(keepers.select(id_col), on=id_col, how="left_semi")
+    return kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+        # decimal accumulate -> partial-agg order can't move the mean
+        F.round(
+            F.sum(F.col("__q").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )

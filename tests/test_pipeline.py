@@ -1,0 +1,93 @@
+"""Training-data pipeline operators: deterministic sampling, context
+packing, corpus-prep composition (firepit_spark/functions/pipeline.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import pipeline as pl
+
+
+def _docs(spark):
+    rows = [
+        (0, "en", "the and is of to in this a good long document " * 20),
+        (1, "en", "the and is of to in this a good long document " * 20),  # dup of 0
+        (2, "en", "the quick brown fox is on the hill and of it to a"),
+        (3, "de", "der die und das ist ein text mit worten " * 15),
+        (4, "de", "der die und das ist ein text mit worten " * 15),  # dup of 3
+        (5, "en", "!!! ??? ;;; ,,, ..." ),  # punctuation garbage
+        (6, "en", "a b c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_hash_threshold_bounds():
+    assert pl.hash_threshold(0.0) == "00000000"
+    assert pl.hash_threshold(0.25) == "40000000"
+    assert pl.hash_threshold(1.0) == "ffffffff"
+    with pytest.raises(ValueError):
+        pl.hash_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s30 = set(r["k"] for r in pl.hash_sample(df, "k", 0.30).collect())
+    again = set(r["k"] for r in pl.hash_sample(df, "k", 0.30).collect())
+    assert s30 == again  # reproducible
+    # rate is approximately honored (md5 uniformity)
+    assert 0.25 < len(s30) / 2000 < 0.35
+    # a smaller rate is a SUBSET of a larger one (same salt): growing or
+    # shrinking the sample never churns previously-selected keys
+    s10 = set(r["k"] for r in pl.hash_sample(df, "k", 0.10).collect())
+    assert s10 <= s30
+    # a different salt decorrelates the draw
+    salted = set(r["k"] for r in pl.hash_sample(df, "k", 0.30, salt="x").collect())
+    assert salted != s30
+    # partitioning doesn't change membership
+    rep = set(r["k"] for r in pl.hash_sample(df.repartition(7), "k", 0.30).collect())
+    assert rep == s30
+
+
+def test_pack_documents_boundaries(spark):
+    rows = [(i, "en", 10) for i in range(10)]  # 10 docs x 10 tokens
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = pl.pack_documents(df, budget=25, token_col="n_tokens",
+                               order_col="doc_id", part_col="lang")
+    got = {r["doc_id"]: r["pack_id"] for r in packed.collect()}
+    # prefix sums before each doc: 0,10,20,...,90 -> floor(/25)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2,
+                   8: 3, 9: 3}
+    stats = {r["pack_id"]: (r["n_docs"], r["total_tokens"])
+             for r in pl.pack_stats(packed, part_col="lang").collect()}
+    assert stats == {0: (3, 30), 1: (2, 20), 2: (3, 30), 3: (2, 20)}
+
+
+def test_pack_documents_per_partition_key(spark):
+    rows = [(0, "en", 100), (1, "de", 100), (2, "en", 100), (3, "de", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = pl.pack_documents(df, budget=150, token_col="n_tokens",
+                               order_col="doc_id", part_col="lang")
+    got = {(r["lang"], r["doc_id"]): r["pack_id"] for r in packed.collect()}
+    # each language packs independently: second doc of each lang starts at
+    # prefix 100 -> pack 0, so both langs get one pack of two docs
+    assert got == {("en", 0): 0, ("en", 2): 0, ("de", 1): 0, ("de", 3): 0}
+
+
+def test_corpus_prep_dedup_and_filter(spark):
+    out = {r["lang"]: r for r in pl.corpus_prep(_docs(spark), min_quality=0.4).collect()}
+    # duplicates collapse to one survivor per fingerprint; the punctuation
+    # garbage doc (5) falls below the quality floor ("a b c" survives: all
+    # stopwords, zero punctuation)
+    assert out["en"]["n_docs"] == 3  # doc 0 (keeper of 0/1) + docs 2, 6
+    assert out["de"]["n_docs"] == 1  # doc 3 (keeper of 3/4)
+    assert out["en"]["total_tokens"] > 0
+    assert 0.0 <= out["en"]["avg_quality"] <= 1.0
+
+
+def test_corpus_prep_is_one_plan(spark):
+    """The funnel composes into a single Catalyst plan whose scan-side
+    includes the quality filter (not a post-shuffle filter)."""
+    plan = pl.corpus_prep(_docs(spark), min_quality=0.5)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("Join") == 1  # the semi-join; no extra shuffles stack
