@@ -27,7 +27,9 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # nullif: a zero-norm vector yields NULL (undefined cosine) instead of
+    # failing the whole job under ANSI division-by-zero
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def brute_force_topk(
@@ -177,6 +179,55 @@ def lsh_near_dup_pairs(
     )
 
 
+class IvfIndex:
+    """A fitted IVF-Flat index: the cell-assigned corpus plus centroids.
+
+    Fit once with :func:`ivf_fit`, then run any number of query batches
+    through :func:`ivf_search` — the expensive iterative k-means (and
+    optionally the assignment pass, if you ``persist()`` ``assigned``)
+    is amortized across searches. ``centroids`` is a plain list (small:
+    n_cells × dim floats) so the index is cheap to hold on the driver;
+    the corpus stays distributed.
+    """
+
+    def __init__(self, assigned: DataFrame, centroids: list, id_col: str, vec_col: str):
+        self.assigned = assigned
+        self.centroids = centroids
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def persist(self) -> "IvfIndex":
+        """Pin the assignment pass for repeated searches; call
+        :meth:`unpersist` when done (cache-release contract)."""
+        self.assigned = self.assigned.persist()
+        return self
+
+    def unpersist(self) -> "IvfIndex":
+        self.assigned.unpersist()
+        return self
+
+
+def ivf_fit(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> IvfIndex:
+    """Build an IVF index: k-means (pyspark.ml) partitions the corpus into
+    ``n_cells`` Voronoi cells; each vector is assigned to its nearest
+    centroid — the inverted lists."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = vectors.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("__v")
+    centroids = [list(c) for c in model.clusterCenters()]
+    return IvfIndex(assigned, centroids, id_col, vec_col)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -189,25 +240,36 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index.
+    """Approximate top-k via an IVF (inverted-file) index (fit + search in
+    one call; use :func:`ivf_fit` + :func:`ivf_search` to amortize the fit
+    across query batches).
 
-    Build: k-means (pyspark.ml) partitions the corpus into ``n_cells``
-    Voronoi cells; each vector is assigned to its nearest centroid — the
-    inverted lists. Search: each query scans only its ``n_probe`` nearest
-    cells, so the scored set is ~(n_probe/n_cells) of the corpus. The join
-    is an equi-join on cell id (queries side broadcast), which scales the
-    same way the LSH variant does but with data-adaptive partitioning —
-    the standard IVF-Flat trade of recall vs cells probed.
+    Search: each query scans only its ``n_probe`` nearest cells, so the
+    scored set is ~(n_probe/n_cells) of the corpus. The join is an
+    equi-join on cell id (queries side broadcast), which scales the same
+    way the LSH variant does but with data-adaptive partitioning — the
+    standard IVF-Flat trade of recall vs cells probed.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    index = ivf_fit(vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    return ivf_search(
+        index, queries, k=k, n_probe=n_probe,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
 
-    with_vec = vectors.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell")
-    model = km.fit(with_vec)
-    assigned = model.transform(with_vec).drop("__v")
 
-    centroids = [list(c) for c in model.clusterCenters()]
+def ivf_search(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k search against a fitted :class:`IvfIndex`."""
+    assigned = index.assigned
+    centroids = index.centroids
+    id_col = index.id_col
+    vec_col = index.vec_col
 
     def _cells_for(qv: Column) -> Column:
         """Array of the n_probe nearest cell ids for a query vector."""

@@ -1,0 +1,47 @@
+"""Streaming deduplication twins of the batch dedup operators.
+
+The reference is batch-only; a continuously-fed training-data pipeline
+needs the same dedup semantics on a stream:
+
+* ``stream_dedup_exact`` — keep the first document per normalized-text
+  fingerprint. ``dropDuplicatesWithinWatermark`` bounds the dedup state
+  by the watermark delay (state is evicted once the watermark passes a
+  fingerprint's expiry), which is the only shape that survives an
+  unbounded stream: exact global dedup would grow state forever.
+  Within the watermark horizon the semantics match batch
+  ``dedup_exact`` (one survivor per fingerprint); duplicates farther
+  apart than the delay can both pass — the documented trade, tune the
+  delay to the dedup horizon you need.
+* ``stream_fingerprint`` — the stateless prefix (fingerprint column
+  only), reusable in front of any sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.functions.text import fingerprint
+
+
+def stream_fingerprint(stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the md5 normalized-text fingerprint (stateless, map-only)."""
+    return stream.withColumn("fp", fingerprint(F.col(text_col)))
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    time_col: str,
+    text_col: str = "text",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """First-seen document per fingerprint within the watermark horizon.
+
+    State per distinct fingerprint is one row and is dropped when the
+    event-time watermark passes ``arrival + delay`` — bounded memory on
+    an unbounded stream.
+    """
+    return (
+        stream_fingerprint(stream, text_col)
+        .withWatermark(time_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

@@ -77,6 +77,19 @@ def test_ivf_topk(spark):
     full = sim.ivf_topk(vectors, q, k=3, n_cells=2, n_probe=2)
     brute = sim.brute_force_topk(vectors, q, k=3)
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, brute.collect()))
+    # fit once, search many: the persisted index answers successive query
+    # batches without re-running k-means, with identical results
+    index = sim.ivf_fit(vectors, n_cells=2).persist()
+    try:
+        r1 = sim.ivf_search(index, q, k=3, n_probe=2)
+        assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, full.collect()))
+        q2 = spark.createDataFrame(
+            [(3, [4.8, 5.2])], "query_id long, query_vec array<double>"
+        )
+        r2 = sim.ivf_search(index, q2, k=2, n_probe=1).collect()
+        assert len(r2) == 2 and all(r["neighbor_id"] < 100 for r in r2)
+    finally:
+        index.unpersist()
 
 
 def test_label_centroids(spark):

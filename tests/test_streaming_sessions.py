@@ -128,3 +128,42 @@ def test_stream_rollup_exact_across_batches(spark, tmp_path):
     g = {key(r): (r["n"], float(r["val_sum"]), r["val_min"], r["val_max"]) for r in got.collect()}
     w = {key(r): (r["n"], float(r["val_sum"]), r["val_min"], r["val_max"]) for r in want.collect()}
     assert g == w and len(g) >= 6
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Streaming twin of dedup_exact: one survivor per fingerprint within
+    the watermark horizon, duplicate dropped across micro-batches."""
+    from firepit_spark.streaming.dedup import stream_dedup_exact
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    rows1 = [
+        {"ts": "2024-01-01T00:00:00", "doc_id": 0, "text": "alpha beta gamma"},
+        {"ts": "2024-01-01T00:00:01", "doc_id": 1, "text": "alpha  beta   GAMMA"},
+        {"ts": "2024-01-01T00:00:02", "doc_id": 2, "text": "something else"},
+    ]
+    _write_events(indir / "a.json", rows1)
+    schema = "ts timestamp, doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    out = stream_dedup_exact(stream, "ts", watermark_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: same fingerprints arrive again inside the
+        # watermark horizon -> dropped; one genuinely new doc survives
+        _write_events(indir / "b.json", [
+            {"ts": "2024-01-01T00:01:00", "doc_id": 3, "text": "alpha beta gamma"},
+            {"ts": "2024-01-01T00:01:01", "doc_id": 4, "text": "fresh content"},
+        ])
+        q.processAllAvailable()
+        got = {r["doc_id"] for r in spark.sql("select * from dedup_t").collect()}
+    finally:
+        q.stop()
+    # doc 1 normalizes to doc 0's fingerprint (whitespace+case), doc 3 is a
+    # cross-batch duplicate of doc 0 — only first-seen docs pass
+    assert got == {0, 2, 4}
