@@ -1099,6 +1099,43 @@ GROUP BY f.lang
 """.replace("{sw}", _sw_list("en"))
 
 
+def q43_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment (md5 % n): per-shard doc
+    counts prove the full assignment. Map-only + one small agg; a
+    partitionBy('shard_id') write makes this the shard layout."""
+    r = _resolver(spark, sf_dir)
+    sharded = pl.assign_shards(r("documents"), "doc_id", n_shards=8)
+    return sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_Q43_SQL = """
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
+         AS shard_id,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q44_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (rare groups kept whole):
+    per-lang CASE threshold over the same md5 membership as q40."""
+    r = _resolver(spark, sf_dir)
+    out = pl.stratified_sample(
+        r("documents"), "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_rate=1.0
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_Q44_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '{pl.hash_threshold(0.2)}'
+                WHEN 'de' THEN '{pl.hash_threshold(0.5)}'
+                ELSE '{pl.hash_threshold(1.0)}' END
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1153,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_hash_sample": q40_hash_sample,
         "q41_context_pack": q41_context_pack,
         "q42_corpus_prep": q42_corpus_prep,
+        "q43_shard_assign": q43_shard_assign,
+        "q44_stratified_sample": q44_stratified_sample,
     }
 
 
@@ -1197,5 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "q40_hash_sample": _Q40_SQL,
         "q41_context_pack": _Q41_SQL,
         "q42_corpus_prep": _Q42_SQL,
+        "q43_shard_assign": _Q43_SQL,
+        "q44_stratified_sample": _Q44_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -27,10 +27,13 @@ def hash_threshold(rate: float) -> str:
     """8-hex-digit threshold such that uniformly-hashed keys fall under it
     with probability ``rate``. Lexicographic compare on fixed-width
     lowercase hex == numeric compare, so the same literal works in any
-    engine with md5 (Spark, DuckDB, Trino, ...)."""
+    engine with md5 (Spark, DuckDB, Trino, ...). ``rate=1.0`` returns
+    ``"g"`` — greater than every hex string, so nothing is dropped."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16**8), "08x")
 
 
 def hash_keep(key: Column, rate: float, salt: str = "") -> Column:
@@ -54,6 +57,58 @@ def hash_sample(
     pushdown.
     """
     return df.filter(hash_keep(F.col(key_col), rate, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: dict,
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic sampling — downsample over-represented
+    groups (e.g. English web text) while keeping rare ones whole.
+
+    ``rates`` maps group value -> keep rate; groups not listed use
+    ``default_rate``. Same membership semantics as :func:`hash_sample`
+    (content-addressed, reproducible, rate-nested per group). Still
+    map-only: the per-group threshold is a small CASE expression, no
+    join, no shuffle.
+    """
+    thr = F.lit(hash_threshold(default_rate))
+    for g, rate in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(hash_threshold(rate))).otherwise(thr)
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    return df.filter(h < thr)
+
+
+def key_hash(key: Column, salt: str = "") -> Column:
+    """60-bit uniform integer hash of a key (md5 prefix parsed base-16 —
+    reproducible in ANSI SQL as ``('0x' || substr(md5(k),1,15))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard_id = h(key) % n``.
+
+    Content-addressed like :func:`hash_sample`, so a document lands on the
+    same shard across runs and engines regardless of partitioning — the
+    property that makes shard-level resume/dedup possible. Map-only; to
+    materialize, ``df.write.partitionBy('shard_id')`` turns it into the
+    shuffle-free shard layout.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(
+        "shard_id", (key_hash(F.col(key_col), salt) % n_shards).cast("int")
+    )
 
 
 def pack_documents(

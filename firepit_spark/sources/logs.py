@@ -156,8 +156,11 @@ SDS_EVENT_TYPES = {
     "ConnectPipe": 18,
 }
 
-# file-centric event ids (parity: firepit/woodchipper.py:331-332)
-FILE_EVENT_IDS = (6, 7, 9, 11, 15)
+# file-centric event ids whose x-oca-event carries a file_ref (parity:
+# firepit/woodchipper.py:331-332 is_file_event): 6 driver / 7 image load
+# via ImageLoaded, 11 create / 15 stream hash via TargetFilename
+LOADED_FILE_EVENTS = (6, 7)
+TARGET_FILE_EVENTS = (11, 15)
 
 
 def _proto_names() -> dict:
@@ -581,9 +584,11 @@ def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
 
     # --- files: process image, parent image, loaded image (7), created (11)
     img_hashes = F.when(eid == 1, src("Hashes"))
-    loaded_hashes = F.when(eid == 7, src("Hashes"))
-    loaded_image = F.when(eid == 7, src("ImageLoaded"))
-    target_file = F.when(eid == 11, src("TargetFilename"))
+    loaded_hashes = F.when(eid.isin(*LOADED_FILE_EVENTS), src("Hashes"))
+    loaded_image = F.when(eid.isin(*LOADED_FILE_EVENTS), src("ImageLoaded"))
+    target_file = F.when(eid.isin(*TARGET_FILE_EVENTS), src("TargetFilename"))
+    # Sysmon 15 carries its hash in `Hash` (not `Hashes`)
+    target_hashes = F.when(eid == 15, F.coalesce(src("Hash"), src("Hashes")))
 
     # --- registry (12 create/delete: whole key; 13 set: key \ value name;
     # SDS 'Details: DWORD (...)' message carries the value payload)
@@ -677,6 +682,7 @@ def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
         loaded_hashes.alias("loaded_hashes"),
         loaded_image.alias("loaded_image"),
         target_file.alias("target_file"),
+        target_hashes.alias("target_hashes"),
         reg_key.alias("reg_key"),
         reg_values.alias("reg_values"),
         qname.alias("qname"),
@@ -732,7 +738,9 @@ def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
     l_name, l_dir, l_hj, l_dir_id, l_file_id = file_node(
         c("loaded_image"), c("loaded_hashes")
     )
-    t_name, t_dir, _, t_dir_id, t_file_id = file_node(c("target_file"), None)
+    t_name, t_dir, t_hj, t_dir_id, t_file_id = file_node(
+        c("target_file"), c("target_hashes")
+    )
 
     proc_id = c("proc_id")
     pproc_any = (
@@ -795,7 +803,9 @@ def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
 
     # x-oca-event links (parity: dict2observation fix-up,
     # firepit/woodchipper.py:248-287; file_ref only for file-centric events)
-    file_ref = F.when(c("eid") == 7, l_file_id).when(c("eid") == 11, t_file_id)
+    file_ref = F.when(c("eid").isin(*LOADED_FILE_EVENTS), l_file_id).when(
+        c("eid").isin(*TARGET_FILE_EVENTS), t_file_id
+    )
     emit(
         "x-oca-event",
         c("eid").isNotNull(),
@@ -851,11 +861,11 @@ def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
             p_file_id.alias("binary_ref"),
         ],
     )
-    for path_col, name, dirp, hj, dir_id, file_id in (
-        ("image", img_name, img_dir, img_hj, img_dir_id, img_file_id),
-        ("p_image", p_name, p_dir, None, p_dir_id, p_file_id),
-        ("loaded_image", l_name, l_dir, l_hj, l_dir_id, l_file_id),
-        ("target_file", t_name, t_dir, None, t_dir_id, t_file_id),
+    for path_col, hashes_col, name, dirp, hj, dir_id, file_id in (
+        ("image", "img_hashes", img_name, img_dir, img_hj, img_dir_id, img_file_id),
+        ("p_image", None, p_name, p_dir, None, p_dir_id, p_file_id),
+        ("loaded_image", "loaded_hashes", l_name, l_dir, l_hj, l_dir_id, l_file_id),
+        ("target_file", "target_hashes", t_name, t_dir, t_hj, t_dir_id, t_file_id),
     ):
         present = c(path_col).isNotNull()
         file_cols = [
@@ -864,7 +874,7 @@ def windows_to_scos(df: DataFrame, identity_id: str | None = None) -> dict:
             dir_id.alias("parent_directory_ref"),
         ]
         if hj is not None:
-            src_hashes = c("img_hashes") if path_col == "image" else c("loaded_hashes")
+            src_hashes = c(hashes_col)
             file_cols += [
                 _hash_part(src_hashes, "MD5").alias("hashes.MD5"),
                 _hash_part(src_hashes, "SHA1").alias("hashes.'SHA-1'"),
@@ -1011,9 +1021,15 @@ def convert_log(
             mapping = MAPPINGS[mapping]
         wide = to_wide(df, mapping)
         scos = wide_to_scos(wide, identity_id=identity_id)
+    created = []
     try:
         for otype, sco_df in scos.items():
+            # only observed types get tables (reference parity); the probe
+            # is a limit-1 scan over the persisted wide frame — cheap
+            if sco_df.isEmpty():
+                continue
             storage.ingest_dataframe(otype, sco_df, query_id)
+            created.append(otype)
     finally:
         scos.release()
-    return sorted(scos)
+    return sorted(created)

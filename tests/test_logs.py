@@ -200,7 +200,7 @@ def test_sysmon_event_matrix(spark, tmp_path):
         "string, User string, Hashes string, SourceIp string, DestinationIp "
         "string, SourcePort int, DestinationPort int, Protocol string, "
         "ImageLoaded string, TargetFilename string, TargetObject string, "
-        "QueryName string, QueryResults string, Message string"
+        "QueryName string, QueryResults string, Message string, Hash string"
     )
     base = {k.split(" ")[0]: None for k in schema.split(", ")}
 
@@ -223,8 +223,12 @@ def test_sysmon_event_matrix(spark, tmp_path):
             ProcessGuid="{g1}", CommandLine="cmd /c dir",
             ImageLoaded="C:\\Windows\\System32\\kernel32.dll",
             Hashes="MD5=AA11"),
+        row(EventID=6, ImageLoaded="C:\\drivers\\bad.sys", Hashes="MD5=DD55"),
         row(EventID=11, Image="C:\\w\\writer.exe", ProcessId=200,
             ProcessGuid="{g2}", TargetFilename="C:\\Users\\bob\\evil.exe"),
+        row(EventID=15, Image="C:\\w\\writer.exe", ProcessId=200,
+            ProcessGuid="{g2}", TargetFilename="C:\\Users\\bob\\stream.txt",
+            Hash="SHA256=EE66"),
         row(EventID=13, Image="C:\\w\\reg.exe", ProcessId=300,
             ProcessGuid="{g3}", TargetObject="HKLM\\SOFTWARE\\Run\\Updater",
             Message='Registry value set: EventType: SetValue ... '
@@ -239,6 +243,9 @@ def test_sysmon_event_matrix(spark, tmp_path):
             "domain-name", "windows-registry-key", "user-account",
             "x-oca-event", "x-oca-asset", "observed-data", "__contains",
             "__reflist", "artifact"} <= set(types)
+    # only observed types create tables: the fixture has no MAC or v6
+    # addresses, so the address guess-ladder's empty frames are skipped
+    assert "mac-addr" not in types and "ipv6-addr" not in types
 
     procs = {r["x_unique_id"]: r for r in store.table_df("process").collect()}
     assert set(procs) == {"{g0}", "{g1}", "{g2}", "{g3}"}
@@ -252,12 +259,16 @@ def test_sysmon_event_matrix(spark, tmp_path):
     for r in file_rows:
         files.setdefault(r["name"], []).append(r)
     assert {"cmd.exe", "explorer.exe", "kernel32.dll", "evil.exe",
-            "writer.exe", "reg.exe"} <= set(files)
+            "writer.exe", "reg.exe", "bad.sys", "stream.txt"} <= set(files)
     # event 1 carries Hashes, so its cmd.exe file node has a hash-bearing id
     # distinct from the hashless nodes of events 3/5/7 (makeid parity: a
     # hashes contribution changes the uuid5)
     assert any(r["hashes.MD5"] == "CD34" for r in files["cmd.exe"])
     assert any(r["hashes.MD5"] == "AA11" for r in files["kernel32.dll"])
+    # event 6 (driver load) files via ImageLoaded; event 15 carries its
+    # hash in `Hash` (not `Hashes`)
+    assert any(r["hashes.MD5"] == "DD55" for r in files["bad.sys"])
+    assert any(r["hashes.'SHA-256'"] == "EE66" for r in files["stream.txt"])
     assert g1["binary_ref"] in {r["id"] for r in files["cmd.exe"]}
     dirs = {r["path"] for r in store.table_df("directory").collect()}
     assert {"C:\\Windows\\System32", "C:\\Windows", "C:\\Users\\bob"} <= dirs

@@ -25,7 +25,8 @@ def _docs(spark):
 def test_hash_threshold_bounds():
     assert pl.hash_threshold(0.0) == "00000000"
     assert pl.hash_threshold(0.25) == "40000000"
-    assert pl.hash_threshold(1.0) == "ffffffff"
+    # rate 1.0 compares above every hex string: nothing dropped, ever
+    assert pl.hash_threshold(1.0) == "g"
     with pytest.raises(ValueError):
         pl.hash_threshold(1.5)
 
@@ -47,6 +48,33 @@ def test_hash_sample_deterministic_and_nested(spark):
     # partitioning doesn't change membership
     rep = set(r["k"] for r in pl.hash_sample(df.repartition(7), "k", 0.30).collect())
     assert rep == s30
+
+
+def test_stratified_sample_rates_and_default(spark):
+    rows = [(i, "en" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = pl.stratified_sample(df, "doc_id", "lang", {"en": 0.2}, default_rate=1.0)
+    by_lang = {r["lang"]: r["cnt"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_lang["rare"] == 1000  # default 1.0 keeps the rare group whole
+    assert 120 < by_lang["en"] < 280  # ~20% of 1000
+    # per-group membership equals plain hash_sample at that group's rate
+    en_only = pl.hash_sample(df.filter(F.col("lang") == "en"), "doc_id", 0.2)
+    assert sorted(r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()) \
+        == sorted(r["doc_id"] for r in en_only.collect())
+
+
+def test_assign_shards_deterministic_balanced(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = {r["k"]: r["shard_id"] for r in pl.assign_shards(df, "k", 16).collect()}
+    b = {r["k"]: r["shard_id"] for r in
+         pl.assign_shards(df.repartition(9), "k", 16).collect()}
+    assert a == b  # partitioning-independent
+    assert set(a.values()) == set(range(16))
+    sizes = [list(a.values()).count(s) for s in range(16)]
+    assert max(sizes) < 2 * min(sizes)  # md5 uniformity keeps shards balanced
+    with pytest.raises(ValueError):
+        pl.assign_shards(df, "k", 0)
 
 
 def test_pack_documents_boundaries(spark):
