@@ -1099,6 +1099,48 @@ GROUP BY f.lang
 """.replace("{sw}", _sw_list("en"))
 
 
+def q45_dedup_clusters(spark, sf_dir):
+    """The dedup endgame: near-dup pairs (q25's shingle inverted index) ->
+    connected components -> (doc, cluster) labels, cluster = min doc id in
+    the component. Min-label propagation (equi-join + groupBy per round,
+    early exit on convergence) vs a recursive-CTE transitive closure."""
+    from firepit_spark.functions.graph import dedup_clusters
+
+    r = _resolver(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(r("documents"), k=3, threshold=0.03)
+    return dedup_clusters(pairs)
+
+
+_Q45_SQL = f"""
+WITH RECURSIVE {_TOKS_CTE},
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.03
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+"""
+
+
 def q43_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment (md5 % n): per-shard doc
     counts prove the full assignment. Map-only + one small agg; a
@@ -1192,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_corpus_prep": q42_corpus_prep,
         "q43_shard_assign": q43_shard_assign,
         "q44_stratified_sample": q44_stratified_sample,
+        "q45_dedup_clusters": q45_dedup_clusters,
     }
 
 
@@ -1238,5 +1281,6 @@ def oracle_sql() -> dict[str, str]:
         "q42_corpus_prep": _Q42_SQL,
         "q43_shard_assign": _Q43_SQL,
         "q44_stratified_sample": _Q44_SQL,
+        "q45_dedup_clusters": _Q45_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

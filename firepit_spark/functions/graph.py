@@ -64,6 +64,78 @@ def ancestors(
     return out
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) labels for an undirected edge list; the component
+    id is the smallest node id in the component (deterministic, so the
+    result is oracle-checkable against a recursive-CTE closure).
+
+    Min-label propagation: every round each node takes the minimum of its
+    own label and its neighbors' labels — one equi-join + groupBy per
+    round, converging in O(graph diameter) rounds. Near-dup graphs (the
+    use case: dedup clusters from similarity pairs) are clique-ish with
+    tiny diameters, so this typically ends in 2-4 rounds; the convergence
+    probe (count of changed labels) exits early. Everything is an
+    equi-join on node id — no driver-side graph state, scales with the
+    cluster like :func:`ancestors`.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    caches = [sym]
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    caches.append(labels)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        caches.append(new_labels)
+        labels = new_labels
+        if changed:
+            break
+    labels._fp_caches = caches
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Near-duplicate clusters from a similarity-pair list: (doc, cluster)
+    where cluster = min doc id in the connected component — the keep-one-
+    per-cluster endgame of every pairwise dedup operator in dedup.py."""
+    return connected_components(pairs, src=src, dst=dst, max_iter=max_iter).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+
+
 def roots(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
     """Processes with no (known) parent — the tree roots."""
     e = edges_from(df, ref_col)

@@ -500,6 +500,42 @@ def test_ancestors_depth_bound(spark):
                           if r["depth"] == 3}
 
 
+def test_connected_components(spark):
+    from firepit_spark.functions import release
+    from firepit_spark.functions.graph import connected_components, dedup_clusters
+
+    # two components: a 4-chain {1,2,3,4} (diameter 3 forces multiple
+    # propagation rounds) and a pair {10, 11}; 7 isolated-by-edge {7,8}
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 11), (8, 7)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7, 8: 7}
+    release(labels)
+
+    clusters = dedup_clusters(edges)
+    byc = {}
+    for r in clusters.collect():
+        byc.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert byc == {1: {1, 2, 3, 4}, 10: {10, 11}, 7: {7, 8}}
+    release(clusters)
+
+
+def test_connected_components_converges_early(spark):
+    """A clique converges in one round regardless of max_iter; labels are
+    partitioning-independent."""
+    from firepit_spark.functions import release
+    from firepit_spark.functions.graph import connected_components
+
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long").repartition(4)
+    labels = connected_components(edges, max_iter=50)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {n: 0 for n in range(5)}
+    release(labels)
+
+
 def test_release_frees_operator_caches(spark):
     """Iterative/multi-consumer operators persist intermediates; release()
     must return the session to its prior cache footprint (long-lived
