@@ -1141,6 +1141,45 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q46_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (4x storage cut;
+    cosine is scale-invariant so ranking survives). The oracle recomputes
+    the integer code sum — exact integer arithmetic, so the hash match
+    proves the quantization kernel, with no float-drift wiggle room."""
+    r = _resolver(spark, sf_dir)
+    q = sim.quantize_embeddings(r("embeddings"))
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        ).alias("code_sum"),
+        F.array_max(F.col("qvec")).cast("int").alias("code_max"),
+        F.round(F.col("qscale"), 9).alias("scale"),
+    )
+
+
+_Q46_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.max_abs) AS BIGINT))
+           AS qvec,
+         m.max_abs
+  FROM embeddings e JOIN m USING (vec_id)
+)
+SELECT vec_id,
+       CAST(list_sum(qvec) AS BIGINT) AS code_sum,
+       CAST(list_max(qvec) AS INT) AS code_max,
+       ROUND(max_abs / 127.0, 9) AS scale
+FROM q
+"""
+
+
 def q43_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment (md5 % n): per-shard doc
     counts prove the full assignment. Map-only + one small agg; a
@@ -1235,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_shard_assign": q43_shard_assign,
         "q44_stratified_sample": q44_stratified_sample,
         "q45_dedup_clusters": q45_dedup_clusters,
+        "q46_quantize_embeddings": q46_quantize_embeddings,
     }
 
 
@@ -1282,5 +1322,6 @@ def oracle_sql() -> dict[str, str]:
         "q43_shard_assign": _Q43_SQL,
         "q44_stratified_sample": _Q44_SQL,
         "q45_dedup_clusters": _Q45_SQL,
+        "q46_quantize_embeddings": _Q46_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

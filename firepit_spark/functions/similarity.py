@@ -313,6 +313,36 @@ def ivf_search(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: ``q_i = round(x_i * 127 / max|x|)``.
+
+    4× smaller than float32 (16× vs float64) — at 100 TB of embeddings
+    that is the difference between fitting the corpus in cluster memory
+    or not. Cosine is scale-invariant, so ranking on the quantized
+    vectors needs no dequantization; ``scale_col`` (max|x|/127) recovers
+    approximate originals when magnitudes matter. Pure JVM expressions
+    (transform/aggregate), map-only. Zero vectors quantize to zeros with
+    a NULL scale.
+    """
+    x = F.col(vec_col)
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    safe = F.nullif(max_abs, F.lit(0.0))
+    return vectors.withColumn(
+        out_col,
+        F.transform(
+            x,
+            lambda v: F.coalesce(
+                F.round(v.cast("double") * 127.0 / safe, 0), F.lit(0.0)
+            ).cast("tinyint"),
+        ),
+    ).withColumn(scale_col, safe / 127.0)
+
+
 def label_centroids(
     vectors: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -92,6 +92,35 @@ def test_ivf_topk(spark):
         index.unpersist()
 
 
+def test_quantize_embeddings(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.0, 0.0, 0.0]), (2, [2.0, 2.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in sim.quantize_embeddings(df).collect()}
+    assert got[0]["qvec"] == [127, -64, 32]  # round(±x*127/max)
+    assert abs(got[0]["qscale"] - 1.0 / 127.0) < 1e-12
+    # zero vector: zero codes, NULL scale, no division error
+    assert got[1]["qvec"] == [0, 0, 0] and got[1]["qscale"] is None
+    assert got[2]["qvec"] == [127, 127, 127]
+    # cosine is scale-invariant: ranking on quantized == on originals
+    q = sim.quantize_embeddings(df.filter(F.col("vec_id") != 1))
+    cos_q = q.select(
+        "vec_id",
+        F.round(sim.cosine(
+            F.transform("qvec", lambda v: v.cast("double")),
+            F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0)),
+        ), 2).alias("c"),
+    ).collect()
+    cos_o = df.filter(F.col("vec_id") != 1).select(
+        "vec_id",
+        F.round(sim.cosine(
+            F.col("embedding"), F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0))
+        ), 2).alias("c"),
+    ).collect()
+    assert {r["vec_id"]: r["c"] for r in cos_q} == {r["vec_id"]: r["c"] for r in cos_o}
+
+
 def test_label_centroids(spark):
     df = spark.createDataFrame(
         [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [0.0, 4.0])],
