@@ -402,13 +402,19 @@ def mp4_encode_stub(duration_ms: int, timescale: int = 1000, n_tracks: int = 1) 
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
-    mvhd = box(
-        b"mvhd",
-        struct.pack(">B3x", 0)
-        + struct.pack(">III", 0, 0, timescale)
-        + struct.pack(">I", dur)
-        + b"\x00" * 80,
-    )
+    if dur < 2**32:
+        body = (
+            struct.pack(">B3x", 0)
+            + struct.pack(">III", 0, 0, timescale)
+            + struct.pack(">I", dur)
+        )
+    else:  # version 1: 64-bit creation/modification/duration
+        body = (
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQI", 0, 0, timescale)
+            + struct.pack(">Q", dur)
+        )
+    mvhd = box(b"mvhd", body + b"\x00" * 80)
     traks = b"".join(box(b"trak", box(b"tkhd", b"\x00" * 84)) for _ in range(n_tracks))
     return ftyp + box(b"moov", mvhd + traks)
 

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the pure-python kernels that
+back the distributed multimodal/pipeline operators. No SparkSession —
+these run in milliseconds and fuzz the byte-level codecs directly."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from firepit_spark.functions import multimodal as mm
+from firepit_spark.functions.pipeline import hash_threshold
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40),  # width
+    st.integers(1, 24),  # height
+    st.sampled_from([1, 3, 4]),  # channels
+    st.integers(0, 2**32 - 1),  # pixel seed
+)
+def test_png_roundtrip_any_shape(w, h, ch, seed):
+    rng = np.random.RandomState(seed % 2**31)
+    px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    if ch == 1:
+        px = px[:, :, 0]
+    decoded = mm.png_decode(mm.png_encode(px))
+    expect = px if px.ndim == 3 else px[:, :, None]
+    assert np.array_equal(decoded, expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 2000),  # n samples
+    st.integers(1, 4),  # channels
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(0, 2**32 - 1),
+)
+def test_wav_roundtrip_any_shape(n, ch, rate, seed):
+    rng = np.random.RandomState(seed % 2**31)
+    samples = (rng.rand(n, ch) * 2 - 1).astype(np.float64)
+    decoded, got_rate = mm.wav_decode(mm.wav_encode(samples, sample_rate=rate))
+    assert got_rate == rate and decoded.shape == (n, ch)
+    assert np.abs(decoded - samples).max() < 1.0 / 16000
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10**8), st.integers(1, 10**6), st.integers(1, 8))
+def test_mp4_probe_roundtrip(duration_ms, timescale, n_tracks):
+    blob = mm.mp4_encode_stub(duration_ms, timescale=timescale, n_tracks=n_tracks)
+    info = mm.mp4_probe(blob)
+    assert info["timescale"] == timescale and info["n_tracks"] == n_tracks
+    # duration survives the timescale round-trip within one tick
+    lost = 1000 // timescale + 1
+    assert abs(info["duration_ms"] - duration_ms) <= lost
+    assert mm.sniff_mime(blob) == "video/mp4"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(0.0, 1.0, allow_nan=False), st.floats(0.0, 1.0, allow_nan=False))
+def test_hash_threshold_monotone(r1, r2):
+    lo, hi = sorted((r1, r2))
+    # monotone: a larger rate never yields a smaller threshold, so samples
+    # are nested (the subset property hash_sample documents)
+    assert hash_threshold(lo) <= hash_threshold(hi)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_probes_never_crash_on_garbage(blob):
+    # sniff/dims return None on junk; codecs raise cleanly, never hang
+    mm.sniff_mime(blob)
+    mm.image_dims(blob)
+    for fn in (mm.png_decode, mm.wav_decode, mm.mp4_probe):
+        try:
+            fn(blob)
+        except (ValueError, NotImplementedError):
+            pass
