@@ -1104,11 +1104,17 @@ def q45_dedup_clusters(spark, sf_dir):
     connected components -> (doc, cluster) labels, cluster = min doc id in
     the component. Min-label propagation (equi-join + groupBy per round,
     early exit on convergence) vs a recursive-CTE transitive closure."""
+    from firepit_spark.functions import release
     from firepit_spark.functions.graph import dedup_clusters
 
     r = _resolver(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(r("documents"), k=3, threshold=0.03)
-    return dedup_clusters(pairs)
+    out = dedup_clusters(pairs)
+    # dedup_clusters materialized its own edge cache eagerly, so the ngram
+    # operator's shingle-array caches are dead weight from here — release
+    # them before the label iterations (matters on small-heap drivers)
+    release(pairs)
+    return out
 
 
 _Q45_SQL = f"""

@@ -79,22 +79,30 @@ def connected_components(
     round, converging in O(graph diameter) rounds. Near-dup graphs (the
     use case: dedup clusters from similarity pairs) are clique-ish with
     tiny diameters, so this typically ends in 2-4 rounds; the convergence
-    probe (count of changed labels) exits early. Everything is an
-    equi-join on node id — no driver-side graph state, scales with the
-    cluster like :func:`ancestors`.
+    probe (count of changed labels) exits early.
+
+    Each round is ``localCheckpoint``-ed: without lineage truncation the
+    round-k plan textually embeds both round-(k-1) operands, so the plan
+    TREE doubles per round — Spark OOMs building the explain string long
+    before any data pressure (observed at ~8 rounds). Checkpointing makes
+    every round's plan O(1); this is the same move GraphX/GraphFrames
+    make for iterative algorithms. Checkpoint blocks are freed by the
+    ContextCleaner when the superseded frames are garbage-collected.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
-    caches = [sym]
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        # eager: also cuts the (possibly expensive) upstream pair-
+        # generation lineage out of every round's plan
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    caches.append(labels)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -109,19 +117,18 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
-        changed = (
+        n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
-            .isEmpty()
+            .count()
         )
-        caches.append(new_labels)
         labels = new_labels
-        if changed:
+        if n_changed == 0:
             break
-    labels._fp_caches = caches
+    labels._fp_caches = []
     return labels
 
 
