@@ -567,23 +567,26 @@ def test_connected_components_converges_early(spark):
 
 def test_release_frees_operator_caches(spark):
     """Iterative/multi-consumer operators persist intermediates; release()
-    must return the session to its prior cache footprint (long-lived
-    sessions would otherwise accumulate executor storage per call)."""
+    must drop every cache the operator added (long-lived sessions would
+    otherwise accumulate executor storage per call). Tracks the specific
+    RDD ids added by each operator — absolute counts would race with the
+    ContextCleaner freeing unrelated (e.g. checkpoint) blocks."""
     from firepit_spark.functions import release
     from firepit_spark.functions.graph import ancestors
 
-    def n_cached():
-        return len(spark.sparkContext._jsc.getPersistentRDDs())
+    def cached_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
 
-    before = n_cached()
+    before = cached_ids()
 
     rows = [(str(i), str(i - 1) if i else None) for i in range(5)]
     df = spark.createDataFrame(rows, "id string, parent_ref string")
     anc = ancestors(df, max_depth=4)
     anc.collect()
-    assert n_cached() > before  # levels are cached during/after the run
+    added = cached_ids() - before
+    assert added  # levels are cached during/after the run
     release(anc)
-    assert n_cached() == before
+    assert not (cached_ids() & added)
 
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
@@ -591,8 +594,9 @@ def test_release_frees_operator_caches(spark):
     )
     pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
     pairs.collect()
+    added = cached_ids() - before
     release(pairs)
-    assert n_cached() == before
+    assert not (cached_ids() & added)
     release(pairs)  # idempotent, and safe on plain DataFrames
     release(docs)
 
