@@ -1186,6 +1186,40 @@ FROM q
 """
 
 
+def q47_decontaminate(spark, sf_dir):
+    """Train/test decontamination: cross-corpus near-dup join (even doc_ids
+    as 'train', odd as 'heldout') via the shingle inverted index — the
+    candidate join is index ⋈ index on the shingle, never train×heldout."""
+    r = _resolver(spark, sf_dir)
+    docs = r("documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    heldout = docs.filter(F.col("doc_id") % 2 == 1)
+    return dd.cross_ngram_jaccard(train, heldout, k=3, threshold=0.03)
+
+
+_Q47_SQL = f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+fsh AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_common
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT left_id, right_id,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = left_id
+JOIN sizes sb ON sb.doc_id = right_id
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.03
+"""
+
+
 def q43_shard_assign(spark, sf_dir):
     """Deterministic training-shard assignment (md5 % n): per-shard doc
     counts prove the full assignment. Map-only + one small agg; a
@@ -1281,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_stratified_sample": q44_stratified_sample,
         "q45_dedup_clusters": q45_dedup_clusters,
         "q46_quantize_embeddings": q46_quantize_embeddings,
+        "q47_decontaminate": q47_decontaminate,
     }
 
 
@@ -1329,5 +1364,6 @@ def oracle_sql() -> dict[str, str]:
         "q44_stratified_sample": _Q44_SQL,
         "q45_dedup_clusters": _Q45_SQL,
         "q46_quantize_embeddings": _Q46_SQL,
+        "q47_decontaminate": _Q47_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -146,6 +146,71 @@ def ngram_jaccard_pairs(
     return result
 
 
+def cross_ngram_jaccard(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Train/test decontamination: exact Jaccard-similar pairs ACROSS two
+    corpora (every near-dup of a ``right`` document found in ``left``).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` but the
+    candidate join is left-index ⋈ right-index on the shingle — never
+    left×right. The frequency cutoff is computed over the UNION of both
+    corpora, so a shingle hot in either side can't blow up the fan-out.
+    At scale the right side (heldout/eval set) is typically tiny, which
+    AQE turns into a broadcast of the right index automatically.
+
+    Returns (left_id, right_id, jaccard) at or above ``threshold``.
+    """
+    la = _shingle_arrays(left, text_col, id_col, k).persist()
+    ra = _shingle_arrays(right, text_col, id_col, k).persist()
+    l_sizes = la.select(F.col(id_col).alias("left_id"), F.size("__shingles").alias("size_l"))
+    r_sizes = ra.select(F.col(id_col).alias("right_id"), F.size("__shingles").alias("size_r"))
+    lsh = la.select(F.col(id_col).alias("left_id"), F.explode("__shingles").alias("shingle"))
+    rsh = ra.select(F.col(id_col).alias("right_id"), F.explode("__shingles").alias("shingle"))
+
+    freq_ok = (
+        lsh.select("shingle")
+        .unionAll(rsh.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") <= max_shingle_freq)
+        .select("shingle")
+    )
+    common = (
+        lsh.join(freq_ok, "shingle")
+        .join(rsh.join(freq_ok, "shingle"), "shingle")
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    result = (
+        common.join(l_sizes, "left_id")
+        .join(r_sizes, "right_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_l") + F.col("size_r") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+    result._fp_caches = [la, ra]
+    return result
+
+
+def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism, id_col)
+    return df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -529,6 +529,31 @@ def test_ancestors_depth_bound(spark):
                           if r["depth"] == 3}
 
 
+def test_cross_ngram_jaccard(spark):
+    """Decontamination join: finds right-corpus docs that near-dup a
+    left-corpus doc, never pairs within one corpus."""
+    from firepit_spark.functions import release
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated training content with other words"),
+         (4, "the quick brown fox jumps over the lazy dog today")],  # dup of 0, same side
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),  # contaminated
+         (3, "novel heldout material nothing shares these tokens")],
+        "doc_id long, text string",
+    )
+    got = dd.cross_ngram_jaccard(train, heldout, k=3, threshold=0.5)
+    rows = got.collect()
+    # both identical train docs flag the contaminated heldout doc; the
+    # within-train duplicate (0,4) is NOT reported — cross-corpus only
+    assert {(r["left_id"], r["right_id"]) for r in rows} == {(0, 1), (4, 1)}
+    assert all(r["jaccard"] == 1.0 for r in rows)
+    release(got)
+
+
 def test_connected_components(spark):
     from firepit_spark.functions import release
     from firepit_spark.functions.graph import connected_components, dedup_clusters
