@@ -1257,6 +1257,132 @@ GROUP BY lang
 """
 
 
+def q48_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: per-doc bigram duplicate fraction
+    and top-bigram coverage — the cheap boilerplate/spam detector you run
+    before spending tokens. Both aggregations key on the doc id, so no
+    shuffle key can exceed one document's n-gram count."""
+    from firepit_spark.functions import corpus as cp
+
+    r = _resolver(spark, sf_dir)
+    return cp.repetition_stats(r("documents"), n=2)
+
+
+_Q48_SQL = f"""
+WITH {_TOKS_CTE},
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       COUNT(*) AS n_distinct,
+       ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS dup_frac,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_frac
+FROM pg GROUP BY doc_id
+"""
+
+
+def q49_chunk_documents(spark, sf_dir):
+    """Token-window chunking with overlap (64-token windows every 48):
+    map-only — boundaries depend only on the row, so it never shuffles and
+    parallelizes perfectly at 100 TB. Chunk text hashed to keep the
+    comparison compact; the md5 pins the exact token slice."""
+    from firepit_spark.functions import corpus as cp
+
+    r = _resolver(spark, sf_dir)
+    out = cp.chunk_documents(r("documents"), chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id", "chunk_id", "start", "n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+_Q49_SQL = f"""
+WITH {_TOKS_CTE},
+c AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+)
+SELECT doc_id,
+       CAST(i // 48 AS INT) AS chunk_id,
+       CAST(i AS INT) AS start,
+       CAST(least(64, n - i) AS INT) AS n_tokens,
+       md5(array_to_string(t[i + 1 : i + 64], ' ')) AS chunk_md5
+FROM c, UNNEST(generate_series(0, n - 1, 48)) AS u(i)
+"""
+
+
+def q50_doc_term_stats(spark, sf_dir):
+    """Per-doc distinctive terms: tf within the doc, df across the corpus,
+    ranked (tf desc, df asc, term asc) — tf-idf ordering with integer-only
+    keys, so the oracle hash is exact with no transcendental arithmetic.
+    The vocabulary join is a plain hash join (never a broadcast of an
+    unbounded vocab); AQE absorbs the Zipf head."""
+    from firepit_spark.functions import corpus as cp
+
+    r = _resolver(spark, sf_dir)
+    return cp.doc_term_stats(r("documents"), top_k=3)
+
+
+_Q50_SQL = f"""
+WITH {_TOKS_CTE},
+ex AS (SELECT doc_id, u.term FROM toks, UNNEST(t) AS u(term)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
+         ) AS INT) AS rank
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q51_mixture_weights(spark, sf_dir):
+    """Temperature-flattened source mixture weights (alpha=0.5):
+    w = sqrt(n_source / N). One partial-heavy agg + a window over the tiny
+    grouped frame; sqrt is IEEE correctly-rounded, so the weights are
+    engine-exact."""
+    from firepit_spark.functions import corpus as cp
+
+    r = _resolver(spark, sf_dir)
+    return cp.mixture_weights(r("documents"), "source", alpha=0.5)
+
+
+_Q51_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)
+                  / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)), 6)
+         AS weight
+FROM documents GROUP BY source
+"""
+
+
+def q52_length_percentiles(spark, sf_dir):
+    """Per-language corpus length profile: exact interpolated percentiles
+    of n_chars (the report that drives truncation/chunk-size choices).
+    Spark's exact `percentile` == percentile_cont == DuckDB quantile_cont;
+    rounded to 6dp so interpolation ulps can't move the hash."""
+    from firepit_spark.functions import corpus as cp
+
+    r = _resolver(spark, sf_dir)
+    return cp.length_percentiles(r("documents"), "n_chars", "lang")
+
+
+_Q52_SQL = """
+SELECT lang, COUNT(*) AS n,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1316,6 +1442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_clusters": q45_dedup_clusters,
         "q46_quantize_embeddings": q46_quantize_embeddings,
         "q47_decontaminate": q47_decontaminate,
+        "q48_repetition": q48_repetition,
+        "q49_chunk_documents": q49_chunk_documents,
+        "q50_doc_term_stats": q50_doc_term_stats,
+        "q51_mixture_weights": q51_mixture_weights,
+        "q52_length_percentiles": q52_length_percentiles,
     }
 
 
@@ -1365,5 +1496,10 @@ def oracle_sql() -> dict[str, str]:
         "q45_dedup_clusters": _Q45_SQL,
         "q46_quantize_embeddings": _Q46_SQL,
         "q47_decontaminate": _Q47_SQL,
+        "q48_repetition": _Q48_SQL,
+        "q49_chunk_documents": _Q49_SQL,
+        "q50_doc_term_stats": _Q50_SQL,
+        "q51_mixture_weights": _Q51_SQL,
+        "q52_length_percentiles": _Q52_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -1,0 +1,208 @@
+"""Corpus-statistics operators for training-data curation.
+
+The quality/reporting layer of a pre-training pipeline: repetition
+signals (the strongest cheap predictor of low-quality web text, cf. the
+Gopher rules), token-window chunking, per-document distinctive terms,
+mixture weights for multi-source sampling, and corpus length profiles.
+
+Scale design notes (100 TB):
+
+* ``chunk_documents`` is map-only — chunk boundaries depend only on the
+  row, so it parallelizes perfectly and never shuffles.
+* ``repetition_stats`` / ``doc_term_stats`` explode n-grams/tokens and
+  aggregate; both shuffles hash on keys that include the document id, so
+  no key can exceed one document's token count — no skew amplification.
+* ``mixture_weights`` / ``length_percentiles`` reduce to one row per
+  group: partial aggregation does almost all the work map-side.
+* Everything is built-in Catalyst expressions (no UDFs), and every
+  emitted number is either exact integer arithmetic or a correctly-
+  rounded primitive (``/``, ``sqrt``) rounded to 6 decimals, so results
+  reproduce bit-for-bit across engines — each operator has a DuckDB
+  oracle in the entry battery.
+
+The reference has no corpus layer (it is a STIX observation store —
+closest is the column summary at firepit/sqlstorage.py:884-905); this
+module is additive scope for LLM-pipeline use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from . import text as tx
+
+
+def ngrams(col: Column, n: int = 2) -> Column:
+    """All word n-grams of the normalized text, duplicates preserved
+    (unlike :func:`~firepit_spark.functions.text.word_shingles`, which
+    dedups for set semantics). Same overlapping-match regex trick: one
+    codegen-resident pass, no higher-order lambda per token."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    norm = F.lower(tx.normalize_ws(col))
+    pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (n - 1)
+    return F.regexp_extract_all(norm, F.lit(pattern), 1)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document n-gram repetition profile: total/distinct n-gram
+    counts, duplicate fraction, and top-n-gram fraction.
+
+    ``dup_frac`` (share of n-grams that are repeats) and ``top_frac``
+    (share covered by the single most frequent n-gram) are the classic
+    boilerplate/spam detectors — filter on them before spending tokens.
+
+    Shape: explode -> count per (doc, gram) -> roll up per doc. Both
+    aggregations key on the doc id, so the per-key row bound is one
+    document's n-gram count — skew-safe by construction. Documents with
+    fewer than ``n`` tokens have no n-grams and are absent from the
+    output (callers wanting them keep a left join on the id).
+    """
+    ex = df.select(F.col(id_col), F.explode(ngrams(F.col(text_col), n)).alias("gram"))
+    per_gram = ex.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    rolled = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return rolled.select(
+        id_col,
+        "n_ngrams",
+        "n_distinct",
+        F.round(
+            (F.col("n_ngrams") - F.col("n_distinct")) / F.col("n_ngrams"), 6
+        ).alias("dup_frac"),
+        F.round(F.col("top_count") / F.col("n_ngrams"), 6).alias("top_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into token windows of ``chunk_tokens``, starting
+    every ``stride`` tokens (``stride < chunk_tokens`` gives overlap;
+    default is non-overlapping). Emits
+    ``(id, chunk_id, start, n_tokens, chunk_text)``.
+
+    Chunk boundaries depend only on the row itself, so this is map-only:
+    no shuffle, fully parallel, and the scan still prunes to
+    ``(id, text)``. The trailing window is kept even when shorter than
+    ``chunk_tokens`` (training pipelines pad or pack it downstream —
+    see ``pack_documents``).
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toked = df.select(
+        F.col(id_col), tx.tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size(F.col("__toks")))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = toked.select(
+        F.col(id_col), F.col("__toks"), F.col("__n"), F.explode(starts).alias("start")
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+    )
+
+
+def doc_term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+) -> DataFrame:
+    """Top ``top_k`` distinctive terms per document: term frequency within
+    the doc, document frequency across the corpus, ranked by
+    (tf desc, df asc, term asc) — i.e. tf-idf ordering expressed with
+    integer-only keys, so the ranking (and the oracle hash) is exact with
+    no transcendental arithmetic.
+
+    Shape: explode tokens -> tf per (doc, term) -> df per term -> join
+    back -> per-doc window top-k. The df side is one row per vocabulary
+    term; at corpus scale that join is a plain hash join on the term
+    (AQE handles the head of the Zipf curve), never a broadcast of an
+    unbounded vocabulary.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(tx.tokens(F.col(text_col))).alias("term")
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(dfreq, "term")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-group sampling weights for multi-source training mixtures:
+    ``weight = (n_g / N) ** alpha`` — temperature-flattened source
+    proportions (alpha=1 keeps natural proportions, alpha->0 approaches
+    uniform; 0.5 is the common multilingual choice).
+
+    One partial-heavy aggregation to group counts, then a window over the
+    tiny grouped frame for the total. ``alpha=0.5`` uses ``sqrt`` (IEEE
+    correctly-rounded, engine-portable); other alphas go through ``pow``,
+    whose last-ulp behavior is not guaranteed identical across engines —
+    fine for training use, but oracle checks pin alpha=0.5.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy(F.lit(1)))
+    ratio = F.col("n_docs") / F.col("__N")
+    weight = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(alpha))
+    return (
+        counts.withColumn("__N", total)
+        .select(
+            group_col,
+            "n_docs",
+            F.round(weight, 6).alias("weight"),
+        )
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group exact percentiles of a numeric column (corpus length
+    profile: the report that drives truncation/chunking choices).
+
+    Uses Spark's exact ``percentile`` (linear interpolation — the
+    percentile_cont contract, matching DuckDB's ``quantile_cont``), not
+    the approximate sketch: at 100 TB you run this on a sample or accept
+    the per-group sort-shuffle, but the number it reports is exact.
+    Rounded to 6 decimals so interpolation ulp differences between
+    engines cannot move the hash.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in ps:
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, {p!r})"), 6).alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+        )
+    return df.groupBy(group_col).agg(*aggs)

@@ -1,0 +1,122 @@
+"""Corpus-statistics operators: repetition signals, chunking, term stats,
+mixture weights, length percentiles (firepit_spark/functions/corpus.py).
+
+Golden values are computed by hand on tiny frames; determinism/engine
+parity is covered by the q48-q52 oracle entries in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import corpus as cp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngrams_counts_and_duplicates(spark):
+    df = _docs(spark, [(1, "a b a b a")])
+    out = df.select(cp.ngrams(F.col("text"), 2).alias("g")).collect()[0]["g"]
+    assert out == ["a b", "b a", "a b", "b a"]
+
+
+def test_ngrams_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        cp.ngrams(F.col("text"), 0)
+
+
+def test_repetition_stats_golden(spark):
+    # doc 1: bigrams [a b, b a, a b, b a] -> 4 total, 2 distinct,
+    # dup_frac 0.5, top_frac 0.5; doc 2: all-distinct bigrams
+    df = _docs(spark, [(1, "a b a b a"), (2, "x y z w")])
+    rows = {r["doc_id"]: r for r in cp.repetition_stats(df).collect()}
+    assert rows[1]["n_ngrams"] == 4
+    assert rows[1]["n_distinct"] == 2
+    assert rows[1]["dup_frac"] == 0.5
+    assert rows[1]["top_frac"] == 0.5
+    assert rows[2]["n_ngrams"] == 3
+    assert rows[2]["dup_frac"] == 0.0
+    assert rows[2]["top_frac"] == pytest.approx(0.333333)
+
+
+def test_repetition_stats_short_docs_absent(spark):
+    df = _docs(spark, [(1, "solo"), (2, "two tokens")])
+    got = {r["doc_id"] for r in cp.repetition_stats(df, n=2).collect()}
+    assert got == {2}
+
+
+def test_chunk_documents_non_overlapping(spark):
+    df = _docs(spark, [(1, "t0 t1 t2 t3 t4")])
+    rows = sorted(
+        cp.chunk_documents(df, chunk_tokens=2).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [(r["chunk_id"], r["start"], r["n_tokens"], r["chunk_text"]) for r in rows] == [
+        (0, 0, 2, "t0 t1"),
+        (1, 2, 2, "t2 t3"),
+        (2, 4, 1, "t4"),
+    ]
+
+
+def test_chunk_documents_overlap_stride(spark):
+    df = _docs(spark, [(1, "t0 t1 t2 t3 t4")])
+    rows = sorted(
+        cp.chunk_documents(df, chunk_tokens=3, stride=2).collect(),
+        key=lambda r: r["start"],
+    )
+    assert [(r["start"], r["chunk_text"]) for r in rows] == [
+        (0, "t0 t1 t2"),
+        (2, "t2 t3 t4"),
+        (4, "t4"),
+    ]
+    # chunk_id is start // stride
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+
+
+def test_chunk_documents_is_map_only(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = cp.chunk_documents(df, chunk_tokens=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        cp.chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        cp.chunk_documents(df, chunk_tokens=2, stride=0)
+
+
+def test_doc_term_stats_ranking(spark):
+    # "b" has tf 2 in doc 1; "a" appears in both docs (df 2) so between
+    # equal-tf terms the rarer one ranks first
+    df = _docs(spark, [(1, "b b a c"), (2, "a d")])
+    rows = [
+        (r["term"], r["tf"], r["df"], r["rank"])
+        for r in cp.doc_term_stats(df, top_k=2)
+        .filter(F.col("doc_id") == 1)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert rows == [("b", 2, 1, 1), ("c", 1, 1, 2)]
+
+
+def test_mixture_weights_sqrt(spark):
+    df = _docs(spark, [(i, "x") for i in range(4)]).withColumn(
+        "src", F.when(F.col("doc_id") < 1, "a").otherwise("b")
+    )
+    rows = {r["src"]: r for r in cp.mixture_weights(df, "src").collect()}
+    assert rows["a"]["n_docs"] == 1
+    assert rows["a"]["weight"] == 0.5  # sqrt(1/4)
+    assert rows["b"]["weight"] == pytest.approx(0.866025)
+
+
+def test_length_percentiles_interpolation(spark):
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 5)], "id long, grp string, v double"
+    )
+    row = cp.length_percentiles(df, "v", "grp", ps=(0.5,)).collect()[0]
+    assert row["n"] == 4
+    assert row["p50"] == 2.5  # (1,2,3,4) -> interpolated median
