@@ -1383,6 +1383,60 @@ FROM documents GROUP BY lang
 """
 
 
+def q53_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4s / phone numbers -> <KIND> tags), the
+    standard first curation pass. The corpus is synthetic and PII-free, so
+    the query injects deterministic PII derived from doc_id into each text
+    (identically in the oracle) — the hash match then proves the regex
+    find/replace behavior agrees between engines on real matches, not just
+    on no-ops. Map-only: regex passes in whole-stage codegen, no shuffle."""
+    from firepit_spark.functions import corpus as cp
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org or +1 555 000 "),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" at 10.2."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    out = cp.pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("text")).alias("clean_md5"),
+    )
+
+
+_Q53_SQL = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex.org or +1 555 000 ' || CAST(doc_id % 10000 AS VARCHAR)
+              || ' at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.7' AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+         AS n_email,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+         AS n_ipv4,
+       len(regexp_extract_all(text, '\+\d[\d()\- ]{6,}\d')) AS n_phone,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+             '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g')) AS clean_md5
+FROM seeded
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1447,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_doc_term_stats": q50_doc_term_stats,
         "q51_mixture_weights": q51_mixture_weights,
         "q52_length_percentiles": q52_length_percentiles,
+        "q53_pii_scrub": q53_pii_scrub,
     }
 
 
@@ -1501,5 +1556,6 @@ def oracle_sql() -> dict[str, str]:
         "q50_doc_term_stats": _Q50_SQL,
         "q51_mixture_weights": _Q51_SQL,
         "q52_length_percentiles": _Q52_SQL,
+        "q53_pii_scrub": _Q53_SQL,
         # q31, q32, q33: rows-only (approximate/iterative operators)
     }

@@ -182,6 +182,52 @@ def mixture_weights(
     )
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word boundaries
+# — no lookaround, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d()\- ]{6,}\d",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII occurrence counts in the text (email / ipv4 / phone)."""
+    return {
+        kind: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers, replacing each with a ``<KIND>`` tag, and record per-kind
+    match counts (``n_email``/``n_ipv4``/``n_phone``).
+
+    Map-only regex passes over the text column — no shuffle, no UDF, runs
+    inside whole-stage codegen; at 100 TB this is scan-bound. Patterns are
+    deliberately portable across regex engines (see ``PII_PATTERNS``) so
+    the redaction reproduces bit-for-bit in the SQL oracle. This is a
+    pattern-based scrubber, not an NER model: it bounds obvious
+    identifiers, the standard first pass of corpus curation.
+    """
+    out_col = out_col or text_col
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    scrubbed = t
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    cols = [c for c in df.columns if c not in (out_col,)]
+    return df.select(
+        *cols,
+        *[counts[k].alias(f"n_{k}") for k in PII_PATTERNS],
+        scrubbed.alias(out_col),
+    )
+
+
 def length_percentiles(
     df: DataFrame,
     value_col: str,

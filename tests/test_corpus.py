@@ -113,6 +113,31 @@ def test_mixture_weights_sqrt(spark):
     assert rows["b"]["weight"] == pytest.approx(0.866025)
 
 
+def test_pii_scrub_redacts_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "from 10.0.42.7 to 192.168.1.250 end"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text only"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in cp.pii_scrub(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["text"] == "mail <EMAIL> now"
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["text"] == "from <IPV4> to <IPV4> end"
+    assert rows[3]["n_phone"] == 1 and rows[3]["text"] == "call <PHONE> today"
+    assert rows[4]["text"] == "clean text only"
+    assert rows[4]["n_email"] == rows[4]["n_ipv4"] == rows[4]["n_phone"] == 0
+
+
+def test_pii_scrub_separate_out_col_keeps_original(spark):
+    df = _docs(spark, [(1, "a@b.co x")])
+    row = cp.pii_scrub(df, out_col="clean").collect()[0]
+    assert row["text"] == "a@b.co x"
+    assert row["clean"] == "<EMAIL> x"
+
+
 def test_length_percentiles_interpolation(spark):
     df = spark.createDataFrame(
         [(i, "g", float(i)) for i in range(1, 5)], "id long, grp string, v double"
