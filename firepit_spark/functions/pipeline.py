@@ -111,6 +111,35 @@ def assign_shards(
     )
 
 
+def write_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    order_col: str | None = None,
+    salt: str = "",
+    mode: str = "error",
+) -> None:
+    """Materialize the deterministic shard layout on disk:
+    ``path/shard_id=K/*.parquet`` with membership from
+    :func:`assign_shards` (content-addressed, so re-running on a grown
+    corpus keeps every existing row on its old shard).
+
+    One shuffle on ``shard_id`` co-locates each shard before the
+    partitioned write, so every ``shard_id=K`` directory gets a handful
+    of files instead of one sliver per upstream task. With ``order_col``
+    rows are sorted within the shard before writing — parquet min/max
+    stats on that column then give readers row-group skipping for free.
+    This is the write side of the 100-TB story: downstream trainers read
+    ``shard_id=K`` directories with partition pruning, never a full scan.
+    """
+    sharded = assign_shards(df, key_col, n_shards, salt)
+    out = sharded.repartition(F.col("shard_id"))
+    if order_col is not None:
+        out = out.sortWithinPartitions("shard_id", order_col)
+    out.write.mode(mode).partitionBy("shard_id").parquet(path)
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,

@@ -119,3 +119,36 @@ def test_corpus_prep_is_one_plan(spark):
     plan = pl.corpus_prep(_docs(spark), min_quality=0.5)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert plan.count("Join") == 1  # the semi-join; no extra shuffles stack
+
+
+def test_write_shards_layout_and_pruning(spark, tmp_path):
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    )
+    path = str(tmp_path / "shards")
+    pl.write_shards(df, path, "doc_id", n_shards=4, order_col="doc_id")
+
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    # the on-disk layout is the hive-partitioned shard directory tree
+    dirs = sorted(p.name for p in (tmp_path / "shards").iterdir() if p.is_dir())
+    assert dirs == [f"shard_id={i}" for i in range(4)]
+    # membership matches the content-addressed assignment (engine-invariant)
+    expect = {
+        r["doc_id"]: r["shard_id"]
+        for r in pl.assign_shards(df, "doc_id", 4).collect()
+    }
+    got = {r["doc_id"]: r["shard_id"] for r in back.collect()}
+    assert got == expect
+    # a shard filter prunes to that shard's files only
+    one = back.filter(F.col("shard_id") == 2)
+    assert all("shard_id=2" in f for f in one.inputFiles())
+    assert 0 < len(one.inputFiles()) < len(back.inputFiles())
+
+
+def test_write_shards_rejects_existing_path(spark, tmp_path):
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    path = str(tmp_path / "once")
+    pl.write_shards(df, path, "k", n_shards=2)
+    with pytest.raises(Exception):
+        pl.write_shards(df, path, "k", n_shards=2)  # mode='error' default
