@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from firepit_spark.functions import epoch_seconds
 from firepit_spark.functions import dedup as dd
 from firepit_spark.functions import pipeline as pl
 from firepit_spark.functions import similarity as sim
@@ -421,7 +422,7 @@ def q17_json_extract(spark, sf_dir):
 
 _Q17_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(DISTINCT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS unique_k
 FROM events GROUP BY event_type
 """
@@ -473,7 +474,7 @@ def q20_sessionize(spark, sf_dir):
     (streaming-adjacent op the reference lacks; SURVEY §2.10)."""
     r = _resolver(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = r("events").withColumn("ep", F.col("ts").cast("double"))
+    ev = r("events").withColumn("ep", epoch_seconds("ts"))
     gap = F.when(
         F.lag("ep").over(w).isNull() | ((F.col("ep") - F.lag("ep").over(w)) > 1800.0),
         F.lit(1),

@@ -5,6 +5,21 @@ whole-stage-codegen eligible) unless genuinely impossible, in which case an
 Arrow-batched Pandas UDF is used — never row-at-a-time Python UDFs.
 """
 
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(col):
+    """Fractional epoch seconds for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    ``cast("double")`` is illegal on TIMESTAMP_NTZ (DATATYPE_MISMATCH in
+    Spark 4); routing through ``timestamp_ltz`` first is legal for both
+    types and, under the UTC session timezone this engine pins
+    (session.py), matches ANSI/DuckDB ``epoch(ts)`` exactly, microseconds
+    included. Also accepts date/string inputs via the same cast chain.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("double")
+
 
 def release(df) -> None:
     """Free intermediate caches attached to a DataFrame returned by an

@@ -14,13 +14,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import epoch_seconds
+
 ALGEBRAIC = {"count", "sum", "min", "max"}
 
 
 def time_bucket(col, seconds: int):
-    """Epoch-floor bucket start (matches ANSI ``to_timestamp(floor(epoch/s)*s)``)."""
+    """Epoch-floor bucket start (matches ANSI ``to_timestamp(floor(epoch/s)*s)``).
+
+    NTZ-safe: routes through ``epoch_seconds`` rather than a direct
+    ``cast("double")``, which Spark rejects on TIMESTAMP_NTZ inputs."""
     return F.timestamp_seconds(
-        F.floor(F.col(col).cast("double") / seconds) * seconds
+        F.floor(epoch_seconds(col) / seconds) * seconds
     )
 
 

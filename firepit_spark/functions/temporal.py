@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from . import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -70,7 +72,7 @@ def asof_join(
     )
     if tolerance_seconds is not None:
         within = (
-            F.col("__ts").cast("double") - F.col("__rts").cast("double")
+            epoch_seconds(F.col("__ts")) - epoch_seconds(F.col("__rts"))
         ) <= tolerance_seconds
         out = out.select(
             *keys,
@@ -112,12 +114,12 @@ def range_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / b).cast("long"),
-                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+                F.floor(epoch_seconds(start_col) / b).cast("long"),
+                F.floor(epoch_seconds(end_col) / b).cast("long"),
             )
         ),
     )
     ev = events.withColumn(
-        "__bucket", F.floor(F.col(event_ts).cast("double") / b).cast("long")
+        "__bucket", F.floor(epoch_seconds(event_ts) / b).cast("long")
     )
     return ev.join(iv, "__bucket", how).filter(cond_in).drop("__bucket")

@@ -140,10 +140,13 @@ def test_write_shards_layout_and_pruning(spark, tmp_path):
     }
     got = {r["doc_id"]: r["shard_id"] for r in back.collect()}
     assert got == expect
-    # a shard filter prunes to that shard's files only
+    # a shard filter is recognized as a partition filter (pruned at the
+    # scan, not post-read; inputFiles() predates pushdown so ask the plan)
     one = back.filter(F.col("shard_id") == 2)
-    assert all("shard_id=2" in f for f in one.inputFiles())
-    assert 0 < len(one.inputFiles()) < len(back.inputFiles())
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert one.count() == sum(1 for s in expect.values() if s == 2)
 
 
 def test_write_shards_rejects_existing_path(spark, tmp_path):
