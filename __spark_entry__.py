@@ -533,8 +533,11 @@ def q21_fingerprint(spark, sf_dir):
 _Q21_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
 
 
-def q22_token_stats(spark, sf_dir):
-    """Token counting + punctuation/stopword ratios (quality primitives)."""
+def q22_text_stats(spark, sf_dir):
+    """All per-document text-quality primitives in one pass: token count,
+    punctuation/stopword ratios, and the composite quality score (one
+    entry keeps the 50-slot driver gate free for other operators; every
+    underlying function is still exercised and hash-checked)."""
     r = _resolver(spark, sf_dir)
     t = F.col("text")
     return r("documents").select(
@@ -542,20 +545,31 @@ def q22_token_stats(spark, sf_dir):
         tx.token_count(t).alias("n_tokens"),
         F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(tx.quality_score(t), 6).alias("quality"),
     )
 
 
 _Q22_SQL = f"""
-WITH {_TOKS_CTE}
-SELECT d.doc_id,
-       len(t.t) AS n_tokens,
-       ROUND(CASE WHEN length(d.text) > 0
-             THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
-             ELSE 0.0 END, 6) AS punct_ratio,
-       ROUND(CASE WHEN len(t.t) > 0
-             THEN CAST(len(list_filter(t.t, x -> list_contains({_sw_list('en')}, x))) AS DOUBLE) / len(t.t)
-             ELSE 0.0 END, 6) AS stopword_ratio
-FROM documents d JOIN toks t USING (doc_id)
+WITH {_TOKS_CTE},
+m AS (
+  SELECT d.doc_id,
+         len(t.t) AS n_tokens,
+         length(d.text) AS n_chars,
+         CASE WHEN length(d.text) > 0
+              THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(t.t) > 0
+              THEN CAST(len(list_filter(t.t, x -> list_contains({_sw_list('en')}, x))) AS DOUBLE) / len(t.t)
+              ELSE 0.0 END AS sw_ratio
+  FROM documents d JOIN toks t USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       ROUND(p_ratio, 6) AS punct_ratio,
+       ROUND(sw_ratio, 6) AS stopword_ratio,
+       ROUND(least(n_chars / 500.0, 1.0) * 0.4
+             + least(sw_ratio * 5.0, 1.0) * 0.4
+             + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
+FROM m
 """
 
 
@@ -587,35 +601,6 @@ WITH {_TOKS_CTE}
 SELECT d.lang, {_lang_case()} AS guessed, COUNT(*) AS n_docs
 FROM documents d JOIN toks USING (doc_id)
 GROUP BY 1, 2
-"""
-
-
-def q24_quality(spark, sf_dir):
-    """Composite quality score per document."""
-    r = _resolver(spark, sf_dir)
-    return r("documents").select(
-        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
-    )
-
-
-_Q24_SQL = f"""
-WITH {_TOKS_CTE},
-m AS (
-  SELECT d.doc_id,
-         length(d.text) AS n_chars,
-         CASE WHEN len(t.t) > 0
-              THEN CAST(len(list_filter(t.t, x -> list_contains({_sw_list('en')}, x))) AS DOUBLE) / len(t.t)
-              ELSE 0.0 END AS sw_ratio,
-         CASE WHEN length(d.text) > 0
-              THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
-              ELSE 0.0 END AS p_ratio
-  FROM documents d JOIN toks t USING (doc_id)
-)
-SELECT doc_id,
-       ROUND(least(n_chars / 500.0, 1.0) * 0.4
-             + least(sw_ratio * 5.0, 1.0) * 0.4
-             + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
-FROM m
 """
 
 
@@ -777,9 +762,10 @@ GROUP BY 1, 2
 
 
 def q31_lsh_topk(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH buckets (rows-only check:
-    bucket membership is engine-deterministic but float-literal round-trips
-    through SQL text are not worth the risk)."""
+    """Approximate ANN via random-hyperplane LSH buckets. The planes are
+    seeded LCG literals (sim.lsh_planes), so the oracle reproduces the
+    bucketing exactly: Python float repr round-trips through SQL text
+    bit-exactly, and a sign flip would need |projection| below double ulp."""
     r = _resolver(spark, sf_dir)
     vecs = r("embeddings")
     queries = vecs.filter(F.col("vec_id") < 10).select(
@@ -788,11 +774,75 @@ def q31_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(vecs, queries, k=5)
 
 
+def _lsh_topk_sql(dim=64, n_planes=8, k=5):
+    planes = sim.lsh_planes(dim, n_planes)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(c) for c in plane)
+        + f"]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({bucket}) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qe, c.e)
+               / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+  FROM b c JOIN q ON c.bucket = q.bucket
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""
+
+
+_Q31_SQL = _lsh_topk_sql()
+
+
 def q32_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH candidate pairs (rows-only: banding layout is an
-    implementation detail; the jaccard verify of candidates is q25)."""
+    """MinHash-LSH candidate pairs. Fully deterministic (seeded universal-
+    hash perms, md5 band buckets), so the banding + bucket self-join is
+    reproduced verbatim in the oracle."""
     r = _resolver(spark, sf_dir)
     return dd.minhash_lsh_candidates(r("documents"), num_perm=16, bands=8)
+
+
+def _minhash_lsh_sql(num_perm=16, bands=8):
+    rows_per_band = num_perm // bands
+    terms = []
+    for i, (a, b) in enumerate(dd.minhash_params(num_perm)):
+        a30 = a & ((1 << 30) - 1)
+        bm = b % dd.MINHASH_PRIME
+        terms.append(
+            f"SELECT doc_id, {i} AS perm, "
+            f"CAST(MIN((h::HUGEINT * {a30} + {bm}) % {dd.MINHASH_PRIME}) AS BIGINT) AS minhash "
+            f"FROM hashes GROUP BY doc_id"
+        )
+    union = " UNION ALL ".join(terms)
+    return f"""
+WITH {_TOKS_CTE},
+{_SHINGLES_CTE},
+hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+sig AS ({union}),
+bh AS (
+  SELECT doc_id, CAST(FLOOR(perm / {rows_per_band}.0) AS INT) AS band,
+         md5(string_agg(perm::VARCHAR || ':' || minhash::VARCHAR, ','
+             ORDER BY perm::VARCHAR || ':' || minhash::VARCHAR)) AS bucket
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bh a JOIN bh b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+_Q32_SQL = _minhash_lsh_sql()
 
 
 def q34_hypertable_rollup(spark, sf_dir):
@@ -945,16 +995,67 @@ SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35
 """
 
 
+_IVF_SEED_IDS = [0, 61, 122, 183, 244, 305, 366, 427]
+
+
 def q33_ivf_topk(spark, sf_dir):
-    """Approximate ANN via IVF (k-means cells, n_probe nearest scanned;
-    rows-only check: the k-means fit is an iterative MLlib algorithm with
-    no SQL equivalent)."""
+    """Approximate ANN via IVF inverted lists with FIXED centroids (the
+    embeddings of 8 spread seed ids) + n_probe=2 search. The k-means fit
+    path (sim.ivf_fit) has no SQL closed form and stays pytest-gated
+    (tests/test_scale_ops.py); this entry proves the assignment + probe +
+    rank search machinery against a full SQL oracle."""
     r = _resolver(spark, sf_dir)
     vecs = r("embeddings")
+    seeds = {
+        row[0]: [float(x) for x in row[1]]
+        for row in vecs.filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    centroids = [seeds[i] for i in sorted(seeds)]
     queries = vecs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk(vecs, queries, k=5, n_cells=8, n_probe=2)
+    index = sim.ivf_assign(vecs, centroids)
+    return sim.ivf_search(index, queries, k=5, n_probe=2)
+
+
+_Q33_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in _IVF_SEED_IDS)})
+),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, cents.c), cents.cell) AS rn
+    FROM v CROSS JOIN cents
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT v.vec_id, v.e, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, cents.c), cents.cell) AS rn
+    FROM v CROSS JOIN cents
+    WHERE v.vec_id < 10
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qc.qe, a.e)
+               / (sqrt(list_dot_product(qc.qe, qc.qe)) * sqrt(list_dot_product(a.e, a.e))), 6) AS cos_sim
+  FROM assigned a JOIN qc ON a.cell = qc.cell
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
 
 
 def q39_media_probe(spark, sf_dir):
@@ -1016,23 +1117,6 @@ SELECT doc_id,
        AVG(v) AS mean_px
 FROM px
 GROUP BY doc_id, w, h
-"""
-
-
-def q40_hash_sample(spark, sf_dir):
-    """Deterministic content-addressed sampling: membership depends only on
-    md5(salt || key), so the draw reproduces across runs, engines, and
-    partitionings. Map-only filter — the 100-TB shape (no shuffle, scan
-    pushdown)."""
-    r = _resolver(spark, sf_dir)
-    return pl.hash_sample(r("documents"), "doc_id", 0.25, salt="s1").select(
-        "doc_id", "lang"
-    )
-
-
-_Q40_SQL = f"""
-SELECT doc_id, lang FROM documents
-WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{pl.hash_threshold(0.25)}'
 """
 
 
@@ -1238,23 +1322,31 @@ FROM documents GROUP BY 1
 """
 
 
-def q44_stratified_sample(spark, sf_dir):
-    """Per-language deterministic downsampling (rare groups kept whole):
-    per-lang CASE threshold over the same md5 membership as q40."""
+def q44_sampling(spark, sf_dir):
+    """Deterministic sampling family, row-level membership for both modes:
+    content-addressed hash_sample (md5(salt||key) threshold — map-only,
+    reproduces across runs/engines/partitionings) unioned with stratified
+    per-language downsampling (rare groups kept whole)."""
     r = _resolver(spark, sf_dir)
-    out = pl.stratified_sample(
-        r("documents"), "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_rate=1.0
+    docs = r("documents")
+    hs = pl.hash_sample(docs, "doc_id", 0.25, salt="s1").select(
+        F.lit("hash").alias("method"), "doc_id", "lang"
     )
-    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    st = pl.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_rate=1.0
+    ).select(F.lit("strat").alias("method"), "doc_id", "lang")
+    return hs.unionByName(st)
 
 
 _Q44_SQL = f"""
-SELECT lang, COUNT(*) AS n_docs FROM documents
+SELECT 'hash' AS method, doc_id, lang FROM documents
+WHERE substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) < '{pl.hash_threshold(0.25)}'
+UNION ALL
+SELECT 'strat' AS method, doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE lang WHEN 'en' THEN '{pl.hash_threshold(0.2)}'
                 WHEN 'de' THEN '{pl.hash_threshold(0.5)}'
                 ELSE '{pl.hash_threshold(1.0)}' END
-GROUP BY lang
 """
 
 
@@ -1344,43 +1436,39 @@ SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
 """
 
 
-def q51_mixture_weights(spark, sf_dir):
-    """Temperature-flattened source mixture weights (alpha=0.5):
-    w = sqrt(n_source / N). One partial-heavy agg + a window over the tiny
-    grouped frame; sqrt is IEEE correctly-rounded, so the weights are
-    engine-exact."""
+def q51_corpus_profile(spark, sf_dir):
+    """Per-source corpus profile: temperature-flattened mixture weights
+    (alpha=0.5, w = sqrt(n_source/N) — sqrt is IEEE correctly-rounded so
+    weights are engine-exact) joined with exact interpolated length
+    percentiles (Spark `percentile` == percentile_cont == DuckDB
+    quantile_cont, 6dp-rounded) — the one-stop sampling/truncation
+    report, two operators under one driver slot."""
     from firepit_spark.functions import corpus as cp
 
     r = _resolver(spark, sf_dir)
-    return cp.mixture_weights(r("documents"), "source", alpha=0.5)
+    docs = r("documents")
+    w = cp.mixture_weights(docs, "source", alpha=0.5)
+    p = cp.length_percentiles(docs, "n_chars", "source")
+    return w.join(p.select("source", "p50", "p90", "p99"), "source")
 
 
 _Q51_SQL = """
-SELECT source, COUNT(*) AS n_docs,
-       ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)
-                  / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)), 6)
-         AS weight
-FROM documents GROUP BY source
-"""
-
-
-def q52_length_percentiles(spark, sf_dir):
-    """Per-language corpus length profile: exact interpolated percentiles
-    of n_chars (the report that drives truncation/chunk-size choices).
-    Spark's exact `percentile` == percentile_cont == DuckDB quantile_cont;
-    rounded to 6dp so interpolation ulps can't move the hash."""
-    from firepit_spark.functions import corpus as cp
-
-    r = _resolver(spark, sf_dir)
-    return cp.length_percentiles(r("documents"), "n_chars", "lang")
-
-
-_Q52_SQL = """
-SELECT lang, COUNT(*) AS n,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
-FROM documents GROUP BY lang
+WITH w AS (
+  SELECT source, COUNT(*) AS n_docs,
+         ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)
+                    / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)), 6)
+           AS weight
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT source,
+         ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+         ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+         ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
+  FROM documents GROUP BY source
+)
+SELECT w.source, w.n_docs, w.weight, p.p50, p.p90, p.p99
+FROM w JOIN p USING (source)
 """
 
 
@@ -1471,9 +1559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_multi_agg": q19_multi_agg,
         "q20_sessionize": q20_sessionize,
         "q21_fingerprint": q21_fingerprint,
-        "q22_token_stats": q22_token_stats,
+        "q22_text_stats": q22_text_stats,
         "q23_lang_guess": q23_lang_guess,
-        "q24_quality": q24_quality,
         "q25_ngram_jaccard": q25_ngram_jaccard,
         "q26_minhash": q26_minhash,
         "q27_simhash": q27_simhash,
@@ -1489,19 +1576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_range_join": q37_range_join,
         "q38_cosine_near_dup": q38_cosine_near_dup,
         "q39_media_probe": q39_media_probe,
-        "q40_hash_sample": q40_hash_sample,
         "q41_context_pack": q41_context_pack,
         "q42_corpus_prep": q42_corpus_prep,
         "q43_shard_assign": q43_shard_assign,
-        "q44_stratified_sample": q44_stratified_sample,
+        "q44_sampling": q44_sampling,
         "q45_dedup_clusters": q45_dedup_clusters,
         "q46_quantize_embeddings": q46_quantize_embeddings,
         "q47_decontaminate": q47_decontaminate,
         "q48_repetition": q48_repetition,
         "q49_chunk_documents": q49_chunk_documents,
         "q50_doc_term_stats": q50_doc_term_stats,
-        "q51_mixture_weights": q51_mixture_weights,
-        "q52_length_percentiles": q52_length_percentiles,
+        "q51_corpus_profile": q51_corpus_profile,
         "q53_pii_scrub": q53_pii_scrub,
     }
 
@@ -1529,34 +1614,33 @@ def oracle_sql() -> dict[str, str]:
         "q19_multi_agg": _Q19_SQL,
         "q20_sessionize": _Q20_SQL,
         "q21_fingerprint": _Q21_SQL,
-        "q22_token_stats": _Q22_SQL,
+        "q22_text_stats": _Q22_SQL,
         "q23_lang_guess": _Q23_SQL,
-        "q24_quality": _Q24_SQL,
         "q25_ngram_jaccard": _Q25_SQL,
         "q26_minhash": _Q26_SQL,
         "q27_simhash": _Q27_SQL,
         "q28_dedup_exact": _Q28_SQL,
         "q29_cosine_topk": _Q29_SQL,
         "q30_label_centroids": _Q30_SQL,
+        "q31_lsh_topk": _Q31_SQL,
+        "q32_minhash_lsh_pairs": _Q32_SQL,
+        "q33_ivf_topk": _Q33_SQL,
         "q34_hypertable_rollup": _Q34_SQL,
         "q35_event_chain_ancestry": _Q35_SQL,
         "q36_asof_join": _Q36_SQL,
         "q37_range_join": _Q37_SQL,
         "q38_cosine_near_dup": _Q38_SQL,
         "q39_media_probe": _Q39_SQL,
-        "q40_hash_sample": _Q40_SQL,
         "q41_context_pack": _Q41_SQL,
         "q42_corpus_prep": _Q42_SQL,
         "q43_shard_assign": _Q43_SQL,
-        "q44_stratified_sample": _Q44_SQL,
+        "q44_sampling": _Q44_SQL,
         "q45_dedup_clusters": _Q45_SQL,
         "q46_quantize_embeddings": _Q46_SQL,
         "q47_decontaminate": _Q47_SQL,
         "q48_repetition": _Q48_SQL,
         "q49_chunk_documents": _Q49_SQL,
         "q50_doc_term_stats": _Q50_SQL,
-        "q51_mixture_weights": _Q51_SQL,
-        "q52_length_percentiles": _Q52_SQL,
+        "q51_corpus_profile": _Q51_SQL,
         "q53_pii_scrub": _Q53_SQL,
-        # q31, q32, q33: rows-only (approximate/iterative operators)
     }

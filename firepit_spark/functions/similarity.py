@@ -207,6 +207,52 @@ class IvfIndex:
         return self
 
 
+def centroid_cells(qv: Column, centroids: list, n_probe: int) -> Column:
+    """Array of the ``n_probe`` nearest centroid indexes for a vector column
+    (Euclidean; ties break on cell index). Centroids are plan literals —
+    tiny (n_cells x dim), evaluated JVM-side per row, no join needed."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            qv,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n_probe).getField("cell")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Build an IVF index from FIXED, caller-supplied centroids (no k-means):
+    each vector joins the inverted list of its nearest centroid.
+
+    Fully deterministic given the centroids — unlike :func:`ivf_fit`, whose
+    iterative k-means has no closed form — so the whole search path is
+    expressible in ANSI SQL for oracle checking. Use :func:`ivf_fit` when
+    you want data-adaptive cells; use this when centroids come from a prior
+    fit, a sample, or another system."""
+    assigned = vectors.withColumn(
+        "__cell", centroid_cells(F.col(vec_col), centroids, 1)[0]
+    )
+    return IvfIndex(assigned, centroids, id_col, vec_col)
+
+
 def ivf_fit(
     vectors: DataFrame,
     n_cells: int = 16,
@@ -271,32 +317,9 @@ def ivf_search(
     id_col = index.id_col
     vec_col = index.vec_col
 
-    def _cells_for(qv: Column) -> Column:
-        """Array of the n_probe nearest cell ids for a query vector."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.sqrt(
-                        F.aggregate(
-                            F.zip_with(
-                                qv,
-                                F.array(*[F.lit(float(x)) for x in c]),
-                                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                    ).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n_probe).getField("cell")
-
-    qv = queries.withColumn("__cells", _cells_for(F.col(query_vec_col))).withColumn(
-        "__cell", F.explode("__cells")
-    ).drop("__cells")
+    qv = queries.withColumn(
+        "__cells", centroid_cells(F.col(query_vec_col), centroids, n_probe)
+    ).withColumn("__cell", F.explode("__cells")).drop("__cells")
 
     scored = assigned.join(F.broadcast(qv), "__cell").select(
         F.col(query_id_col),
