@@ -98,6 +98,7 @@ class SparkStorage:
         from firepit_spark.session import build_spark
 
         self.spark = spark or build_spark(f"firepit-{session_id}")
+        self._owns_spark = spark is None
         self.path = path
         self.tables_dir = os.path.join(path, "tables")
         self.views_dir = os.path.join(path, "views")
@@ -280,6 +281,39 @@ class SparkStorage:
                 continue
             self._df_cache.pop(name, None)
             self._write_batch(name, self.table_df(name), reset=True)
+
+    def finish(self, index: bool = True):
+        """Post-load hook (parity: firepit/sqlstorage.py:824-827; the
+        reference's pgstorage uses it to build indexes). The Spark analog
+        of indexing is batch compaction: fold multi-batch tables into one
+        partition so later reads skip the merge-batches rollup."""
+        if index:
+            self.compact()
+
+    def close(self):
+        """Release engine resources (parity: firepit/sqlstorage.py:160-165).
+        Drops DataFrame caches; stops the SparkSession only when this
+        storage created it (a caller-supplied session is shared state).
+        The on-disk warehouse is untouched — reopen with SparkStorage(path).
+        Safe to call more than once."""
+        self._df_cache.clear()
+        if self._owns_spark:
+            self.spark.stop()
+
+    def delete(self):
+        """Delete ALL data in this store (parity: firepit/sqlstorage.py:731,
+        firepit/sqlitestorage.py:323-329 removes the DB file): removes the
+        warehouse directory and forgets all in-memory views/metadata. The
+        SparkSession survives — unlike the reference's connection it may be
+        shared; call :meth:`close` as well to tear that down."""
+        self._df_cache.clear()
+        self._views.clear()
+        self._meta.clear()
+        shutil.rmtree(self.path, ignore_errors=True)
+        # leave an empty-but-valid warehouse so catalog calls keep working
+        # (the reference's deleted sqlite store errors on next use instead)
+        os.makedirs(self.tables_dir, exist_ok=True)
+        os.makedirs(self.views_dir, exist_ok=True)
 
     def table_df(self, name: str) -> DataFrame:
         if name not in self._df_cache:

@@ -664,6 +664,36 @@ def test_asof_join_tolerance(spark):
     assert out["state_right"] is None
 
 
+def test_asof_and_range_join_on_ntz_timestamps(spark):
+    """The driver's events.parquet carries TIMESTAMP_NTZ, where a direct
+    cast('double') is illegal — the tolerance and bucketing paths must go
+    through the NTZ-safe epoch helper (regression for the round-3 crash)."""
+    from firepit_spark.functions.temporal import asof_join, range_join
+
+    ntz = lambda c: F.to_timestamp(c).cast("timestamp_ntz")
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01T01:00:00", "late")], "k string, ts string, ev string"
+    ).withColumn("ts", ntz("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01T00:00:00", 1.0)], "k string, ts string, state double"
+    ).withColumn("ts", ntz("ts"))
+    ok = asof_join(left, right, "k", tolerance_seconds=7200).collect()[0]
+    assert ok["state_right"] == 1.0
+    out = asof_join(left, right, "k", tolerance_seconds=60).collect()[0]
+    assert out["state_right"] is None
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01T00:30:00"), (2, "2024-01-02T00:00:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", ntz("ts"))
+    iv = spark.createDataFrame(
+        [("w1", "2024-01-01T00:00:00", "2024-01-01T01:00:00")],
+        "name string, start string, end string",
+    ).withColumn("start", ntz("start")).withColumn("end", ntz("end"))
+    got = [(r["event_id"], r["name"]) for r in range_join(events, iv, "ts").collect()]
+    assert got == [(1, "w1")]
+
+
 def test_range_join_keyless_bucketized(spark):
     from firepit_spark.functions.temporal import range_join
 

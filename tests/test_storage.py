@@ -466,3 +466,50 @@ def test_feature_type():
     assert feature_type("src_byte_count", "bigint") == "numerical"
     assert feature_type("value", "double") == "numerical"
     assert feature_type("url:value", "string") == "categorical"
+
+
+def test_lifecycle_finish_compacts_batches(store):
+    """finish() (parity: sqlstorage.py:824) folds multi-batch tables into
+    one partition — the Spark analog of the reference's post-load index."""
+    import os
+
+    store.load("extra", [{"type": "url", "value": "http://later/1"}])
+    url_path = store._table_path("url")
+    assert len(store._batch_numbers(url_path)) >= 1
+    before = store.count("url")
+    store.finish()
+    assert all(
+        len(store._batch_numbers(store._table_path(t))) <= 1
+        for t in os.listdir(store.tables_dir)
+        if os.path.isdir(store._table_path(t))
+    )
+    assert store.count("url") == before  # compaction preserves merged state
+
+
+def test_lifecycle_delete_wipes_store(store):
+    """delete() (parity: sqlstorage.py:731) removes ALL data in the store."""
+    import os
+
+    import pytest
+
+    from firepit_spark.exceptions import UnknownViewname
+
+    assert store.count("url") > 0
+    store.delete()
+    assert os.listdir(store.tables_dir) == []  # empty-but-valid warehouse
+    assert store.tables() == []
+    with pytest.raises(UnknownViewname):
+        store.get_df("url")
+
+
+def test_lifecycle_close_keeps_shared_session(store, spark):
+    """close() (parity: sqlstorage.py:160) drops caches but must not stop a
+    caller-supplied SparkSession; the on-disk warehouse reopens cleanly."""
+    from firepit_spark.storage import SparkStorage
+
+    n = store.count("url")
+    store.close()
+    store.close()  # idempotent
+    assert spark.range(1).count() == 1  # shared session survives
+    reopened = SparkStorage(store.path, spark=spark)
+    assert reopened.count("url") == n
