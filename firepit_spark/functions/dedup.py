@@ -67,6 +67,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w.select(id_col), on=id_col, how="left_semi")
 
 
+def _ensure_parallelism(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition a narrow pre-explode frame when it arrives with fewer
+    file splits than cores. Probes ``inputFiles()`` (driver-side metadata)
+    rather than ``df.rdd.getNumPartitions()``, which would force an RDD
+    conversion of the whole plan. Non-file-backed frames (empty
+    ``inputFiles``) just take the repartition — pre-explode rows are the
+    cheap thing to shuffle."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if len(df.inputFiles()) < parallelism:
+        df = df.repartition(parallelism, id_col)
+    return df
+
+
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) exploded inverted-index rows.
 
@@ -76,9 +89,7 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     one core (and at cluster scale, pre-explode rows are the cheap thing to
     shuffle).
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism, id_col)
+    df = _ensure_parallelism(df, id_col)
     return df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
@@ -104,9 +115,7 @@ def ngram_jaccard_pairs(
     # fall out map-side as size(array) — no groupBy — and the regex shingler
     # runs exactly once. Measured 1.8x faster end-to-end than persisting the
     # exploded index and computing sizes by aggregation.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism, id_col)
+    df = _ensure_parallelism(df, id_col)
     arr = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles")
     ).persist()
@@ -205,9 +214,7 @@ def cross_ngram_jaccard(
 
 
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism, id_col)
+    df = _ensure_parallelism(df, id_col)
     return df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles"))
 
 
