@@ -109,18 +109,27 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q02_filter_like(spark, sf_dir):
-    """LIKE + AND filter + projection (P1, P5, P6)."""
+    """LIKE + regex MATCHES with OR routing, chained (ANDed) with a
+    comparison filter, + projection (P1, P5, P6, P10) on one scan."""
     q = Query("part")
     q.append(
-        Filter([Predicate("p_name", "LIKE", "%re%"), Predicate("p_size", ">=", 10)])
+        Filter(
+            [
+                Predicate("p_name", "LIKE", "%re%"),
+                Predicate("p_name", "MATCHES", "^(red|blue) "),
+            ],
+            op="OR",
+        )
     )
-    q.append(Projection(["p_partkey", "p_name", "p_size"]))
+    q.append(Filter([Predicate("p_size", ">=", 10)]))
+    q.append(Projection(["p_partkey", "p_name", "p_brand", "p_size"]))
     return q.resolve(_resolver(spark, sf_dir))
 
 
 _Q02_SQL = """
-SELECT p_partkey, p_name, p_size FROM part
-WHERE p_name LIKE '%re%' AND p_size >= 10
+SELECT p_partkey, p_name, p_brand, p_size FROM part
+WHERE (p_name LIKE '%re%' OR regexp_matches(p_name, '^(red|blue) '))
+  AND p_size >= 10
 """
 
 
@@ -247,17 +256,6 @@ LIMIT 10
 """
 
 
-def q08_distinct(spark, sf_dir):
-    """SELECT DISTINCT (U/A6)."""
-    q = Query("lineitem")
-    q.append(Projection(["l_returnflag", "l_linestatus"]))
-    q.append(Unique())
-    return q.resolve(_resolver(spark, sf_dir))
-
-
-_Q08_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
-
-
 def q09_count_unique(spark, sf_dir):
     """COUNT(DISTINCT ...) (A7)."""
     q = Query("orders")
@@ -322,18 +320,20 @@ FROM part GROUP BY 1
 
 
 def q13_sort_offset_limit(spark, sf_dir):
-    """Order + Offset + Limit pagination (O1-O3)."""
+    """Unique + Order + Offset + Limit in one DSL pipeline (A6, O1-O3):
+    deterministic pagination over a distinct projection."""
     q = Query("orders")
-    q.append(Projection(["o_orderkey", "o_totalprice"]))
-    q.append(Order([("o_totalprice", "DESC"), ("o_orderkey", "ASC")]))
-    q.append(Offset(10))
-    q.append(Limit(20))
+    q.append(Projection(["o_orderpriority", "o_orderstatus"]))
+    q.append(Unique())
+    q.append(Order([("o_orderpriority", "ASC"), ("o_orderstatus", "DESC")]))
+    q.append(Offset(2))
+    q.append(Limit(8))
     return q.resolve(_resolver(spark, sf_dir))
 
 
 _Q13_SQL = """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10
+SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+ORDER BY o_orderpriority ASC, o_orderstatus DESC LIMIT 8 OFFSET 2
 """
 
 
@@ -425,20 +425,6 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(DISTINCT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS unique_k
 FROM events GROUP BY event_type
-"""
-
-
-def q18_regex_match(spark, sf_dir):
-    """MATCHES -> rlike (P10)."""
-    q = Query("part")
-    q.append(Filter([Predicate("p_name", "MATCHES", "^(red|blue) ")]))
-    q.append(Projection(["p_partkey", "p_name", "p_brand"]))
-    return q.resolve(_resolver(spark, sf_dir))
-
-
-_Q18_SQL = """
-SELECT p_partkey, p_name, p_brand FROM part
-WHERE regexp_matches(p_name, '^(red|blue) ')
 """
 
 
@@ -1527,6 +1513,128 @@ FROM seeded
 
 
 # --------------------------------------------------------------------------
+# STIX engine battery: the reference's core surface (bundle ingest ->
+# flatten -> id-merge -> pattern extract -> deref/group) driven end-to-end
+# against a bundle DERIVED deterministically from the events parquet, so a
+# plain-SQL oracle over events can hash-verify the whole pipeline.
+# --------------------------------------------------------------------------
+
+_STIX_STORES: dict = {}
+_STIX_N_EVENTS = 400
+
+
+def _stix_store(spark, sf_dir):
+    """Ingest-once-per-process warehouse holding a bundle synthesized from
+    the first ``_STIX_N_EVENTS`` events rows. Every SCO value is a pure
+    function of (event_id, user_id, event_type), so DuckDB can reproduce
+    the expected table contents from the events view directly."""
+    key = os.path.abspath(sf_dir)
+    if key in _STIX_STORES:
+        return _STIX_STORES[key]
+    import tempfile
+
+    from firepit_spark.storage import SparkStorage
+
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .filter(F.col("event_id") < _STIX_N_EVENTS)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    objects = [
+        {
+            "type": "identity",
+            "id": "identity--b1e2c3d4-1111-4222-8333-944444444444",
+            "identity_class": "program",
+            "name": "events-bridge",
+            "created": "2024-06-01T00:00:00.000Z",
+            "modified": "2024-06-01T00:00:00.000Z",
+        }
+    ]
+    for row in rows:
+        e, u, etype = row["event_id"], row["user_id"], row["event_type"]
+        objects.append(
+            {
+                "type": "observed-data",
+                "id": f"observed-data--{e:08d}-0000-4000-8000-000000000000",
+                "created_by_ref": "identity--b1e2c3d4-1111-4222-8333-944444444444",
+                "created": "2024-06-01T00:00:00.000Z",
+                "modified": "2024-06-01T00:00:00.000Z",
+                "first_observed": "2024-06-01T00:00:00.000Z",
+                "last_observed": "2024-06-01T00:00:00.000Z",
+                "number_observed": 1,
+                "objects": {
+                    "0": {"type": "ipv4-addr", "value": f"10.0.{u % 50}.1"},
+                    "1": {"type": "ipv4-addr", "value": f"192.168.{e % 20}.9"},
+                    "2": {
+                        "type": "network-traffic",
+                        "src_ref": "0",
+                        "dst_ref": "1",
+                        "src_port": 40000 + u % 100,
+                        "dst_port": 443,
+                        "protocols": ["tcp"],
+                    },
+                    "3": {
+                        "type": "url",
+                        "value": f"http://site{u % 20}.example/{etype}",
+                    },
+                },
+            }
+        )
+    bundle = {"type": "bundle", "id": "bundle--events-bridge", "objects": objects}
+    st = SparkStorage(tempfile.mkdtemp(prefix="fp_stix_"), spark=spark)
+    st.cache("q1", bundle)
+    _STIX_STORES[key] = st
+    return st
+
+
+def q54_stix_extract(spark, sf_dir):
+    """Bundle ingest + STIX pattern extract: flatten (S2), vectorized cache
+    (S7/S12), content-addressed id merge (S10), pattern compile (P8) and
+    extract (C1). The url table id-merges duplicates, so the result is the
+    distinct matching values — reproduced by the oracle from events."""
+    st = _stix_store(spark, sf_dir)
+    st.extract("purchase_urls", "url", "q1", "[url:value LIKE '%/purchase']")
+    return st.get_df("purchase_urls").select("value")
+
+
+_Q54_SQL = f"""
+SELECT DISTINCT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/purchase'
+       AS value
+FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+"""
+
+
+def q55_stix_deref_group(spark, sf_dir):
+    """Reference-shaped analytics over the ingested warehouse: extract
+    network-traffic, group by the auto-dereffed src_ref.value (J4 deref +
+    A4 group with explicit aggs). One warehouse row per distinct
+    (src, dst, src_port) tuple — the id-merge invariant the oracle
+    reproduces with COUNT(DISTINCT ...) over events."""
+    st = _stix_store(spark, sf_dir)
+    st.extract("conns", "network-traffic", "q1", "")
+    st.group(
+        "by_src", "conns", "network-traffic:src_ref.value",
+        aggs=[("COUNT", "id", "n_conns")],
+    )
+    df = st.get_df("by_src")
+    return df.select(
+        F.col("`src_ref.value`").alias("src_value"), "n_conns"
+    )
+
+
+_Q55_SQL = f"""
+WITH e AS (
+  SELECT user_id % 50 AS s, event_id % 20 AS d, user_id % 100 AS p
+  FROM events WHERE event_id < {_STIX_N_EVENTS}
+)
+SELECT '10.0.' || CAST(s AS VARCHAR) || '.1' AS src_value,
+       COUNT(DISTINCT CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS n_conns
+FROM e GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -1545,7 +1653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_left_join": q05_left_join,
         "q06_semijoin_subquery": q06_semijoin_subquery,
         "q07_topk_revenue": q07_topk_revenue,
-        "q08_distinct": q08_distinct,
         "q09_count_unique": q09_count_unique,
         "q10_having": q10_having,
         "q11_time_bin": q11_time_bin,
@@ -1555,7 +1662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_union_merge": q15_union_merge,
         "q16_window_topk_per_group": q16_window_topk_per_group,
         "q17_json_extract": q17_json_extract,
-        "q18_regex_match": q18_regex_match,
         "q19_multi_agg": q19_multi_agg,
         "q20_sessionize": q20_sessionize,
         "q21_fingerprint": q21_fingerprint,
@@ -1588,6 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_doc_term_stats": q50_doc_term_stats,
         "q51_corpus_profile": q51_corpus_profile,
         "q53_pii_scrub": q53_pii_scrub,
+        "q54_stix_extract": q54_stix_extract,
+        "q55_stix_deref_group": q55_stix_deref_group,
     }
 
 
@@ -1600,7 +1708,6 @@ def oracle_sql() -> dict[str, str]:
         "q05_left_join": _Q05_SQL,
         "q06_semijoin_subquery": _Q06_SQL,
         "q07_topk_revenue": _Q07_SQL,
-        "q08_distinct": _Q08_SQL,
         "q09_count_unique": _Q09_SQL,
         "q10_having": _Q10_SQL,
         "q11_time_bin": _Q11_SQL,
@@ -1610,7 +1717,6 @@ def oracle_sql() -> dict[str, str]:
         "q15_union_merge": _Q15_SQL,
         "q16_window_topk_per_group": _Q16_SQL,
         "q17_json_extract": _Q17_SQL,
-        "q18_regex_match": _Q18_SQL,
         "q19_multi_agg": _Q19_SQL,
         "q20_sessionize": _Q20_SQL,
         "q21_fingerprint": _Q21_SQL,
@@ -1643,4 +1749,6 @@ def oracle_sql() -> dict[str, str]:
         "q50_doc_term_stats": _Q50_SQL,
         "q51_corpus_profile": _Q51_SQL,
         "q53_pii_scrub": _Q53_SQL,
+        "q54_stix_extract": _Q54_SQL,
+        "q55_stix_deref_group": _Q55_SQL,
     }
