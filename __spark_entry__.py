@@ -305,20 +305,6 @@ FROM events GROUP BY 1
 """
 
 
-def q12_numeric_bin(spark, sf_dir):
-    """Numeric binning (P4) + count."""
-    q = Query("part")
-    q.append(Group([BinnedColumn("p_retailprice", 10, alias="price_bin")]))
-    q.append(Aggregation([("COUNT", None, "n_parts")]))
-    return q.resolve(_resolver(spark, sf_dir))
-
-
-_Q12_SQL = """
-SELECT CAST(floor(p_retailprice / 10) * 10 AS BIGINT) AS price_bin, COUNT(*) AS n_parts
-FROM part GROUP BY 1
-"""
-
-
 def q13_sort_offset_limit(spark, sf_dir):
     """Unique + Order + Offset + Limit in one DSL pipeline (A6, O1-O3):
     deterministic pagination over a distinct projection."""
@@ -429,9 +415,10 @@ FROM events GROUP BY event_type
 
 
 def q19_multi_agg(spark, sf_dir):
-    """MIN/MAX/COUNT/NUNIQUE inference-style aggs (A1, A3)."""
+    """MIN/MAX/COUNT/NUNIQUE inference-style aggs grouped on a plain column
+    plus a numeric BinnedColumn (A1, A3, P4 numeric binning)."""
     q = Query("lineitem")
-    q.append(Group(["l_returnflag"]))
+    q.append(Group(["l_returnflag", BinnedColumn("l_quantity", 10, alias="qty_bin")]))
     q.append(
         Aggregation(
             [
@@ -448,10 +435,11 @@ def q19_multi_agg(spark, sf_dir):
 
 
 _Q19_SQL = """
-SELECT l_returnflag, MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
+SELECT l_returnflag, CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS qty_bin,
+       MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship,
        COUNT(*) AS n_items, COUNT(DISTINCT l_suppkey) AS unique_suppliers,
        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem GROUP BY 1, 2
 """
 
 
@@ -1634,6 +1622,26 @@ FROM e GROUP BY 1
 """
 
 
+def q56_stix_value_counts(spark, sf_dir):
+    """Observation counting: the view ⋈ __contains ⋈ observed-data triple
+    join (J6) behind value_counts (A8) — one count per distinct url value,
+    where the count is how many observations contain that (id-merged)
+    SCO. The oracle is a plain GROUP BY over events because each event
+    contributes exactly one observation containing its url once."""
+    st = _stix_store(spark, sf_dir)
+    st.extract("all_urls", "url", "q1", "")
+    return st.value_counts_df("all_urls", "url:value")
+
+
+_Q56_SQL = f"""
+SELECT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
+         AS value,
+       COUNT(*) AS count
+FROM events WHERE event_id < {_STIX_N_EVENTS}
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1656,7 +1664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_count_unique": q09_count_unique,
         "q10_having": q10_having,
         "q11_time_bin": q11_time_bin,
-        "q12_numeric_bin": q12_numeric_bin,
         "q13_sort_offset_limit": q13_sort_offset_limit,
         "q14_coalesce": q14_coalesce,
         "q15_union_merge": q15_union_merge,
@@ -1696,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_pii_scrub": q53_pii_scrub,
         "q54_stix_extract": q54_stix_extract,
         "q55_stix_deref_group": q55_stix_deref_group,
+        "q56_stix_value_counts": q56_stix_value_counts,
     }
 
 
@@ -1711,7 +1719,6 @@ def oracle_sql() -> dict[str, str]:
         "q09_count_unique": _Q09_SQL,
         "q10_having": _Q10_SQL,
         "q11_time_bin": _Q11_SQL,
-        "q12_numeric_bin": _Q12_SQL,
         "q13_sort_offset_limit": _Q13_SQL,
         "q14_coalesce": _Q14_SQL,
         "q15_union_merge": _Q15_SQL,
@@ -1751,4 +1758,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_pii_scrub": _Q53_SQL,
         "q54_stix_extract": _Q54_SQL,
         "q55_stix_deref_group": _Q55_SQL,
+        "q56_stix_value_counts": _Q56_SQL,
     }

@@ -1149,16 +1149,21 @@ class SparkStorage:
         except Exception:
             raise InvalidAttr(path)
 
-    def value_counts(self, viewname: str, path: str):
-        """Per-value observation counts (parity: firepit/sqlstorage.py:854-874)."""
+    def value_counts_df(self, viewname: str, path: str) -> DataFrame:
+        """Per-value observation counts as a DataFrame (the distributed core
+        of :meth:`value_counts`; at scale callers keep the frame lazy
+        instead of collecting the reference's list-of-dicts shape)."""
         validate_name(viewname)
         df, prop = self._path_column(viewname, path)
-        out = (
+        return (
             self._obs_join(df)
             .groupBy(F.col(f"v.`{prop}`").alias(prop))
             .agg(F.count(F.lit(1)).alias("count"))
         )
-        return [r.asDict() for r in out.collect()]
+
+    def value_counts(self, viewname: str, path: str):
+        """Per-value observation counts (parity: firepit/sqlstorage.py:854-874)."""
+        return [r.asDict() for r in self.value_counts_df(viewname, path).collect()]
 
     def number_observed(self, viewname: str, path: str, value=None) -> int:
         """SUM(number_observed) for a path (+ optional value filter)
