@@ -102,6 +102,38 @@ def feature_type(prop: str, col_type: str | None = None) -> str:
     return "categorical"
 
 
+def get_last(prop: str) -> str:
+    """Last piece of a STIX path (parity: firepit/props.py:354-359)."""
+    return prop.rsplit(".", 1)[-1].rsplit(":", 1)[-1]
+
+
+def prop_metadata(sco_type: str, prop: str) -> dict:
+    """Metadata dict for a property: ``{'dtype', 'ftype'}`` (migration shim
+    for reference callers, firepit/props.py:330-351; the reference reads a
+    hand-maintained KNOWN_PROPS table, this derives the same classes from
+    the name heuristics behind :func:`feature_type`). Reference paths
+    resolve through the final hop like the reference does."""
+    links = parse_prop(sco_type, prop)
+    if links:
+        last = links[-1]
+        prop = last[2] if last[0] == "node" else last[2]
+    leaf = get_last(prop)
+    ftype = feature_type(prop)
+    if ftype == "numerical" or leaf.endswith("_port") or leaf.endswith("pid") or leaf in (
+        "number", "number_observed",
+    ):
+        dtype = "int"
+    else:
+        dtype = "str"
+    return {"dtype": dtype, "ftype": ftype}
+
+
+def path_metadata(path: str) -> dict:
+    """Metadata for a full ``type:prop`` path (parity: firepit/props.py:324-327)."""
+    sco_type, _, prop = path.rpartition(":")
+    return prop_metadata(sco_type, prop)
+
+
 def is_ref(name: str) -> bool:
     return name.endswith("_ref") or name.endswith("_refs")
 

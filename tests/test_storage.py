@@ -513,3 +513,19 @@ def test_lifecycle_close_keeps_shared_session(store, spark):
     assert spark.range(1).count() == 1  # shared session survives
     reopened = SparkStorage(store.path, spark=spark)
     assert reopened.count("url") == n
+
+
+def test_props_metadata_shims():
+    """Reference-named helpers kept for migrating callers
+    (firepit/props.py:324-359)."""
+    from firepit_spark.props import get_last, path_metadata, prop_metadata
+
+    assert get_last("network-traffic:src_ref.value") == "value"
+    assert path_metadata("observed-data:first_observed")["ftype"] == "timestamp"
+    assert path_metadata("network-traffic:src_port") == {
+        "dtype": "int", "ftype": "categorical"
+    }
+    assert prop_metadata("network-traffic", "dst_ref.value")["ftype"] == "categorical"
+    assert path_metadata("observed-data:number_observed") == {
+        "dtype": "int", "ftype": "numerical"
+    }
