@@ -596,10 +596,13 @@ def q25_ngram_jaccard(spark, sf_dir):
 _Q25_SQL = f"""
 WITH {_TOKS_CTE},
 {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -1259,14 +1262,17 @@ def q47_decontaminate(spark, sf_dir):
 _Q47_SQL = f"""
 WITH {_TOKS_CTE},
 {_SHINGLES_CTE},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
 fsh AS (
-  SELECT doc_id, shingle FROM sh
-  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000
+  SELECT doc_id, h FROM hs
+  QUALIFY COUNT(*) OVER (PARTITION BY h) <= 1000
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS left_id, b.doc_id AS right_id, COUNT(*) AS n_common
-  FROM fsh a JOIN fsh b ON a.shingle = b.shingle
+  FROM fsh a JOIN fsh b ON a.h = b.h
   WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
   GROUP BY 1, 2
 )

@@ -120,7 +120,15 @@ def ngram_jaccard_pairs(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles")
     ).persist()
     sizes = arr.select(F.col(id_col), F.size("__shingles").alias("set_size"))
-    sh = arr.select(F.col(id_col), F.explode("__shingles").alias("shingle"))
+    # hash shingles to 60-bit ints BEFORE the shuffles: the freq groupBy and
+    # the index self-join then move 8-byte longs instead of ~25-byte strings
+    # (at corpus scale the exploded index dominates shuffle volume). The
+    # md5-derived hash is engine-portable, so the oracle joins on the same
+    # keys and any (astronomically rare, 60-bit) collision affects both
+    # engines identically.
+    sh = arr.select(F.col(id_col), F.explode("__shingles").alias("__s")).select(
+        F.col(id_col), shingle_hash(F.col("__s")).alias("shingle")
+    )
 
     freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq")).filter(
         F.col("df_freq") <= max_shingle_freq
@@ -180,8 +188,14 @@ def cross_ngram_jaccard(
     ra = _shingle_arrays(right, text_col, id_col, k).persist()
     l_sizes = la.select(F.col(id_col).alias("left_id"), F.size("__shingles").alias("size_l"))
     r_sizes = ra.select(F.col(id_col).alias("right_id"), F.size("__shingles").alias("size_r"))
-    lsh = la.select(F.col(id_col).alias("left_id"), F.explode("__shingles").alias("shingle"))
-    rsh = ra.select(F.col(id_col).alias("right_id"), F.explode("__shingles").alias("shingle"))
+    # same narrow-shuffle trick as ngram_jaccard_pairs: join on 60-bit
+    # shingle hashes, not strings (freq cutoff + index join both shrink)
+    lsh = la.select(F.col(id_col).alias("left_id"), F.explode("__shingles").alias("__s")).select(
+        "left_id", shingle_hash(F.col("__s")).alias("shingle")
+    )
+    rsh = ra.select(F.col(id_col).alias("right_id"), F.explode("__shingles").alias("__s")).select(
+        "right_id", shingle_hash(F.col("__s")).alias("shingle")
+    )
 
     freq_ok = (
         lsh.select("shingle")
