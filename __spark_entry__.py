@@ -1530,7 +1530,7 @@ def _stix_store(spark, sf_dir):
     from firepit_spark.storage import SparkStorage
 
     rows = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        _resolver(spark, sf_dir)("events")
         .filter(F.col("event_id") < _STIX_N_EVENTS)
         .select("event_id", "user_id", "event_type")
         .collect()
