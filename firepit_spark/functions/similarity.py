@@ -80,9 +80,9 @@ def hyperplane_lsh_bucket(vec: Column, planes: list) -> Column:
     return bucket
 
 
-def lsh_planes(dim: int, n_planes: int = 8) -> list:
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = 1234567891) -> list:
     """Deterministic pseudo-random hyperplanes (LCG; no RNG state)."""
-    planes, state = [], 1234567891
+    planes, state = [], seed
     for _ in range(n_planes):
         coeffs = []
         for _ in range(dim):
@@ -97,25 +97,60 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket.
+    """Approximate top-k: candidates limited to the query's LSH bucket(s).
 
     Trades recall for a bucket-equi-join instead of a cross product — the
-    shape that survives a 1000-executor scale-up.
+    shape that survives a 1000-executor scale-up. ``n_tables`` is the
+    standard OR-amplification lever: candidates are unioned across that
+    many independent plane sets (recall rises roughly as
+    1-(1-p^n_planes)^n_tables while cost stays bucket-bounded per table).
     """
     dim = len(vectors.select(vec_col).first()[0])
-    planes = lsh_planes(dim, n_planes)
-    cv = vectors.withColumn("bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
-    qv = queries.withColumn("bucket", hyperplane_lsh_bucket(F.col(query_vec_col), planes))
-    scored = cv.join(F.broadcast(qv), "bucket").select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("cos_sim"),
-    )
+    if n_tables <= 1:
+        planes = lsh_planes(dim, n_planes)
+        cv = vectors.withColumn("bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
+        qv = queries.withColumn(
+            "bucket", hyperplane_lsh_bucket(F.col(query_vec_col), planes)
+        )
+        scored = cv.join(F.broadcast(qv), "bucket").select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("cos_sim"),
+        )
+    else:
+        tables = [
+            lsh_planes(dim, n_planes, seed=1234567891 + 7919 * t)
+            for t in range(n_tables)
+        ]
+        buckets = lambda vcol: F.array(  # noqa: E731 — local plan builder
+            *[hyperplane_lsh_bucket(vcol, planes) for planes in tables]
+        )
+        cv = vectors.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(buckets(F.col(vec_col))).alias("t", "bucket"),
+        )
+        qv = queries.select(
+            F.col(query_id_col), F.col(query_vec_col),
+            F.posexplode(buckets(F.col(query_vec_col))).alias("t", "bucket"),
+        )
+        # a pair colliding in several tables is scored per hit (cheap JVM
+        # expression) and deduped by the max-agg — no join-back needed
+        scored = (
+            cv.join(F.broadcast(qv), ["t", "bucket"])
+            .select(
+                F.col(query_id_col),
+                F.col(id_col).alias("neighbor_id"),
+                F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 6).alias("cos_sim"),
+            )
+            .groupBy(query_id_col, "neighbor_id")
+            .agg(F.max("cos_sim").alias("cos_sim"))
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -740,3 +740,37 @@ def test_asof_join_multi_key(spark):
     got = {r["ev"]: r["state_right"]
            for r in asof_join(left, right, ["k1", "k2"]).collect()}
     assert got == {"e1": 1.0, "e2": 2.0}
+
+
+def test_ann_recall_on_testdata(spark):
+    """Quality gate for the approximate operators: recall@5 vs brute force
+    on the real embeddings table. Multi-table LSH (OR-amplification) must
+    recover what a single table misses; IVF with n_probe=2 of 4 cells must
+    beat both a priori floors."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata not present")
+    from firepit_spark.session import testdata_resolver
+
+    vecs = testdata_resolver(spark, sf_dir)("embeddings")
+    qs = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in sim.brute_force_topk(vecs, qs, k=5).collect()}
+    one = {(r["query_id"], r["neighbor_id"])
+           for r in sim.lsh_topk(vecs, qs, k=5, n_planes=4).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in sim.lsh_topk(vecs, qs, k=5, n_planes=4, n_tables=8).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in sim.ivf_topk(vecs, qs, k=5, n_cells=4, n_probe=2).collect()}
+    r_one = len(one & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    r_ivf = len(ivf & truth) / len(truth)
+    assert r_multi >= r_one  # OR-amplification can only add candidates
+    assert r_multi >= 0.5    # 8 tables must recover the majority
+    assert r_ivf >= 0.6
