@@ -190,19 +190,37 @@ def lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate near-dup pairs: candidates limited to same-bucket pairs
     (recall loss at bucket boundaries is the standard trade; raise recall
-    with fewer planes or multiple plane sets)."""
+    with fewer planes or, cheaper per unit recall, more ``n_tables`` —
+    the same OR-amplification as :func:`lsh_topk`)."""
     dim = len(vectors.select(vec_col).first()[0])
-    planes = lsh_planes(dim, n_planes)
-    v = vectors.withColumn("__bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+    if n_tables <= 1:
+        planes = lsh_planes(dim, n_planes)
+        v = vectors.withColumn("__bucket", hyperplane_lsh_bucket(F.col(vec_col), planes))
+        a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bucket")
+        b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__bucket")
+        joined = a.join(b, "__bucket")
+    else:
+        tables = [
+            lsh_planes(dim, n_planes, seed=1234567891 + 7919 * t)
+            for t in range(n_tables)
+        ]
+        v = vectors.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode(
+                F.array(*[hyperplane_lsh_bucket(F.col(vec_col), p) for p in tables])
+            ).alias("__t", "__bucket"),
+        )
+        a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__t", "__bucket")
+        b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "__t", "__bucket")
+        joined = a.join(b, ["__t", "__bucket"])
     return (
-        a.join(b, "__bucket")
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

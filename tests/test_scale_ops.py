@@ -774,3 +774,12 @@ def test_ann_recall_on_testdata(spark):
     assert r_multi >= r_one  # OR-amplification can only add candidates
     assert r_multi >= 0.5    # 8 tables must recover the majority
     assert r_ivf >= 0.6
+    # pair variant: same amplification, always a subset of the exact pairs
+    sub = vecs.filter(F.col("vec_id") < 300)
+    exact_p = {(r["id_a"], r["id_b"])
+               for r in sim.cosine_near_dup_pairs(sub, threshold=0.35).collect()}
+    multi_p = {(r["id_a"], r["id_b"])
+               for r in sim.lsh_near_dup_pairs(
+                   sub, threshold=0.35, n_planes=4, n_tables=8).collect()}
+    assert multi_p <= exact_p
+    assert len(multi_p & exact_p) / len(exact_p) >= 0.5
