@@ -140,6 +140,37 @@ def write_shards(
     out.write.mode(mode).partitionBy("shard_id").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort_col: str | None = None,
+    mode: str = "error",
+) -> DataFrame:
+    """Persist as a Spark bucketed+sorted table and return the catalog
+    frame: subsequent equi-joins and aggregations on ``bucket_col``
+    between co-bucketed tables skip their shuffle entirely (Catalyst
+    sees hashing-compatible output partitioning on both sides).
+
+    This is the co-located-join leg of the 100-TB story that
+    ``write_shards`` (directory layout for partition pruning) doesn't
+    cover: bucketing survives in the catalog, so EVERY downstream join
+    on the key — dedup-pairs vs corpus, shard-state vs updates — reuses
+    the on-disk hashing instead of re-shuffling terabytes. ``path``
+    makes it an external table (data at ``path``, metadata in the
+    session catalog); sorting within buckets adds parquet min/max
+    row-group skipping on ``sort_col``.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,
