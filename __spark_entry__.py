@@ -517,6 +517,7 @@ def q22_text_stats(spark, sf_dir):
     return r("documents").select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
+        tx.bpe_token_estimate(t).alias("bpe_tokens"),
         F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(tx.quality_score(t), 6).alias("quality"),
@@ -528,6 +529,9 @@ WITH {_TOKS_CTE},
 m AS (
   SELECT d.doc_id,
          len(t.t) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(
+                regexp_extract_all(d.text, ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'),
+                p -> greatest(1, (length(trim(p)) + 3) // 4))), 0) AS BIGINT) AS bpe_tokens,
          length(d.text) AS n_chars,
          CASE WHEN length(d.text) > 0
               THEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(d.text)
@@ -537,7 +541,7 @@ m AS (
               ELSE 0.0 END AS sw_ratio
   FROM documents d JOIN toks t USING (doc_id)
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_tokens, bpe_tokens,
        ROUND(p_ratio, 6) AS punct_ratio,
        ROUND(sw_ratio, 6) AS stopword_ratio,
        ROUND(least(n_chars / 500.0, 1.0) * 0.4

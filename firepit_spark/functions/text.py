@@ -36,6 +36,35 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer piece pattern, restricted to the subset that
+# means the same thing in Java regex (Spark) and RE2 (DuckDB): letter runs,
+# digit runs, and punctuation runs, each optionally preceded by one space.
+# No lookaround (RE2 lacks it), no contraction special-cases.
+BPE_PIECE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_estimate(col: Column, chars_per_token: int = 4) -> Column:
+    """Estimated subword-token count: split into BPE-style pieces, charge
+    each piece ``ceil(len/chars_per_token)`` subwords (>=1).
+
+    The standard budget estimator when the real tokenizer is not in the
+    pipeline (~4 chars/token for English BPE vocabularies): unlike
+    whitespace ``token_count`` it bills long words, numbers, and
+    punctuation runs the way a subword vocabulary does. Pure Catalyst
+    (regexp_extract_all + transform/aggregate), integer arithmetic only,
+    so the DuckDB oracle reproduces it exactly.
+    """
+    pieces = F.regexp_extract_all(col, F.lit(BPE_PIECE_RE), 0)
+    per = F.transform(
+        pieces,
+        lambda p: F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((F.length(F.trim(p)) + chars_per_token - 1) / chars_per_token),
+        ),
+    )
+    return F.aggregate(per, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are sentence punctuation."""
     n = F.length(col)

@@ -145,3 +145,27 @@ def test_length_percentiles_interpolation(spark):
     row = cp.length_percentiles(df, "v", "grp", ps=(0.5,)).collect()[0]
     assert row["n"] == 4
     assert row["p50"] == 2.5  # (1,2,3,4) -> interpolated median
+
+
+def test_bpe_token_estimate(spark):
+    from firepit_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),            # 2 five-char words -> 2+2 = 4
+            (1, "internationalization"),   # 20 chars -> ceil(20/4) = 5
+            (2, "a 12345 !!!"),            # 1 + ceil(5/4)=2 + 1 = 4
+            (3, ""),                       # empty -> 0
+            (4, "word, word."),            # 2 words + 2 punct runs = 4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", tx.bpe_token_estimate(F.col("text")).alias("n")
+    ).collect()}
+    assert got == {0: 4, 1: 5, 2: 4, 3: 0, 4: 4}
+    # longer chars_per_token lowers the bill, never below 1 per piece
+    loose = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", tx.bpe_token_estimate(F.col("text"), chars_per_token=10).alias("n")
+    ).collect()}
+    assert loose[1] == 2 and loose[0] == 2
