@@ -256,28 +256,27 @@ LIMIT 10
 """
 
 
-def q09_count_unique(spark, sf_dir):
-    """COUNT(DISTINCT ...) (A7)."""
-    q = Query("orders")
-    q.append(CountUnique(["o_custkey"]))
-    return q.resolve(_resolver(spark, sf_dir))
-
-
-_Q09_SQL = "SELECT COUNT(*) AS count FROM (SELECT DISTINCT o_custkey FROM orders)"
-
-
 def q10_having(spark, sf_dir):
-    """Filter-after-Group routes to HAVING (P6 routing)."""
+    """Filter-after-Group routes to HAVING (P6 routing), with the
+    CountUnique DSL op (A7, merged q09 slot) cross-joined on as a 1-row
+    denominator — the 'heavy users out of N distinct customers' shape."""
+    r = _resolver(spark, sf_dir)
     q = Query("orders")
     q.append(Group(["o_custkey"]))
     q.append(Aggregation([("COUNT", None, "n_orders")]))
     q.append(Filter([Predicate("n_orders", ">", 15)]))
-    return q.resolve(_resolver(spark, sf_dir))
+    heavy = q.resolve(r)
+    cu = Query("orders")
+    cu.append(CountUnique(["o_custkey"]))
+    n = cu.resolve(r).select(F.col("count").alias("n_custkeys"))
+    return heavy.crossJoin(F.broadcast(n))
 
 
 _Q10_SQL = """
-SELECT o_custkey, COUNT(*) AS n_orders FROM orders
-GROUP BY o_custkey HAVING COUNT(*) > 15
+SELECT o_custkey, COUNT(*) AS n_orders, n.n_custkeys
+FROM orders
+CROSS JOIN (SELECT COUNT(DISTINCT o_custkey) AS n_custkeys FROM orders) n
+GROUP BY o_custkey, n.n_custkeys HAVING COUNT(*) > 15
 """
 
 
@@ -514,7 +513,8 @@ def q22_text_stats(spark, sf_dir):
     underlying function is still exercised and hash-checked)."""
     r = _resolver(spark, sf_dir)
     t = F.col("text")
-    return r("documents").select(
+    docs = r("documents")
+    stats = docs.select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
         tx.bpe_token_estimate(t).alias("bpe_tokens"),
@@ -522,6 +522,10 @@ def q22_text_stats(spark, sf_dir):
         F.round(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(tx.quality_score(t), 6).alias("quality"),
     )
+    # SimHash rides along as one more per-doc signal (merged q27 slot);
+    # docs with <2 tokens have no shingles -> NULL, mirrored by the LEFT JOIN
+    sim = dd.simhash(docs, bits=32)
+    return stats.join(sim, "doc_id", "left")
 
 
 _Q22_SQL = f"""
@@ -541,13 +545,14 @@ m AS (
               ELSE 0.0 END AS sw_ratio
   FROM documents d JOIN toks t USING (doc_id)
 )
-SELECT doc_id, n_tokens, bpe_tokens,
+SELECT m.doc_id, n_tokens, bpe_tokens,
        ROUND(p_ratio, 6) AS punct_ratio,
        ROUND(sw_ratio, 6) AS stopword_ratio,
        ROUND(least(n_chars / 500.0, 1.0) * 0.4
              + least(sw_ratio * 5.0, 1.0) * 0.4
-             + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality
-FROM m
+             + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality,
+       s.simhash
+FROM m LEFT JOIN ({{SIMHASH}}) s ON m.doc_id = s.doc_id
 """
 
 
@@ -651,43 +656,45 @@ hashes AS (
 _Q26_SQL = _minhash_sql()
 
 
-def q27_simhash(spark, sf_dir):
-    """32-bit SimHash per document."""
-    r = _resolver(spark, sf_dir)
-    return dd.simhash(r("documents").filter(F.col("doc_id") < 100), bits=32)
-
-
-def _simhash_sql(bits=32):
+def _simhash_sql(bits=32, where=""):
+    """SimHash in ANSI SQL (merged into q22's oracle as a LEFT JOIN side)."""
     bit_sums = ", ".join(f"SUM((h >> {j}) & 1) AS b{j}" for j in range(bits))
     recon = " + ".join(
         f"(CASE WHEN b{j} * 2 > n THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
     return f"""
-WITH toks AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents WHERE doc_id < 100
+WITH toks2 AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents {where}
 ),
-sh AS (
+sh2 AS (
   SELECT DISTINCT doc_id, t[n] || ' ' || t[n+1] AS shingle
-  FROM toks, UNNEST(range(1, len(t))) AS r(n)
+  FROM toks2, UNNEST(range(1, len(t))) AS r(n)
   WHERE len(t) >= 2
 ),
-h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
-c AS (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM c
+h2 AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh2),
+c2 AS (SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM h2 GROUP BY doc_id)
+SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM c2
 """
 
 
-_Q27_SQL = _simhash_sql()
+_Q22_SQL = _Q22_SQL.replace("{SIMHASH}", _simhash_sql())
 
 
 def q28_dedup_exact(spark, sf_dir):
-    """Exact dedup: one keeper per distinct normalized text."""
+    """Exact dedup: one keeper per distinct normalized text, then
+    deterministic training-shard assignment (md5 % n) on the keepers —
+    the dedup→shard step of a corpus build in one plan (merged q43 slot;
+    a partitionBy('shard_id') write makes this the shard layout)."""
     r = _resolver(spark, sf_dir)
-    return dd.dedup_exact(r("documents")).select("doc_id", "source")
+    kept = dd.dedup_exact(r("documents")).select("doc_id", "source")
+    return pl.assign_shards(kept, "doc_id", n_shards=8)
 
 
 _Q28_SQL = f"""
-SELECT doc_id, source FROM documents
+SELECT doc_id, source,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
+         AS shard_id
+FROM documents
 WHERE doc_id IN (
   SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM})
 )
@@ -1289,23 +1296,6 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.03
 """
 
 
-def q43_shard_assign(spark, sf_dir):
-    """Deterministic training-shard assignment (md5 % n): per-shard doc
-    counts prove the full assignment. Map-only + one small agg; a
-    partitionBy('shard_id') write makes this the shard layout."""
-    r = _resolver(spark, sf_dir)
-    sharded = pl.assign_shards(r("documents"), "doc_id", n_shards=8)
-    return sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_docs"))
-
-
-_Q43_SQL = """
-SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
-         AS shard_id,
-       COUNT(*) AS n_docs
-FROM documents GROUP BY 1
-"""
-
-
 def q44_sampling(spark, sf_dir):
     """Deterministic sampling family, row-level membership for both modes:
     content-addressed hash_sample (md5(salt||key) threshold — map-only,
@@ -1551,6 +1541,10 @@ def _stix_store(spark, sf_dir):
     ]
     for row in rows:
         e, u, etype = row["event_id"], row["user_id"], row["event_type"]
+        # varied, reproducible observation time: e*7 % 86400 seconds into
+        # 2024-06-01 (q57's oracle rebuilds it with INTERVAL arithmetic)
+        off = (e * 7) % 86400
+        obs_ts = f"2024-06-01T{off // 3600:02d}:{off % 3600 // 60:02d}:{off % 60:02d}.000Z"
         objects.append(
             {
                 "type": "observed-data",
@@ -1558,8 +1552,8 @@ def _stix_store(spark, sf_dir):
                 "created_by_ref": "identity--b1e2c3d4-1111-4222-8333-944444444444",
                 "created": "2024-06-01T00:00:00.000Z",
                 "modified": "2024-06-01T00:00:00.000Z",
-                "first_observed": "2024-06-01T00:00:00.000Z",
-                "last_observed": "2024-06-01T00:00:00.000Z",
+                "first_observed": obs_ts,
+                "last_observed": obs_ts,
                 "number_observed": 1,
                 "objects": {
                     "0": {"type": "ipv4-addr", "value": f"10.0.{u % 50}.1"},
@@ -1575,6 +1569,20 @@ def _stix_store(spark, sf_dir):
                     "3": {
                         "type": "url",
                         "value": f"http://site{u % 20}.example/{etype}",
+                    },
+                    # double-ref chain for q58's path join:
+                    # process --binary_ref--> file --parent_directory_ref--> directory
+                    "4": {"type": "directory", "path": f"/opt/app{u % 10}"},
+                    "5": {
+                        "type": "file",
+                        "name": f"tool{e % 7}.bin",
+                        "parent_directory_ref": "4",
+                    },
+                    "6": {
+                        "type": "process",
+                        "name": etype,
+                        "pid": 1000 + e % 500,
+                        "binary_ref": "5",
                     },
                 },
             }
@@ -1652,6 +1660,77 @@ GROUP BY 1
 """
 
 
+def q57_stix_timestamped(spark, sf_dir):
+    """Observation-timestamp attachment (C7): ``timestamped`` routes through
+    extract_observeddata_attribute — view ⋈ __contains ⋈ observed-data with
+    the observation's ``first_observed`` projected onto each value row
+    (parity: firepit/sqlstorage.py:913-990). One row per (observation, url)
+    pair; timestamps are the varied per-event offsets the oracle rebuilds
+    with INTERVAL arithmetic."""
+    st = _stix_store(spark, sf_dir)
+    st.extract("ts_urls", "url", "q1", "[url:value LIKE '%/purchase']")
+    df = st.timestamped("ts_urls", path="url:value", run=False)
+    return df.select(
+        F.col("first_observed"), F.col("`url:value`").alias("value")
+    )
+
+
+_Q57_SQL = f"""
+SELECT TIMESTAMP '2024-06-01 00:00:00'
+         + ((event_id * 7) % 86400) * INTERVAL 1 SECOND AS first_observed,
+       'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/purchase'
+         AS value
+FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+"""
+
+
+def q58_stix_path_join(spark, sf_dir):
+    """Double-hop reference path join (J3): process:binary_ref.
+    parent_directory_ref.path walks two ``_ref`` joins (process→file→
+    directory), each a broadcast join on the id-merged target table
+    (parity: get_path_joins, firepit/sqlstorage.py:107-140). One row per
+    id-merged process row — the oracle's DISTINCT over the content tuple."""
+    st = _stix_store(spark, sf_dir)
+    st.extract("procs", "process", "q1", "")
+    return st.values_df("process:binary_ref.parent_directory_ref.path", "procs").select(
+        F.col("`binary_ref.parent_directory_ref.path`").alias("dir_path")
+    )
+
+
+_Q58_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT event_type, event_id % 500 AS pid_m, event_id % 7 AS tool_m,
+         user_id % 10 AS dir_m
+  FROM events WHERE event_id < {_STIX_N_EVENTS}
+)
+SELECT '/opt/app' || CAST(dir_m AS VARCHAR) AS dir_path FROM p
+"""
+
+
+def q59_stix_reassign(spark, sf_dir):
+    """Write-back round trip (S9): lookup the url view, enrich each object
+    with a computed column, ``reassign`` it through unresolve + the LSM
+    merge path, and read the view back (parity: firepit/sqlstorage.py:
+    504-539). The new column must land on every id-merged row while
+    ``value`` stays untouched — the oracle recomputes both from events."""
+    st = _stix_store(spark, sf_dir)
+    st.extract("tagged_urls", "url", "q1", "")
+    objs = st.lookup("tagged_urls")
+    for o in objs:
+        o["x_host_tag"] = o["value"].split("/")[2].split(".")[0]
+    st.reassign("tagged_urls", objs)
+    return st.get_df("tagged_urls").select("value", "x_host_tag")
+
+
+_Q59_SQL = f"""
+SELECT DISTINCT
+       'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
+         AS value,
+       'site' || CAST(user_id % 20 AS VARCHAR) AS x_host_tag
+FROM events WHERE event_id < {_STIX_N_EVENTS}
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -1671,7 +1750,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_left_join": q05_left_join,
         "q06_semijoin_subquery": q06_semijoin_subquery,
         "q07_topk_revenue": q07_topk_revenue,
-        "q09_count_unique": q09_count_unique,
         "q10_having": q10_having,
         "q11_time_bin": q11_time_bin,
         "q13_sort_offset_limit": q13_sort_offset_limit,
@@ -1686,7 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lang_guess": q23_lang_guess,
         "q25_ngram_jaccard": q25_ngram_jaccard,
         "q26_minhash": q26_minhash,
-        "q27_simhash": q27_simhash,
         "q28_dedup_exact": q28_dedup_exact,
         "q29_cosine_topk": q29_cosine_topk,
         "q30_label_centroids": q30_label_centroids,
@@ -1701,7 +1778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_media_probe": q39_media_probe,
         "q41_context_pack": q41_context_pack,
         "q42_corpus_prep": q42_corpus_prep,
-        "q43_shard_assign": q43_shard_assign,
         "q44_sampling": q44_sampling,
         "q45_dedup_clusters": q45_dedup_clusters,
         "q46_quantize_embeddings": q46_quantize_embeddings,
@@ -1714,6 +1790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_stix_extract": q54_stix_extract,
         "q55_stix_deref_group": q55_stix_deref_group,
         "q56_stix_value_counts": q56_stix_value_counts,
+        "q57_stix_timestamped": q57_stix_timestamped,
+        "q58_stix_path_join": q58_stix_path_join,
+        "q59_stix_reassign": q59_stix_reassign,
     }
 
 
@@ -1726,7 +1805,6 @@ def oracle_sql() -> dict[str, str]:
         "q05_left_join": _Q05_SQL,
         "q06_semijoin_subquery": _Q06_SQL,
         "q07_topk_revenue": _Q07_SQL,
-        "q09_count_unique": _Q09_SQL,
         "q10_having": _Q10_SQL,
         "q11_time_bin": _Q11_SQL,
         "q13_sort_offset_limit": _Q13_SQL,
@@ -1741,7 +1819,6 @@ def oracle_sql() -> dict[str, str]:
         "q23_lang_guess": _Q23_SQL,
         "q25_ngram_jaccard": _Q25_SQL,
         "q26_minhash": _Q26_SQL,
-        "q27_simhash": _Q27_SQL,
         "q28_dedup_exact": _Q28_SQL,
         "q29_cosine_topk": _Q29_SQL,
         "q30_label_centroids": _Q30_SQL,
@@ -1756,7 +1833,6 @@ def oracle_sql() -> dict[str, str]:
         "q39_media_probe": _Q39_SQL,
         "q41_context_pack": _Q41_SQL,
         "q42_corpus_prep": _Q42_SQL,
-        "q43_shard_assign": _Q43_SQL,
         "q44_sampling": _Q44_SQL,
         "q45_dedup_clusters": _Q45_SQL,
         "q46_quantize_embeddings": _Q46_SQL,
@@ -1769,4 +1845,7 @@ def oracle_sql() -> dict[str, str]:
         "q54_stix_extract": _Q54_SQL,
         "q55_stix_deref_group": _Q55_SQL,
         "q56_stix_value_counts": _Q56_SQL,
+        "q57_stix_timestamped": _Q57_SQL,
+        "q58_stix_path_join": _Q58_SQL,
+        "q59_stix_reassign": _Q59_SQL,
     }

@@ -142,9 +142,12 @@ class DerefPlanner:
                     if c != "type"
                 ],
             )
+            # NB: renamed[join_id] would parse the dots in a multi-hop
+            # prefix as struct access — backtick-quote instead (the alias
+            # is unique per hop, so the bare name is unambiguous)
             out = out.join(
                 F.broadcast(renamed),
-                F.col(f"`{join_col}`") == renamed[join_id],
+                F.col(f"`{join_col}`") == F.col(f"`{join_id}`"),
                 "inner",
             ).drop(join_id)
             if join_col == "__rl_tgt":

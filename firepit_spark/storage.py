@@ -1025,14 +1025,21 @@ class SparkStorage:
                 d.setdefault("type", sco_type)
             yield d
 
+    def values_df(self, path: str, viewname: str) -> DataFrame:
+        """DataFrame core of ``values``: one column named after the resolved
+        path, including any ``_ref`` hops dereferenced via broadcast joins
+        (the Spark-shaped form of get_path_joins,
+        firepit/sqlstorage.py:107-140)."""
+        validate_path(path)
+        validate_name(viewname)
+        df, col = self._path_column(viewname, path)
+        return df.select(F.col(f"`{col}`"))
+
     def values(self, path: str, viewname: str) -> list:
         """Single-column extraction by STIX path
         (parity: firepit/sqlstorage.py:667-683).  Unbounded by contract, so
         pulled partition-at-a-time rather than one full JVM collect."""
-        validate_path(path)
-        validate_name(viewname)
-        df, col = self._path_column(viewname, path)
-        sel = df.select(F.col(f"`{col}`"))
+        sel = self.values_df(path, viewname)
         return [r[0] for r in sel.toLocalIterator(prefetchPartitions=True)]
 
     def run_query(self, query: Query) -> list:

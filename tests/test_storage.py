@@ -342,6 +342,34 @@ def test_reflist_path_values(spark, tmp_path):
     assert st.values("domain-name:value", "doms") == ["ex.org"]
 
 
+def test_multi_ref_hop_path_values(spark, tmp_path):
+    """Two chained plain ``_ref`` hops (process→file→directory) resolve via
+    successive broadcast joins (J3 parity: get_path_joins,
+    firepit/sqlstorage.py:107-140). Regression: the per-hop join alias
+    contains dots and used to be misread as struct access on hop 2."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    bundle = {"type": "bundle", "id": "bundle--y", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 1,
+         "objects": {
+             "0": {"type": "directory", "path": "/usr/bin"},
+             "1": {"type": "file", "name": "nc", "parent_directory_ref": "0"},
+             "2": {"type": "process", "name": "nc -l", "pid": 7,
+                   "binary_ref": "1"}}}]}
+    st.cache("q1", [bundle])
+    st.extract("procs", "process", "q1", "")
+    path = "process:binary_ref.parent_directory_ref.path"
+    assert st.values(path, "procs") == ["/usr/bin"]
+    # DataFrame core exposes the resolved dotted column, no stray join ids
+    df = st.values_df(path, "procs")
+    assert df.columns == ["binary_ref.parent_directory_ref.path"]
+
+
 def test_obs_counts_over_ref_paths(spark, tmp_path):
     """value_counts / number_observed accept deref'ed and reflist paths."""
     from firepit_spark.storage import SparkStorage
