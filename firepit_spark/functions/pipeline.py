@@ -111,6 +111,32 @@ def assign_shards(
     )
 
 
+def shuffle_corpus(
+    df: DataFrame, key_col: str, seed: str = "", n_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global shuffle: order the corpus by ``h(seed || key)``.
+
+    Training-data loaders want a reproducible random order that is stable
+    across runs and engines and re-derivable per epoch (vary ``seed``).
+    ``df.orderBy(rand(seed))`` is partitioning-dependent; a content-
+    addressed sort key is not. One range-partitioned sort — the same cost
+    profile as any global sort; write the result with
+    ``partitionBy``/shards to freeze the order. Ties (duplicate keys)
+    break on the key itself so the order is total."""
+    h = key_hash(F.col(key_col), seed)
+    if n_partitions:
+        # explicit output-partition count for the shard writer: range
+        # partition on the hash, then sort each range — same global order,
+        # one shuffle
+        return (
+            df.withColumn("__sh", h)
+            .repartitionByRange(n_partitions, F.col("__sh"), F.col(key_col))
+            .sortWithinPartitions("__sh", key_col)
+            .drop("__sh")
+        )
+    return df.orderBy(h, F.col(key_col))
+
+
 def write_shards(
     df: DataFrame,
     path: str,

@@ -81,3 +81,55 @@ def reaggregate(
             F.round(F.col("val_sum").cast("double") / F.col("n"), 6),
         )
     )
+
+
+# --- mergeable distinct-count sketches -------------------------------------
+# COUNT(DISTINCT x) is the one dashboard aggregate that is NOT algebraic:
+# distinct counts from two buckets don't add. At 100 TB the fix is the
+# DataSketches HLL integration (JVM-side aggregates): the fine rollup
+# stores a binary sketch per (bucket, dims); any coarser bucket or dim
+# subset is answered by register-wise sketch union — no raw re-scan, and
+# the union is exactly the sketch the raw data would have produced
+# (register max is associative/commutative), so coarse estimates are
+# reproducible to the bit.
+
+
+def build_sketch_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dims: list,
+    distinct_col: str,
+    bucket_seconds: int = 60,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Fine rollup carrying an HLL sketch of ``distinct_col`` per
+    (bucket, dims) — persist this next to the algebraic rollup."""
+    return df.groupBy(
+        time_bucket(ts_col, bucket_seconds).alias("bucket"),
+        *[F.col(d) for d in dims],
+    ).agg(
+        F.hll_sketch_agg(F.col(distinct_col), F.lit(lg_config_k)).alias("hll"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def reaggregate_sketch(
+    rollup: DataFrame,
+    bucket_seconds: int,
+    dims: list | None = None,
+) -> DataFrame:
+    """Coarser approx-distinct from a sketch rollup: union the fine
+    sketches (no raw scan) and estimate."""
+    all_dims = [c for c in rollup.columns if c not in ("bucket", "hll", "n")]
+    keep = all_dims if dims is None else dims
+    return (
+        rollup.groupBy(
+            time_bucket("bucket", bucket_seconds).alias("bucket"),
+            *[F.col(d) for d in keep],
+        )
+        .agg(
+            F.hll_union_agg(F.col("hll")).alias("hll"),
+            F.sum("n").alias("n"),
+        )
+        .withColumn("approx_distinct", F.hll_sketch_estimate(F.col("hll")))
+    )

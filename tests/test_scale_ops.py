@@ -496,6 +496,61 @@ def test_rollup_composition_exact(spark):
     assert total.agg(F.sum("n")).first()[0] == 200
 
 
+def test_sketch_rollup_distinct_counts(spark):
+    """HLL sketch rollup: coarse union-of-fine estimates must equal the
+    estimate a direct coarse sketch would give (register merge is lossless)
+    and track the exact distinct count within HLL error."""
+    from firepit_spark.functions.rollup import build_sketch_rollup, reaggregate_sketch
+
+    rows = [(i, f"2024-01-01T{i % 3:02d}:{(i * 11) % 60:02d}:00", "t" + str(i % 2),
+             f"user{i % 37}") for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    fine = build_sketch_rollup(df, "ts", ["event_type"], "user", bucket_seconds=60)
+    hourly = reaggregate_sketch(fine, bucket_seconds=3600)
+    # direct sketch at the coarse granularity — same registers, same estimate
+    direct = build_sketch_rollup(df, "ts", ["event_type"], "user", bucket_seconds=3600)
+    direct = direct.withColumn("approx_distinct", F.hll_sketch_estimate(F.col("hll")))
+    got = {(str(r["bucket"]), r["event_type"]): r["approx_distinct"]
+           for r in hourly.collect()}
+    want = {(str(r["bucket"]), r["event_type"]): r["approx_distinct"]
+            for r in direct.collect()}
+    assert got == want
+    # and within HLL error of the exact distinct (lgK=12 -> ~1.6% rse; these
+    # cardinalities are tiny so the sparse-mode estimate is exact)
+    exact = {(str(r["bucket"]), r["event_type"]): r["d"]
+             for r in df.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+                        .agg(F.countDistinct("user").alias("d")).collect()}
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k])
+    # dims=[] unions across event_type as well
+    total = reaggregate_sketch(fine, bucket_seconds=86400, dims=[])
+    assert total.count() == 1
+    assert abs(total.first()["approx_distinct"] - 37) <= 2
+
+
+def test_shuffle_corpus_deterministic_order(spark):
+    from firepit_spark.functions.pipeline import shuffle_corpus
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(300)], "doc_id long, text string"
+    )
+    o1 = [r["doc_id"] for r in shuffle_corpus(df, "doc_id", seed="e0").collect()]
+    o2 = [r["doc_id"] for r in
+          shuffle_corpus(df.repartition(7), "doc_id", seed="e0").collect()]
+    # same seed -> same total order, independent of input partitioning
+    assert o1 == o2
+    assert sorted(o1) == list(range(300))
+    # different seed -> different permutation; explicit partition count keeps
+    # the same global order when read back in partition-index order
+    o3 = [r["doc_id"] for r in shuffle_corpus(df, "doc_id", seed="e1").collect()]
+    assert o1 != o3
+    o4 = [r["doc_id"] for r in
+          shuffle_corpus(df, "doc_id", seed="e0", n_partitions=5).collect()]
+    assert o4 == o1
+
+
 # ------------------------------------------------------------------- graph
 
 
