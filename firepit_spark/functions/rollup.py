@@ -133,3 +133,80 @@ def reaggregate_sketch(
         )
         .withColumn("approx_distinct", F.hll_sketch_estimate(F.col("hll")))
     )
+
+
+# --- mergeable quantile histograms -----------------------------------------
+# Percentiles are the other non-algebraic dashboard aggregate. A log2-binned
+# histogram per (bucket, dims) makes them rollup-able the same way the HLL
+# sketch fixes COUNT DISTINCT: per-bin counts are plain sums, so any coarser
+# bucket or dim subset merges exactly, and a quantile is read off the merged
+# histogram by cumulative interpolation. Log2 bins give constant relative
+# error (~bin width) across magnitudes — the right trade for latency/size
+# style metrics — and the whole path is built-in expressions (codegen,
+# no sketch library needed).
+
+
+def log2_bin(col) -> F.Column:
+    """Histogram bin index: floor(log2(1 + max(value, 0))). Bin b covers
+    [2^b - 1, 2^(b+1) - 1)."""
+    return F.floor(F.log2(F.greatest(col, F.lit(0)).cast("double") + 1.0)).cast("int")
+
+
+def build_hist_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dims: list,
+    value_col: str,
+    bucket_seconds: int = 60,
+) -> DataFrame:
+    """Fine rollup in long form: one row per (bucket, dims, bin) with the
+    row count — the mergeable state for quantile queries."""
+    return df.groupBy(
+        time_bucket(ts_col, bucket_seconds).alias("bucket"),
+        *[F.col(d) for d in dims],
+        log2_bin(F.col(value_col)).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def reaggregate_hist(
+    rollup: DataFrame,
+    bucket_seconds: int,
+    dims: list | None = None,
+) -> DataFrame:
+    """Merge fine histograms into coarser buckets / fewer dims (exact:
+    per-bin counts are algebraic)."""
+    all_dims = [c for c in rollup.columns if c not in ("bucket", "bin", "n")]
+    keep = all_dims if dims is None else dims
+    return rollup.groupBy(
+        time_bucket("bucket", bucket_seconds).alias("bucket"),
+        *[F.col(d) for d in keep],
+        "bin",
+    ).agg(F.sum("n").alias("n"))
+
+
+def quantile_from_hist(hist: DataFrame, q: float) -> DataFrame:
+    """Estimate the q-quantile per (bucket, dims) group from a histogram by
+    cumulative linear interpolation inside the target bin. One window pass
+    partitioned by the group — no raw data touched."""
+    from pyspark.sql import Window
+
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    keys = [c for c in hist.columns if c not in ("bin", "n")]
+    w = Window.partitionBy(*keys).orderBy("bin")
+    wall = Window.partitionBy(*keys)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+    # first bin whose cumulative count reaches rank = q * total
+    target = cum.filter(
+        F.col("cum") >= F.col("total") * q
+    ).groupBy(*keys).agg(
+        F.min_by(F.struct("bin", "cum", "n", "total"), "bin").alias("s")
+    )
+    lo = F.pow(F.lit(2.0), F.col("s.bin")) - 1.0
+    hi = F.pow(F.lit(2.0), F.col("s.bin") + 1) - 1.0
+    frac = (F.col("s.total") * q - (F.col("s.cum") - F.col("s.n"))) / F.col("s.n")
+    return target.select(
+        *keys, F.round(lo + frac * (hi - lo), 6).alias(f"q{int(q * 100)}")
+    )

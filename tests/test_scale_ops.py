@@ -530,6 +530,43 @@ def test_sketch_rollup_distinct_counts(spark):
     assert abs(total.first()["approx_distinct"] - 37) <= 2
 
 
+def test_hist_rollup_quantiles(spark):
+    """Log2-histogram rollup: coarse merge equals a directly-built coarse
+    histogram, and interpolated quantiles land inside the right bin."""
+    from firepit_spark.functions.rollup import (
+        build_hist_rollup, quantile_from_hist, reaggregate_hist)
+
+    rows = [(i, f"2024-01-01T{i % 4:02d}:{(i * 13) % 60:02d}:00",
+             "t" + str(i % 2), float((i * 37) % 1000)) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    fine = build_hist_rollup(df, "ts", ["event_type"], "value", bucket_seconds=60)
+    hourly = reaggregate_hist(fine, bucket_seconds=3600)
+    direct = build_hist_rollup(df, "ts", ["event_type"], "value", bucket_seconds=3600)
+    key = lambda r: (str(r["bucket"]), r["event_type"], r["bin"])
+    assert {key(r): r["n"] for r in hourly.collect()} == \
+           {key(r): r["n"] for r in direct.collect()}
+    # p50 within the bin that holds the true median of each group
+    import math
+    got = {(str(r["bucket"]), r["event_type"]): r["q50"]
+           for r in quantile_from_hist(hourly, 0.5).collect()}
+    groups = {}
+    for _, ts, et, v in rows:
+        b = ts[:11] + ts[11:13] + ":00:00"
+        groups.setdefault((f"2024-01-01 {ts[11:13]}:00:00", et), []).append(v)
+    for k, vals in groups.items():
+        vals.sort()
+        true_med = vals[(len(vals) - 1) // 2]
+        est = got[k]
+        b = math.floor(math.log2(true_med + 1))
+        assert 2**b - 1 <= est < 2 ** (b + 2) - 1, (k, est, true_med)
+    # dims=[] folds event_type away; totals preserved
+    total = reaggregate_hist(fine, bucket_seconds=86400, dims=[])
+    assert total.agg(F.sum("n")).first()[0] == 400
+    assert quantile_from_hist(total, 0.95).count() == 1
+
+
 def test_shuffle_corpus_deterministic_order(spark):
     from firepit_spark.functions.pipeline import shuffle_corpus
 
