@@ -1,0 +1,92 @@
+"""Physical-layout helpers: Z-order clustering for multi-dimensional
+data skipping.
+
+Parquet row-group pruning works off per-column min/max stats, so a file
+sorted on one column prunes only on that column. Interleaving the bits of
+several columns (a Z-/Morton curve) and range-sorting on the interleaved
+key keeps *every* participating dimension locally clustered: each row
+group covers a small hyper-rectangle, so min/max stats stay tight on all
+dims and selective filters on any of them skip most groups. This is the
+same trade Delta/Iceberg `OPTIMIZE ZORDER BY` makes, expressed as plain
+column expressions + one range-partitioned sort.
+
+The whole path is static codegen expressions (no UDFs); the only driver
+action is one scalar min/max aggregate used to normalize dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def interleave_bits(cols: list, bits: int = 16) -> Column:
+    """Morton key from already-normalized integer columns in
+    ``[0, 2**bits)``: bit j of column i lands at position
+    ``j * len(cols) + i``. ``len(cols) * bits`` must fit in a long."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    key = F.lit(0).cast("bigint")
+    for i, c in enumerate(cols):
+        c = c.cast("bigint")
+        for j in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(c, j).bitwiseAND(F.lit(1)), j * n + i)
+            )
+    return key
+
+
+def zorder_key(df: DataFrame, cols: list, bits: int = 16) -> Column:
+    """Z-order key over numeric/timestamp columns: min/max-normalize each
+    dim to ``[0, 2**bits)`` (one tiny scalar aggregate), then interleave.
+
+    Normalization is affine per column, so the key preserves each dim's
+    order — equality and range predicates both benefit."""
+    from firepit_spark.functions import epoch_seconds
+
+    stats = df.select(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(_as_double(df, c)).alias(f"__min_{c}"),
+                F.max(_as_double(df, c)).alias(f"__max_{c}"),
+            )
+        ]
+    ).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((_as_double(df, c) - F.lit(lo)) / F.lit(span) * top),
+            )
+        )
+    return interleave_bits(scaled, bits)
+
+
+def _as_double(df: DataFrame, c: str) -> Column:
+    from firepit_spark.functions import epoch_seconds
+
+    dtype = dict(df.dtypes).get(c, "")
+    if dtype.startswith("timestamp"):
+        return epoch_seconds(c)
+    return F.col(c).cast("double")
+
+
+def cluster_zorder(
+    df: DataFrame, cols: list, bits: int = 16, n_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition + sort the frame on its Z-order key so a subsequent
+    parquet write gets tight per-row-group min/max on every ``cols`` dim.
+    One shuffle — the same cost as any global sort."""
+    key = zorder_key(df, cols, bits).alias("__z")
+    out = df.withColumn("__z", key)
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "__z")
+    else:
+        out = out.repartitionByRange("__z")
+    return out.sortWithinPartitions("__z").drop("__z")

@@ -875,3 +875,58 @@ def test_ann_recall_on_testdata(spark):
                    sub, threshold=0.35, n_planes=4, n_tables=8).collect()}
     assert multi_p <= exact_p
     assert len(multi_p & exact_p) / len(exact_p) >= 0.5
+
+
+# ------------------------------------------------------------------ layout
+
+
+def test_zorder_clustering_tightens_rowgroup_stats(spark, tmp_path):
+    """Z-ordered layout keeps parquet row-group min/max tight on BOTH dims,
+    so a selective filter on either dim can skip most groups; a layout
+    sorted on one dim alone cannot skip on the other. Verified from the
+    actual parquet footer stats."""
+    import pyarrow.parquet as pq
+
+    from firepit_spark.functions.layout import cluster_zorder
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 7919 % 10000).alias("a"),
+        (F.col("id") * 104729 % 10000).alias("b"),
+    )
+    opts = {"parquet.block.size": str(64 * 1024)}
+
+    def rowgroup_spans(path, col):
+        meta = pq.ParquetFile(next(p for p in (tmp_path / path).glob("*.parquet"))).metadata
+        spans = []
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == col:
+                    spans.append((c.statistics.min, c.statistics.max))
+        return spans
+
+    df.orderBy("a").coalesce(1).write.options(**opts).parquet(str(tmp_path / "by_a"))
+    cluster_zorder(df, ["a", "b"], bits=12, n_partitions=1).coalesce(1) \
+        .write.options(**opts).parquet(str(tmp_path / "zord"))
+
+    def hit_frac(spans, lo, hi):
+        hits = sum(1 for mn, mx in spans if mx >= lo and mn <= hi)
+        return hits / len(spans)
+
+    # filter box: 2% slice of b
+    for layout, frac_bound in [("by_a", 0.95), ("zord", 0.5)]:
+        spans = rowgroup_spans(layout, "b")
+        assert len(spans) > 8, f"{layout}: want many row groups, got {len(spans)}"
+        f = hit_frac(spans, 4000, 4200)
+        if layout == "by_a":
+            # sorted-by-a: b spans ~everything in every group
+            assert f > frac_bound, f
+        else:
+            # z-ordered: most groups skippable on b...
+            assert f < frac_bound, f
+    # ...while a remains prunable too
+    za = rowgroup_spans("zord", "a")
+    assert hit_frac(za, 4000, 4200) < 0.5
