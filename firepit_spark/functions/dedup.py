@@ -280,6 +280,34 @@ def minhash_signature_array(
     ).select(id_col, F.transform("_s", lambda s: s["minhash"]).alias("signature"))
 
 
+def minhash_lsh_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) MinHash band-hash index of a corpus.
+
+    The persistable half of LSH dedup: write this once per frozen corpus
+    (ideally bucketed by ``bucket``), then screen every new crawl batch
+    against it with :func:`minhash_lsh_lookup` — the index is never
+    recomputed and the join is index-sized, not corpus×corpus. The band
+    hashes depend only on the fixed universal-hash constants
+    (:func:`minhash_params`), so an index built today matches signatures
+    computed in any later job."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm).withColumn(
+        "band", (F.col("perm") / rows_per_band).cast("int")
+    )
+    return sig.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias(
+            "bucket"
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -294,21 +322,42 @@ def minhash_lsh_candidates(
     candidate pair. The only shuffles are the signature groupBy and the
     band-bucket self-join — never doc×doc.
     """
-    rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm).withColumn(
-        "band", (F.col("perm") / rows_per_band).cast("int")
-    )
-    band_hash = sig.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws(",", F.array_sort(F.collect_list(F.concat_ws(":", "perm", "minhash"))))).alias(
-            "bucket"
-        )
-    )
+    band_hash = minhash_lsh_index(df, text_col, id_col, k, num_perm, bands)
     a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_lookup(
+    index: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Screen a new batch against a stored band-hash index.
+
+    Returns candidate (new_id, index_id) pairs — every new doc that shares
+    any band bucket with an indexed doc. Band-hash the (small) new batch
+    with the same fixed constants, then one equi-join on (band, bucket);
+    the batch side is typically broadcast by AQE. Self-matches (same id on
+    both sides) are dropped so an already-indexed doc doesn't pair with
+    itself."""
+    idx_col = index.columns[0]
+    probe = minhash_lsh_index(new_df, text_col, id_col, k, num_perm, bands)
+    return (
+        probe.select(F.col(id_col).alias("new_id"), "band", "bucket")
+        .join(index.select(F.col(idx_col).alias("index_id"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("index_id"))
+        .select("new_id", "index_id")
         .distinct()
     )
 

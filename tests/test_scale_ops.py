@@ -426,6 +426,38 @@ def test_minhash_identical_docs_same_signature(spark):
     assert len(by[1]) == 8
 
 
+def test_minhash_lsh_index_lookup_roundtrip(spark, tmp_path):
+    """Persisted band-hash index screens later batches without recompute:
+    parquet round trip preserves buckets bit-exactly, near-dups of indexed
+    docs surface, novel docs don't, and an identical re-submitted doc
+    doesn't match itself."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark rollups and sketches"),
+         (3, "completely unrelated text mentioning parquet row groups")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_index")
+    dd.minhash_lsh_index(corpus, num_perm=8, bands=4).write.parquet(path)
+    index = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+         (101, "zzz novel content qqq having no overlap whatsoever vvv"),
+         (1, "the quick brown fox jumps over the lazy dog today")],   # resubmit
+        "doc_id long, text string",
+    )
+    got = {(r["new_id"], r["index_id"])
+           for r in dd.minhash_lsh_lookup(index, batch, num_perm=8, bands=4).collect()}
+    assert (100, 1) in got            # exact dup shares every band
+    assert all(n != 101 for n, _ in got)   # novel doc matches nothing
+    assert (1, 1) not in got          # self-match dropped
+    # lookup against the index == the batch rows of full-candidates
+    both = corpus.unionByName(batch.filter(F.col("doc_id") > 50))
+    full = {tuple(sorted((r["id_a"], r["id_b"])))
+            for r in dd.minhash_lsh_candidates(both, num_perm=8, bands=4).collect()}
+    assert {tuple(sorted(p)) for p in got} <= full
+
+
 # ------------------------------------------------------------------- skew
 
 
