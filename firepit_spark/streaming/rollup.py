@@ -46,3 +46,44 @@ def read_rollup(
     """Current rollup state at the requested granularity (folds the
     partial per-batch rollups; exact for algebraic aggregates)."""
     return reaggregate(spark.read.parquet(out_dir), bucket_seconds, dims)
+
+
+def stream_sketch_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    ts_col: str,
+    dims: list,
+    distinct_col: str,
+    bucket_seconds: int = 60,
+    lg_config_k: int = 12,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming distinct-count maintenance: append each micro-batch's HLL
+    sketch rollup; reads union the accumulated sketches. Because register
+    union is associative/commutative/idempotent-per-item, the fold is
+    independent of how the stream was chopped into batches — the streaming
+    estimate equals what one batch job over the same rows would produce."""
+    from firepit_spark.functions.rollup import build_sketch_rollup
+
+    def handle(batch_df: DataFrame, epoch_id: int):
+        part = build_sketch_rollup(
+            batch_df, ts_col, dims, distinct_col, bucket_seconds, lg_config_k
+        )
+        part.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_sketch_rollup(
+    spark: SparkSession,
+    out_dir: str,
+    bucket_seconds: int,
+    dims: list | None = None,
+) -> DataFrame:
+    """Current approx-distinct state at the requested granularity."""
+    from firepit_spark.functions.rollup import reaggregate_sketch
+
+    return reaggregate_sketch(spark.read.parquet(out_dir), bucket_seconds, dims)

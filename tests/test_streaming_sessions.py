@@ -130,6 +130,44 @@ def test_stream_rollup_exact_across_batches(spark, tmp_path):
     assert g == w and len(g) >= 6
 
 
+def test_stream_sketch_rollup_matches_batch(spark, tmp_path):
+    """Streaming HLL maintenance: the union of per-batch sketches gives the
+    same approx-distinct as one batch sketch over all rows — batching
+    boundaries don't show (register union is order/merge-insensitive)."""
+    from firepit_spark.functions.rollup import build_sketch_rollup, reaggregate_sketch
+    from firepit_spark.streaming.rollup import read_sketch_rollup, stream_sketch_rollup
+    from pyspark.sql import functions as F
+
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    out = str(tmp_path / "sk")
+    rows1 = [{"ts": f"2024-01-01T00:{m:02d}:00", "user": f"u{m % 7}"} for m in range(30)]
+    rows2 = [{"ts": f"2024-01-01T00:{m:02d}:30", "user": f"u{m % 11}"} for m in range(30)]
+    _write_events(indir / "a.json", rows1)
+    schema = "ts timestamp, user string"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    q = stream_sketch_rollup(stream, out, "ts", [], "user",
+                             bucket_seconds=600, checkpoint_dir=str(tmp_path / "ck2"))
+    try:
+        q.processAllAvailable()
+        _write_events(indir / "b.json", rows2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {str(r["bucket"]): r["approx_distinct"]
+           for r in read_sketch_rollup(spark, out, bucket_seconds=600).collect()}
+    batch_df = spark.read.schema(schema).json(str(indir))
+    want = {str(r["bucket"]): r["approx_distinct"]
+            for r in reaggregate_sketch(
+                build_sketch_rollup(batch_df, "ts", [], "user", 600), 600).collect()}
+    assert got == want and len(got) == 3
+    # tiny cardinalities -> sparse-mode estimates are exact
+    exact = {str(r["bucket"]): r["d"] for r in batch_df.groupBy(
+        F.window("ts", "10 minutes").start.alias("bucket")).agg(
+        F.countDistinct("user").alias("d")).collect()}
+    assert {k: round(v) for k, v in got.items()} == exact
+
+
 def test_stream_dedup_exact(spark, tmp_path):
     """Streaming twin of dedup_exact: one survivor per fingerprint within
     the watermark horizon, duplicate dropped across micro-batches."""
