@@ -962,3 +962,42 @@ def test_zorder_clustering_tightens_rowgroup_stats(spark, tmp_path):
     # ...while a remains prunable too
     za = rowgroup_spans("zord", "a")
     assert hit_frac(za, 4000, 4200) < 0.5
+
+
+# ------------------------------------------------------------------ sketch
+
+
+def test_cms_bounds_and_merge(spark):
+    """Count-min estimates are upper bounds within the 2n/width guarantee,
+    and summed partial sketches answer exactly like one whole-data sketch."""
+    from firepit_spark.functions.sketch import cms_build, cms_merge, cms_query
+
+    rows = [(f"hot",) for _ in range(500)] + [(f"k{i % 200}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    keys = spark.createDataFrame([("hot",), ("k0",), ("absent",)], "k string")
+    sk = cms_build(df, "k", depth=4, width=1024)
+    est = {r["k"]: r["est_count"] for r in cms_query(sk, keys, "k", 4, 1024).collect()}
+    # upper bound, within 2n/width of truth (n=1000, width=1024 -> slack ~2)
+    assert 500 <= est["hot"] <= 502
+    true_k0 = sum(1 for (k,) in rows if k == "k0")
+    assert true_k0 <= est["k0"] <= true_k0 + 2
+    assert est["absent"] <= 2
+    # merged halves == whole
+    h1 = cms_build(spark.createDataFrame(rows[:400], "k string"), "k", 4, 1024)
+    h2 = cms_build(spark.createDataFrame(rows[400:], "k string"), "k", 4, 1024)
+    merged = cms_merge(h1, h2)
+    est2 = {r["k"]: r["est_count"]
+            for r in cms_query(merged, keys, "k", 4, 1024).collect()}
+    assert est2 == est
+
+
+def test_hot_keys_finds_skew(spark):
+    from firepit_spark.functions import release
+    from firepit_spark.functions.sketch import hot_keys
+
+    rows = [("whale", i) for i in range(2000)] + [(f"u{i}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    got = hot_keys(df, "k", min_share=0.05)
+    found = [r["k"] for r in got.collect()]
+    release(got)
+    assert found == ["whale"]  # 50% share found, no uniform key promoted
