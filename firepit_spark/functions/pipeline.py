@@ -111,6 +111,32 @@ def assign_shards(
     )
 
 
+def per_group_sample(
+    df: DataFrame, group_col: str, key_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly ``min(n, group size)`` rows per group, chosen by hash order —
+    the balanced eval-set builder.
+
+    Rank rows within each group by ``h(salt || key)`` and keep the first
+    ``n``: deterministic across runs/engines/partitionings (unlike
+    ``sampleBy``, which is rate-based and random), and growing a group
+    only ever *replaces* members via hash order, it never reshuffles the
+    survivors' relative ranks. One window pass partitioned by the group —
+    group size bounds the sort, no global shuffle beyond it."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        key_hash(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 def shuffle_corpus(
     df: DataFrame, key_col: str, seed: str = "", n_partitions: int | None = None
 ) -> DataFrame:

@@ -64,6 +64,32 @@ def test_stratified_sample_rates_and_default(spark):
         == sorted(r["doc_id"] for r in en_only.collect())
 
 
+def test_per_group_sample_exact_and_stable(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = pl.per_group_sample(df, "grp", "doc_id", n=50)
+    by = {r["grp"]: r["cnt"] for r in
+          out.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by == {"big": 50, "small": 50}  # exact N, short group taken whole...
+    # (small has 100 >= 50, so both exactly 50)
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               pl.per_group_sample(df.repartition(13), "grp", "doc_id", 50).collect())
+    assert a == b
+    # groups smaller than n come back whole
+    tiny = pl.per_group_sample(df.filter(F.col("doc_id") >= 995), "grp", "doc_id", 50)
+    assert tiny.count() == 5
+    # growing a group keeps survivors a subset-of-hash-order: members at
+    # n=30 are exactly the first 30 of the n=50 selection's hash order
+    s30 = set(r["doc_id"] for r in
+              pl.per_group_sample(df, "grp", "doc_id", 30).collect())
+    s50 = set(r["doc_id"] for r in out.collect())
+    assert s30 <= s50
+    with pytest.raises(ValueError):
+        pl.per_group_sample(df, "grp", "doc_id", 0)
+
+
 def test_assign_shards_deterministic_balanced(spark):
     df = spark.range(0, 4000).withColumnRenamed("id", "k")
     a = {r["k"]: r["shard_id"] for r in pl.assign_shards(df, "k", 16).collect()}
