@@ -115,8 +115,10 @@ def hot_keys(
     are verified against the sketch; count-min overestimates, so this can
     return a near-hot key but never misses a truly hot one (beyond the
     ~2n/width error)."""
-    total = df.count()
     sketch = cms_build(df, key_col, depth, width).persist()
+    # total rows falls out of the sketch itself (every row increments one
+    # counter per hash row) — no separate full scan for df.count()
+    total = int(sketch.agg((F.sum("n") / depth).cast("bigint")).first()[0] or 0)
     k_mod = max(1, int(min_share * total / 8))
     cands = (
         df.select(key_col)
