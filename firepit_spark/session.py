@@ -26,6 +26,9 @@ def build_spark(app_name: str = "firepit_spark", master: str | None = None) -> S
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 timestamps carry no parquet column stats, which defeats
+        # row-group pruning on time filters; micros is the modern type
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # some upstream parquet carries TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert in the resolver
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -138,3 +138,48 @@ def test_materialized_sorted_view_keeps_order(spark, tmp_path):
     st2 = SparkStorage(wh, spark=spark)  # fresh symtable-only process
     vals = [r["value"] for r in st2.lookup("sorted_urls")]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_compaction_time_clusters_observations(spark, tmp_path):
+    """compact() range-sorts observation-bearing tables on first_observed,
+    so each written parquet file covers a disjoint time span (tight footer
+    min/max -> time filters skip files instead of scanning them)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from tests.conftest import make_bundle
+
+    st = SparkStorage(str(tmp_path / "wh"), spark=spark)
+    # two batches with interleaved timestamps so pre-compaction files overlap
+    b1, b2 = make_bundle(150), make_bundle(150)
+    for o in b2["objects"]:
+        if o["type"] == "observed-data":
+            o["id"] = o["id"][:-4] + "beef"
+            o["first_observed"] = o["first_observed"].replace("12:", "13:")
+            o["last_observed"] = o["first_observed"]
+    st.cache("q1", [b1])
+    st.cache("q2", [b2])
+    # tiny fixture: stop AQE folding the range partitions back into one
+    # file so the multi-file layout a real table gets is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        st.compact()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    files = [f for f in glob.glob(
+        str(tmp_path / "wh/tables/observed-data/_fp_batch=*/*.parquet"))]
+    spans = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for i in range(meta.num_row_groups):
+            rg = meta.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "first_observed":
+                    spans.append((c.statistics.min, c.statistics.max))
+    assert len(spans) >= 2  # data actually split across files/row groups
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint time ranges -> prunable
+    # merged state unchanged by the clustering rewrite
+    assert st.count("observed-data") == 300
