@@ -1,0 +1,118 @@
+"""BM25 lexical search over an inverted text index.
+
+The corpus-scale shape mirrors the other index/lookup splits in this repo
+(IVF, MinHash-LSH): build the inverted index ONCE per frozen corpus —
+``(term, doc_id, tf)`` plus per-doc lengths, both plain DataFrames you
+persist to parquet (ideally bucketed by ``term``) — then score any number
+of queries with one small join each. A query touches only its own terms'
+posting lists, never the corpus: the filter on ``term`` is pushed into the
+parquet scan, and the query-term frame is broadcast.
+
+Everything is built-in expressions (tokenize/explode/groupBy/join/sum);
+scores are deterministic, so ranking is reproducible across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.functions.text import tokens
+
+
+def build_text_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.5,
+) -> tuple:
+    """Inverted index of a corpus.
+
+    Returns ``(postings, doc_lens)``:
+
+    * ``postings`` — (term, ``id_col``, tf, df_count, idf): one row per
+      distinct (term, doc); terms appearing in more than ``max_df_frac``
+      of docs are dropped (stopword cutoff — same hot-key discipline as
+      the shingle indexes, bounding any posting list's fan-out).
+    * ``doc_lens`` — (``id_col``, dl, avgdl): per-doc token count with the
+      corpus average alongside (one broadcast-joined scalar).
+
+    Write both to parquet to freeze the index; BM25's idf is baked in at
+    build time so scoring needs no corpus statistics beyond these frames.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count")).filter(
+        F.col("df_count") <= int(max_df_frac * n_docs) + 1
+    )
+    # BM25+-style idf, floored at 0 via the +1: ln((N - df + .5)/(df + .5) + 1)
+    postings = tf.join(dfreq, "term").withColumn(
+        "idf",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df_count") + 0.5)
+            / (F.col("df_count") + 0.5)
+            + 1.0
+        ),
+    )
+    doc_lens = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
+    ).crossJoin(
+        F.broadcast(
+            df.select(F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
+        )
+    )
+    return postings, doc_lens
+
+
+def bm25_search(
+    postings: DataFrame,
+    doc_lens: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs for ``query`` by BM25.
+
+    Tokenizes the query with the index's tokenizer, filters the postings
+    to those terms (scan-pushed equality-IN filter over the term column),
+    and sums the per-term contributions:
+
+        idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    """
+    spark = postings.sparkSession
+    qterms = [
+        t
+        for t in (
+            spark.range(1)
+            .select(tokens(F.lit(query)).alias("t"))
+            .first()["t"]
+        )
+        if t
+    ]
+    if not qterms:
+        raise ValueError("query has no tokens")
+    hits = postings.filter(F.col("term").isin(qterms)).join(doc_lens, id_col)
+    contrib = hits.withColumn(
+        "score_part",
+        F.col("idf")
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        ),
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.round(F.sum("score_part"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -169,3 +169,44 @@ def test_bpe_token_estimate(spark):
         "doc_id", tx.bpe_token_estimate(F.col("text"), chars_per_token=10).alias("n")
     ).collect()}
     assert loose[1] == 2 and loose[0] == 2
+
+
+# --------------------------------------------------------------- bm25
+
+
+def test_bm25_index_and_search(spark, tmp_path):
+    """Inverted-index BM25: relevant docs outrank others, rare terms beat
+    common ones, and a parquet-frozen index scores identically."""
+    from firepit_spark.functions.text_search import bm25_search, build_text_index
+
+    rows = [
+        (1, "spark shuffles data between executors during wide operations"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "spark spark spark nothing but spark here spark"),
+        (4, "data pipelines move data between systems overnight"),
+        (5, "completely unrelated text about gardening and tulips"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    postings, doc_lens = build_text_index(df)
+    got = bm25_search(postings, doc_lens, "spark data", k=3).collect()
+    order = [r["doc_id"] for r in got]
+    # doc 1 hits both query terms; docs 3/4 hit one each; doc 5 never appears
+    assert order[0] == 1
+    assert set(order) <= {1, 3, 4}
+    assert 5 not in order and 2 not in order
+    assert got[0]["n_terms_hit"] == 2
+    # tf saturation: doc 3's five 'spark' repeats shouldn't swamp doc 1's
+    # two-term match
+    scores = {r["doc_id"]: r["bm25"] for r in got}
+    assert scores[1] > scores.get(3, 0.0)
+    # frozen index (parquet round trip) scores identically
+    postings.write.parquet(str(tmp_path / "post"))
+    doc_lens.write.parquet(str(tmp_path / "dl"))
+    p2 = spark.read.parquet(str(tmp_path / "post"))
+    d2 = spark.read.parquet(str(tmp_path / "dl"))
+    again = bm25_search(p2, d2, "spark data", k=3).collect()
+    assert [(r["doc_id"], r["bm25"]) for r in again] == \
+           [(r["doc_id"], r["bm25"]) for r in got]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bm25_search(postings, doc_lens, "   ")
