@@ -116,3 +116,46 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: list,
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of heterogeneous retrievers.
+
+    ``ranked`` is a list of ``(df, score_col)`` pairs — e.g. BM25 results
+    and embedding cosine top-k — whose scores are incomparable across
+    systems. RRF sidesteps calibration by ranking within each list and
+    summing ``1 / (k + rank)``; ties inside a list break on the id so the
+    fusion is deterministic. Each input is already a small top-k frame, so
+    the windows and the union are driver-cheap regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("no ranked inputs")
+    parts = []
+    for df, score_col in ranked:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                (1.0 / (F.lit(k) + F.row_number().over(w))).alias("rrf_part"),
+            )
+        )
+    it = iter(parts)
+    allp = next(it)
+    for p in it:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(id_col)
+        .agg(
+            F.round(F.sum("rrf_part"), 9).alias("rrf"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(topk)
+    )

@@ -210,3 +210,24 @@ def test_bm25_index_and_search(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_search(postings, doc_lens, "   ")
+
+
+def test_rrf_fusion_prefers_cross_list_agreement(spark):
+    from firepit_spark.functions.text_search import rrf_fuse
+
+    bm25 = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, bm25 double")
+    cos = spark.createDataFrame(
+        [(3, 0.99), (1, 0.98), (9, 0.97)], "doc_id long, cos double")
+    got = rrf_fuse([(bm25, "bm25"), (cos, "cos")], topk=4).collect()
+    order = [r["doc_id"] for r in got]
+    # docs on both lists (1, 3) beat single-list docs (2, 9)
+    assert set(order[:2]) == {1, 3}
+    assert {r["doc_id"]: r["n_lists"] for r in got}[1] == 2
+    # deterministic: same result from reversed input order
+    again = [r["doc_id"] for r in
+             rrf_fuse([(cos, "cos"), (bm25, "bm25")], topk=4).collect()]
+    assert again == order
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
