@@ -1,0 +1,196 @@
+"""Batched model-inference plumbing for training-data pipelines.
+
+A quality classifier, perplexity filter, or embedding model over 100 TB
+of documents is an embarrassingly-parallel map — on Spark the hard part
+is doing it WITHOUT a per-row Python boundary and WITHOUT paying model
+load once per batch (or worse, pickling the model into every task).
+This module fixes the plumbing:
+
+- **Arrow-batched ``mapInPandas``**: the model sees one pandas batch
+  (~``spark.sql.execution.arrow.maxRecordsPerBatch`` rows) per call —
+  one vectorized forward pass, not a row-at-a-time UDF.
+- **Model loaded once per task**: the loader runs inside the iterator
+  closure, before the batch loop. Loading per batch would re-init the
+  model every ~10k rows; referencing a module-global model would pickle
+  the weights into every task closure. A loader (a zero-arg callable
+  returning the model) ships only its code.
+- **Declared output schema**: passthrough columns + the new column(s)
+  are declared up front, so downstream projections stay prunable and
+  the driver never infers schema from data.
+- **Batch size is the GPU knob**: :func:`set_inference_batch_rows`
+  maps to ``maxRecordsPerBatch`` — tune it to the accelerator's memory,
+  not to Spark's defaults.
+
+The real model runtimes (torch / onnxruntime / fasttext) are not in
+this container, so the default loaders are DETERMINISTIC STUBS (hash-
+derived scores and embeddings, clearly marked). The Spark-side plumbing
+— schema, batching, partition-level model reuse, determinism across
+partitionings — is real and tested. Swap ``loader`` for one that
+returns a real model and nothing else changes.
+
+Reference parity: the reference engine has no model-inference surface;
+this is part of the scale-pipeline additions required by the brief
+(quality scoring / embedding generation for corpus prep).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, FloatType, StructField, StructType
+
+
+def set_inference_batch_rows(spark: SparkSession, rows: int) -> None:
+    """Size the Arrow batch each model call receives.
+
+    ``maxRecordsPerBatch`` bounds rows per pandas batch in
+    ``mapInPandas`` — for GPU inference this IS the batch size; pick the
+    largest value the model fits in accelerator memory.
+    """
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stub models (env has no torch/onnx/fasttext).
+# Scores/embeddings are pure functions of the input text, so results are
+# reproducible across runs, partitionings, and engines.
+# ---------------------------------------------------------------------------
+
+
+def _hash_unit(text: str, salt: str = "") -> float:
+    """Uniform-ish [0, 1) score derived from md5(salt || text)."""
+    h = hashlib.md5((salt + (text or "")).encode("utf-8", "replace")).hexdigest()
+    return int(h[:8], 16) / 16**8
+
+
+def stub_classifier_loader() -> Callable[[pd.Series], np.ndarray]:
+    """STUB: stands in for e.g. a fastText/BERT quality classifier.
+
+    Returns a model callable mapping a pandas Series of texts to a float
+    score array. Deterministic (hash-based), so tests can assert exact
+    values and cross-partitioning stability.
+    """
+
+    def model(texts: pd.Series) -> np.ndarray:
+        return np.array([_hash_unit(t, "quality|") for t in texts.fillna("")], dtype="float64")
+
+    return model
+
+
+def stub_embedder_loader(dim: int = 16) -> Callable[[], Callable[[pd.Series], np.ndarray]]:
+    """STUB embedding model factory: ``loader = stub_embedder_loader(16)``.
+
+    The returned loader yields a model mapping texts -> (n, dim) float32
+    embeddings, each row a pure function of its text (md5-expanded,
+    mapped to [-1, 1])."""
+
+    def loader() -> Callable[[pd.Series], np.ndarray]:
+        def model(texts: pd.Series) -> np.ndarray:
+            out = np.empty((len(texts), dim), dtype="float32")
+            for i, t in enumerate(texts.fillna("")):
+                raw = b""
+                seed = (t or "").encode("utf-8", "replace")
+                block = b""
+                while len(raw) < dim * 4:
+                    block = hashlib.md5(seed + block).digest()
+                    raw += block
+                ints = np.frombuffer(raw[: dim * 4], dtype="<u4").astype("float64")
+                out[i] = (ints / 2**31 - 1.0).astype("float32")
+            return out
+
+        return model
+
+    return loader
+
+
+# ---------------------------------------------------------------------------
+# The plumbing
+# ---------------------------------------------------------------------------
+
+
+def score_documents(
+    df: DataFrame,
+    loader: Callable[[], Callable[[pd.Series], np.ndarray]] = stub_classifier_loader,
+    text_col: str = "text",
+    score_col: str = "model_score",
+) -> DataFrame:
+    """Append a model score column via Arrow-batched inference.
+
+    All input columns pass through unchanged; ``score_col`` (double) is
+    appended. The loader runs once per task; each pandas batch is one
+    vectorized model call. Map-only — no shuffle, preserves the input
+    partitioning, and composes with scan-level filter pushdown on the
+    input side.
+    """
+    # fresh field list — StructType(...).add would mutate the list object
+    # cached on df.schema and corrupt the input DataFrame's schema
+    out_schema = StructType(list(df.schema.fields) + [StructField(score_col, DoubleType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = loader()  # once per task, NOT per batch
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[score_col] = np.asarray(model(pdf[text_col]), dtype="float64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def embed_documents(
+    df: DataFrame,
+    loader: Callable[[], Callable[[pd.Series], np.ndarray]] | None = None,
+    dim: int = 16,
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append an ``array<float>`` embedding column via batched inference.
+
+    The model returns an (n, dim) matrix per batch; rows are emitted as
+    float32 arrays ready for the similarity/dedup operators
+    (``functions/similarity.py``). Same loader-per-task / call-per-batch
+    contract as :func:`score_documents`.
+    """
+    if loader is None:
+        loader = stub_embedder_loader(dim)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(vec_col, ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = loader()
+        for pdf in batches:
+            mat = np.asarray(model(pdf[text_col]), dtype="float32")
+            if mat.ndim != 2 or mat.shape[0] != len(pdf):
+                raise ValueError(
+                    f"embedding model returned shape {mat.shape} for batch of {len(pdf)}"
+                )
+            pdf = pdf.copy()
+            pdf[vec_col] = list(mat)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def model_filter(
+    df: DataFrame,
+    threshold: float,
+    loader: Callable[[], Callable[[pd.Series], np.ndarray]] = stub_classifier_loader,
+    text_col: str = "text",
+    score_col: str = "model_score",
+    keep_above: bool = True,
+) -> DataFrame:
+    """Classifier-gated corpus filter: score, then keep rows past the
+    threshold. The score column stays on the output (training pipelines
+    log it); drop it downstream if unwanted. The filter sits above the
+    Python stage — Catalyst cannot push through ``mapInPandas``, so the
+    cost is one scan + one inference pass either way; what matters at
+    scale is that the inference itself stays batch-vectorized.
+    """
+    scored = score_documents(df, loader=loader, text_col=text_col, score_col=score_col)
+    cond = F.col(score_col) >= F.lit(threshold) if keep_above else F.col(score_col) < F.lit(threshold)
+    return scored.filter(cond)

@@ -1,0 +1,119 @@
+"""Batched-inference plumbing: schema contract, determinism across
+partitionings, batch-vectorized calls, and composition with the
+similarity operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from firepit_spark.functions import inference as inf
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"document body {i} " + "word " * (i % 7)) for i in range(40)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_score_documents_schema_and_determinism(spark, docs):
+    out = inf.score_documents(docs)
+    assert out.columns == ["doc_id", "text", "model_score"]
+    assert dict(out.dtypes)["model_score"] == "double"
+
+    a = {r["doc_id"]: r["model_score"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["model_score"]
+        for r in inf.score_documents(docs.repartition(7)).collect()
+    }
+    assert a == b  # partitioning-independent
+    # stub is a pure function of the text
+    expected = inf._hash_unit("document body 3 word word word ", "quality|")
+    assert a[3] == pytest.approx(expected, abs=0)
+    assert all(0.0 <= v < 1.0 for v in a.values())
+
+
+def test_model_filter_threshold(spark, docs):
+    kept = inf.model_filter(docs, threshold=0.5)
+    scored = inf.score_documents(docs)
+    n_above = scored.filter("model_score >= 0.5").count()
+    assert kept.count() == n_above
+    assert 0 < kept.count() < docs.count()
+    assert kept.columns == ["doc_id", "text", "model_score"]
+    below = inf.model_filter(docs, threshold=0.5, keep_above=False)
+    assert below.count() == docs.count() - n_above
+
+
+def test_embed_documents_feeds_similarity(spark, docs):
+    emb = inf.embed_documents(docs, dim=8)
+    assert dict(emb.dtypes)["embedding"] == "array<float>"
+    rows = emb.select("doc_id", "embedding").collect()
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    # deterministic across partitionings
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in inf.embed_documents(docs.repartition(5), dim=8).collect()
+    }
+    assert {r["doc_id"]: r["embedding"] for r in rows} == again
+
+    # composes with the JVM-side cosine top-k
+    from firepit_spark.functions.similarity import brute_force_topk
+
+    vectors = emb.select("doc_id", "embedding").withColumnRenamed("doc_id", "vec_id")
+    queries = (
+        vectors.filter("vec_id < 2")
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "query_vec")
+    )
+    top = brute_force_topk(vectors, queries, k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in top.collect()}
+    # a vector's own nearest neighbor is itself (cosine 1.0)
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 1
+
+
+def test_loader_called_once_per_task(spark):
+    # The loader contract: runs inside the task, before the batch loop.
+    # With maxRecordsPerBatch=8, a single 32-row partition yields 4
+    # batches but the loader must fire exactly once for the partition.
+    import tempfile, os, glob
+
+    tag_dir = tempfile.mkdtemp(prefix="inf_loader_")
+
+    def counting_loader():
+        import os, uuid
+
+        open(os.path.join(tag_dir, uuid.uuid4().hex), "w").close()
+
+        def model(texts: pd.Series) -> np.ndarray:
+            return np.zeros(len(texts), dtype="float64")
+
+        return model
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    inf.set_inference_batch_rows(spark, 8)
+    try:
+        df = spark.createDataFrame(
+            [(i, "t" * (i + 1)) for i in range(32)], ["doc_id", "text"]
+        ).coalesce(1)
+        out = inf.score_documents(df, loader=counting_loader)
+        assert out.count() == 32
+        tags = glob.glob(os.path.join(tag_dir, "*"))
+        assert len(tags) == 1  # one partition -> one model load, 4 batches
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_embed_shape_mismatch_raises(spark, docs):
+    def bad_loader():
+        def model(texts: pd.Series) -> np.ndarray:
+            return np.zeros((1, 4), dtype="float32")  # wrong row count
+
+        return model
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+        inf.embed_documents(docs, loader=bad_loader, dim=4).collect()
