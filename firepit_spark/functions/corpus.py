@@ -252,3 +252,182 @@ def length_percentiles(
             )
         )
     return df.groupBy(group_col).agg(*aggs)
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level deduplication: remove every line that
+    occurs (byte-identical) in at least ``min_docs`` distinct documents
+    — boilerplate (nav bars, cookie banners, license headers) repeats
+    across pages while real prose does not.
+
+    Lines shorter than ``min_line_chars`` after trimming are never
+    counted nor removed (blank separators survive). Documents whose
+    every line is boilerplate come back as empty strings, ready for a
+    downstream length filter.
+
+    Scale shape (100 TB): lines are exploded once and carried as 8-byte
+    ``xxhash64`` keys, so the duplicate-count aggregation shuffles
+    hashes, not text (map-side partial agg does most of the counting);
+    the boilerplate set it produces is a tiny fraction of the corpus and
+    joins back LEFT ANTI — AQE will broadcast it in practice. Document
+    reassembly groups by ``id_col``, so no reduce key can exceed one
+    document's line count — no skew amplification anywhere.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    others = [c for c in df.columns if c != text_col]
+    lines = df.select(
+        *others,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn(
+        "__h",
+        F.when(
+            F.length(F.trim(F.col("__line"))) >= min_line_chars,
+            F.xxhash64(F.col("__line")),
+        ),
+    )
+    boilerplate = (
+        lines.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    # NULL __h (short/blank lines) never matches, so anti-join keeps them
+    kept = lines.join(boilerplate, "__h", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("__new_text")
+    )
+    out = df.join(reassembled, id_col, "left")
+    return out.select(
+        *[
+            F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col)
+            if c == text_col
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def build_mixture(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Assemble a training mixture: deterministically select documents
+    per source until each source's share of ``token_budget`` is met.
+
+    ``weights`` maps source value -> relative weight (normalized over
+    the listed sources; e.g. the output of :func:`mixture_weights`);
+    sources not listed are excluded. Selection order within a source is
+    content-addressed — ``(md5(salt||id), id)`` — so the
+    same inputs give the same mixture on any engine or partitioning,
+    and growing the corpus only appends candidates after the existing
+    order (survivor sets stay stable until the budget boundary moves).
+
+    Membership spec (the SQL-oracle contract): a document is kept iff
+    the token sum of documents strictly before it in its source's order
+    is ``< budget_s``, or equals ``budget_s`` exactly while the document
+    itself has 0 tokens.
+
+    Scale shape (100 TB): a naive per-source window is one partition per
+    source — unusable skew. Instead the hash space is cut into
+    ``n_buckets``: (1) one partial-heavy aggregation to per-(source,
+    bucket) token sums, (2) a cumulative-sum window over that TINY frame
+    picks full-keep / full-drop buckets and the single boundary bucket
+    per source, (3) decisions broadcast-join back (map-only for the bulk
+    of the data), and (4) only the boundary bucket — ~1/n_buckets of one
+    source — pays a row-level window. Adds ``mix_tokens`` with the token
+    count used for budgeting.
+    """
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wsum = float(sum(weights.values()))
+    budgets = {s: float(w) / wsum * token_budget for s, w in weights.items()}
+
+    tokens = (
+        F.col(token_col) if token_col else tx.token_count(F.col(text_col))
+    ).cast("double")
+    budget = F.lit(None).cast("double")
+    for s, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == s, F.lit(b)).otherwise(budget)
+
+    k = n_buckets.bit_length() - 1
+    if n_buckets < 1 or (1 << k) != n_buckets:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    hid = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # RANGE prefix of the hash (top k bits), not a modulo: bucket order
+    # agrees with md5 order, so the mixture is identical for ANY
+    # n_buckets — the knob tunes shuffle granularity, never membership
+    bucket = F.shiftright(F.conv(F.substring(hid, 1, 8), 16, 10).cast("long"), 32 - k)
+    rows = (
+        df.filter(F.col(source_col).isin(list(budgets)))
+        .withColumn("__tok", tokens)
+        .withColumn("__hid", hid)
+        .withColumn("__bkt", bucket)
+        .withColumn("__budget", budget)
+    )
+
+    stats = rows.groupBy(source_col, "__bkt").agg(F.sum("__tok").alias("__btok"))
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    decisions = (
+        stats.withColumn("__cum_before", F.coalesce(F.sum("__btok").over(wb), F.lit(0.0)))
+        .withColumn("__cum_through", F.col("__cum_before") + F.col("__btok"))
+    )
+    tagged = rows.join(
+        F.broadcast(decisions.select(source_col, "__bkt", "__cum_before", "__cum_through")),
+        [source_col, "__bkt"],
+    )
+    # classify each bucket: full-keep, full-drop, or boundary (refine)
+    tagged = tagged.withColumn(
+        "__class",
+        F.when(F.col("__cum_before") > F.col("__budget"), F.lit("drop"))
+        .when(F.col("__cum_through") <= F.col("__budget"), F.lit("keep"))
+        .otherwise(F.lit("refine")),
+    )
+    out_cols = [*df.columns, F.col("__tok").cast("long").alias("mix_tokens")]
+    # full-keep buckets pass through map-only; ONLY the boundary slice
+    # (~1/n_buckets of one source) pays the row-level window sort
+    keep_rows = tagged.filter(F.col("__class") == "keep").select(*out_cols)
+    wr = (
+        Window.partitionBy(source_col, "__bkt")
+        .orderBy("__hid", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    refine_rows = (
+        tagged.filter(F.col("__class") == "refine")
+        .withColumn(
+            "__before",
+            F.col("__cum_before") + F.coalesce(F.sum("__tok").over(wr), F.lit(0.0)),
+        )
+        .filter(
+            (F.col("__before") < F.col("__budget"))
+            | ((F.col("__before") == F.col("__budget")) & (F.col("__tok") == 0))
+        )
+        .select(*out_cols)
+    )
+    return keep_rows.unionByName(refine_rows)

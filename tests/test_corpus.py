@@ -231,3 +231,125 @@ def test_rrf_fusion_prefers_cross_list_agreement(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# line_dedup / build_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    import firepit_spark.functions.corpus as cp
+
+    boiler = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler}\nunique zero line\n\nzero tail"),
+            (1, f"intro one\n{boiler}\npair line"),
+            (2, f"{boiler}\npair line\nsolo two"),
+            (3, boiler),  # all-boilerplate doc -> empty string
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in cp.line_dedup(docs).collect()}
+    # boilerplate (3 docs) gone everywhere; "pair line" (2 docs) also >= min_docs=2
+    assert out[0] == "unique zero line\n\nzero tail"  # blank line survives
+    assert out[1] == "intro one"
+    assert out[2] == "solo two"
+    assert out[3] == ""
+    assert cp.line_dedup(docs).columns == docs.columns
+
+    # min_docs=3: the 2-doc "pair line" now survives, boilerplate still dies
+    out3 = {r["doc_id"]: r["text"] for r in cp.line_dedup(docs, min_docs=3).collect()}
+    assert out3[1] == "intro one\npair line"
+    assert out3[2] == "pair line\nsolo two"
+
+    # partitioning-independent
+    outp = {r["doc_id"]: r["text"] for r in cp.line_dedup(docs.repartition(5)).collect()}
+    assert outp == out
+
+
+def _mixture_expected(rows, budgets, salt=""):
+    """Reference implementation of the membership spec in plain python."""
+    import hashlib
+
+    kept = set()
+    by_src = {}
+    for doc_id, src, tok in rows:
+        by_src.setdefault(src, []).append(
+            (hashlib.md5((salt + str(doc_id)).encode()).hexdigest(), doc_id, tok)
+        )
+    for src, docs in by_src.items():
+        if src not in budgets:
+            continue
+        cum = 0.0
+        for hid, doc_id, tok in sorted(docs):
+            if cum < budgets[src] or (cum == budgets[src] and tok == 0):
+                kept.add(doc_id)
+            cum += tok
+    return kept
+
+
+def test_build_mixture_budget_and_determinism(spark):
+    import firepit_spark.functions.corpus as cp
+
+    rows = [(i, "a" if i % 3 else "b", 5 + (i * 7) % 11) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    weights = {"a": 3.0, "b": 1.0}
+    budget = 200
+    out = cp.build_mixture(
+        df, weights, budget, token_col="n_tok", n_buckets=16
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    expected = _mixture_expected(rows, {"a": 150.0, "b": 50.0})
+    assert got == expected
+    assert dict(out.select("doc_id", "mix_tokens").collect()[0].asDict())  # schema sane
+
+    # n_buckets is a shuffle knob, NOT a semantics knob
+    for nb in (1, 4, 1024):
+        alt = {r["doc_id"] for r in
+               cp.build_mixture(df, weights, budget, token_col="n_tok", n_buckets=nb).collect()}
+        assert alt == expected, nb
+    # partitioning-independent
+    rep = {r["doc_id"] for r in
+           cp.build_mixture(df.repartition(7), weights, budget,
+                            token_col="n_tok", n_buckets=16).collect()}
+    assert rep == expected
+
+    # budget boundary honored: kept tokens reach the budget with exactly
+    # one straddling doc per source
+    kept_rows = [(r["source"], r["mix_tokens"]) for r in out.collect()]
+    for src, b in (("a", 150.0), ("b", 50.0)):
+        toks = sorted(t for s, t in kept_rows if s == src)
+        assert sum(toks) >= b  # budget met (straddler included)
+        assert sum(toks) - max(toks) < b  # minus the largest -> below
+
+    # sources not in weights are excluded entirely
+    w_only_a = cp.build_mixture(df, {"a": 1.0}, 100, token_col="n_tok")
+    assert {r["source"] for r in w_only_a.collect()} == {"a"}
+
+
+def test_build_mixture_text_tokens_and_salt(spark):
+    import firepit_spark.functions.corpus as cp
+
+    docs = spark.createDataFrame(
+        [(i, "src", "word " * (i + 1)) for i in range(10)],
+        ["doc_id", "source", "text"],
+    )
+    out = cp.build_mixture(docs, {"src": 1.0}, 12)
+    toks = {r["doc_id"]: r["mix_tokens"] for r in out.collect()}
+    # token counts come from text.token_count: doc i has i+1 tokens
+    assert all(toks[i] == i + 1 for i in toks)
+    # different salt -> different (still deterministic) order
+    a = {r["doc_id"] for r in cp.build_mixture(docs, {"src": 1.0}, 12, salt="x").collect()}
+    b = {r["doc_id"] for r in cp.build_mixture(docs, {"src": 1.0}, 12, salt="x").collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cp.build_mixture(docs, {"src": 1.0}, 10, n_buckets=3)
+    with _pytest.raises(ValueError):
+        cp.build_mixture(docs, {}, 10)
+    with _pytest.raises(ValueError):
+        cp.line_dedup(docs, min_docs=1)
