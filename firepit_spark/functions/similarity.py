@@ -433,3 +433,70 @@ def label_centroids(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("_s"))
         .select(label_col, F.transform("_s", lambda s: s["mean_v"]).alias("centroid"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list | None = None,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    method: str = "greedy",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus into Voronoi cells, score cosine pairs only WITHIN each
+    cell, and keep one representative per near-duplicate group.
+
+    The clustering is what makes this survive 100 TB: candidate pairs are
+    bounded per cell (n_i^2 for cell size n_i), never corpus², and the
+    pair join shuffles on the cell id. Pass ``centroids`` (e.g. from a
+    prior :func:`ivf_fit`, a sample, or another system) for a fully
+    deterministic, SQL-expressible run; otherwise a seeded k-means fit
+    picks them (``n_cells``/``seed``).
+
+    ``method="greedy"`` (default): drop every vector that has ANY
+    smaller-id neighbor at ``cosine >= threshold`` in its cell — one
+    distinct + one anti-join past the pair scoring; on a chain a-b-c
+    where only adjacent pairs are similar, both b and c drop even though
+    c's witness b was itself dropped (the standard greedy trade).
+    ``method="components"``: exact keep-one-per-connected-component via
+    min-label propagation (iterative, a few extra rounds; chains keep
+    their minimum element only).
+
+    Returns the surviving rows (input schema + ``sem_cell``), i.e. the
+    deduplicated corpus. Near-dup boundary note: cosine is rounded to
+    6 decimals before the threshold compare, matching every other
+    similarity operator here (oracle-stable).
+    """
+    if method not in ("greedy", "components"):
+        raise ValueError(f"method must be 'greedy' or 'components', got {method}")
+    idx = (
+        ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+        if centroids is not None
+        else ivf_fit(vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    )
+    assigned = idx.assigned.withColumnRenamed("__cell", "sem_cell")
+    a = assigned.select(
+        F.col("sem_cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col("sem_cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, "sem_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    if method == "greedy":
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        from .graph import connected_components
+
+        comp = connected_components(pairs)
+        drops = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    return assigned.join(drops, id_col, "left_anti")

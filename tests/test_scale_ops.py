@@ -1001,3 +1001,57 @@ def test_hot_keys_finds_skew(spark):
     found = [r["k"] for r in got.collect()]
     release(got)
     assert found == ["whale"]  # 50% share found, no uniform key promoted
+
+
+def test_semantic_dedup_greedy_and_components(spark):
+    # two tight groups + a chain + a loner, fixed centroids so the cell
+    # assignment (and thus the whole run) is deterministic
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # group A rep
+        (1, [0.999, 0.01, 0.0]),  # ~A (cos>0.999 with 0)
+        (2, [0.0, 1.0, 0.0]),   # group B rep
+        (3, [0.0, 0.999, 0.01]),  # ~B
+        (4, [0.0, 0.0, 1.0]),   # loner
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = sim.semantic_dedup(vecs, centroids=cents, threshold=0.99)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == [0, 2, 4]
+    assert "sem_cell" in out.columns and "embedding" in out.columns
+
+    # chain a-b-c with only adjacent similarity: greedy drops b AND c,
+    # components keeps the min element only — both documented semantics
+    import math
+    th = 0.95
+    a = [1.0, 0.0]
+    b = [math.cos(0.25), math.sin(0.25)]   # cos(a,b)=0.969 >= th
+    c = [math.cos(0.50), math.sin(0.50)]   # cos(b,c)=0.969, cos(a,c)=0.878 < th
+    chain = spark.createDataFrame(
+        [(10, a), (11, b), (12, c)], "vec_id long, embedding array<double>"
+    )
+    one_cell = [[1.0, 0.0]]
+    g = sorted(r["vec_id"] for r in
+               sim.semantic_dedup(chain, centroids=one_cell, threshold=th).collect())
+    assert g == [10]  # greedy: 11 dropped (witness 10), 12 dropped (witness 11)
+    comp = sorted(r["vec_id"] for r in
+                  sim.semantic_dedup(chain, centroids=one_cell, threshold=th,
+                                     method="components").collect())
+    assert comp == [10]  # same here: one component -> keep min
+
+    # cross-cell near-dups are NOT seen (the approximation SemDeDup makes)
+    split = spark.createDataFrame(
+        [(20, [0.71, 0.70]), (21, [0.70, 0.71])],
+        "vec_id long, embedding array<double>",
+    )
+    two_cells = [[1.0, 0.0], [0.0, 1.0]]
+    s = sorted(r["vec_id"] for r in
+               sim.semantic_dedup(split, centroids=two_cells, threshold=0.9).collect())
+    assert s == [20, 21]
+
+    # seeded kmeans path runs and keeps a deterministic survivor count
+    fit = sim.semantic_dedup(vecs, n_cells=3, threshold=0.99)
+    assert fit.count() == 3
+
+    with pytest.raises(ValueError):
+        sim.semantic_dedup(vecs, centroids=cents, method="nope")
