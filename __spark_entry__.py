@@ -508,12 +508,18 @@ _Q21_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
 
 def q22_text_stats(spark, sf_dir):
     """All per-document text-quality primitives in one pass: token count,
-    punctuation/stopword ratios, and the composite quality score (one
-    entry keeps the 50-slot driver gate free for other operators; every
-    underlying function is still exercised and hash-checked)."""
+    punctuation/stopword ratios, the composite quality score, and the
+    Arrow-batched model-classifier score (one entry keeps the 50-slot
+    driver gate free for other operators; every underlying function is
+    still exercised and hash-checked). The model score runs through the
+    real ``mapInPandas`` inference plumbing (stub md5-derived model, so
+    the oracle reproduces it exactly) — the hash match proves the Python
+    batch boundary loses nothing."""
+    from firepit_spark.functions import inference as inf
+
     r = _resolver(spark, sf_dir)
     t = F.col("text")
-    docs = r("documents")
+    docs = inf.score_documents(r("documents"))
     stats = docs.select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
@@ -521,10 +527,11 @@ def q22_text_stats(spark, sf_dir):
         F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(tx.quality_score(t), 6).alias("quality"),
+        F.round(F.col("model_score"), 6).alias("model_score"),
     )
     # SimHash rides along as one more per-doc signal (merged q27 slot);
     # docs with <2 tokens have no shingles -> NULL, mirrored by the LEFT JOIN
-    sim = dd.simhash(docs, bits=32)
+    sim = dd.simhash(r("documents"), bits=32)
     return stats.join(sim, "doc_id", "left")
 
 
@@ -548,11 +555,14 @@ m AS (
 SELECT m.doc_id, n_tokens, bpe_tokens,
        ROUND(p_ratio, 6) AS punct_ratio,
        ROUND(sw_ratio, 6) AS stopword_ratio,
-       ROUND(least(n_chars / 500.0, 1.0) * 0.4
+       ROUND(least(m.n_chars / 500.0, 1.0) * 0.4
              + least(sw_ratio * 5.0, 1.0) * 0.4
              + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality,
+       ROUND(CAST(('0x' || substr(md5('quality|' || d2.text), 1, 8)) AS BIGINT)
+             / 4294967296.0, 6) AS model_score,
        s.simhash
 FROM m LEFT JOIN ({{SIMHASH}}) s ON m.doc_id = s.doc_id
+JOIN documents d2 ON m.doc_id = d2.doc_id
 """
 
 
@@ -963,27 +973,58 @@ FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts <= iv.w_end
 
 
 def q38_cosine_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact, bounded subset);
-    oracle via DuckDB list_cosine_similarity."""
+    """SemDeDup-style semantic deduplication on a bounded subset: assign
+    each embedding to its nearest fixed centroid (the same 8 seed-id
+    centroids as q33), score cosine pairs only within a cell, greedily
+    drop every vector with a smaller-id near-dup — return the survivors.
+    Any wrong pair (missed or spurious) changes the survivor set, so this
+    gates the within-cell pair scoring AND the keep-one endgame; the
+    exact all-pairs variant (sim.cosine_near_dup_pairs) stays pytest-
+    gated (tests/test_scale_ops.py)."""
     r = _resolver(spark, sf_dir)
     vecs = r("embeddings").filter(F.col("vec_id") < 300)
-    return sim.cosine_near_dup_pairs(vecs, threshold=0.35)
+    seeds = {
+        row[0]: [float(x) for x in row[1]]
+        for row in r("embeddings")
+        .filter(F.col("vec_id").isin(_IVF_SEED_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    centroids = [seeds[i] for i in sorted(seeds)]
+    out = sim.semantic_dedup(vecs, centroids=centroids, threshold=0.35)
+    return out.select("vec_id", "sem_cell")
 
 
 _Q38_SQL = """
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300
-), scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND(list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id IN ({SEEDS})
+),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT v.vec_id, v.e, cents.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_distance(v.e, cents.c), cents.cell) AS rn
+    FROM v CROSS JOIN cents
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+        >= 0.35
 )
-SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+SELECT vec_id, CAST(cell AS INTEGER) AS sem_cell
+FROM assigned WHERE vec_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
 _IVF_SEED_IDS = [0, 61, 122, 183, 244, 305, 366, 427]
+_Q38_SQL = _Q38_SQL.replace("{SEEDS}", ", ".join(str(i) for i in _IVF_SEED_IDS))
 
 
 def q33_ivf_topk(spark, sf_dir):
@@ -1423,10 +1464,28 @@ def q51_corpus_profile(spark, sf_dir):
     docs = r("documents")
     w = cp.mixture_weights(docs, "source", alpha=0.5)
     p = cp.length_percentiles(docs, "n_chars", "source")
-    return w.join(p.select("source", "p50", "p90", "p99"), "source")
+    # build_mixture rides along (token-budget selection over 4 sources,
+    # bucketed two-pass plan; LEFT JOIN keeps unweighted sources NULL)
+    mix = cp.build_mixture(docs, _MIX_WEIGHTS, _MIX_BUDGET, n_buckets=16)
+    msum = mix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("mix_docs"),
+        F.sum("mix_tokens").alias("mix_tokens"),
+    )
+    return w.join(p.select("source", "p50", "p90", "p99"), "source").join(
+        msum, "source", "left"
+    )
 
 
-_Q51_SQL = """
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 1200
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {w / sum(_MIX_WEIGHTS.values()) * _MIX_BUDGET!r}"
+    for s, w in sorted(_MIX_WEIGHTS.items())
+)
+_MIX_IN = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+
+_Q51_SQL = f"""
 WITH w AS (
   SELECT source, COUNT(*) AS n_docs,
          ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)
@@ -1440,19 +1499,42 @@ p AS (
          ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
          ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
   FROM documents GROUP BY source
+),
+ord AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+              AS DOUBLE) AS tok,
+         md5(CAST(doc_id AS VARCHAR)) AS hid,
+         CASE source {_MIX_CASE} END AS budget
+  FROM documents WHERE source IN ({_MIX_IN})
+),
+c AS (
+  SELECT *, COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY hid, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS bef
+  FROM ord
+),
+mix AS (
+  SELECT source, COUNT(*) AS mix_docs, CAST(SUM(tok) AS BIGINT) AS mix_tokens
+  FROM c WHERE bef < budget OR (bef = budget AND tok = 0)
+  GROUP BY source
 )
-SELECT w.source, w.n_docs, w.weight, p.p50, p.p90, p.p99
-FROM w JOIN p USING (source)
+SELECT w.source, w.n_docs, w.weight, p.p50, p.p90, p.p99,
+       mix.mix_docs, mix.mix_tokens
+FROM w JOIN p USING (source) LEFT JOIN mix USING (source)
 """
 
 
 def q53_pii_scrub(spark, sf_dir):
-    """PII redaction (emails / IPv4s / phone numbers -> <KIND> tags), the
-    standard first curation pass. The corpus is synthetic and PII-free, so
-    the query injects deterministic PII derived from doc_id into each text
-    (identically in the oracle) — the hash match then proves the regex
-    find/replace behavior agrees between engines on real matches, not just
-    on no-ops. Map-only: regex passes in whole-stage codegen, no shuffle."""
+    """Text-cleaning pipeline: CCNet-style line-level dedup, then PII
+    redaction (emails / IPv4s / phone numbers -> <KIND> tags). The
+    synthetic corpus is single-line and PII-free, so the query seeds each
+    document with deterministic extra lines (identically in the oracle):
+    a boilerplate line shared by every doc, a 'tail k' line shared by
+    ~1/7th of docs — both must be removed by line_dedup — and a unique
+    PII line that must survive dedup and be scrubbed. The hash match
+    proves explode/count/anti-join/reassemble ordering AND regex
+    find/replace agree between engines. Line counting shuffles 8-byte
+    xxhash64 keys; the scrub is map-only whole-stage codegen."""
     from firepit_spark.functions import corpus as cp
 
     r = _resolver(spark, sf_dir)
@@ -1460,7 +1542,9 @@ def q53_pii_scrub(spark, sf_dir):
         "doc_id",
         F.concat(
             F.col("text"),
-            F.lit(" contact u"),
+            F.lit("\nall your cookies are belong to us\ntail "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\ncontact u"),
             F.col("doc_id").cast("string"),
             F.lit("@ex.org or +1 555 000 "),
             (F.col("doc_id") % 10000).cast("string"),
@@ -1469,7 +1553,7 @@ def q53_pii_scrub(spark, sf_dir):
             F.lit(".7"),
         ).alias("text"),
     )
-    out = cp.pii_scrub(docs)
+    out = cp.pii_scrub(cp.line_dedup(docs))
     return out.select(
         "doc_id", "n_email", "n_ipv4", "n_phone",
         F.md5(F.col("text")).alias("clean_md5"),
@@ -1479,10 +1563,34 @@ def q53_pii_scrub(spark, sf_dir):
 _Q53_SQL = r"""
 WITH seeded AS (
   SELECT doc_id,
-         text || ' contact u' || CAST(doc_id AS VARCHAR)
+         text || chr(10) || 'all your cookies are belong to us'
+              || chr(10) || 'tail ' || CAST(doc_id % 7 AS VARCHAR)
+              || chr(10) || 'contact u' || CAST(doc_id AS VARCHAR)
               || '@ex.org or +1 555 000 ' || CAST(doc_id % 10000 AS VARCHAR)
               || ' at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.7' AS text
   FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM seeded
+),
+boiler AS (
+  SELECT line FROM lns WHERE length(trim(line)) >= 1
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.* FROM lns l
+  WHERE length(trim(l.line)) < 1 OR l.line NOT IN (SELECT line FROM boiler)
+),
+re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+),
+deduped AS (
+  SELECT s.doc_id, COALESCE(re.text, '') AS text
+  FROM seeded s LEFT JOIN re ON s.doc_id = re.doc_id
 )
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
@@ -1496,7 +1604,7 @@ SELECT doc_id,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
              '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g')) AS clean_md5
-FROM seeded
+FROM deduped
 """
 
 
