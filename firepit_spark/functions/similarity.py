@@ -500,3 +500,180 @@ def semantic_dedup(
             F.col("node").alias(id_col)
         )
     return assigned.join(drops, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory end-game for billion-vector ANN.
+# Each vector is cut into m subvectors; each subvector is replaced by the
+# index of its nearest codeword in a per-subspace codebook of size k —
+# dim floats become m bytes (e.g. 64-dim float64 = 512 B -> 4 B at m=4).
+# Search uses asymmetric distance (ADC): per query, a tiny m x k lookup
+# table of exact query-subvector-to-codeword distances is built ONCE (as
+# plan expressions over literal codebooks), then every code row is scored
+# by m table lookups — no decode, no per-row float math beyond the LUT.
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list:
+    """Train PQ codebooks: an independent k-means per subspace.
+
+    Returns ``codebooks[sub][codeword] -> list[float]`` (m × k × dim/m —
+    tiny, lives on the driver like IVF centroids). Subspace fits run on
+    sliced columns of the SAME DataFrame scan. Like :func:`ivf_fit`, the
+    iterative k-means has no SQL closed form; for a deterministic,
+    oracle-checkable encoder take codebooks from fixed seed vectors via
+    :func:`pq_codebooks_from_seeds`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = []
+    for sub in range(m):
+        sliced = vectors.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), sub * dsub + 1, dsub)
+            ).alias("__v")
+        )
+        model = KMeans(k=k, seed=seed + sub, featuresCol="__v").fit(sliced)
+        codebooks.append([list(c) for c in model.clusterCenters()])
+    return codebooks
+
+
+def pq_codebooks_from_seeds(seed_vectors: list, m: int) -> list:
+    """Deterministic codebooks from k caller-chosen seed vectors (their
+    subspace slices become the codewords) — the closed-form twin of
+    :func:`pq_fit`, usable in SQL oracles and across engines."""
+    if not seed_vectors:
+        raise ValueError("seed_vectors must be non-empty")
+    dim = len(seed_vectors[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [[float(x) for x in v[sub * dsub : (sub + 1) * dsub]] for v in seed_vectors]
+        for sub in range(m)
+    ]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode each vector as ``array<int>`` of m codeword indexes (nearest
+    codeword per subspace, Euclidean; ties break on the lower index).
+
+    Map-only: codebooks are plan literals, the argmin per subspace is an
+    ``array_sort`` over k (distance, index) structs — whole-stage codegen,
+    no join, no shuffle, embarrassingly parallel at any corpus size.
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    x = F.col(vec_col)
+    subcodes = []
+    for sub in range(m):
+        sv = F.slice(x, sub * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(c)) for c in codebooks[sub][cw]]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(cw).alias("cw"),
+                )
+                for cw in range(k)
+            ]
+        )
+        subcodes.append(F.array_sort(dists)[0]["cw"])
+    return vectors.withColumn(code_col, F.array(*subcodes))
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    The query side is broadcast; for each query the m × n_codewords LUT
+    of exact subvector->codeword squared distances is a plan expression
+    over the literal codebooks (evaluated once per row-batch by codegen),
+    and each corpus row costs m ``element_at`` lookups + a sum — the
+    corpus streams through in one pass touching only (id, m-byte code).
+    At 100 TB this is the shape that works: the float corpus never loads.
+    Returns (query_id, neighbor_id, adc_dist, rank); ``adc_dist`` is the
+    PQ approximation of squared L2, rounded to 6 decimals, ties on id.
+    """
+    m = len(codebooks)
+    n_cw = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qv = F.col(query_vec_col)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(qv, sub * dsub + 1, dsub),
+                            F.array(*[F.lit(float(c)) for c in codebooks[sub][cw]]),
+                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for cw in range(n_cw)
+                ]
+            )
+            for sub in range(m)
+        ]
+    )
+    scored = codes.crossJoin(F.broadcast(queries.withColumn("__lut", lut))).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                # code array (length m) zips positionally with the LUT's
+                # m subspace rows; each pair costs one element_at lookup
+                F.zip_with(
+                    F.col(code_col),
+                    F.col("__lut"),
+                    lambda code, sublut: F.element_at(sublut, code + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )

@@ -1055,3 +1055,59 @@ def test_semantic_dedup_greedy_and_components(spark):
 
     with pytest.raises(ValueError):
         sim.semantic_dedup(vecs, centroids=cents, method="nope")
+
+
+def test_pq_encode_and_adc_search(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(60, 8)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = [[float(x) for x in mat[i]] for i in range(0, 60, 4)]  # 15 codewords
+    cb = sim.pq_codebooks_from_seeds(seeds, m=4)
+    assert len(cb) == 4 and len(cb[0]) == 15 and len(cb[0][0]) == 2
+
+    codes = sim.pq_encode(vecs, cb)
+    rows = {r["vec_id"]: r["pq_code"] for r in codes.collect()}
+    assert all(len(c) == 4 and all(0 <= cw < 15 for cw in c) for c in rows.values())
+    # a seed vector encodes to its own codeword index in every subspace
+    assert rows[0] == [0, 0, 0, 0]
+    assert rows[4] == [1, 1, 1, 1]
+
+    # python reference ADC for one query
+    q = mat[3]
+    def adc(vid):
+        total = 0.0
+        for sub in range(4):
+            qs = q[sub * 2 : sub * 2 + 2]
+            cw = cb[sub][rows[vid][sub]]
+            total += float(((qs - np.array(cw)) ** 2).sum())
+        return round(total, 6)
+
+    queries = spark.createDataFrame(
+        [(3, [float(x) for x in q])], "query_id long, query_vec array<double>"
+    )
+    got = sim.pq_search(codes, cb, queries, k=5).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    expect = sorted(((adc(v), v) for v in rows), key=lambda t: t)[:5]
+    assert [(r["adc_dist"], r["neighbor_id"]) for r in got] == expect
+
+    # determinism across partitionings
+    again = sim.pq_search(sim.pq_encode(vecs.repartition(7), cb), cb, queries, k=5).collect()
+    assert [(r["neighbor_id"], r["adc_dist"]) for r in again] == [
+        (r["neighbor_id"], r["adc_dist"]) for r in got
+    ]
+
+    # fitted codebooks: shapes + search runs end-to-end
+    fitted = sim.pq_fit(vecs, m=4, k=8)
+    assert len(fitted) == 4 and len(fitted[0]) == 8 and len(fitted[0][0]) == 2
+    top = sim.pq_search(sim.pq_encode(vecs, fitted), fitted, queries, k=3)
+    assert top.count() == 3
+
+    with pytest.raises(ValueError):
+        sim.pq_codebooks_from_seeds(seeds, m=3)  # 8 % 3 != 0
+    with pytest.raises(ValueError):
+        sim.pq_codebooks_from_seeds([], m=2)
