@@ -1,0 +1,71 @@
+"""Streaming enrichment: join a live stream against reference data, and
+run model scoring inside the stream.
+
+The reference engine is batch-only; a continuously-fed pipeline needs
+the batch operators' semantics on a stream:
+
+* ``stream_enrich`` — stream-static equi-join. The static side is a
+  DataFrame re-resolved per micro-batch by Spark (so an updated parquet
+  dimension table is picked up without restarting the query) and is
+  broadcast: the stream side never shuffles, which is the only join
+  shape with bounded per-batch cost on an unbounded stream.
+* ``stream_score`` — the Arrow-batched inference stage
+  (:mod:`firepit_spark.functions.inference`) applied to a stream.
+  ``mapInPandas`` is fully streaming-compatible (stateless, per-batch);
+  the model loads once per task per micro-batch — amortize with bigger
+  trigger intervals, or move to ``foreachBatch`` + a cached model
+  service when model load dominates.
+
+Both are stateless operators: no watermark required, no state store,
+append-mode output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a (small) dimension table.
+
+    ``how`` may be ``inner`` or ``left`` (stream side preserved) — the
+    combinations Structured Streaming supports for stream-static joins
+    without watermarks. The dimension side gets a broadcast hint; if it
+    outgrows broadcast, pre-bucket both sides instead.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how}")
+    if isinstance(keys, str):
+        keys = [keys]
+    return stream.join(F.broadcast(dim), keys, how)
+
+
+def stream_score(
+    stream: DataFrame,
+    loader=None,
+    text_col: str = "text",
+    score_col: str = "model_score",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Model-score a document stream (optionally filter below
+    ``threshold``): the streaming twin of
+    :func:`firepit_spark.functions.inference.score_documents` /
+    ``model_filter``. Stateless map — works in append mode with any
+    sink."""
+    from firepit_spark.functions.inference import (
+        score_documents,
+        stub_classifier_loader,
+    )
+
+    scored = score_documents(
+        stream, loader=loader or stub_classifier_loader, text_col=text_col,
+        score_col=score_col,
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col(score_col) >= F.lit(threshold))
+    return scored

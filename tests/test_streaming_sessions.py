@@ -205,3 +205,63 @@ def test_stream_dedup_exact(spark, tmp_path):
     # doc 1 normalizes to doc 0's fingerprint (whitespace+case), doc 3 is a
     # cross-batch duplicate of doc 0 — only first-seen docs pass
     assert got == {0, 2, 4}
+
+
+def test_stream_enrich_and_score(spark, tmp_path):
+    from firepit_spark.streaming.enrich import stream_enrich, stream_score
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    _write_events(
+        indir / "a.json",
+        [
+            {"doc_id": 0, "src": "web", "text": "hello world"},
+            {"doc_id": 1, "src": "books", "text": "lorem ipsum"},
+            {"doc_id": 2, "src": "unknown", "text": "zzz"},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [("web", 0.5), ("books", 2.0)], ["src", "sample_rate"]
+    )
+    stream = spark.readStream.schema("doc_id long, src string, text string").json(
+        str(indir)
+    )
+    enriched = stream_enrich(stream, dim, "src")
+    scored = stream_score(enriched)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["doc_id"]: r for r in spark.sql("select * from enrich_t").collect()}
+    finally:
+        q.stop()
+    assert rows[0]["sample_rate"] == 0.5 and rows[1]["sample_rate"] == 2.0
+    assert rows[2]["sample_rate"] is None  # left join keeps unmatched stream rows
+    # stream scores match the batch inference op exactly
+    from firepit_spark.functions.inference import _hash_unit
+
+    for i, text in ((0, "hello world"), (1, "lorem ipsum"), (2, "zzz")):
+        assert rows[i]["model_score"] == _hash_unit(text, "quality|")
+
+    # threshold routing + inner join drop unmatched
+    inner = stream_enrich(stream, dim, "src", how="inner")
+    gated = stream_score(inner, threshold=2.0)  # impossible threshold -> empty
+    q2 = (
+        gated.writeStream.format("memory").queryName("gate_t")
+        .outputMode("append").start()
+    )
+    try:
+        q2.processAllAvailable()
+        n = spark.sql("select count(*) c from gate_t").collect()[0]["c"]
+    finally:
+        q2.stop()
+    assert n == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_enrich(stream, dim, "src", how="full")
