@@ -379,3 +379,60 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     for j in range(bits):
         out = out + F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
     return counts.select(F.col(id_col), out.alias("simhash"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_ngram_freq: int | None = None,
+) -> DataFrame:
+    """Strict eval-set decontamination (the GPT-3/PaLM standard): flag
+    every training document that shares at least one word ``n``-gram
+    with an eval document — membership, not similarity, so a single
+    verbatim 13-gram is enough where :func:`cross_ngram_jaccard`'s
+    Jaccard threshold would wave it through.
+
+    Returns (train_id, eval_id, n_shared) — one row per contaminated
+    pair with the count of distinct shared n-grams. Drop duplicates of
+    ``train_id`` downstream to get the removal list. Documents shorter
+    than ``n`` words have no n-grams and are never flagged.
+
+    Scale shape: identical to :func:`cross_ngram_jaccard` — per-corpus
+    inverted indexes joined on 60-bit n-gram hashes (8-byte shuffle
+    keys), never train×eval; the eval index is tiny and AQE broadcasts
+    it. ``max_ngram_freq`` is OFF by default: a frequency cutoff would
+    silently un-flag hot n-grams (false negatives — wrong default for a
+    contamination gate); set it only when a pathological corpus makes
+    the hot-key fan-out bind, and log what it drops.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    tsh = (
+        _shingle_arrays(train, text_col, id_col, n)
+        .select(F.col(id_col).alias("train_id"), F.explode("__shingles").alias("__s"))
+        .select("train_id", shingle_hash(F.col("__s")).alias("shingle"))
+    )
+    esh = (
+        _shingle_arrays(eval_df, text_col, id_col, n)
+        .select(F.col(id_col).alias("eval_id"), F.explode("__shingles").alias("__s"))
+        .select("eval_id", shingle_hash(F.col("__s")).alias("shingle"))
+    )
+    if max_ngram_freq is not None:
+        freq_ok = (
+            tsh.select("shingle")
+            .unionAll(esh.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") <= max_ngram_freq)
+            .select("shingle")
+        )
+        tsh = tsh.join(freq_ok, "shingle")
+        esh = esh.join(freq_ok, "shingle")
+    return (
+        tsh.join(esh, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )

@@ -1111,3 +1111,34 @@ def test_pq_encode_and_adc_search(spark):
         sim.pq_codebooks_from_seeds(seeds, m=3)  # 8 % 3 != 0
     with pytest.raises(ValueError):
         sim.pq_codebooks_from_seeds([], m=2)
+
+
+def test_ngram_contamination(spark):
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated training text about spark plans"),
+            (2, "short doc"),
+            (3, "quick brown fox jumps over the lazy dog it said"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps over the lazy dog now")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in dd.ngram_contamination(train, ev, n=5).collect()
+    }
+    # docs 0 and 3 share >=1 5-gram with the eval doc; 1 and 2 don't
+    assert set(got) == {(0, 100), (3, 100)}
+    assert all(v >= 1 for v in got.values())
+    # n larger than every doc -> nothing flagged
+    assert dd.ngram_contamination(train, ev, n=40).count() == 0
+    # frequency cutoff of 1 kills the shared (hot) n-grams -> documented
+    # false-negative trade kicks in
+    assert dd.ngram_contamination(train, ev, n=5, max_ngram_freq=1).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dd.ngram_contamination(train, ev, n=0)
