@@ -353,3 +353,24 @@ def test_build_mixture_text_tokens_and_salt(spark):
         cp.build_mixture(docs, {}, 10)
     with _pytest.raises(ValueError):
         cp.line_dedup(docs, min_docs=1)
+
+
+def test_line_dedup_idempotent(spark):
+    # after one pass every counted line lives in exactly one document, so
+    # a second pass must be a no-op (blank lines are never counted)
+    import random
+
+    import firepit_spark.functions.corpus as cp
+
+    rng = random.Random(3)
+    pool = [f"line number {i}" for i in range(30)] + ["", " "]
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 8))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    once = cp.line_dedup(df)
+    twice = cp.line_dedup(once)
+    assert {(r["doc_id"], r["text"]) for r in once.collect()} == {
+        (r["doc_id"], r["text"]) for r in twice.collect()
+    }
