@@ -260,6 +260,7 @@ def line_dedup(
     text_col: str = "text",
     min_docs: int = 2,
     min_line_chars: int = 1,
+    sep: str = "\n",
 ) -> DataFrame:
     """CCNet-style line-level deduplication: remove every line that
     occurs (byte-identical) in at least ``min_docs`` distinct documents
@@ -269,7 +270,8 @@ def line_dedup(
     Lines shorter than ``min_line_chars`` after trimming are never
     counted nor removed (blank separators survive). Documents whose
     every line is boilerplate come back as empty strings, ready for a
-    downstream length filter.
+    downstream length filter. ``sep`` picks the unit: the default
+    ``"\n"`` dedups lines; ``"\n\n"`` dedups paragraphs.
 
     Scale shape (100 TB): lines are exploded once and carried as 8-byte
     ``xxhash64`` keys, so the duplicate-count aggregation shuffles
@@ -282,9 +284,13 @@ def line_dedup(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     others = [c for c in df.columns if c != text_col]
+    import re as _re
+
     lines = df.select(
         *others,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "__pos", "__line"
+        ),
     ).withColumn(
         "__h",
         F.when(
@@ -303,7 +309,7 @@ def line_dedup(
     kept = lines.join(boilerplate, "__h", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.concat_ws(
-            "\n",
+            sep,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
                 lambda s: s["__line"],

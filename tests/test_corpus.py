@@ -374,3 +374,21 @@ def test_line_dedup_idempotent(spark):
     assert {(r["doc_id"], r["text"]) for r in once.collect()} == {
         (r["doc_id"], r["text"]) for r in twice.collect()
     }
+
+
+def test_line_dedup_paragraph_mode(spark):
+    import firepit_spark.functions.corpus as cp
+
+    boiler = "subscribe to our newsletter\nfor daily updates"
+    docs = spark.createDataFrame(
+        [
+            (0, f"para one line a\nline b\n\n{boiler}"),
+            (1, f"{boiler}\n\nunique paragraph here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in cp.line_dedup(docs, sep="\n\n").collect()}
+    # the two-line boilerplate PARAGRAPH is removed whole; single-line
+    # dedup would have treated its two lines independently
+    assert out[0] == "para one line a\nline b"
+    assert out[1] == "unique paragraph here"
