@@ -270,14 +270,23 @@ def corpus_prep(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "lang",
+    model_threshold: float | None = None,
+    model_loader=None,
 ) -> DataFrame:
-    """Quality-filter -> exact-dedup -> per-group corpus stats, one plan.
+    """Quality-filter -> (optional classifier gate) -> exact-dedup ->
+    per-group corpus stats, one plan.
 
     The canonical pre-training funnel: drop low-quality docs, keep one
     representative (min id) per normalized-text fingerprint, then report
-    per-group survivor counts and token mass. The filter happens before
-    the dedup shuffle (Catalyst pushes it into the scan), and dedup is a
-    single hash-shuffle on the fingerprint.
+    per-group survivor counts and token mass. The heuristic filter
+    happens before the dedup shuffle (Catalyst pushes it into the scan),
+    and dedup is a single hash-shuffle on the fingerprint.
+
+    ``model_threshold`` adds the model-classifier gate
+    (:func:`firepit_spark.functions.inference.model_filter`) AFTER the
+    cheap heuristic filter — the heuristic prunes the scan so the
+    expensive Python-batched model only sees survivors, the right stage
+    order at 100 TB.
     """
     t = F.col(text_col)
     scored = df.select(
@@ -286,6 +295,15 @@ def corpus_prep(
         t.alias(text_col),
         quality_score(t).alias("__q"),
     ).filter(F.col("__q") >= min_quality)
+    if model_threshold is not None:
+        from .inference import model_filter, stub_classifier_loader
+
+        scored = model_filter(
+            scored,
+            model_threshold,
+            loader=model_loader or stub_classifier_loader,
+            text_col=text_col,
+        ).drop("model_score")
     keepers = (
         scored.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")

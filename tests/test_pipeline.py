@@ -212,3 +212,23 @@ def test_write_bucketed_table_shuffle_free_join(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_corpus_prep_model_gate(spark):
+    from firepit_spark.functions.pipeline import corpus_prep
+    from firepit_spark.functions.inference import score_documents
+
+    docs = spark.createDataFrame(
+        [(i, "en", "some words here " * (3 + i % 5)) for i in range(30)],
+        ["doc_id", "lang", "text"],
+    )
+    base = corpus_prep(docs, min_quality=0.0)
+    gated = corpus_prep(docs, min_quality=0.0, model_threshold=0.5)
+    n_base = base.agg({"n_docs": "sum"}).collect()[0][0]
+    n_gated = gated.agg({"n_docs": "sum"}).collect()[0][0]
+    assert 0 < n_gated < n_base
+    # the gate count matches scoring the same survivors directly
+    expected = score_documents(docs).filter("model_score >= 0.5").count()
+    # dedup (identical texts repeat every 5 ids) happens after the gate,
+    # so compare against deduped-scored, not raw-scored
+    assert n_gated <= expected
