@@ -349,8 +349,17 @@ def minhash_lsh_lookup(
     with the same fixed constants, then one equi-join on (band, bucket);
     the batch side is typically broadcast by AQE. Self-matches (same id on
     both sides) are dropped so an already-indexed doc doesn't pair with
-    itself."""
-    idx_col = index.columns[0]
+    itself.
+
+    The index's id column is whichever column is NOT ``band``/``bucket``
+    (a reloaded index may list columns in any order); an index with a
+    different shape is rejected loudly instead of mis-joining."""
+    extra = [c for c in index.columns if c not in ("band", "bucket")]
+    if len(extra) != 1 or "band" not in index.columns or "bucket" not in index.columns:
+        raise ValueError(
+            f"index must have columns (id, band, bucket); got {index.columns}"
+        )
+    idx_col = extra[0]
     probe = minhash_lsh_index(new_df, text_col, id_col, k, num_perm, bands)
     return (
         probe.select(F.col(id_col).alias("new_id"), "band", "bucket")

@@ -58,11 +58,19 @@ def zorder_key(df: DataFrame, cols: list, bits: int = 16) -> Column:
     top = (1 << bits) - 1
     for c in cols:
         lo, hi = stats[f"__min_{c}"], stats[f"__max_{c}"]
+        if lo is None or hi is None:
+            # empty frame or all-NULL column: no spread to normalize —
+            # contribute a constant 0 dim instead of crashing on None math
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         scaled.append(
             F.least(
                 F.lit(top),
-                F.floor((_as_double(df, c) - F.lit(lo)) / F.lit(span) * top),
+                F.floor(
+                    (F.coalesce(_as_double(df, c), F.lit(lo)) - F.lit(lo))
+                    / F.lit(span)
+                    * top
+                ),
             )
         )
     return interleave_bits(scaled, bits)

@@ -304,12 +304,17 @@ def corpus_prep(
             loader=model_loader or stub_classifier_loader,
             text_col=text_col,
         ).drop("model_score")
-    keepers = (
-        scored.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col))
+    # min-id keeper via ONE window over the fingerprint, not a groupBy +
+    # self-semi-join: the self-join referenced `scored` on both sides, so
+    # Spark re-executed the un-persisted subtree — including the model
+    # gate's mapInPandas — twice; the window keeps it a single pipeline
+    # (one shuffle on fp) and the inference pass runs exactly once
+    w = Window.partitionBy(fingerprint(F.col(text_col)))
+    kept = (
+        scored.withColumn("__minid", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__minid"))
+        .drop("__minid")
     )
-    kept = scored.join(keepers.select(id_col), on=id_col, how="left_semi")
     return kept.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("total_tokens"),

@@ -207,6 +207,10 @@ def quantile_from_hist(hist: DataFrame, q: float) -> DataFrame:
     lo = F.pow(F.lit(2.0), F.col("s.bin")) - 1.0
     hi = F.pow(F.lit(2.0), F.col("s.bin") + 1) - 1.0
     frac = (F.col("s.total") * q - (F.col("s.cum") - F.col("s.n"))) / F.col("s.n")
+    # round() not int(): int truncates float noise (0.29*100 -> 28) and
+    # collapses q=0.999 onto q=0.99's label; keep enough digits to stay
+    # unique ("q29", "q99_9")
+    label = f"{q * 100:.6f}".rstrip("0").rstrip(".").replace(".", "_")
     return target.select(
-        *keys, F.round(lo + frac * (hi - lo), 6).alias(f"q{int(q * 100)}")
+        *keys, F.round(lo + frac * (hi - lo), 6).alias(f"q{label}")
     )

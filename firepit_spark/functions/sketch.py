@@ -31,9 +31,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def _row_hash(col: Column, row: int, width: int) -> Column:
     """Bucket of ``col`` under the ``row``-th universal hash: md5 of the
-    salted key, first 15 hex digits, mod width."""
+    salted key, first 15 hex digits, mod width.
+
+    NULL keys hash like the sentinel string below instead of propagating
+    NULL: without this, NULL rows would land in NULL cells that
+    ``cms_query``'s equi-join can never match, and a hot NULL key — the
+    classic skew culprit — would estimate 0 and escape ``hot_keys``.
+    """
+    key = F.coalesce(col.cast("string"), F.lit("\x00__cms_null__"))
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), col.cast("string"))), 1, 15),
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), key)), 1, 15),
         16,
         10,
     ).cast("bigint")

@@ -35,7 +35,8 @@ def build_text_index(
       of docs are dropped (stopword cutoff — same hot-key discipline as
       the shingle indexes, bounding any posting list's fan-out).
     * ``doc_lens`` — (``id_col``, dl, avgdl): per-doc token count with the
-      corpus average alongside (one broadcast-joined scalar).
+      corpus average alongside (one broadcast-joined scalar). Documents
+      with no tokens are absent (they can never match a query anyway).
 
     Write both to parquet to freeze the index; BM25's idf is baked in at
     build time so scoring needs no corpus statistics beyond these frames.
@@ -44,9 +45,19 @@ def build_text_index(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE tokenize pass: tf is the only frame that reads the text; doc
+    # lengths (dl = sum of tf) and avgdl both derive from it instead of
+    # re-tokenizing the corpus (was 3 tokenize passes). persist() keeps
+    # the shared subtree from re-executing across the derived frames —
+    # the caller freezes both outputs to parquet anyway.
+    tf = (
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    )
+    # stopword cutoff: STRICTLY more than max_df_frac of docs -> dropped
+    # (floor(frac*n) is the largest count that still satisfies <= frac;
+    # floored at 1 so single-doc terms always survive tiny corpora)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count")).filter(
-        F.col("df_count") <= int(max_df_frac * n_docs) + 1
+        F.col("df_count") <= max(1, int(max_df_frac * n_docs))
     )
     # BM25+-style idf, floored at 0 via the +1: ln((N - df + .5)/(df + .5) + 1)
     postings = tf.join(dfreq, "term").withColumn(
@@ -57,12 +68,9 @@ def build_text_index(
             + 1.0
         ),
     )
-    doc_lens = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl")
-    ).crossJoin(
-        F.broadcast(
-            df.select(F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
-        )
+    per_doc = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    doc_lens = per_doc.crossJoin(
+        F.broadcast(per_doc.select(F.avg("dl").alias("avgdl")))
     )
     return postings, doc_lens
 

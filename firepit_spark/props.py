@@ -115,8 +115,10 @@ def prop_metadata(sco_type: str, prop: str) -> dict:
     resolve through the final hop like the reference does."""
     links = parse_prop(sco_type, prop)
     if links:
-        last = links[-1]
-        prop = last[2] if last[0] == "node" else last[2]
+        # index 2 is the leaf property name for both link shapes:
+        # ('node', parent, prop) and ('rel', from, ref_prop, to) — a
+        # rel-terminated path is the ref itself (a str id)
+        prop = links[-1][2]
     leaf = get_last(prop)
     ftype = feature_type(prop)
     if ftype == "numerical" or leaf.endswith("_port") or leaf.endswith("pid") or leaf in (

@@ -10,9 +10,24 @@ dashboards only ever read the (much smaller) rollup directory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firepit_spark.functions.rollup import build_rollup, reaggregate
+
+
+def _write_epoch(part: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Idempotent per-epoch write: each micro-batch lands in its own
+    ``__epoch=N`` partition via dynamic partition overwrite, so a batch
+    replayed after a failure (foreachBatch's at-least-once contract)
+    OVERWRITES its own partition instead of appending duplicate rollup
+    rows that would double-count on read."""
+    (
+        part.withColumn("__epoch", F.lit(int(epoch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(out_dir)
+    )
 
 
 def stream_rollup(
@@ -29,7 +44,7 @@ def stream_rollup(
 
     def handle(batch_df: DataFrame, epoch_id: int):
         part = build_rollup(batch_df, ts_col, dims, value_col, bucket_seconds)
-        part.write.mode("append").parquet(out_dir)
+        _write_epoch(part, out_dir, epoch_id)
 
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:
@@ -45,7 +60,9 @@ def read_rollup(
 ) -> DataFrame:
     """Current rollup state at the requested granularity (folds the
     partial per-batch rollups; exact for algebraic aggregates)."""
-    return reaggregate(spark.read.parquet(out_dir), bucket_seconds, dims)
+    return reaggregate(
+        spark.read.parquet(out_dir).drop("__epoch"), bucket_seconds, dims
+    )
 
 
 def stream_sketch_rollup(
@@ -69,7 +86,7 @@ def stream_sketch_rollup(
         part = build_sketch_rollup(
             batch_df, ts_col, dims, distinct_col, bucket_seconds, lg_config_k
         )
-        part.write.mode("append").parquet(out_dir)
+        _write_epoch(part, out_dir, epoch_id)
 
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
     if checkpoint_dir:
@@ -86,4 +103,6 @@ def read_sketch_rollup(
     """Current approx-distinct state at the requested granularity."""
     from firepit_spark.functions.rollup import reaggregate_sketch
 
-    return reaggregate_sketch(spark.read.parquet(out_dir), bucket_seconds, dims)
+    return reaggregate_sketch(
+        spark.read.parquet(out_dir).drop("__epoch"), bucket_seconds, dims
+    )

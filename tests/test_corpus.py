@@ -340,10 +340,18 @@ def test_build_mixture_text_tokens_and_salt(spark):
     toks = {r["doc_id"]: r["mix_tokens"] for r in out.collect()}
     # token counts come from text.token_count: doc i has i+1 tokens
     assert all(toks[i] == i + 1 for i in toks)
-    # different salt -> different (still deterministic) order
-    a = {r["doc_id"] for r in cp.build_mixture(docs, {"src": 1.0}, 12, salt="x").collect()}
-    b = {r["doc_id"] for r in cp.build_mixture(docs, {"src": 1.0}, 12, salt="x").collect()}
-    assert a == b
+    # the salt enters the order key: each salt's survivor set matches the
+    # python reference spec under THAT salt (and the two differ here)
+    rows = [(i, "src", i + 1) for i in range(10)]
+    for salt in ("", "x"):
+        got = {
+            r["doc_id"]
+            for r in cp.build_mixture(docs, {"src": 1.0}, 12, salt=salt).collect()
+        }
+        assert got == _mixture_expected(rows, {"src": 12.0}, salt=salt), salt
+    assert _mixture_expected(rows, {"src": 12.0}, salt="") != _mixture_expected(
+        rows, {"src": 12.0}, salt="x"
+    )
 
     import pytest as _pytest
 

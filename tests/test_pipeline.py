@@ -144,7 +144,10 @@ def test_corpus_prep_is_one_plan(spark):
     includes the quality filter (not a post-shuffle filter)."""
     plan = pl.corpus_prep(_docs(spark), min_quality=0.5)._jdf.queryExecution() \
         .optimizedPlan().toString()
-    assert plan.count("Join") == 1  # the semi-join; no extra shuffles stack
+    # min-id keeper is a single window over the fingerprint — no self-join
+    # at all (a join would re-execute the upstream, incl. any model gate)
+    assert plan.count("Join") == 0
+    assert plan.count("Window") == 1
 
 
 def test_write_shards_layout_and_pruning(spark, tmp_path):
