@@ -1142,3 +1142,66 @@ def test_ngram_contamination(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dd.ngram_contamination(train, ev, n=0)
+
+
+def test_cms_hot_null_key(spark):
+    from firepit_spark.functions import sketch as sk
+    from pyspark.sql import functions as F
+
+    # 60% NULL keys — the classic skew culprit must be detectable
+    df = spark.createDataFrame(
+        [(None if i % 5 < 3 else f"k{i % 20}",) for i in range(500)], ["key"]
+    )
+    s = sk.cms_build(df, "key")
+    # i%5 in (3,4) -> key k{i%20}: k3 occurs for i in {3,23,43,...} (25x)
+    probes = spark.createDataFrame([(None,), ("k3",)], ["key"])
+    est = {r["key"]: r["est_count"] for r in sk.cms_query(s, probes, "key").collect()}
+    assert est[None] >= 300  # CMS overestimates, never under
+    assert est["k3"] >= 25
+    assert est[None] > est["k3"]
+
+
+def test_zorder_empty_and_all_null(spark):
+    from firepit_spark.functions import layout as ly
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "a double, b double")
+    assert ly.cluster_zorder(empty, ["a", "b"]).count() == 0
+    allnull = spark.createDataFrame([(None, 1.0), (None, 2.0)], "a double, b double")
+    out = ly.cluster_zorder(allnull, ["a", "b"])
+    assert out.count() == 2  # constant dim contributes 0 bits, no crash
+
+
+def test_minhash_lsh_lookup_column_order(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps " + ("x" if i % 2 else "y")) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    idx = dd.minhash_lsh_index(docs)
+    new = spark.createDataFrame([(100, "the quick brown fox jumps y")], ["doc_id", "text"])
+    base = {(r["new_id"], r["index_id"]) for r in dd.minhash_lsh_lookup(idx, new).collect()}
+    assert base  # the identical-shingle doc collides in every band
+    # a reloaded index with reordered columns must give the SAME pairs
+    reordered = idx.select("band", "bucket", "doc_id")
+    got = {(r["new_id"], r["index_id"]) for r in dd.minhash_lsh_lookup(reordered, new).collect()}
+    assert got == base
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dd.minhash_lsh_lookup(idx.withColumn("extra", dd.F.lit(1)), new)
+
+
+def test_stream_rollup_epoch_replay_idempotent(spark, tmp_path):
+    from firepit_spark.streaming.rollup import _write_epoch, read_rollup
+    from firepit_spark.functions.rollup import build_rollup
+
+    df = spark.createDataFrame(
+        [("2020-01-01 00:00:05", "a", 1.0), ("2020-01-01 00:00:40", "a", 3.0)],
+        "ts string, dim string, v double",
+    ).withColumn("ts", dd.F.col("ts").cast("timestamp"))
+    part = build_rollup(df, "ts", ["dim"], "v", 60)
+    out = str(tmp_path / "roll")
+    _write_epoch(part, out, 7)
+    _write_epoch(part, out, 7)  # replayed epoch must overwrite, not append
+    state = read_rollup(spark, out, 60).collect()
+    assert len(state) == 1
+    assert state[0]["n"] == 2 and state[0]["val_sum"] == 4.0
