@@ -72,6 +72,9 @@ def build_text_index(
     doc_lens = per_doc.crossJoin(
         F.broadcast(per_doc.select(F.avg("dl").alias("avgdl")))
     )
+    # cache-release contract (see functions.release): the tf cache backs
+    # both returned frames; release(postings) after freezing to parquet
+    postings._fp_caches = [tf]
     return postings, doc_lens
 
 
