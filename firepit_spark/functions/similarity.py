@@ -744,3 +744,165 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the FAISS-standard composition — coarse Voronoi cells bound the
+# candidate set (IVF), PQ codes of the RESIDUAL (vector minus its cell
+# centroid) bound the memory. Residuals are small and centered, so the
+# same codebook bits buy much more precision than PQ over raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as (cell, m-byte residual PQ code).
+
+    Map-only like :func:`pq_encode`: the nearest-centroid argmin and the
+    per-subspace codeword argmins are all plan expressions over literal
+    centroid/codebook arrays. The output (id, cell, code) is the entire
+    search-time corpus footprint — floats never load at query time.
+    ``codebooks`` quantize the residual space; train them on residuals
+    (or seed them via :func:`pq_codebooks_from_seeds` on residual
+    samples) for the precision the residual trick exists to buy.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    x = F.col(vec_col)
+    cell = centroid_cells(x, centroids, 1)[0]
+    # residual = x - centroid[cell]: a CASE chain over the literal
+    # centroids, built against the materialized cell COLUMN so the
+    # (expensive) nearest-centroid argmin isn't re-evaluated per branch
+    out = vectors.withColumn("__cell", cell)
+    resid_expr = None
+    for ci, c in enumerate(centroids):
+        branch = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(float(v)) for v in c]),
+            lambda a, b: a.cast("double") - b,
+        )
+        resid_expr = (
+            branch
+            if resid_expr is None
+            else F.when(F.col("__cell") == F.lit(ci), branch).otherwise(resid_expr)
+        )
+    out = out.withColumn("__resid", resid_expr)
+    subcodes = []
+    for sub in range(m):
+        sv = F.slice(F.col("__resid"), sub * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(cc)) for cc in codebooks[sub][cw]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(cw).alias("cw"),
+                )
+                for cw in range(len(codebooks[sub]))
+            ]
+        )
+        subcodes.append(F.array_sort(dists)[0]["cw"])
+    return out.select(
+        F.col(id_col),
+        F.col("__cell").alias("cell"),
+        F.array(*subcodes).alias("pq_code"),
+    )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k ADC search over IVF-PQ codes.
+
+    Per query: pick ``n_probe`` nearest cells, and for EACH probed cell
+    build the residual LUT against (query - that cell's centroid) — all
+    literal-codebook plan expressions, one broadcast of the exploded
+    query frame. The corpus side streams only rows whose ``cell``
+    equi-joins a probed cell: candidate cost is bounded by the inverted
+    lists, memory by the m-byte codes. Approximates squared L2; returns
+    (query_id, neighbor_id, adc_dist, rank), ties on id.
+    """
+    m = len(codebooks)
+    n_cw = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qv = F.col(query_vec_col)
+    probed = (
+        queries.withColumn("__cells", centroid_cells(qv, centroids, n_probe))
+        .withColumn("cell", F.explode("__cells"))
+        .drop("__cells")
+    )
+    # residual of the query against the PROBED cell's centroid
+    qresid = None
+    for ci, c in enumerate(centroids):
+        branch = F.zip_with(
+            qv, F.array(*[F.lit(float(v)) for v in c]), lambda a, b: a.cast("double") - b
+        )
+        qresid = (
+            branch
+            if qresid is None
+            else F.when(F.col("cell") == F.lit(ci), branch).otherwise(qresid)
+        )
+    probed = probed.withColumn("__qresid", qresid)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("__qresid"), sub * dsub + 1, dsub),
+                            F.array(*[F.lit(float(cc)) for cc in codebooks[sub][cw]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    for cw in range(n_cw)
+                ]
+            )
+            for sub in range(m)
+        ]
+    )
+    probed = probed.withColumn("__lut", lut).drop("__qresid")
+    scored = codes.join(F.broadcast(probed), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("pq_code"),
+                    F.col("__lut"),
+                    lambda code, sublut: F.element_at(sublut, code + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "adc_dist", "rank")
+    )

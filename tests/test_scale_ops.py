@@ -1205,3 +1205,59 @@ def test_stream_rollup_epoch_replay_idempotent(spark, tmp_path):
     state = read_rollup(spark, out, 60).collect()
     assert len(state) == 1
     assert state[0]["n"] == 2 and state[0]["val_sum"] == 4.0
+
+
+def test_ivfpq_encode_and_search(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    # two well-separated clusters so cell assignment is unambiguous
+    mat = np.vstack([rng.randn(30, 8) + 8.0, rng.randn(30, 8) - 8.0])
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[8.0] * 8, [-8.0] * 8]
+    # residual codebooks from actual residual samples
+    resid_seeds = [[float(x) for x in (mat[i] - (8.0 if i < 30 else -8.0))] for i in range(0, 60, 5)]
+    cb = sim.pq_codebooks_from_seeds(resid_seeds, m=4)
+
+    codes = sim.ivfpq_encode(vecs, cents, cb)
+    rows = {r["vec_id"]: (r["cell"], r["pq_code"]) for r in codes.collect()}
+    assert all(rows[i][0] == 0 for i in range(30))
+    assert all(rows[i][0] == 1 for i in range(30, 60))
+    # seed vectors reconstruct their own codeword per subspace
+    assert rows[0][1] == [0, 0, 0, 0]
+    assert rows[5][1] == [1, 1, 1, 1]
+
+    # python ADC reference for a query in cluster 0
+    q = mat[3]
+    def adc(vid):
+        cell = rows[vid][0]
+        qr = q - np.array(cents[cell])
+        total = 0.0
+        for sub in range(4):
+            cw = cb[sub][rows[vid][1][sub]]
+            total += float(((qr[sub * 2 : sub * 2 + 2] - np.array(cw)) ** 2).sum())
+        return round(total, 6)
+
+    queries = spark.createDataFrame(
+        [(3, [float(x) for x in q])], "query_id long, query_vec array<double>"
+    )
+    got = sim.ivfpq_search(codes, cents, cb, queries, k=5, n_probe=1).collect()
+    # n_probe=1: candidates only from cell 0
+    cand = [v for v in rows if rows[v][0] == 0]
+    expect = sorted(((adc(v), v) for v in cand))[:5]
+    assert [(r["adc_dist"], r["neighbor_id"]) for r in got] == expect
+
+    # n_probe=2 reaches the other cell's candidates too
+    both = sim.ivfpq_search(codes, cents, cb, queries, k=60, n_probe=2)
+    assert both.count() == 60
+
+    # determinism across partitionings
+    again = sim.ivfpq_search(
+        sim.ivfpq_encode(vecs.repartition(7), cents, cb), cents, cb, queries, k=5, n_probe=1
+    ).collect()
+    assert [(r["neighbor_id"], r["adc_dist"]) for r in again] == [
+        (r["neighbor_id"], r["adc_dist"]) for r in got
+    ]
