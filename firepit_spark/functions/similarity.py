@@ -906,3 +906,59 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivfpq_fit(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple:
+    """Train the full IVF-PQ index: k-means cells, then per-subspace
+    k-means over the RESIDUALS of the fitted assignment. Returns
+    ``(centroids, codebooks)`` ready for :func:`ivfpq_encode` /
+    :func:`ivfpq_search`.
+
+    The residual frame is built once (cell CASE chain over the fitted
+    centroids) and each subspace fit slices it — one extra corpus pass
+    per subspace, the standard offline training cost; like
+    :func:`ivf_fit`/:func:`pq_fit` the k-means has no SQL closed form,
+    so fitted indexes are pytest-gated while fixed-seed indexes are the
+    oracle path.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    idx = ivf_fit(vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
+    centroids = idx.centroids
+    dim = len(centroids[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    resid_expr = None
+    for ci, c in enumerate(centroids):
+        branch = F.zip_with(
+            F.col(vec_col),
+            F.array(*[F.lit(float(v)) for v in c]),
+            lambda a, b: a.cast("double") - b,
+        )
+        resid_expr = (
+            branch
+            if resid_expr is None
+            else F.when(F.col("__cell") == F.lit(ci), branch).otherwise(resid_expr)
+        )
+    resid = idx.assigned.withColumn("__resid", resid_expr).persist()
+    codebooks = []
+    try:
+        for sub in range(m):
+            sliced = resid.select(
+                array_to_vector(F.slice(F.col("__resid"), sub * dsub + 1, dsub)).alias("__v")
+            )
+            model = KMeans(k=n_codewords, seed=seed + 1 + sub, featuresCol="__v").fit(sliced)
+            codebooks.append([list(c) for c in model.clusterCenters()])
+    finally:
+        resid.unpersist()
+    return centroids, codebooks

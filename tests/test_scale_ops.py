@@ -1261,3 +1261,49 @@ def test_ivfpq_encode_and_search(spark):
     assert [(r["neighbor_id"], r["adc_dist"]) for r in again] == [
         (r["neighbor_id"], r["adc_dist"]) for r in got
     ]
+
+
+def test_ivfpq_fit_and_recall_on_testdata(spark):
+    from firepit_spark.session import testdata_resolver
+    from pyspark.sql import functions as F
+
+    r = testdata_resolver(spark, "/root/testdata/sf0.001")
+    emb = r("embeddings")
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # random uniform 64-dim embeddings are PQ's worst case: subspaces
+    # must stay narrow (m=16 -> 4 dims each) for usable recall
+    cents, cbs = sim.ivfpq_fit(emb, n_cells=8, m=16, n_codewords=16)
+    assert len(cents) == 8 and len(cbs) == 16 and len(cbs[0]) == 16
+    codes = sim.ivfpq_encode(emb, cents, cbs)
+    approx = sim.ivfpq_search(codes, cents, cbs, queries, k=5, n_probe=8)
+
+    # L2 ground truth (ADC approximates squared L2, not cosine)
+    a = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e"))
+    exact = (
+        a.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("query_vec"), F.col("e"),
+                           lambda x, y: (x.cast("double") - y.cast("double"))
+                           * (x.cast("double") - y.cast("double"))),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    truth = exact.withColumn("rank", F.row_number().over(w)).filter("rank <= 5")
+    t = {}
+    for row in truth.collect():
+        t.setdefault(row["query_id"], set()).add(row["neighbor_id"])
+    g = {}
+    for row in approx.collect():
+        g.setdefault(row["query_id"], set()).add(row["neighbor_id"])
+    recall = sum(len(t[q] & g.get(q, set())) for q in t) / sum(len(t[q]) for q in t)
+    # measured 0.48 at these params (0.6 with 64 codewords); demand a
+    # floor that catches real regressions without flaking
+    assert recall >= 0.4, recall
