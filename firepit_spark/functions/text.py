@@ -8,7 +8,7 @@ at 100 TB these run inside whole-stage codegen with no Python boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # small per-language stopword lists for the n-gram/stopword language
 # heuristic; deliberately tiny + deterministic (not a model)
@@ -125,3 +125,71 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     norm = F.lower(normalize_ws(col))
     pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (k - 1)
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
+
+
+# URL pattern: scheme + host + optional path/query; character classes and
+# bounded alternation only — identical meaning in Java regex and RE2, like
+# the PII patterns in corpus.py (portable to the SQL oracle side)
+URL_RE = r"https?://[A-Za-z0-9.-]+(?::\d{1,5})?(?:/[^\s\"'<>]*)?"
+_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs in the text, in order of appearance (duplicates
+    preserved). One codegen regex pass — map-only at any corpus size."""
+    return F.regexp_extract_all(col, F.lit(URL_RE), 0)
+
+
+def url_domain(url: Column) -> Column:
+    """Lowercased host of a URL string ('' when the input is not a URL —
+    filter on ``!= ''`` to drop non-matches)."""
+    return F.lower(F.regexp_extract(url, _DOMAIN_RE, 1))
+
+
+def registered_domain(url: Column) -> Column:
+    """Last two host labels ('docs.example.co.uk' -> 'co.uk' caveat: a
+    public-suffix list needs external data this container doesn't ship;
+    two labels is the standard cheap approximation — swap in a
+    suffix-list join for exactness)."""
+    host = url_domain(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2, F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    ).otherwise(host)
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: "DataFrame | list",
+    url_col: str = "url",
+    keep_unmatched: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's registered domain is blocklisted — the
+    standard web-corpus hygiene step (spam/adult/SEO domain lists run
+    millions of entries).
+
+    ``blocklist`` is a one-column DataFrame (scale path: the list is a
+    table, the filter is a broadcast LEFT ANTI join — the corpus never
+    shuffles) or a plain python list for small inline lists (compiled to
+    an ``isin`` filter, no join at all). Rows with no parseable domain
+    are kept or dropped per ``keep_unmatched``.
+    """
+    dom = registered_domain(F.col(url_col))
+    if isinstance(blocklist, list):
+        cond = ~dom.isin([d.lower() for d in blocklist])
+        if keep_unmatched:
+            cond = cond | (dom == "")
+        else:
+            cond = cond & (dom != "")
+        return df.filter(cond)
+    bl = blocklist.toDF("__blocked_domain").select(
+        F.lower(F.col("__blocked_domain")).alias("__blocked_domain")
+    )
+    tagged = df.withColumn("__dom", dom)
+    kept = tagged.join(
+        F.broadcast(bl), tagged["__dom"] == bl["__blocked_domain"], "left_anti"
+    )
+    if not keep_unmatched:
+        kept = kept.filter(F.col("__dom") != "")
+    return kept.drop("__dom")

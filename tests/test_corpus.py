@@ -400,3 +400,42 @@ def test_line_dedup_paragraph_mode(spark):
     # dedup would have treated its two lines independently
     assert out[0] == "para one line a\nline b"
     assert out[1] == "unique paragraph here"
+
+
+def test_url_extraction_and_domain_filter(spark):
+    from firepit_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "see https://docs.Example.co.uk/a/b?q=1 and http://spam.bad.com/x"),
+            (1, "no links here"),
+            (2, "https://ok.org"),
+        ],
+        ["doc_id", "text"],
+    )
+    urls = {r["doc_id"]: r["u"] for r in docs.select("doc_id", tx.extract_urls(F.col("text")).alias("u")).collect()}
+    assert urls[0] == ["https://docs.Example.co.uk/a/b?q=1", "http://spam.bad.com/x"]
+    assert urls[1] == [] and urls[2] == ["https://ok.org"]
+
+    pages = spark.createDataFrame(
+        [
+            (0, "https://docs.example.co.uk/a"),
+            (1, "http://spam.bad.com/x"),
+            (2, "https://ok.org/y"),
+            (3, "not a url"),
+        ],
+        ["doc_id", "url"],
+    )
+    doms = {r["doc_id"]: r["d"] for r in pages.select("doc_id", tx.registered_domain(F.col("url")).alias("d")).collect()}
+    assert doms == {0: "co.uk", 1: "bad.com", 2: "ok.org", 3: ""}
+
+    # list blocklist (isin path)
+    kept = {r["doc_id"] for r in tx.domain_filter(pages, ["bad.com"]).collect()}
+    assert kept == {0, 2, 3}
+    # DataFrame blocklist (broadcast anti-join path)
+    bl = spark.createDataFrame([("BAD.com",), ("co.uk",)], ["domain"])
+    kept2 = {r["doc_id"] for r in tx.domain_filter(pages, bl).collect()}
+    assert kept2 == {2, 3}
+    assert tx.domain_filter(pages, bl, keep_unmatched=False).count() == 1
+    assert sorted(tx.domain_filter(pages, bl).columns) == ["doc_id", "url"]
