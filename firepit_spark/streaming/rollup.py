@@ -106,3 +106,42 @@ def read_sketch_rollup(
     return reaggregate_sketch(
         spark.read.parquet(out_dir).drop("__epoch"), bucket_seconds, dims
     )
+
+
+def stream_cms(
+    stream: DataFrame,
+    out_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming hot-key detection: append each micro-batch's count-min
+    sketch partial; reads fold the partials with counter addition (the
+    CMS merge law), so the live estimate equals a batch sketch over the
+    same rows. Same per-epoch idempotent write as the rollups — replays
+    overwrite, never double-count. State per batch is depth×width cells,
+    independent of key cardinality: the unbounded-vocabulary case
+    (exactly where exact streaming counts blow up) costs constant
+    memory."""
+    from firepit_spark.functions.sketch import cms_build
+
+    def handle(batch_df: DataFrame, epoch_id: int):
+        part = cms_build(batch_df, key_col, depth, width)
+        _write_epoch(part, out_dir, epoch_id)
+
+    writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_cms(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current folded sketch: (row, bucket, n) with counters summed across
+    epochs — feed to ``functions.sketch.cms_query`` / ``hot_keys``."""
+    return (
+        spark.read.parquet(out_dir)
+        .drop("__epoch")
+        .groupBy("row", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -265,3 +265,28 @@ def test_stream_enrich_and_score(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         stream_enrich(stream, dim, "src", how="full")
+
+
+def test_stream_cms_hot_keys(spark, tmp_path):
+    from firepit_spark.streaming.rollup import read_cms, stream_cms
+    from firepit_spark.functions import sketch as sk
+
+    indir = tmp_path / "keys"
+    indir.mkdir()
+    _write_events(indir / "a.json", [{"k": "hot"} for _ in range(50)] + [{"k": f"c{i}"} for i in range(10)])
+    stream = spark.readStream.schema("k string").json(str(indir))
+    out = str(tmp_path / "cms")
+    q = stream_cms(stream, out, "k")
+    try:
+        q.processAllAvailable()
+        # second batch arrives later: counters must ADD across epochs
+        _write_events(indir / "b.json", [{"k": "hot"} for _ in range(30)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sketch = read_cms(spark, out)
+    probes = spark.createDataFrame([("hot",), ("c1",), ("absent",)], ["k"])
+    est = {r["k"]: r["est_count"] for r in sk.cms_query(sketch, probes, "k").collect()}
+    assert est["hot"] >= 80  # both epochs folded
+    assert est["c1"] >= 1
+    assert est["hot"] > est["c1"]
