@@ -1,0 +1,63 @@
+"""The README's training-data pipeline walkthrough, executable.
+
+Guards the documented composition end-to-end on the driver testdata:
+clean -> classifier gate -> exact dedup -> decontaminate -> mixture ->
+pack -> shards, plus the embedding/semantic-dedup side. Each step's
+output feeds the next, so a signature or semantics drift in any operator
+breaks this test before it breaks the README.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_readme_pipeline_walkthrough(spark, tmp_path):
+    from firepit_spark.session import testdata_resolver
+    from firepit_spark.functions import corpus as cp, dedup as dd, pipeline as pl
+    from firepit_spark.functions import inference as inf, similarity as sim
+
+    r = testdata_resolver(spark, "/root/testdata/sf0.001")
+    docs = r("documents")
+    eval_docs = docs.filter("doc_id >= 480")
+
+    clean = cp.pii_scrub(cp.line_dedup(docs))
+    assert clean.count() == docs.count()
+
+    gated = inf.model_filter(clean, threshold=0.5)
+    n_gated = gated.count()
+    assert 0 < n_gated < docs.count()
+
+    keep = dd.dedup_exact(gated)
+    assert keep.count() <= n_gated
+
+    flagged = dd.ngram_contamination(keep.filter("doc_id < 480"), eval_docs, n=5)
+    final = keep.join(
+        flagged.select("train_id").distinct(),
+        keep.doc_id == F.col("train_id"),
+        "left_anti",
+    )
+    assert final.count() <= keep.count()
+
+    mix = cp.build_mixture(
+        final, {"src0": 3, "src1": 1, "src2": 1}, token_budget=3000
+    )
+    per_src = {r2["source"] for r2 in mix.select("source").distinct().collect()}
+    assert per_src <= {"src0", "src1", "src2"} and per_src
+
+    packed = pl.pack_documents(mix, budget=256)
+    assert packed.count() == mix.count()
+    assert "pack_id" in packed.columns
+
+    out = str(tmp_path / "shards")
+    pl.write_shards(packed, out, "doc_id", n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
+
+    emb = inf.embed_documents(final.limit(60))
+    survivors = sim.semantic_dedup(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        n_cells=4,
+        threshold=0.95,
+    )
+    assert 0 < survivors.count() <= 60
