@@ -180,7 +180,7 @@ def ingest_flat(
     storage,
     flat: DataFrame,
     query_id: str,
-    max_concurrent_types: int = 4,
+    max_concurrent_types: int = 8,
 ):
     """Merge a ``flatten_objects`` output frame into the warehouse.
 
@@ -227,7 +227,7 @@ def cache_distributed(
     query_id: str,
     paths,
     repartition: int | None = None,
-    max_concurrent_types: int = 4,
+    max_concurrent_types: int = 8,
 ):
     """Distributed equivalent of ``storage.cache`` for large bundle sets."""
     spark = storage.spark
