@@ -450,3 +450,65 @@ def ngram_contamination(
         .groupBy("train_id", "eval_id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: joins each (id_a,
+    id_b) pair back to the two documents' shingle sets and computes true
+    Jaccard with ``array_intersect`` — cost is per CANDIDATE pair, never
+    per corpus pair, so a sloppy (high-recall) candidate generator stays
+    cheap to clean up. Returns (id_a, id_b, jaccard) at or above
+    ``threshold``."""
+    sh = _shingle_arrays(df, text_col, id_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.nullif(union, F.lit(0.0)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The standard corpus fuzzy-dedup pipeline in one call (the
+    SlimPajama/BigCode recipe): MinHash-LSH candidate pairs -> exact
+    Jaccard verification of ONLY those pairs -> connected components ->
+    keep the min-id document of each near-dup cluster.
+
+    Each stage keeps the scale shape of its standalone operator: banding
+    bounds the candidate join, verification is per-candidate, and the
+    component loop converges in O(cluster diameter) rounds with
+    checkpointed lineage. Returns the surviving rows of ``df``
+    (singletons pass through untouched).
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, num_perm, bands)
+    confirmed = verify_candidate_pairs(df, cands, text_col, id_col, k, threshold)
+    from .graph import connected_components
+
+    comp = connected_components(confirmed.select("id_a", "id_b"), max_iter=max_iter)
+    drops = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -1307,3 +1307,33 @@ def test_ivfpq_fit_and_recall_on_testdata(spark):
     # measured 0.48 at these params (0.6 with 64 codewords); demand a
     # floor that catches real regressions without flaking
     assert recall >= 0.4, recall
+
+
+def test_fuzzy_dedup_pipeline(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base + " extra"),                       # near-dup of 0
+        (2, base.replace("quick", "rapid")),        # near-dup of 0
+        (3, "completely different text about spark catalyst planning"),
+        (4, "another unrelated document mentioning parquet row groups"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cands = dd.minhash_lsh_candidates(df)
+    verified = dd.verify_candidate_pairs(df, cands, threshold=0.5)
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert (0, 1) in vp and vp[(0, 1)] > 0.5
+    assert all(3 not in p and 4 not in p for p in vp)
+
+    out = sorted(r["doc_id"] for r in dd.fuzzy_dedup(df, threshold=0.5).collect())
+    # the near-dup cluster keeps only doc 0; singletons pass through
+    assert 0 in out and 3 in out and 4 in out
+    assert 1 not in out
+    assert set(out) <= {0, 2, 3, 4}  # 2 survives only if LSH missed it
+
+    # verification kills false candidates: with a sloppy 1-band setting
+    # everything collides more, but exact Jaccard still rejects non-dups
+    sloppy = dd.fuzzy_dedup(df, bands=1, threshold=0.5)
+    s = sorted(r["doc_id"] for r in sloppy.collect())
+    assert 3 in s and 4 in s
