@@ -1337,3 +1337,27 @@ def test_fuzzy_dedup_pipeline(spark):
     sloppy = dd.fuzzy_dedup(df, bands=1, threshold=0.5)
     s = sorted(r["doc_id"] for r in sloppy.collect())
     assert 3 in s and 4 in s
+
+
+def test_pq_encoders_are_map_only(spark):
+    # encode must never shuffle: codebooks/centroids are plan literals
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    mat = rng.randn(20, 8)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    seeds = [[float(x) for x in mat[i]] for i in range(0, 20, 4)]
+    cb = sim.pq_codebooks_from_seeds(seeds, m=4)
+    plan = sim.pq_encode(vecs, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    cents = [[0.0] * 8, [1.0] * 8]
+    plan2 = (
+        sim.ivfpq_encode(vecs, cents, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2
