@@ -52,6 +52,7 @@ from firepit_spark.exceptions import (
 )
 from firepit_spark.identifiers import makeid
 from firepit_spark.patterns import compile_pattern, pattern_time_range
+from firepit_spark import props
 from firepit_spark.props import auto_aggs, primary_prop
 from firepit_spark.query import Aggregation, BinnedColumn, Query
 from firepit_spark.timestamp import TIMESTAMP_PROPS, to_datetime
@@ -454,6 +455,45 @@ class SparkStorage:
         self._write_objects(prepared, str(query_id))
         self.extract(viewname, sco_type, query_id, "")
         return sco_type
+
+    def upsert_many(self, cursor, tablename, objs, query_id, schema=None):
+        """Insert-or-merge flattened objects into a type table (reference
+        API shim: firepit/sqlstorage.py:406-408). The reference threads a
+        DB cursor and a column schema through per-row INSERT ... ON
+        CONFLICT statements; here the batch lands as one LSM batch
+        partition and the conflict semantics apply lazily at read
+        (``_merge_batches``). ``cursor``/``schema`` are accepted for
+        call-site compatibility and ignored — pass None.
+        """
+        del cursor, schema  # Spark path needs neither
+        prepared = []
+        for obj in objs:
+            obj = dict(obj)
+            obj.setdefault("type", tablename)
+            if query_id is not None:
+                obj.setdefault("query_id", str(query_id))
+            prepared.append(obj)
+        self._write_objects(prepared, str(query_id) if query_id else None)
+
+    def upsert(self, cursor, tablename, obj, query_id, schema=None):
+        """Single-object :meth:`upsert_many` (reference shim,
+        firepit/sqlstorage.py:382-404). Batch callers should pass the
+        whole list to ``upsert_many`` — one Spark job per call."""
+        self.upsert_many(cursor, tablename, [obj], query_id, schema)
+
+    def path_joins(self, viewname, sco_type, column):
+        """Implicit joins needed to resolve a reference path column
+        (reference API: firepit/sqlstorage.py:334-338). Returns the
+        parsed link tuples (('node', type, prop) / ('rel', from, ref,
+        to)) — the plan the reference renders as aux-view SQL and this
+        engine executes via ``deref.deref_path``. Empty list when the
+        column needs no joins or the ref cannot be typed."""
+        if not sco_type:
+            sco_type = self.table_type(viewname)
+        links = props.parse_prop(sco_type, column)
+        if len(links) == 1 and links[0][0] == "node":
+            return []  # plain column, no join needed
+        return links
 
     def reassign(self, viewname: str, objects: list):
         """Write back (possibly enriched) objects behind a view

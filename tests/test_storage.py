@@ -557,3 +557,24 @@ def test_props_metadata_shims():
     assert path_metadata("observed-data:number_observed") == {
         "dtype": "int", "ftype": "numerical"
     }
+
+
+def test_upsert_and_path_joins_shims(spark, tmp_path):
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh_shim"), spark=spark)
+    st.upsert_many(
+        None,
+        "ipv4-addr",
+        [{"id": f"ipv4-addr--u{i}", "value": f"10.9.0.{i}"} for i in range(3)],
+        "qshim",
+    )
+    st.upsert(None, "ipv4-addr", {"id": "ipv4-addr--u0", "value": "10.9.0.0"}, "qshim2")
+    vals = {r["value"] for r in st.values_df("ipv4-addr:value", "ipv4-addr").collect()}
+    assert {"10.9.0.0", "10.9.0.1", "10.9.0.2"} <= vals
+    assert st.count("ipv4-addr") == 3  # id conflict merged, not duplicated
+
+    # plain column: no joins; ref path: link tuples
+    assert st.path_joins(None, "network-traffic", "src_port") == []
+    links = st.path_joins(None, "network-traffic", "src_ref.value")
+    assert links and links[0][0] == "rel" and links[-1][0] == "node"
