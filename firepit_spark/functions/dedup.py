@@ -503,12 +503,21 @@ def fuzzy_dedup(
     checkpointed lineage. Returns the surviving rows of ``df``
     (singletons pass through untouched).
     """
+    # the input feeds four consumers (minhash signatures, both verify
+    # sides, the final anti-join) — persist it so an expensive upstream
+    # (e.g. a model_filter mapInPandas stage) executes once, not 4x;
+    # cache-release contract: release(result) after the terminal action
+    df = df.persist()
     cands = minhash_lsh_candidates(df, text_col, id_col, k, num_perm, bands)
     confirmed = verify_candidate_pairs(df, cands, text_col, id_col, k, threshold)
-    from .graph import connected_components
+    from .graph import dedup_clusters
 
-    comp = connected_components(confirmed.select("id_a", "id_b"), max_iter=max_iter)
-    drops = comp.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
+    # keep-one endgame is the shared dedup_clusters rule (min id per
+    # component); non-representatives are the drop set
+    comp = dedup_clusters(confirmed.select("id_a", "id_b"), max_iter=max_iter)
+    drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
     )
-    return df.join(drops, id_col, "left_anti")
+    result = df.join(drops, id_col, "left_anti")
+    result._fp_caches = [df] + list(getattr(confirmed, "_fp_caches", []))
+    return result

@@ -130,8 +130,11 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 # URL pattern: scheme + host + optional path/query; character classes and
 # bounded alternation only — identical meaning in Java regex and RE2, like
 # the PII patterns in corpus.py (portable to the SQL oracle side)
-URL_RE = r"https?://[A-Za-z0-9.-]+(?::\d{1,5})?(?:/[^\s\"'<>]*)?"
-_DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+# host must END on an alphanumeric label char: a bare-host URL at the end
+# of a sentence ("see https://spam.bad.com. Next...") must not capture the
+# final period into the host, or domain parsing/blocklists silently miss
+URL_RE = r"https?://[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?(?::\d{1,5})?(?:/[^\s\"'<>]*)?"
+_DOMAIN_RE = r"https?://([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)"
 
 
 def extract_urls(col: Column) -> Column:
@@ -175,7 +178,9 @@ def domain_filter(
     an ``isin`` filter, no join at all). Rows with no parseable domain
     are kept or dropped per ``keep_unmatched``.
     """
-    dom = registered_domain(F.col(url_col))
+    # NULL urls behave exactly like unparseable ones ('' domain) so the
+    # list path and the DataFrame path agree on keep_unmatched semantics
+    dom = F.coalesce(registered_domain(F.col(url_col)), F.lit(""))
     if isinstance(blocklist, list):
         cond = ~dom.isin([d.lower() for d in blocklist])
         if keep_unmatched:

@@ -462,18 +462,33 @@ class SparkStorage:
         DB cursor and a column schema through per-row INSERT ... ON
         CONFLICT statements; here the batch lands as one LSM batch
         partition and the conflict semantics apply lazily at read
-        (``_merge_batches``). ``cursor``/``schema`` are accepted for
-        call-site compatibility and ignored — pass None.
+        (``_merge_batches``). ``cursor`` is accepted for call-site
+        compatibility and ignored — pass None. Rows may be dicts, or the
+        reference's value-list shape (aligned with ``schema``'s non-type
+        keys, the way firepit/sqlstorage.py:523 calls it) — then
+        ``schema`` is required. The query tag goes to the ``__queries``
+        edge table only, never into the type table's columns (reference
+        tables carry no query_id column either).
         """
-        del cursor, schema  # Spark path needs neither
+        del cursor  # Spark path needs no DB cursor
+        colnames = (
+            [k for k in schema if k != "type"] if isinstance(schema, dict) else None
+        )
         prepared = []
         for obj in objs:
-            obj = dict(obj)
+            if isinstance(obj, (list, tuple)):
+                if colnames is None:
+                    raise ValueError(
+                        "value-list rows require the reference's schema dict"
+                    )
+                obj = dict(zip(colnames, obj))
+            else:
+                obj = dict(obj)
             obj.setdefault("type", tablename)
-            if query_id is not None:
-                obj.setdefault("query_id", str(query_id))
             prepared.append(obj)
-        self._write_objects(prepared, str(query_id) if query_id else None)
+        self._write_objects(
+            prepared, str(query_id) if query_id is not None else None
+        )
 
     def upsert(self, cursor, tablename, obj, query_id, schema=None):
         """Single-object :meth:`upsert_many` (reference shim,

@@ -127,7 +127,14 @@ def stream_cms(
     from firepit_spark.functions.sketch import cms_build
 
     def handle(batch_df: DataFrame, epoch_id: int):
-        part = cms_build(batch_df, key_col, depth, width)
+        part = (
+            cms_build(batch_df, key_col, depth, width)
+            # stamp the hash-space geometry into the partials: read_cms
+            # refuses to fold sketches built under different (depth,
+            # width) and hands the right values back for cms_query
+            .withColumn("depth", F.lit(depth))
+            .withColumn("width", F.lit(width))
+        )
         _write_epoch(part, out_dir, epoch_id)
 
     writer = stream.writeStream.foreachBatch(handle).outputMode("append")
@@ -136,12 +143,21 @@ def stream_cms(
     return writer.start()
 
 
-def read_cms(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Current folded sketch: (row, bucket, n) with counters summed across
-    epochs — feed to ``functions.sketch.cms_query`` / ``hot_keys``."""
-    return (
-        spark.read.parquet(out_dir)
-        .drop("__epoch")
-        .groupBy("row", "bucket")
-        .agg(F.sum("n").alias("n"))
-    )
+def read_cms(spark: SparkSession, out_dir: str) -> tuple:
+    """Current folded sketch state: ``(sketch_df, depth, width)``.
+
+    The counters are summed across epochs; depth/width come from the
+    stored partials so probes hash into the SAME cell geometry — pass
+    all three through to ``functions.sketch.cms_query(sketch, keys,
+    key_col, depth, width)``. Raises if the directory mixes sketches
+    built under different geometries (they cannot be folded).
+    """
+    raw = spark.read.parquet(out_dir).drop("__epoch")
+    geoms = raw.select("depth", "width").distinct().collect()
+    if len(geoms) != 1:
+        raise ValueError(
+            f"mixed CMS geometries in {out_dir}: "
+            f"{sorted((g['depth'], g['width']) for g in geoms)}"
+        )
+    sketch = raw.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+    return sketch, geoms[0]["depth"], geoms[0]["width"]

@@ -439,3 +439,31 @@ def test_url_extraction_and_domain_filter(spark):
     assert kept2 == {2, 3}
     assert tx.domain_filter(pages, bl, keep_unmatched=False).count() == 1
     assert sorted(tx.domain_filter(pages, bl).columns) == ["doc_id", "url"]
+
+
+def test_url_sentence_punctuation_and_null(spark):
+    from firepit_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "visit https://spam.bad.com. Next sentence"),
+         (1, "end with https://ok.org, comma")],
+        ["doc_id", "text"],
+    )
+    urls = {r["doc_id"]: r["u"] for r in docs.select(
+        "doc_id", tx.extract_urls(F.col("text")).alias("u")).collect()}
+    # sentence-final punctuation never joins the host
+    assert urls[0] == ["https://spam.bad.com"]
+    assert urls[1] == ["https://ok.org"]
+
+    pages = spark.createDataFrame(
+        [(0, "https://spam.bad.com"), (1, None), (2, "https://ok.org")],
+        "doc_id long, url string",
+    )
+    # NULL url rows follow keep_unmatched on BOTH blocklist paths
+    kept_list = {r["doc_id"] for r in tx.domain_filter(pages, ["bad.com"]).collect()}
+    bl = spark.createDataFrame([("bad.com",)], ["domain"])
+    kept_df = {r["doc_id"] for r in tx.domain_filter(pages, bl).collect()}
+    assert kept_list == kept_df == {1, 2}
+    assert {r["doc_id"] for r in
+            tx.domain_filter(pages, ["bad.com"], keep_unmatched=False).collect()} == {2}

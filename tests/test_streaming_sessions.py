@@ -284,9 +284,11 @@ def test_stream_cms_hot_keys(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    sketch = read_cms(spark, out)
+    sketch, depth, width = read_cms(spark, out)
+    assert (depth, width) == (4, 1024)
     probes = spark.createDataFrame([("hot",), ("c1",), ("absent",)], ["k"])
-    est = {r["k"]: r["est_count"] for r in sk.cms_query(sketch, probes, "k").collect()}
+    est = {r["k"]: r["est_count"]
+           for r in sk.cms_query(sketch, probes, "k", depth, width).collect()}
     assert est["hot"] >= 80  # both epochs folded
     assert est["c1"] >= 1
     assert est["hot"] > est["c1"]
