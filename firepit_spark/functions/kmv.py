@@ -1,0 +1,127 @@
+"""KMV (k-minimum-values / theta) sketches: mergeable distinct-count
+state that also supports SET EXPRESSIONS.
+
+The HLL rollups (functions/rollup.py) answer "how many distinct users
+per bucket" and merge losslessly — but HLL cannot intersect: "how many
+users did A *and* B" needs a theta-family sketch. KMV keeps the k
+smallest (uniform) hash values per group; then
+
+* distinct estimate  =  (k - 1) / theta,  theta = k-th smallest / 2^64
+* union              =  merge both lists, keep the k smallest
+* intersection       =  Jaccard on the union's k values that appear in
+                        both sketches, scaled by the union estimate
+                        (the standard theta-sketch estimator)
+
+Everything is a plain DataFrame of (group..., hv) rows — at most k per
+group — so sketches persist to parquet, merge by union + re-trim, and
+ship across engines (hashes are md5-derived, not Spark-internal).
+
+Scale shape: building trims to k per group with ONE window over the
+hash-partitioned groups (state per group bounded by k, shuffle keyed on
+the group); set operations touch only sketch rows (<= k per group),
+never raw data. Estimator error ~ 1/sqrt(k): k=1024 gives ~3%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# md5-derived 60-bit uniform hash (engine-portable, like shingle_hash)
+_HASH_SPACE = float(1 << 60)
+
+
+def _hv(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def build_kmv(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Sketch the distinct values of ``value_col`` per group: at most
+    ``k`` rows (group..., hv) with the smallest distinct hash values.
+
+    NULL values are skipped (SQL COUNT DISTINCT semantics). The trim is
+    one distinct + one window, both keyed on the group columns.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    group_cols = group_cols or []
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _hv(F.col(value_col)).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
+        "hv"
+    )
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, group_cols: list | None = None, k: int = 256) -> DataFrame:
+    """Union sketches built with the same hash (any k's): concatenate and
+    re-trim to the k smallest per group — the KMV union law."""
+    it = iter(sketches)
+    allrows = next(it)
+    for s in it:
+        allrows = allrows.unionByName(s)
+    group_cols = group_cols or []
+    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
+        "hv"
+    )
+    return (
+        allrows.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, group_cols: list | None = None, k: int = 256
+) -> DataFrame:
+    """Distinct-count estimate per group: exact row count while the group
+    holds fewer than ``k`` distinct values (the sketch then contains ALL
+    hashes — nothing to estimate), (k-1)/theta once the sketch is full.
+    Pass the same ``k`` the sketch was built with."""
+    group_cols = group_cols or []
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("hv").alias("__kth")
+    )
+    est = F.when(F.col("__n") < F.lit(k), F.col("__n").cast("double")).otherwise(
+        (F.col("__n") - 1) / (F.col("__kth") / F.lit(_HASH_SPACE))
+    )
+    return agg.select(
+        *group_cols, F.round(est, 1).alias("est_distinct"), F.col("__n").alias("k_used")
+    )
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = 256) -> float:
+    """Estimated |A ∩ B| of two UNGROUPED sketches (the theta-sketch
+    estimator): trim the union to k, count how many of those hashes are
+    in both inputs, scale the union estimate by that fraction.
+
+    Driver-side returns a float — sketches are <= k rows each, so the
+    arithmetic is a few tiny jobs; use this for dashboard-style set
+    questions, not per-row joins.
+    """
+    u = kmv_merge(a, b, k=k)
+    rows = u.select("hv").collect()
+    if not rows:
+        return 0.0
+    union_hvs = {r["hv"] for r in rows}
+    kth = max(union_hvs)
+    a_set = {r["hv"] for r in a.select("hv").collect() if r["hv"] in union_hvs}
+    b_set = {r["hv"] for r in b.select("hv").collect() if r["hv"] in union_hvs}
+    both = len(a_set & b_set)
+    n = len(union_hvs)
+    union_est = n if n < k else (n - 1) / (kth / _HASH_SPACE)
+    return round(both / n * union_est, 1)

@@ -1361,3 +1361,42 @@ def test_pq_encoders_are_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan2
+
+
+def test_kmv_sketch_estimate_merge_intersect(spark):
+    from firepit_spark.functions import kmv
+    from pyspark.sql import functions as F
+
+    # per-group: g 'small' has 50 distinct (< k -> exact), 'big' has 2000
+    rows = [(f"s{i}", "small") for i in range(50)]
+    rows += [(f"b{i}", "big") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["user", "g"])
+    sk = kmv.build_kmv(df, "user", ["g"], k=256)
+    per_g = {r["g"]: r for r in kmv.kmv_estimate(sk, ["g"], k=256).collect()}
+    assert per_g["small"]["est_distinct"] == 50.0  # below k: exact
+    assert per_g["small"]["k_used"] == 50
+    assert per_g["big"]["k_used"] == 256
+    assert abs(per_g["big"]["est_distinct"] - 2000) / 2000 < 0.25  # ~1/sqrt(256)
+
+    # merge law: sketch(A) U sketch(B) == sketch(A U B) exactly
+    a = kmv.build_kmv(df.filter("user like 'b%'").limit(1200), "user", k=64)
+    b = kmv.build_kmv(df.filter("user like 'b%'"), "user", k=64)
+    merged = kmv.kmv_merge(a, b, k=64)
+    direct = kmv.build_kmv(df.filter("user like 'b%'"), "user", k=64)
+    assert {r["hv"] for r in merged.collect()} == {r["hv"] for r in direct.collect()}
+
+    # intersection estimate: |A|=600, |B|=600, overlap 200
+    ua = spark.createDataFrame([(f"u{i}",) for i in range(600)], ["user"])
+    ub = spark.createDataFrame([(f"u{i}",) for i in range(400, 1000)], ["user"])
+    ska, skb = kmv.build_kmv(ua, "user", k=256), kmv.build_kmv(ub, "user", k=256)
+    est = kmv.kmv_intersect_estimate(ska, skb, k=256)
+    assert abs(est - 200) / 200 < 0.35
+    # duplicates don't inflate: distinct semantics
+    dup = kmv.build_kmv(ua.unionAll(ua), "user", k=256)
+    est_dup = kmv.kmv_estimate(dup, k=256).collect()[0]["est_distinct"]
+    base = kmv.kmv_estimate(ska, k=256).collect()[0]["est_distinct"]
+    assert est_dup == base
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmv.build_kmv(df, "user", k=1)
