@@ -1,0 +1,132 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The events table (user_id, ts, event_type) is the observation-stream
+twin of the STIX side; these are the two queries every event warehouse
+ends up running:
+
+* :func:`funnel` — how many users complete step1 -> step2 -> ... in
+  order (optionally within a time window of the previous step).
+* :func:`retention` — of the users first seen in cohort bucket C, how
+  many come back k buckets later.
+
+Scale shape: funnel groups each user's events once (reduce key = user,
+bounded by one user's activity) and walks the steps with ONE
+``aggregate`` fold over the sorted per-user array — no per-step join,
+no driver loop, step count only changes the fold expression. Retention
+is two hash aggregations keyed on (user) then (cohort, offset); the
+first-seen bucket rides along via a window over the per-(user, bucket)
+frame, so nothing ever shuffles raw events twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import epoch_seconds
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered-funnel completion counts: one row per funnel stage with
+    the number of users whose events contain the step sequence in order
+    (each step at or after the previous matched step; strictly within
+    ``within_seconds`` of it when set).
+
+    Matching is greedy-earliest (the standard funnel semantics): each
+    step matches its first qualifying occurrence. Returns
+    (stage, step, n_users) with stage 1-based; stages count users who
+    reached AT LEAST that step, so ``n_users`` is non-increasing.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("__u"),
+        F.struct(
+            epoch_seconds(F.col(ts_col)).alias("ep"), F.col(type_col).alias("t")
+        ).alias("__e"),
+    )
+    per_user = ev.groupBy("__u").agg(
+        F.array_sort(F.collect_list("__e")).alias("__seq")
+    )
+    # fold state: (stage reached so far, epoch of the last matched step)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    n = len(steps)
+    deadline_ok = (
+        (lambda acc, e: e["ep"] - acc["last"] <= F.lit(float(within_seconds)))
+        if within_seconds is not None
+        else (lambda acc, e: F.lit(True))
+    )
+    reached = F.aggregate(
+        F.col("__seq"),
+        F.struct(F.lit(0).alias("stage"), F.lit(0.0).alias("last")),
+        lambda acc, e: F.when(
+            (acc["stage"] < n)
+            & (e["t"] == F.element_at(step_arr, acc["stage"] + 1))
+            & ((acc["stage"] == 0) | ((e["ep"] >= acc["last"]) & deadline_ok(acc, e))),
+            F.struct((acc["stage"] + 1).alias("stage"), e["ep"].alias("last")),
+        ).otherwise(acc),
+        lambda acc: acc["stage"],
+    )
+    staged = per_user.select(reached.alias("__reached")).filter(F.col("__reached") > 0)
+    counts = staged.groupBy("__reached").agg(F.count(F.lit(1)).alias("__n"))
+    # at-least-stage counts: reverse cumulative sum over the tiny frame
+    w = (
+        Window.orderBy(F.col("__reached").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("__n").over(w))
+    stages = counts.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["stage", "step"]
+    )
+    return (
+        stages.join(cum, stages["stage"] == cum["__reached"], "left")
+        .select(
+            "stage",
+            "step",
+            F.coalesce(
+                F.max("__cum").over(
+                    Window.orderBy(F.col("stage").desc()).rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_users"),
+        )
+        .orderBy("stage")
+    )
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: (cohort_bucket, period, n_users) — users
+    whose FIRST event falls in ``cohort_bucket`` and who are active
+    again ``period`` buckets later (period 0 is the cohort size).
+
+    Buckets are epoch-aligned ``bucket_seconds`` windows (default
+    weekly)."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    b = F.floor(epoch_seconds(F.col(ts_col)) / F.lit(float(bucket_seconds))).cast(
+        "long"
+    )
+    ub = events.select(F.col(user_col).alias("__u"), b.alias("__b")).distinct()
+    w = Window.partitionBy("__u")
+    cohorted = ub.withColumn("__cohort", F.min("__b").over(w))
+    return (
+        cohorted.groupBy(
+            F.col("__cohort").alias("cohort_bucket"),
+            (F.col("__b") - F.col("__cohort")).alias("period"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_bucket", "period")
+    )

@@ -1400,3 +1400,57 @@ def test_kmv_sketch_estimate_merge_intersect(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmv.build_kmv(df, "user", k=1)
+
+
+def test_funnel_and_retention(spark):
+    from firepit_spark.functions import events as evf
+
+    rows = [
+        # u1 completes view->cart->buy in order
+        (1, "2020-01-01 00:00:00", "view"),
+        (1, "2020-01-01 00:10:00", "cart"),
+        (1, "2020-01-01 00:20:00", "buy"),
+        # u2 views then carts (no buy)
+        (2, "2020-01-01 01:00:00", "view"),
+        (2, "2020-01-01 01:30:00", "cart"),
+        # u3 carts BEFORE viewing: order violated, only reaches 'view'
+        (3, "2020-01-01 02:00:00", "cart"),
+        (3, "2020-01-01 02:10:00", "view"),
+        # u4 never does a funnel step
+        (4, "2020-01-01 03:00:00", "error"),
+        # u5 completes but cart comes 2h after view (window test)
+        (5, "2020-01-02 00:00:00", "view"),
+        (5, "2020-01-02 02:00:00", "cart"),
+        (5, "2020-01-02 02:05:00", "buy"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {r["stage"]: (r["step"], r["n_users"])
+           for r in evf.funnel(ev, ["view", "cart", "buy"]).collect()}
+    assert got == {1: ("view", 4), 2: ("cart", 3), 3: ("buy", 2)}
+
+    # 1-hour step window: u5's 2h view->cart gap breaks the chain
+    within = {r["stage"]: r["n_users"]
+              for r in evf.funnel(ev, ["view", "cart", "buy"],
+                                  within_seconds=3600).collect()}
+    assert within == {1: 4, 2: 2, 3: 1}
+
+    # retention with daily buckets: u1-u4 are day-0 cohort, u5 day-1;
+    # add a comeback on day 2 for u1
+    ev2 = ev.unionByName(spark.createDataFrame(
+        [(1, "2020-01-03 01:00:00", "view")],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")))
+    ret = {(r["cohort_bucket"], r["period"]): r["n_users"]
+           for r in evf.retention(ev2, bucket_seconds=86400).collect()}
+    day0 = min(c for c, p in ret)
+    assert ret[(day0, 0)] == 4          # u1..u4
+    assert ret[(day0, 2)] == 1          # u1 back two days later
+    assert ret[(day0 + 1, 0)] == 1      # u5's cohort
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        evf.funnel(ev, [])
+    with _pytest.raises(ValueError):
+        evf.retention(ev, bucket_seconds=0)
