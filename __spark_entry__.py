@@ -445,17 +445,10 @@ FROM lineitem GROUP BY 1, 2
 def q20_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap via window lag + running sum
     (streaming-adjacent op the reference lacks; SURVEY §2.10)."""
+    from firepit_spark.functions.temporal import sessionize
+
     r = _resolver(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = r("events").withColumn("ep", epoch_seconds("ts"))
-    gap = F.when(
-        F.lag("ep").over(w).isNull() | ((F.col("ep") - F.lag("ep").over(w)) > 1800.0),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    sess = ev.withColumn("new_sess", gap).withColumn(
-        "sess_id",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = sessionize(r("events"), "user_id", "ts", 1800.0, tiebreak_col="event_id")
     return sess.groupBy("user_id").agg(
         F.max("sess_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )

@@ -123,3 +123,35 @@ def range_join(
         "__bucket", F.floor(epoch_seconds(event_ts) / b).cast("long")
     )
     return ev.join(iv, "__bucket", how).filter(cond_in).drop("__bucket")
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign inactivity-gap session ids: a new session starts whenever a
+    key's gap since its previous event exceeds ``gap_seconds``.
+
+    Returns the input plus ``sess_id`` (1-based, per key, in time order)
+    — the batch twin of ``streaming/sessions.py:gap_sessions`` and the
+    library core behind the q20 entry. One window keyed on ``key_col``
+    (lag + running sum in the same frame, single sort-shuffle);
+    ``tiebreak_col`` makes equal-timestamp ordering deterministic.
+    NTZ-safe via :func:`firepit_spark.functions.epoch_seconds`.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ep = epoch_seconds(F.col(ts_col))
+    gap = F.when(
+        F.lag(ep).over(w).isNull() | ((ep - F.lag(ep).over(w)) > float(gap_seconds)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "sess_id",
+        F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1454,3 +1454,25 @@ def test_funnel_and_retention(spark):
         evf.funnel(ev, [])
     with _pytest.raises(ValueError):
         evf.retention(ev, bucket_seconds=0)
+
+
+def test_sessionize_batch(spark):
+    from firepit_spark.functions.temporal import sessionize
+
+    rows = [
+        (1, "2020-01-01 00:00:00"), (1, "2020-01-01 00:10:00"),  # sess 1
+        (1, "2020-01-01 01:00:00"),                               # gap>30m: sess 2
+        (2, "2020-01-01 00:00:00"),                               # own key: sess 1
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {(r["user_id"], str(r["ts"])): r["sess_id"]
+           for r in sessionize(ev, gap_seconds=1800).collect()}
+    assert got[(1, "2020-01-01 00:00:00")] == 1
+    assert got[(1, "2020-01-01 00:10:00")] == 1
+    assert got[(1, "2020-01-01 01:00:00")] == 2
+    assert got[(2, "2020-01-01 00:00:00")] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sessionize(ev, gap_seconds=0)
