@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,13 +60,26 @@ def main():
             except Exception:
                 pass
 
+    # BASELINE.md records per-query median-of-3; measure the same thing
+    # here so the driver artifact and the recorded baseline are
+    # comparable (single-run host noise pushed sub-second queries past
+    # the 2x gate in round 4 with zero plan change).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: {timings[name]}s median of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
