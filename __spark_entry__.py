@@ -17,6 +17,7 @@ Determinism rules used throughout (both sides):
 
 from __future__ import annotations
 
+import base64
 import os
 from collections.abc import Callable
 
@@ -1655,7 +1656,8 @@ def _stix_store(spark, sf_dir):
                 "modified": "2024-06-01T00:00:00.000Z",
                 "first_observed": obs_ts,
                 "last_observed": obs_ts,
-                "number_observed": 1,
+                # varied so SUM(number_observed) differs from COUNT(*)
+                "number_observed": 1 + e % 3,
                 "objects": {
                     "0": {"type": "ipv4-addr", "value": f"10.0.{u % 50}.1"},
                     "1": {"type": "ipv4-addr", "value": f"192.168.{e % 20}.9"},
@@ -1685,6 +1687,14 @@ def _stix_store(spark, sf_dir):
                         "pid": 1000 + e % 500,
                         "binary_ref": "5",
                     },
+                    # base64 payload for q54's payload_bin leg (P11)
+                    "7": {
+                        "type": "artifact",
+                        "mime_type": "text/plain",
+                        "payload_bin": base64.b64encode(
+                            f"user={u % 20};act={etype}".encode()
+                        ).decode("ascii"),
+                    },
                 },
             }
         )
@@ -1698,16 +1708,44 @@ def _stix_store(spark, sf_dir):
 def q54_stix_extract(spark, sf_dir):
     """Bundle ingest + STIX pattern extract: flatten (S2), vectorized cache
     (S7/S12), content-addressed id merge (S10), pattern compile (P8) and
-    extract (C1). The url table id-merges duplicates, so the result is the
+    extract (C1), across three operator legs unioned on ``value``:
+
+    - url LIKE (the plain string path),
+    - ipv4-addr ISSUBSET (P9 — CIDR membership as a packed-long BETWEEN,
+      functions/net.py, replacing the reference's in_subnet UDF,
+      firepit/sqlitestorage.py:54-61),
+    - artifact payload_bin LIKE (P11 — JVM-side unbase64 + LIKE, replacing
+      the reference's like_bin UDF, firepit/sqlitestorage.py:70-87).
+
+    Each target table id-merges duplicates, so every leg yields the
     distinct matching values — reproduced by the oracle from events."""
     st = _stix_store(spark, sf_dir)
     st.extract("purchase_urls", "url", "q1", "[url:value LIKE '%/purchase']")
-    return st.get_df("purchase_urls").select("value")
+    st.extract(
+        "mid_ips", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '10.0.16.0/21']"
+    )
+    st.extract(
+        "purchase_payloads", "artifact", "q1",
+        "[artifact:payload_bin LIKE '%act=purchase']",
+    )
+    return (
+        st.get_df("purchase_urls").select("value")
+        .unionByName(st.get_df("mid_ips").select("value"))
+        .unionByName(st.get_df("purchase_payloads").select(
+            F.col("payload_bin").alias("value")))
+    )
 
 
 _Q54_SQL = f"""
 SELECT DISTINCT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/purchase'
        AS value
+FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+UNION ALL
+SELECT DISTINCT '10.0.' || CAST(user_id % 50 AS VARCHAR) || '.1' AS value
+FROM events WHERE event_id < {_STIX_N_EVENTS} AND (user_id % 50) BETWEEN 16 AND 23
+UNION ALL
+SELECT DISTINCT base64(encode('user=' || CAST(user_id % 20 AS VARCHAR)
+       || ';act=purchase')) AS value
 FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
 """
 
@@ -1743,21 +1781,48 @@ FROM e GROUP BY 1
 
 def q56_stix_value_counts(spark, sf_dir):
     """Observation counting: the view ⋈ __contains ⋈ observed-data triple
-    join (J6) behind value_counts (A8) — one count per distinct url value,
-    where the count is how many observations contain that (id-merged)
-    SCO. The oracle is a plain GROUP BY over events because each event
-    contributes exactly one observation containing its url once."""
+    join (J6) behind value_counts (A8), number_observed (A9), and summary
+    (A10) — one row per distinct url value carrying the observation count,
+    the per-value SUM(number_observed), and the view-global summary triple
+    (MIN first / MAX last / SUM number_observed) broadcast onto every row.
+    The oracle is a GROUP BY over events because each event contributes
+    exactly one observation containing its url once, with number_observed
+    = 1 + event_id % 3 and the varied per-event observation time."""
     st = _stix_store(spark, sf_dir)
     st.extract("all_urls", "url", "q1", "")
-    return st.value_counts_df("all_urls", "url:value")
+    counts = st.value_counts_df("all_urls", "url:value")
+    nobs = st.number_observed_df("all_urls", "url:value")
+    summ = st.summary_df("all_urls").select(
+        F.col("first_observed").alias("first_obs_all"),
+        F.col("last_observed").alias("last_obs_all"),
+        F.col("number_observed").alias("n_obs_all"),
+    )
+    return (
+        counts.join(nobs, "value")
+        .crossJoin(F.broadcast(summ))
+        .select("value", "count", "number_observed",
+                "first_obs_all", "last_obs_all", "n_obs_all")
+    )
 
 
 _Q56_SQL = f"""
-SELECT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
-         AS value,
-       COUNT(*) AS count
-FROM events WHERE event_id < {_STIX_N_EVENTS}
-GROUP BY 1
+WITH e AS (
+  SELECT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
+           AS value,
+         1 + event_id % 3 AS n_obs,
+         TIMESTAMP '2024-06-01 00:00:00'
+           + ((event_id * 7) % 86400) * INTERVAL 1 SECOND AS obs_ts
+  FROM events WHERE event_id < {_STIX_N_EVENTS}
+),
+summ AS (
+  SELECT MIN(obs_ts) AS first_obs_all, MAX(obs_ts) AS last_obs_all,
+         CAST(SUM(n_obs) AS BIGINT) AS n_obs_all
+  FROM e
+)
+SELECT value, COUNT(*) AS count, CAST(SUM(n_obs) AS BIGINT) AS number_observed,
+       first_obs_all, last_obs_all, n_obs_all
+FROM e CROSS JOIN summ
+GROUP BY value, first_obs_all, last_obs_all, n_obs_all
 """
 
 

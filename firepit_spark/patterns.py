@@ -72,8 +72,11 @@ class _Parser:
     """Recursive descent over the paramstix token stream.
 
     AST nodes: ('comp', sco_type, prop, op, value) / ('and', l, r) /
-    ('or', l, r). Observation brackets dissolve into the same node space
-    (the reference transformer does the same flattening)."""
+    ('or', l, r), with observation-level combinators tagged ('obs_and',
+    l, r) / ('obs_or', l, r) so summarize_pattern can reproduce the
+    reference's obs-AND-is-intersection rule; compile_pattern treats the
+    obs-level tags identically to their comparison-level twins (the
+    reference transformer does the same flattening)."""
 
     def __init__(self, tokens):
         self.toks = tokens
@@ -109,14 +112,14 @@ class _Parser:
         node = self.obs_conj()
         while self.peek() == "OR":
             self.next()
-            node = ("or", node, self.obs_conj())
+            node = ("obs_or", node, self.obs_conj())
         return node
 
     def obs_conj(self):
         node = self.obs_exp()
         while self.peek() == "AND":
             self.next()
-            node = ("and", node, self.obs_exp())
+            node = ("obs_and", node, self.obs_exp())
         return node
 
     def obs_exp(self):
@@ -213,6 +216,34 @@ def pattern_time_range(pattern: str):
     if not p.qualifier:
         return None
     return tuple(q[2:-1] if q.startswith("t'") else q for q in p.qualifier)
+
+
+def summarize_pattern(pattern: str):
+    """Map each SCO type referenced in ``pattern`` to the set of property
+    paths it touches (parity: firepit/stix20.py:162-208; used by
+    Kestrel-style callers to pre-plan which columns a pattern needs).
+
+    Matches the reference transformer exactly: observation-level AND
+    (``[..] AND [..]``) INTERSECTS the path sets, while comparison-level
+    AND/OR and observation-level OR all union."""
+    from collections import defaultdict
+
+    ast = parse_pattern(pattern)
+
+    def walk(node):
+        kind = node[0]
+        if kind == "comp":
+            _, styp, prop, _op, _val = node
+            return {f"{styp}:{prop}"}
+        _, left, right = node
+        lp, rp = walk(left), walk(right)
+        return lp & rp if kind == "obs_and" else lp | rp
+
+    result = defaultdict(set)
+    for path in walk(ast):
+        styp, _, prop = path.partition(":")
+        result[styp].add(prop)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +357,7 @@ def compile_pattern(pattern: str, sco_type: str, storage=None) -> list:
             return rp
         if rp is None:
             return lp
-        return (("and" if kind == "and" else "or"), lp, rp)
+        return (("and" if kind in ("and", "obs_and") else "or"), lp, rp)
 
     tree = walk(ast)
     if tree is None:

@@ -1189,21 +1189,23 @@ class SparkStorage:
             viewname, timestamp, path, value, limit, run
         )
 
+    def summary_df(self, viewname: str) -> DataFrame:
+        """One-row frame MIN(first_observed), MAX(last_observed),
+        SUM(number_observed) — the distributed core of :meth:`summary`.
+        At scale the single row stays engine-side (broadcastable onto
+        other frames) instead of collecting."""
+        validate_name(viewname)
+        df = self._resolve(viewname)
+        return self._obs_join(df).agg(
+            F.min("obs.first_observed").alias("first_observed"),
+            F.max("obs.last_observed").alias("last_observed"),
+            F.sum("obs.number_observed").alias("number_observed"),
+        )
+
     def summary(self, viewname: str, path=None):
         """MIN(first_observed), MAX(last_observed), SUM(number_observed)
         (parity: firepit/sqlstorage.py:992-1026)."""
-        validate_name(viewname)
-        df = self._resolve(viewname)
-        row = (
-            self._obs_join(df)
-            .agg(
-                F.min("obs.first_observed").alias("first_observed"),
-                F.max("obs.last_observed").alias("last_observed"),
-                F.sum("obs.number_observed").alias("number_observed"),
-            )
-            .collect()[0]
-        )
-        return row.asDict()
+        return self.summary_df(viewname).collect()[0].asDict()
 
     def _path_column(self, viewname: str, path: str):
         """(df, column) for a STIX path over a view: direct column, flat
@@ -1236,6 +1238,18 @@ class SparkStorage:
     def value_counts(self, viewname: str, path: str):
         """Per-value observation counts (parity: firepit/sqlstorage.py:854-874)."""
         return [r.asDict() for r in self.value_counts_df(viewname, path).collect()]
+
+    def number_observed_df(self, viewname: str, path: str) -> DataFrame:
+        """Per-value SUM(number_observed) as a DataFrame — the distributed
+        core of :meth:`number_observed`, grouped by the path's value so one
+        pass serves every value filter."""
+        validate_name(viewname)
+        df, prop = self._path_column(viewname, path)
+        return (
+            self._obs_join(df)
+            .groupBy(F.col(f"v.`{prop}`").alias(prop))
+            .agg(F.sum("obs.number_observed").alias("number_observed"))
+        )
 
     def number_observed(self, viewname: str, path: str, value=None) -> int:
         """SUM(number_observed) for a path (+ optional value filter)

@@ -15,8 +15,8 @@ def test_parse_and_or():
     ast = parse_pattern(
         "[url:value LIKE '%x%'] AND ([ipv4-addr:value = '1.1.1.1'] OR [url:value = 'y'])"
     )
-    assert ast[0] == "and"
-    assert ast[2][0] == "or"
+    assert ast[0] == "obs_and"
+    assert ast[2][0] == "obs_or"
 
 
 def test_parse_in_list():
@@ -203,3 +203,33 @@ def test_filter_honor_qualifiers(spark, tmp_path):
     pat = "[url:value LIKE '%/%'] START t'2020-05-01T00:00:00Z' STOP t'2020-07-01T00:00:00Z'"
     st.filter("late_urls", "url", "all_urls", pat, honor_qualifiers=True)
     assert [r["value"] for r in st.lookup("late_urls")] == ["http://a/late"]
+
+
+# -- summarize_pattern (parity: firepit/stix20.py:162-208; cases mirror
+#    reference tests/test_stix_patterns.py::test_summarize_pattern) --------
+
+@pytest.mark.parametrize(
+    "pattern, expected", [
+        ("[ipv4-addr:value = '9.9.9.9']", {"ipv4-addr": {"value"}}),
+        ("[url:value LIKE '%blah%']", {"url": {"value"}}),
+        ("[process:pid IN (1, 2, 3)]", {"process": {"pid"}}),
+        ("[ipv4-addr:value = '9.9.9.9' OR url:value = 'http://example.com/foo']",
+         {"ipv4-addr": {"value"}, "url": {"value"}}),
+        ("[process:command_line LIKE '% -x' AND process:name = 'foo.exe']",
+         {"process": {"command_line", "name"}}),
+        ("[url:value LIKE '%blah%'] START t'2017-05-01T18:54:01.000Z'"
+         " STOP t'2017-05-01T20:27:08.000Z'",
+         {"url": {"value"}}),
+        ("[network-traffic:dst_port < 10000]", {"network-traffic": {"dst_port"}}),
+        # observation-level AND intersects path sets (reference obs_conj
+        # uses `lhs & rhs`); OR between observations unions
+        ("[url:value = 'a'] AND [url:value = 'b']", {"url": {"value"}}),
+        ("[url:value = 'a'] AND [process:pid = 1]", {}),
+        ("[url:value = 'a'] OR [process:pid = 1]",
+         {"url": {"value"}, "process": {"pid"}}),
+    ],
+)
+def test_summarize_pattern(pattern, expected):
+    from firepit_spark.patterns import summarize_pattern
+
+    assert dict(summarize_pattern(pattern)) == expected
