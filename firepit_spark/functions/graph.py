@@ -64,11 +64,31 @@ def ancestors(
     return out
 
 
+def _truncate(df: DataFrame, eager: bool, checkpoint_dir: str | None) -> DataFrame:
+    """Cut lineage for one iteration round.
+
+    Default is ``localCheckpoint`` (executor-local blocks — fast, no
+    configured dir needed, right for local mode and short jobs). With
+    ``checkpoint_dir`` set we use reliable ``checkpoint()`` to that
+    directory instead: on a real cluster a lost executor drops its
+    localCheckpoint blocks and KILLS the whole iterative job, while
+    reliable checkpoints live on the shared filesystem and recompute-free
+    recovery works. Any long-running 100-TB closure should pass a dir on
+    HDFS/S3."""
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) labels for an undirected edge list; the component
     id is the smallest node id in the component (deterministic, so the
@@ -81,7 +101,9 @@ def connected_components(
     tiny diameters, so this typically ends in 2-4 rounds; the convergence
     probe (count of changed labels) exits early.
 
-    Each round is ``localCheckpoint``-ed: without lineage truncation the
+    Each round is lineage-truncated (``localCheckpoint`` by default,
+    reliable ``checkpoint`` when ``checkpoint_dir`` is given — required
+    for failure-durability on a real cluster): without truncation the
     round-k plan textually embeds both round-(k-1) operands, so the plan
     TREE doubles per round — Spark OOMs building the explain string long
     before any data pressure (observed at ~8 rounds). Checkpointing makes
@@ -90,18 +112,20 @@ def connected_components(
     ContextCleaner when the superseded frames are garbage-collected.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
+    sym = _truncate(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+        .distinct(),
         # eager: also cuts the (possibly expensive) upstream pair-
         # generation lineage out of every round's plan
-        .localCheckpoint(eager=True)
+        eager=True,
+        checkpoint_dir=checkpoint_dir,
     )
-    labels = (
+    labels = _truncate(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("comp", F.col("node")),
+        eager=True,
+        checkpoint_dir=checkpoint_dir,
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -109,15 +133,16 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("comp").alias("nb_comp"))
         )
-        new_labels = (
+        new_labels = _truncate(
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
                 ).alias("comp"),
-            )
-            .localCheckpoint(eager=False)  # materialized by the count below
+            ),
+            eager=False,  # materialized by the count below
+            checkpoint_dir=checkpoint_dir,
         )
         n_changed = (
             new_labels.alias("n")
@@ -133,12 +158,18 @@ def connected_components(
 
 
 def dedup_clusters(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate clusters from a similarity-pair list: (doc, cluster)
     where cluster = min doc id in the connected component — the keep-one-
     per-cluster endgame of every pairwise dedup operator in dedup.py."""
-    return connected_components(pairs, src=src, dst=dst, max_iter=max_iter).select(
+    return connected_components(
+        pairs, src=src, dst=dst, max_iter=max_iter, checkpoint_dir=checkpoint_dir
+    ).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
 

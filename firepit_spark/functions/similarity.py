@@ -500,6 +500,7 @@ def semantic_dedup(
     n_cells: int = 16,
     method: str = "greedy",
     seed: int = 42,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus into Voronoi cells, score cosine pairs only WITHIN each
@@ -525,6 +526,14 @@ def semantic_dedup(
     deduplicated corpus. Near-dup boundary note: cosine is rounded to
     6 decimals before the threshold compare, matching every other
     similarity operator here (oracle-stable).
+
+    ``max_cell_size`` is the 100-TB safety contract: a degenerate
+    centroid set (one cell swallowing the corpus) silently regresses the
+    per-cell n_i² pair join to all-pairs. With a cap, any cell larger
+    than ``max_cell_size`` is hash-split into ceil(n_i/cap) sub-cells for
+    PAIRING ONLY (the reported ``sem_cell`` is unchanged), bounding pair
+    work at n_cells·cap² at the cost of missing cross-sub-cell dups —
+    the standard SemDeDup sampling trade made explicit instead of OOMing.
     """
     if method not in ("greedy", "components"):
         raise ValueError(f"method must be 'greedy' or 'components', got {method}")
@@ -536,16 +545,38 @@ def semantic_dedup(
     assigned = idx.assigned.withColumnRenamed("__cell", "sem_cell")
     # per-row norm hoisted out of the pair expression (see brute_force_topk)
     withn = assigned.withColumn("__n", l2_norm(F.col(vec_col)))
+    if max_cell_size is not None:
+        # hot-cell bound: pair within hash-split sub-cells of <= cap rows
+        splits = (
+            assigned.groupBy("sem_cell")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .select(
+                "sem_cell",
+                F.ceil(F.col("__cn") / F.lit(max_cell_size))
+                .cast("int")
+                .alias("__nsplit"),
+            )
+        )
+        withn = withn.join(F.broadcast(splits), "sem_cell").withColumn(
+            "__pcell",
+            F.concat_ws(
+                "#",
+                F.col("sem_cell").cast("string"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsplit")).cast("string"),
+            ),
+        )
+    else:
+        withn = withn.withColumn("__pcell", F.col("sem_cell").cast("string"))
     a = withn.select(
-        F.col("sem_cell"), F.col(id_col).alias("id_a"),
+        F.col("__pcell"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"), F.col("__n").alias("__na"),
     )
     b = withn.select(
-        F.col("sem_cell"), F.col(id_col).alias("id_b"),
+        F.col("__pcell"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb"),
     )
     pairs = (
-        a.join(b, "sem_cell")
+        a.join(b, "__pcell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(

@@ -700,6 +700,29 @@ def test_connected_components(spark):
     release(clusters)
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir routes lineage truncation through reliable
+    checkpoint() (failure-durable on a real cluster, unlike
+    localCheckpoint); results are identical and checkpoint files land in
+    the configured dir."""
+    import os
+
+    from firepit_spark.functions import release
+    from firepit_spark.functions.graph import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (10, 11)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges, checkpoint_dir=ckpt)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # reliable checkpoints were actually written to the shared dir
+    wrote = any(files for _, _, files in os.walk(ckpt))
+    assert wrote, "no checkpoint data written under checkpoint_dir"
+    release(labels)
+
+
 def test_connected_components_converges_early(spark):
     """A clique converges in one round regardless of max_iter; labels are
     partitioning-independent."""
@@ -1001,6 +1024,34 @@ def test_hot_keys_finds_skew(spark):
     found = [r["k"] for r in got.collect()]
     release(got)
     assert found == ["whale"]  # 50% share found, no uniform key promoted
+
+
+def test_semantic_dedup_hot_cell_bound(spark):
+    """max_cell_size caps per-cell pair work: a degenerate single-centroid
+    corpus is hash-split into ceil(n/cap) sub-cells for pairing, so exact
+    duplicates still dedup within each sub-cell while the reported
+    sem_cell stays the original cell id; a cap above the cell size is a
+    no-op vs the uncapped run."""
+    n = 40
+    rows = [(i, [1.0, 0.0]) for i in range(n)]  # all identical -> one hot cell
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0]]
+
+    uncapped = sim.semantic_dedup(vecs, centroids=cents, threshold=0.99)
+    assert [r["vec_id"] for r in uncapped.collect()] == [0]
+
+    capped = sim.semantic_dedup(
+        vecs, centroids=cents, threshold=0.99, max_cell_size=10
+    )
+    kept = sorted(r["vec_id"] for r in capped.collect())
+    # one survivor per non-empty hash sub-cell, never more than ceil(n/cap)
+    assert 1 <= len(kept) <= 4
+    assert {r["sem_cell"] for r in capped.collect()} == {0}
+
+    big_cap = sim.semantic_dedup(
+        vecs, centroids=cents, threshold=0.99, max_cell_size=1000
+    )
+    assert [r["vec_id"] for r in big_cap.collect()] == [0]
 
 
 def test_semantic_dedup_greedy_and_components(spark):
