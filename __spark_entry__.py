@@ -1874,25 +1874,38 @@ SELECT '/opt/app' || CAST(dir_m AS VARCHAR) AS dir_path FROM p
 
 
 def q59_stix_reassign(spark, sf_dir):
-    """Write-back round trip (S9): lookup the url view, enrich each object
-    with a computed column, ``reassign`` it through unresolve + the LSM
-    merge path, and read the view back (parity: firepit/sqlstorage.py:
-    504-539). The new column must land on every id-merged row while
-    ``value`` stays untouched — the oracle recomputes both from events."""
+    """Write-back round trips, both legs in one result (S9 + enrich):
+
+    - ``reassign`` (the reference's small-interactive-view path, parity:
+      firepit/sqlstorage.py:504-539): lookup collects the view, a Python
+      loop tags each object, unresolve + the LSM merge write it back.
+    - ``enrich`` (the scale path, storage.py): the SAME warehouse gets a
+      second tag from a DataFrame built engine-side (regexp over the url
+      table — no driver collect anywhere in the leg), merged through the
+      identical LSM latest-non-null path.
+
+    Both tags must land on every id-merged row while ``value`` stays
+    untouched — the oracle recomputes all three columns from events,
+    proving the no-collect leg hash-equals the reference-faithful one."""
     st = _stix_store(spark, sf_dir)
     st.extract("tagged_urls", "url", "q1", "")
     objs = st.lookup("tagged_urls")
     for o in objs:
         o["x_host_tag"] = o["value"].split("/")[2].split(".")[0]
     st.reassign("tagged_urls", objs)
-    return st.get_df("tagged_urls").select("value", "x_host_tag")
+    enrichment = st.table_df("url").select(
+        "id", F.regexp_extract("value", r"[^/]+$", 0).alias("x_path_tag")
+    )
+    st.enrich("url", enrichment)
+    return st.get_df("tagged_urls").select("value", "x_host_tag", "x_path_tag")
 
 
 _Q59_SQL = f"""
 SELECT DISTINCT
        'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
          AS value,
-       'site' || CAST(user_id % 20 AS VARCHAR) AS x_host_tag
+       'site' || CAST(user_id % 20 AS VARCHAR) AS x_host_tag,
+       event_type AS x_path_tag
 FROM events WHERE event_id < {_STIX_N_EVENTS}
 """
 
