@@ -35,8 +35,8 @@ def funnel(
 ) -> DataFrame:
     """Ordered-funnel completion counts: one row per funnel stage with
     the number of users whose events contain the step sequence in order
-    (each step at or after the previous matched step; strictly within
-    ``within_seconds`` of it when set).
+    (each step at or after the previous matched step; within
+    ``within_seconds`` of it, INCLUSIVE of the boundary, when set).
 
     Matching is greedy-earliest (the standard funnel semantics): each
     step matches its first qualifying occurrence. Returns

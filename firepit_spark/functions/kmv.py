@@ -18,8 +18,11 @@ ship across engines (hashes are md5-derived, not Spark-internal).
 
 Scale shape: building trims to k per group with ONE window over the
 hash-partitioned groups (state per group bounded by k, shuffle keyed on
-the group); set operations touch only sketch rows (<= k per group),
-never raw data. Estimator error ~ 1/sqrt(k): k=1024 gives ~3%.
+the group); the UNGROUPED case trims in two levels (k smallest per
+uniform hash bucket in parallel, then one tiny window over <= k*buckets
+rows) so no single task ever sorts the full distinct set; set operations
+touch only sketch rows (<= k per group), never raw data. Estimator
+error ~ 1/sqrt(k): k=1024 gives ~3%.
 """
 
 from __future__ import annotations
@@ -36,6 +39,39 @@ def _hv(col) -> F.Column:
     )
 
 
+_TRIM_BUCKETS = 64
+
+
+def _trim_smallest(df: DataFrame, group_cols: list, k: int) -> DataFrame:
+    """Keep the k smallest ``hv`` per group.
+
+    Grouped: one window keyed on the group columns (parallel across
+    groups). Ungrouped: a single global window would funnel EVERY
+    distinct hash through one task — instead trim in two levels: k
+    smallest per uniform hash bucket (parallel, pmod on the already-
+    uniform hv so buckets are balanced), then the global window over at
+    most k * _TRIM_BUCKETS survivors."""
+    if group_cols:
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("hv")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    wb = Window.partitionBy(F.pmod(F.col("hv"), F.lit(_TRIM_BUCKETS))).orderBy("hv")
+    pre = (
+        df.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    wg = Window.partitionBy(F.lit(1)).orderBy("hv")
+    return (
+        pre.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def build_kmv(
     df: DataFrame,
     value_col: str,
@@ -46,7 +82,7 @@ def build_kmv(
     ``k`` rows (group..., hv) with the smallest distinct hash values.
 
     NULL values are skipped (SQL COUNT DISTINCT semantics). The trim is
-    one distinct + one window, both keyed on the group columns.
+    one distinct + the two-level window of :func:`_trim_smallest`.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -56,33 +92,24 @@ def build_kmv(
         .select(*group_cols, _hv(F.col(value_col)).alias("hv"))
         .distinct()
     )
-    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
-        "hv"
-    )
-    return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _trim_smallest(hashed, group_cols, k)
 
 
 def kmv_merge(*sketches: DataFrame, group_cols: list | None = None, k: int = 256) -> DataFrame:
-    """Union sketches built with the same hash (any k's): concatenate and
-    re-trim to the k smallest per group — the KMV union law."""
+    """Union sketches built with the same hash: concatenate and re-trim to
+    the k smallest per group — the KMV union law.
+
+    When the inputs were built with DIFFERENT k's, pass
+    ``k = min(k_i)`` (and estimate at that k): a smaller-k sketch cannot
+    contribute hashes above its own theta, so keeping more than the
+    minimum k inflates the merged k-th minimum and biases the estimate
+    low."""
     it = iter(sketches)
     allrows = next(it)
     for s in it:
         allrows = allrows.unionByName(s)
     group_cols = group_cols or []
-    w = Window.partitionBy(*[F.col(c) for c in group_cols] or [F.lit(1)]).orderBy(
-        "hv"
-    )
-    return (
-        allrows.distinct()
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _trim_smallest(allrows.distinct(), group_cols, k)
 
 
 def kmv_estimate(

@@ -188,8 +188,12 @@ def domain_filter(
         else:
             cond = cond & (dom != "")
         return df.filter(cond)
-    bl = blocklist.toDF("__blocked_domain").select(
-        F.lower(F.col("__blocked_domain")).alias("__blocked_domain")
+    # blank blocklist entries would anti-join away the ''-domain rows the
+    # list path keeps under keep_unmatched — drop them so both paths agree
+    bl = (
+        blocklist.toDF("__blocked_domain")
+        .select(F.lower(F.col("__blocked_domain")).alias("__blocked_domain"))
+        .filter(F.col("__blocked_domain") != "")
     )
     tagged = df.withColumn("__dom", dom)
     kept = tagged.join(

@@ -439,6 +439,12 @@ def test_url_extraction_and_domain_filter(spark):
     assert kept2 == {2, 3}
     assert tx.domain_filter(pages, bl, keep_unmatched=False).count() == 1
     assert sorted(tx.domain_filter(pages, bl).columns) == ["doc_id", "url"]
+    # blank blocklist entries must NOT drop the ''-domain (unparseable)
+    # rows under keep_unmatched=True — both paths agree
+    bl_blank = spark.createDataFrame([("bad.com",), ("",)], ["domain"])
+    kept3 = {r["doc_id"] for r in tx.domain_filter(pages, bl_blank).collect()}
+    assert kept3 == {0, 2, 3}
+    assert kept3 == {r["doc_id"] for r in tx.domain_filter(pages, ["bad.com", ""]).collect()}
 
 
 def test_url_sentence_punctuation_and_null(spark):

@@ -1448,6 +1448,22 @@ def test_kmv_sketch_estimate_merge_intersect(spark):
     base = kmv.kmv_estimate(ska, k=256).collect()[0]["est_distinct"]
     assert est_dup == base
 
+    # mixed-k merge: trim to min(k of inputs) and estimate at that k —
+    # the small-k sketch can't contribute hashes above its own theta, so
+    # merging at the LARGER k would bias the union estimate low
+    part_a = spark.createDataFrame([(f"m{i}",) for i in range(1500)], ["user"])
+    part_b = spark.createDataFrame([(f"m{i}",) for i in range(1500, 3000)], ["user"])
+    sk_small = kmv.build_kmv(part_a, "user", k=64)
+    sk_big = kmv.build_kmv(part_b, "user", k=512)
+    merged_min = kmv.kmv_merge(sk_small, sk_big, k=64)
+    assert merged_min.count() == 64
+    est_min = kmv.kmv_estimate(merged_min, k=64).collect()[0]["est_distinct"]
+    assert abs(est_min - 3000) / 3000 < 0.4  # ~1/sqrt(64) band
+    # the documented failure mode: merging at the larger k underestimates
+    merged_big = kmv.kmv_merge(sk_small, sk_big, k=512)
+    est_big = kmv.kmv_estimate(merged_big, k=512).collect()[0]["est_distinct"]
+    assert est_big < 3000 * 0.8
+
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmv.build_kmv(df, "user", k=1)
