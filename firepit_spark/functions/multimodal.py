@@ -69,10 +69,49 @@ def _fake_feature(content: bytes) -> str:
 
 
 def decode_stub(kind: str, content: bytes):
-    """Placeholder for codecs that need external libraries (JPEG entropy
-    decode, audio, video). Replace with PIL/librosa/av in production;
-    PNG has a real pure-python kernel here (:func:`png_decode`)."""
+    """Terminal fallback for codecs that need external libraries (JPEG
+    entropy decode, compressed audio, video frames). The decode_* entry
+    points below only land here when the pure-python kernel doesn't cover
+    the container AND the optional library (Pillow / soundfile / av) is
+    not installed."""
     raise NotImplementedError(f"no {kind} codec available in this environment")
+
+
+def decode_image(content: bytes) -> "np.ndarray":
+    """(h, w, channels) uint8 pixels for any decodable image.
+
+    PNG always decodes via the built-in pure-python kernel
+    (:func:`png_decode`); other containers (JPEG/GIF/BMP/WebP) use
+    Pillow WHEN INSTALLED and fall back to :func:`decode_stub` otherwise
+    — this repo's container has no codec libs, so the stub path is the
+    tested default and the Pillow path is exercised wherever the library
+    exists."""
+    if content and content.startswith(_PNG_SIG):
+        return png_decode(content)
+    try:
+        from PIL import Image
+    except ImportError:
+        return decode_stub("image", content)
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    return arr if arr.ndim == 3 else arr[:, :, None]
+
+
+def decode_audio(content: bytes) -> "tuple[np.ndarray, int]":
+    """(samples, sample_rate) for any decodable audio blob: WAV/PCM via
+    the built-in pure-python kernel (:func:`wav_decode`), compressed
+    formats via soundfile when installed, else :func:`decode_stub`."""
+    if content and len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return wav_decode(content)
+    try:
+        import soundfile as sf
+    except ImportError:
+        return decode_stub("audio", content)
+    import io
+
+    data, rate = sf.read(io.BytesIO(content), always_2d=True)
+    return data, int(rate)
 
 
 # ---------------------------------------------------------------- sniffing
@@ -443,8 +482,21 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
 
     Arrow moves each partition's blobs as one batch; the Python worker sees
     a ``pd.DataFrame`` per batch (never whole-table). With ``use_fake`` the
-    deterministic md5 feature exercises the full distributed path.
+    deterministic md5 feature exercises the full distributed path; with
+    ``use_fake=False`` images/audio decode through the real kernels
+    (pure-python PNG/WAV always; Pillow/soundfile formats when those libs
+    are installed) into stats JSON, and video frame features stay behind
+    :func:`decode_stub` until a frame decoder is present.
     """
+
+    def real_feature(kind, content):
+        import json
+
+        if kind == "image":
+            return json.dumps(image_stats(decode_image(content)), sort_keys=True)
+        if kind == "audio":
+            return json.dumps(audio_stats(*decode_audio(content)), sort_keys=True)
+        return decode_stub(kind, content)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -458,10 +510,13 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
                     "content_md5": pdf["content"].map(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
-                    "feature": pdf["content"].map(
-                        _fake_feature
+                    "feature": (
+                        pdf["content"].map(_fake_feature)
                         if use_fake
-                        else (lambda b: decode_stub("image", b))
+                        else [
+                            real_feature(k, c)
+                            for k, c in zip(pdf["kind"], pdf["content"])
+                        ]
                     ),
                 }
             )
