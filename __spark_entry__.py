@@ -1721,8 +1721,12 @@ def q54_stix_extract(spark, sf_dir):
     distinct matching values — reproduced by the oracle from events."""
     st = _stix_store(spark, sf_dir)
     st.extract("purchase_urls", "url", "q1", "[url:value LIKE '%/purchase']")
-    st.extract(
-        "mid_ips", "ipv4-addr", "q1", "[ipv4-addr:value ISSUBSET '10.0.16.0/21']"
+    # ISSUBSET leg routes through the `filter` storage op (P7): an
+    # unfiltered extract re-filtered by pattern (firepit/sqlstorage.py:
+    # 579-600), proving view-over-view pattern application in the oracle
+    st.extract("all_ips", "ipv4-addr", "q1", "")
+    st.filter(
+        "mid_ips", "ipv4-addr", "all_ips", "[ipv4-addr:value ISSUBSET '10.0.16.0/21']"
     )
     st.extract(
         "purchase_payloads", "artifact", "q1",
@@ -1762,10 +1766,17 @@ def q55_stix_deref_group(spark, sf_dir):
         "by_src", "conns", "network-traffic:src_ref.value",
         aggs=[("COUNT", "id", "n_conns")],
     )
-    df = st.get_df("by_src")
-    return df.select(
+    # auto-aggregation leg (A3, parity firepit/props.py:386-433): group
+    # with NO aggs infers NUNIQUE for ports — joined back on the src value
+    st.group("by_src_auto", "conns", "network-traffic:src_ref.value")
+    df = st.get_df("by_src").select(
         F.col("`src_ref.value`").alias("src_value"), "n_conns"
     )
+    auto = st.get_df("by_src_auto").select(
+        F.col("`src_ref.value`").alias("src_value"),
+        "unique_src_port", "unique_dst_port",
+    )
+    return df.join(auto, "src_value")
 
 
 _Q55_SQL = f"""
@@ -1774,7 +1785,9 @@ WITH e AS (
   FROM events WHERE event_id < {_STIX_N_EVENTS}
 )
 SELECT '10.0.' || CAST(s AS VARCHAR) || '.1' AS src_value,
-       COUNT(DISTINCT CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS n_conns
+       COUNT(DISTINCT CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS n_conns,
+       CAST(COUNT(DISTINCT p) AS BIGINT) AS unique_src_port,
+       CAST(1 AS BIGINT) AS unique_dst_port
 FROM e GROUP BY 1
 """
 

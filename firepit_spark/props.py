@@ -240,7 +240,9 @@ def auto_agg(sco_type: str, prop: str, col_type: str):
     func, colname, alias = spec
     if len(alias) > MAX_ALIAS_LEN:
         return None
-    return _AGG_BUILDERS[func](F.col(colname)).alias(alias)
+    # backtick-quote: dereffed columns are literally named "dst_ref.value"
+    # and an unquoted dot would parse as struct access
+    return _AGG_BUILDERS[func](F.col(f"`{colname}`")).alias(alias)
 
 
 def auto_aggs(sco_type: str, schema, group_cols) -> list:

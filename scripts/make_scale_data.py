@@ -1,0 +1,116 @@
+"""Synthesize a larger scale factor from /root/testdata/sf0.1 for
+scale-curve benchmarking (the driver testdata stops at sf0.1; this makes
+the sf1 point BASELINE.md records to catch super-linear blowups).
+
+Each output table is ``copies`` disjoint perturbed images of the sf0.1
+table, keyed so every copy is a self-consistent TPC-H-ish world:
+
+* fact/dim keys get a per-copy stride offset (joins stay within-copy),
+* document text gets a per-copy word salt (``-c<i>`` on every token), so
+  the shingle vocabulary grows with the corpus and cross-copy Jaccard is
+  0 — near-dup structure per copy matches sf0.1 instead of exploding,
+* embeddings are rotated by ``i`` positions — an orthogonal transform, so
+  within-copy cosine structure is EXACT while cross-copy similarity is
+  destroyed (again: no synthetic near-dup blowup),
+* copy 0 is byte-identical content-wise, so id-anchored queries (fixed
+  query vectors, event_id<N interval builders) still resolve.
+
+Usage: python scripts/make_scale_data.py [out_dir] [copies]
+       (defaults: /root/repo/.benchdata/sf1, 10)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from firepit_spark.session import build_spark, testdata_resolver  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+# per-copy stride for each key domain (comfortably above sf0.1 max keys)
+STRIDES = {
+    "custkey": 1_000_000,
+    "suppkey": 1_000_000,
+    "partkey": 1_000_000,
+    "orderkey": 10_000_000,
+    "event_id": 10_000_000,
+    "user_id": 1_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+
+def copy_of(name, df, i):
+    if name in ("region", "nation"):
+        return df if i == 0 else None
+    if name == "customer":
+        return df.withColumn("c_custkey", F.col("c_custkey") + i * STRIDES["custkey"])
+    if name == "supplier":
+        return df.withColumn("s_suppkey", F.col("s_suppkey") + i * STRIDES["suppkey"])
+    if name == "part":
+        return df.withColumn("p_partkey", F.col("p_partkey") + i * STRIDES["partkey"])
+    if name == "orders":
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + i * STRIDES["orderkey"]
+        ).withColumn("o_custkey", F.col("o_custkey") + i * STRIDES["custkey"])
+    if name == "lineitem":
+        return (
+            df.withColumn("l_orderkey", F.col("l_orderkey") + i * STRIDES["orderkey"])
+            .withColumn("l_partkey", F.col("l_partkey") + i * STRIDES["partkey"])
+            .withColumn("l_suppkey", F.col("l_suppkey") + i * STRIDES["suppkey"])
+        )
+    if name == "events":
+        return df.withColumn(
+            "event_id", F.col("event_id") + i * STRIDES["event_id"]
+        ).withColumn("user_id", F.col("user_id") + i * STRIDES["user_id"])
+    if name == "documents":
+        out = df.withColumn("doc_id", F.col("doc_id") + i * STRIDES["doc_id"])
+        if i:
+            out = out.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"$1-c{i}")
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        return out
+    if name == "embeddings":
+        out = df.withColumn("vec_id", F.col("vec_id") + i * STRIDES["vec_id"])
+        if i:
+            dim = F.size("embedding")
+            out = out.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", F.lit(i + 1), dim - F.lit(i)),
+                    F.slice("embedding", 1, i),
+                ),
+            )
+        return out
+    raise ValueError(name)
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.benchdata/sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out_dir, exist_ok=True)
+    spark = build_spark("make_scale_data")
+    r = testdata_resolver(spark, SRC)
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for name in tables:
+        src = r(name)
+        parts = [c for c in (copy_of(name, src, i) for i in range(copies)) if c is not None]
+        full = parts[0]
+        for p in parts[1:]:
+            full = full.unionByName(p)
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        full.write.mode("overwrite").parquet(dest)
+        print(f"{name}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
