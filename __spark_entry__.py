@@ -1721,12 +1721,16 @@ def q54_stix_extract(spark, sf_dir):
     distinct matching values — reproduced by the oracle from events."""
     st = _stix_store(spark, sf_dir)
     st.extract("purchase_urls", "url", "q1", "[url:value LIKE '%/purchase']")
-    # ISSUBSET leg routes through the `filter` storage op (P7): an
-    # unfiltered extract re-filtered by pattern (firepit/sqlstorage.py:
-    # 579-600), proving view-over-view pattern application in the oracle
+    # ISSUBSET leg chains three view ops so each is oracle-proven:
+    # extract (C1, unfiltered) -> assign_query (C2: a stored DSL query
+    # narrowing to the 10.0.0.0/8 block via LIKE) -> `filter` storage op
+    # (P7: pattern re-applied over a view, firepit/sqlstorage.py:579-600)
     st.extract("all_ips", "ipv4-addr", "q1", "")
+    ten_net = Query("all_ips")
+    ten_net.append(Filter([Predicate("value", "LIKE", "10.0.%")]))
+    st.assign_query("ten_net", ten_net, sco_type="ipv4-addr")
     st.filter(
-        "mid_ips", "ipv4-addr", "all_ips", "[ipv4-addr:value ISSUBSET '10.0.16.0/21']"
+        "mid_ips", "ipv4-addr", "ten_net", "[ipv4-addr:value ISSUBSET '10.0.16.0/21']"
     )
     st.extract(
         "purchase_payloads", "artifact", "q1",
@@ -1810,11 +1814,20 @@ def q56_stix_value_counts(spark, sf_dir):
         F.col("last_observed").alias("last_obs_all"),
         F.col("number_observed").alias("n_obs_all"),
     )
+    # `load` leg (S8, parity firepit/sqlstorage.py:471-502): plain url
+    # strings imported as a typed view (string -> {type, value} objects
+    # with content-addressed ids), then flagged onto the counts
+    watch = [f"http://site{i}.example/signup" for i in range(0, 20, 3)]
+    st.load("watchlist", watch, sco_type="url")
+    wl = st.get_df("watchlist").select("value").distinct()
     return (
         counts.join(nobs, "value")
         .crossJoin(F.broadcast(summ))
+        .join(F.broadcast(wl.withColumn("on_watchlist", F.lit(True))),
+              "value", "left")
         .select("value", "count", "number_observed",
-                "first_obs_all", "last_obs_all", "n_obs_all")
+                "first_obs_all", "last_obs_all", "n_obs_all",
+                F.coalesce("on_watchlist", F.lit(False)).alias("on_watchlist"))
     )
 
 
@@ -1833,7 +1846,11 @@ summ AS (
   FROM e
 )
 SELECT value, COUNT(*) AS count, CAST(SUM(n_obs) AS BIGINT) AS number_observed,
-       first_obs_all, last_obs_all, n_obs_all
+       first_obs_all, last_obs_all, n_obs_all,
+       value IN ('http://site0.example/signup', 'http://site3.example/signup',
+                 'http://site6.example/signup', 'http://site9.example/signup',
+                 'http://site12.example/signup', 'http://site15.example/signup',
+                 'http://site18.example/signup') AS on_watchlist
 FROM e CROSS JOIN summ
 GROUP BY value, first_obs_all, last_obs_all, n_obs_all
 """
@@ -1899,7 +1916,14 @@ def q59_stix_reassign(spark, sf_dir):
 
     Both tags must land on every id-merged row while ``value`` stays
     untouched — the oracle recomputes all three columns from events,
-    proving the no-collect leg hash-equals the reference-faithful one."""
+    proving the no-collect leg hash-equals the reference-faithful one.
+
+    A third leg gates paginated retrieval (C8) + assign-sort stored
+    order (O3): ``assign(op='sort')`` registers a view whose order
+    persists into ``lookup``, and a limit/offset page of it (over the
+    UNIQUE value column, so pagination is deterministic) is flagged back
+    onto the result as ``in_page`` — the oracle reproduces the page with
+    ORDER BY value LIMIT/OFFSET."""
     st = _stix_store(spark, sf_dir)
     st.extract("tagged_urls", "url", "q1", "")
     objs = st.lookup("tagged_urls")
@@ -1910,16 +1934,28 @@ def q59_stix_reassign(spark, sf_dir):
         "id", F.regexp_extract("value", r"[^/]+$", 0).alias("x_path_tag")
     )
     st.enrich("url", enrichment)
-    return st.get_df("tagged_urls").select("value", "x_host_tag", "x_path_tag")
+    st.assign("urls_sorted", "tagged_urls", op="sort", by="url:value")
+    page = st.lookup("urls_sorted", cols=["value"], limit=30, offset=10)
+    page_values = [o["value"] for o in page]
+    return st.get_df("tagged_urls").select(
+        "value", "x_host_tag", "x_path_tag",
+        F.col("value").isin(page_values).alias("in_page"),
+    )
 
 
 _Q59_SQL = f"""
-SELECT DISTINCT
-       'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
-         AS value,
-       'site' || CAST(user_id % 20 AS VARCHAR) AS x_host_tag,
-       event_type AS x_path_tag
-FROM events WHERE event_id < {_STIX_N_EVENTS}
+WITH base AS (
+  SELECT DISTINCT
+         'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/' || event_type
+           AS value,
+         'site' || CAST(user_id % 20 AS VARCHAR) AS x_host_tag,
+         event_type AS x_path_tag
+  FROM events WHERE event_id < {_STIX_N_EVENTS}
+),
+page AS (SELECT value FROM base ORDER BY value LIMIT 30 OFFSET 10)
+SELECT b.value, b.x_host_tag, b.x_path_tag,
+       b.value IN (SELECT value FROM page) AS in_page
+FROM base b
 """
 
 
