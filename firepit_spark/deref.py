@@ -225,6 +225,32 @@ class DerefPlanner:
         return df.select(*[F.col(f"`{c}`") for c in keep], *exprs)
 
 
+def auto_deref(store, view: str, ignore: dict | None = None, paths=None) -> DataFrame:
+    """Reference-compat helper (firepit/deref.py:73-86): resolve refs for a
+    view. The reference returns (column list, Join list) for SQL assembly;
+    here plan fragments ARE DataFrames, so the faithful analogue returns
+    the view's frame with deref columns appended (aggregate views pass
+    through untouched, matching the reference's id-column bail-out)."""
+    df = store._resolve(view)
+    sco_type = store.table_type(view)
+    if not sco_type or "id" not in df.columns:
+        return df
+    planner = DerefPlanner(store, ignore=ignore) if ignore is not None else store._deref
+    return planner.deref(df, sco_type, paths=paths)
+
+
+def auto_deref_cached(view: str, df: DataFrame, store, ignore: dict | None = None, paths=None) -> DataFrame:
+    """Reference-compat twin of :func:`auto_deref` (firepit/deref.py:89-):
+    deref an already-resolved frame. The reference variant exists to skip
+    re-fetching column metadata; Spark schemas are plan-local so the only
+    difference here is taking ``df`` instead of re-resolving the view."""
+    sco_type = store.table_type(view)
+    if not sco_type or "id" not in df.columns:
+        return df
+    planner = DerefPlanner(store, ignore=ignore) if ignore is not None else store._deref
+    return planner.deref(df, sco_type, paths=paths)
+
+
 def unresolve(objects: list):
     """Inverse of deref: split dotted ``x_ref.prop`` columns back into
     standalone typed objects (parity: firepit/deref.py:194-220)."""

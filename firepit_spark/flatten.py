@@ -294,3 +294,10 @@ def get_objects(source, types=None):
     for obj in bundle.get("objects", []):
         if not types or obj.get("type") in types:
             yield obj
+
+
+# reference-compat name (firepit/raft.py:77): same flattening rules;
+# flat_lists is accepted for signature parity (lists are kept opaque here
+# exactly like the reference default)
+def json_normalize(d: dict, prefix: str = "", sep: str = ".", flat_lists: bool = False) -> dict:
+    return normalize_obj(d, prefix=prefix, sep=sep)

@@ -1315,3 +1315,17 @@ class SparkStorage:
             elif n in self._meta:
                 out.append({"name": n, **self._meta[n]})
         return out
+
+
+def get_path_joins(viewname, sco_type, column):
+    """Module-level reference-compat helper (firepit/sqlstorage.py:107-140):
+    the implicit-join plan for a reference path column, independent of any
+    store instance. Returns the parsed link tuples (('node', type, prop) /
+    ('rel', from, ref, to)); empty when the column needs no joins."""
+    if ":" in column:
+        links = props.parse_path(column)
+    else:
+        links = props.parse_prop(sco_type, column)
+    if links and len(links) == 1 and links[0][0] == "node":
+        return []
+    return links or []

@@ -578,3 +578,44 @@ def test_upsert_and_path_joins_shims(spark, tmp_path):
     assert st.path_joins(None, "network-traffic", "src_port") == []
     links = st.path_joins(None, "network-traffic", "src_ref.value")
     assert links and links[0][0] == "rel" and links[-1][0] == "node"
+
+
+def test_reference_compat_helpers(spark, tmp_path):
+    """Module-level reference-compat names: auto_deref/auto_deref_cached
+    (firepit/deref.py:73-106), json_normalize (firepit/raft.py:77),
+    get_path_joins (firepit/sqlstorage.py:107-140)."""
+    from firepit_spark.deref import auto_deref, auto_deref_cached
+    from firepit_spark.flatten import json_normalize, normalize_obj
+    from firepit_spark.storage import SparkStorage, get_path_joins
+
+    st = SparkStorage(str(tmp_path / "wh_compat"), spark=spark)
+    st.cache("q1", {"type": "bundle", "id": "bundle--c", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 1,
+         "objects": {
+             "0": {"type": "ipv4-addr", "value": "10.0.0.1"},
+             "1": {"type": "ipv4-addr", "value": "10.0.0.2"},
+             "2": {"type": "network-traffic", "src_ref": "0", "dst_ref": "1",
+                   "src_port": 1234, "dst_port": 80, "protocols": ["tcp"]},
+         }}]})
+    st.extract("conns", "network-traffic", "q1", "")
+    dfd = auto_deref(st, "conns")
+    assert "src_ref.value" in dfd.columns and "dst_ref.value" in dfd.columns
+    row = dfd.select("`src_ref.value`", "`dst_ref.value`").collect()[0]
+    assert (row[0], row[1]) == ("10.0.0.1", "10.0.0.2")
+    dfd2 = auto_deref_cached("conns", st._resolve("conns"), st)
+    assert sorted(dfd2.columns) == sorted(dfd.columns)
+    # paths= pruning mirrors the reference's selective deref
+    only_src = auto_deref(st, "conns", paths=["src_ref.value"])
+    assert "src_ref.value" in only_src.columns
+    assert "dst_ref.value" not in only_src.columns
+
+    assert json_normalize({"type": "file", "hashes": {"SHA-1": "x"}}) == \
+        normalize_obj({"type": "file", "hashes": {"SHA-1": "x"}})
+
+    assert get_path_joins("conns", "network-traffic", "src_port") == []
+    links = get_path_joins("conns", "network-traffic", "src_ref.value")
+    assert links and links[0][0] == "rel" and links[-1][0] == "node"
