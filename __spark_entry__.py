@@ -1885,12 +1885,27 @@ def q58_stix_path_join(spark, sf_dir):
     parent_directory_ref.path walks two ``_ref`` joins (process→file→
     directory), each a broadcast join on the id-merged target table
     (parity: get_path_joins, firepit/sqlstorage.py:107-140). One row per
-    id-merged process row — the oracle's DISTINCT over the content tuple."""
+    id-merged process row — the oracle's DISTINCT over the content tuple.
+
+    A second leg gates the `join` storage op (J2, IFNULL column merge,
+    firepit/sqlstorage.py:541-566): procs ⋈ files on binary_ref = id.
+    The shared ``name`` column must IFNULL-merge to the LEFT (process)
+    side — COUNT(DISTINCT name) is 5 (event types) if the merge is
+    right, 7 (tool names) if it leaked the file side — and the join row
+    count equals the id-merged process count; both broadcast onto every
+    result row for the oracle to verify."""
     st = _stix_store(spark, sf_dir)
     st.extract("procs", "process", "q1", "")
-    return st.values_df("process:binary_ref.parent_directory_ref.path", "procs").select(
+    st.extract("files", "file", "q1", "")
+    st.join("proc_files", "procs", "binary_ref", "files", "id")
+    pf_summary = st.get_df("proc_files").agg(
+        F.count(F.lit(1)).alias("n_joined"),
+        F.countDistinct("name").alias("n_names"),
+    )
+    dirs = st.values_df("process:binary_ref.parent_directory_ref.path", "procs").select(
         F.col("`binary_ref.parent_directory_ref.path`").alias("dir_path")
     )
+    return dirs.crossJoin(F.broadcast(pf_summary))
 
 
 _Q58_SQL = f"""
@@ -1899,7 +1914,10 @@ WITH p AS (
          user_id % 10 AS dir_m
   FROM events WHERE event_id < {_STIX_N_EVENTS}
 )
-SELECT '/opt/app' || CAST(dir_m AS VARCHAR) AS dir_path FROM p
+SELECT '/opt/app' || CAST(dir_m AS VARCHAR) AS dir_path,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_joined,
+       (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM p) AS n_names
+FROM p
 """
 
 
