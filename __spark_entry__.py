@@ -1701,6 +1701,34 @@ def _stix_store(spark, sf_dir):
     bundle = {"type": "bundle", "id": "bundle--events-bridge", "objects": objects}
     st = SparkStorage(tempfile.mkdtemp(prefix="fp_stix_"), spark=spark)
     st.cache("q1", bundle)
+    # second ingest: ten 2.0 observations run through upgrade_2021 (S5:
+    # content-addressed ids, objects dict -> top-level SCOs + object_refs)
+    # into a STIX 2.1 bundle, so the flatten_21 path (S3) ingests it;
+    # tagged q21 so 2.0-tagged views stay untouched
+    from firepit_spark.flatten import upgrade_2021
+
+    objs21 = [
+        {
+            "type": "identity",
+            "id": "identity--b1e2c3d4-2222-4222-8333-944444444444",
+            "spec_version": "2.1",
+            "identity_class": "program",
+            "name": "v21-bridge",
+        }
+    ]
+    for i in range(10):
+        obs21 = {
+            "type": "observed-data",
+            "id": f"observed-data--{i:08d}-2100-4100-8100-000000000000",
+            "created_by_ref": "identity--b1e2c3d4-2222-4222-8333-944444444444",
+            "first_observed": f"2024-07-01T00:{i:02d}:00.000Z",
+            "last_observed": f"2024-07-01T00:{i:02d}:00.000Z",
+            "number_observed": 1,
+            "objects": {"0": {"type": "url", "value": f"http://v21.example/u{i}"}},
+        }
+        objs21.extend(upgrade_2021(obs21))
+        objs21.append(obs21)
+    st.cache("q21", {"type": "bundle", "id": "bundle--v21", "objects": objs21})
     _STIX_STORES[key] = st
     return st
 
@@ -1862,12 +1890,21 @@ def q57_stix_timestamped(spark, sf_dir):
     the observation's ``first_observed`` projected onto each value row
     (parity: firepit/sqlstorage.py:913-990). One row per (observation, url)
     pair; timestamps are the varied per-event offsets the oracle rebuilds
-    with INTERVAL arithmetic."""
+    with INTERVAL arithmetic.
+
+    A second leg runs the same timestamped path over the STIX 2.1 ingest
+    (flatten_21, S3: top-level SCOs + observed-data object_refs) — ten
+    urls with fixed observation minutes, unioned in and reproduced by
+    the oracle as literal rows."""
     st = _stix_store(spark, sf_dir)
     st.extract("ts_urls", "url", "q1", "[url:value LIKE '%/purchase']")
     df = st.timestamped("ts_urls", path="url:value", run=False)
+    st.extract("v21_urls", "url", "q21", "")
+    df21 = st.timestamped("v21_urls", path="url:value", run=False)
     return df.select(
         F.col("first_observed"), F.col("`url:value`").alias("value")
+    ).unionByName(
+        df21.select(F.col("first_observed"), F.col("`url:value`").alias("value"))
     )
 
 
@@ -1877,6 +1914,10 @@ SELECT TIMESTAMP '2024-06-01 00:00:00'
        'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/purchase'
          AS value
 FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+UNION ALL
+SELECT TIMESTAMP '2024-07-01 00:00:00' + i * INTERVAL 1 MINUTE AS first_observed,
+       'http://v21.example/u' || CAST(i AS VARCHAR) AS value
+FROM range(10) AS t(i)
 """
 
 
