@@ -1729,6 +1729,31 @@ def _stix_store(spark, sf_dir):
         objs21.extend(upgrade_2021(obs21))
         objs21.append(obs21)
     st.cache("q21", {"type": "bundle", "id": "bundle--v21", "objects": objs21})
+    # third ingest: the woodchipper path (S13) — a zeek-conn-shaped log
+    # frame built ENGINE-SIDE from events (no collect), auto-detected by
+    # column shape and converted+ingested in one distributed pass
+    from firepit_spark.sources.logs import convert_log
+
+    ev = (
+        _resolver(spark, sf_dir)("events")
+        .filter(F.col("event_id") < _STIX_N_EVENTS)
+        .select("event_id", "user_id")
+    )
+    zeek = ev.select(
+        (F.lit(1719800000.0) + F.col("event_id")).alias("ts"),
+        F.concat(
+            F.lit("172.16."), (F.col("user_id") % 30).cast("string"), F.lit(".5")
+        ).alias("id.orig_h"),
+        (F.lit(40000) + F.col("user_id") % 100).alias("id.orig_p"),
+        ((F.col("user_id") % 30) * 10).alias("orig_ip_bytes"),
+        (F.col("user_id") % 30).alias("orig_pkts"),
+        F.lit("10.1.0.1").alias("id.resp_h"),
+        F.lit(53).alias("id.resp_p"),
+        F.lit(4000).alias("resp_ip_bytes"),
+        F.lit(4).alias("resp_pkts"),
+        F.lit("udp").alias("proto"),
+    )
+    convert_log(st, zeek, query_id="qzeek")
     _STIX_STORES[key] = st
     return st
 
@@ -1808,7 +1833,16 @@ def q55_stix_deref_group(spark, sf_dir):
         F.col("`src_ref.value`").alias("src_value"),
         "unique_src_port", "unique_dst_port",
     )
-    return df.join(auto, "src_value")
+    # woodchipper leg (S13): the zeek-conn log ingested by _stix_store via
+    # convert_log (column-shape auto-detect -> wide -> SCO frames -> the
+    # same LSM merge); its id-merged network-traffic count and distinct
+    # src-addr count broadcast onto every row for the oracle to verify
+    st.extract("zeek_conns", "network-traffic", "qzeek", "")
+    zsum = st.get_df("zeek_conns").agg(
+        F.count(F.lit(1)).alias("n_zeek_conns"),
+        F.countDistinct("src_ref").alias("n_zeek_srcs"),
+    )
+    return df.join(auto, "src_value").crossJoin(F.broadcast(zsum))
 
 
 _Q55_SQL = f"""
@@ -1819,7 +1853,12 @@ WITH e AS (
 SELECT '10.0.' || CAST(s AS VARCHAR) || '.1' AS src_value,
        COUNT(DISTINCT CAST(d AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS n_conns,
        CAST(COUNT(DISTINCT p) AS BIGINT) AS unique_src_port,
-       CAST(1 AS BIGINT) AS unique_dst_port
+       CAST(1 AS BIGINT) AS unique_dst_port,
+       (SELECT CAST(COUNT(DISTINCT CAST(user_id % 30 AS VARCHAR) || ':'
+                          || CAST(user_id % 100 AS VARCHAR)) AS BIGINT)
+        FROM events WHERE event_id < {_STIX_N_EVENTS}) AS n_zeek_conns,
+       (SELECT CAST(COUNT(DISTINCT user_id % 30) AS BIGINT)
+        FROM events WHERE event_id < {_STIX_N_EVENTS}) AS n_zeek_srcs
 FROM e GROUP BY 1
 """
 
