@@ -553,8 +553,18 @@ class SparkStorage:
         the distributed-ingest entry point (see sources/bundles.py). Applies
         the same schema normalization as the driver-side path: known
         timestamp props become TimestampType, struct columns (un-recursed
-        custom SCO dicts) become JSON text."""
-        from pyspark.sql.types import StructType as _St
+        custom SCO dicts) become JSON text, and narrow numerics widen to
+        long/double — the driver path writes python ints/floats as
+        BIGINT/DOUBLE, and parquet schema merge across batches refuses
+        INT-vs-BIGINT, so an engine-built frame (e.g. a log conversion
+        using int literals) must land with the wide types."""
+        from pyspark.sql.types import (
+            ByteType as _Byte,
+            FloatType as _Float,
+            IntegerType as _Int,
+            ShortType as _Short,
+            StructType as _St,
+        )
 
         drop = [c for c in ("type",) if c in df.columns]
         df = df.drop(*drop)
@@ -566,6 +576,10 @@ class SparkStorage:
                 df = df.withColumn(name, F.to_timestamp(col))
             elif isinstance(f.dataType, _St):
                 df = df.withColumn(name, F.to_json(col))
+            elif isinstance(f.dataType, (_Int, _Short, _Byte)):
+                df = df.withColumn(name, col.cast("long"))
+            elif isinstance(f.dataType, _Float):
+                df = df.withColumn(name, col.cast("double"))
         df = df.toDF(*[shorten_extension_name(c) for c in df.columns])
         if otype == CONTAINS:
             self._merge_edges(otype, df, ["source_ref", "target_ref"])

@@ -62,3 +62,35 @@ def test_streaming_ingest(spark, tmp_path):
         assert st.count("url") == distinct_urls(40)
     finally:
         q.stop()
+
+
+def test_ingest_dataframe_widens_narrow_numerics(spark, tmp_path):
+    """An engine-built frame with INT/FLOAT columns must merge with
+    driver-ingested batches (python ints land as BIGINT; parquet schema
+    merge refuses INT-vs-BIGINT across batch partitions)."""
+    from pyspark.sql import functions as F
+
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh_widen"), spark=spark)
+    # driver path first: python int -> BIGINT column
+    st.cache("q1", {"type": "bundle", "id": "bundle--w", "objects": [
+        {"type": "identity", "id": "identity--1", "name": "t"},
+        {"type": "observed-data", "id": "observed-data--1",
+         "created_by_ref": "identity--1",
+         "first_observed": "2020-01-01T00:00:00Z",
+         "last_observed": "2020-01-01T00:00:00Z", "number_observed": 2,
+         "objects": {"0": {"type": "network-traffic", "src_port": 80,
+                           "dst_port": 443, "protocols": ["tcp"]}}}]})
+    # engine path second: int literals -> IntegerType before normalization
+    eng = spark.range(1).select(
+        F.lit("network-traffic--e1").alias("id"),
+        F.lit(1234).cast("int").alias("src_port"),
+        F.lit(53).cast("int").alias("dst_port"),
+        F.lit(0.5).cast("float").alias("x_score"),
+    )
+    st.ingest_dataframe("network-traffic", eng, "q2")
+    got = st.table_df("network-traffic")
+    dtypes = dict(got.dtypes)
+    assert dtypes["src_port"] == "bigint" and dtypes["x_score"] == "double"
+    assert got.count() == 2  # both batches readable through the merge
