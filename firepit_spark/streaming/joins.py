@@ -1,0 +1,88 @@
+"""Streaming temporal joins: the streaming twin of the batch
+``functions/temporal.py`` range join.
+
+The reference engine is batch-only; correlating two LIVE feeds (e.g.
+alerts against a raw event stream, clicks against purchases) needs the
+same semantics with bounded state. Structured Streaming supports exactly
+one shape with bounded state for this: a stream-stream equi-join with an
+EVENT-TIME RANGE condition plus watermarks on both sides — the range
+bound tells the state store when a buffered row can never match again,
+and the watermark bounds how late input may arrive. Without both, state
+grows forever; with them, per-key state is O(rows inside the interval).
+
+Scale shape: the join shuffles both streams on the key once per
+micro-batch; state is keyed the same way, so adding executors scales
+state linearly. Skewed keys behave like any other streaming shuffle —
+salt upstream if one key dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = 0.0,
+    upper_seconds: float = 300.0,
+    watermark_seconds: float = 600.0,
+    how: str = "inner",
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Join two event-time streams on ``on`` where the right row's
+    timestamp falls in ``[left_ts + lower_seconds, left_ts +
+    upper_seconds]`` — the streaming counterpart of
+    :func:`firepit_spark.functions.temporal.range_join` (a purchase
+    stream joined to the surrounding click window, an alert joined to
+    the events that preceded it, ...).
+
+    Both sides get a ``watermark_seconds`` event-time watermark; the
+    range condition plus the watermarks are what let Spark expire join
+    state (rows older than the watermark minus the interval can never
+    match and are dropped). ``how`` may be ``inner``, ``leftOuter`` or
+    ``rightOuter`` — the stream-stream combinations Structured Streaming
+    supports with a time-range condition. Right-side columns come back
+    ``right_``-prefixed (key excluded) so the two sides never collide.
+
+    Works identically on batch DataFrames (watermarks are a no-op
+    there), which is how the tests pin stream results to the batch
+    inequality join.
+    """
+    if how not in ("inner", "leftOuter", "rightOuter"):
+        raise ValueError(f"how must be inner/leftOuter/rightOuter, got {how}")
+    lw = left.withWatermark(left_ts, f"{watermark_seconds} seconds") if left.isStreaming else left
+    rw = right.withWatermark(right_ts, f"{watermark_seconds} seconds") if right.isStreaming else right
+    r_renamed = rw.select(
+        F.col(on),
+        *[
+            F.col(f"`{c}`").alias(f"{right_prefix}{c}")
+            for c in rw.columns
+            if c != on
+        ],
+    )
+    l = lw.alias("l")
+    r = r_renamed.alias("r")
+    rts = f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(f"l.`{on}`") == F.col(f"r.`{on}`"))
+        & (
+            F.col(f"r.`{rts}`")
+            >= F.col(f"l.`{left_ts}`") + F.make_interval(secs=F.lit(float(lower_seconds)))
+        )
+        & (
+            F.col(f"r.`{rts}`")
+            <= F.col(f"l.`{left_ts}`") + F.make_interval(secs=F.lit(float(upper_seconds)))
+        )
+    )
+    joined = l.join(r, cond, how)
+    # single key column in the output (coalesce for the outer sides)
+    key = F.coalesce(F.col(f"l.`{on}`"), F.col(f"r.`{on}`")).alias(on)
+    return joined.select(
+        key,
+        *[F.col(f"l.`{c}`") for c in lw.columns if c != on],
+        *[F.col(f"r.`{c}`") for c in r_renamed.columns if c != on],
+    )

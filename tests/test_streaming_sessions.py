@@ -292,3 +292,68 @@ def test_stream_cms_hot_keys(spark, tmp_path):
     assert est["hot"] >= 80  # both epochs folded
     assert est["c1"] >= 1
     assert est["hot"] > est["c1"]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream event-time interval join matches the batch
+    inequality join exactly, and outer rows survive with nulls."""
+    from firepit_spark.streaming.joins import stream_interval_join
+
+    ldir, rdir = tmp_path / "clicks", tmp_path / "buys"
+    ldir.mkdir(); rdir.mkdir()
+    clicks = [
+        {"user": "u1", "ts": "2020-01-01T00:00:00", "page": "a"},
+        {"user": "u1", "ts": "2020-01-01T00:04:00", "page": "b"},
+        {"user": "u2", "ts": "2020-01-01T00:00:00", "page": "c"},
+        {"user": "u3", "ts": "2020-01-01T00:00:00", "page": "d"},
+    ]
+    buys = [
+        {"user": "u1", "ts": "2020-01-01T00:05:00", "amount": 10.0},
+        {"user": "u2", "ts": "2020-01-01T00:30:00", "amount": 5.0},  # outside
+    ]
+    _write_events(ldir / "a.json", clicks)
+    _write_events(rdir / "a.json", buys)
+    lschema = "user string, ts timestamp, page string"
+    rschema = "user string, ts timestamp, amount double"
+
+    lstream = spark.readStream.schema(lschema).json(str(ldir))
+    rstream = spark.readStream.schema(rschema).json(str(rdir))
+    out = stream_interval_join(
+        lstream, rstream, on="user", lower_seconds=0, upper_seconds=300
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ij_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from ij_t").collect()
+    finally:
+        q.stop()
+    got = sorted((r["user"], r["page"], r["right_amount"]) for r in rows)
+    # u1: both clicks within 5 min of the 00:05 purchase; u2's purchase
+    # is 30 min later (outside the interval); u3 has no purchase
+    assert got == [("u1", "a", 10.0), ("u1", "b", 10.0)]
+
+    # identical semantics on batch frames (watermarks no-op)
+    lb = spark.createDataFrame(
+        [(c["user"], c["ts"].replace("T", " "), c["page"]) for c in clicks],
+        "user string, ts string, page string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    rb = spark.createDataFrame(
+        [(b["user"], b["ts"].replace("T", " "), b["amount"]) for b in buys],
+        "user string, ts string, amount double",
+    ).withColumn("ts", __import__("pyspark").sql.functions.to_timestamp("ts"))
+    batch = stream_interval_join(lb, rb, on="user", lower_seconds=0, upper_seconds=300)
+    bgot = sorted((r["user"], r["page"], r["right_amount"]) for r in batch.collect())
+    assert bgot == got
+
+    # leftOuter keeps unmatched clicks with null right side
+    outer = stream_interval_join(
+        lb, rb, on="user", lower_seconds=0, upper_seconds=300, how="leftOuter"
+    )
+    ogot = {(r["user"], r["page"]): r["right_amount"] for r in outer.collect()}
+    assert ogot[("u2", "c")] is None and ogot[("u3", "d")] is None
+    assert ogot[("u1", "a")] == 10.0
