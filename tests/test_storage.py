@@ -619,3 +619,30 @@ def test_reference_compat_helpers(spark, tmp_path):
     assert get_path_joins("conns", "network-traffic", "src_port") == []
     links = get_path_joins("conns", "network-traffic", "src_ref.value")
     assert links and links[0][0] == "rel" and links[-1][0] == "node"
+
+
+def test_observation_stats_fused_matches_separate_ops(spark, tmp_path):
+    """observation_stats_df (one triple join + one groupBy) must equal
+    value_counts_df joined with number_observed_df."""
+    from firepit_spark.storage import SparkStorage
+
+    st = SparkStorage(str(tmp_path / "wh_fused"), spark=spark)
+    objs = [{"type": "identity", "id": "identity--1", "name": "t"}]
+    for i in range(6):
+        objs.append({
+            "type": "observed-data", "id": f"observed-data--{i}",
+            "created_by_ref": "identity--1",
+            "first_observed": f"2020-01-01T00:0{i}:00Z",
+            "last_observed": f"2020-01-01T00:0{i}:00Z",
+            "number_observed": 1 + i % 3,
+            "objects": {"0": {"type": "url", "value": f"http://x/{i % 2}"}},
+        })
+    st.cache("q1", {"type": "bundle", "id": "bundle--f", "objects": objs})
+    st.extract("urls", "url", "q1", "")
+    fused = {(r["value"], r["count"], r["number_observed"])
+             for r in st.observation_stats_df("urls", "url:value").collect()}
+    counts = st.value_counts_df("urls", "url:value")
+    nobs = st.number_observed_df("urls", "url:value")
+    sep = {(r["value"], r["count"], r["number_observed"])
+           for r in counts.join(nobs, "value").collect()}
+    assert fused == sep and len(fused) == 2
