@@ -86,3 +86,110 @@ def stream_interval_join(
         *[F.col(f"l.`{c}`") for c in lw.columns if c != on],
         *[F.col(f"r.`{c}`") for c in r_renamed.columns if c != on],
     )
+
+
+LATEST_STATE_SCHEMA = "ts_us long, value string"
+
+
+def stream_latest_enrich(
+    events: DataFrame,
+    updates: DataFrame,
+    key: str,
+    event_ts: str = "ts",
+    update_ts: str = "ts",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Enrich an event stream with the LATEST value per key from a second
+    (control) stream — "current user profile", "active model version",
+    "last known asset owner": the streaming counterpart of
+    :func:`firepit_spark.functions.temporal.asof_join` for the common
+    case where only the newest right-side row matters.
+
+    A stream-stream as-of join is not expressible with bounded state in
+    Structured Streaming's native joins (the lower bound would be
+    unbounded), so this is a custom stateful operator
+    (``applyInPandasWithState``): both streams union into one keyed
+    stream; per key the state holds ONE (timestamp, value) pair — O(1)
+    state per key, the only shape that survives an unbounded stream.
+
+    Semantics: within each micro-batch rows are processed in event-time
+    order (updates before events on ties), so intra-batch ordering is
+    exact; across batches an event sees the newest update the operator
+    has ABSORBED so far. An update that arrives after an event was
+    already emitted does not retro-enrich it — the standard
+    control-stream contract (exactly what a cache lookup would return).
+
+    Returns the event rows (original columns) plus ``out_col`` (default
+    ``latest_<value_col>``) cast back to the update column's type, NULL
+    until the key's first update is seen.
+    """
+    from typing import Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_col = out_col or f"latest_{value_col}"
+    vtype = dict(updates.dtypes)[value_col]
+    ev_cols = events.columns
+    union = events.select(
+        *ev_cols,
+        F.col(event_ts).alias("__ts"),
+        F.lit(True).alias("__is_ev"),
+        F.lit(None).cast("string").alias("__val"),
+    ).unionByName(
+        updates.select(
+            # the key column must come from the update row (it is the
+            # grouping key); every other event column is null-padded
+            *[
+                F.col(key).alias(c) if c == key else F.lit(None).cast(t).alias(c)
+                for c, t in events.dtypes
+            ],
+            F.col(update_ts).alias("__ts"),
+            F.lit(False).alias("__is_ev"),
+            F.col(value_col).cast("string").alias("__val"),
+        )
+    )
+    out_schema = StructType(
+        [f for f in events.schema.fields] + [StructField("__out_val", StringType())]
+    )
+
+    def fn(
+        k: Tuple,
+        pdfs: "Iterator[pd.DataFrame]",
+        state: GroupState,
+    ) -> "Iterator[pd.DataFrame]":
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            ts_us, val = state.get
+        else:
+            ts_us, val = -1, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # event-time order; updates first on ties so an event at the same
+        # instant sees the co-timestamped update
+        batch = batch.sort_values(["__ts", "__is_ev"], kind="mergesort")
+        out_rows = []
+        for _, row in batch.iterrows():
+            if row["__is_ev"]:
+                out_rows.append(
+                    [row[c] for c in ev_cols] + [val]
+                )
+            else:
+                r_us = int(pd.Timestamp(row["__ts"]).value // 1000)
+                if r_us >= ts_us:
+                    ts_us, val = r_us, row["__val"]
+        state.update((ts_us, val))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=ev_cols + ["__out_val"])
+
+    enriched = union.groupBy(F.col(key)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return enriched.withColumn(out_col, F.col("__out_val").cast(vtype)).drop("__out_val")

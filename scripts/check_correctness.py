@@ -78,9 +78,11 @@ def main():
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata is a single file; Spark-written tables (e.g. the
+        # make_scale_data.py sf1 point) are directories of part files
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pattern}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

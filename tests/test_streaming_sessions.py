@@ -357,3 +357,60 @@ def test_stream_interval_join(spark, tmp_path):
     ogot = {(r["user"], r["page"]): r["right_amount"] for r in outer.collect()}
     assert ogot[("u2", "c")] is None and ogot[("u3", "d")] is None
     assert ogot[("u1", "a")] == 10.0
+
+
+def test_stream_latest_enrich(spark, tmp_path):
+    """Latest-per-key control-stream enrichment: O(1) state per key,
+    event-time order within batch (updates win ties), NULL before the
+    first update, newest update wins."""
+    from firepit_spark.streaming.joins import stream_latest_enrich
+
+    edir, udir = tmp_path / "ev", tmp_path / "up"
+    edir.mkdir(); udir.mkdir()
+    _write_events(edir / "a.json", [
+        {"user": "u1", "ts": "2020-01-01T00:00:30", "event_id": 1},
+        {"user": "u1", "ts": "2020-01-01T00:02:00", "event_id": 2},
+        {"user": "u2", "ts": "2020-01-01T00:01:00", "event_id": 3},
+    ])
+    _write_events(udir / "a.json", [
+        {"user": "u1", "ts": "2020-01-01T00:00:00", "profile": "bronze"},
+        {"user": "u1", "ts": "2020-01-01T00:01:00", "profile": "gold"},
+    ])
+    ev = spark.readStream.schema("user string, ts timestamp, event_id long").json(str(edir))
+    up = spark.readStream.schema("user string, ts timestamp, profile string").json(str(udir))
+    out = stream_latest_enrich(ev, up, key="user", value_col="profile")
+    q = (
+        out.writeStream.format("memory").queryName("latest_t")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r["event_id"]: r["latest_profile"]
+                for r in spark.sql("select * from latest_t").collect()}
+    finally:
+        q.stop()
+    # event 1 (00:00:30) sees bronze; event 2 (00:02) sees gold; u2 has
+    # no update -> NULL
+    assert rows == {1: "bronze", 2: "gold", 3: None}
+
+    # state carries across micro-batches: a later event batch sees the
+    # absorbed latest value
+    _write_events(edir / "b.json", [
+        {"user": "u1", "ts": "2020-01-01T00:05:00", "event_id": 4},
+        {"user": "u2", "ts": "2020-01-01T00:05:00", "event_id": 5},
+    ])
+    _write_events(udir / "b.json", [
+        {"user": "u2", "ts": "2020-01-01T00:04:00", "profile": "silver"},
+    ])
+    q = (
+        stream_latest_enrich(ev, up, key="user", value_col="profile")
+        .writeStream.format("memory").queryName("latest_t2")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        rows2 = {r["event_id"]: r["latest_profile"]
+                 for r in spark.sql("select * from latest_t2").collect()}
+    finally:
+        q.stop()
+    assert rows2[4] == "gold" and rows2[5] == "silver"
