@@ -860,7 +860,7 @@ SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket
        CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS val_sum,
        MIN(value) AS val_min,
        MAX(value) AS val_max,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS val_avg
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS val_avg
 FROM events
 GROUP BY 1, 2
 """

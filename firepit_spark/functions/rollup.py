@@ -78,7 +78,13 @@ def reaggregate(
         )
         .withColumn(
             "val_avg",
-            F.round(F.col("val_sum").cast("double") / F.col("n"), 6),
+            # NO rounding: val_sum is exact decimal on every engine, so
+            # casting it to double and dividing is ONE IEEE operation —
+            # bit-identical everywhere. Any fixed-decimal rounding here
+            # hits structural ties (2-dp values / power-of-two-ish n)
+            # whose half-up direction differs between exact-decimal and
+            # double arithmetic across engines.
+            F.col("val_sum").cast("double") / F.col("n"),
         )
     )
 
