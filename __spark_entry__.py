@@ -1726,8 +1726,8 @@ def _stix_store(spark, sf_dir):
             "number_observed": 1,
             "objects": {"0": {"type": "url", "value": f"http://v21.example/u{i}"}},
         }
+        # upgrade_2021 returns [obs, *scos] (obs mutated in place)
         objs21.extend(upgrade_2021(obs21))
-        objs21.append(obs21)
     st.cache("q21", {"type": "bundle", "id": "bundle--v21", "objects": objs21})
     # third ingest: the woodchipper path (S13) — a zeek-conn-shaped log
     # frame built ENGINE-SIDE from events (no collect), auto-detected by

@@ -231,12 +231,7 @@ def auto_deref(store, view: str, ignore: dict | None = None, paths=None) -> Data
     here plan fragments ARE DataFrames, so the faithful analogue returns
     the view's frame with deref columns appended (aggregate views pass
     through untouched, matching the reference's id-column bail-out)."""
-    df = store._resolve(view)
-    sco_type = store.table_type(view)
-    if not sco_type or "id" not in df.columns:
-        return df
-    planner = DerefPlanner(store, ignore=ignore) if ignore is not None else store._deref
-    return planner.deref(df, sco_type, paths=paths)
+    return auto_deref_cached(view, store._resolve(view), store, ignore=ignore, paths=paths)
 
 
 def auto_deref_cached(view: str, df: DataFrame, store, ignore: dict | None = None, paths=None) -> DataFrame:

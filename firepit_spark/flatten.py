@@ -296,8 +296,11 @@ def get_objects(source, types=None):
             yield obj
 
 
-# reference-compat name (firepit/raft.py:77): same flattening rules;
-# flat_lists is accepted for signature parity (lists are kept opaque here
-# exactly like the reference default)
+# reference-compat name (firepit/raft.py:77): same flattening rules for the
+# default flat_lists=False (lists kept opaque); True (indexed list keys)
+# has no counterpart here yet, so fail loudly instead of silently
+# diverging from the reference behavior the caller asked for
 def json_normalize(d: dict, prefix: str = "", sep: str = ".", flat_lists: bool = False) -> dict:
+    if flat_lists:
+        raise NotImplementedError("flat_lists=True is not supported; lists stay opaque")
     return normalize_obj(d, prefix=prefix, sep=sep)

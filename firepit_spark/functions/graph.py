@@ -74,10 +74,18 @@ def _truncate(df: DataFrame, eager: bool, checkpoint_dir: str | None) -> DataFra
     localCheckpoint blocks and KILLS the whole iterative job, while
     reliable checkpoints live on the shared filesystem and recompute-free
     recovery works. Any long-running 100-TB closure should pass a dir on
-    HDFS/S3."""
+    HDFS/S3.
+
+    Reliable checkpoint files are NOT auto-deleted by default — one
+    labels snapshot lands per round and Spark only removes them when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set it
+    for long iterative jobs) or when the caller cleans the dir after the
+    job; the ContextCleaner-frees-blocks behavior the local path enjoys
+    does not apply here."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if not sc.getCheckpointDir():
+        if sc.getCheckpointDir() != checkpoint_dir:
+            # honor THIS caller's dir even if an earlier job set another
             sc.setCheckpointDir(checkpoint_dir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -492,6 +492,8 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
     def real_feature(kind, content):
         import json
 
+        if not content:
+            return None  # tolerate NULL/empty blobs like the fake path
         if kind == "image":
             return json.dumps(image_stats(decode_image(content)), sort_keys=True)
         if kind == "audio":

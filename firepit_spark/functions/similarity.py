@@ -542,7 +542,12 @@ def semantic_dedup(
         if centroids is not None
         else ivf_fit(vectors, n_cells=n_cells, id_col=id_col, vec_col=vec_col, seed=seed)
     )
-    assigned = idx.assigned.withColumnRenamed("__cell", "sem_cell")
+    # persist: the nearest-centroid assignment (the expensive full-corpus
+    # map) feeds BOTH pair sides, the final anti-join, and — with a cell
+    # cap — the per-cell count aggregate; without the persist each branch
+    # recomputes it. The handle rides on the result; long-lived sessions
+    # call firepit_spark.functions.release(result) after the action.
+    assigned = idx.assigned.withColumnRenamed("__cell", "sem_cell").persist()
     # per-row norm hoisted out of the pair expression (see brute_force_topk)
     withn = assigned.withColumn("__n", l2_norm(F.col(vec_col)))
     if max_cell_size is not None:
@@ -597,7 +602,9 @@ def semantic_dedup(
         drops = comp.filter(F.col("node") != F.col("comp")).select(
             F.col("node").alias(id_col)
         )
-    return assigned.join(drops, id_col, "left_anti")
+    result = assigned.join(drops, id_col, "left_anti")
+    result._fp_caches = [assigned]
+    return result
 
 
 # ---------------------------------------------------------------------------

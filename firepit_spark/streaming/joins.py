@@ -132,27 +132,29 @@ def stream_latest_enrich(
 
     out_col = out_col or f"latest_{value_col}"
     vtype = dict(updates.dtypes)[value_col]
-    ev_cols = events.columns
+    ev_schema = events.schema
+    # event payloads travel as ONE JSON string column: null-padding the
+    # typed event columns on update rows would force arrow->pandas to
+    # upcast int64 columns to float64 inside the state function, silently
+    # corrupting integers above 2^53; to_json/from_json round-trips every
+    # Spark type exactly (longs stay textual until re-parsed)
     union = events.select(
-        *ev_cols,
+        F.col(key).alias("__key"),
         F.col(event_ts).alias("__ts"),
         F.lit(True).alias("__is_ev"),
+        F.to_json(F.struct(*events.columns)).alias("__ev"),
         F.lit(None).cast("string").alias("__val"),
     ).unionByName(
         updates.select(
-            # the key column must come from the update row (it is the
-            # grouping key); every other event column is null-padded
-            *[
-                F.col(key).alias(c) if c == key else F.lit(None).cast(t).alias(c)
-                for c, t in events.dtypes
-            ],
+            F.col(key).alias("__key"),
             F.col(update_ts).alias("__ts"),
             F.lit(False).alias("__is_ev"),
+            F.lit(None).cast("string").alias("__ev"),
             F.col(value_col).cast("string").alias("__val"),
         )
     )
     out_schema = StructType(
-        [f for f in events.schema.fields] + [StructField("__out_val", StringType())]
+        [StructField("__ev", StringType()), StructField("__out_val", StringType())]
     )
 
     def fn(
@@ -171,25 +173,27 @@ def stream_latest_enrich(
         # event-time order; updates first on ties so an event at the same
         # instant sees the co-timestamped update
         batch = batch.sort_values(["__ts", "__is_ev"], kind="mergesort")
-        out_rows = []
+        evs, vals = [], []
         for _, row in batch.iterrows():
             if row["__is_ev"]:
-                out_rows.append(
-                    [row[c] for c in ev_cols] + [val]
-                )
+                evs.append(row["__ev"])
+                vals.append(val)
             else:
                 r_us = int(pd.Timestamp(row["__ts"]).value // 1000)
                 if r_us >= ts_us:
                     ts_us, val = r_us, row["__val"]
         state.update((ts_us, val))
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=ev_cols + ["__out_val"])
+        if evs:
+            yield pd.DataFrame({"__ev": evs, "__out_val": vals})
 
-    enriched = union.groupBy(F.col(key)).applyInPandasWithState(
+    enriched = union.groupBy(F.col("__key")).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=LATEST_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return enriched.withColumn(out_col, F.col("__out_val").cast(vtype)).drop("__out_val")
+    return enriched.select(
+        F.from_json(F.col("__ev"), ev_schema).alias("__s"),
+        F.col("__out_val").cast(vtype).alias(out_col),
+    ).select("__s.*", out_col)
