@@ -1,0 +1,126 @@
+"""Plan doctor: inspect a DataFrame's (optimized or executed) plan for
+the mistakes that kill jobs at 100 TB.
+
+The operators in this repo are built to specific plan shapes (broadcast
+small dims, pushed filters, no row-at-a-time Python, no accidental
+cartesians). This module makes those expectations CHECKABLE — in tests
+(several suites already assert exchange counts by hand), in CI gates,
+and interactively before pointing a notebook query at a petabyte:
+
+    from firepit_spark.functions.doctor import plan_report, assert_scaleworthy
+    rep = plan_report(df)          # counts + findings, no execution
+    assert_scaleworthy(df)         # raises on red flags
+
+Everything reads plan STRINGS via the JVM `QueryExecution` — no job
+runs, no data moves.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+# findings severities
+RED = "red"        # near-certain scale killer
+YELLOW = "yellow"  # legitimate sometimes; review intent
+
+
+@dataclass
+class PlanReport:
+    exchanges: int = 0
+    broadcasts: int = 0
+    scans: int = 0
+    scans_without_pushdown: int = 0
+    python_row_udfs: int = 0
+    arrow_evals: int = 0
+    cartesians: int = 0
+    bnl_joins: int = 0
+    sorts: int = 0
+    codegen_spans: int = 0
+    findings: list = field(default_factory=list)
+
+    @property
+    def red_findings(self) -> list:
+        return [f for f in self.findings if f[0] == RED]
+
+
+def _plan_strings(df: DataFrame, executed: bool) -> str:
+    qe = df._jdf.queryExecution()
+    return (qe.executedPlan() if executed else qe.optimizedPlan()).toString()
+
+
+def plan_report(df: DataFrame, executed: bool = True) -> PlanReport:
+    """Summarize scale-relevant facts of ``df``'s plan.
+
+    ``executed=True`` reads the spark-plan (physical) — what actually
+    runs, including join strategies AQE chose statically; ``False``
+    reads the optimized logical plan (useful when physical planning
+    would already need file listings you don't want to pay for).
+    """
+    plan = _plan_strings(df, executed)
+    rep = PlanReport()
+    rep.exchanges = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    rep.broadcasts = plan.count("BroadcastExchange") + plan.count(
+        "ResolvedHint (strategy=broadcast"
+    )
+    rep.scans = plan.count("FileScan") + plan.count("Scan parquet")
+    # a parquet scan that reports an empty PushedFilters list while the
+    # query filters is usually fine (filter may not be scan-eligible),
+    # but a scan with NO ReadSchema pruning note deserves eyes
+    rep.scans_without_pushdown = plan.count("PushedFilters: []")
+    rep.python_row_udfs = plan.count("BatchEvalPython")
+    rep.arrow_evals = plan.count("ArrowEvalPython") + plan.count("MapInPandas")
+    rep.cartesians = plan.count("CartesianProduct")
+    rep.bnl_joins = plan.count("BroadcastNestedLoopJoin")
+    rep.sorts = plan.count("Sort ")
+    rep.codegen_spans = plan.count("WholeStageCodegen")
+
+    if rep.python_row_udfs:
+        rep.findings.append(
+            (RED,
+             f"{rep.python_row_udfs} row-at-a-time Python UDF stage(s) "
+             "(BatchEvalPython): 10-100x slower than Arrow/builtin — "
+             "rewrite as pyspark.sql.functions or a pandas UDF")
+        )
+    if rep.cartesians:
+        rep.findings.append(
+            (RED,
+             f"{rep.cartesians} CartesianProduct join(s): O(n*m) rows — "
+             "add an equi-condition, or broadcast an intentionally tiny side")
+        )
+    if rep.bnl_joins:
+        rep.findings.append(
+            (YELLOW,
+             f"{rep.bnl_joins} BroadcastNestedLoopJoin(s): fine for a "
+             "1-row/tiny broadcast (summary cross joins), a scale bug if "
+             "the broadcast side grows with the data")
+        )
+    if rep.scans_without_pushdown:
+        rep.findings.append(
+            (YELLOW,
+             f"{rep.scans_without_pushdown} scan(s) with empty "
+             "PushedFilters: if the query filters these tables, the "
+             "predicate is not reaching parquet (cast/udf in the way?)")
+        )
+    if rep.exchanges >= 10:
+        rep.findings.append(
+            (YELLOW,
+             f"{rep.exchanges} shuffle exchanges: expected for iterative "
+             "plans, otherwise look for repeated groupBys that could fuse "
+             "or a missing bucketed layout")
+        )
+    return rep
+
+
+def assert_scaleworthy(df: DataFrame, executed: bool = True) -> PlanReport:
+    """Raise ``AssertionError`` when the plan has a red finding
+    (row-Python UDFs, cartesian products). Returns the report otherwise
+    so tests can make further shape assertions."""
+    rep = plan_report(df, executed=executed)
+    if rep.red_findings:
+        msgs = "; ".join(m for _, m in rep.red_findings)
+        raise AssertionError(f"plan not scale-worthy: {msgs}")
+    return rep

@@ -1,0 +1,62 @@
+"""Plan doctor (functions/doctor.py): scale red-flag detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_clean_plan_passes(spark):
+    from firepit_spark.functions.doctor import assert_scaleworthy, plan_report
+
+    a = spark.range(1000).withColumn("k", F.col("id") % 10)
+    b = spark.createDataFrame([(i, f"n{i}") for i in range(10)], ["k", "name"])
+    df = a.join(F.broadcast(b), "k").groupBy("name").count()
+    rep = assert_scaleworthy(df)
+    assert rep.broadcasts >= 1
+    assert rep.python_row_udfs == 0 and rep.cartesians == 0
+    # logical-plan mode works without physical planning
+    assert plan_report(df, executed=False) is not None
+
+
+def test_detects_row_python_udf(spark):
+    from pyspark.sql.types import LongType
+
+    from firepit_spark.functions.doctor import assert_scaleworthy, plan_report
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(100).select(slow("id").alias("y"))
+    rep = plan_report(df)
+    assert rep.python_row_udfs >= 1
+    with pytest.raises(AssertionError, match="row-at-a-time"):
+        assert_scaleworthy(df)
+
+
+def test_detects_cartesian(spark):
+    from firepit_spark.functions.doctor import assert_scaleworthy, plan_report
+
+    a, b = spark.range(50), spark.range(50).withColumnRenamed("id", "id2")
+    df = a.crossJoin(b)
+    rep = plan_report(df)
+    assert rep.cartesians + rep.bnl_joins >= 1
+    if rep.cartesians:
+        with pytest.raises(AssertionError, match="Cartesian"):
+            assert_scaleworthy(df)
+
+
+def test_repo_operators_are_scaleworthy(spark, tmp_path):
+    """The engine's own hot-path operators must pass their own doctor."""
+    from firepit_spark.functions import dedup as dd
+    from firepit_spark.functions import similarity as sim
+    from firepit_spark.functions.doctor import assert_scaleworthy
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    assert_scaleworthy(dd.ngram_jaccard_pairs(docs, k=2, threshold=0.1))
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    assert_scaleworthy(
+        sim.semantic_dedup(vecs, centroids=[[1.0, 0.0]], threshold=0.99)
+    )
