@@ -124,35 +124,42 @@ def ngram_jaccard_pairs(
     arr = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles")
     ).persist()
-    sizes = arr.select(F.col(id_col), F.size("__shingles").alias("set_size"))
     # hash shingles to 60-bit ints BEFORE the shuffles: the freq groupBy and
     # the index self-join then move 8-byte longs instead of ~25-byte strings
     # (at corpus scale the exploded index dominates shuffle volume). The
     # md5-derived hash is engine-portable, so the oracle joins on the same
     # keys and any (astronomically rare, 60-bit) collision affects both
-    # engines identically.
-    sh = arr.select(F.col(id_col), F.explode("__shingles").alias("__s")).select(
-        F.col(id_col), shingle_hash(F.col("__s")).alias("shingle")
-    )
+    # engines identically. set_size rides the explode map-side (8 bytes/row)
+    # so NO post-aggregation size joins are needed — at corpus scale the
+    # sizes frame has doc cardinality and cannot broadcast, so joining it
+    # onto the pairs frame twice would cost two more full shuffles. A/B at
+    # sf0.1: wash-to-slightly-faster locally (1.53 vs 1.60 median), strictly
+    # fewer shuffles at scale.
+    sh = arr.select(
+        F.col(id_col),
+        F.size("__shingles").alias("set_size"),
+        F.explode("__shingles").alias("__s"),
+    ).select(F.col(id_col), "set_size", shingle_hash(F.col("__s")).alias("shingle"))
 
     freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq")).filter(
         F.col("df_freq") <= max_shingle_freq
     )
     sh = sh.join(freq_ok.select("shingle"), "shingle")
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
     result = (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size-ratio prune BEFORE the pair aggregation: J <= min/max,
+            # so a pair whose smaller set is under threshold*larger can
+            # never reach the threshold (big lever at high thresholds)
+            & (F.col("size_a") >= threshold * F.col("size_b"))
+            & (F.col("size_b") >= threshold * F.col("size_a"))
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.round(

@@ -1,0 +1,127 @@
+"""Mergeable Bloom filter: membership contract, merge algebra, sizing,
+probe-side plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+    bloom_params,
+    bloom_prescreen,
+)
+
+BITS, HASHES = 1 << 14, 4
+
+
+def _members(spark, lo, hi):
+    return spark.range(lo, hi).select(F.concat(F.lit("item-"), F.col("id")).alias("v"))
+
+
+def test_no_false_negatives_and_bounded_fp(spark):
+    members = _members(spark, 0, 500)
+    bf = bloom_build(members, "v", BITS, HASHES)
+    # every member flags True
+    flagged = bloom_might_contain(members, "v", bf, BITS, HASHES)
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+    # non-members: fp rate well under a loose bound (expected ~ (1-e^{-kn/m})^k ≈ 0.3%)
+    probes = _members(spark, 10_000, 12_000)
+    fp = bloom_might_contain(probes, "v", bf, BITS, HASHES).filter(
+        F.col("might_contain")
+    ).count()
+    assert fp / 2000 < 0.05
+
+
+def test_merge_equals_union_build(spark):
+    a, b = _members(spark, 0, 300), _members(spark, 200, 600)
+    merged = bloom_merge(
+        bloom_build(a, "v", BITS, HASHES), bloom_build(b, "v", BITS, HASHES)
+    )
+    direct = bloom_build(a.unionByName(b), "v", BITS, HASHES)
+    # bitwise-OR algebra: merged filter is EXACTLY the filter of the union
+    m = {(r.word_idx, r.word) for r in merged.collect()}
+    d = {(r.word_idx, r.word) for r in direct.collect()}
+    assert m == d
+
+
+def test_filter_is_bounded_by_word_keyspace(spark):
+    bf = bloom_build(_members(spark, 0, 5000), "v", BITS, HASHES)
+    assert bf.count() <= BITS // 64
+
+
+def test_prescreen_directions(spark):
+    members = _members(spark, 0, 400)
+    bf = bloom_build(members, "v", BITS, HASHES)
+    probes = _members(spark, 300, 700)  # 100 overlap, 300 new
+    kept = bloom_prescreen(probes, "v", bf, BITS, HASHES, keep_members=True)
+    new = bloom_prescreen(probes, "v", bf, BITS, HASHES, keep_members=False)
+    kept_v = {r.v for r in kept.collect()}
+    new_v = {r.v for r in new.collect()}
+    overlap = {f"item-{i}" for i in range(300, 400)}
+    # no false negatives: every true member survives keep_members=True ...
+    assert overlap <= kept_v
+    # ... and never leaks into the definitely-new set
+    assert not (overlap & new_v)
+    # the two prescreens partition the probes
+    assert kept_v | new_v == {f"item-{i}" for i in range(300, 700)}
+
+
+def test_null_probes_flag_false(spark):
+    bf = bloom_build(_members(spark, 0, 10), "v", BITS, HASHES)
+    probes = spark.createDataFrame([("item-1",), (None,)], "v string")
+    rows = {
+        r.v: r.might_contain
+        for r in bloom_might_contain(probes, "v", bf, BITS, HASHES).collect()
+    }
+    assert rows["item-1"] is True
+    assert rows[None] is False
+
+
+def test_probe_side_is_map_only(spark, tmp_path):
+    """Membership adds broadcast joins only — the probe corpus never
+    hash-shuffles (the 100-TB contract). Probing from a persisted filter
+    (the production shape) keeps the build subtree out of the plan."""
+    import re
+
+    from firepit_spark.functions.doctor import plan_report
+
+    path = str(tmp_path / "bf.parquet")
+    bloom_build(_members(spark, 0, 100), "v", BITS, HASHES).write.parquet(path)
+    bf = spark.read.parquet(path)
+    probes = _members(spark, 0, 1000)
+    flagged = bloom_might_contain(probes, "v", bf, BITS, HASHES)
+    rep = plan_report(flagged)
+    assert rep.broadcasts == HASHES
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    # every Exchange in the probe plan is a broadcast exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+
+
+def test_bloom_params_sizing():
+    bits, hashes = bloom_params(1_000_000, 0.01)
+    assert bits % 64 == 0
+    # textbook optimum: ~9.6 bits/item, ~7 hashes at 1% fpp
+    assert 9_000_000 < bits < 10_100_000
+    assert 6 <= hashes <= 8
+    with pytest.raises(ValueError):
+        bloom_params(0)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_params_sized_filter_end_to_end(spark):
+    """bloom_params-sized filter (7 hashes at 1% fpp) — regression for the
+    ANSI bigint overflow in i*h2 position derivation."""
+    members = _members(spark, 0, 1000)
+    bits, hashes = bloom_params(1000, 0.01)
+    bf = bloom_build(members, "v", bits, hashes)
+    flagged = bloom_might_contain(members, "v", bf, bits, hashes)
+    assert flagged.filter(~F.col("might_contain")).count() == 0
+
+
+def test_build_rejects_unaligned_bits(spark):
+    with pytest.raises(ValueError):
+        bloom_build(_members(spark, 0, 10), "v", num_bits=100)
