@@ -15,6 +15,8 @@ Hash functions are md5-derived so the DuckDB oracle reproduces them exactly
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from firepit_spark.functions.text import fingerprint, word_shingles
@@ -183,6 +185,7 @@ def cross_ngram_jaccard(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    bloom_fpp: Optional[float] = None,
 ) -> DataFrame:
     """Train/test decontamination: exact Jaccard-similar pairs ACROSS two
     corpora (every near-dup of a ``right`` document found in ``left``).
@@ -194,20 +197,48 @@ def cross_ngram_jaccard(
     At scale the right side (heldout/eval set) is typically tiny, which
     AQE turns into a broadcast of the right index automatically.
 
+    ``bloom_fpp``: when the right corpus is too big for its *index* to
+    broadcast, set a false-positive rate (e.g. 0.01) to prescreen the
+    left index through a Bloom filter of the right shingles
+    (:mod:`firepit_spark.functions.bloom`) — the left side then sheds
+    the vast majority of its rows map-side before any shuffle, and the
+    result is provably unchanged (no false negatives; see inline note).
+
     Returns (left_id, right_id, jaccard) at or above ``threshold``.
     """
     la = _shingle_arrays(left, text_col, id_col, k).persist()
     ra = _shingle_arrays(right, text_col, id_col, k).persist()
-    l_sizes = la.select(F.col(id_col).alias("left_id"), F.size("__shingles").alias("size_l"))
-    r_sizes = ra.select(F.col(id_col).alias("right_id"), F.size("__shingles").alias("size_r"))
     # same narrow-shuffle trick as ngram_jaccard_pairs: join on 60-bit
-    # shingle hashes, not strings (freq cutoff + index join both shrink)
-    lsh = la.select(F.col(id_col).alias("left_id"), F.explode("__shingles").alias("__s")).select(
-        "left_id", shingle_hash(F.col("__s")).alias("shingle")
-    )
-    rsh = ra.select(F.col(id_col).alias("right_id"), F.explode("__shingles").alias("__s")).select(
-        "right_id", shingle_hash(F.col("__s")).alias("shingle")
-    )
+    # shingle hashes, not strings (freq cutoff + index join both shrink);
+    # set sizes ride the explode map-side so no post-aggregation size joins
+    lsh = la.select(
+        F.col(id_col).alias("left_id"),
+        F.size("__shingles").alias("size_l"),
+        F.explode("__shingles").alias("__s"),
+    ).select("left_id", "size_l", shingle_hash(F.col("__s")).alias("shingle"))
+    rsh = ra.select(
+        F.col(id_col).alias("right_id"),
+        F.size("__shingles").alias("size_r"),
+        F.explode("__shingles").alias("__s"),
+    ).select("right_id", "size_r", shingle_hash(F.col("__s")).alias("shingle"))
+
+    if bloom_fpp is not None:
+        # Bloom-prescreen the (huge) left index down to shingles that might
+        # occur in the right corpus — map-only on the left side, for when
+        # the right index is too big to broadcast but its bitset isn't.
+        # EXACT: a left row dropped here has a shingle definitely absent
+        # from the right (no false negatives), so it can't form a pair, and
+        # every left occurrence of a right-present shingle survives, so the
+        # union frequency cutoff below sees unchanged counts for every
+        # shingle that can produce pairs.
+        from .bloom import bloom_build, bloom_params, bloom_prescreen
+
+        bits, hashes = bloom_params(max(64, rsh.count()), bloom_fpp)
+        rbloom = bloom_build(rsh, "shingle", bits, hashes).persist()
+        lsh = bloom_prescreen(lsh, "shingle", rbloom, bits, hashes)
+        _extra_caches = [rbloom]
+    else:
+        _extra_caches = []
 
     freq_ok = (
         lsh.select("shingle")
@@ -217,15 +248,16 @@ def cross_ngram_jaccard(
         .filter(F.col("df_freq") <= max_shingle_freq)
         .select("shingle")
     )
-    common = (
+    result = (
         lsh.join(freq_ok, "shingle")
         .join(rsh.join(freq_ok, "shingle"), "shingle")
-        .groupBy("left_id", "right_id")
+        # size-ratio prune before the pair aggregation: J <= min/max
+        .filter(
+            (F.col("size_l") >= threshold * F.col("size_r"))
+            & (F.col("size_r") >= threshold * F.col("size_l"))
+        )
+        .groupBy("left_id", "right_id", "size_l", "size_r")
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    result = (
-        common.join(l_sizes, "left_id")
-        .join(r_sizes, "right_id")
         .withColumn(
             "jaccard",
             F.round(
@@ -235,7 +267,7 @@ def cross_ngram_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
     )
-    result._fp_caches = [la, ra]
+    result._fp_caches = [la, ra] + _extra_caches
     return result
 
 

@@ -727,6 +727,12 @@ def test_cross_ngram_jaccard(spark):
     assert all(r["jaccard"] == 1.0 for r in rows)
     release(got)
 
+    # bloom-prescreened path (for right corpora too big to broadcast):
+    # provably identical output — no false negatives in the prescreen
+    bloomed = dd.cross_ngram_jaccard(train, heldout, k=3, threshold=0.5, bloom_fpp=0.01)
+    assert {tuple(r) for r in bloomed.collect()} == {tuple(r) for r in rows}
+    release(bloomed)
+
 
 def test_connected_components(spark):
     from firepit_spark.functions import release
