@@ -1208,20 +1208,44 @@ GROUP BY f.lang
 
 
 def q45_dedup_clusters(spark, sf_dir):
-    """The dedup endgame: near-dup pairs (q25's shingle inverted index) ->
-    connected components -> (doc, cluster) labels, cluster = min doc id in
-    the component. Min-label propagation (equi-join + groupBy per round,
-    early exit on convergence) vs a recursive-CTE transitive closure."""
+    """The dedup endgame, two legs unioned (slot-merged; see COVERAGE.md):
+    'cluster' — near-dup pairs (q25's shingle inverted index) -> connected
+    components -> (doc, cluster) labels, min-label propagation vs a
+    recursive-CTE transitive closure; 'span' — substring-level duplicate
+    passages (duplicate_spans: positional 8-gram index + diagonal chaining,
+    >= 12 shared tokens) vs the same chaining done with SQL windows."""
     from firepit_spark.functions import release
     from firepit_spark.functions.graph import dedup_clusters
 
     r = _resolver(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(r("documents"), k=3, threshold=0.03)
-    out = dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs)
     # dedup_clusters materialized its own edge cache eagerly, so the ngram
     # operator's shingle-array caches are dead weight from here — release
     # them before the label iterations (matters on small-heap drivers)
     release(pairs)
+    spans = dd.duplicate_spans(r("documents"), k=8, min_tokens=12)
+    nl = F.lit(None).cast("long")
+    out = clusters.select(
+        F.lit("cluster").alias("leg"),
+        "doc_id",
+        "cluster_id",
+        nl.alias("id_b"),
+        nl.alias("start_a"),
+        nl.alias("start_b"),
+        nl.alias("span_tokens"),
+    ).unionByName(
+        spans.select(
+            F.lit("span").alias("leg"),
+            F.col("id_a").alias("doc_id"),
+            nl.alias("cluster_id"),
+            F.col("id_b").cast("long"),
+            F.col("start_a").cast("long"),
+            F.col("start_b").cast("long"),
+            F.col("span_tokens").cast("long"),
+        )
+    )
+    out._fp_caches = list(getattr(spans, "_fp_caches", []))
     return out
 
 
@@ -1250,8 +1274,41 @@ reach(a, b) AS (
   SELECT a, b FROM sym
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+pg AS (
+  SELECT doc_id, n - 1 AS pos,
+         ('0x' || substr(md5(t[n] || ' ' || t[n+1] || ' ' || t[n+2] || ' ' || t[n+3]
+            || ' ' || t[n+4] || ' ' || t[n+5] || ' ' || t[n+6] || ' ' || t[n+7]), 1, 15))::BIGINT AS gram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(n)
+  WHERE len(t) >= 8
+),
+gfreq AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) <= 1000),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM pg a
+  JOIN gfreq g ON g.gram = a.gram
+  JOIN pg b ON b.gram = a.gram AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT id_a, id_b, diag, pos_a, pos_b,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+  FROM m
+),
+spans AS (
+  SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         COUNT(*) + 7 AS span_tokens
+  FROM runs GROUP BY id_a, id_b, diag, isl
+  HAVING COUNT(*) + 7 >= 12
 )
-SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+SELECT 'cluster' AS leg, a AS doc_id, LEAST(a, MIN(b)) AS cluster_id,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS start_a,
+       CAST(NULL AS BIGINT) AS start_b, CAST(NULL AS BIGINT) AS span_tokens
+FROM reach GROUP BY a
+UNION ALL
+SELECT 'span' AS leg, id_a AS doc_id, CAST(NULL AS BIGINT) AS cluster_id,
+       id_b, start_a, start_b, span_tokens
+FROM spans
 """
 
 

@@ -560,3 +560,77 @@ def fuzzy_dedup(
     result = df.join(drops, id_col, "left_anti")
     result._fp_caches = [df] + list(getattr(confirmed, "_fp_caches", []))
     return result
+
+
+def positional_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """(id, pos, gram_hash) rows: the k-token gram starting at each word
+    position. Unlike :func:`shingle_rows` these are positional and NOT
+    deduplicated — the substrate for substring-level duplicate detection.
+    One codegen regex pass; hashes are the engine-portable 60-bit md5."""
+    from firepit_spark.functions.text import normalize_ws
+
+    df = _ensure_parallelism(df, id_col)
+    norm = F.lower(normalize_ws(F.col(text_col)))
+    pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (k - 1)
+    grams = F.regexp_extract_all(norm, F.lit(pattern), 1)
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__g")
+    ).select(F.col(id_col), "pos", shingle_hash(F.col("__g")).alias("gram"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_tokens: int = 16,
+    max_gram_freq: int = 1000,
+) -> DataFrame:
+    """Shared verbatim passages of >= ``min_tokens`` tokens across document
+    pairs — substring-level duplication that document-level Jaccard misses
+    (boilerplate headers, quoted blocks, templated bodies; the signal behind
+    suffix-array dedup a la "Deduplicating Training Data Makes Language
+    Models Better", here approximated with k-gram diagonal chaining).
+
+    Plan shape: positional k-gram inverted index (8-byte hashes) with the
+    standard frequency cutoff -> equi-join on the gram -> matches at the
+    same position offset (the "diagonal") chain into runs via one bounded
+    window per (pair, diagonal). Never a doc x doc product; the window
+    partitions are match-sized, not corpus-sized. A run of n consecutive
+    matching grams covers n + k - 1 tokens.
+
+    Returns (id_a, id_b, start_a, start_b, span_tokens), one row per
+    maximal duplicated span.
+    """
+    if min_tokens < k:
+        raise ValueError("min_tokens must be >= k (spans are built from k-grams)")
+    pg = positional_grams(df, text_col, id_col, k).persist()
+
+    freq_ok = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") <= max_gram_freq
+    )
+    idx = pg.join(freq_ok.select("gram"), "gram")
+
+    a = idx.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "gram")
+    b = idx.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "gram")
+    matches = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("__diag")
+    )
+    # islands of consecutive pos_a within a (pair, diagonal) partition:
+    # pos_a - row_number() is constant across a consecutive run
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    runs = matches.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+    result = (
+        runs.groupBy("id_a", "id_b", "__diag", "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )
+    result._fp_caches = [pg]
+    return result

@@ -1599,3 +1599,44 @@ def test_sessionize_batch(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sessionize(ev, gap_seconds=0)
+
+
+def test_duplicate_spans(spark):
+    """Substring-level dedup: shared >=min_tokens verbatim passages at
+    arbitrary offsets, invisible to document-level Jaccard."""
+    from firepit_spark.functions import release
+
+    passage = " ".join(f"tok{i}" for i in range(20))  # 20-token shared block
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta epsilon zeta"),
+            (2, "totally different lead in words here now " + passage),
+            (3, " ".join(f"other{i}" for i in range(30))),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    got = dd.duplicate_spans(docs, k=8, min_tokens=16)
+    rows = got.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # doc 1 has 2 lead tokens before the passage, doc 2 has 7
+    assert (r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens) == (1, 2, 2, 7, 20)
+    release(got)
+
+    # below min_tokens: nothing reported
+    short = dd.duplicate_spans(docs, k=8, min_tokens=21)
+    assert short.count() == 0
+    release(short)
+
+    # hot-gram cutoff bounds fan-out: a gram in every doc gets dropped
+    many = spark.createDataFrame(
+        [(i, "x " * 3 + passage) for i in range(5)], "doc_id long, text string"
+    )
+    capped = dd.duplicate_spans(many, k=8, min_tokens=16, max_gram_freq=4)
+    assert capped.count() == 0
+    release(capped)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.duplicate_spans(docs, k=8, min_tokens=4)
