@@ -634,3 +634,55 @@ def duplicate_spans(
     )
     result._fp_caches = [pg]
     return result
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    margin: int = 0,
+) -> DataFrame:
+    """Cut duplicated passages out of the LOWER-priority document of each
+    pair (the higher ``id_b`` keeps only its first occurrence corpus-wide
+    when ids order by ingest time) — the surgery step of substring-level
+    dedup: detection (:func:`duplicate_spans`) finds the shared passages,
+    this removes them from ``id_b`` docs while ``id_a`` docs keep theirs.
+
+    ``margin`` widens each removed interval by that many tokens on both
+    sides (boilerplate edges often differ by a token or two).
+
+    Plan shape: spans -> per-doc interval list (one groupBy over spans,
+    which are tiny relative to the corpus) -> left join onto the corpus
+    (AQE broadcasts the interval side when it fits) -> token filter as a
+    codegen higher-order function. Untouched docs pass through with text
+    unchanged; token positions refer to the whitespace-normalized text,
+    so the rebuilt text is normalized too.
+    """
+    from firepit_spark.functions.text import normalize_ws
+
+    iv = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.struct(
+                F.greatest(F.col("start_b") - margin, F.lit(0)).alias("lo"),
+                (F.col("start_b") + F.col("span_tokens") - 1 + margin).alias("hi"),
+            ).alias("__iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("__iv").alias("__ivs"))
+    )
+    toks = F.split(F.lower(normalize_ws(F.col(text_col))), " ")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("__ivs"), lambda v: (s["i"] >= v["lo"]) & (s["i"] <= v["hi"])
+        ),
+    )
+    out = df.join(iv, id_col, "left").withColumn(
+        text_col,
+        F.when(F.col("__ivs").isNull(), F.col(text_col)).otherwise(
+            F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+        ),
+    )
+    return out.drop("__ivs")

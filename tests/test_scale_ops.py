@@ -1640,3 +1640,34 @@ def test_duplicate_spans(spark):
 
     with _pytest.raises(ValueError):
         dd.duplicate_spans(docs, k=8, min_tokens=4)
+
+
+def test_remove_duplicate_spans(spark):
+    """Surgery step: the duplicated passage is cut from the id_b doc only;
+    id_a and untouched docs keep their text."""
+    from firepit_spark.functions import release
+
+    passage = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta epsilon zeta"),
+            (2, "lead one two three four five six " + passage),
+            (3, "independent content " + " ".join(f"o{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dd.duplicate_spans(docs, k=8, min_tokens=16)
+    cleaned = {r.doc_id: r.text for r in dd.remove_duplicate_spans(docs, spans).collect()}
+    release(spans)
+    # id_a keeps the passage verbatim
+    assert passage in cleaned[1]
+    # id_b loses exactly the passage, keeps its lead-in
+    assert cleaned[2] == "lead one two three four five six"
+    # untouched doc passes through byte-identical
+    assert cleaned[3] == "independent content " + " ".join(f"o{i}" for i in range(20))
+
+    # margin widens the cut
+    spans2 = dd.duplicate_spans(docs, k=8, min_tokens=16)
+    wide = {r.doc_id: r.text for r in dd.remove_duplicate_spans(docs, spans2, margin=2).collect()}
+    release(spans2)
+    assert wide[2] == "lead one two three four"
