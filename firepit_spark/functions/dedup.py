@@ -441,6 +441,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     n: int = 13,
     max_ngram_freq: int | None = None,
+    bloom_fpp: Optional[float] = None,
 ) -> DataFrame:
     """Strict eval-set decontamination (the GPT-3/PaLM standard): flag
     every training document that shares at least one word ``n``-gram
@@ -460,6 +461,15 @@ def ngram_contamination(
     silently un-flag hot n-grams (false negatives — wrong default for a
     contamination gate); set it only when a pathological corpus makes
     the hot-key fan-out bind, and log what it drops.
+
+    ``bloom_fpp``: prescreen the train index through a Bloom filter of
+    the eval n-grams (for eval sets whose *index* can't broadcast but
+    whose bitset can) — map-only shedding of the train side, provably
+    lossless: the filter has no false negatives, so every train
+    occurrence of an eval-present n-gram survives, and train-only
+    n-grams produce no pairs (and can only LOWER union frequency
+    counts of non-pair-producing n-grams when ``max_ngram_freq`` is
+    set — never un-flag a real contamination).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
@@ -473,6 +483,12 @@ def ngram_contamination(
         .select(F.col(id_col).alias("eval_id"), F.explode("__shingles").alias("__s"))
         .select("eval_id", shingle_hash(F.col("__s")).alias("shingle"))
     )
+    if bloom_fpp is not None:
+        from .bloom import bloom_build, bloom_params, bloom_prescreen
+
+        bits, hashes = bloom_params(max(64, esh.count()), bloom_fpp)
+        ebloom = bloom_build(esh, "shingle", bits, hashes).persist()
+        tsh = bloom_prescreen(tsh, "shingle", ebloom, bits, hashes)
     if max_ngram_freq is not None:
         freq_ok = (
             tsh.select("shingle")

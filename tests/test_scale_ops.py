@@ -1246,6 +1246,12 @@ def test_ngram_contamination(spark):
     # frequency cutoff of 1 kills the shared (hot) n-grams -> documented
     # false-negative trade kicks in
     assert dd.ngram_contamination(train, ev, n=5, max_ngram_freq=1).count() == 0
+    # bloom-prescreened path: identical flags (lossless prescreen)
+    bloomed = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in dd.ngram_contamination(train, ev, n=5, bloom_fpp=0.01).collect()
+    }
+    assert bloomed == got
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dd.ngram_contamination(train, ev, n=0)
