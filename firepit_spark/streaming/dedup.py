@@ -45,3 +45,81 @@ def stream_dedup_exact(
         .withWatermark(time_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["fp"])
     )
+
+
+def stream_bloom_dedup(
+    stream: DataFrame,
+    key_col: str,
+    out_dir: str,
+    state_dir: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 4,
+    checkpoint_dir: str | None = None,
+):
+    """Unbounded-HISTORY stream dedup with BOUNDED state: keep rows whose
+    key was never seen in any earlier micro-batch, remembering history in
+    a mergeable Bloom filter (:mod:`firepit_spark.functions.bloom`)
+    instead of per-key rows.
+
+    Complements :func:`stream_dedup_exact`, whose per-key state is exact
+    but watermark-bounded (duplicates far apart in time both pass). Here
+    the horizon is forever and state is a fixed ``num_bits/64``-row
+    bitset — the trade is the Bloom false-positive rate: a small share of
+    genuinely-new keys is dropped as "seen" (the conservative direction
+    for dedup; size with ``bloom_params`` for the expected key volume).
+
+    Replay-idempotent by construction, same recipe as the streaming
+    rollups: each epoch's bloom partial lands in its own ``__epoch=N``
+    partition via dynamic overwrite, and batch N prescreens against
+    partials with ``__epoch < N`` only — a replayed batch sees exactly
+    the state it saw the first time, never its own partial. Survivors
+    land in ``out_dir`` per-epoch the same way.
+
+    Returns the started StreamingQuery. Read survivors with
+    ``spark.read.parquet(out_dir)`` (drop ``__epoch``); probe the live
+    seen-set with :func:`read_seen_bloom`.
+    """
+    from firepit_spark.functions.bloom import bloom_build, bloom_merge, bloom_prescreen
+    from firepit_spark.streaming.rollup import _write_epoch
+
+    def handle(batch_df: DataFrame, epoch_id: int):
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        try:
+            prior = (
+                spark.read.parquet(state_dir)
+                .filter(F.col("__epoch") < int(epoch_id))
+                .drop("__epoch")
+            )
+            seen = bloom_merge(prior) if prior.head(1) else prior
+        except AnalysisException:  # first batch: state dir doesn't exist yet
+            seen = None
+        batch = batch_df.dropDuplicates([key_col])
+        if seen is not None:
+            batch = bloom_prescreen(
+                batch, key_col, seen, num_bits, num_hashes, keep_members=False
+            )
+        batch = batch.persist()
+        try:
+            _write_epoch(batch, out_dir, epoch_id)
+            _write_epoch(
+                bloom_build(batch.select(key_col), key_col, num_bits, num_hashes),
+                state_dir,
+                epoch_id,
+            )
+        finally:
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_seen_bloom(spark, state_dir: str) -> DataFrame:
+    """Fold all epoch partials into the live seen-set filter (bit_or
+    union — exactly the filter of every key ever admitted)."""
+    from firepit_spark.functions.bloom import bloom_merge
+
+    return bloom_merge(spark.read.parquet(state_dir).drop("__epoch"))

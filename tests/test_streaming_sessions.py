@@ -414,3 +414,51 @@ def test_stream_latest_enrich(spark, tmp_path):
     finally:
         q.stop()
     assert rows2[4] == "gold" and rows2[5] == "silver"
+
+
+def test_stream_bloom_dedup(spark, tmp_path):
+    """Bloom-state streaming dedup: keys seen in ANY earlier micro-batch
+    are dropped (no watermark horizon), state stays a bounded bitset, and
+    the folded seen-filter equals a batch-built filter over the admitted
+    keys."""
+    from firepit_spark.functions.bloom import bloom_build, bloom_might_contain
+    from firepit_spark.streaming.dedup import read_seen_bloom, stream_bloom_dedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+    bits, hashes = 1 << 14, 4
+
+    _write_events(indir / "a.json", [
+        {"doc_id": 0, "url": "http://a.example/x"},
+        {"doc_id": 1, "url": "http://b.example/y"},
+        {"doc_id": 2, "url": "http://a.example/x"},  # in-batch dup
+    ])
+    schema = "doc_id long, url string"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    q = stream_bloom_dedup(
+        stream, "url", out_dir, state_dir, bits, hashes,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(indir / "b.json", [
+            {"doc_id": 3, "url": "http://a.example/x"},  # cross-batch dup
+            {"doc_id": 4, "url": "http://c.example/z"},  # new
+        ])
+        q.processAllAvailable()
+        survivors = spark.read.parquet(out_dir).drop("__epoch")
+        urls = sorted(r.url for r in survivors.collect())
+    finally:
+        q.stop()
+    assert urls == ["http://a.example/x", "http://b.example/y", "http://c.example/z"]
+
+    # the live seen-set equals a batch-built filter over the admitted keys
+    seen = read_seen_bloom(spark, state_dir)
+    direct = bloom_build(survivors.select("url"), "url", bits, hashes)
+    assert {(r.word_idx, r.word) for r in seen.collect()} == {
+        (r.word_idx, r.word) for r in direct.collect()
+    }
+    # and flags every admitted key as seen
+    flagged = bloom_might_contain(survivors, "url", seen, bits, hashes)
+    assert flagged.filter(~flagged.might_contain).count() == 0
