@@ -60,3 +60,7 @@ def test_repo_operators_are_scaleworthy(spark, tmp_path):
     assert_scaleworthy(
         sim.semantic_dedup(vecs, centroids=[[1.0, 0.0]], threshold=0.99)
     )
+    # substring-level dedup: detection and surgery both stay clean
+    spans = dd.duplicate_spans(docs, k=2, min_tokens=3)
+    assert_scaleworthy(spans)
+    assert_scaleworthy(dd.remove_duplicate_spans(docs, spans))
