@@ -1522,8 +1522,22 @@ def q51_corpus_profile(spark, sf_dir):
         F.count(F.lit(1)).alias("mix_docs"),
         F.sum("mix_tokens").alias("mix_tokens"),
     )
-    return w.join(p.select("source", "p50", "p90", "p99"), "source").join(
-        msum, "source", "left"
+    # corpus_report rides the slot too (merged; integer-exact columns only —
+    # mean_quality/top_lang stay pytest-gated: float-sum order and modal
+    # tie-breaks aren't engine-portable)
+    rep = cp.corpus_report(docs, source_col="source").select(
+        "source",
+        "distinct_docs",
+        "dup_ratio",
+        "total_tokens",
+        "mean_tokens",
+        "p50_tokens",
+        "p95_tokens",
+    )
+    return (
+        w.join(p.select("source", "p50", "p90", "p99"), "source")
+        .join(msum, "source", "left")
+        .join(rep, "source")
     )
 
 
@@ -1568,10 +1582,26 @@ mix AS (
   SELECT source, COUNT(*) AS mix_docs, CAST(SUM(tok) AS BIGINT) AS mix_tokens
   FROM c WHERE bef < budget OR (bef = budget AND tok = 0)
   GROUP BY source
+),
+rep AS (
+  SELECT source,
+         COUNT(DISTINCT md5({_NORM})) AS distinct_docs,
+         ROUND(1.0 - COUNT(DISTINCT md5({_NORM})) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS dup_ratio,
+         CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+         ROUND(CAST(SUM(len(string_split({_NORM}, ' '))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_tokens,
+         ROUND(quantile_cont(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE), 0.5), 6)
+           AS p50_tokens,
+         ROUND(quantile_cont(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE), 0.95), 6)
+           AS p95_tokens
+  FROM documents GROUP BY source
 )
 SELECT w.source, w.n_docs, w.weight, p.p50, p.p90, p.p99,
-       mix.mix_docs, mix.mix_tokens
-FROM w JOIN p USING (source) LEFT JOIN mix USING (source)
+       mix.mix_docs, mix.mix_tokens,
+       rep.distinct_docs, rep.dup_ratio, rep.total_tokens, rep.mean_tokens,
+       rep.p50_tokens, rep.p95_tokens
+FROM w JOIN p USING (source) LEFT JOIN mix USING (source) JOIN rep USING (source)
 """
 
 

@@ -437,3 +437,53 @@ def build_mixture(
         .select(*out_cols)
     )
     return keep_rows.unionByName(refine_rows)
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: Column | str | None = None,
+) -> DataFrame:
+    """One-aggregation corpus profile: the numbers a mixture/curation
+    decision needs, per source (or one global row when ``source_col`` is
+    None).
+
+    Columns: n_docs, distinct_docs (exact-dup survivors by normalized
+    fingerprint), dup_ratio, total_tokens, mean/p50/p95 token counts,
+    mean_quality, top_lang (modal language guess).
+
+    Single hash shuffle on the grouping key; every per-doc feature
+    (fingerprint, token count, quality, lang guess) is a codegen
+    expression computed map-side. The token percentiles use the exact
+    ``percentile`` (one per-group sort worth paying for a report); at
+    full corpus scale run it on a ``hash_sample`` slice — membership is
+    content-addressed, so the sample is stable across runs.
+    """
+    from firepit_spark.functions.text import (
+        fingerprint,
+        lang_guess,
+        quality_score,
+        token_count,
+    )
+
+    if source_col is None:
+        key = F.lit("all").alias("source")
+    elif isinstance(source_col, str):
+        key = F.col(source_col).alias("source")
+    else:
+        key = source_col.alias("source")
+    t = F.col(text_col)
+    n = F.count(F.lit(1))
+    distinct = F.count_distinct(fingerprint(t))
+    return df.groupBy(key).agg(
+        n.alias("n_docs"),
+        distinct.alias("distinct_docs"),
+        F.round(F.lit(1.0) - distinct / n, 6).alias("dup_ratio"),
+        F.sum(token_count(t)).alias("total_tokens"),
+        F.round(F.avg(token_count(t)), 6).alias("mean_tokens"),
+        F.round(F.percentile(token_count(t), F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile(token_count(t), F.lit(0.95)), 6).alias("p95_tokens"),
+        F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
+        F.mode(lang_guess(t)).alias("top_lang"),
+    )

@@ -702,3 +702,45 @@ def remove_duplicate_spans(
         ),
     )
     return out.drop("__ivs")
+
+
+def lsh_band_plan(num_perm: int, threshold: float) -> dict:
+    """Pick the (bands, rows-per-band) split of a ``num_perm``-permutation
+    MinHash signature that best targets a Jaccard ``threshold``.
+
+    LSH banding's S-curve: a pair with Jaccard s becomes a candidate with
+    probability 1 - (1 - s^r)^b. The classic rule of thumb puts the curve's
+    inflection at (1/b)^(1/r); this helper scans every divisor split of
+    ``num_perm`` and returns the one whose inflection lands closest to the
+    requested threshold, plus the curve values at the threshold and at
+    0.5x / 1.5x of it (what you'd actually quote in a recall/precision
+    budget). Pure planning — call it before ``minhash_lsh_candidates`` /
+    ``fuzzy_dedup`` instead of hand-picking ``bands``.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+
+    def p_candidate(s: float, b: int, r: int) -> float:
+        return 1.0 - (1.0 - s**r) ** b
+
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        inflection = (1.0 / b) ** (1.0 / r) if r > 1 or b > 1 else 0.5
+        score = abs(inflection - threshold)
+        if best is None or score < best["_score"]:
+            best = {
+                "bands": b,
+                "rows_per_band": r,
+                "inflection": inflection,
+                "p_at_threshold": p_candidate(threshold, b, r),
+                "p_below": p_candidate(threshold * 0.5, b, r),
+                "p_above": p_candidate(min(1.0, threshold * 1.5), b, r),
+                "_score": score,
+            }
+    del best["_score"]
+    return best

@@ -473,3 +473,30 @@ def test_url_sentence_punctuation_and_null(spark):
     assert kept_list == kept_df == {1, 2}
     assert {r["doc_id"] for r in
             tx.domain_filter(pages, ["bad.com"], keep_unmatched=False).collect()} == {2}
+
+
+def test_corpus_report(spark):
+    from firepit_spark.functions.corpus import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "web"),
+            (1, "THE CAT  SAT ON THE MAT", "web"),    # exact dup after norm
+            (2, "one two three four five six", "web"),
+            (3, "a completely different document", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in corpus_report(df, source_col="source").collect()}
+    web = rows["web"]
+    assert (web.n_docs, web.distinct_docs) == (3, 2)
+    assert web.dup_ratio == round(1 - 2 / 3, 6)
+    assert web.total_tokens == 6 + 6 + 6
+    assert web.p50_tokens == 6.0
+    assert 0.0 <= web.mean_quality <= 1.0
+    assert isinstance(web.top_lang, str)
+    assert rows["books"].dup_ratio == 0.0
+
+    # global (ungrouped) variant: one row labeled 'all'
+    g = corpus_report(df).collect()
+    assert len(g) == 1 and g[0].source == "all" and g[0].n_docs == 4

@@ -1677,3 +1677,23 @@ def test_remove_duplicate_spans(spark):
     wide = {r.doc_id: r.text for r in dd.remove_duplicate_spans(docs, spans2, margin=2).collect()}
     release(spans2)
     assert wide[2] == "lead one two three four"
+
+
+def test_lsh_band_plan():
+    """Optimal banding: the S-curve inflection lands nearest the target,
+    and the curve behaves (high recall at threshold, low far below)."""
+    plan = dd.lsh_band_plan(16, 0.5)
+    assert plan["bands"] * plan["rows_per_band"] == 16
+    # candidate probability is monotone in s for any plan
+    assert plan["p_below"] < plan["p_at_threshold"] <= plan["p_above"]
+    # a high threshold wants more rows per band (sharper AND)
+    strict = dd.lsh_band_plan(128, 0.8)
+    loose = dd.lsh_band_plan(128, 0.3)
+    assert strict["rows_per_band"] > loose["rows_per_band"]
+    assert abs(strict["inflection"] - 0.8) < 0.15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.lsh_band_plan(16, 1.5)
+    with _pytest.raises(ValueError):
+        dd.lsh_band_plan(1, 0.5)
