@@ -603,6 +603,7 @@ def duplicate_spans(
     k: int = 8,
     min_tokens: int = 16,
     max_gram_freq: int = 1000,
+    other: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Shared verbatim passages of >= ``min_tokens`` tokens across document
     pairs — substring-level duplication that document-level Jaccard misses
@@ -619,19 +620,38 @@ def duplicate_spans(
 
     Returns (id_a, id_b, start_a, start_b, span_tokens), one row per
     maximal duplicated span.
+
+    ``other``: cross-corpus mode — find passages of ``df`` (id_a side)
+    duplicated in ``other`` (id_b side), e.g. span-level train/eval
+    contamination with *where and how long*, not just the membership
+    flag :func:`ngram_contamination` gives. The frequency cutoff then
+    applies to the union index (a gram hot in either corpus is capped),
+    and pairs within one corpus are not reported.
     """
     if min_tokens < k:
         raise ValueError("min_tokens must be >= k (spans are built from k-grams)")
     pg = positional_grams(df, text_col, id_col, k).persist()
+    caches = [pg]
+    if other is None:
+        pg_b = pg
+        freq_src = pg
+    else:
+        pg_b = positional_grams(other, text_col, id_col, k).persist()
+        caches.append(pg_b)
+        freq_src = pg.unionByName(pg_b)
 
-    freq_ok = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).filter(
+    freq_ok = freq_src.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") <= max_gram_freq
     )
-    idx = pg.join(freq_ok.select("gram"), "gram")
+    idx_a = pg.join(freq_ok.select("gram"), "gram")
+    idx_b = pg_b.join(freq_ok.select("gram"), "gram") if other is not None else idx_a
 
-    a = idx.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "gram")
-    b = idx.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "gram")
-    matches = a.join(b, "gram").filter(F.col("id_a") < F.col("id_b")).select(
+    a = idx_a.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "gram")
+    b = idx_b.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "gram")
+    matches = a.join(b, "gram")
+    if other is None:
+        matches = matches.filter(F.col("id_a") < F.col("id_b"))
+    matches = matches.select(
         "id_a", "id_b", "pos_a", "pos_b", (F.col("pos_a") - F.col("pos_b")).alias("__diag")
     )
     # islands of consecutive pos_a within a (pair, diagonal) partition:
@@ -648,7 +668,7 @@ def duplicate_spans(
         .filter(F.col("span_tokens") >= min_tokens)
         .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
     )
-    result._fp_caches = [pg]
+    result._fp_caches = caches
     return result
 
 

@@ -1647,6 +1647,17 @@ def test_duplicate_spans(spark):
     with _pytest.raises(ValueError):
         dd.duplicate_spans(docs, k=8, min_tokens=4)
 
+    # cross-corpus mode: passage shared train->eval located exactly;
+    # within-corpus duplication (docs 1 and 2 both hold it) NOT reported
+    evald = spark.createDataFrame(
+        [(100, "eval preamble " + passage), (101, "clean eval doc with fresh words")],
+        "doc_id long, text string",
+    )
+    x = dd.duplicate_spans(docs, k=8, min_tokens=16, other=evald)
+    xr = {(r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens) for r in x.collect()}
+    release(x)
+    assert xr == {(1, 100, 2, 2, 20), (2, 100, 7, 2, 20)}
+
 
 def test_remove_duplicate_spans(spark):
     """Surgery step: the duplicated passage is cut from the id_b doc only;
