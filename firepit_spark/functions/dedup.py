@@ -692,11 +692,10 @@ def remove_duplicate_spans(
     which are tiny relative to the corpus) -> left join onto the corpus
     (AQE broadcasts the interval side when it fits) -> token filter as a
     codegen higher-order function. Untouched docs pass through with text
-    unchanged; token positions refer to the whitespace-normalized text,
-    so the rebuilt text is normalized too.
+    unchanged. Surviving tokens keep their ORIGINAL casing (whitespace
+    tokenization aligns 1:1 with the normalized index positions);
+    whitespace runs between survivors collapse to single spaces.
     """
-    from firepit_spark.functions.text import normalize_ws
-
     iv = (
         spans.select(
             F.col("id_b").alias(id_col),
@@ -708,7 +707,11 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_list("__iv").alias("__ivs"))
     )
-    toks = F.split(F.lower(normalize_ws(F.col(text_col))), " ")
+    # split the ORIGINAL text on whitespace runs: token positions align
+    # 1:1 with the normalized tokens duplicate_spans indexed (whitespace
+    # collapse and lowercasing don't change token boundaries), so the cut
+    # hits the right tokens while the survivors keep their original casing
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     kept = F.filter(
         F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
         lambda s: ~F.exists(

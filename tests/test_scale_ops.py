@@ -1668,7 +1668,10 @@ def test_remove_duplicate_spans(spark):
     docs = spark.createDataFrame(
         [
             (1, "alpha beta " + passage + " gamma delta epsilon zeta"),
-            (2, "lead one two three four five six " + passage),
+            # mixed case + whitespace runs in the survivor region: the cut
+            # must hit the right tokens (positions are normalized-indexed)
+            # while survivors keep their original casing
+            (2, "LEAD One  two Three four FIVE six " + passage),
             (3, "independent content " + " ".join(f"o{i}" for i in range(20))),
         ],
         "doc_id long, text string",
@@ -1678,8 +1681,8 @@ def test_remove_duplicate_spans(spark):
     release(spans)
     # id_a keeps the passage verbatim
     assert passage in cleaned[1]
-    # id_b loses exactly the passage, keeps its lead-in
-    assert cleaned[2] == "lead one two three four five six"
+    # id_b loses exactly the passage, keeps its lead-in with casing intact
+    assert cleaned[2] == "LEAD One two Three four FIVE six"
     # untouched doc passes through byte-identical
     assert cleaned[3] == "independent content " + " ".join(f"o{i}" for i in range(20))
 
@@ -1687,7 +1690,7 @@ def test_remove_duplicate_spans(spark):
     spans2 = dd.duplicate_spans(docs, k=8, min_tokens=16)
     wide = {r.doc_id: r.text for r in dd.remove_duplicate_spans(docs, spans2, margin=2).collect()}
     release(spans2)
-    assert wide[2] == "lead one two three four"
+    assert wide[2] == "LEAD One two Three four"
 
 
 def test_lsh_band_plan():
