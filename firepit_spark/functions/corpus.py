@@ -442,7 +442,6 @@ def build_mixture(
 def corpus_report(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: Column | str | None = None,
 ) -> DataFrame:
     """One-aggregation corpus profile: the numbers a mixture/curation

@@ -626,7 +626,8 @@ def duplicate_spans(
     contamination with *where and how long*, not just the membership
     flag :func:`ngram_contamination` gives. The frequency cutoff then
     applies to the union index (a gram hot in either corpus is capped),
-    and pairs within one corpus are not reported.
+    and pairs within one corpus are not reported. The two corpora's id
+    spaces are independent (ids are never compared across sides).
     """
     if min_tokens < k:
         raise ValueError("min_tokens must be >= k (spans are built from k-grams)")
