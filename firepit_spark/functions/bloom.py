@@ -101,7 +101,9 @@ def bloom_build(
         df.filter(F.col(col).isNotNull())
         .select(pos.alias("__pos"))
         .select(
-            (F.col("__pos") / 64).cast("int").alias("word_idx"),
+            # bigint: a bloom_params-sized filter for ~1e10+ items exceeds
+            # 2^37 bits, overflowing an int32 word index
+            (F.col("__pos") / 64).cast("bigint").alias("word_idx"),
             _bit_mask("__pos").alias("__bit"),
         )
         .groupBy("word_idx")
@@ -138,15 +140,22 @@ def bloom_might_contain(
     join against the (≤ num_bits/64 row) word table — the corpus is
     never shuffled and never exploded. NULL probes flag False.
     """
-    positions = _positions(F.col(col), num_bits, num_hashes)
+    # materialize h1/h2 ONCE: deriving each probe position from the shared
+    # columns costs one md5 per row total, not 2*num_hashes (the per-stage
+    # projections get no cross-stage common-subexpression elimination)
+    h1, h2 = _h1h2(F.col(col))
+    df = df.withColumn("__bh1", h1).withColumn(
+        "__bh2", F.pmod(h2, F.lit(num_bits))
+    )
     hits = []
-    for i, p in enumerate(positions):
+    for i in range(num_hashes):
+        p = F.pmod(F.col("__bh1") + F.lit(i) * F.col("__bh2"), F.lit(num_bits))
         w = bloom.select(
             F.col("word_idx").alias(f"__wi{i}"), F.col("word").alias(f"__wd{i}")
         )
         df = (
             df.withColumn(f"__p{i}", p)
-            .withColumn(f"__wi{i}", (F.col(f"__p{i}") / 64).cast("int"))
+            .withColumn(f"__wi{i}", (F.col(f"__p{i}") / 64).cast("bigint"))
             .withColumn(f"__mask{i}", _bit_mask(f"__p{i}"))
         )
         df = df.join(F.broadcast(w), f"__wi{i}", "left")
@@ -155,7 +164,7 @@ def bloom_might_contain(
     for h in hits[1:]:
         flag = flag & h
     out = df.withColumn(flag_col, F.coalesce(flag, F.lit(False)))
-    drop = [
+    drop = ["__bh1", "__bh2"] + [
         c
         for i in range(num_hashes)
         for c in (f"__p{i}", f"__wi{i}", f"__mask{i}", f"__wd{i}")

@@ -156,9 +156,12 @@ def ngram_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             # size-ratio prune BEFORE the pair aggregation: J <= min/max,
             # so a pair whose smaller set is under threshold*larger can
-            # never reach the threshold (big lever at high thresholds)
-            & (F.col("size_a") >= threshold * F.col("size_b"))
-            & (F.col("size_b") >= threshold * F.col("size_a"))
+            # never reach the threshold (big lever at high thresholds).
+            # The 1e-6 slack covers the final round(jaccard, 6) >= threshold
+            # comparison: J as low as threshold - 5e-7 still rounds up to
+            # the threshold, so the prune must not cut inside that band
+            & (F.col("size_a") >= (threshold - 1e-6) * F.col("size_b"))
+            & (F.col("size_b") >= (threshold - 1e-6) * F.col("size_a"))
         )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -233,7 +236,10 @@ def cross_ngram_jaccard(
         # shingle that can produce pairs.
         from .bloom import bloom_build, bloom_params, bloom_prescreen
 
-        bits, hashes = bloom_params(max(64, rsh.count()), bloom_fpp)
+        # size on (approx) distinct shingles, not occurrences (ra is
+        # already persisted, so re-deriving rsh for the count is cheap)
+        n_distinct = rsh.agg(F.approx_count_distinct("shingle")).first()[0]
+        bits, hashes = bloom_params(max(64, int(n_distinct * 1.1)), bloom_fpp)
         rbloom = bloom_build(rsh, "shingle", bits, hashes).persist()
         lsh = bloom_prescreen(lsh, "shingle", rbloom, bits, hashes)
         _extra_caches = [rbloom]
@@ -252,9 +258,11 @@ def cross_ngram_jaccard(
         lsh.join(freq_ok, "shingle")
         .join(rsh.join(freq_ok, "shingle"), "shingle")
         # size-ratio prune before the pair aggregation: J <= min/max
+        # (1e-6 slack for the round(jaccard, 6) boundary, as in
+        # ngram_jaccard_pairs)
         .filter(
-            (F.col("size_l") >= threshold * F.col("size_r"))
-            & (F.col("size_r") >= threshold * F.col("size_l"))
+            (F.col("size_l") >= (threshold - 1e-6) * F.col("size_r"))
+            & (F.col("size_r") >= (threshold - 1e-6) * F.col("size_l"))
         )
         .groupBy("left_id", "right_id", "size_l", "size_r")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -486,9 +494,18 @@ def ngram_contamination(
     if bloom_fpp is not None:
         from .bloom import bloom_build, bloom_params, bloom_prescreen
 
-        bits, hashes = bloom_params(max(64, esh.count()), bloom_fpp)
+        # persist: the eval index otherwise re-shingles for the sizing
+        # count, the filter build, the freq union, and the final join;
+        # size on (approx) DISTINCT shingles — occurrence count would
+        # build a filter inflated by within-corpus n-gram repetition
+        esh = esh.persist()
+        n_distinct = esh.agg(F.approx_count_distinct("shingle")).first()[0]
+        bits, hashes = bloom_params(max(64, int(n_distinct * 1.1)), bloom_fpp)
         ebloom = bloom_build(esh, "shingle", bits, hashes).persist()
         tsh = bloom_prescreen(tsh, "shingle", ebloom, bits, hashes)
+        caches = [esh, ebloom]
+    else:
+        caches = []
     if max_ngram_freq is not None:
         freq_ok = (
             tsh.select("shingle")
@@ -500,11 +517,14 @@ def ngram_contamination(
         )
         tsh = tsh.join(freq_ok, "shingle")
         esh = esh.join(freq_ok, "shingle")
-    return (
+    result = (
         tsh.join(esh, "shingle")
         .groupBy("train_id", "eval_id")
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+    if caches:
+        result._fp_caches = caches
+    return result
 
 
 def verify_candidate_pairs(
@@ -711,8 +731,13 @@ def remove_duplicate_spans(
     # split the ORIGINAL text on whitespace runs: token positions align
     # 1:1 with the normalized tokens duplicate_spans indexed (whitespace
     # collapse and lowercasing don't change token boundaries), so the cut
-    # hits the right tokens while the survivors keep their original casing
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # hits the right tokens while the survivors keep their original casing.
+    # Strip leading/trailing whitespace of ANY kind first — F.trim strips
+    # spaces only, and a leading \n/\t would emit an empty first token and
+    # shift every index off by one (cutting the wrong tokens)
+    toks = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
     kept = F.filter(
         F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
         lambda s: ~F.exists(
@@ -754,7 +779,7 @@ def lsh_band_plan(num_perm: int, threshold: float) -> dict:
         if num_perm % b:
             continue
         r = num_perm // b
-        inflection = (1.0 / b) ** (1.0 / r) if r > 1 or b > 1 else 0.5
+        inflection = (1.0 / b) ** (1.0 / r)
         score = abs(inflection - threshold)
         if best is None or score < best["_score"]:
             best = {

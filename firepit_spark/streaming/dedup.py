@@ -73,7 +73,10 @@ def stream_bloom_dedup(
     partition via dynamic overwrite, and batch N prescreens against
     partials with ``__epoch < N`` only — a replayed batch sees exactly
     the state it saw the first time, never its own partial. Survivors
-    land in ``out_dir`` per-epoch the same way.
+    land in ``out_dir`` per-epoch the same way. NULL keys dedup like a
+    regular key value (one NULL-keyed row total, matching
+    ``dropDuplicates`` semantics) via an internal sentinel — so the
+    state filter remembers the sentinel, not a NULL.
 
     Returns the started StreamingQuery. Read survivors with
     ``spark.read.parquet(out_dir)`` (drop ``__epoch``); probe the live
@@ -87,24 +90,32 @@ def stream_bloom_dedup(
 
         spark = batch_df.sparkSession
         try:
-            prior = (
+            # bloom_merge of an empty frame is an empty frame, so no
+            # emptiness probe is needed (it would cost a driver action
+            # against the state dir every batch)
+            seen = bloom_merge(
                 spark.read.parquet(state_dir)
                 .filter(F.col("__epoch") < int(epoch_id))
                 .drop("__epoch")
             )
-            seen = bloom_merge(prior) if prior.head(1) else prior
         except AnalysisException:  # first batch: state dir doesn't exist yet
             seen = None
-        batch = batch_df.dropDuplicates([key_col])
+        # NULL keys dedup like any other key value (stream_dedup_exact's
+        # dropDuplicates semantics): hash a sentinel instead of NULL, which
+        # bloom_build would skip and a NULL probe would always re-admit
+        batch = batch_df.dropDuplicates([key_col]).withColumn(
+            "__bk",
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00__null__")),
+        )
         if seen is not None:
             batch = bloom_prescreen(
-                batch, key_col, seen, num_bits, num_hashes, keep_members=False
+                batch, "__bk", seen, num_bits, num_hashes, keep_members=False
             )
         batch = batch.persist()
         try:
-            _write_epoch(batch, out_dir, epoch_id)
+            _write_epoch(batch.drop("__bk"), out_dir, epoch_id)
             _write_epoch(
-                bloom_build(batch.select(key_col), key_col, num_bits, num_hashes),
+                bloom_build(batch.select("__bk"), "__bk", num_bits, num_hashes),
                 state_dir,
                 epoch_id,
             )

@@ -1692,6 +1692,21 @@ def test_remove_duplicate_spans(spark):
     release(spans2)
     assert wide[2] == "LEAD One two Three four"
 
+    # leading non-space whitespace must NOT shift the cut (F.trim strips
+    # spaces only; a leading \n once produced an off-by-one that cut an
+    # innocent token and leaked the last duplicated one)
+    docs_nl = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " tail"),
+            (2, "\n\tLEAD one two three four five six " + passage),
+        ],
+        "doc_id long, text string",
+    )
+    spans3 = dd.duplicate_spans(docs_nl, k=8, min_tokens=16)
+    fixed = {r.doc_id: r.text for r in dd.remove_duplicate_spans(docs_nl, spans3).collect()}
+    release(spans3)
+    assert fixed[2] == "LEAD one two three four five six"
+
 
 def test_lsh_band_plan():
     """Optimal banding: the S-curve inflection lands nearest the target,

@@ -421,6 +421,8 @@ def test_stream_bloom_dedup(spark, tmp_path):
     are dropped (no watermark horizon), state stays a bounded bitset, and
     the folded seen-filter equals a batch-built filter over the admitted
     keys."""
+    from pyspark.sql import functions as F
+
     from firepit_spark.functions.bloom import bloom_build, bloom_might_contain
     from firepit_spark.streaming.dedup import read_seen_bloom, stream_bloom_dedup
 
@@ -433,6 +435,7 @@ def test_stream_bloom_dedup(spark, tmp_path):
         {"doc_id": 0, "url": "http://a.example/x"},
         {"doc_id": 1, "url": "http://b.example/y"},
         {"doc_id": 2, "url": "http://a.example/x"},  # in-batch dup
+        {"doc_id": 7, "url": None},                  # NULL key
     ])
     schema = "doc_id long, url string"
     stream = spark.readStream.schema(schema).json(str(indir))
@@ -445,20 +448,28 @@ def test_stream_bloom_dedup(spark, tmp_path):
         _write_events(indir / "b.json", [
             {"doc_id": 3, "url": "http://a.example/x"},  # cross-batch dup
             {"doc_id": 4, "url": "http://c.example/z"},  # new
+            {"doc_id": 8, "url": None},                  # cross-batch NULL dup
         ])
         q.processAllAvailable()
         survivors = spark.read.parquet(out_dir).drop("__epoch")
-        urls = sorted(r.url for r in survivors.collect())
+        rows = survivors.collect()
+        urls = sorted(r.url for r in rows if r.url is not None)
     finally:
         q.stop()
     assert urls == ["http://a.example/x", "http://b.example/y", "http://c.example/z"]
+    # NULL keys dedup across batches like a key value: exactly one survives
+    assert sum(1 for r in rows if r.url is None) == 1
 
     # the live seen-set equals a batch-built filter over the admitted keys
+    # (hashed through the same NULL sentinel the stream uses)
     seen = read_seen_bloom(spark, state_dir)
-    direct = bloom_build(survivors.select("url"), "url", bits, hashes)
+    keyed = survivors.select(
+        F.coalesce(F.col("url"), F.lit("\x00__null__")).alias("k")
+    )
+    direct = bloom_build(keyed, "k", bits, hashes)
     assert {(r.word_idx, r.word) for r in seen.collect()} == {
         (r.word_idx, r.word) for r in direct.collect()
     }
     # and flags every admitted key as seen
-    flagged = bloom_might_contain(survivors, "url", seen, bits, hashes)
+    flagged = bloom_might_contain(keyed, "k", seen, bits, hashes)
     assert flagged.filter(~flagged.might_contain).count() == 0
