@@ -96,6 +96,8 @@ def bloom_build(
     """
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     pos = F.explode(F.array(*_positions(F.col(col), num_bits, num_hashes)))
     return (
         df.filter(F.col(col).isNotNull())
@@ -140,6 +142,8 @@ def bloom_might_contain(
     join against the (≤ num_bits/64 row) word table — the corpus is
     never shuffled and never exploded. NULL probes flag False.
     """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     # materialize h1/h2 ONCE: deriving each probe position from the shared
     # columns costs one md5 per row total, not 2*num_hashes (the per-stage
     # projections get no cross-stage common-subexpression elimination)

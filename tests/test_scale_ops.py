@@ -1726,3 +1726,67 @@ def test_lsh_band_plan():
         dd.lsh_band_plan(16, 1.5)
     with _pytest.raises(ValueError):
         dd.lsh_band_plan(1, 0.5)
+
+
+def test_duplicate_spans_properties(spark):
+    """Property-style bulk check on a seeded random corpus with planted
+    shared passages: every reported span is a REAL verbatim token match
+    (soundness), every planted passage is found at its exact offsets
+    (completeness), and surgery converges (re-detection finds nothing)."""
+    import random
+
+    from firepit_spark.functions import release
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(5000)]
+
+    def filler(n):
+        return [rng.choice(vocab) for _ in range(n)]
+
+    docs, planted = [], []
+    did = 0
+    for pair in range(12):
+        plen = rng.randint(16, 40)
+        passage = [f"p{pair}x{i}" for i in range(plen)]  # globally unique tokens
+        off_a, off_b = rng.randint(0, 30), rng.randint(0, 30)
+        a_toks = filler(off_a) + passage + filler(rng.randint(0, 25))
+        b_toks = filler(off_b) + passage + filler(rng.randint(0, 25))
+        docs.append((did, " ".join(a_toks)))
+        docs.append((did + 1, " ".join(b_toks)))
+        planted.append((did, did + 1, off_a, off_b, plen))
+        did += 2
+    for _ in range(10):  # decoys with no shared passage
+        docs.append((did, " ".join(filler(rng.randint(20, 60)))))
+        did += 1
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dd.duplicate_spans(df, k=8, min_tokens=16)
+    rows = spans.collect()
+    release(spans)
+
+    toks = {i: t.split(" ") for i, t in docs}
+    # soundness: the claimed token ranges really are identical
+    for r in rows:
+        sa = toks[r.id_a][r.start_a : r.start_a + r.span_tokens]
+        sb = toks[r.id_b][r.start_b : r.start_b + r.span_tokens]
+        assert sa == sb and len(sa) == r.span_tokens
+    # completeness: every planted passage >= 16 tokens reported exactly
+    got = {(r.id_a, r.id_b, r.start_a, r.start_b, r.span_tokens) for r in rows}
+    for want in planted:
+        assert want in got
+    # maximality: no reported span extends past the real match on either end
+    for r in rows:
+        ta, tb = toks[r.id_a], toks[r.id_b]
+        if r.start_a > 0 and r.start_b > 0:
+            assert ta[r.start_a - 1] != tb[r.start_b - 1]
+        ea, eb = r.start_a + r.span_tokens, r.start_b + r.span_tokens
+        if ea < len(ta) and eb < len(tb):
+            assert ta[ea] != tb[eb]
+
+    # surgery converges: nothing >= 16 shared tokens remains
+    spans2 = dd.duplicate_spans(df, k=8, min_tokens=16)
+    cleaned = dd.remove_duplicate_spans(df, spans2)
+    release(spans2)
+    again = dd.duplicate_spans(cleaned, k=8, min_tokens=16)
+    assert again.count() == 0
+    release(again)
