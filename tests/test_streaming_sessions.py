@@ -473,3 +473,64 @@ def test_stream_bloom_dedup(spark, tmp_path):
     # and flags every admitted key as seen
     flagged = bloom_might_contain(keyed, "k", seen, bits, hashes)
     assert flagged.filter(~flagged.might_contain).count() == 0
+
+
+def test_stream_bloom_dedup_replay_idempotent(spark, tmp_path):
+    """Real foreachBatch replay: delete the checkpoint's commit marker so
+    the restarted query re-runs the batch — the per-epoch dynamic
+    overwrite + __epoch < N state reads must leave survivors and state
+    byte-identical (at-least-once becomes effectively exactly-once)."""
+    import os
+
+    from firepit_spark.streaming.dedup import stream_bloom_dedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    bits, hashes = 1 << 14, 4
+
+    _write_events(indir / "a.json", [
+        {"doc_id": 0, "url": "http://a.example/x"},
+        {"doc_id": 1, "url": "http://b.example/y"},
+    ])
+    schema = "doc_id long, url string"
+
+    def start():
+        stream = spark.readStream.schema(schema).json(str(indir))
+        return stream_bloom_dedup(
+            stream, "url", out_dir, state_dir, bits, hashes, checkpoint_dir=ckpt
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = sorted(
+        (r.doc_id, r.url) for r in spark.read.parquet(out_dir).collect()
+    )
+    state_first = sorted(
+        (r.word_idx, r.word) for r in spark.read.parquet(state_dir).drop("__epoch").collect()
+    )
+
+    # simulate a failure after the sink write but before the commit:
+    # removing commits/0 makes the restarted query replay batch 0
+    # (the .crc sidecar must go too or the re-commit rename fails)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    second = sorted(
+        (r.doc_id, r.url) for r in spark.read.parquet(out_dir).collect()
+    )
+    state_second = sorted(
+        (r.word_idx, r.word) for r in spark.read.parquet(state_dir).drop("__epoch").collect()
+    )
+    assert second == first
+    assert state_second == state_first
