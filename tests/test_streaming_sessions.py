@@ -534,3 +534,47 @@ def test_stream_bloom_dedup_replay_idempotent(spark, tmp_path):
     )
     assert second == first
     assert state_second == state_first
+
+
+def test_stream_rollup_replay_idempotent(spark, tmp_path):
+    """Same commit-marker replay drill for the continuous aggregate: a
+    re-run batch dynamically overwrites its own __epoch partition, so
+    the folded rollup cannot double-count."""
+    import os
+
+    from firepit_spark.streaming.rollup import read_rollup, stream_rollup
+
+    indir = tmp_path / "ev"
+    indir.mkdir()
+    out = str(tmp_path / "ru")
+    ckpt = str(tmp_path / "ck")
+    rows = [{"ts": f"2024-01-01T00:{m:02d}:00", "event_type": "a", "value": float(m)}
+            for m in range(10)]
+    _write_events(indir / "a.json", rows)
+    schema = "ts timestamp, event_type string, value double"
+
+    def start():
+        stream = spark.readStream.schema(schema).json(str(indir))
+        return stream_rollup(stream, out, "ts", ["event_type"], "value",
+                             bucket_seconds=60, checkpoint_dir=ckpt)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = lambda: sorted(
+        (str(r["bucket"]), r["event_type"], r["n"], float(r["val_sum"]))
+        for r in read_rollup(spark, out, bucket_seconds=60).collect()
+    )
+    first = snap()
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snap() == first
