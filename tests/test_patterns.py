@@ -233,3 +233,61 @@ def test_summarize_pattern(pattern, expected):
     from firepit_spark.patterns import summarize_pattern
 
     assert dict(summarize_pattern(pattern)) == expected
+
+
+def test_pattern_parser_fuzz():
+    """Grammar fuzz: randomly composed valid patterns must parse, and
+    summarize_pattern's path sets must obey the reference's algebra
+    (comparison AND/OR union; observation AND intersects) computed
+    independently over the generation tree."""
+    import random
+
+    from firepit_spark.patterns import parse_pattern, summarize_pattern
+
+    rng = random.Random(4257)
+    types_props = [
+        ("ipv4-addr", "value"),
+        ("url", "value"),
+        ("network-traffic", "dst_port"),
+        ("network-traffic", "src_ref.value"),
+        ("user-account", "account_login"),
+        ("file", "hashes.'SHA-256'"),
+    ]
+    ops = ["=", "!=", "<", ">", "<=", ">=", "LIKE", "MATCHES"]
+
+    def leaf():
+        styp, prop = rng.choice(types_props)
+        op = rng.choice(ops)
+        val = rng.choice(["'x'", "'10.0.0.5'", "23", "'%a%'"])
+        # summarize keeps quoted path steps verbatim (reference parity)
+        return f"{styp}:{prop} {op} {val}", {f"{styp}:{prop}"}
+
+    def comp_expr(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return leaf()
+        l_txt, l_paths = comp_expr(depth - 1)
+        r_txt, r_paths = comp_expr(depth - 1)
+        conj = rng.choice(["AND", "OR"])
+        txt = f"({l_txt}) {conj} ({r_txt})" if rng.random() < 0.5 else f"{l_txt} {conj} {r_txt}"
+        return txt, l_paths | r_paths  # comparison level: always union
+
+    def obs_expr(depth):
+        if depth == 0 or rng.random() < 0.5:
+            txt, paths = comp_expr(2)
+            return f"[{txt}]", paths
+        l_txt, l_paths = obs_expr(depth - 1)
+        r_txt, r_paths = obs_expr(depth - 1)
+        conj = rng.choice(["AND", "OR"])
+        combined = l_paths & r_paths if conj == "AND" else l_paths | r_paths
+        return f"({l_txt} {conj} {r_txt})", combined
+
+    for _ in range(300):
+        pattern, want = obs_expr(3)
+        ast = parse_pattern(pattern)  # must not raise
+        assert ast[0] in ("comp", "and", "or", "obs_and", "obs_or")
+        got = {
+            f"{styp}:{prop}"
+            for styp, props in summarize_pattern(pattern).items()
+            for prop in props
+        }
+        assert got == want, pattern
