@@ -1,0 +1,155 @@
+"""Differential fuzz of the Query DSL: randomly composed
+filter/group/aggregate/order/limit programs over lineitem run through
+the Spark compiler AND as generated ANSI SQL on DuckDB; results must
+match as value multisets. This is the same differential oracle the
+driver's 50-entry gate uses, but over a random program space instead of
+fixed queries — it exercises clause-combination paths no hand-written
+query hits (filter+order without group, multi-key group without order,
+offset pagination of aggregates, ...).
+
+Determinism rules baked into the generator (both engines must agree
+bit-for-bit, so the generator avoids engine-divergent constructs):
+- SUM over doubles casts to DECIMAL(28,6) first (exact accumulation;
+  float sums are partition-order-dependent) — same trick as q01.
+- AVG is never emitted (decimal/decimal division scale rules differ).
+- ORDER BY + LIMIT only over a deterministic total order (the unique
+  (l_orderkey, l_linenumber) pair), never over group keys with ties.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+from check_correctness import canon_cell  # noqa: E402
+
+from firepit_spark.query import (  # noqa: E402
+    Aggregation,
+    Filter,
+    Group,
+    Limit,
+    Offset,
+    Order,
+    Predicate,
+    Projection,
+    Query,
+)
+from firepit_spark.session import testdata_resolver as _make_resolver  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (dsl_pred_args, sql_text) — only engine-exact comparisons: strings,
+# integer-valued doubles, timestamps
+PRED_POOL = [
+    (("l_returnflag", "=", "R"), "l_returnflag = 'R'"),
+    (("l_returnflag", "!=", "A"), "l_returnflag != 'A'"),
+    (("l_linestatus", "=", "F"), "l_linestatus = 'F'"),
+    (("l_quantity", "<", 25), "l_quantity < 25"),
+    (("l_quantity", ">=", 10), "l_quantity >= 10"),
+    (("l_shipdate", "<=", "1997-09-02 00:00:00"), "l_shipdate <= '1997-09-02 00:00:00'"),
+    (("l_shipdate", ">", "1995-01-01 00:00:00"), "l_shipdate > '1995-01-01 00:00:00'"),
+    (("l_suppkey", "<", 30), "l_suppkey < 30"),
+]
+
+# (agg_func, column, alias, sql_text)
+AGG_POOL = [
+    ("COUNT", None, "cnt", "COUNT(*) AS cnt"),
+    (
+        "SUM",
+        None,  # decimal cast built in code
+        "sum_qty",
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_qty",
+    ),
+    ("MIN", "l_shipdate", "min_ship", "MIN(l_shipdate) AS min_ship"),
+    ("MAX", "l_shipdate", "max_ship", "MAX(l_shipdate) AS max_ship"),
+    ("MIN", "l_orderkey", "min_ok", "MIN(l_orderkey) AS min_ok"),
+    ("NUNIQUE", "l_suppkey", "n_supp", "COUNT(DISTINCT l_suppkey) AS n_supp"),
+]
+
+GROUP_POOL = [
+    ["l_returnflag"],
+    ["l_linestatus"],
+    ["l_returnflag", "l_linestatus"],
+]
+
+
+def _gen_case(rng: random.Random):
+    from pyspark.sql import functions as F
+
+    q = Query("lineitem")
+    sql_parts = {"where": "", "group": "", "having": "", "tail": ""}
+    preds = rng.sample(PRED_POOL, rng.randint(0, 3))
+    if preds:
+        q.append(Filter([Predicate(*p[0]) for p in preds]))
+        sql_parts["where"] = "WHERE " + " AND ".join(p[1] for p in preds)
+
+    cols = "*"
+    if rng.random() < 0.75:  # grouped aggregate
+        keys = rng.choice(GROUP_POOL)
+        q.append(Group(keys))
+        aggs = rng.sample(AGG_POOL, rng.randint(1, 3))
+        dsl_aggs = []
+        for func, col, alias, _sql in aggs:
+            if func == "SUM":
+                dsl_aggs.append(
+                    ("SUM", F.col("l_quantity").cast("decimal(28,6)"), alias)
+                )
+            else:
+                dsl_aggs.append((func, col, alias))
+        q.append(Aggregation(dsl_aggs))
+        sql_parts["group"] = "GROUP BY " + ", ".join(keys)
+        cols = ", ".join(keys) + ", " + ", ".join(a[3] for a in aggs)
+    else:  # row-level projection with deterministic order/limit
+        proj = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+        q.append(Projection(proj))
+        cols = ", ".join(proj)
+        if rng.random() < 0.7:
+            q.append(Order([("l_orderkey", Order.ASC), ("l_linenumber", Order.ASC)]))
+            lim = rng.randint(1, 50)
+            q.append(Limit(lim))
+            sql_parts["tail"] = f"ORDER BY l_orderkey, l_linenumber LIMIT {lim}"
+            if rng.random() < 0.5:
+                off = rng.randint(0, 20)
+                q.append(Offset(off))
+                sql_parts["tail"] += f" OFFSET {off}"
+
+    sql = (
+        f"SELECT {cols} FROM lineitem {sql_parts['where']} "
+        f"{sql_parts['group']} {sql_parts['tail']}"
+    )
+    return q, sql
+
+
+def test_dsl_differential_fuzz(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    r = _make_resolver(spark, SF_DIR)
+    rng = random.Random(1998)
+    for case in range(40):
+        q, sql = _gen_case(rng)
+        got_df = q.resolve(r)
+        cur = con.execute(sql)
+        w_names = [d[0] for d in cur.description]
+        w_raw = cur.fetchall()
+        # column-name-aligned, order-insensitive value comparison (the
+        # driver's protocol): sort columns by name, canonicalize cells,
+        # compare multisets (fetchall, NOT fetchdf — pandas would collapse
+        # DECIMAL to float64 and break exact comparison)
+        g_cols = sorted(got_df.columns)
+        w_order = sorted(range(len(w_names)), key=lambda i: w_names[i])
+        assert g_cols == sorted(w_names), (case, sql, g_cols, w_names)
+        got_rows = sorted(
+            tuple(canon_cell(row[c]) for c in g_cols)
+            for row in (r2.asDict() for r2 in got_df.collect())
+        )
+        want_rows = sorted(
+            tuple(canon_cell(row[i]) for i in w_order) for row in w_raw
+        )
+        assert got_rows == want_rows, (case, sql, got_rows[:3], want_rows[:3])
