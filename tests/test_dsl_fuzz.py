@@ -153,3 +153,69 @@ def test_dsl_differential_fuzz(spark):
             tuple(canon_cell(row[i]) for i in w_order) for row in w_raw
         )
         assert got_rows == want_rows, (case, sql, got_rows[:3], want_rows[:3])
+
+
+def test_dsl_join_differential_fuzz(spark):
+    """Join-path fuzz: random INNER/LEFT joins of orders x customer with
+    random filters and either a grouped aggregate or a projected,
+    deterministically-ordered page — DSL vs generated SQL on DuckDB."""
+    from firepit_spark.query import Join
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    r = _make_resolver(spark, SF_DIR)
+    rng = random.Random(777)
+
+    O_PREDS = [
+        (("o_orderstatus", "=", "F"), "o_orderstatus = 'F'"),
+        (("o_totalprice", "<", 150000), "o_totalprice < 150000"),
+        (("o_orderpriority", "!=", "1-URGENT"), "o_orderpriority != '1-URGENT'"),
+    ]
+    for case in range(20):
+        how = rng.choice(["INNER", "LEFT OUTER"])
+        sql_how = "JOIN" if how == "INNER" else "LEFT JOIN"
+        q = Query("orders")
+        q.append(Join("customer", "o_custkey", "=", "c_custkey", how=how))
+        where = ""
+        preds = rng.sample(O_PREDS, rng.randint(0, 2))
+        if preds:
+            q.append(Filter([Predicate(*p[0]) for p in preds]))
+            where = "WHERE " + " AND ".join(p[1] for p in preds)
+        if rng.random() < 0.5:
+            q.append(Group(["c_mktsegment"]))
+            q.append(
+                Aggregation(
+                    [("COUNT", None, "n"), ("MIN", "o_orderkey", "min_ok")]
+                )
+            )
+            sel = "c_mktsegment, COUNT(*) AS n, MIN(o_orderkey) AS min_ok"
+            tail = "GROUP BY c_mktsegment"
+        else:
+            q.append(Projection(["o_orderkey", "c_name", "c_mktsegment"]))
+            q.append(Order([("o_orderkey", Order.ASC)]))
+            lim = rng.randint(1, 40)
+            q.append(Limit(lim))
+            sel = "o_orderkey, c_name, c_mktsegment"
+            tail = f"ORDER BY o_orderkey LIMIT {lim}"
+        sql = (
+            f"SELECT {sel} FROM orders {sql_how} customer"
+            f" ON o_custkey = c_custkey {where} {tail}"
+        )
+        got_df = q.resolve(r)
+        cur = con.execute(sql)
+        w_names = [d[0] for d in cur.description]
+        w_raw = cur.fetchall()
+        g_cols = sorted(got_df.columns)
+        assert g_cols == sorted(w_names), (case, sql, g_cols, w_names)
+        w_order = sorted(range(len(w_names)), key=lambda i: w_names[i])
+        got_rows = sorted(
+            tuple(canon_cell(row[c]) for c in g_cols)
+            for row in (r2.asDict() for r2 in got_df.collect())
+        )
+        want_rows = sorted(
+            tuple(canon_cell(row[i]) for i in w_order) for row in w_raw
+        )
+        assert got_rows == want_rows, (case, sql, got_rows[:3], want_rows[:3])
