@@ -1389,10 +1389,13 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.03
 
 
 def q44_sampling(spark, sf_dir):
-    """Deterministic sampling family, row-level membership for both modes:
-    content-addressed hash_sample (md5(salt||key) threshold — map-only,
-    reproduces across runs/engines/partitionings) unioned with stratified
-    per-language downsampling (rare groups kept whole)."""
+    """Deterministic sampling family, row-level membership for all three
+    modes: content-addressed hash_sample (md5(salt||key) threshold —
+    map-only, reproduces across runs/engines/partitionings), stratified
+    per-language downsampling (rare groups kept whole), and
+    Efraimidis-Spirakis weighted sampling without replacement (top-100 by
+    ln(u)/n_chars — length-proportional inclusion, distributed
+    TakeOrdered, merged this slot)."""
     r = _resolver(spark, sf_dir)
     docs = r("documents")
     hs = pl.hash_sample(docs, "doc_id", 0.25, salt="s1").select(
@@ -1401,7 +1404,10 @@ def q44_sampling(spark, sf_dir):
     st = pl.stratified_sample(
         docs, "doc_id", "lang", {"en": 0.2, "de": 0.5}, default_rate=1.0
     ).select(F.lit("strat").alias("method"), "doc_id", "lang")
-    return hs.unionByName(st)
+    ws = pl.weighted_sample(docs, "doc_id", "n_chars", 100, salt="w1").select(
+        F.lit("weighted").alias("method"), "doc_id", "lang"
+    )
+    return hs.unionByName(st).unionByName(ws)
 
 
 _Q44_SQL = f"""
@@ -1413,6 +1419,14 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE lang WHEN 'en' THEN '{pl.hash_threshold(0.2)}'
                 WHEN 'de' THEN '{pl.hash_threshold(0.5)}'
                 ELSE '{pl.hash_threshold(1.0)}' END
+UNION ALL
+SELECT 'weighted' AS method, doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ln((('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+            / 1152921504606846976.0) / n_chars AS es
+  FROM documents WHERE n_chars > 0
+  ORDER BY es DESC, doc_id LIMIT 100
+)
 """
 
 

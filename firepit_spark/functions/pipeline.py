@@ -325,3 +325,43 @@ def corpus_prep(
             6,
         ).alias("avg_quality"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws a content-addressed uniform u from
+    ``md5(salt || key)`` and ranks by ``ln(u) / weight`` — the top ``n``
+    ranks are a true weighted sample (inclusion probability proportional
+    to weight, no replacement). The corpus-curation shape: sample
+    documents proportional to quality score or token count without a
+    per-group pass.
+
+    Deterministic and engine-portable like :func:`hash_sample`
+    (membership depends only on key, salt, and the weight column —
+    resampling after corpus growth keeps overlapping keys' draws), and
+    scale-right: the rank expression is map-only and the top-n executes
+    as a distributed TakeOrdered (per-partition partial top-n, no full
+    sort shuffle). Rows with weight <= 0 or NULL are excluded (A-ES is
+    defined for positive weights). Ties (astronomically unlikely with
+    60-bit draws) break on the key for full determinism.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # u in (0, 1]: (h + 1) / 2^60 from the shared 60-bit content hash
+    u = (key_hash(F.col(key_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    es = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es", es)
+        .orderBy(F.col("__es").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__es")
+    )

@@ -235,3 +235,37 @@ def test_corpus_prep_model_gate(spark):
     # dedup (identical texts repeat every 5 ids) happens after the gate,
     # so compare against deduped-scored, not raw-scored
     assert n_gated <= expected
+
+
+def test_weighted_sample(spark):
+    """Efraimidis-Spirakis: deterministic, exact-n, weight-proportional
+    inclusion, non-positive weights excluded, distributed top-n plan."""
+    import pytest as _pytest
+
+    from firepit_spark.functions.pipeline import weighted_sample
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light", 100.0 if i % 2 == 0 else 1.0)
+            for i in range(400)]
+    rows += [(1000, "zero", 0.0), (1001, "neg", -5.0), (1002, "null", None)]
+    df = spark.createDataFrame(rows, "doc_id long, cls string, w double")
+
+    got = weighted_sample(df, "doc_id", "w", 50, salt="t")
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 50 and len(set(ids)) == 50
+    # determinism: same inputs -> same sample
+    again = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 50, salt="t").collect()]
+    assert sorted(ids) == sorted(again)
+    # weight-proportional: heavy (100x weight) dominates the sample
+    n_heavy = sum(1 for r in got.collect() if r.cls == "heavy")
+    assert n_heavy >= 40
+    # excluded rows can never appear
+    assert not {1000, 1001, 1002} & set(ids)
+    # n > population: everything eligible comes back
+    assert weighted_sample(df, "doc_id", "w", 10_000).count() == 400
+
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "doc_id", "w", 0)
+
+    # plan shape: distributed TakeOrdered, not a global sort shuffle
+    plan = weighted_sample(df, "doc_id", "w", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
