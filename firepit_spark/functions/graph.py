@@ -213,3 +213,53 @@ def process_tree(df: DataFrame, ref_col: str = "parent_ref", max_depth: int = 8)
     result = own_root.unionByName(to_root)
     result._fp_caches = getattr(anc, "_fp_caches", [])
     return result
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick the BEST-scoring document per near-dup cluster instead of the
+    min-id default — the production keep-one rule (keep the longest /
+    highest-quality copy, drop the rest).
+
+    ``labels`` is :func:`dedup_clusters` output; ``docs`` provides the
+    score column. Returns (cluster_id, keeper, keeper_score, n_docs).
+    Ties break on the id (deterministic). One join on the doc id + one
+    aggregation on the cluster id; cluster sizes bound the agg keys, so
+    no skew beyond the largest cluster.
+    """
+    scored = labels.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
+        "doc_id",
+    )
+    # max_by with an id tie-break folded into one struct ordering:
+    # (score, -id) max == highest score, lowest id on ties
+    return scored.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("__s"), (-F.col("doc_id")).alias("__negid")))
+        .alias("__best"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).select(
+        "cluster_id",
+        (-F.col("__best.__negid")).alias("keeper"),
+        F.col("__best.__s").alias("keeper_score"),
+        "n_docs",
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    labels: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter the corpus to one best-scoring survivor per cluster (plus
+    every unclustered document). The quality-aware counterpart of
+    fuzzy_dedup's min-id keep-one."""
+    reps = cluster_representatives(labels, df, score_col, id_col)
+    drop = labels.join(
+        reps.select(F.col("keeper").alias("doc_id")), "doc_id", "left_anti"
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(drop, id_col, "left_anti")

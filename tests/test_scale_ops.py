@@ -1790,3 +1790,30 @@ def test_duplicate_spans_properties(spark):
     again = dd.duplicate_spans(cleaned, k=8, min_tokens=16)
     assert again.count() == 0
     release(again)
+
+
+def test_dedup_keep_best(spark):
+    """Quality-aware keep-one: the highest-scoring doc survives per
+    cluster (ties -> lowest id), unclustered docs always survive."""
+    from firepit_spark.functions.graph import (
+        cluster_representatives,
+        dedup_clusters,
+        dedup_keep_best,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.4), (99, 0.1)],
+        "doc_id long, quality double",
+    )
+    labels = dedup_clusters(pairs)
+    reps = {r.cluster_id: (r.keeper, r.keeper_score, r.n_docs)
+            for r in cluster_representatives(labels, docs, "quality").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> lowest id 2 wins
+    assert reps[1] == (2, 0.9, 3)
+    assert reps[10] == (10, 0.5, 2)
+
+    kept = {r.doc_id for r in dedup_keep_best(docs, labels, "quality").collect()}
+    assert kept == {2, 10, 99}
