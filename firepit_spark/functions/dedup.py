@@ -566,11 +566,14 @@ def fuzzy_dedup(
     bands: int = 4,
     threshold: float = 0.7,
     max_iter: int = 20,
+    score_col: Optional[str] = None,
 ) -> DataFrame:
     """The standard corpus fuzzy-dedup pipeline in one call (the
     SlimPajama/BigCode recipe): MinHash-LSH candidate pairs -> exact
     Jaccard verification of ONLY those pairs -> connected components ->
-    keep the min-id document of each near-dup cluster.
+    keep one document per near-dup cluster (min id by default;
+    ``score_col=`` keeps the BEST-scoring copy instead — ties break on
+    the id — via :func:`firepit_spark.functions.graph.dedup_keep_best`).
 
     Each stage keeps the scale shape of its standalone operator: banding
     bounds the candidate join, verification is per-candidate, and the
@@ -585,15 +588,19 @@ def fuzzy_dedup(
     df = df.persist()
     cands = minhash_lsh_candidates(df, text_col, id_col, k, num_perm, bands)
     confirmed = verify_candidate_pairs(df, cands, text_col, id_col, k, threshold)
-    from .graph import dedup_clusters
+    from .graph import dedup_clusters, dedup_keep_best
 
-    # keep-one endgame is the shared dedup_clusters rule (min id per
-    # component); non-representatives are the drop set
     comp = dedup_clusters(confirmed.select("id_a", "id_b"), max_iter=max_iter)
-    drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    result = df.join(drops, id_col, "left_anti")
+    if score_col is not None:
+        # quality-aware keep-one: the best-scoring copy survives
+        result = dedup_keep_best(df, comp, score_col, id_col)
+    else:
+        # default keep-one rule: min id per component; non-representatives
+        # are the drop set
+        drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        result = df.join(drops, id_col, "left_anti")
     result._fp_caches = [df] + list(getattr(confirmed, "_fp_caches", []))
     return result
 

@@ -1451,6 +1451,16 @@ def test_fuzzy_dedup_pipeline(spark):
     s = sorted(r["doc_id"] for r in sloppy.collect())
     assert 3 in s and 4 in s
 
+    # score_col= flips the keep-one rule to best-scoring: doc 1 (longest)
+    # survives its cluster instead of min-id doc 0
+    scored = df.withColumn("n_chars", F.length("text"))
+    best = sorted(
+        r["doc_id"]
+        for r in dd.fuzzy_dedup(scored, threshold=0.5, score_col="n_chars").collect()
+    )
+    assert 1 in best and 0 not in best
+    assert 3 in best and 4 in best
+
 
 def test_pq_encoders_are_map_only(spark):
     # encode must never shuffle: codebooks/centroids are plan literals
