@@ -64,3 +64,27 @@ def test_repo_operators_are_scaleworthy(spark, tmp_path):
     spans = dd.duplicate_spans(docs, k=2, min_tokens=3)
     assert_scaleworthy(spans)
     assert_scaleworthy(dd.remove_duplicate_spans(docs, spans))
+
+
+def test_all_gated_queries_scaleworthy(spark):
+    """CI-grade sweep: every non-STIX driver-gate query plan must be free
+    of the certain scale killers (row-at-a-time Python, non-broadcast
+    cartesians). STIX entries (q54+) ingest a warehouse on invocation and
+    are plan-audited separately in BASELINE.md."""
+    import __spark_entry__ as entry
+    from firepit_spark.functions import release
+    from firepit_spark.functions.doctor import assert_scaleworthy
+
+    sf_dir = "/root/testdata/sf0.001"
+    skipped = []
+    for name, fn in sorted(entry.queries().items()):
+        if name >= "q54":
+            skipped.append(name)
+            continue
+        df = fn(spark, sf_dir)
+        try:
+            assert_scaleworthy(df)
+        finally:
+            release(df)
+    # exactly the six STIX warehouse queries are exempt
+    assert len(skipped) == 6, skipped
