@@ -143,10 +143,21 @@ def ngram_jaccard_pairs(
         F.explode("__shingles").alias("__s"),
     ).select(F.col(id_col), "set_size", shingle_hash(F.col("__s")).alias("shingle"))
 
-    freq_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_freq")).filter(
-        F.col("df_freq") <= max_shingle_freq
+    # hot-shingle cutoff as an ANTI-join against the (tiny, Zipf-head)
+    # hot set instead of an equi-join with the full freq_ok table: AQE
+    # broadcasts the hot side at runtime, so the index passes through
+    # map-only instead of shuffling once for the filter and again for
+    # the self-join. A/B at sf0.1: 1.47 vs 2.62 median, identical
+    # output. No explicit broadcast hint — a pathological corpus could
+    # have a hot set too big for the driver, and AQE degrades that case
+    # to a shuffle join instead of an OOM.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") > max_shingle_freq)
+        .select("shingle")
     )
-    sh = sh.join(freq_ok.select("shingle"), "shingle")
+    sh = sh.join(hot, "shingle", "left_anti")
 
     a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
@@ -246,17 +257,20 @@ def cross_ngram_jaccard(
     else:
         _extra_caches = []
 
-    freq_ok = (
+    # union-frequency cutoff as a hot-set ANTI-join (AQE broadcasts the
+    # tiny hot side; both indexes stay map-only through the filter —
+    # same A/B-measured win as ngram_jaccard_pairs)
+    hot = (
         lsh.select("shingle")
         .unionAll(rsh.select("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_freq"))
-        .filter(F.col("df_freq") <= max_shingle_freq)
+        .filter(F.col("df_freq") > max_shingle_freq)
         .select("shingle")
     )
     result = (
-        lsh.join(freq_ok, "shingle")
-        .join(rsh.join(freq_ok, "shingle"), "shingle")
+        lsh.join(hot, "shingle", "left_anti")
+        .join(rsh.join(hot, "shingle", "left_anti"), "shingle")
         # size-ratio prune before the pair aggregation: J <= min/max
         # (1e-6 slack for the round(jaccard, 6) boundary, as in
         # ngram_jaccard_pairs)
@@ -507,16 +521,17 @@ def ngram_contamination(
     else:
         caches = []
     if max_ngram_freq is not None:
-        freq_ok = (
+        # hot-set anti-join form (see ngram_jaccard_pairs)
+        hot = (
             tsh.select("shingle")
             .unionAll(esh.select("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("__f"))
-            .filter(F.col("__f") <= max_ngram_freq)
+            .filter(F.col("__f") > max_ngram_freq)
             .select("shingle")
         )
-        tsh = tsh.join(freq_ok, "shingle")
-        esh = esh.join(freq_ok, "shingle")
+        tsh = tsh.join(hot, "shingle", "left_anti")
+        esh = esh.join(hot, "shingle", "left_anti")
     result = (
         tsh.join(esh, "shingle")
         .groupBy("train_id", "eval_id")
@@ -668,11 +683,12 @@ def duplicate_spans(
         caches.append(pg_b)
         freq_src = pg.unionByName(pg_b)
 
-    freq_ok = freq_src.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).filter(
-        F.col("n") <= max_gram_freq
-    )
-    idx_a = pg.join(freq_ok.select("gram"), "gram")
-    idx_b = pg_b.join(freq_ok.select("gram"), "gram") if other is not None else idx_a
+    # hot-set anti-join form (see ngram_jaccard_pairs)
+    hot = freq_src.groupBy("gram").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > max_gram_freq
+    ).select("gram")
+    idx_a = pg.join(hot, "gram", "left_anti")
+    idx_b = pg_b.join(hot, "gram", "left_anti") if other is not None else idx_a
 
     a = idx_a.select(F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "gram")
     b = idx_b.select(F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "gram")
