@@ -688,20 +688,85 @@ def q28_dedup_exact(spark, sf_dir):
     """Exact dedup: one keeper per distinct normalized text, then
     deterministic training-shard assignment (md5 % n) on the keepers —
     the dedup→shard step of a corpus build in one plan (merged q43 slot;
-    a partitionBy('shard_id') write makes this the shard layout)."""
+    a partitionBy('shard_id') write makes this the shard layout).
+
+    Merged bloom leg: each keeper also carries `seen_even` — Bloom-filter
+    membership of its fingerprint in a filter built over the even-doc_id
+    half of the corpus (functions/bloom.py: bit_or word aggregation,
+    broadcast-join probes). Membership is pure md5 arithmetic, so the
+    DuckDB oracle reproduces the exact bitset and every false positive
+    bit-for-bit — the mergeable-Bloom module under the value-hash gate."""
+    from firepit_spark.functions.bloom import bloom_build, bloom_might_contain
+
     r = _resolver(spark, sf_dir)
-    kept = dd.dedup_exact(r("documents")).select("doc_id", "source")
-    return pl.assign_shards(kept, "doc_id", n_shards=8)
+    docs = r("documents")
+    kept = dd.dedup_exact(docs).select(
+        "doc_id", "source", tx.fingerprint(F.col("text")).alias("__fp")
+    )
+    sharded = pl.assign_shards(kept, "doc_id", n_shards=8)
+    bf = bloom_build(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            tx.fingerprint(F.col("text")).alias("__fp")
+        ),
+        "__fp",
+        _Q28_BITS,
+        _Q28_HASHES,
+    )
+    return bloom_might_contain(
+        sharded, "__fp", bf, _Q28_BITS, _Q28_HASHES, "seen_even"
+    ).drop("__fp")
 
 
+_Q28_BITS, _Q28_HASHES = 1 << 14, 4
+
+# bloom in ANSI SQL: h1/h2 from one md5 (h2 odd, reduced mod bits),
+# positions h1 + i*h2m, words = bit_or of masks, probe = every bit set
 _Q28_SQL = f"""
+WITH keepers AS (
+  SELECT doc_id, source, md5({_NORM}) AS fp
+  FROM documents
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM}))
+),
+evens AS (
+  SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0
+),
+epos AS (
+  SELECT (h1 + i * h2m) % {_Q28_BITS} AS pos
+  FROM (
+    SELECT ('0x' || substr(md5(fp), 1, 15))::BIGINT AS h1,
+           ((('0x' || substr(md5(fp), 16, 15))::BIGINT) * 2 + 1) % {_Q28_BITS} AS h2m
+    FROM evens
+  ), UNNEST([0, 1, 2, 3]) AS u(i)
+),
+words AS (
+  SELECT pos // 64 AS word_idx,
+         bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+             ELSE 1::BIGINT << CAST(pos % 64 AS INT) END) AS word
+  FROM epos GROUP BY 1
+),
+kpos AS (
+  SELECT doc_id, source, (h1 + i * h2m) % {_Q28_BITS} AS pos
+  FROM (
+    SELECT doc_id, source,
+           ('0x' || substr(md5(fp), 1, 15))::BIGINT AS h1,
+           ((('0x' || substr(md5(fp), 16, 15))::BIGINT) * 2 + 1) % {_Q28_BITS} AS h2m
+    FROM keepers
+  ), UNNEST([0, 1, 2, 3]) AS u(i)
+),
+flags AS (
+  SELECT doc_id, source,
+         bool_and((COALESCE(w.word, 0) &
+           CASE WHEN k.pos % 64 = 63 THEN (-9223372036854775807 - 1)
+                ELSE 1::BIGINT << CAST(k.pos % 64 AS INT) END) != 0)
+           AS seen_even
+  FROM kpos k LEFT JOIN words w ON w.word_idx = k.pos // 64
+  GROUP BY doc_id, source
+)
 SELECT doc_id, source,
        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
-         AS shard_id
-FROM documents
-WHERE doc_id IN (
-  SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM})
-)
+         AS shard_id,
+       seen_even
+FROM flags
 """
 
 
