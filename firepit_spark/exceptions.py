@@ -27,6 +27,30 @@ class InvalidQuery(Exception):
     pass
 
 
+# Fine-grained DSL errors (reference firepit/query.py:31-48). Subclassed
+# from InvalidQuery so existing `except InvalidQuery` handlers keep
+# working while reference-migrated `except InvalidComparisonOperator`
+# handlers catch the specific type.
+class InvalidComparisonOperator(InvalidQuery):
+    pass
+
+
+class InvalidPredicateOperator(InvalidQuery):
+    pass
+
+
+class InvalidPredicateOperand(InvalidQuery):
+    pass
+
+
+class InvalidJoinOperator(InvalidQuery):
+    pass
+
+
+class InvalidAggregateFunction(InvalidQuery):
+    pass
+
+
 class IncompatibleType(Exception):
     pass
 

@@ -227,25 +227,30 @@ def cluster_representatives(
 
     ``labels`` is :func:`dedup_clusters` output; ``docs`` provides the
     score column. Returns (cluster_id, keeper, keeper_score, n_docs).
-    Ties break on the id (deterministic). One join on the doc id + one
-    aggregation on the cluster id; cluster sizes bound the agg keys, so
-    no skew beyond the largest cluster.
+    Ties break on the id ascending (deterministic) without assuming the
+    id is numeric — string doc ids order lexically. One join on the doc
+    id + one per-cluster window; cluster sizes bound the window
+    partitions, so no skew beyond the largest cluster.
     """
+    from pyspark.sql import Window
+
     scored = labels.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")),
         "doc_id",
     )
-    # max_by with an id tie-break folded into one struct ordering:
-    # (score, -id) max == highest score, lowest id on ties
-    return scored.groupBy("cluster_id").agg(
-        F.max(F.struct(F.col("__s"), (-F.col("doc_id")).alias("__negid")))
-        .alias("__best"),
-        F.count(F.lit(1)).alias("n_docs"),
-    ).select(
-        "cluster_id",
-        (-F.col("__best.__negid")).alias("keeper"),
-        F.col("__best.__s").alias("keeper_score"),
-        "n_docs",
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper"),
+            F.col("__s").alias("keeper_score"),
+            "n_docs",
+        )
     )
 
 

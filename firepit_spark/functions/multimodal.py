@@ -494,11 +494,17 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
 
         if not content:
             return None  # tolerate NULL/empty blobs like the fake path
-        if kind == "image":
-            return json.dumps(image_stats(decode_image(content)), sort_keys=True)
-        if kind == "audio":
-            return json.dumps(audio_stats(*decode_audio(content)), sort_keys=True)
-        return decode_stub(kind, content)
+        try:
+            if kind == "image":
+                return json.dumps(image_stats(decode_image(content)), sort_keys=True)
+            if kind == "audio":
+                return json.dumps(audio_stats(*decode_audio(content)), sort_keys=True)
+            return decode_stub(kind, content)
+        except NotImplementedError:
+            # no codec for this blob in this environment: degrade like an
+            # empty blob (NULL feature) instead of failing the whole
+            # corpus-scale pass on one unsupported row
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.column import Column as SparkColumn
 
-from firepit_spark.exceptions import InvalidAttr, InvalidQuery
+from firepit_spark.exceptions import (
+    InvalidAggregateFunction,
+    InvalidAttr,
+    InvalidComparisonOperator,
+    InvalidJoinOperator,
+    InvalidPredicateOperand,
+    InvalidPredicateOperator,
+    InvalidQuery,
+)
 from firepit_spark.validate import NAME_PATTERN
 
 # comparison operators accepted by Predicate (reference firepit/query.py:7-8)
@@ -172,12 +180,21 @@ class Predicate:
     """Typed comparison ``lhs op rhs`` (reference firepit/query.py:160-252).
 
     ``rhs`` may be a literal, a list/tuple (IN), a Column (column-column
-    compare), or a Query (subquery membership -> left-semi join).
+    compare), or a Query (subquery membership -> left-semi join). Two
+    Predicates combine with ``AND``/``OR`` into a compound predicate
+    (reference firepit/query.py:163-169).
     """
 
     def __init__(self, lhs, op: str, rhs):
+        if isinstance(lhs, Predicate):
+            if op not in PRED_OPS:
+                raise InvalidPredicateOperator(op)
+            if not isinstance(rhs, Predicate):
+                raise InvalidPredicateOperand(str(rhs))
+            self.lhs, self.op, self.rhs = lhs, op, rhs
+            return
         if op not in COMP_OPS and op not in ("==",):
-            raise InvalidQuery(f"unknown op: {op}")
+            raise InvalidComparisonOperator(op)
         self.lhs = lhs
         self.op = "=" if op == "==" else op
         self.rhs = rhs
@@ -188,14 +205,24 @@ class Predicate:
                 self.op, self.rhs = "IS", None
             elif self.op in ("!=", "<>", "IS NOT", "NOT LIKE"):
                 self.op, self.rhs = "IS NOT", None
+            else:
+                # NULL only composes with [not-]equality
+                # (reference firepit/query.py:190-193,227)
+                raise InvalidComparisonOperator(self.op)
 
     @property
     def is_subquery(self) -> bool:
-        return isinstance(self.rhs, Query)
+        return isinstance(self.rhs, Query) or (
+            isinstance(self.lhs, Predicate)
+            and (self.lhs.is_subquery or self.rhs.is_subquery)
+        )
 
     def to_spark(self):
         if self.is_subquery:
             raise InvalidQuery("subquery predicates compile at Filter level")
+        if isinstance(self.lhs, Predicate):  # compound AND/OR of predicates
+            l, r = self.lhs.to_spark(), self.rhs.to_spark()
+            return (l & r) if self.op == "AND" else (l | r)
         lhs = _colref(self.lhs)
         rhs = self.rhs
         if isinstance(rhs, (Column, CoalescedColumn, BinnedColumn)):
@@ -239,7 +266,7 @@ class Predicate:
 
             cond = subnet_contains(lhs, rhs)
             return cond if op == "ISSUPERSET" else ~cond
-        raise InvalidQuery(f"unhandled op: {op}")
+        raise InvalidComparisonOperator(op)
 
 
 class Filter:
@@ -254,7 +281,7 @@ class Filter:
 
     def __init__(self, preds, op: str = "AND"):
         if op not in PRED_OPS:
-            raise InvalidQuery(f"unknown filter op: {op}")
+            raise InvalidPredicateOperator(op)
         self.preds = list(preds)
         self.op = op
 
@@ -333,7 +360,7 @@ class Aggregation:
                 func, col, alias = item, None, None
             func = func.upper()
             if func not in AGG_FUNCS:
-                raise InvalidQuery(f"unknown aggregation: {func}")
+                raise InvalidAggregateFunction(func)
             if alias is None:
                 alias = f"{func.lower()}_{col}" if col else func.lower()
             self.aggs.append((func, col, alias))
@@ -398,7 +425,7 @@ class Join:
         hint: str | None = None,
     ):
         if how.upper() not in _JOIN_HOW:
-            raise InvalidQuery(f"unknown join type: {how}")
+            raise InvalidJoinOperator(how)
         self.name = _validate_column_name(name)
         self.left_col = left_col
         self.op = op or "="

@@ -1352,12 +1352,51 @@ class SparkStorage:
 def get_path_joins(viewname, sco_type, column):
     """Module-level reference-compat helper (firepit/sqlstorage.py:107-140):
     the implicit-join plan for a reference path column, independent of any
-    store instance. Returns the parsed link tuples (('node', type, prop) /
-    ('rel', from, ref, to)); empty when the column needs no joins."""
+    store instance. Matches the reference's return contract — a
+    ``(joins, target_table, target_column)`` triple where ``joins`` is a
+    list of :class:`firepit_spark.query.Join` clauses (empty when the
+    column needs no joins), ``target_table`` the aliased table the final
+    column lives on, and ``target_column`` the dotted property there."""
+    from firepit_spark.query import Join
+
     if ":" in column:
         links = props.parse_path(column)
     else:
         links = props.parse_prop(sco_type, column)
-    if links and len(links) == 1 and links[0][0] == "node":
-        return []
-    return links or []
+    aliases = {sco_type: viewname}
+    target_table = None
+    target_column = None
+    results = []
+    for link in links or []:
+        if link[0] == "node":
+            if not target_table:
+                target_table = link[1] or viewname
+            if not target_column:
+                target_column = link[2]
+            else:
+                target_column += f".{link[2]}"
+        elif link[0] == "rel":
+            from_type = link[1] or viewname
+            ref_name = link[2]
+            if target_column:
+                target_column = None
+            to_type = link[3]
+            target_table = to_type
+            lhs = aliases.get(from_type, from_type)
+            alias, _, _ = ref_name.rpartition("_")
+            aliases[to_type] = alias
+            if ref_name.endswith("_refs"):
+                # reflist hop: through the __reflist link table
+                results.append(
+                    Join("__reflist", "id", "=", "source_ref", lhs=lhs, alias="r")
+                )
+                results.append(
+                    Join(to_type, "target_ref", "=", "id", lhs="r", alias=alias)
+                )
+            else:
+                results.append(
+                    Join(to_type, ref_name, "=", "id", lhs=lhs, alias=alias,
+                         how="LEFT OUTER")
+                )
+        target_table = aliases.get(target_table, target_table)
+    return results, target_table, target_column

@@ -81,9 +81,17 @@ def stream_bloom_dedup(
     Returns the started StreamingQuery. Read survivors with
     ``spark.read.parquet(out_dir)`` (drop ``__epoch``); probe the live
     seen-set with :func:`read_seen_bloom`.
+
+    ``(num_bits, num_hashes)`` are persisted to ``state_dir/_meta`` on
+    first start and verified on every restart: probing old epoch
+    partials with different parameters computes bit positions mod a
+    different filter size, silently corrupting membership, so a
+    parameter change against an existing state dir raises instead.
     """
     from firepit_spark.functions.bloom import bloom_build, bloom_merge, bloom_prescreen
     from firepit_spark.streaming.rollup import _write_epoch
+
+    _verify_bloom_meta(stream.sparkSession, state_dir, num_bits, num_hashes)
 
     def handle(batch_df: DataFrame, epoch_id: int):
         from pyspark.errors import AnalysisException
@@ -128,9 +136,43 @@ def stream_bloom_dedup(
     return writer.start()
 
 
-def read_seen_bloom(spark, state_dir: str) -> DataFrame:
+def _verify_bloom_meta(spark, state_dir: str, num_bits: int, num_hashes: int):
+    """Write ``(num_bits, num_hashes)`` to ``state_dir/_meta`` on first
+    use; raise if the dir was built with different parameters. The
+    ``_``-prefixed subdir is invisible to the parquet reader scanning
+    ``state_dir``, and writing it through Spark keeps any filesystem the
+    partials can reach (local, HDFS, object stores) working."""
+    from pyspark.errors import AnalysisException
+
+    meta_dir = state_dir.rstrip("/") + "/_meta"
+    try:
+        row = spark.read.json(meta_dir).collect()[0]
+    except AnalysisException:
+        spark.createDataFrame(
+            [(int(num_bits), int(num_hashes))], "num_bits long, num_hashes long"
+        ).coalesce(1).write.mode("overwrite").json(meta_dir)
+        return
+    if int(row["num_bits"]) != int(num_bits) or int(row["num_hashes"]) != int(num_hashes):
+        raise ValueError(
+            f"bloom state at {state_dir} was built with num_bits="
+            f"{row['num_bits']}, num_hashes={row['num_hashes']}; got "
+            f"num_bits={num_bits}, num_hashes={num_hashes} — changing "
+            "parameters against existing partials corrupts membership"
+        )
+
+
+def read_seen_bloom(
+    spark,
+    state_dir: str,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+) -> DataFrame:
     """Fold all epoch partials into the live seen-set filter (bit_or
-    union — exactly the filter of every key ever admitted)."""
+    union — exactly the filter of every key ever admitted). Pass the
+    ``(num_bits, num_hashes)`` you will probe with to have them verified
+    against the persisted state-dir metadata."""
     from firepit_spark.functions.bloom import bloom_merge
 
+    if num_bits is not None and num_hashes is not None:
+        _verify_bloom_meta(spark, state_dir, num_bits, num_hashes)
     return bloom_merge(spark.read.parquet(state_dir).drop("__epoch"))

@@ -54,6 +54,14 @@ def stream_interval_join(
     """
     if how not in ("inner", "leftOuter", "rightOuter"):
         raise ValueError(f"how must be inner/leftOuter/rightOuter, got {how}")
+    clashes = sorted(
+        {f"{right_prefix}{c}" for c in right.columns if c != on} & set(left.columns)
+    )
+    if clashes:
+        raise ValueError(
+            f"prefixed right columns collide with left columns: {clashes}; "
+            "pick a different right_prefix"
+        )
     lw = left.withWatermark(left_ts, f"{watermark_seconds} seconds") if left.isStreaming else left
     rw = right.withWatermark(right_ts, f"{watermark_seconds} seconds") if right.isStreaming else right
     r_renamed = rw.select(

@@ -121,3 +121,60 @@ def test_merge_incompatible_types(store):
     store.load("a1", [{"type": "ipv4-addr", "value": "10.0.0.1"}])
     with pytest.raises(IncompatibleType):
         store.merge("m", ["u1", "a1"])
+
+
+def test_granular_dsl_exception_types():
+    """Reference-granular DSL errors (firepit/query.py:31-48, raised at
+    query.py:166-173,369,472): each specific type is raised on the
+    reference's own invalid inputs AND remains catchable as InvalidQuery
+    so pre-existing repo handlers keep working."""
+    from firepit_spark.exceptions import (
+        InvalidAggregateFunction,
+        InvalidComparisonOperator,
+        InvalidJoinOperator,
+        InvalidPredicateOperand,
+        InvalidPredicateOperator,
+        InvalidQuery,
+    )
+    from firepit_spark.query import Aggregation, Filter, Join, Predicate
+
+    # bad comparison op (reference query.py:173)
+    with pytest.raises(InvalidComparisonOperator):
+        Predicate("name", "~", "x")
+    # NULL rhs only composes with =/!= (reference query.py:193,227)
+    with pytest.raises(InvalidComparisonOperator):
+        Predicate("name", "<", None)
+    # predicate-combining op must be AND/OR (reference query.py:166)
+    with pytest.raises(InvalidPredicateOperator):
+        Predicate(Predicate("a", "=", 1), "XOR", Predicate("b", "=", 2))
+    with pytest.raises(InvalidPredicateOperator):
+        Filter([], op="NOR")
+    # combining rhs must itself be a Predicate (reference query.py:168)
+    with pytest.raises(InvalidPredicateOperand):
+        Predicate(Predicate("a", "=", 1), "AND", "b = 2")
+    # bad join type (reference query.py:472)
+    with pytest.raises(InvalidJoinOperator):
+        Join("tbl", "id", "=", "id", how="SIDEWAYS")
+    # bad aggregate function (reference query.py:369)
+    with pytest.raises(InvalidAggregateFunction):
+        Aggregation([("MEDIAN", "x", "m")])
+    # every granular type is still an InvalidQuery
+    for exc, make in [
+        (InvalidComparisonOperator, lambda: Predicate("name", "~", "x")),
+        (InvalidJoinOperator, lambda: Join("t", "id", "=", "id", how="NOPE")),
+        (InvalidAggregateFunction, lambda: Aggregation([("NOPE", "x", "m")])),
+    ]:
+        with pytest.raises(InvalidQuery):
+            make()
+
+
+def test_compound_predicate_compiles(spark):
+    """Reference query.py:163-169: Predicate(p1, 'AND'/'OR', p2) builds a
+    compound predicate; the Spark compile is the boolean combination."""
+    from firepit_spark.query import Predicate
+
+    df = spark.createDataFrame([(1, 3), (1, 1), (2, 3)], "a int, b int")
+    p = Predicate(Predicate("a", "=", 1), "OR", Predicate("b", ">", 2))
+    assert df.filter(p.to_spark()).count() == 3
+    q = Predicate(Predicate("a", "=", 1), "AND", Predicate("b", ">", 2))
+    assert df.filter(q.to_spark()).count() == 1

@@ -148,13 +148,26 @@ def test_extract_features_shapes(spark):
     assert again == {r["media_id"]: r["content_md5"] for r in rows}
 
 
-def test_decode_stub_raises(spark):
-    # video frame decode has no pure-python kernel and no codec lib in
-    # this container -> the real-feature path raises through mapInPandas
-    media = synthesize_media(spark, n=3, partitions=1)
-    feats = extract_features(media, use_fake=False)
-    with pytest.raises(Exception, match="NotImplementedError|no video codec"):
-        feats.collect()
+def test_unsupported_blobs_degrade_to_null_feature(spark):
+    """Video frame decode has no pure-python kernel and no codec lib in
+    this container: the real-feature path degrades those rows to a NULL
+    feature like empty blobs (advisor r5: one unsupported row must not
+    kill a corpus-scale pass) while image/audio rows in the same batch
+    still decode for real."""
+    media = synthesize_media(spark, n=9, partitions=1)
+    rows = extract_features(media, use_fake=False).collect()
+    assert len(rows) == 9
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["feature"] is None for r in by_kind["video"])
+    assert all(r["feature"] is not None for r in by_kind["image"])
+    assert all(r["feature"] is not None for r in by_kind["audio"])
+    # decode_stub itself still raises loudly when called directly
+    from firepit_spark.functions.multimodal import decode_stub
+
+    with pytest.raises(NotImplementedError, match="video"):
+        decode_stub("video", b"\x00\x00")
 
 
 def test_real_feature_kernels_for_image_and_audio(spark):
@@ -1827,3 +1840,30 @@ def test_dedup_keep_best(spark):
 
     kept = {r.doc_id for r in dedup_keep_best(docs, labels, "quality").collect()}
     assert kept == {2, 10, 99}
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """String doc ids must work in cluster_representatives/dedup_keep_best:
+    the tie-break orders ids ascending without assuming numeric ids
+    (advisor r5: the old unary-minus tie-break errored under ANSI or
+    NULLed every keeper on string ids)."""
+    from firepit_spark.functions.graph import (
+        cluster_representatives,
+        dedup_clusters,
+        dedup_keep_best,
+    )
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    docs = spark.createDataFrame(
+        [("doc-a", 0.2), ("doc-b", 0.9), ("doc-c", 0.9), ("doc-z", 0.1)],
+        "doc_id string, quality double",
+    )
+    labels = dedup_clusters(pairs)
+    reps = cluster_representatives(labels, docs, "quality").collect()
+    assert len(reps) == 1
+    # b and c tie at 0.9 -> lexically-lowest id doc-b wins
+    assert (reps[0].keeper, reps[0].keeper_score, reps[0].n_docs) == ("doc-b", 0.9, 3)
+    kept = {r.doc_id for r in dedup_keep_best(docs, labels, "quality").collect()}
+    assert kept == {"doc-b", "doc-z"}

@@ -616,9 +616,14 @@ def test_reference_compat_helpers(spark, tmp_path):
     assert json_normalize({"type": "file", "hashes": {"SHA-1": "x"}}) == \
         normalize_obj({"type": "file", "hashes": {"SHA-1": "x"}})
 
-    assert get_path_joins("conns", "network-traffic", "src_port") == []
-    links = get_path_joins("conns", "network-traffic", "src_ref.value")
-    assert links and links[0][0] == "rel" and links[-1][0] == "node"
+    # reference contract: (joins, target_table, target_column) triple
+    # (firepit/sqlstorage.py:107-140)
+    joins, tt, tc = get_path_joins("conns", "network-traffic", "src_port")
+    assert joins == [] and tt == "conns" and tc == "src_port"
+    joins, tt, tc = get_path_joins("conns", "network-traffic", "src_ref.value")
+    assert len(joins) == 1 and joins[0].name == "ipv4-addr"
+    assert joins[0].how == "LEFT OUTER" and joins[0].lhs == "conns"
+    assert joins[0].alias == "src" and (tt, tc) == ("src", "value")
 
 
 def test_observation_stats_fused_matches_separate_ops(spark, tmp_path):

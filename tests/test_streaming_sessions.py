@@ -578,3 +578,61 @@ def test_stream_rollup_replay_idempotent(spark, tmp_path):
     finally:
         q.stop()
     assert snap() == first
+
+
+def test_stream_bloom_dedup_param_mismatch_raises(spark, tmp_path):
+    """(num_bits, num_hashes) persist to state_dir/_meta on first start;
+    restarting against the same state with different parameters must raise
+    instead of silently corrupting membership (advisor r5)."""
+    import pytest
+
+    from firepit_spark.streaming.dedup import read_seen_bloom, stream_bloom_dedup
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out_dir, state_dir = str(tmp_path / "out"), str(tmp_path / "state")
+    _write_events(indir / "a.json", [{"doc_id": 0, "url": "http://a.example/x"}])
+    stream = spark.readStream.schema("doc_id long, url string").json(str(indir))
+    q = stream_bloom_dedup(
+        stream, "url", out_dir, state_dir, 1 << 14, 4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # changed num_bits -> positions mod a different filter size: refuse
+    stream2 = spark.readStream.schema("doc_id long, url string").json(str(indir))
+    with pytest.raises(ValueError, match="num_bits"):
+        stream_bloom_dedup(
+            stream2, "url", out_dir, state_dir, 1 << 15, 4,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+    # read_seen_bloom validates when given the probe parameters
+    with pytest.raises(ValueError, match="num_hashes"):
+        read_seen_bloom(spark, state_dir, 1 << 14, 5)
+    # matching parameters restart + probe fine
+    assert read_seen_bloom(spark, state_dir, 1 << 14, 4).count() >= 1
+
+
+def test_stream_interval_join_prefix_collision_raises(spark):
+    """A left column that already carries the right_ prefix of a right
+    column must fail fast (advisor r5: silent duplicate output columns)."""
+    import datetime
+
+    import pytest
+
+    from firepit_spark.streaming.joins import stream_interval_join
+
+    ts = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", ts, 1.0)], "user string, ts timestamp, right_amount double"
+    )
+    right = spark.createDataFrame(
+        [("k", ts, 2.0)], "user string, ts timestamp, amount double"
+    )
+    with pytest.raises(ValueError, match="right_amount"):
+        stream_interval_join(left, right, on="user")
+    # a non-colliding prefix still works
+    out = stream_interval_join(left, right, on="user", right_prefix="rhs_")
+    assert "rhs_amount" in out.columns and out.count() == 1
