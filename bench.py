@@ -7,6 +7,13 @@ shuffle join + topk (q07), window sessionize (q20), time binning (q11),
 shingle self-join dedup (q25), minhash (q26), brute-force ANN (q29),
 continuous-aggregate rollup (q34), iterative closure (q35), as-of join
 (q36), bucketized range join (q37).
+
+Besides the primary scale factor, the same set runs at the synthetic sf1
+point (10x data via scripts/make_scale_data.py, built on demand under
+.benchdata/sf1) and lands in the JSON under ``"sf1"`` — the sf0.1 set
+totals <10 s and is dominated by host noise, so sf1 is where a real plan
+regression (q25's postings join, q35's iteration rounds) actually shows.
+Disable with SPARK_GRAFT_BENCH_SF1=0.
 """
 
 from __future__ import annotations
@@ -14,10 +21,12 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -35,6 +44,48 @@ HEADLINE = [
     "q36_asof_join",
     "q37_range_join",
 ]
+
+
+def run_set(spark, qs, sf_dir: str, runs: int, label: str) -> dict:
+    """Per-query median-of-``runs`` wall seconds for the headline set.
+
+    BASELINE.md records the same protocol, so the driver artifact and the
+    recorded baseline are comparable (single-run host noise pushed
+    sub-second queries past the 2x gate in round 4 with zero plan change).
+    """
+    timings = {}
+    for name in HEADLINE:
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"# [{label}] {name}: {timings[name]}s median of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
+    return timings
+
+
+def ensure_sf1(sf1_dir: str) -> bool:
+    """Build the synthetic sf1 tables on demand (one-time, ~1 min)."""
+    if os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
+        return True
+    script = os.path.join(REPO, "scripts", "make_scale_data.py")
+    try:
+        subprocess.run(
+            [sys.executable, script, sf1_dir], check=True, timeout=1200,
+            stdout=sys.stderr, stderr=sys.stderr,
+        )
+        return os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet"))
+    except Exception as exc:  # missing testdata, disk pressure, ...
+        print(f"# sf1 generation failed, skipping sf1 section: {exc}",
+              file=sys.stderr)
+        return False
 
 
 def main():
@@ -60,39 +111,37 @@ def main():
             except Exception:
                 pass
 
-    # BASELINE.md records per-query median-of-3; measure the same thing
-    # here so the driver artifact and the recorded baseline are
-    # comparable (single-run host noise pushed sub-second queries past
-    # the 2x gate in round 4 with zero plan change).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings = {}
-    for name in HEADLINE:
-        samples = []
-        n = 0
-        for _ in range(runs):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 3)
-        print(
-            f"# {name}: {timings[name]}s median of "
-            f"{[round(s, 3) for s in samples]} ({n} rows)",
-            file=sys.stderr,
-        )
-
+    timings = run_set(spark, qs, sf_dir, runs, f"sf{sf}")
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # sf1 section: 10x scale point in the same artifact
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".benchdata", "sf1")
     )
+    want_sf1 = (
+        os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+        and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir)
+    )
+    if want_sf1 and ensure_sf1(sf1_dir):
+        sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SF1", str(runs)))
+        sf1_timings = run_set(spark, qs, sf1_dir, sf1_runs, "sf1")
+        result["sf1"] = {
+            "total": round(sum(sf1_timings.values()), 3),
+            "unit": "sec",
+            "queries": sf1_timings,
+            "dir": sf1_dir,
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 
