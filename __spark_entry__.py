@@ -1865,8 +1865,27 @@ def _stix_store(spark, sf_dir):
             }
         )
     bundle = {"type": "bundle", "id": "bundle--events-bridge", "objects": objects}
+    # snapshot the bundle to JSON BEFORE the driver-side ingest: flatten()
+    # mutates observations in place (del obs["objects"]), so dumping after
+    # st.cache would feed the distributed path gutted observations
+    import json as _json
+
+    bpath = os.path.join(tempfile.mkdtemp(prefix="fp_stix_bundle_"), "bundle.json")
+    with open(bpath, "w") as f:
+        _json.dump(bundle, f)
     st = SparkStorage(tempfile.mkdtemp(prefix="fp_stix_"), spark=spark)
     st.cache("q1", bundle)
+    # companion warehouse ingested through the DISTRIBUTED path (S12,
+    # sources/bundles.py cache_distributed — the production ingest,
+    # reference firepit/aio/ingest.py:205-556): same bundle, read from
+    # JSON on disk, flattened/parsed/merged engine-side. q54 runs its
+    # full three-leg oracle over BOTH warehouses, so any divergence
+    # between the driver-side and distributed ingest paths hash-fails.
+    from firepit_spark.sources.bundles import cache_distributed
+
+    st_dist = SparkStorage(tempfile.mkdtemp(prefix="fp_stix_dist_"), spark=spark)
+    cache_distributed(st_dist, "q1", bpath)
+    st._dist_store = st_dist
     # second ingest: ten 2.0 observations run through upgrade_2021 (S5:
     # content-addressed ids, objects dict -> top-level SCOs + object_refs)
     # into a STIX 2.1 bundle, so the flatten_21 path (S3) ingests it;
@@ -1937,43 +1956,60 @@ def q54_stix_extract(spark, sf_dir):
       the reference's like_bin UDF, firepit/sqlitestorage.py:70-87).
 
     Each target table id-merges duplicates, so every leg yields the
-    distinct matching values — reproduced by the oracle from events."""
+    distinct matching values — reproduced by the oracle from events.
+
+    The three legs run twice: once over the driver-ingested warehouse
+    and once over the companion warehouse built by the DISTRIBUTED
+    ingest path (S12, sources/bundles.py cache_distributed — reference
+    firepit/aio/ingest.py:205-556). The oracle emits each leg's distinct
+    set twice, so the two ingest paths must land hash-identical SCO
+    tables."""
     st = _stix_store(spark, sf_dir)
-    st.extract("purchase_urls", "url", "q1", "[url:value LIKE '%/purchase']")
-    # ISSUBSET leg chains three view ops so each is oracle-proven:
-    # extract (C1, unfiltered) -> assign_query (C2: a stored DSL query
-    # narrowing to the 10.0.0.0/8 block via LIKE) -> `filter` storage op
-    # (P7: pattern re-applied over a view, firepit/sqlstorage.py:579-600)
-    st.extract("all_ips", "ipv4-addr", "q1", "")
-    ten_net = Query("all_ips")
-    ten_net.append(Filter([Predicate("value", "LIKE", "10.0.%")]))
-    st.assign_query("ten_net", ten_net, sco_type="ipv4-addr")
-    st.filter(
-        "mid_ips", "ipv4-addr", "ten_net", "[ipv4-addr:value ISSUBSET '10.0.16.0/21']"
-    )
-    st.extract(
-        "purchase_payloads", "artifact", "q1",
-        "[artifact:payload_bin LIKE '%act=purchase']",
-    )
-    return (
-        st.get_df("purchase_urls").select("value")
-        .unionByName(st.get_df("mid_ips").select("value"))
-        .unionByName(st.get_df("purchase_payloads").select(
-            F.col("payload_bin").alias("value")))
-    )
+
+    def legs(store):
+        store.extract("purchase_urls", "url", "q1", "[url:value LIKE '%/purchase']")
+        # ISSUBSET leg chains three view ops so each is oracle-proven:
+        # extract (C1, unfiltered) -> assign_query (C2: a stored DSL query
+        # narrowing to the 10.0.0.0/8 block via LIKE) -> `filter` storage op
+        # (P7: pattern re-applied over a view, firepit/sqlstorage.py:579-600)
+        store.extract("all_ips", "ipv4-addr", "q1", "")
+        ten_net = Query("all_ips")
+        ten_net.append(Filter([Predicate("value", "LIKE", "10.0.%")]))
+        store.assign_query("ten_net", ten_net, sco_type="ipv4-addr")
+        store.filter(
+            "mid_ips", "ipv4-addr", "ten_net",
+            "[ipv4-addr:value ISSUBSET '10.0.16.0/21']",
+        )
+        store.extract(
+            "purchase_payloads", "artifact", "q1",
+            "[artifact:payload_bin LIKE '%act=purchase']",
+        )
+        return (
+            store.get_df("purchase_urls").select("value")
+            .unionByName(store.get_df("mid_ips").select("value"))
+            .unionByName(store.get_df("purchase_payloads").select(
+                F.col("payload_bin").alias("value")))
+        )
+
+    return legs(st).unionByName(legs(st._dist_store))
 
 
 _Q54_SQL = f"""
-SELECT DISTINCT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/purchase'
-       AS value
-FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
-UNION ALL
-SELECT DISTINCT '10.0.' || CAST(user_id % 50 AS VARCHAR) || '.1' AS value
-FROM events WHERE event_id < {_STIX_N_EVENTS} AND (user_id % 50) BETWEEN 16 AND 23
-UNION ALL
-SELECT DISTINCT base64(encode('user=' || CAST(user_id % 20 AS VARCHAR)
-       || ';act=purchase')) AS value
-FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+WITH one_pass AS (
+  SELECT DISTINCT 'http://site' || CAST(user_id % 20 AS VARCHAR) || '.example/purchase'
+         AS value
+  FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+  UNION ALL
+  SELECT DISTINCT '10.0.' || CAST(user_id % 50 AS VARCHAR) || '.1' AS value
+  FROM events WHERE event_id < {_STIX_N_EVENTS} AND (user_id % 50) BETWEEN 16 AND 23
+  UNION ALL
+  SELECT DISTINCT base64(encode('user=' || CAST(user_id % 20 AS VARCHAR)
+         || ';act=purchase')) AS value
+  FROM events WHERE event_id < {_STIX_N_EVENTS} AND event_type = 'purchase'
+)
+-- twice: the driver-ingested warehouse leg AND the cache_distributed
+-- (S12) warehouse leg must each reproduce the same distinct sets
+SELECT value FROM one_pass UNION ALL SELECT value FROM one_pass
 """
 
 
