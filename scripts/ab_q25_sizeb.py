@@ -1,0 +1,140 @@
+"""A/B: q25 ngram_jaccard_pairs size_b lever (round-6 backlog #3).
+
+Variant A (current, dedup.py): both sides of the shingle self-join carry
+their set size map-side; the size-ratio prune runs BEFORE the pair
+aggregation; no post-agg size joins.
+
+Variant B (candidate): only the a-side carries size_a; the b-side ships
+(id_b, shingle) only (8 bytes/row less b-side shuffle volume); size_b is
+re-joined AFTER the aggregation from the doc-cardinality sizes frame onto
+the (small) pairs frame — AQE broadcasts the pairs side. The pre-agg
+size-ratio prune is necessarily lost (it needs both sizes), so more
+candidate pairs reach the aggregation.
+
+Interleaved median-of-N at sf0.1 and sf1; asserts identical output first.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from firepit_spark.functions.dedup import (  # noqa: E402
+    _ensure_parallelism,
+    ngram_jaccard_pairs,
+    shingle_hash,
+    word_shingles,
+)
+from firepit_spark.functions import release  # noqa: E402
+from firepit_spark.session import build_spark, testdata_resolver  # noqa: E402
+
+K, THRESHOLD, MAXFREQ = 3, 0.5, 1000
+
+
+def variant_b(df, text_col="text", id_col="doc_id", k=K, threshold=THRESHOLD,
+              max_shingle_freq=MAXFREQ):
+    df = _ensure_parallelism(df, id_col)
+    arr = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles")
+    ).persist()
+    sh = arr.select(
+        F.col(id_col),
+        F.size("__shingles").alias("set_size"),
+        F.explode("__shingles").alias("__s"),
+    ).select(F.col(id_col), "set_size", shingle_hash(F.col("__s")).alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") > max_shingle_freq)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")  # no size_b
+    sizes = arr.select(
+        F.col(id_col).alias("id_b"), F.size("__shingles").alias("size_b")
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    result = (
+        pairs.join(sizes, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    result._fp_caches = [arr]
+    return result
+
+
+def median_runs(fn, docs, runs):
+    samples = []
+    for _ in range(runs):
+        t0 = time.time()
+        out = fn(docs)
+        n = out.count()
+        samples.append(time.time() - t0)
+        release(out)
+    return statistics.median(samples), n
+
+
+def main():
+    runs = int(os.environ.get("AB_RUNS", "5"))
+    spark = build_spark("ab_q25")
+    for sf_dir in ["/root/testdata/sf0.1", "/root/repo/.benchdata/sf1"]:
+        if not os.path.isdir(os.path.join(sf_dir, "documents.parquet")) and \
+           not os.path.isfile(os.path.join(sf_dir, "documents.parquet")):
+            print(f"skip {sf_dir} (missing)")
+            continue
+        r = testdata_resolver(spark, sf_dir)
+        docs = r("documents").select("doc_id", "text")
+
+        a_out = ngram_jaccard_pairs(docs, "text", "doc_id", K, THRESHOLD, MAXFREQ)
+        b_out = variant_b(docs)
+        rows_a = {(x.id_a, x.id_b, x.jaccard) for x in a_out.collect()}
+        rows_b = {(x.id_a, x.id_b, x.jaccard) for x in b_out.collect()}
+        assert rows_a == rows_b, (
+            f"output mismatch at {sf_dir}: only_a={len(rows_a - rows_b)} "
+            f"only_b={len(rows_b - rows_a)}"
+        )
+        release(a_out)
+        release(b_out)
+        print(f"{sf_dir}: outputs identical ({len(rows_a)} pairs)")
+
+        # interleave to cancel host drift: A,B,A,B,...
+        sa, sb = [], []
+        for _ in range(runs):
+            for name, fn, acc in (
+                ("A", lambda d: ngram_jaccard_pairs(d, "text", "doc_id", K, THRESHOLD, MAXFREQ), sa),
+                ("B", variant_b, sb),
+            ):
+                t0 = time.time()
+                out = fn(docs)
+                out.count()
+                acc.append(time.time() - t0)
+                release(out)
+        print(
+            f"{sf_dir}: A median {statistics.median(sa):.3f} {[round(x,2) for x in sa]} | "
+            f"B median {statistics.median(sb):.3f} {[round(x,2) for x in sb]}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
