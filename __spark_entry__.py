@@ -1417,14 +1417,44 @@ FROM q
 
 
 def q47_decontaminate(spark, sf_dir):
-    """Train/test decontamination: cross-corpus near-dup join (even doc_ids
-    as 'train', odd as 'heldout') via the shingle inverted index — the
-    candidate join is index ⋈ index on the shingle, never train×heldout."""
+    """Train/test decontamination, two legs unioned (slot-merged; see
+    COVERAGE.md): 'doc' — cross-corpus near-dup join (even doc_ids as
+    'train', odd as 'heldout') via the shingle inverted index — the
+    candidate join is index ⋈ index on the shingle, never train×heldout;
+    'span' — duplicate_spans(other=) cross-corpus mode: WHERE and HOW
+    LONG a train passage reappears verbatim in heldout (positional
+    8-gram index, union-frequency cutoff, diagonal chaining), vs the
+    same chaining done with SQL windows."""
     r = _resolver(spark, sf_dir)
     docs = r("documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     heldout = docs.filter(F.col("doc_id") % 2 == 1)
-    return dd.cross_ngram_jaccard(train, heldout, k=3, threshold=0.03)
+    doc_leg = dd.cross_ngram_jaccard(train, heldout, k=3, threshold=0.03)
+    spans = dd.duplicate_spans(train, k=8, min_tokens=12, other=heldout)
+    nl = F.lit(None).cast("long")
+    out = doc_leg.select(
+        F.lit("doc").alias("leg"),
+        "left_id",
+        "right_id",
+        "jaccard",
+        nl.alias("start_a"),
+        nl.alias("start_b"),
+        nl.alias("span_tokens"),
+    ).unionByName(
+        spans.select(
+            F.lit("span").alias("leg"),
+            F.col("id_a").alias("left_id"),
+            F.col("id_b").alias("right_id"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.col("start_a").cast("long"),
+            F.col("start_b").cast("long"),
+            F.col("span_tokens").cast("long"),
+        )
+    )
+    out._fp_caches = list(getattr(doc_leg, "_fp_caches", [])) + list(
+        getattr(spans, "_fp_caches", [])
+    )
+    return out
 
 
 _Q47_SQL = f"""
@@ -1443,13 +1473,48 @@ common AS (
   FROM fsh a JOIN fsh b ON a.h = b.h
   WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
   GROUP BY 1, 2
+),
+pg AS (
+  SELECT doc_id, n - 1 AS pos,
+         ('0x' || substr(md5(t[n] || ' ' || t[n+1] || ' ' || t[n+2] || ' ' || t[n+3]
+            || ' ' || t[n+4] || ' ' || t[n+5] || ' ' || t[n+6] || ' ' || t[n+7]), 1, 15))::BIGINT AS gram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(n)
+  WHERE len(t) >= 8
+),
+-- union-frequency cutoff: train + heldout partition the full table, so
+-- the union index IS the full pg
+gfreq AS (SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) <= 1000),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+         a.pos - b.pos AS diag
+  FROM pg a
+  JOIN gfreq g ON g.gram = a.gram
+  JOIN pg b ON b.gram = a.gram
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+),
+runs AS (
+  SELECT id_a, id_b, diag, pos_a, pos_b,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS isl
+  FROM m
+),
+spans AS (
+  SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+         COUNT(*) + 7 AS span_tokens
+  FROM runs GROUP BY id_a, id_b, diag, isl
+  HAVING COUNT(*) + 7 >= 12
 )
-SELECT left_id, right_id,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+SELECT 'doc' AS leg, left_id, right_id,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard,
+       CAST(NULL AS BIGINT) AS start_a, CAST(NULL AS BIGINT) AS start_b,
+       CAST(NULL AS BIGINT) AS span_tokens
 FROM common
 JOIN sizes sa ON sa.doc_id = left_id
 JOIN sizes sb ON sb.doc_id = right_id
 WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.03
+UNION ALL
+SELECT 'span' AS leg, id_a AS left_id, id_b AS right_id,
+       CAST(NULL AS DOUBLE) AS jaccard, start_a, start_b, span_tokens
+FROM spans
 """
 
 
