@@ -94,3 +94,54 @@ def test_ingest_dataframe_widens_narrow_numerics(spark, tmp_path):
     dtypes = dict(got.dtypes)
     assert dtypes["src_port"] == "bigint" and dtypes["x_score"] == "double"
     assert got.count() == 2  # both batches readable through the merge
+
+
+def test_streaming_ingest_replay_idempotent(spark, tmp_path):
+    """Commit-marker replay drill for stream_bundles (same harness as the
+    bloom-dedup and rollup drills): delete the checkpoint's commit marker
+    so the restarted query re-runs batch 0 — the deterministic-SCO-id
+    upsert merge must leave every warehouse table row-identical
+    (at-least-once delivery becomes effectively exactly-once ingest)."""
+    import os
+
+    from firepit_spark.streaming.ingest import stream_bundles
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    st = SparkStorage(str(tmp_path / "wh_replay"), spark=spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    (indir / "b1.json").write_text(json.dumps(make_bundle(25)))
+
+    def start():
+        return stream_bundles(st, str(indir), checkpoint_dir=ckpt, query_id="s1")
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot():
+        out = {}
+        for t in sorted(st.tables()):
+            df = st.get_df(t)
+            out[t] = sorted(
+                tuple(str(v) for v in row) for row in df.collect()
+            )
+        return out
+
+    first = snapshot()
+    assert first["observed-data"] and first["url"]
+
+    # simulate a crash after the sink write but before the commit marker
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert snapshot() == first
