@@ -534,6 +534,10 @@ def semantic_dedup(
     PAIRING ONLY (the reported ``sem_cell`` is unchanged), bounding pair
     work at n_cells·cap² at the cost of missing cross-sub-cell dups —
     the standard SemDeDup sampling trade made explicit instead of OOMing.
+    Without the cap, degeneracy is still surfaced: a UserWarning fires
+    when the largest cell exceeds ~10x the median cell size (the check
+    rides on the already-persisted assignment, so it costs one small
+    per-cell aggregate, not an extra corpus scan).
     """
     if method not in ("greedy", "components"):
         raise ValueError(f"method must be 'greedy' or 'components', got {method}")
@@ -571,6 +575,31 @@ def semantic_dedup(
             ),
         )
     else:
+        # no cap: still make degeneracy VISIBLE — one tiny per-cell
+        # aggregate over the persisted assignment (materializes the cache
+        # the pair join reuses, so no extra corpus scan)
+        import warnings
+
+        stats = (
+            assigned.groupBy("sem_cell")
+            .agg(F.count(F.lit(1)).alias("__cn"))
+            .agg(
+                F.max("__cn").alias("mx"),
+                F.expr("percentile_approx(__cn, 0.5)").alias("med"),
+                F.sum("__cn").alias("total"),
+            )
+            .collect()[0]
+        )
+        mx, med, total = stats["mx"], stats["med"], stats["total"]
+        if mx is not None and (mx > 10 * max(med or 1, 1) or 2 * mx >= total):
+            warnings.warn(
+                f"semantic_dedup: largest cell has {mx} of {total} rows "
+                f"(median cell {med}); the per-cell pair join is "
+                "degenerating toward all-pairs — pass max_cell_size= to "
+                "bound pair work, or supply better centroids",
+                UserWarning,
+                stacklevel=2,
+            )
         withn = withn.withColumn("__pcell", F.col("sem_cell").cast("string"))
     a = withn.select(
         F.col("__pcell"), F.col(id_col).alias("id_a"),

@@ -1867,3 +1867,32 @@ def test_dedup_keep_best_string_ids(spark):
     assert (reps[0].keeper, reps[0].keeper_score, reps[0].n_docs) == ("doc-b", 0.9, 3)
     kept = {r.doc_id for r in dedup_keep_best(docs, labels, "quality").collect()}
     assert kept == {"doc-b", "doc-z"}
+
+
+def test_semantic_dedup_warns_on_degenerate_cells(spark):
+    """Uncapped semantic_dedup must SURFACE degeneracy (verdict r5 #8): a
+    corpus collapsing into one cell warns toward max_cell_size=; a capped
+    run and a balanced clustering stay quiet."""
+    import warnings as _warnings
+
+    n = 40
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    with pytest.warns(UserWarning, match="max_cell_size"):
+        sim.semantic_dedup(vecs, centroids=[[1.0, 0.0]], threshold=0.99).collect()
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any UserWarning -> test failure
+        # capped: the bound is explicit, no warning
+        sim.semantic_dedup(
+            vecs, centroids=[[1.0, 0.0]], threshold=0.99, max_cell_size=10
+        ).collect()
+        # well-clustered corpus (4 balanced cells, no cell holding a
+        # dominant share): no warning
+        cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+        bal = spark.createDataFrame(
+            [(i, cents[i % 4]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        sim.semantic_dedup(bal, centroids=cents, threshold=0.99).collect()
