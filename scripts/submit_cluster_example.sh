@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Example spark-submit for running firepit_spark jobs on a real cluster
+# (YARN / k8s / standalone — swap --master accordingly). The repo is a
+# pure-Python package: ship it as an archive; no JARs to build.
+#
+# The knob values below document the levers the engine is DESIGNED
+# around; size them to your cluster. Rationale for each is inline.
+set -euo pipefail
+
+REPO_DIR="$(cd "$(dirname "$0")/.." && pwd)"
+JOB="${1:-$REPO_DIR/scripts/example_cluster_job.py}"
+
+# package the library for the executors (Python-only -> a zip suffices)
+PYZIP="$(mktemp -d)/firepit_spark.zip"
+(cd "$REPO_DIR" && zip -qr "$PYZIP" firepit_spark)
+
+spark-submit \
+  --master yarn --deploy-mode cluster \
+  --name firepit-spark-pipeline \
+  --py-files "$PYZIP" \
+  \
+  `# ---- sizing: 100 executors x 8 cores as a placeholder ----` \
+  --num-executors 100 \
+  --executor-cores 8 \
+  --executor-memory 24g \
+  `# Arrow batches for mapInPandas kernels (media decode, bundle` \
+  `# flatten, batched inference) live in python worker memory:` \
+  --conf spark.executor.memoryOverhead=6g \
+  \
+  `# ---- the engine's standing assumptions ----` \
+  `# AQE on: runtime broadcast of small sides (hot-set anti-joins,` \
+  `# query-tag probes), skew-join splitting, partition coalescing.` \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  `# shuffle width ~ 2-3x total cores; the dedup/ANN operators shuffle` \
+  `# 8-byte hashed keys, so partitions stay small even at high width` \
+  --conf spark.sql.shuffle.partitions=2000 \
+  `# split large parquet files so the scan parallelism matches cores` \
+  --conf spark.sql.files.maxPartitionBytes=256m \
+  `# timestamps: the engine pins UTC (DuckDB-naive-compatible)` \
+  --conf spark.sql.session.timeZone=UTC \
+  `# Arrow transfer for every Pandas-UDF boundary; cap batch size so` \
+  `# model-scoring batches (inference.batched_score) bound worker RSS` \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch=5000 \
+  `# broadcast threshold: raise if your eval-side decontamination index` \
+  `# or centroid tables are bigger than 64m but fit executor memory;` \
+  `# cross_ngram_jaccard(bloom_fpp=) is the lever when it stops fitting` \
+  --conf spark.sql.autoBroadcastJoinThreshold=64m \
+  \
+  "$JOB" \
+  `# job args: warehouse + checkpoint on durable shared storage.` \
+  `# checkpoint_dir is REQUIRED for iterative graph ops on a cluster:` \
+  `# localCheckpoint blocks die with their executor.` \
+  --warehouse s3a://bucket/firepit-warehouse \
+  --checkpoint-dir s3a://bucket/firepit-checkpoints

@@ -1896,3 +1896,36 @@ def test_semantic_dedup_warns_on_degenerate_cells(spark):
             "vec_id long, embedding array<double>",
         )
         sim.semantic_dedup(bal, centroids=cents, threshold=0.99).collect()
+
+
+def test_fuzzy_dedup_checkpoint_dir_passthrough(spark, tmp_path):
+    """fuzzy_dedup(checkpoint_dir=) reaches the component loop: results
+    unchanged vs the uncheckpointed run and checkpoint files land in the
+    configured dir (the knob the cluster-submit recipe wires)."""
+    import os
+
+    from firepit_spark.functions.dedup import fuzzy_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today!"),
+        (3, "a completely different document about spark shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ckpt = str(tmp_path / "ckpt")
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy_dedup(
+            docs, threshold=0.5, checkpoint_dir=ckpt
+        ).collect()
+    )
+    plain = sorted(
+        r.doc_id for r in fuzzy_dedup(docs, threshold=0.5).collect()
+    )
+    assert kept == plain
+    # rdd-N checkpoint dirs land under the configured dir (AQE may
+    # coalesce the tiny test frames to zero partitions, so assert the
+    # checkpoint DIRECTORIES rather than part files)
+    assert any(
+        d.startswith("rdd-") for _, dirs, _ in os.walk(ckpt) for d in dirs
+    )
