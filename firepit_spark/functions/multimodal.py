@@ -171,6 +171,60 @@ def image_dims(content: bytes | None) -> tuple[int, int] | None:
     return None
 
 
+def jpeg_features(b: bytes | None) -> dict | None:
+    """Header + compressed-stream features for a JPEG WITHOUT any entropy
+    decode (no Huffman tables touched, no codec library): frame geometry
+    from the first SOF marker (dimensions, sample precision, component
+    count, progressive flag) plus the Shannon byte-entropy of the
+    entropy-coded scan data — a cheap corpus-quality signal (truncated /
+    corrupt / re-encoded streams shift it) that needs only one linear
+    byte walk. Returns None when the blob isn't a JPEG."""
+    if not b or len(b) < 4 or not b.startswith(b"\xff\xd8"):
+        return None
+    out: dict = {"kind": "jpeg-header"}
+    i, n = 2, len(b)
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if (
+            0xC0 <= marker <= 0xCF
+            and marker not in (0xC4, 0xC8, 0xCC)
+            and "width" not in out
+        ):
+            if i + 10 > n:
+                break
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            out.update(
+                width=w,
+                height=h,
+                bits=b[i + 4],
+                n_components=b[i + 9],
+                progressive=marker == 0xC2,
+            )
+        if marker == 0xDA:  # SOS: entropy-coded data runs to EOI
+            start = i + 2 + seg_len
+            end = b.rfind(b"\xff\xd9")
+            scan = b[start : end if end >= start else n]
+            out["scan_bytes"] = len(scan)
+            if scan:
+                counts = np.bincount(
+                    np.frombuffer(scan, dtype=np.uint8), minlength=256
+                )
+                p = counts[counts > 0] / len(scan)
+                out["byte_entropy"] = round(float(-(p * np.log2(p)).sum()), 6)
+            break
+        i += 2 + seg_len
+    return out if "width" in out or "scan_bytes" in out else None
+
+
 def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
     # walk marker segments to the first frame header (SOFn); C4/C8/CC are
     # not frame markers (Huffman/arithmetic tables)
@@ -496,7 +550,17 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
             return None  # tolerate NULL/empty blobs like the fake path
         try:
             if kind == "image":
-                return json.dumps(image_stats(decode_image(content)), sort_keys=True)
+                try:
+                    return json.dumps(
+                        image_stats(decode_image(content)), sort_keys=True
+                    )
+                except NotImplementedError:
+                    # no pixel codec (e.g. JPEG without Pillow): fall back
+                    # to the pure-python header+entropy scan when possible
+                    jf = jpeg_features(content)
+                    if jf is not None:
+                        return json.dumps(jf, sort_keys=True)
+                    raise
             if kind == "audio":
                 return json.dumps(audio_stats(*decode_audio(content)), sort_keys=True)
             return decode_stub(kind, content)

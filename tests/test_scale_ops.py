@@ -1929,3 +1929,70 @@ def test_fuzzy_dedup_checkpoint_dir_passthrough(spark, tmp_path):
     assert any(
         d.startswith("rdd-") for _, dirs, _ in os.walk(ckpt) for d in dirs
     )
+
+
+def _synthetic_jpeg(scan: bytes) -> bytes:
+    """Structurally-valid baseline JPEG shell: SOI, APP0, SOF0 (480x640,
+    3 components, 8-bit), SOS header, entropy-coded scan bytes, EOI."""
+    import struct
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", 480, 640)
+        + b"\x03" + b"\0" * 9
+        + b"\xff\xda\x00\x0c\x03" + b"\0" * 9
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_features_header_and_entropy():
+    """Pure-python JPEG feature scan (no Huffman decode, no codec lib):
+    frame geometry from SOF0 and Shannon byte-entropy of the scan data."""
+    import math
+
+    from firepit_spark.functions import multimodal as mm
+
+    # 256 evenly distributed byte values -> entropy exactly 8 bits
+    scan = bytes(range(256)).replace(b"\xff", b"\xfe")  # avoid marker bytes
+    feats = mm.jpeg_features(_synthetic_jpeg(scan))
+    assert feats["width"] == 640 and feats["height"] == 480
+    assert feats["bits"] == 8 and feats["n_components"] == 3
+    assert feats["progressive"] is False
+    assert feats["scan_bytes"] == 256
+    # one duplicated value (fe twice), one missing (ff): H = 8 - 2/256
+    expected = -(254 * (1 / 256) * math.log2(1 / 256) + (2 / 256) * math.log2(2 / 256))
+    assert abs(feats["byte_entropy"] - round(expected, 6)) < 1e-6
+    # constant scan -> zero entropy
+    flat = mm.jpeg_features(_synthetic_jpeg(b"\x00" * 100))
+    assert flat["byte_entropy"] == 0.0
+    # non-JPEG input -> None
+    assert mm.jpeg_features(b"not a jpeg") is None
+    assert mm.jpeg_features(None) is None
+
+
+def test_extract_features_real_jpeg_fallback(spark):
+    """extract_features(use_fake=False) on a JPEG without a pixel codec
+    lands the header+entropy JSON (not NULL): the last honest stub now
+    only covers video and truly undecodable blobs."""
+    import json as _json
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_synthetic_jpeg(bytes(range(0, 250))))),
+            (2, "image", bytearray(b"\x00garbage")),
+        ],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in extract_features(media, use_fake=False).collect()}
+    feat = rows[1]["feature"]
+    assert feat is not None
+    parsed = _json.loads(feat)
+    # Pillow-present environments decode pixels (mean/std); bare
+    # environments land the jpeg-header scan — accept either real result
+    assert ("mean" in parsed) or (
+        parsed["width"] == 640 and "byte_entropy" in parsed
+    )
+    assert rows[2]["feature"] is None  # undecodable garbage degrades
