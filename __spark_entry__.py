@@ -2154,6 +2154,14 @@ def q56_stix_value_counts(spark, sf_dir):
     watch = [f"http://site{i}.example/signup" for i in range(0, 20, 3)]
     st.load("watchlist", watch, sco_type="url")
     wl = st.get_df("watchlist").select("value").distinct()
+    # A11 `count` storage op (r6 merge): the API count of the id-merged
+    # url view broadcast onto every row — the oracle reproduces it as
+    # COUNT(DISTINCT value). U2 catalog EXCEPT (r6 merge): types() is
+    # tables-except-{identity, observed-data, relationship} (reference
+    # sqlstorage.py:700-711 does it with SQL EXCEPT); the SCO type list
+    # of the synthesized bundles is deterministic, so the oracle pins it.
+    n_urls_api = st.count("all_urls")
+    sco_types = ",".join(st.types())
     return (
         counts.join(nobs, "value")
         .crossJoin(F.broadcast(summ))
@@ -2161,7 +2169,9 @@ def q56_stix_value_counts(spark, sf_dir):
               "value", "left")
         .select("value", "count", "number_observed",
                 "first_obs_all", "last_obs_all", "n_obs_all",
-                F.coalesce("on_watchlist", F.lit(False)).alias("on_watchlist"))
+                F.coalesce("on_watchlist", F.lit(False)).alias("on_watchlist"),
+                F.lit(n_urls_api).cast("long").alias("n_urls_api"),
+                F.lit(sco_types).alias("sco_types"))
     )
 
 
@@ -2184,7 +2194,10 @@ SELECT value, COUNT(*) AS count, CAST(SUM(n_obs) AS BIGINT) AS number_observed,
        value IN ('http://site0.example/signup', 'http://site3.example/signup',
                  'http://site6.example/signup', 'http://site9.example/signup',
                  'http://site12.example/signup', 'http://site15.example/signup',
-                 'http://site18.example/signup') AS on_watchlist
+                 'http://site18.example/signup') AS on_watchlist,
+       (SELECT CAST(COUNT(DISTINCT value) AS BIGINT) FROM e) AS n_urls_api,
+       'artifact,directory,file,ipv4-addr,network-traffic,process,url'
+         AS sco_types
 FROM e CROSS JOIN summ
 GROUP BY value, first_obs_all, last_obs_all, n_obs_all
 """
