@@ -152,3 +152,49 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = 256) -> float:
     n = len(union_hvs)
     union_est = n if n < k else (n - 1) / (kth / _HASH_SPACE)
     return round(both / n * union_est, 1)
+
+
+def kmv_intersect_by_key(
+    a: DataFrame, b: DataFrame, group_cols: list, k: int = 256
+) -> DataFrame:
+    """Per-group |A ∩ B| estimate as a DataFrame — the grouped,
+    engine-side counterpart of :func:`kmv_intersect_estimate` (which is
+    driver-side by contract for the ungrouped dashboard case). Composes
+    with joins: the result is (group..., est_intersect, k_used).
+
+    Same theta estimator per group: union-trim to k, count the union
+    hashes present in BOTH sketches (two left-semi joins on
+    (group, hv) — sketch-sized, <= k rows per group, never raw data),
+    scale the union estimate by that fraction. While a group holds fewer
+    than k distinct hashes the sketches are exhaustive and the estimate
+    is EXACT. Groups present in only one input estimate 0.
+    """
+    gc = list(group_cols)
+    if not gc:
+        raise ValueError("group_cols must be non-empty; use "
+                         "kmv_intersect_estimate for ungrouped sketches")
+    u = kmv_merge(a, b, group_cols=gc, k=k)
+    on = gc + ["hv"]
+    in_both = (
+        u.join(a.select(*on).distinct(), on, "left_semi")
+        .join(b.select(*on).distinct(), on, "left_semi")
+        .groupBy(*gc)
+        .agg(F.count(F.lit(1)).alias("__both"))
+    )
+    stats = u.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("hv").alias("__kth")
+    )
+    union_est = F.when(
+        F.col("__n") < F.lit(k), F.col("__n").cast("double")
+    ).otherwise((F.col("__n") - 1) / (F.col("__kth") / F.lit(_HASH_SPACE)))
+    return (
+        stats.join(in_both, gc, "left")
+        .withColumn("__both", F.coalesce(F.col("__both"), F.lit(0)))
+        .select(
+            *gc,
+            F.round(F.col("__both") / F.col("__n") * union_est, 1).alias(
+                "est_intersect"
+            ),
+            F.col("__n").alias("k_used"),
+        )
+    )

@@ -1996,3 +1996,45 @@ def test_extract_features_real_jpeg_fallback(spark):
         parsed["width"] == 640 and "byte_entropy" in parsed
     )
     assert rows[2]["feature"] is None  # undecodable garbage degrades
+
+
+def test_kmv_intersect_by_key(spark):
+    """Grouped engine-side intersection (r6, verdict note): exact in the
+    below-k regime, within theta error when full, 0 for disjoint or
+    one-sided groups, and consistent with the driver-side estimator."""
+    from firepit_spark.functions import kmv
+
+    # group g1: A={0..59}, B={40..99} -> overlap 20 (below k=256: exact)
+    # group g2: A={0..29}, B={100..129} -> overlap 0
+    # group g3: only in A
+    rows_a = [(f"u{i}", "g1") for i in range(60)]
+    rows_a += [(f"u{i}", "g2") for i in range(30)]
+    rows_a += [(f"u{i}", "g3") for i in range(10)]
+    rows_b = [(f"u{i}", "g1") for i in range(40, 100)]
+    rows_b += [(f"u{i}", "g2") for i in range(100, 130)]
+    a = kmv.build_kmv(spark.createDataFrame(rows_a, ["user", "g"]), "user", ["g"])
+    b = kmv.build_kmv(spark.createDataFrame(rows_b, ["user", "g"]), "user", ["g"])
+    got = {r["g"]: r["est_intersect"] for r in
+           kmv.kmv_intersect_by_key(a, b, ["g"]).collect()}
+    assert got == {"g1": 20.0, "g2": 0.0, "g3": 0.0}
+
+    # full-sketch regime: 600 vs 600 with overlap 200 at k=256 — within
+    # theta error, and equal to the ungrouped driver-side estimator on
+    # the same sketches (same union/trim arithmetic)
+    ua = spark.createDataFrame([(f"v{i}", "g") for i in range(600)], ["user", "g"])
+    ub = spark.createDataFrame(
+        [(f"v{i}", "g") for i in range(400, 1000)], ["user", "g"]
+    )
+    ska = kmv.build_kmv(ua, "user", ["g"], k=256)
+    skb = kmv.build_kmv(ub, "user", ["g"], k=256)
+    est = kmv.kmv_intersect_by_key(ska, skb, ["g"], k=256).collect()[0]
+    assert abs(est["est_intersect"] - 200) / 200 < 0.35
+    driver_est = kmv.kmv_intersect_estimate(
+        ska.drop("g"), skb.drop("g"), k=256
+    )
+    assert est["est_intersect"] == driver_est
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group_cols"):
+        kmv.kmv_intersect_by_key(ska, skb, [])
