@@ -28,16 +28,23 @@ def stream_bundles(
     query_id: str = "stream",
     checkpoint_dir: str | None = None,
     trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start a streaming query ingesting ``*.json`` bundle files dropped
     into ``input_dir``. Returns the StreamingQuery (call
-    ``processAllAvailable()`` + ``stop()`` for synchronous smoke runs)."""
+    ``processAllAvailable()`` + ``stop()`` for synchronous smoke runs).
+
+    ``max_files_per_trigger`` is the backpressure knob for catching up on
+    a large backlog (the first batch after a restart otherwise ingests
+    EVERY pending file in one micro-batch — unbounded memory/skew on a
+    100-TB bundle drop); each micro-batch then handles at most that many
+    bundle files and the checkpointed file log carries the rest forward.
+    """
     spark = storage.spark
-    raw = (
-        spark.readStream.format("text")
-        .option("wholetext", "true")
-        .load(input_dir)
-    )
+    reader = spark.readStream.format("text").option("wholetext", "true")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.load(input_dir)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int):
         # bundle text -> one row per object json

@@ -145,3 +145,27 @@ def test_streaming_ingest_replay_idempotent(spark, tmp_path):
     finally:
         q.stop()
     assert snapshot() == first
+
+
+def test_streaming_ingest_backpressure(spark, tmp_path):
+    """max_files_per_trigger bounds each micro-batch to N bundle files (the
+    restart-backlog backpressure knob): three files at 1/trigger take >= 3
+    batches and the warehouse still converges to the same state."""
+    from firepit_spark.streaming.ingest import stream_bundles
+
+    indir = tmp_path / "incoming"
+    indir.mkdir()
+    st = SparkStorage(str(tmp_path / "wh_bp"), spark=spark)
+    for i, n in enumerate((10, 20, 30)):
+        (indir / f"b{i}.json").write_text(json.dumps(make_bundle(n)))
+    q = stream_bundles(
+        st, str(indir), checkpoint_dir=str(tmp_path / "ckpt"),
+        query_id="bp", max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert batches >= 3  # one file per micro-batch, not one giant batch
+    assert st.count("observed-data") == 30  # ids overlap; upsert dedups
