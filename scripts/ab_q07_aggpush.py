@@ -1,0 +1,76 @@
+"""A/B: q07 aggregate-below-join reshape.
+
+Current (A): lineitem ⋈ orders on orderkey (shuffles every lineitem
+row), then groupBy(o_custkey). Candidate (B): pre-aggregate revenue to
+order grain FIRST (map-side combine shrinks the shuffle ~|lines per
+order|×), join the 1-row-per-order partial to orders, re-aggregate by
+custkey. Exact for SUM (decimal addition is associative; duplicate join
+matches multiply both shapes identically).
+
+Interleaved median-of-N at sf0.1 and sf1; asserts identical output
+first.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from firepit_spark.session import build_spark, testdata_resolver  # noqa: E402
+
+import __spark_entry__ as em  # noqa: E402
+
+
+def variant_b(spark, sf_dir):
+    r = testdata_resolver(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    per_order = (
+        r("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("_rev_o"))
+    )
+    joined = per_order.join(
+        r("orders").select("o_orderkey", "o_custkey"),
+        per_order["l_orderkey"] == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("o_custkey")
+        .agg(F.sum("_rev_o").alias("_rev"))
+        .select("o_custkey", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+def main():
+    runs = int(os.environ.get("AB_RUNS", "5"))
+    spark = build_spark("ab_q07")
+    qa = em.queries()["q07_topk_revenue"]
+    for sf_dir in ["/root/testdata/sf0.1", "/root/repo/.benchdata/sf1"]:
+        rows_a = [tuple(r) for r in qa(spark, sf_dir).collect()]
+        rows_b = [tuple(r) for r in variant_b(spark, sf_dir).collect()]
+        assert rows_a == rows_b, f"mismatch at {sf_dir}: {rows_a} vs {rows_b}"
+        print(f"{sf_dir}: outputs identical")
+        sa, sb = [], []
+        for _ in range(runs):
+            for fn, acc in ((qa, sa), (variant_b, sb)):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                acc.append(time.time() - t0)
+        print(
+            f"{sf_dir}: A median {statistics.median(sa):.3f} {[round(x,2) for x in sa]} | "
+            f"B median {statistics.median(sb):.3f} {[round(x,2) for x in sb]}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -219,3 +219,63 @@ def test_dsl_join_differential_fuzz(spark):
             tuple(canon_cell(row[i]) for i in w_order) for row in w_raw
         )
         assert got_rows == want_rows, (case, sql, got_rows[:3], want_rows[:3])
+
+
+def test_agg_below_join_rewrite(spark, tmp_path):
+    """Aggregate-below-join rewrite (r6): eligible fact⋈dim group-by-dim
+    queries pre-aggregate to join-key grain (verified directly via
+    _try_agg_below_join), results match the unrewritten compile exactly —
+    including duplicate right-side keys and NULL join keys — and every
+    ineligible shape falls back to the plain path."""
+    from firepit_spark.query import (
+        Aggregation,
+        Filter,
+        Group,
+        Join,
+        Predicate,
+        Query,
+    )
+
+    # fact with NULL key + multiple rows per key; dim with a DUPLICATE key
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0), (None, 99.0), (3, 2.0)],
+        "fk long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2"), (4, "c")], "dk long, seg string"
+    )
+    r = lambda name: {"fact": fact, "dim": dim}[name]  # noqa: E731
+
+    def build(how="INNER", aggs=None, group=None, filt=None):
+        q = Query("fact")
+        q.append(Join("dim", "fk", "=", "dk", how=how))
+        if filt:
+            q.append(Filter(filt))
+        q.append(Group(group or ["seg"]))
+        q.append(Aggregation(aggs or [("SUM", "v", "sv"), ("COUNT", None, "n")]))
+        return q
+
+    q = build()
+    assert q._try_agg_below_join(r) is not None  # rewrite engages
+    got = {r2["seg"]: (r2["sv"], r2["n"]) for r2 in q.resolve(r).collect()}
+    # expected: seg a: fk=1 rows (10+5, 2); b and b2 EACH get fk=2 (7, 1);
+    # NULL fk never matches; fk=3 has no dim row
+    assert got == {"a": (15.0, 2), "b": (7.0, 1), "b2": (7.0, 1)}
+
+    # a left-side filter commutes through the rewrite
+    qf = build(filt=[Predicate("v", ">", 6)])
+    assert qf._try_agg_below_join(r) is not None
+    gotf = {r2["seg"]: (r2["sv"], r2["n"]) for r2 in qf.resolve(r).collect()}
+    assert gotf == {"a": (10.0, 1), "b": (7.0, 1), "b2": (7.0, 1)}
+
+    # ineligible shapes fall back (None): outer join, non-pushable agg,
+    # group key on the fact side, aggregate over a dim column, filter
+    # touching the dim side
+    assert build(how="LEFT OUTER")._try_agg_below_join(r) is None
+    assert build(aggs=[("NUNIQUE", "v", "u")])._try_agg_below_join(r) is None
+    assert build(group=["fk"])._try_agg_below_join(r) is None
+    assert build(aggs=[("SUM", "dk", "s")])._try_agg_below_join(r) is None
+    assert build(filt=[Predicate("seg", "=", "a")])._try_agg_below_join(r) is None
+    # ...and the fallback still computes correctly
+    outer = build(how="LEFT OUTER").resolve(r).collect()
+    assert {r2["seg"]: r2["n"] for r2 in outer} == {"a": 2, "b": 1, "b2": 1, None: 2}
