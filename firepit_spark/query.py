@@ -79,6 +79,27 @@ _AGG_BUILDERS = {
 }
 
 
+def _parse_bytes(v) -> int | None:
+    """'10485760b' / '10MB' / '-1' -> bytes (None when unparseable).
+    Negative values disable auto-broadcast, returned as-is."""
+    if v is None:
+        return None
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return None
+
+
 def _validate_column_name(name: str) -> str:
     # allow qualified "table.col" and dotted STIX columns like src_ref.value
     if not isinstance(name, str) or not all(
@@ -560,8 +581,26 @@ class Query:
         left_name = self.table.alias or self.table.name
         if join.lhs is not None and join.lhs != left_name:
             return None
+        # broadcast-eligible dims get map-side combine at GROUP grain from
+        # the plain plan already (broadcast join -> partial agg -> one
+        # exchange); the rewrite would ADD a key-grain shuffle there. Skip
+        # on an explicit hint, and skip when Catalyst's size estimate says
+        # the dim will auto-broadcast.
+        if join.hint == "broadcast":
+            return None
         left = resolver(self.table.name).alias(left_name)
         right = resolver(join.name).alias(join.alias)
+        try:
+            size = int(
+                right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            thresh = _parse_bytes(
+                right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+            if thresh is not None and 0 <= size <= thresh:
+                return None
+        except Exception:
+            pass  # stats unavailable: proceed, the rewrite is still exact
 
         def compiles(frame, expr) -> bool:
             # eligibility probe: an expected analysis failure must stay

@@ -169,6 +169,12 @@ def test_dsl_join_differential_fuzz(spark):
     r = _make_resolver(spark, SF_DIR)
     rng = random.Random(777)
 
+    # disable auto-broadcast for the fuzz so the grouped INNER cases run
+    # through the aggregate-below-join rewrite (differentially validated
+    # against DuckDB here); restored at the end
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
     O_PREDS = [
         (("o_orderstatus", "=", "F"), "o_orderstatus = 'F'"),
         (("o_totalprice", "<", 150000), "o_totalprice < 150000"),
@@ -219,6 +225,7 @@ def test_dsl_join_differential_fuzz(spark):
             tuple(canon_cell(row[i]) for i in w_order) for row in w_raw
         )
         assert got_rows == want_rows, (case, sql, got_rows[:3], want_rows[:3])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
 
 
 def test_agg_below_join_rewrite(spark, tmp_path):
@@ -237,6 +244,11 @@ def test_agg_below_join_rewrite(spark, tmp_path):
     )
 
     # fact with NULL key + multiple rows per key; dim with a DUPLICATE key
+    # tiny in-memory frames would auto-broadcast, which the rewrite's
+    # cost guard correctly skips — disable auto-broadcast so eligibility
+    # is exercised (the guard itself is asserted at the end)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     fact = spark.createDataFrame(
         [(1, 10.0), (1, 5.0), (2, 7.0), (None, 99.0), (3, 2.0)],
         "fk long, v double",
@@ -279,3 +291,24 @@ def test_agg_below_join_rewrite(spark, tmp_path):
     # ...and the fallback still computes correctly
     outer = build(how="LEFT OUTER").resolve(r).collect()
     assert {r2["seg"]: r2["n"] for r2 in outer} == {"a": 2, "b": 1, "b2": 1, None: 2}
+
+    # cost guard: with auto-broadcast back on, a PARQUET-backed dim whose
+    # scan stats sit under the threshold skips the rewrite (the plain
+    # broadcast plan already combines map-side at group grain). In-memory
+    # frames report unknown (max) stats, so the guard needs a real scan.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    dim_path = str(tmp_path / "dim_pq")
+    dim.write.mode("overwrite").parquet(dim_path)
+    dim_pq = spark.read.parquet(dim_path)
+    r_pq = lambda name: {"fact": fact, "dim": dim_pq}[name]  # noqa: E731
+    assert build()._try_agg_below_join(r_pq) is None
+    # ...and an explicit broadcast hint skips regardless of stats
+    q_hint = Query("fact")
+    q_hint.append(Join("dim", "fk", "=", "dk", hint="broadcast"))
+    q_hint.append(Group(["seg"]))
+    q_hint.append(Aggregation([("SUM", "v", "sv")]))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert q_hint._try_agg_below_join(r) is None
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
