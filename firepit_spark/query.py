@@ -312,6 +312,13 @@ class Filter:
         subs = [p for p in self.preds if isinstance(p, Predicate) and p.is_subquery]
         if subs and self.op == self.OR:
             raise InvalidQuery("subquery predicates cannot be OR-combined")
+        for p in subs:
+            if isinstance(p.lhs, Predicate):
+                # a compound AND/OR predicate wrapping a subquery has no
+                # distributed semi-join form (same limit as OR above)
+                raise InvalidQuery(
+                    "subquery predicates cannot be nested in compound predicates"
+                )
         return [p for p in self.preds if p not in subs], subs
 
     def to_spark(self, preds=None):

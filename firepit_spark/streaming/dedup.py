@@ -146,12 +146,15 @@ def _verify_bloom_meta(spark, state_dir: str, num_bits: int, num_hashes: int):
 
     meta_dir = state_dir.rstrip("/") + "/_meta"
     try:
-        row = spark.read.json(meta_dir).collect()[0]
-    except AnalysisException:
+        rows = spark.read.json(meta_dir).collect()
+    except AnalysisException:  # first start: no meta yet
+        rows = None
+    if not rows:  # also covers a half-written meta dir from a crash
         spark.createDataFrame(
             [(int(num_bits), int(num_hashes))], "num_bits long, num_hashes long"
         ).coalesce(1).write.mode("overwrite").json(meta_dir)
         return
+    row = rows[0]
     if int(row["num_bits"]) != int(num_bits) or int(row["num_hashes"]) != int(num_hashes):
         raise ValueError(
             f"bloom state at {state_dir} was built with num_bits="

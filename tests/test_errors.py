@@ -178,3 +178,17 @@ def test_compound_predicate_compiles(spark):
     assert df.filter(p.to_spark()).count() == 3
     q = Predicate(Predicate("a", "=", 1), "AND", Predicate("b", ">", 2))
     assert df.filter(q.to_spark()).count() == 1
+
+
+def test_compound_subquery_predicate_rejected(spark):
+    """A compound predicate wrapping a subquery has no distributed
+    semi-join form: Filter must reject it loudly instead of crashing in
+    the semi-join compiler."""
+    from firepit_spark.exceptions import InvalidQuery
+    from firepit_spark.query import Filter, Predicate, Query
+
+    sub = Query("orders")
+    compound = Predicate(Predicate("a", "=", 1), "AND", Predicate("b", "IN", sub))
+    assert compound.is_subquery
+    with pytest.raises(InvalidQuery, match="compound"):
+        Filter([compound]).split_subqueries()
