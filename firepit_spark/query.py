@@ -465,6 +465,73 @@ class Join:
         self.hint = hint
 
 
+def _dsl_refs(obj, out: list) -> bool:
+    """Collect ``(qualifier, column)`` references from a DSL object into
+    ``out``. Returns False when the object embeds something that can't be
+    analyzed by name (a raw pyspark Column escape hatch, a subquery) — the
+    caller then falls back to an analysis probe or bails."""
+    if isinstance(obj, Predicate):
+        if isinstance(obj.lhs, Predicate):
+            return _dsl_refs(obj.lhs, out) and _dsl_refs(obj.rhs, out)
+        if not _dsl_refs(obj.lhs, out):
+            return False
+        rhs = obj.rhs
+        if isinstance(rhs, (Column, CoalescedColumn, BinnedColumn)):
+            return _dsl_refs(rhs, out)
+        if isinstance(rhs, (SparkColumn, Query)):
+            return False
+        return True  # literal / list / None — no column refs
+    if isinstance(obj, Column):
+        out.append((obj.table, obj.name))
+        return True
+    if isinstance(obj, CoalescedColumn):
+        return all(_dsl_refs(n, out) for n in obj.names)
+    if isinstance(obj, BinnedColumn):
+        out.append((None, obj.prop))
+        return True
+    if isinstance(obj, str):
+        if ":" in obj:
+            qual, col = obj.split(":", 1)
+            out.append((qual, col))
+        else:
+            out.append((None, obj))
+        return True
+    return False
+
+
+def _bind_ref(ref, frames: dict) -> set | None:
+    """Aliases of ``frames`` (alias -> column-name set) a reference can
+    bind to. Qualified refs bind to their named frame only; an unknown
+    qualifier returns None (caller bails to the plain path)."""
+    qual, name = ref
+    if qual is not None:
+        if qual not in frames:
+            return None
+        return {qual} if name in frames[qual] else set()
+    return {alias for alias, cols in frames.items() if name in cols}
+
+
+def _quiet_probe(frame: DataFrame, expr) -> bool:
+    """Does ``expr`` resolve against ``frame`` alone? Expected analysis
+    failures must stay quiet — pyspark's DataFrameQueryContextLogger logs
+    every AnalysisException at ERROR with a full JSON stack otherwise. A
+    per-call logging.Filter (not a level mutation) keeps this safe under
+    concurrent resolves."""
+    import logging
+
+    qlog = logging.getLogger("DataFrameQueryContextLogger")
+    silencer = logging.Filter()
+    silencer.filter = lambda record: False
+    qlog.addFilter(silencer)
+    try:
+        frame.select(expr)
+        return True
+    except Exception:
+        return False
+    finally:
+        qlog.removeFilter(silencer)
+
+
 class Query:
     """Clause container + DataFrame compiler (reference firepit/query.py:518-671).
 
@@ -555,112 +622,195 @@ class Query:
     _PUSHABLE_AGGS = {"SUM", "COUNT", "MIN", "MAX"}
 
     def _try_agg_below_join(self, resolver):
-        """Aggregate-below-join rewrite: for ``fact JOIN dim`` queries that
-        group by dim columns and aggregate fact columns, pre-aggregate the
-        fact side to join-key grain FIRST, join the (one row per key)
-        partial state to the dim side, and re-aggregate to the group keys.
+        """Aggregate-below-join rewrite: for ``fact JOIN dim [JOIN dim2
+        ...]`` queries that group by dim columns and aggregate fact
+        columns, pre-aggregate the fact side to join-key grain FIRST, join
+        the (one row per key tuple) partial state through the dim chain,
+        and re-aggregate to the group keys.
 
         Catalyst does not push partial aggregation below a join, so the
-        join otherwise shuffles EVERY fact row; with the rewrite the
+        joins otherwise shuffle EVERY fact row; with the rewrite the
         map-side combine shrinks the shuffled volume by the fact rows-per-
-        key factor, and the partial's hash partitioning is reused by the
-        join (no extra exchange — A/B at 10x bench scale: 1.84 s vs
-        2.42 s median for the q07 shape, identical output; a wash when
-        keys are unique, since the combine then has nothing to fold).
+        key factor, and for a single fact key the partial's hash
+        partitioning is reused by the join (no extra exchange — A/B at
+        10x bench scale: 1.84 s vs 2.42 s median for the q07 shape,
+        identical output; a wash when keys are unique, since the combine
+        then has nothing to fold).
+
+        Supports star chains (each join keys off the fact via an explicit
+        ``lhs``) and snowflake chains (each join keys off the previous
+        dim, the DSL's implicit chaining — q04's orders>customer>nation>
+        region shape). The fact partial is grouped on the SET of fact-side
+        join keys; snowflake hops only touch dim columns, so they
+        multiply partial states per match exactly like raw rows.
 
         Exact for SUM/COUNT/MIN/MAX under INNER equi-joins even with
-        duplicate right-side keys (each key's partial state is multiplied
-        per match exactly like the underlying rows would be). Returns the
-        post-aggregation DataFrame, or None when the query doesn't match
-        the safe pattern (anything but one INNER single-equi join; AVG/
-        NUNIQUE/STDDEV/VAR; filters or aggregates touching the right
-        side; group keys touching the left side; subquery predicates).
+        duplicate right-side keys (each key tuple's partial state is
+        multiplied per matching dim combination exactly like the
+        underlying rows would be; MIN/MAX are duplication-idempotent).
+        Returns the post-aggregation DataFrame, or None when the query
+        doesn't match the safe pattern (any non-INNER / non-single-equi /
+        broadcast-hinted join; AVG/NUNIQUE/STDDEV/VAR; filters or
+        aggregates touching a dim side; group keys touching the fact
+        side or ambiguous between frames — ambiguity bails so the plain
+        path raises AMBIGUOUS_REFERENCE exactly as without the rewrite;
+        subquery predicates).
+
+        Eligibility is decided driver-side from frame schemas (no
+        analysis round-trips); only raw pyspark-Column escape hatches in
+        aggregate inputs fall back to a quiet select-probe. The broadcast
+        cost guard runs LAST, so ineligible shapes never pay the JVM
+        stats call.
         """
-        if not (len(self.joins) == 1 and self.groupby and self.aggs):
+        if not (self.joins and self.groupby and self.aggs):
             return None
-        join = self.joins[0]
-        if join.how != "INNER" or join.preds is not None or join.op != "=":
-            return None
-        if not join.left_col or not join.right_col:
-            return None
+        for join in self.joins:
+            # explicit broadcast hints opt the whole query out: the user
+            # asked for a specific physical plan, and a broadcast join
+            # already combines map-side at GROUP grain in the plain path
+            if (
+                join.how != "INNER"
+                or join.preds is not None
+                or join.op != "="
+                or not join.left_col
+                or not join.right_col
+                or join.hint == "broadcast"
+            ):
+                return None
         if {f for f, _, _ in self.aggs.aggs} - self._PUSHABLE_AGGS:
             return None
-        left_name = self.table.alias or self.table.name
-        if join.lhs is not None and join.lhs != left_name:
-            return None
-        # broadcast-eligible dims get map-side combine at GROUP grain from
-        # the plain plan already (broadcast join -> partial agg -> one
-        # exchange); the rewrite would ADD a key-grain shuffle there. Skip
-        # on an explicit hint, and skip when Catalyst's size estimate says
-        # the dim will auto-broadcast.
-        if join.hint == "broadcast":
-            return None
-        left = resolver(self.table.name).alias(left_name)
-        right = resolver(join.name).alias(join.alias)
+        fact_name = self.table.alias or self.table.name
         try:
-            size = int(
-                right._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-            thresh = _parse_bytes(
-                right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            )
-            if thresh is not None and 0 <= size <= thresh:
-                return None
+            fact = resolver(self.table.name).alias(fact_name)
+            dims = {}
+            for join in self.joins:
+                if join.alias == fact_name or join.alias in dims:
+                    return None  # duplicate alias: let the plain path error
+                dims[join.alias] = resolver(join.name).alias(join.alias)
         except Exception:
-            pass  # stats unavailable: proceed, the rewrite is still exact
+            return None
+        frames = {fact_name: set(fact.columns)}
+        for alias, frame in dims.items():
+            frames[alias] = set(frame.columns)
 
-        def compiles(frame, expr) -> bool:
-            # eligibility probe: an expected analysis failure must stay
-            # quiet — pyspark's DataFrameQueryContextLogger logs every
-            # AnalysisException at ERROR with a full JSON stack otherwise
-            import logging
+        # classify each join's left side: the fact (its left_col joins the
+        # partial's key grain) or an ALREADY-JOINED dim (snowflake hop —
+        # condition never touches the fact). Implicit chaining mirrors
+        # resolve(): no lhs means the previous join's alias.
+        fact_keys: dict[str, str] = {}  # fact column -> partial key alias
+        join_left: list[str] = []
+        seen = {fact_name}
+        prev = fact_name
+        for join in self.joins:
+            left_of = join.lhs or prev
+            if left_of not in seen:
+                return None  # forward/unknown reference: plain path errors
+            if left_of == fact_name:
+                if join.left_col not in frames[fact_name]:
+                    return None
+                fact_keys.setdefault(join.left_col, f"__jk{len(fact_keys)}")
+            elif join.left_col not in frames[left_of]:
+                return None
+            if join.right_col not in frames[join.alias]:
+                return None
+            join_left.append(left_of)
+            seen.add(join.alias)
+            prev = join.alias
+        # generated partial column names must not collide with dim columns
+        reserved = set(fact_keys.values()) | {
+            f"__p{i}" for i in range(len(self.aggs.aggs))
+        }
+        if any(reserved & cols for cols in frames.values()):
+            return None
 
-            qlog = logging.getLogger("DataFrameQueryContextLogger")
-            prev = qlog.level
-            qlog.setLevel(logging.CRITICAL)
-            try:
-                frame.select(expr)
-                return True
-            except Exception:
-                return False
-            finally:
-                qlog.setLevel(prev)
+        def binds(obj) -> list[set] | None:
+            """Per-reference binding sets for a DSL object, or None when
+            it embeds a raw Column (probe fallback) / unknown qualifier."""
+            refs: list = []
+            if not _dsl_refs(obj, refs):
+                return None
+            out = []
+            for ref in refs:
+                b = _bind_ref(ref, frames)
+                if b is None:
+                    return None
+                out.append(b)
+            return out
 
-        # every WHERE must compile against the left frame ALONE (then it
-        # commutes with the inner join and applies before the partial agg)
+        # every WHERE reference must bind to the fact alone (then the
+        # filter commutes with the inner joins and applies before the
+        # partial agg); a name on BOTH sides bails so the plain path
+        # raises AMBIGUOUS_REFERENCE, same as without the rewrite
         where_exprs = []
         for flt in self.where:
             try:
-                _, subs = flt.split_subqueries()
-                if subs:
+                plain, subs = flt.split_subqueries()
+            except Exception:
+                return None
+            if subs:
+                return None
+            for pred in plain:
+                sets = binds(pred)
+                if sets is None or any(b != {fact_name} for b in sets):
                     return None
-                expr = flt.to_spark()
-            except Exception:
-                return None
-            if not compiles(left, expr):
-                return None
-            where_exprs.append(expr)
-        # group keys: right side only, unambiguously
-        for c in self.groupby.cols:
             try:
-                e = _colref(c)
+                where_exprs.append(flt.to_spark())
             except Exception:
                 return None
-            if not compiles(right, e) or compiles(left, e):
+        # group keys: each reference on exactly one dim, never the fact
+        for c in self.groupby.cols:
+            sets = binds(c)
+            if sets is None or not sets:
                 return None
-        # aggregate inputs: left side only, unambiguously
+            if any(len(b) != 1 or fact_name in b for b in sets):
+                return None
+        # aggregate inputs: fact side only; raw pyspark Columns (e.g. a
+        # decimal-cast SUM input) fall back to a quiet analysis probe
         for _func, col, _alias in self.aggs.aggs:
             if col is None:
                 continue
-            try:
-                e = _colref(col)
-            except Exception:
+            sets = binds(col)
+            if sets is None:
+                try:
+                    e = _colref(col)
+                except Exception:
+                    return None
+                if not _quiet_probe(fact, e) or any(
+                    _quiet_probe(frame, e) for frame in dims.values()
+                ):
+                    return None
+            elif any(b != {fact_name} for b in sets):
                 return None
-            if not compiles(left, e) or compiles(right, e):
+
+        # cost guard LAST (it is the only JVM round-trip left): when every
+        # dim auto-broadcasts, the plain plan is broadcast joins followed
+        # by one partial agg at GROUP grain — already map-side combined;
+        # the rewrite would only ADD a key-grain shuffle. Any dim too big
+        # (or with unknown stats) shuffle-joins, and the rewrite pays.
+        try:
+            thresh = _parse_bytes(
+                fact.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            )
+        except Exception:
+            thresh = None
+        if thresh is not None and thresh >= 0:
+            all_small = True
+            for frame in dims.values():
+                try:
+                    size = int(
+                        frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                    )
+                except Exception:
+                    all_small = False
+                    break
+                if not 0 <= size <= thresh:
+                    all_small = False
+                    break
+            if all_small:
                 return None
 
         for expr in where_exprs:
-            left = left.filter(expr)
+            fact = fact.filter(expr)
         partials, finals = [], []
         for i, (func, col, alias) in enumerate(self.aggs.aggs):
             p = f"__p{i}"
@@ -672,16 +822,21 @@ class Query:
                 fexpr = _AGG_BUILDERS["SUM" if func == "SUM" else func](p)
             partials.append(pexpr.alias(p))
             finals.append(fexpr.alias(alias))
-        key = F.col(f"{left_name}.`{join.left_col}`")
-        partial = left.groupBy(key.alias("__jk")).agg(*partials)
-        if join.hint == "broadcast":
-            right = F.broadcast(right)
-        joined = partial.join(
-            right,
-            partial["__jk"] == F.col(f"{join.alias}.`{join.right_col}`"),
-            "inner",
-        )
-        return joined.groupBy(*[_colref(c) for c in self.groupby.cols]).agg(*finals)
+        key_cols = [
+            F.col(f"{fact_name}.`{col}`").alias(p) for col, p in fact_keys.items()
+        ]
+        cur = fact.groupBy(*key_cols).agg(*partials)
+        for join, left_of in zip(self.joins, join_left):
+            if left_of == fact_name:
+                lcol = F.col(fact_keys[join.left_col])
+            else:
+                lcol = F.col(f"{left_of}.`{join.left_col}`")
+            cur = cur.join(
+                dims[join.alias],
+                lcol == F.col(f"{join.alias}.`{join.right_col}`"),
+                "inner",
+            )
+        return cur.groupBy(*[_colref(c) for c in self.groupby.cols]).agg(*finals)
 
     def resolve(self, resolver) -> DataFrame:
         """Compile to a DataFrame. ``resolver(name)`` returns the DataFrame

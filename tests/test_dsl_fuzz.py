@@ -185,20 +185,32 @@ def test_dsl_join_differential_fuzz(spark):
         sql_how = "JOIN" if how == "INNER" else "LEFT JOIN"
         q = Query("orders")
         q.append(Join("customer", "o_custkey", "=", "c_custkey", how=how))
+        # half the INNER cases extend to a 2-join snowflake chain
+        # (customer -> nation via implicit chaining) so the multi-join
+        # aggregate-below-join path is differentially fuzzed too
+        chain = how == "INNER" and rng.random() < 0.5
+        sql_chain = ""
+        if chain:
+            q.append(Join("nation", "c_nationkey", "=", "n_nationkey"))
+            sql_chain = " JOIN nation ON c_nationkey = n_nationkey"
         where = ""
         preds = rng.sample(O_PREDS, rng.randint(0, 2))
         if preds:
             q.append(Filter([Predicate(*p[0]) for p in preds]))
             where = "WHERE " + " AND ".join(p[1] for p in preds)
         if rng.random() < 0.5:
-            q.append(Group(["c_mktsegment"]))
+            keys = ["c_mktsegment", "n_name"] if chain else ["c_mktsegment"]
+            q.append(Group(keys))
             q.append(
                 Aggregation(
                     [("COUNT", None, "n"), ("MIN", "o_orderkey", "min_ok")]
                 )
             )
-            sel = "c_mktsegment, COUNT(*) AS n, MIN(o_orderkey) AS min_ok"
-            tail = "GROUP BY c_mktsegment"
+            sel = (
+                ", ".join(keys)
+                + ", COUNT(*) AS n, MIN(o_orderkey) AS min_ok"
+            )
+            tail = "GROUP BY " + ", ".join(keys)
         else:
             q.append(Projection(["o_orderkey", "c_name", "c_mktsegment"]))
             q.append(Order([("o_orderkey", Order.ASC)]))
@@ -208,7 +220,7 @@ def test_dsl_join_differential_fuzz(spark):
             tail = f"ORDER BY o_orderkey LIMIT {lim}"
         sql = (
             f"SELECT {sel} FROM orders {sql_how} customer"
-            f" ON o_custkey = c_custkey {where} {tail}"
+            f" ON o_custkey = c_custkey{sql_chain} {where} {tail}"
         )
         got_df = q.resolve(r)
         cur = con.execute(sql)
@@ -310,5 +322,128 @@ def test_agg_below_join_rewrite(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         assert q_hint._try_agg_below_join(r) is None
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def test_agg_below_join_multijoin(spark):
+    """r7 extension: the rewrite engages on multi-join chains — snowflake
+    (each hop keys off the previous dim, q04's shape) and star (every
+    join keys off the fact via explicit lhs) — with results identical to
+    the plain compile, and every unsafe multi-join shape bails."""
+    from firepit_spark.query import (
+        Aggregation,
+        Filter,
+        Group,
+        Join,
+        Predicate,
+        Query,
+    )
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # fact has duplicate keys + a NULL; dim1 has a DUPLICATE dk (fan-out
+        # through the chain must multiply partial states exactly like rows)
+        fact = spark.createDataFrame(
+            [(1, 1, 10.0), (1, 2, 5.0), (2, 1, 7.0), (None, 1, 99.0), (3, 2, 2.0)],
+            "fk long, gk long, v double",
+        )
+        dim1 = spark.createDataFrame(
+            [(1, 100, "a"), (2, 200, "b"), (2, 200, "b"), (4, 100, "c")],
+            "dk long, nk long, seg string",
+        )
+        dim2 = spark.createDataFrame(
+            [(100, "EU"), (200, "US")], "rk long, region string"
+        )
+        gdim = spark.createDataFrame([(1, "g1"), (2, "g2")], "gdk long, gname string")
+        frames = {"fact": fact, "dim1": dim1, "dim2": dim2, "gdim": gdim}
+        r = lambda name: frames[name]  # noqa: E731
+
+        def check(q):
+            """Rewrite engages AND matches the plain path exactly."""
+            assert q._try_agg_below_join(r) is not None
+            got = sorted(map(tuple, q.resolve(r).collect()))
+            # plain compile: bypass the rewrite and re-resolve
+            import firepit_spark.query as qmod
+
+            orig = qmod.Query._try_agg_below_join
+            qmod.Query._try_agg_below_join = lambda self, res: None
+            try:
+                want = sorted(map(tuple, q.resolve(r).collect()))
+            finally:
+                qmod.Query._try_agg_below_join = orig
+            assert got == want, (got, want)
+            return got
+
+        # snowflake: fact -> dim1 -> dim2 (implicit chaining), group by a
+        # dim2 column; dim1's duplicate dk=2 doubles fk=2's partial
+        q = Query("fact")
+        q.append(Join("dim1", "fk", "=", "dk"))
+        q.append(Join("dim2", "nk", "=", "rk"))
+        q.append(Group(["region"]))
+        q.append(Aggregation([("SUM", "v", "sv"), ("COUNT", None, "n")]))
+        got = dict((row[0], row[1:]) for row in check(q))
+        # EU: fk=1 rows via dk=1/nk=100 (10+5, 2); US: fk=2 via the TWO
+        # dk=2 dim rows (7*2, 2); NULL fk drops; fk=3 unmatched
+        assert got == {"EU": (15.0, 2), "US": (14.0, 2)}
+
+        # star: two joins BOTH keyed off the fact (explicit lhs), group by
+        # one column from each dim, plus a fact-only WHERE
+        q = Query("fact")
+        q.append(Join("dim1", "fk", "=", "dk", lhs="fact"))
+        q.append(Join("gdim", "gk", "=", "gdk", lhs="fact"))
+        q.append(Filter([Predicate("v", ">", 4)]))
+        q.append(Group(["seg", "gname"]))
+        q.append(Aggregation([("SUM", "v", "sv"), ("MAX", "v", "mx")]))
+        got = {(row[0], row[1]): row[2:] for row in check(q)}
+        assert got == {
+            ("a", "g1"): (10.0, 10.0),
+            ("a", "g2"): (5.0, 5.0),
+            ("b", "g1"): (14.0, 7.0),  # duplicate dk=2 doubles the SUM
+        }
+
+        # unsafe shapes bail to the plain path:
+        def base(**kw):
+            q = Query("fact")
+            q.append(Join("dim1", "fk", "=", "dk"))
+            q.append(kw.get("second") or Join("dim2", "nk", "=", "rk"))
+            if kw.get("filt"):
+                q.append(Filter(kw["filt"]))
+            q.append(Group(kw.get("group") or ["region"]))
+            q.append(Aggregation(kw.get("aggs") or [("SUM", "v", "sv")]))
+            return q
+
+        # forward/unknown lhs reference
+        assert base(second=Join("dim2", "nk", "=", "rk", lhs="nope"))._try_agg_below_join(r) is None
+        # one OUTER hop poisons the chain
+        assert base(second=Join("dim2", "nk", "=", "rk", how="LEFT OUTER"))._try_agg_below_join(r) is None
+        # a broadcast hint anywhere opts out
+        assert base(second=Join("dim2", "nk", "=", "rk", hint="broadcast"))._try_agg_below_join(r) is None
+        # duplicate alias
+        assert base(second=Join("dim2", "nk", "=", "rk", alias="dim1"))._try_agg_below_join(r) is None
+        # group key on the fact side
+        assert base(group=["gk"])._try_agg_below_join(r) is None
+        # aggregate over a dim column
+        assert base(aggs=[("SUM", "nk", "s")])._try_agg_below_join(r) is None
+        # WHERE touching a dim column
+        assert base(filt=[Predicate("seg", "=", "a")])._try_agg_below_join(r) is None
+
+        # ambiguity keeps erroring like the plain path (advisor r6): a
+        # column present on BOTH fact and a dim bails from the rewrite...
+        fact_amb = fact.withColumn("seg", fact["v"].cast("string"))
+        r_amb = lambda name: {**frames, "fact": fact_amb}[name]  # noqa: E731
+        q_amb = base(filt=[Predicate("seg", "=", "a")])
+        assert q_amb._try_agg_below_join(r_amb) is None
+        # ...and the plain path then raises the ambiguity error
+        with pytest.raises(Exception, match="AMBIGUOUS|ambiguous"):
+            q_amb.resolve(r_amb).collect()
+        # same for a group key ambiguous between two frames
+        assert base(group=["seg"], filt=None)._try_agg_below_join(r_amb) is None
+
+        # reserved partial names colliding with a dim column bail
+        dim_res = dim2.withColumnRenamed("region", "__jk0")
+        r_res = lambda name: {**frames, "dim2": dim_res}[name]  # noqa: E731
+        assert base(group=["__jk0"])._try_agg_below_join(r_res) is None
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
