@@ -14,6 +14,7 @@ distributed ingest, so one implementation serves both paths.
 
 from __future__ import annotations
 
+import copy
 from collections import defaultdict
 
 from firepit_spark.identifiers import makeid
@@ -161,7 +162,15 @@ def flatten(obs: dict) -> list:
     observation itself, plus ``__contains`` / ``__reflist`` edge rows.
     Root SCOs of each observation are marked through ``x_firepit_rank`` on
     their containment edge.
+
+    Non-mutating: the input is deep-copied up front, so a bundle survives
+    ``cache`` and can feed ``cache_distributed`` identically afterwards.
+    (The reference's raft.py:213-334 mutates in place — ``del
+    obs["objects"]`` plus ref rewrites — an API landmine deliberately NOT
+    carried over; strings are shared by deepcopy, so large payload_bin
+    values are not duplicated.)
     """
+    obs = copy.deepcopy(obs)
     if obs.get("spec_version", "2.0") == "2.1" or "object_refs" in obs:
         return flatten_21(obs)
     if "objects" not in obs:

@@ -1,6 +1,5 @@
 """Distributed + streaming ingest must match the driver-side path exactly."""
 
-import copy
 import json
 
 from firepit_spark.storage import SparkStorage
@@ -16,11 +15,16 @@ def _url_rows(st):
 
 def test_distributed_matches_driver(spark, tmp_path):
     bundle = make_bundle(50)
-    bundle_path = tmp_path / "b.json"
-    bundle_path.write_text(json.dumps(bundle))
 
     driver_st = SparkStorage(str(tmp_path / "wh_driver"), spark=spark)
-    driver_st.cache("q1", copy.deepcopy(bundle))
+    driver_st.cache("q1", bundle)  # no defensive copy — see below
+
+    # flatten() is non-mutating (r7), so the bundle SURVIVES cache and can
+    # be serialized AFTERWARDS to feed cache_distributed identically — the
+    # round-6 gotcha (gutted observations -> only identity/observed-data
+    # tables) is now impossible by construction
+    bundle_path = tmp_path / "b.json"
+    bundle_path.write_text(json.dumps(bundle))
 
     dist_st = SparkStorage(str(tmp_path / "wh_dist"), spark=spark)
     cache_distributed(dist_st, "q1", str(bundle_path))

@@ -111,6 +111,34 @@ def test_upgrade_2021_dangling_refs_skipped():
     assert "resolves_to_refs" not in dn
 
 
+def test_flatten_does_not_mutate_input():
+    """flatten() must leave its input untouched (2.0 AND 2.1 paths): the
+    reference's in-place `del obs["objects"]` / ref rewrites
+    (firepit/raft.py:213-334) meant a bundle fed to `cache` came out
+    gutted and silently broke a subsequent `cache_distributed` of the
+    same dict (round-6 gotcha). Deliberate non-parity."""
+    obs20 = _one_observation()
+    before = copy.deepcopy(obs20)
+    flatten(obs20)
+    assert obs20 == before  # objects map, index refs, ids all intact
+
+    obs21 = {
+        "type": "observed-data",
+        "id": "observed-data--y",
+        "spec_version": "2.1",
+        "object_refs": ["url--1"],
+        "first_observed": "2024-01-01T00:00:00Z",
+        "last_observed": "2024-01-01T00:00:00Z",
+        "number_observed": 1,
+    }
+    before21 = copy.deepcopy(obs21)
+    flatten(obs21)
+    assert obs21 == before21
+
+    # flattening twice yields identical results (idempotent reads)
+    assert flatten(_one_observation()) == flatten(_one_observation())
+
+
 def test_flatten_dangling_ref_dropped():
     obs = {
         "type": "observed-data",
