@@ -619,7 +619,9 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+       -- raw IEEE quotient of exact ints: bit-identical across engines;
+       -- ROUND(...,6) is a latent half-even/half-up tie flake (dropped r7)
+       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -1504,7 +1506,8 @@ spans AS (
   HAVING COUNT(*) + 7 >= 12
 )
 SELECT 'doc' AS leg, left_id, right_id,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard,
+       -- raw IEEE quotient of exact ints (no ROUND — see q25's oracle)
+       CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) AS jaccard,
        CAST(NULL AS BIGINT) AS start_a, CAST(NULL AS BIGINT) AS start_b,
        CAST(NULL AS BIGINT) AS span_tokens
 FROM common

@@ -168,19 +168,20 @@ def ngram_jaccard_pairs(
             # size-ratio prune BEFORE the pair aggregation: J <= min/max,
             # so a pair whose smaller set is under threshold*larger can
             # never reach the threshold (big lever at high thresholds).
-            # The 1e-6 slack covers the final round(jaccard, 6) >= threshold
-            # comparison: J as low as threshold - 5e-7 still rounds up to
-            # the threshold, so the prune must not cut inside that band
+            # The 1e-6 slack is a conservative guard only — membership is
+            # decided on the raw quotient below, never inside the band
             & (F.col("size_a") >= (threshold - 1e-6) * F.col("size_b"))
             & (F.col("size_b") >= (threshold - 1e-6) * F.col("size_a"))
         )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        # raw IEEE quotient of exact ints — bit-identical on every engine;
+        # a ROUND(...,6) here is a latent cross-engine flake (half-even vs
+        # half-up on representable ties) and was dropped in r7, both for
+        # the emitted value and for threshold membership
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
-            ),
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -272,19 +273,18 @@ def cross_ngram_jaccard(
         lsh.join(hot, "shingle", "left_anti")
         .join(rsh.join(hot, "shingle", "left_anti"), "shingle")
         # size-ratio prune before the pair aggregation: J <= min/max
-        # (1e-6 slack for the round(jaccard, 6) boundary, as in
-        # ngram_jaccard_pairs)
+        # (1e-6 slack is a conservative guard, as in ngram_jaccard_pairs)
         .filter(
             (F.col("size_l") >= (threshold - 1e-6) * F.col("size_r"))
             & (F.col("size_r") >= (threshold - 1e-6) * F.col("size_l"))
         )
         .groupBy("left_id", "right_id", "size_l", "size_r")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        # raw IEEE quotient of exact ints (engine-portable; no ROUND — see
+        # ngram_jaccard_pairs)
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("size_l") + F.col("size_r") - F.col("n_common")), 6
-            ),
+            F.col("n_common") / (F.col("size_l") + F.col("size_r") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "jaccard")
