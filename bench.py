@@ -71,6 +71,41 @@ def run_set(spark, qs, sf_dir: str, runs: int, label: str) -> dict:
     return timings
 
 
+def calibrate(spark, runs: int) -> float:
+    """Fixed CPU-bound task timed in the same session, emitted as
+    ``calibration_sec``: a data-independent synthetic aggregation
+    (spark.range -> hash-mix -> groupBy/sum) whose cost tracks the host's
+    compute + shuffle speed that day. The driver artifact has twice read
+    >1.4x on host drift alone (r4 single-run, r6) — dividing per-query
+    ratios by the calibration ratio host-normalizes them before anyone
+    flags a regression (protocol documented in BASELINE.md)."""
+    samples = []
+    for i in range(runs + 1):  # first iteration warms codegen, untimed
+        t0 = time.time()
+        # final collect() of the re-aggregated single row keeps Catalyst
+        # from pruning v (a count() here lets the optimizer drop the sum
+        # entirely and measures almost nothing)
+        (
+            spark.range(0, 600_000_000, 1, 32)
+            .selectExpr(
+                "id % 9973 AS k",
+                "(id * 2654435761) % 1000003 AS v",
+            )
+            .groupBy("k")
+            .sum("v")
+            .selectExpr("sum(`sum(v)`) AS t")
+            .collect()
+        )
+        if i > 0:
+            samples.append(time.time() - t0)
+    sec = round(statistics.median(samples), 3)
+    print(
+        f"# calibration: {sec}s median of {[round(s, 3) for s in samples]}",
+        file=sys.stderr,
+    )
+    return sec
+
+
 def ensure_sf1(sf1_dir: str) -> bool:
     """Build the synthetic sf1 tables on demand (one-time, ~1 min)."""
     if os.path.isdir(os.path.join(sf1_dir, "lineitem.parquet")):
@@ -112,6 +147,7 @@ def main():
                 pass
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    calibration = calibrate(spark, runs)
     timings = run_set(spark, qs, sf_dir, runs, f"sf{sf}")
     total = round(sum(timings.values()), 3)
 
@@ -121,6 +157,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
 
     # sf1 section: 10x scale point in the same artifact

@@ -69,3 +69,17 @@ class SessionExists(Exception):
 
 class SessionNotFound(Exception):
     pass
+
+
+# Import-parity types (reference firepit/exceptions.py:45-52). The
+# reference raises these on DB-wire failures (pgstorage.py:241,327,
+# sqlitestorage.py:176) and schema-version mismatch (sqlstorage.py:201-208)
+# — paths a Spark warehouse doesn't have — but reference-migrated code
+# importing them must not hit ImportError.
+class UnexpectedError(Exception):
+    pass
+
+
+class DatabaseMismatch(Exception):
+    def __init__(self, dbversion, expected):
+        super().__init__(f"got version {dbversion}; expected {expected}")

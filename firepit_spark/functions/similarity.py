@@ -587,11 +587,22 @@ def semantic_dedup(
                 F.max("__cn").alias("mx"),
                 F.expr("percentile_approx(__cn, 0.5)").alias("med"),
                 F.sum("__cn").alias("total"),
+                F.count(F.lit(1)).alias("ncells"),
             )
             .collect()[0]
         )
         mx, med, total = stats["mx"], stats["med"], stats["total"]
-        if mx is not None and (mx > 10 * max(med or 1, 1) or 2 * mx >= total):
+        ncells = stats["ncells"]
+        # three skew signatures, each needing its own clause: a dominant
+        # cell vs the median; a >=half-share cell — but only beyond 2
+        # cells, since a perfectly balanced 2-cell split trips 2*mx >=
+        # total without any skew; and total single-cell collapse, where
+        # mx == med == total blinds the other two clauses
+        if mx is not None and (
+            mx > 10 * max(med or 1, 1)
+            or (ncells > 2 and 2 * mx >= total)
+            or (ncells == 1 and total and total > 1)
+        ):
             warnings.warn(
                 f"semantic_dedup: largest cell has {mx} of {total} rows "
                 f"(median cell {med}); the per-cell pair join is "

@@ -1359,44 +1359,43 @@ def get_path_joins(viewname, sco_type, column):
     column lives on, and ``target_column`` the dotted property there."""
     from firepit_spark.query import Join
 
-    if ":" in column:
-        links = props.parse_path(column)
-    else:
-        links = props.parse_prop(sco_type, column)
-    aliases = {sco_type: viewname}
-    target_table = None
-    target_column = None
-    results = []
+    links = (
+        props.parse_path(column)
+        if ":" in column
+        else props.parse_prop(sco_type, column)
+    )
+    alias_of = {sco_type: viewname}  # SCO type -> alias it joins under
+    joins: list = []
+    table = None  # table (or alias, once hopped) the final column lives on
+    path: list = []  # dotted-property segments accumulated on that table
+
     for link in links or []:
-        if link[0] == "node":
-            if not target_table:
-                target_table = link[1] or viewname
-            if not target_column:
-                target_column = link[2]
-            else:
-                target_column += f".{link[2]}"
-        elif link[0] == "rel":
-            from_type = link[1] or viewname
-            ref_name = link[2]
-            if target_column:
-                target_column = None
-            to_type = link[3]
-            target_table = to_type
-            lhs = aliases.get(from_type, from_type)
-            alias, _, _ = ref_name.rpartition("_")
-            aliases[to_type] = alias
-            if ref_name.endswith("_refs"):
-                # reflist hop: through the __reflist link table
-                results.append(
-                    Join("__reflist", "id", "=", "source_ref", lhs=lhs, alias="r")
+        if link[0] == "node":  # (node, table, prop): extend the dotted path
+            _, node_table, prop = link
+            table = table or node_table or viewname
+            path.append(prop)
+        elif link[0] == "rel":  # (rel, src, ref_prop, dst): join hop
+            _, src_type, ref_prop, dst_type = link
+            path.clear()  # crossing a ref restarts the property path
+            table = dst_type
+            dst_alias = ref_prop.rpartition("_")[0]
+            src_alias = alias_of.get(src_type or viewname, src_type or viewname)
+            alias_of[dst_type] = dst_alias
+            if ref_prop.endswith("_refs"):
+                # list-valued ref: double hop through the __reflist edge table
+                joins.append(
+                    Join("__reflist", "id", "=", "source_ref",
+                         lhs=src_alias, alias="r")
                 )
-                results.append(
-                    Join(to_type, "target_ref", "=", "id", lhs="r", alias=alias)
+                joins.append(
+                    Join(dst_type, "target_ref", "=", "id",
+                         lhs="r", alias=dst_alias)
                 )
             else:
-                results.append(
-                    Join(to_type, ref_name, "=", "id", lhs=lhs, alias=alias,
-                         how="LEFT OUTER")
+                # scalar ref: LEFT OUTER keeps rows whose ref is NULL
+                joins.append(
+                    Join(dst_type, ref_prop, "=", "id",
+                         lhs=src_alias, alias=dst_alias, how="LEFT OUTER")
                 )
-        target_table = aliases.get(target_table, target_table)
-    return results, target_table, target_column
+        table = alias_of.get(table, table)
+    return joins, table, ".".join(path) if path else None

@@ -136,9 +136,17 @@ def stream_bloom_dedup(
     return writer.start()
 
 
-def _verify_bloom_meta(spark, state_dir: str, num_bits: int, num_hashes: int):
-    """Write ``(num_bits, num_hashes)`` to ``state_dir/_meta`` on first
-    use; raise if the dir was built with different parameters. The
+def _verify_bloom_meta(
+    spark,
+    state_dir: str,
+    num_bits: int,
+    num_hashes: int,
+    write_if_missing: bool = True,
+):
+    """Check ``(num_bits, num_hashes)`` against ``state_dir/_meta``,
+    raising if the dir was built with different parameters. With
+    ``write_if_missing`` (the writer path), absent meta is created; the
+    read path passes False so a pure read never mutates state. The
     ``_``-prefixed subdir is invisible to the parquet reader scanning
     ``state_dir``, and writing it through Spark keeps any filesystem the
     partials can reach (local, HDFS, object stores) working."""
@@ -150,15 +158,24 @@ def _verify_bloom_meta(spark, state_dir: str, num_bits: int, num_hashes: int):
     except AnalysisException:  # first start: no meta yet
         rows = None
     if not rows:  # also covers a half-written meta dir from a crash
-        spark.createDataFrame(
-            [(int(num_bits), int(num_hashes))], "num_bits long, num_hashes long"
-        ).coalesce(1).write.mode("overwrite").json(meta_dir)
+        if write_if_missing:
+            spark.createDataFrame(
+                [(int(num_bits), int(num_hashes))], "num_bits long, num_hashes long"
+            ).coalesce(1).write.mode("overwrite").json(meta_dir)
         return
-    row = rows[0]
-    if int(row["num_bits"]) != int(num_bits) or int(row["num_hashes"]) != int(num_hashes):
+    row = rows[0].asDict()
+    stored_bits, stored_hashes = row.get("num_bits"), row.get("num_hashes")
+    if not isinstance(stored_bits, int) or not isinstance(stored_hashes, int):
+        # corrupt / partially-written meta must surface as the descriptive
+        # error, not a KeyError/TypeError from the comparison below
+        raise ValueError(
+            f"bloom state meta at {meta_dir} is corrupt ({row!r}); delete "
+            "the _meta dir (or the whole state dir) to rebuild"
+        )
+    if stored_bits != int(num_bits) or stored_hashes != int(num_hashes):
         raise ValueError(
             f"bloom state at {state_dir} was built with num_bits="
-            f"{row['num_bits']}, num_hashes={row['num_hashes']}; got "
+            f"{stored_bits}, num_hashes={stored_hashes}; got "
             f"num_bits={num_bits}, num_hashes={num_hashes} — changing "
             "parameters against existing partials corrupts membership"
         )
@@ -177,5 +194,8 @@ def read_seen_bloom(
     from firepit_spark.functions.bloom import bloom_merge
 
     if num_bits is not None and num_hashes is not None:
-        _verify_bloom_meta(spark, state_dir, num_bits, num_hashes)
+        # read API: verify only, never create meta (write_if_missing=False)
+        _verify_bloom_meta(
+            spark, state_dir, num_bits, num_hashes, write_if_missing=False
+        )
     return bloom_merge(spark.read.parquet(state_dir).drop("__epoch"))

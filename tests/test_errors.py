@@ -123,6 +123,32 @@ def test_merge_incompatible_types(store):
         store.merge("m", ["u1", "a1"])
 
 
+def test_reference_exception_import_parity():
+    """Every exception class the reference exports
+    (firepit/exceptions.py) is importable from firepit_spark.exceptions,
+    so reference-migrated `from firepit.exceptions import X` lines work
+    with a module swap. Names are parsed from the reference file itself
+    so a reference update fails loudly here. DatabaseMismatch keeps the
+    reference's (dbversion, expected) constructor contract."""
+    import ast
+    from pathlib import Path
+
+    import firepit_spark.exceptions as exc
+
+    ref = Path("/root/reference/firepit/exceptions.py")
+    if not ref.exists():
+        pytest.skip("reference tree not present")
+    names = [
+        n.name
+        for n in ast.parse(ref.read_text()).body
+        if isinstance(n, ast.ClassDef)
+    ]
+    assert names, "reference exceptions.py parsed to zero classes"
+    missing = [n for n in names if not hasattr(exc, n)]
+    assert not missing, f"missing exception types: {missing}"
+    assert "expected 2.2" in str(exc.DatabaseMismatch("2.1", "2.2"))
+
+
 def test_granular_dsl_exception_types():
     """Reference-granular DSL errors (firepit/query.py:31-48, raised at
     query.py:166-173,369,472): each specific type is raised on the

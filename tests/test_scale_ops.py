@@ -1896,6 +1896,15 @@ def test_semantic_dedup_warns_on_degenerate_cells(spark):
             "vec_id long, embedding array<double>",
         )
         sim.semantic_dedup(bal, centroids=cents, threshold=0.99).collect()
+        # perfectly balanced TWO-cell clustering: each cell holds exactly
+        # half the rows, which trips a naive 2*mx >= total share test —
+        # must stay quiet (advisor r6)
+        two = [[1.0, 0.0], [0.0, 1.0]]
+        bal2 = spark.createDataFrame(
+            [(i, two[i % 2]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        sim.semantic_dedup(bal2, centroids=two, threshold=0.99).collect()
 
 
 def test_fuzzy_dedup_checkpoint_dir_passthrough(spark, tmp_path):

@@ -1,6 +1,7 @@
 """Stateful streaming operators (streaming/sessions.py)."""
 
 import json
+import os
 import time
 
 from firepit_spark.streaming.sessions import (
@@ -613,6 +614,25 @@ def test_stream_bloom_dedup_param_mismatch_raises(spark, tmp_path):
         read_seen_bloom(spark, state_dir, 1 << 14, 5)
     # matching parameters restart + probe fine
     assert read_seen_bloom(spark, state_dir, 1 << 14, 4).count() >= 1
+
+    # corrupt/partial meta surfaces as the descriptive ValueError, not a
+    # KeyError/TypeError from the comparison (advisor r6)
+    import shutil
+
+    meta_dir = state_dir.rstrip("/") + "/_meta"
+    shutil.rmtree(meta_dir)  # also clears Spark's .crc sidecars
+    os.makedirs(meta_dir)
+    with open(os.path.join(meta_dir, "part-00000.json"), "w") as fh:
+        fh.write(json.dumps({"num_bits": "garbled"}) + "\n")
+    with pytest.raises(ValueError, match="corrupt"):
+        read_seen_bloom(spark, state_dir, 1 << 14, 4)
+
+    # the read API must NOT create meta where none exists (advisor r6):
+    # a bare partials dir probed via read_seen_bloom stays meta-less
+    bare = str(tmp_path / "bare_state")
+    spark.read.parquet(state_dir).write.parquet(bare)
+    read_seen_bloom(spark, bare, 1 << 14, 4)
+    assert not os.path.exists(bare + "/_meta")
 
 
 def test_stream_interval_join_prefix_collision_raises(spark):
