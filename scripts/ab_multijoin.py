@@ -1,0 +1,94 @@
+"""A/B: multi-join aggregate-below-join rewrite (round-7 extension).
+
+Shape: lineitem (fact) ⋈ orders ⋈ customer — a snowflake chain whose
+first dim (orders) is too big to broadcast under the default 10 MB
+threshold, so the plain plan shuffles EVERY lineitem row into the first
+join. The rewrite pre-aggregates lineitem to l_orderkey grain first
+(map-side combine folds ~4 lines/order), then walks the chain with the
+compact partial. This is the r6 single-join q07 lever generalized to
+2-join chains (VERDICT r6 next-round #1); group key c_mktsegment lives
+two hops away on customer.
+
+A = plain compile (rewrite monkeypatched off); B = rewrite. Default
+session config (auto-broadcast ON: customer may broadcast, orders must
+shuffle — the guard only skips when EVERY dim broadcasts). Interleaved
+median-of-N at sf0.1 and sf1; asserts identical output first (SUM over
+decimal, so A and B are bit-exact, not merely close).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import firepit_spark.query as qmod  # noqa: E402
+from firepit_spark.query import (  # noqa: E402
+    Aggregation,
+    Group,
+    Join,
+    Query,
+)
+from firepit_spark.session import build_spark, testdata_resolver  # noqa: E402
+
+
+def build_query():
+    q = Query("lineitem")
+    q.append(Join("orders", "l_orderkey", "=", "o_orderkey"))
+    q.append(Join("customer", "o_custkey", "=", "c_custkey"))
+    q.append(Group(["c_mktsegment"]))
+    q.append(
+        Aggregation(
+            [
+                ("SUM", F.col("l_quantity").cast("decimal(28,6)"), "sum_qty"),
+                ("COUNT", None, "n"),
+            ]
+        )
+    )
+    return q
+
+
+def main():
+    runs = int(os.environ.get("AB_RUNS", "5"))
+    spark = build_spark("ab_multijoin")
+    for sf_dir in ["/root/testdata/sf0.1", "/root/repo/.benchdata/sf1"]:
+        r = testdata_resolver(spark, sf_dir)
+        q = build_query()
+        assert q._try_agg_below_join(r) is not None, "rewrite must engage"
+
+        def run_b():
+            return build_query().resolve(r)
+
+        def run_a():
+            orig = qmod.Query._try_agg_below_join
+            qmod.Query._try_agg_below_join = lambda self, res: None
+            try:
+                return build_query().resolve(r)
+            finally:
+                qmod.Query._try_agg_below_join = orig
+
+        rows_a = sorted(tuple(x) for x in run_a().collect())
+        rows_b = sorted(tuple(x) for x in run_b().collect())
+        assert rows_a == rows_b, f"mismatch at {sf_dir}"
+        print(f"{sf_dir}: outputs identical ({len(rows_a)} groups)")
+        sa, sb = [], []
+        for _ in range(runs):
+            for fn, acc in ((run_a, sa), (run_b, sb)):
+                t0 = time.time()
+                fn().count()
+                acc.append(time.time() - t0)
+        print(
+            f"{sf_dir}: A(plain) median {statistics.median(sa):.3f} "
+            f"{[round(x, 2) for x in sa]} | B(rewrite) median "
+            f"{statistics.median(sb):.3f} {[round(x, 2) for x in sb]}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
