@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.column import Column as SparkColumn
 
@@ -480,7 +482,20 @@ def _dsl_refs(obj, out: list) -> bool:
             return _dsl_refs(rhs, out)
         if isinstance(rhs, (SparkColumn, Query)):
             return False
-        return True  # literal / list / None — no column refs
+        if isinstance(rhs, (list, tuple, set)):
+            # IN / NOT IN: Column.isin accepts raw pyspark Columns, so an
+            # element naming a dim column would slip past the fact-only
+            # WHERE binding check as a "literal". Strings inside a list
+            # ARE literals to isin (never column refs) — only non-scalar
+            # elements defeat name analysis.
+            return not any(
+                isinstance(
+                    el,
+                    (SparkColumn, Query, Column, CoalescedColumn, BinnedColumn),
+                )
+                for el in rhs
+            )
+        return True  # literal / None — no column refs
     if isinstance(obj, Column):
         out.append((obj.table, obj.name))
         return True
@@ -511,15 +526,61 @@ def _bind_ref(ref, frames: dict) -> set | None:
     return {alias for alias, cols in frames.items() if name in cols}
 
 
+def _compute_frame_size(frame: DataFrame) -> int | None:
+    """Optimized-plan size estimate in bytes (None = unknown). One JVM
+    round-trip; callers go through :func:`_frame_size` for memoization."""
+    try:
+        return int(
+            frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+_FRAME_SIZE_CACHE: "weakref.WeakKeyDictionary[DataFrame, int | None]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _frame_size(frame: DataFrame) -> int | None:
+    """Memoized `_compute_frame_size`: lookup/group paths re-resolve the
+    same query shape against the same dim frames, and the optimizedPlan
+    stats round-trip per dim per resolve adds up. A DataFrame is an
+    immutable plan, so its size estimate is stable for the object's
+    lifetime; the weak keying drops entries with the frame."""
+    try:
+        return _FRAME_SIZE_CACHE[frame]
+    except KeyError:
+        pass
+    except TypeError:  # un-weakref-able stand-in (tests)
+        return _compute_frame_size(frame)
+    size = _compute_frame_size(frame)
+    try:
+        _FRAME_SIZE_CACHE[frame] = size
+    except TypeError:
+        pass
+    return size
+
+
 def _quiet_probe(frame: DataFrame, expr) -> bool:
     """Does ``expr`` resolve against ``frame`` alone? Expected analysis
     failures must stay quiet — pyspark's DataFrameQueryContextLogger logs
     every AnalysisException at ERROR with a full JSON stack otherwise. A
     per-call logging.Filter (not a level mutation) keeps this safe under
-    concurrent resolves."""
+    concurrent resolves.
+
+    The logger MUST be created through PySpark: plain
+    ``logging.getLogger`` would seed the stdlib manager cache with a
+    non-PySparkLogger instance under the name PySpark reserves, and every
+    later AnalysisException carrying query context would die inside
+    PySpark's structured logging (``Logger._log() got an unexpected
+    keyword argument 'file'``) instead of surfacing the real error."""
     import logging
 
-    qlog = logging.getLogger("DataFrameQueryContextLogger")
+    from pyspark.logger import PySparkLogger
+
+    qlog = PySparkLogger.getLogger("DataFrameQueryContextLogger")
+    assert isinstance(qlog, logging.Logger)
     silencer = logging.Filter()
     silencer.filter = lambda record: False
     qlog.addFilter(silencer)
@@ -683,10 +744,16 @@ class Query:
         try:
             fact = resolver(self.table.name).alias(fact_name)
             dims = {}
+            # raw (pre-.alias) frames: .alias() makes a fresh DataFrame
+            # per resolve, so the cost guard memoizes on the resolver's
+            # stable objects (same optimized-plan stats either way)
+            raw_dims = {}
             for join in self.joins:
                 if join.alias == fact_name or join.alias in dims:
                     return None  # duplicate alias: let the plain path error
-                dims[join.alias] = resolver(join.name).alias(join.alias)
+                raw = resolver(join.name)
+                raw_dims[join.alias] = raw
+                dims[join.alias] = raw.alias(join.alias)
         except Exception:
             return None
         frames = {fact_name: set(fact.columns)}
@@ -754,9 +821,13 @@ class Query:
                 if sets is None or any(b != {fact_name} for b in sets):
                     return None
             try:
-                where_exprs.append(flt.to_spark())
+                expr = flt.to_spark()
             except Exception:
                 return None
+            # an empty Filter compiles to None (no-op in the plain path's
+            # _apply_filters); fact.filter(None) would raise
+            if expr is not None:
+                where_exprs.append(expr)
         # group keys: each reference on exactly one dim, never the fact
         for c in self.groupby.cols:
             sets = binds(c)
@@ -795,15 +866,9 @@ class Query:
             thresh = None
         if thresh is not None and thresh >= 0:
             all_small = True
-            for frame in dims.values():
-                try:
-                    size = int(
-                        frame._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                    )
-                except Exception:
-                    all_small = False
-                    break
-                if not 0 <= size <= thresh:
+            for frame in raw_dims.values():
+                size = _frame_size(frame)
+                if size is None or not 0 <= size <= thresh:
                     all_small = False
                     break
             if all_small:

@@ -80,7 +80,9 @@ def main():
         for _ in range(runs):
             for fn, acc in ((run_a, sa), (run_b, sb)):
                 t0 = time.time()
-                fn().count()
+                # collect(), not count(): .count() lets Catalyst prune the
+                # SUM columns and understates both sides' aggregate work
+                fn().collect()
                 acc.append(time.time() - t0)
         print(
             f"{sf_dir}: A(plain) median {statistics.median(sa):.3f} "
