@@ -1152,9 +1152,12 @@ def q39_media_probe(spark, sf_dir):
     """Multimodal kernels end-to-end: synthesize a REAL PNG per document
     (pure-python encoder — zlib+numpy, no codec libs), then sniff the
     container, parse header dimensions, and decode the pixels for the mean
-    — all distributed via Arrow ``mapInPandas``. The oracle recomputes
-    dimensions and pixel mean arithmetically, so a hash match proves the
-    byte-level encode/probe/decode round-trip, not just plumbing."""
+    — all distributed via Arrow ``mapInPandas``. Since r8 each doc also
+    carries a structurally-valid MP4 whose stts/stsz sample tables the
+    codec-free box walker reads back (frame count/rate/bytes —
+    multimodal.mp4_track_probe). The oracle recomputes dimensions, pixel
+    mean, and the frame arithmetic, so a hash match proves the byte-level
+    encode/probe/decode round-trips, not just plumbing."""
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
@@ -1166,27 +1169,51 @@ def q39_media_probe(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
-        from firepit_spark.functions.multimodal import png_encode
+        from firepit_spark.functions.multimodal import mp4_encode_stub, png_encode
 
         for pdf in batches:
-            blobs = []
+            blobs, vblobs = [], []
             for d in pdf["doc_id"]:
                 w, h = 16 + int(d) % 13, 8 + int(d) % 7
                 yy, xx = np.mgrid[0:h, 0:w]
                 blobs.append(png_encode(((xx + yy + int(d)) % 256).astype("uint8")))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+                vblobs.append(
+                    mp4_encode_stub(
+                        500 * (1 + int(d) % 8), fps=10 + int(d) % 5
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": blobs, "vcontent": vblobs}
+            )
 
-    media = docs.mapInPandas(encode, schema="media_id long, content binary")
+    media = docs.mapInPandas(
+        encode, schema="media_id long, content binary, vcontent binary"
+    )
     probed = mm.probe_media(media)
     feats = mm.image_features(media).select(
         "media_id", F.col("mean_px").cast("double").alias("mean_px")
     )
-    return probed.join(feats, "media_id").select(
-        F.col("media_id").alias("doc_id"),
-        "mime_sniffed",
-        "width",
-        "height",
-        "mean_px",
+    vid = mm.video_probe(media, content_col="vcontent").select(
+        "media_id",
+        F.col("duration_ms").alias("v_duration_ms"),
+        "n_frames",
+        "fps",
+        "frame_bytes",
+    )
+    return (
+        probed.join(feats, "media_id")
+        .join(vid, "media_id")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "mime_sniffed",
+            "width",
+            "height",
+            "mean_px",
+            "v_duration_ms",
+            "n_frames",
+            "fps",
+            "frame_bytes",
+        )
     )
 
 
@@ -1204,7 +1231,15 @@ SELECT doc_id,
        'image/png' AS mime_sniffed,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
-       AVG(v) AS mean_px
+       AVG(v) AS mean_px,
+       -- video leg (r8): the Spark side reads these back from the MP4's
+       -- mvhd/stts/stsz boxes; the oracle recomputes the encode arithmetic
+       CAST(500 * (1 + doc_id % 8) AS BIGINT) AS v_duration_ms,
+       CAST((500 * (1 + doc_id % 8) * (10 + doc_id % 5)) // 1000 AS BIGINT)
+         AS n_frames,
+       CAST(10 + doc_id % 5 AS DOUBLE) AS fps,
+       CAST(512 * ((500 * (1 + doc_id % 8) * (10 + doc_id % 5)) // 1000)
+            AS BIGINT) AS frame_bytes
 FROM px
 GROUP BY doc_id, w, h
 """

@@ -580,7 +580,6 @@ def _quiet_probe(frame: DataFrame, expr) -> bool:
     from pyspark.logger import PySparkLogger
 
     qlog = PySparkLogger.getLogger("DataFrameQueryContextLogger")
-    assert isinstance(qlog, logging.Logger)
     silencer = logging.Filter()
     silencer.filter = lambda record: False
     qlog.addFilter(silencer)

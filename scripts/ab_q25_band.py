@@ -1,0 +1,138 @@
+"""A/B: banding q25's postings self-join by shingle-hash residue.
+
+Hypothesis (VERDICT r7 carried idea): splitting the inverted index into
+``n_bands`` disjoint slices (``shingle % n_bands``), joining + partially
+aggregating each slice, then merging with one final (id_a, id_b) groupBy
+lets the per-band pair aggregations overlap with the other bands' joins.
+
+Counter-hypothesis: the plain plan's single pair groupBy ALREADY combines
+map-side before its shuffle, so banding only adds one extra shuffle (the
+final merge) plus N-fold scheduling overhead, and the bands' joins
+serialize on the same local cores anyway.
+
+A = plain ngram_jaccard_pairs; B = banded variant (same hot-shingle
+anti-join cutoff, same size-ratio prune). Asserts identical output first
+(exact integer counts + raw IEEE quotients — bit-exact), then interleaved
+median-of-N at sf0.1 and sf1. Record the result in BASELINE.md either way.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from firepit_spark.functions import dedup as dd  # noqa: E402
+from firepit_spark.functions.text import word_shingles  # noqa: E402
+from firepit_spark.session import build_spark, testdata_resolver  # noqa: E402
+
+K = 3
+THRESHOLD = 0.03
+MAX_FREQ = 1000
+
+
+def banded_pairs(df: DataFrame, n_bands: int) -> DataFrame:
+    """ngram_jaccard_pairs with the self-join split into shingle-residue
+    bands; mirrors dedup.ngram_jaccard_pairs stage-for-stage otherwise."""
+    df = dd._ensure_parallelism(df, "doc_id")
+    arr = df.select(
+        F.col("doc_id"), word_shingles(F.col("text"), K).alias("__shingles")
+    ).persist()
+    sh = arr.select(
+        F.col("doc_id"),
+        F.size("__shingles").alias("set_size"),
+        F.explode("__shingles").alias("__s"),
+    ).select(
+        F.col("doc_id"), "set_size", dd.shingle_hash(F.col("__s")).alias("shingle")
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_freq"))
+        .filter(F.col("df_freq") > MAX_FREQ)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+
+    parts = []
+    for band in range(n_bands):
+        shb = sh.filter(F.pmod(F.col("shingle"), F.lit(n_bands)) == band)
+        a = shb.select(
+            F.col("doc_id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+        )
+        b = shb.select(
+            F.col("doc_id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+        )
+        parts.append(
+            a.join(b, "shingle")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("size_a") >= (THRESHOLD - 1e-6) * F.col("size_b"))
+                & (F.col("size_b") >= (THRESHOLD - 1e-6) * F.col("size_a"))
+            )
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    merged = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.sum("n_common").alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+    merged._fp_caches = [arr]
+    return merged
+
+
+def main():
+    runs = int(os.environ.get("AB_RUNS", "5"))
+    n_bands = int(os.environ.get("AB_BANDS", "4"))
+    spark = build_spark("ab_q25_band")
+    for sf_dir in ["/root/testdata/sf0.1", "/root/repo/.benchdata/sf1"]:
+        r = testdata_resolver(spark, sf_dir)
+        docs = r("documents")
+
+        def run_a():
+            out = dd.ngram_jaccard_pairs(docs, k=K, threshold=THRESHOLD)
+            rows = out.collect()
+            for c in getattr(out, "_fp_caches", []):
+                c.unpersist()
+            return rows
+
+        def run_b():
+            out = banded_pairs(docs, n_bands)
+            rows = out.collect()
+            for c in getattr(out, "_fp_caches", []):
+                c.unpersist()
+            return rows
+
+        rows_a = sorted(tuple(x) for x in run_a())
+        rows_b = sorted(tuple(x) for x in run_b())
+        assert rows_a == rows_b, f"mismatch at {sf_dir}"
+        print(f"{sf_dir}: outputs identical ({len(rows_a)} pairs)")
+        sa, sb = [], []
+        for _ in range(runs):
+            for fn, acc in ((run_a, sa), (run_b, sb)):
+                t0 = time.time()
+                fn()
+                acc.append(time.time() - t0)
+        print(
+            f"{sf_dir}: A(plain) median {statistics.median(sa):.3f} "
+            f"{[round(x, 2) for x in sa]} | B(banded x{n_bands}) median "
+            f"{statistics.median(sb):.3f} {[round(x, 2) for x in sb]}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,25 @@ def test_mp4_probe_roundtrip(duration_ms, timescale, n_tracks):
     assert mm.sniff_mime(blob) == "video/mp4"
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 10**7), st.integers(1, 240), st.integers(1, 4))
+def test_mp4_track_probe_roundtrip(duration_ms, fps, n_tracks):
+    """stts/stsz walk recovers the encode arithmetic exactly: media
+    timescale = fps, delta = 1 tick/frame, constant 512-byte samples."""
+    blob = mm.mp4_encode_stub(duration_ms, fps=fps, n_tracks=n_tracks)
+    tracks = mm.mp4_track_probe(blob)
+    assert len(tracks) == n_tracks
+    n_frames = duration_ms * fps // 1000
+    assert tracks[0]["handler"] == "vide"
+    for t in tracks:
+        assert t["n_samples"] == n_frames
+        assert t["sample_bytes"] == 512 * n_frames
+        assert t["timescale"] == fps
+        if n_frames:
+            assert t["fps"] == float(fps)
+            assert t["duration_ms"] == n_frames * 1000 // fps
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.floats(0.0, 1.0, allow_nan=False), st.floats(0.0, 1.0, allow_nan=False))
 def test_hash_threshold_monotone(r1, r2):
