@@ -490,14 +490,58 @@ def _sw_list(lang):
 
 
 def q21_fingerprint(spark, sf_dir):
-    """Document fingerprinting: md5 of normalized text (dedup primitive)."""
+    """Document fingerprinting: md5 of normalized text (dedup primitive).
+
+    r8 merge (50-slot cap): per-doc BM25 inverted-index stats from
+    ``text_search.build_text_index`` ride along as extra columns —
+    n_index_terms / max_tf / dl are exact integers that gate the
+    tokenize→tf→stopword-cutoff→join pipeline (idf itself is ln(), not
+    engine-portable, so it stays pytest-gated)."""
+    from firepit_spark.functions import text_search as ts
+
     r = _resolver(spark, sf_dir)
-    return r("documents").select(
-        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    docs = r("documents")
+    postings, _doc_lens = ts.build_text_index(docs)
+    per_doc = postings.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_index_terms"),
+        F.max("tf").alias("max_tf"),
+        F.sum("tf").alias("dl"),
     )
+    # corpus-level check rides along as a broadcast 1-row column (the
+    # synthetic vocab is Zipf-hot, so most docs carry NULL per-doc stats;
+    # n_vocab_kept hashes the WHOLE surviving-term set regardless)
+    summary = postings.agg(F.countDistinct("term").alias("n_vocab_kept"))
+    out = (
+        docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(summary))
+    )
+    out._fp_caches = getattr(postings, "_fp_caches", [])
+    return out
 
 
-_Q21_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
+_Q21_SQL = f"""
+WITH {_TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term != '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term FROM tf GROUP BY term
+  HAVING COUNT(*) <= GREATEST(1, CAST(FLOOR(0.5 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+),
+pd AS (
+  SELECT tf.doc_id,
+         COUNT(*) AS n_index_terms,
+         CAST(MAX(tf) AS BIGINT) AS max_tf,
+         CAST(SUM(tf) AS BIGINT) AS dl
+  FROM tf JOIN dfreq USING (term) GROUP BY 1
+)
+SELECT d.doc_id, md5({_NORM}) AS fp, pd.n_index_terms, pd.max_tf, pd.dl,
+       (SELECT COUNT(*) FROM dfreq) AS n_vocab_kept
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+"""
 
 
 def q22_text_stats(spark, sf_dir):
@@ -699,13 +743,24 @@ def q28_dedup_exact(spark, sf_dir):
     DuckDB oracle reproduces the exact bitset and every false positive
     bit-for-bit — the mergeable-Bloom module under the value-hash gate."""
     from firepit_spark.functions.bloom import bloom_build, bloom_might_contain
+    from firepit_spark.functions.layout import zorder_key
 
     r = _resolver(spark, sf_dir)
     docs = r("documents")
     kept = dd.dedup_exact(docs).select(
-        "doc_id", "source", tx.fingerprint(F.col("text")).alias("__fp")
+        "doc_id",
+        "source",
+        tx.fingerprint(F.col("text")).alias("__fp"),
+        F.length("text").alias("__len"),
     )
     sharded = pl.assign_shards(kept, "doc_id", n_shards=8)
+    # r8 merge: Z-order/Morton key over (doc_id, text length) — gates
+    # layout.zorder_key's affine min/max normalization + bit interleave
+    # (every op is deterministic IEEE double / integer bit math, so the
+    # oracle reproduces the key bit-for-bit)
+    sharded = sharded.withColumn(
+        "zkey", zorder_key(sharded, ["doc_id", "__len"], bits=8)
+    )
     bf = bloom_build(
         docs.filter(F.col("doc_id") % 2 == 0).select(
             tx.fingerprint(F.col("text")).alias("__fp")
@@ -716,18 +771,41 @@ def q28_dedup_exact(spark, sf_dir):
     )
     return bloom_might_contain(
         sharded, "__fp", bf, _Q28_BITS, _Q28_HASHES, "seen_even"
-    ).drop("__fp")
+    ).drop("__fp", "__len")
 
 
 _Q28_BITS, _Q28_HASHES = 1 << 14, 4
 
 # bloom in ANSI SQL: h1/h2 from one md5 (h2 odd, reduced mod bits),
 # positions h1 + i*h2m, words = bit_or of masks, probe = every bit set
+_ZTERMS = " + ".join(
+    f"(((s0 >> {j}) & 1) << {2 * j}) + (((s1 >> {j}) & 1) << {2 * j + 1})"
+    for j in range(8)
+)
+
 _Q28_SQL = f"""
 WITH keepers AS (
-  SELECT doc_id, source, md5({_NORM}) AS fp
+  SELECT doc_id, source, md5({_NORM}) AS fp, LENGTH(text) AS len
   FROM documents
   WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM}))
+),
+zs AS (
+  SELECT MIN(CAST(doc_id AS DOUBLE)) AS lo0, MAX(CAST(doc_id AS DOUBLE)) AS hi0,
+         MIN(CAST(len AS DOUBLE)) AS lo1, MAX(CAST(len AS DOUBLE)) AS hi1
+  FROM keepers
+),
+zscaled AS (
+  SELECT doc_id,
+         LEAST(255, CAST(FLOOR((CAST(doc_id AS DOUBLE) - lo0)
+           / (CASE WHEN hi0 - lo0 = 0 THEN 1.0 ELSE hi0 - lo0 END) * 255)
+           AS BIGINT)) AS s0,
+         LEAST(255, CAST(FLOOR((CAST(len AS DOUBLE) - lo1)
+           / (CASE WHEN hi1 - lo1 = 0 THEN 1.0 ELSE hi1 - lo1 END) * 255)
+           AS BIGINT)) AS s1
+  FROM keepers, zs
+),
+zkeys AS (
+  SELECT doc_id, CAST({_ZTERMS} AS BIGINT) AS zkey FROM zscaled
 ),
 evens AS (
   SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE doc_id % 2 = 0
@@ -764,11 +842,12 @@ flags AS (
   FROM kpos k LEFT JOIN words w ON w.word_idx = k.pos // 64
   GROUP BY doc_id, source
 )
-SELECT doc_id, source,
-       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
+SELECT f.doc_id, f.source,
+       CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT)
          AS shard_id,
-       seen_even
-FROM flags
+       z.zkey,
+       f.seen_even
+FROM flags f JOIN zkeys z ON z.doc_id = f.doc_id
 """
 
 

@@ -18,6 +18,8 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+from firepit_spark.functions import release  # noqa: E402
+
 TABLES = [
     "region",
     "nation",
@@ -95,6 +97,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = [c.lower() for c in sdf.columns]
             srows = sdf.collect()
+            release(sdf)  # free operator-attached persists (q21/q25/q35)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
