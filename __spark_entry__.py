@@ -492,56 +492,16 @@ def _sw_list(lang):
 def q21_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text (dedup primitive).
 
-    r8 merge (50-slot cap): per-doc BM25 inverted-index stats from
-    ``text_search.build_text_index`` ride along as extra columns —
-    n_index_terms / max_tf / dl are exact integers that gate the
-    tokenize→tf→stopword-cutoff→join pipeline (idf itself is ln(), not
-    engine-portable, so it stays pytest-gated)."""
-    from firepit_spark.functions import text_search as ts
-
+    Deliberately stays the light map-only headline query it has been
+    since round 1 — the r8 BM25 index gate lives in q22 (non-headline)
+    so this slot's bench baseline stays comparable."""
     r = _resolver(spark, sf_dir)
-    docs = r("documents")
-    postings, _doc_lens = ts.build_text_index(docs)
-    per_doc = postings.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_index_terms"),
-        F.max("tf").alias("max_tf"),
-        F.sum("tf").alias("dl"),
+    return r("documents").select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
     )
-    # corpus-level check rides along as a broadcast 1-row column (the
-    # synthetic vocab is Zipf-hot, so most docs carry NULL per-doc stats;
-    # n_vocab_kept hashes the WHOLE surviving-term set regardless)
-    summary = postings.agg(F.countDistinct("term").alias("n_vocab_kept"))
-    out = (
-        docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
-        .join(per_doc, "doc_id", "left")
-        .crossJoin(F.broadcast(summary))
-    )
-    out._fp_caches = getattr(postings, "_fp_caches", [])
-    return out
 
 
-_Q21_SQL = f"""
-WITH {_TOKS_CTE},
-tf AS (
-  SELECT doc_id, term, COUNT(*) AS tf
-  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-  WHERE term != '' GROUP BY 1, 2
-),
-dfreq AS (
-  SELECT term FROM tf GROUP BY term
-  HAVING COUNT(*) <= GREATEST(1, CAST(FLOOR(0.5 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
-),
-pd AS (
-  SELECT tf.doc_id,
-         COUNT(*) AS n_index_terms,
-         CAST(MAX(tf) AS BIGINT) AS max_tf,
-         CAST(SUM(tf) AS BIGINT) AS dl
-  FROM tf JOIN dfreq USING (term) GROUP BY 1
-)
-SELECT d.doc_id, md5({_NORM}) AS fp, pd.n_index_terms, pd.max_tf, pd.dl,
-       (SELECT COUNT(*) FROM dfreq) AS n_vocab_kept
-FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
-"""
+_Q21_SQL = f"SELECT doc_id, md5({_NORM}) AS fp FROM documents"
 
 
 def q22_text_stats(spark, sf_dir):
@@ -570,7 +530,28 @@ def q22_text_stats(spark, sf_dir):
     # SimHash rides along as one more per-doc signal (merged q27 slot);
     # docs with <2 tokens have no shingles -> NULL, mirrored by the LEFT JOIN
     sim = dd.simhash(r("documents"), bits=32)
-    return stats.join(sim, "doc_id", "left")
+    # r8 merge: per-doc BM25 inverted-index stats from
+    # text_search.build_text_index — n_index_terms / max_tf / dl are exact
+    # integers gating the tokenize→tf→stopword-cutoff→join pipeline, and
+    # the broadcast n_vocab_kept column hashes the WHOLE surviving-term
+    # set (the synthetic vocab is Zipf-hot, so many docs carry NULLs).
+    # ln() idf is not engine-portable and stays pytest-gated.
+    from firepit_spark.functions import text_search as ts
+
+    postings, _doc_lens = ts.build_text_index(r("documents"))
+    per_doc = postings.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_index_terms"),
+        F.max("tf").alias("max_tf"),
+        F.sum("tf").alias("dl"),
+    )
+    summary = postings.agg(F.countDistinct("term").alias("n_vocab_kept"))
+    out = (
+        stats.join(sim, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(summary))
+    )
+    out._fp_caches = getattr(postings, "_fp_caches", [])
+    return out
 
 
 _Q22_SQL = f"""
@@ -589,6 +570,22 @@ m AS (
               THEN CAST(len(list_filter(t.t, x -> list_contains({_sw_list('en')}, x))) AS DOUBLE) / len(t.t)
               ELSE 0.0 END AS sw_ratio
   FROM documents d JOIN toks t USING (doc_id)
+),
+tfq AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term != '' GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term FROM tfq GROUP BY term
+  HAVING COUNT(*) <= GREATEST(1, CAST(FLOOR(0.5 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+),
+pd AS (
+  SELECT tfq.doc_id,
+         COUNT(*) AS n_index_terms,
+         CAST(MAX(tf) AS BIGINT) AS max_tf,
+         CAST(SUM(tf) AS BIGINT) AS dl
+  FROM tfq JOIN dfreq USING (term) GROUP BY 1
 )
 SELECT m.doc_id, n_tokens, bpe_tokens,
        ROUND(p_ratio, 6) AS punct_ratio,
@@ -598,8 +595,11 @@ SELECT m.doc_id, n_tokens, bpe_tokens,
              + (1.0 - least(p_ratio * 10.0, 1.0)) * 0.2, 6) AS quality,
        ROUND(CAST(('0x' || substr(md5('quality|' || d2.text), 1, 8)) AS BIGINT)
              / 4294967296.0, 6) AS model_score,
-       s.simhash
+       s.simhash,
+       pd.n_index_terms, pd.max_tf, pd.dl,
+       (SELECT COUNT(*) FROM dfreq) AS n_vocab_kept
 FROM m LEFT JOIN ({{SIMHASH}}) s ON m.doc_id = s.doc_id
+LEFT JOIN pd ON m.doc_id = pd.doc_id
 JOIN documents d2 ON m.doc_id = d2.doc_id
 """
 

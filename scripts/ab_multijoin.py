@@ -9,11 +9,14 @@ compact partial. This is the r6 single-join q07 lever generalized to
 2-join chains (VERDICT r6 next-round #1); group key c_mktsegment lives
 two hops away on customer.
 
-A = plain compile (rewrite monkeypatched off); B = rewrite. Default
-session config (auto-broadcast ON: customer may broadcast, orders must
-shuffle — the guard only skips when EVERY dim broadcasts). Interleaved
-median-of-N at sf0.1 and sf1; asserts identical output first (SUM over
-decimal, so A and B are bit-exact, not merely close).
+A = plain compile (rewrite monkeypatched off); B = rewrite. The guard
+only engages the rewrite when some dim must SHUFFLE-join: at sf1 the
+default 10 MB threshold already puts orders (~27 MB plan stats) in that
+regime; at sf0.1 orders is only ~2.7 MB, so the threshold drops to 1 MB
+there (customer still broadcasts) — the same mixed broadcast/shuffle
+regime a 100 TB fact's dims are always in. Interleaved median-of-N at
+sf0.1 and sf1; asserts identical output first (SUM over decimal, so A
+and B are bit-exact, not merely close).
 """
 
 from __future__ import annotations
@@ -56,7 +59,11 @@ def build_query():
 def main():
     runs = int(os.environ.get("AB_RUNS", "5"))
     spark = build_spark("ab_multijoin")
-    for sf_dir in ["/root/testdata/sf0.1", "/root/repo/.benchdata/sf1"]:
+    for sf_dir, thresh in [
+        ("/root/testdata/sf0.1", "1m"),
+        ("/root/repo/.benchdata/sf1", "10m"),
+    ]:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         r = testdata_resolver(spark, sf_dir)
         q = build_query()
         assert q._try_agg_below_join(r) is not None, "rewrite must engage"
