@@ -545,9 +545,21 @@ def q22_text_stats(spark, sf_dir):
         F.sum("tf").alias("dl"),
     )
     summary = postings.agg(F.countDistinct("term").alias("n_vocab_kept"))
+    # r8 merge: Gopher character-fraction repetition metrics (text.py
+    # char_repetition_stats) — exact integers + raw IEEE quotients, so
+    # the oracle reproduces them bit-for-bit
+    rep = tx.char_repetition_stats(r("documents")).select(
+        "doc_id",
+        "top2_count",
+        "top2_cover_chars",
+        "top2_char_frac",
+        "dup5_chars",
+        "dup5_char_frac",
+    )
     out = (
         stats.join(sim, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
+        .join(rep, "doc_id", "left")
         .crossJoin(F.broadcast(summary))
     )
     out._fp_caches = getattr(postings, "_fp_caches", [])
@@ -586,7 +598,33 @@ pd AS (
          CAST(MAX(tf) AS BIGINT) AS max_tf,
          CAST(SUM(tf) AS BIGINT) AS dl
   FROM tfq JOIN dfreq USING (term) GROUP BY 1
-)
+),
+g2c AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, COUNT(*) AS c
+  FROM toks, UNNEST(range(1, len(t))) AS r2(i)
+  WHERE len(t) >= 2 GROUP BY 1, 2
+),
+t2m AS (SELECT doc_id, MAX(c) AS mc FROM g2c GROUP BY 1),
+rep2 AS (
+  SELECT g.doc_id, t2m.mc AS top2_count,
+         MAX(g.c * length(g.gram)) AS top2_cover_chars
+  FROM g2c g JOIN t2m ON g.doc_id = t2m.doc_id AND g.c = t2m.mc
+  GROUP BY 1, 2
+),
+g5c AS (
+  SELECT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram,
+         COUNT(*) AS c
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS r5(i)
+  WHERE len(t) >= 5 GROUP BY 1, 2
+),
+rep5 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS BIGINT)
+           AS dup5_chars
+  FROM g5c GROUP BY 1
+),
+nrm AS (SELECT doc_id, length({_NORM}) AS rep_chars FROM documents)
 SELECT m.doc_id, n_tokens, bpe_tokens,
        ROUND(p_ratio, 6) AS punct_ratio,
        ROUND(sw_ratio, 6) AS stopword_ratio,
@@ -597,9 +635,16 @@ SELECT m.doc_id, n_tokens, bpe_tokens,
              / 4294967296.0, 6) AS model_score,
        s.simhash,
        pd.n_index_terms, pd.max_tf, pd.dl,
-       (SELECT COUNT(*) FROM dfreq) AS n_vocab_kept
+       (SELECT COUNT(*) FROM dfreq) AS n_vocab_kept,
+       rep2.top2_count, rep2.top2_cover_chars,
+       rep2.top2_cover_chars / nrm.rep_chars AS top2_char_frac,
+       rep5.dup5_chars,
+       rep5.dup5_chars / nrm.rep_chars AS dup5_char_frac
 FROM m LEFT JOIN ({{SIMHASH}}) s ON m.doc_id = s.doc_id
 LEFT JOIN pd ON m.doc_id = pd.doc_id
+LEFT JOIN rep2 ON m.doc_id = rep2.doc_id
+LEFT JOIN rep5 ON m.doc_id = rep5.doc_id
+JOIN nrm ON m.doc_id = nrm.doc_id
 JOIN documents d2 ON m.doc_id = d2.doc_id
 """
 

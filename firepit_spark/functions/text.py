@@ -127,6 +127,121 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """ALL overlapping word n-grams of the text, in order (duplicates
+    kept — unlike :func:`word_shingles`, which dedups for index builds).
+    Same codegen-friendly lookahead-regex pass."""
+    norm = F.lower(normalize_ws(col))
+    pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (n - 1)
+    return F.regexp_extract_all(norm, F.lit(pattern), 1)
+
+
+def char_repetition_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+):
+    """Gopher-style intra-document CHARACTER-fraction repetition metrics
+    (Rae et al. 2021, appendix A1.1 — the repetition-removal half of the
+    Gopher quality rules; the MassiveText pipeline drops docs whose
+    repeated-content fractions exceed fixed thresholds). The count-based
+    sibling (share of n-grams that repeat) is
+    ``corpus.repetition_stats``; the paper's thresholds are stated over
+    character fractions, which is what this computes.
+
+    Per document:
+
+    * ``top{top_n}_count`` / ``top{top_n}_cover_chars`` — occurrence count
+      of the most frequent word ``top_n``-gram and the characters it
+      covers (count × gram length). Among tied max-count grams the LARGEST
+      coverage is taken, so the result is deterministic and
+      engine-portable (no arbitrary tie-break).
+    * ``dup{dup_n}_chars`` — occurrence-weighted characters of word
+      ``dup_n``-grams occurring more than once (Σ count × gram length).
+      Occurrences overlap and positions are NOT deduplicated, so the
+      fraction can exceed 1; the exact Gopher/DataTrove variant marks
+      covered character positions (interval merging), which is not
+      SQL-oracle-able — this occurrence-weighted formulation is monotone
+      in the same signal and is documented as such.
+    * ``*_frac`` — raw IEEE quotients of the exact integers above over
+      ``n_chars`` (bit-identical across engines; never pre-rounded).
+
+    Documents with fewer than n tokens carry NULL for that n's columns.
+    The plan is two map-side gram extractions + one (id, gram) groupBy
+    per n — no joins against the corpus, shuffle volume bounded by gram
+    occurrence counts.
+    """
+    norm = F.lower(normalize_ws(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), F.length(norm).alias("n_chars"), F.col(text_col)
+    )
+
+    def per_doc(n: int, prefix: str, dup: bool):
+        grams = df.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+        )
+        cnt = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
+        cover = (F.col("__cnt") * F.length("__g")).cast("long")
+        if dup:
+            return cnt.groupBy(id_col).agg(
+                F.sum(F.when(F.col("__cnt") > 1, cover).otherwise(0)).alias(
+                    f"{prefix}_chars"
+                )
+            )
+        # lexicographic struct max = max count, ties broken by max coverage
+        best = F.max(F.struct(F.col("__cnt").alias("c"), cover.alias("v")))
+        return cnt.groupBy(id_col).agg(best.alias("__b")).select(
+            F.col(id_col),
+            F.col("__b.c").alias(f"{prefix}_count"),
+            F.col("__b.v").alias(f"{prefix}_cover_chars"),
+        )
+
+    top = per_doc(top_n, f"top{top_n}", dup=False)
+    dups = per_doc(dup_n, f"dup{dup_n}", dup=True)
+    out = (
+        base.join(top, id_col, "left")
+        .join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_chars",
+            f"top{top_n}_count",
+            f"top{top_n}_cover_chars",
+            (F.col(f"top{top_n}_cover_chars") / F.col("n_chars")).alias(
+                f"top{top_n}_char_frac"
+            ),
+            f"dup{dup_n}_chars",
+            (F.col(f"dup{dup_n}_chars") / F.col("n_chars")).alias(
+                f"dup{dup_n}_char_frac"
+            ),
+        )
+    )
+    return out
+
+
+def gopher_repetition_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top2_frac: float = 0.20,
+    max_dup5_frac: float = 0.15,
+):
+    """Drop documents whose repetition fractions exceed the (Gopher-paper
+    -shaped) thresholds; NULL metrics (too few tokens) are kept. Composes
+    as one join against :func:`char_repetition_stats` output — at corpus
+    scale the stats frame is doc-cardinality, so the join shuffles ids
+    only."""
+    stats = char_repetition_stats(df, text_col, id_col).select(
+        id_col, "top2_char_frac", "dup5_char_frac"
+    )
+    keep = stats.filter(
+        (F.coalesce(F.col("top2_char_frac"), F.lit(0.0)) <= max_top2_frac)
+        & (F.coalesce(F.col("dup5_char_frac"), F.lit(0.0)) <= max_dup5_frac)
+    ).select(id_col)
+    return df.join(keep, id_col, "inner")
+
+
 # URL pattern: scheme + host + optional path/query; character classes and
 # bounded alternation only — identical meaning in Java regex and RE2, like
 # the PII patterns in corpus.py (portable to the SQL oracle side)

@@ -500,3 +500,58 @@ def test_corpus_report(spark):
     # global (ungrouped) variant: one row labeled 'all'
     g = corpus_report(df).collect()
     assert len(g) == 1 and g[0].source == "all" and g[0].n_docs == 4
+
+
+def test_char_repetition_stats_golden(spark):
+    """Hand-computed Gopher character-fraction metrics (text.py's char
+    variant; the count-based sibling above is corpus.repetition_stats)."""
+    from firepit_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # "a b"x3, "b a"x2; no dup 5-grams
+            (2, "x x x x x x"),     # "x x"x5; "x x x x x"x2 (dup5 > chars!)
+            (3, "one two"),         # single 2-gram; no 5-grams at all
+            (4, "aa b aa cc aa"),   # all 2-grams count 1; tie -> max cover
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in tx.char_repetition_stats(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_chars"] == 11
+    assert r1["top2_count"] == 3 and r1["top2_cover_chars"] == 9
+    assert r1["top2_char_frac"] == 9 / 11
+    assert r1["dup5_chars"] == 0 and r1["dup5_char_frac"] == 0.0
+
+    r2 = rows[2]
+    assert r2["top2_count"] == 5 and r2["top2_cover_chars"] == 15
+    # occurrence-weighted dup fraction can exceed 1 (documented)
+    assert r2["dup5_chars"] == 18 and r2["dup5_char_frac"] == 18 / 11
+
+    r3 = rows[3]
+    assert r3["top2_count"] == 1 and r3["top2_cover_chars"] == 7
+    assert r3["dup5_chars"] is None and r3["dup5_char_frac"] is None
+
+    # tied max count -> deterministic largest coverage ('aa cc'/'cc aa', 5)
+    r4 = rows[4]
+    assert r4["top2_count"] == 1 and r4["top2_cover_chars"] == 5
+
+
+def test_gopher_repetition_filter(spark):
+    from firepit_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # long/varied enough that no single 2-gram covers >20% of chars
+            # (the Gopher thresholds assume real-document lengths)
+            (1, "the quick brown fox jumps over the lazy dog today while "
+                "seven wild zebras gallop across the open plain chasing "
+                "bright orange butterflies under a warm afternoon sun"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, "hi"),  # too short for any metric: NULLs are kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in tx.gopher_repetition_filter(docs).collect()}
+    assert kept == {1, 3}
