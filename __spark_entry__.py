@@ -509,7 +509,12 @@ def q22_text_stats(spark, sf_dir):
     punctuation/stopword ratios, the composite quality score, and the
     Arrow-batched model-classifier score (one entry keeps the 50-slot
     driver gate free for other operators; every underlying function is
-    still exercised and hash-checked). The model score runs through the
+    still exercised and hash-checked). NOTE this slot is gate-packing,
+    not a recommended single pipeline: each merged family re-scans
+    documents (18 parquet scans at last audit — all map-only), which is
+    the right trade for a correctness gate but a real corpus job would
+    persist the normalized-token frame once and fan the signal families
+    out from it. The model score runs through the
     real ``mapInPandas`` inference plumbing (stub md5-derived model, so
     the oracle reproduces it exactly) — the hash match proves the Python
     batch boundary loses nothing."""

@@ -39,9 +39,7 @@ def ngrams(col: Column, n: int = 2) -> Column:
     codegen-resident pass, no higher-order lambda per token."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    norm = F.lower(tx.normalize_ws(col))
-    pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (n - 1)
-    return F.regexp_extract_all(norm, F.lit(pattern), 1)
+    return tx.word_ngrams(col, n)
 
 
 def repetition_stats(
@@ -486,3 +484,107 @@ def corpus_report(
         F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
         F.mode(lang_guess(t)).alias("top_lang"),
     )
+
+
+def document_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Every per-document curation signal in ONE corpus scan.
+
+    The gate-packed q22 slot recomputes normalization per signal family
+    (fine for a correctness gate, wasteful for a real job); this is the
+    production shape: normalize + tokenize ONCE into a persisted
+    ``(id, text, norm, toks)`` frame, then fan the families out from the
+    cache — fingerprint, token/char counts, punct/stopword/quality,
+    lang guess, Gopher char-fraction repetition (``top{top_n}_*``,
+    ``dup{dup_n}_*``), and the BM25 index stats (n_index_terms / max_tf /
+    dl under the ``max_df_frac`` stopword cutoff).
+
+    At 100 TB: one parquet pass builds the cache (spills under
+    MEMORY_AND_DISK); every downstream shuffle keys on the doc id or on
+    (doc, gram/term), so no key exceeds one document's token count. The
+    returned frame carries the cache in ``_fp_caches`` — call
+    ``firepit_spark.functions.release(result)`` after the terminal
+    action in long-lived sessions.
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        t.alias("__text"),
+        F.lower(tx.normalize_ws(t)).alias("__norm"),
+        tx.tokens(t).alias("__toks"),
+    ).persist()
+
+    tc = F.col("__text")
+    map_side = base.select(
+        F.col(id_col),
+        tx.fingerprint(tc).alias("fp"),
+        F.length(tc).alias("n_chars"),
+        F.length("__norm").alias("n_norm_chars"),
+        F.size("__toks").alias("n_tokens"),
+        tx.bpe_token_estimate(tc).alias("bpe_tokens"),
+        F.round(tx.punct_ratio(tc), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(tc), 6).alias("stopword_ratio"),
+        F.round(tx.quality_score(tc), 6).alias("quality"),
+        tx.lang_guess(tc).alias("lang_guessed"),
+    )
+
+    def rep(n: int, prefix: str, dup: bool) -> DataFrame:
+        grams = base.select(
+            F.col(id_col), F.explode(tx.word_ngrams(F.col("__norm"), n)).alias("__g")
+        )
+        cnt = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        cover = (F.col("__c") * F.length("__g")).cast("long")
+        if dup:
+            return cnt.groupBy(id_col).agg(
+                F.sum(F.when(F.col("__c") > 1, cover).otherwise(0)).alias(
+                    f"{prefix}_chars"
+                )
+            )
+        best = F.max(F.struct(F.col("__c").alias("c"), cover.alias("v")))
+        return cnt.groupBy(id_col).agg(best.alias("__b")).select(
+            F.col(id_col),
+            F.col("__b.c").alias(f"{prefix}_count"),
+            F.col("__b.v").alias(f"{prefix}_cover_chars"),
+        )
+
+    top = rep(top_n, f"top{top_n}", dup=False)
+    dups = rep(dup_n, f"dup{dup_n}", dup=True)
+
+    n_docs = base.count()  # cached frame: metadata-cheap second action
+    terms = base.select(
+        F.col(id_col), F.explode("__toks").alias("__term")
+    ).filter(F.col("__term") != "")
+    tf = terms.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = (
+        tf.groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max(1, int(max_df_frac * n_docs)))
+        .select("__term")
+    )
+    idx = tf.join(dfreq, "__term").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_index_terms"),
+        F.max("__tf").alias("max_tf"),
+        F.sum("__tf").alias("dl"),
+    )
+
+    out = (
+        map_side.join(top, id_col, "left")
+        .join(dups, id_col, "left")
+        .join(idx, id_col, "left")
+        .withColumn(
+            f"top{top_n}_char_frac",
+            F.col(f"top{top_n}_cover_chars") / F.col("n_norm_chars"),
+        )
+        .withColumn(
+            f"dup{dup_n}_char_frac",
+            F.col(f"dup{dup_n}_chars") / F.col("n_norm_chars"),
+        )
+    )
+    out._fp_caches = [base]
+    return out

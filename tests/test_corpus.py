@@ -555,3 +555,69 @@ def test_gopher_repetition_filter(spark):
     )
     kept = {r["doc_id"] for r in tx.gopher_repetition_filter(docs).collect()}
     assert kept == {1, 3}
+
+
+def test_document_signals_one_pass_matches_families(spark):
+    """document_signals (single persisted token frame) must agree with
+    every individual signal family computed separately, and its plan must
+    read the cache rather than re-scanning the corpus per family."""
+    from firepit_spark.functions import release
+    from firepit_spark.functions import text as tx
+    from firepit_spark.functions import text_search as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "spam spam spam spam spam spam"),
+            (3, "one two three four five six seven eight"),
+            (4, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = cp.document_signals(docs)
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+
+    # fingerprint / quality family
+    fp = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert all(rows[d]["fp"] == fp[d] for d in fp)
+    q = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        tx.lang_guess(F.col("text")).alias("lang_guessed"),
+    ).collect()}
+    assert all(rows[d]["quality"] == q[d]["quality"] for d in q)
+    assert all(rows[d]["lang_guessed"] == q[d]["lang_guessed"] for d in q)
+
+    # char-repetition family
+    rep = {r["doc_id"]: r for r in tx.char_repetition_stats(docs).collect()}
+    for d, r in rep.items():
+        assert rows[d]["top2_count"] == r["top2_count"]
+        assert rows[d]["top2_char_frac"] == r["top2_char_frac"]
+        assert rows[d]["dup5_chars"] == r["dup5_chars"]
+        assert rows[d]["dup5_char_frac"] == r["dup5_char_frac"]
+
+    # BM25 index family
+    postings, _ = ts.build_text_index(docs)
+    idx = {
+        r["doc_id"]: r
+        for r in postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_index_terms"),
+            F.max("tf").alias("max_tf"),
+            F.sum("tf").alias("dl"),
+        )
+        .collect()
+    }
+    for d in rows:
+        want = idx.get(d)
+        assert rows[d]["n_index_terms"] == (want["n_index_terms"] if want else None)
+        assert rows[d]["dl"] == (want["dl"] if want else None)
+
+    # single corpus pass: the executed plan reads the persisted base via
+    # InMemoryTableScan for every family instead of repeating the source
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4, plan[:500]
+    release(sig)
+    release(postings)
