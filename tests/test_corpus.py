@@ -621,3 +621,50 @@ def test_document_signals_one_pass_matches_families(spark):
     assert plan.count("InMemoryTableScan") >= 4, plan[:500]
     release(sig)
     release(postings)
+
+
+def test_char_repetition_stats_random_vs_python(spark):
+    """Differential check of the char-repetition metrics against a plain
+    Python reference over 60 random word-salad docs (seeded)."""
+    import random
+    from collections import Counter
+
+    from firepit_spark.functions import text as tx
+
+    rng = random.Random(87)
+    vocab = ["a", "bb", "ccc", "word", "spam", "x"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(60)
+    ]
+
+    def expected(text):
+        toks = [t for t in text.split(" ") if t != ""] if text else []
+        out = {}
+        for n, prefix, dup in ((2, "top2", False), (5, "dup5", True)):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                out[prefix] = None
+                continue
+            c = Counter(grams)
+            if dup:
+                out[prefix] = sum(k * len(g) for g, k in c.items() if k > 1)
+            else:
+                mc = max(c.values())
+                out[prefix] = (mc, max(k * len(g) for g, k in c.items() if k == mc))
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in tx.char_repetition_stats(df).collect()}
+    for i, text in docs:
+        want = expected(text)
+        r = rows[i]
+        if want["top2"] is None:
+            assert r["top2_count"] is None
+        else:
+            assert (r["top2_count"], r["top2_cover_chars"]) == want["top2"], (i, text)
+        if want["dup5"] is None:
+            assert r["dup5_chars"] is None
+        else:
+            assert r["dup5_chars"] == want["dup5"], (i, text)
+        assert r["n_chars"] == len(text)

@@ -54,6 +54,9 @@ PRED_POOL = [
     (("l_shipdate", "<=", "1997-09-02 00:00:00"), "l_shipdate <= '1997-09-02 00:00:00'"),
     (("l_shipdate", ">", "1995-01-01 00:00:00"), "l_shipdate > '1995-01-01 00:00:00'"),
     (("l_suppkey", "<", 30), "l_suppkey < 30"),
+    # IN / NOT IN lists (scalar literals — the r8 _dsl_refs list-walk path)
+    (("l_returnflag", "IN", ["R", "A"]), "l_returnflag IN ('R', 'A')"),
+    (("l_linestatus", "NOT IN", ["O"]), "l_linestatus NOT IN ('O')"),
 ]
 
 # (agg_func, column, alias, sql_text)
