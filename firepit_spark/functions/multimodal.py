@@ -935,6 +935,36 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def frame_index_plan(
+    media: DataFrame,
+    every_n: int = 24,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Expand each MP4 row into (media_id, frame_idx, frame_ts_ms) sampling
+    rows from the REAL per-track frame count/rate (stts walk — r8), taking
+    every ``every_n``-th frame. Unlike :func:`frame_sample_plan` (which
+    paces by wall-clock ms from table metadata), this indexes actual
+    samples, so a decoder can seek by sample number. Rows whose blob has
+    no parsable sample table produce nothing. The probe is one Arrow batch
+    pass; the expansion is pure column ops."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    probed = video_probe(media, id_col=id_col, content_col=content_col).filter(
+        F.col("n_frames").isNotNull() & (F.col("n_frames") > 0)
+    )
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    ).alias("frame_idx")
+    return probed.select(F.col(id_col), "n_frames", "fps", idx).select(
+        F.col(id_col),
+        "frame_idx",
+        F.floor(F.col("frame_idx") * 1000.0 / F.col("fps"))
+        .cast("long")
+        .alias("frame_ts_ms"),
+    )
+
+
 def synthesize_media(spark, n: int = 64, partitions: int = 4) -> DataFrame:
     """Deterministic media table for tests/benchmarks. Every row carries
     REAL container bytes: PNG round-trippable through :func:`png_decode`,

@@ -2081,3 +2081,24 @@ def test_kmv_intersect_by_key(spark):
 
     with _pytest.raises(ValueError, match="group_cols"):
         kmv.kmv_intersect_by_key(ska, skb, [])
+
+
+def test_frame_index_plan(spark):
+    """Sample-number frame plan from the real stts walk: media 5 has 6000ms
+    x 24fps = 144 frames; every 24th -> indices 0,24,...,120 (6 rows), with
+    exact millisecond timestamps floor(idx*1000/24)."""
+    from firepit_spark.functions.multimodal import frame_index_plan
+
+    media = synthesize_media(spark, n=9, partitions=2)
+    rows = frame_index_plan(media, every_n=24).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame_ts_ms"]))
+    assert set(by_id) == {2, 5, 8}  # video rows only; others unparsable
+    five = sorted(by_id[5])
+    assert [i for i, _ in five] == [0, 24, 48, 72, 96, 120]
+    assert five[1] == (24, 1000) and five[2] == (48, 2000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        frame_index_plan(media, every_n=0)
