@@ -1617,6 +1617,23 @@ def q47_decontaminate(spark, sf_dir):
             F.col("span_tokens").cast("long"),
         )
     )
+    # r8 third leg: GPT-3-style strict membership decontamination with
+    # containment scoring (ngram_contamination) — containment rides the
+    # jaccard column, eval_size in start_a, n_shared in span_tokens
+    contain = dd.ngram_contamination(
+        train, heldout, n=5, with_containment=True
+    )
+    out = out.unionByName(
+        contain.select(
+            F.lit("contain").alias("leg"),
+            F.col("train_id").alias("left_id"),
+            F.col("eval_id").alias("right_id"),
+            F.col("containment").alias("jaccard"),
+            F.col("eval_size").cast("long").alias("start_a"),
+            F.lit(None).cast("long").alias("start_b"),
+            F.col("n_shared").cast("long").alias("span_tokens"),
+        )
+    )
     out._fp_caches = list(getattr(doc_leg, "_fp_caches", [])) + list(
         getattr(spans, "_fp_caches", [])
     )
@@ -1668,6 +1685,13 @@ spans AS (
          COUNT(*) + 7 AS span_tokens
   FROM runs GROUP BY id_a, id_b, diag, isl
   HAVING COUNT(*) + 7 >= 12
+),
+cg5 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t[n] || ' ' || t[n+1] || ' ' || t[n+2] || ' '
+            || t[n+3] || ' ' || t[n+4]), 1, 15))::BIGINT AS g
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS rc(n)
+  WHERE len(t) >= 5
 )
 SELECT 'doc' AS leg, left_id, right_id,
        -- raw IEEE quotient of exact ints (no ROUND — see q25's oracle)
@@ -1682,6 +1706,24 @@ UNION ALL
 SELECT 'span' AS leg, id_a AS left_id, id_b AS right_id,
        CAST(NULL AS DOUBLE) AS jaccard, start_a, start_b, span_tokens
 FROM spans
+UNION ALL
+SELECT 'contain' AS leg, s.train_id AS left_id, s.eval_id AS right_id,
+       CAST(s.n_shared AS DOUBLE) / es.esize AS jaccard,
+       CAST(es.esize AS BIGINT) AS start_a,
+       CAST(NULL AS BIGINT) AS start_b,
+       CAST(s.n_shared AS BIGINT) AS span_tokens
+FROM (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_shared
+  FROM (SELECT DISTINCT doc_id, g FROM cg5) a
+  JOIN (SELECT DISTINCT doc_id, g FROM cg5) b ON a.g = b.g
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+) s
+JOIN (
+  SELECT doc_id, COUNT(*) AS esize
+  FROM (SELECT DISTINCT doc_id, g FROM cg5)
+  WHERE doc_id % 2 = 1 GROUP BY 1
+) es ON es.doc_id = s.eval_id
 """
 
 

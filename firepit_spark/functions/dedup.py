@@ -464,6 +464,7 @@ def ngram_contamination(
     n: int = 13,
     max_ngram_freq: int | None = None,
     bloom_fpp: Optional[float] = None,
+    with_containment: bool = False,
 ) -> DataFrame:
     """Strict eval-set decontamination (the GPT-3/PaLM standard): flag
     every training document that shares at least one word ``n``-gram
@@ -475,6 +476,15 @@ def ngram_contamination(
     pair with the count of distinct shared n-grams. Drop duplicates of
     ``train_id`` downstream to get the removal list. Documents shorter
     than ``n`` words have no n-grams and are never flagged.
+
+    ``with_containment=True`` adds ``eval_size`` (the eval doc's distinct
+    n-gram count) and ``containment = n_shared / eval_size`` — the
+    asymmetric coverage fraction decontamination decisions actually key
+    on ("how much of the EVAL doc appears in training"), which Jaccard
+    dilutes when the train doc is much longer. The denominator is the
+    full pre-cutoff eval size, so a ``max_ngram_freq`` cutoff can only
+    lower the fraction, never inflate it; the quotient is the raw IEEE
+    division of two exact ints (engine-portable, never pre-rounded).
 
     Scale shape: identical to :func:`cross_ngram_jaccard` — per-corpus
     inverted indexes joined on 60-bit n-gram hashes (8-byte shuffle
@@ -500,11 +510,11 @@ def ngram_contamination(
         .select(F.col(id_col).alias("train_id"), F.explode("__shingles").alias("__s"))
         .select("train_id", shingle_hash(F.col("__s")).alias("shingle"))
     )
-    esh = (
-        _shingle_arrays(eval_df, text_col, id_col, n)
-        .select(F.col(id_col).alias("eval_id"), F.explode("__shingles").alias("__s"))
-        .select("eval_id", shingle_hash(F.col("__s")).alias("shingle"))
-    )
+    esh = _shingle_arrays(eval_df, text_col, id_col, n).select(
+        F.col(id_col).alias("eval_id"),
+        F.size("__shingles").alias("__esize"),
+        F.explode("__shingles").alias("__s"),
+    ).select("eval_id", "__esize", shingle_hash(F.col("__s")).alias("shingle"))
     if bloom_fpp is not None:
         from .bloom import bloom_build, bloom_params, bloom_prescreen
 
@@ -532,11 +542,27 @@ def ngram_contamination(
         )
         tsh = tsh.join(hot, "shingle", "left_anti")
         esh = esh.join(hot, "shingle", "left_anti")
-    result = (
-        tsh.join(esh, "shingle")
-        .groupBy("train_id", "eval_id")
-        .agg(F.count_distinct("shingle").alias("n_shared"))
-    )
+    if with_containment:
+        # __esize rides the exploded rows (pre-cutoff denominator), so no
+        # extra size join against the eval corpus is needed
+        result = (
+            tsh.join(esh, "shingle")
+            .groupBy("train_id", "eval_id", "__esize")
+            .agg(F.count_distinct("shingle").alias("n_shared"))
+            .select(
+                "train_id",
+                "eval_id",
+                "n_shared",
+                F.col("__esize").cast("long").alias("eval_size"),
+                (F.col("n_shared") / F.col("__esize")).alias("containment"),
+            )
+        )
+    else:
+        result = (
+            tsh.join(esh, "shingle")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count_distinct("shingle").alias("n_shared"))
+        )
     if caches:
         result._fp_caches = caches
     return result

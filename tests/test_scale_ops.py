@@ -1299,6 +1299,22 @@ def test_ngram_contamination(spark):
         for r in dd.ngram_contamination(train, ev, n=5, bloom_fpp=0.01).collect()
     }
     assert bloomed == got
+    # containment: eval doc has 11 tokens -> 7 distinct 5-grams; train 0
+    # shares the 9-token "the quick...dog" run -> 5 of them; train 3
+    # lacks the leading "the" -> only the 4 grams of the 8-token
+    # "quick...dog" run
+    cont = {
+        (r["train_id"], r["eval_id"]): r
+        for r in dd.ngram_contamination(
+            train, ev, n=5, with_containment=True
+        ).collect()
+    }
+    assert set(cont) == {(0, 100), (3, 100)}
+    r0 = cont[(0, 100)]
+    assert r0["eval_size"] == 7
+    assert r0["n_shared"] == 5 and r0["containment"] == 5 / 7
+    r3 = cont[(3, 100)]
+    assert r3["n_shared"] == 4 and r3["containment"] == 4 / 7
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dd.ngram_contamination(train, ev, n=0)
