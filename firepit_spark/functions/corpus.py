@@ -588,3 +588,53 @@ def document_signals(
     )
     out._fp_caches = [base]
     return out
+
+
+def vocab_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10000,
+) -> DataFrame:
+    """Corpus vocabulary head with a coverage curve: the ``top_k`` most
+    frequent tokens with occurrence count, document frequency, rank, and
+    the cumulative share of ALL token occurrences covered through that
+    rank — the standard tokenizer-budget diagnostic ("how many vocab
+    entries cover 99% of the corpus").
+
+    Ordering is (count desc, term asc): integer keys only, so rank and
+    the coverage quotient (exact cumulative int / exact total int) are
+    deterministic and engine-portable.
+
+    Scale shape: one explode + one (term) groupBy gets the full vocab
+    (partial aggregation folds per-partition term counts map-side); the
+    window runs over the top_k HEAD only (rows_between unbounded window
+    on a frame already truncated to k rows), never the full vocabulary,
+    and the corpus-total denominator is one broadcast scalar.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    terms = df.select(
+        F.col(id_col), F.explode(tx.tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count_distinct(id_col).alias("doc_freq"),
+    )
+    total = terms.agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    head = (
+        vocab.orderBy(F.desc("count"), F.asc("term"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "__cum", F.sum("count").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return head.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "term",
+        "count",
+        "doc_freq",
+        (F.col("__cum") / F.col("__total")).alias("coverage"),
+    )

@@ -668,3 +668,31 @@ def test_char_repetition_stats_random_vs_python(spark):
         else:
             assert r["dup5_chars"] == want["dup5"], (i, text)
         assert r["n_chars"] == len(text)
+
+
+def test_vocab_report_golden(spark):
+    """Counts, deterministic tie order, and the exact coverage curve."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a b b c"),
+            (2, "a b d"),
+            (3, "c a"),
+        ],
+    )
+    rows = cp.vocab_report(docs, top_k=3).orderBy("rank").collect()
+    # counts: a=5, b=3, c=2, d=1 -> total 11; top 3 = a, b, c
+    assert [(r["rank"], r["term"], r["count"], r["doc_freq"]) for r in rows] == [
+        (1, "a", 5, 3),
+        (2, "b", 3, 2),
+        (3, "c", 2, 2),
+    ]
+    assert [r["coverage"] for r in rows] == [5 / 11, 8 / 11, 10 / 11]
+    # count ties break by term asc: c and e both 2 -> c first
+    tied = _docs(spark, [(1, "e c e c x")])
+    got = [r["term"] for r in cp.vocab_report(tied, top_k=2).orderBy("rank").collect()]
+    assert got == ["c", "e"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cp.vocab_report(docs, top_k=0)
