@@ -1831,11 +1831,32 @@ def q50_doc_term_stats(spark, sf_dir):
     ranked (tf desc, df asc, term asc) — tf-idf ordering with integer-only
     keys, so the oracle hash is exact with no transcendental arithmetic.
     The vocabulary join is a plain hash join (never a broadcast of an
-    unbounded vocab); AQE absorbs the Zipf head."""
+    unbounded vocab); AQE absorbs the Zipf head.
+
+    Since r8 each row also carries the CCNet-style n-gram LM novelty
+    columns (lm.ngram_lm_fit/score — model trained on the even-doc_id
+    half, scored over everything, so the odd half genuinely exercises
+    unseen-gram smoothing paths): transition count, unseen-bigram /
+    unseen-history counts, and the unseen rate. Deliberately the
+    INTEGER outputs plus one exact single division — the float
+    bits-per-token path uses log2, which is not ulp-identical across
+    engines (libm vs JVM Math.log), so it is pytest-gated
+    (tests/test_lm.py differential) rather than oracle-hashed."""
     from firepit_spark.functions import corpus as cp
+    from firepit_spark.functions import lm as L
 
     r = _resolver(spark, sf_dir)
-    return cp.doc_term_stats(r("documents"), top_k=3)
+    docs = r("documents")
+    base = cp.doc_term_stats(docs, top_k=3)
+    model = L.ngram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0))
+    sc = L.ngram_lm_score(docs, model, with_oov=False).select(
+        "doc_id",
+        F.col("n_trans").alias("lm_n_trans"),
+        F.col("unseen_bigrams").alias("lm_unseen_bigrams"),
+        F.col("unseen_hist").alias("lm_unseen_hist"),
+        F.col("unseen_rate").alias("lm_unseen_rate"),
+    )
+    return base.join(sc, "doc_id")
 
 
 _Q50_SQL = f"""
@@ -1850,8 +1871,39 @@ ranked AS (
            PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC
          ) AS INT) AS rank
   FROM tf JOIN dfq USING (term)
+),
+lmtr AS (
+  SELECT doc_id, t[n] AS w1, t[n+1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS r(n)
+),
+lmuni AS (
+  SELECT u.term AS w, COUNT(*) AS c1
+  FROM toks, UNNEST(t) AS u(term) WHERE doc_id % 2 = 0 GROUP BY 1
+),
+lmbig AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM lmtr WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+lmsc AS (
+  SELECT tr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS lm_n_trans,
+         CAST(COALESCE(SUM(CASE WHEN b.c12 IS NULL THEN 1 END), 0) AS BIGINT)
+           AS lm_unseen_bigrams,
+         CAST(COALESCE(SUM(CASE WHEN u.c1 IS NULL THEN 1 END), 0) AS BIGINT)
+           AS lm_unseen_hist
+  FROM lmtr tr
+  LEFT JOIN lmbig b ON b.w1 = tr.w1 AND b.w2 = tr.w2
+  LEFT JOIN lmuni u ON u.w = tr.w1
+  GROUP BY 1
 )
-SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+SELECT r.doc_id, r.term, r.tf, r.df, r.rank,
+       CAST(COALESCE(s.lm_n_trans, 0) AS BIGINT) AS lm_n_trans,
+       CAST(COALESCE(s.lm_unseen_bigrams, 0) AS BIGINT) AS lm_unseen_bigrams,
+       CAST(COALESCE(s.lm_unseen_hist, 0) AS BIGINT) AS lm_unseen_hist,
+       CASE WHEN s.lm_n_trans > 0
+            THEN CAST(s.lm_unseen_bigrams AS DOUBLE) / s.lm_n_trans
+       END AS lm_unseen_rate
+FROM ranked r LEFT JOIN lmsc s USING (doc_id)
+WHERE r.rank <= 3
 """
 
 

@@ -1,0 +1,445 @@
+"""Corpus-trained n-gram language models and importance weighting.
+
+The two published-pipeline tools this module provides:
+
+* **CCNet/KenLM-style perplexity scoring** (Wenzek et al. 2020): fit an
+  add-k-smoothed bigram model on a reference corpus, score every candidate
+  document with bits-per-token — low-perplexity text resembles the
+  reference (quality gate), high-perplexity text is noise.
+* **DSIR importance weighting** (Xie et al. 2023): hashed-n-gram bucket
+  distributions for a target and a raw corpus; each raw document's log
+  importance weight is the sum of its bucket counts times the
+  log-likelihood ratio; Gumbel-top-k resampling then selects a raw subset
+  distributed like the target.
+
+The reference engine (firepit) has no LM surface — this family belongs to
+the LLM-training-data layer the Spark rebuild adds (see dedup.py,
+corpus.py for siblings).
+
+Scale shape (100 TB): the model is never a driver-side object — unigram
+and bigram tables stay DataFrames and scoring is equi-joins on token
+keys. Zipf-hot tokens are harmless here: the model side has exactly one
+row per key, so the join fans out 1:1 with the fact side (no row
+explosion, no skew amplification). Per-document reduction groups by
+doc id, so no reduce key exceeds one document's length. The only
+driver-side values are four scalars (vocab size, token total, corpus
+sizes) from 1-row aggregates.
+
+Float determinism: every cross-row sum that feeds a float is first
+reduced to exact integer multiplicities, collected to a sorted array,
+and folded left-to-right with ``F.aggregate`` — so a score is
+bit-reproducible run-to-run regardless of partitioning. (Cross-engine
+log parity is still not guaranteed — libm vs JVM ``Math.log`` may differ
+in the last ulp — which is why driver-gated oracle columns stick to the
+integer outputs and exact single divisions.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.functions import text as tx
+
+
+@dataclass
+class NgramLM:
+    """A fitted add-k bigram model; tables stay distributed."""
+
+    unigrams: DataFrame  # (w, c1): token -> occurrences in train corpus
+    bigrams: DataFrame  # (w1, w2, c12): adjacent-pair counts
+    vocab_size: int  # V: distinct train tokens
+    total_tokens: int  # N: train token occurrences
+    k: float  # add-k smoothing constant
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __t): whitespace tokens of the normalized text (tx.tokens —
+    the engine-wide tokenizer, identical to the oracle's string_split)."""
+    return df.select(F.col(id_col), tx.tokens(F.col(text_col)).alias("__t"))
+
+
+def _transitions(toks: DataFrame, id_col: str) -> DataFrame:
+    """Explode each doc's adjacent token pairs; computed array-side
+    (slice+zip), so no shuffle before the model joins."""
+    pairs = F.arrays_zip(
+        F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("w1"),
+        F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("w2"),
+    )
+    return (
+        toks.filter(F.size("__t") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+
+
+def ngram_lm_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> NgramLM:
+    """Fit the add-k bigram model on ``df``'s text.
+
+    Two explode→groupBy aggregations (map-side combine does the heavy
+    counting; the shuffle carries (token, partial-count), not text), and
+    one 1-row aggregate for the V/N scalars. The count tables are left
+    unpersisted — callers that score repeatedly should
+    ``lm.unigrams.persist()`` / ``lm.bigrams.persist()``.
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    toks = _doc_tokens(df, id_col, text_col)
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        _transitions(toks, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    v, n = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c1").alias("n")
+    ).first()
+    return NgramLM(
+        unigrams=uni,
+        bigrams=big,
+        vocab_size=int(v or 0),
+        total_tokens=int(n or 0),
+        k=float(k),
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    lm: NgramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_oov: bool = True,
+) -> DataFrame:
+    """Per-document score frame against a fitted model.
+
+    Columns (one row per input doc):
+
+    * ``n_tokens``, ``n_trans`` — token / adjacent-pair counts (ints).
+    * ``unseen_bigrams`` — transitions whose pair the model never saw.
+    * ``unseen_hist`` — transitions whose *history* token is OOV.
+    * ``unseen_rate`` — unseen_bigrams / n_trans (exact single division).
+    * ``bits_per_token`` — add-k bigram cross-entropy in bits over the
+      doc's transitions: mean of -log2((c12+k)/(c1+k·V)). NULL when
+      n_trans = 0.
+    * ``ppl`` — 2^bits_per_token.
+    * ``unigram_bits_per_token`` (``with_oov``) — unigram cross-entropy
+      -log2((c+k)/(N+k·V)) averaged over ALL tokens — defined even for
+      1-token docs.
+    * ``oov_tokens``, ``oov_rate`` (``with_oov``) — tokens outside the
+      train vocabulary.
+
+    ``with_oov=False`` skips the second (token-level) explode+join leg —
+    at full scale that halves the scan/shuffle work if only the bigram
+    score is needed.
+    """
+    kV = lm.k * lm.vocab_size
+    toks = _doc_tokens(df, id_col, text_col)
+    base = toks.select(id_col, F.size("__t").alias("n_tokens"))
+
+    tr = (
+        _transitions(toks, id_col)
+        # plain equi-joins; AQE broadcasts a small model at runtime and a
+        # 100 TB-scale model shuffle-joins — both are the right plan
+        .join(lm.bigrams, ["w1", "w2"], "left")
+        .join(lm.unigrams.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .select(
+            id_col,
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    # integer-exact cells first, then a sorted deterministic fold
+    cells = (
+        tr.groupBy(id_col, "c12", "c1")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_trans"),
+            F.sum(F.when(F.col("c12") == 0, F.col("m")).otherwise(0)).alias(
+                "unseen_bigrams"
+            ),
+            F.sum(F.when(F.col("c1") == 0, F.col("m")).otherwise(0)).alias(
+                "unseen_hist"
+            ),
+            F.array_sort(F.collect_list(F.struct("c12", "c1", "m"))).alias(
+                "__cells"
+            ),
+        )
+    )
+    bits_sum = F.aggregate(
+        "__cells",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["m"].cast("double")
+        * -F.log2((s["c12"] + F.lit(lm.k)) / (s["c1"] + F.lit(kV))),
+    )
+    scored = cells.withColumn(
+        "bits_per_token", bits_sum / F.col("n_trans")
+    ).withColumn("ppl", F.pow(F.lit(2.0), F.col("bits_per_token"))).drop(
+        "__cells"
+    )
+
+    out = base.join(scored, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_trans", F.lit(0)).alias("n_trans"),
+        F.coalesce("unseen_bigrams", F.lit(0)).alias("unseen_bigrams"),
+        F.coalesce("unseen_hist", F.lit(0)).alias("unseen_hist"),
+        F.when(
+            F.coalesce("n_trans", F.lit(0)) > 0,
+            F.col("unseen_bigrams").cast("double") / F.col("n_trans"),
+        ).alias("unseen_rate"),
+        "bits_per_token",
+        "ppl",
+    )
+
+    if not with_oov:
+        return out
+
+    tok = (
+        toks.select(id_col, F.explode("__t").alias("w"))
+        .join(lm.unigrams, ["w"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("c1").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+            F.array_sort(
+                F.collect_list(F.struct(F.coalesce("c1", F.lit(0)).alias("c")))
+            ).alias("__cs"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+    )
+    ubits = (
+        F.aggregate(
+            "__cs",
+            F.lit(0.0),
+            lambda acc, s: acc
+            + -F.log2((s["c"] + F.lit(lm.k)) / F.lit(lm.total_tokens + kV)),
+        )
+        / F.col("__nt")
+    )
+    tok = tok.select(
+        id_col,
+        "oov_tokens",
+        (F.col("oov_tokens").cast("double") / F.col("__nt")).alias("oov_rate"),
+        ubits.alias("unigram_bits_per_token"),
+    )
+    return out.join(tok, id_col, "left")
+
+
+def perplexity_filter(
+    df: DataFrame,
+    lm: NgramLM,
+    max_bits: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_unscored: bool = False,
+) -> DataFrame:
+    """Keep documents whose bigram bits-per-token is <= ``max_bits``
+    (CCNet's head/middle cut). Docs with no transitions (<2 tokens) have
+    no score; ``keep_unscored`` decides their fate (default: drop —
+    sub-2-token docs are not training text)."""
+    scores = ngram_lm_score(df, lm, id_col, text_col, with_oov=False).select(
+        id_col, "bits_per_token"
+    )
+    joined = df.join(scores, id_col, "left")
+    cond = F.col("bits_per_token") <= F.lit(float(max_bits))
+    if keep_unscored:
+        cond = cond | F.col("bits_per_token").isNull()
+    return joined.filter(cond).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    col, n_buckets: int = 8192, ns: tuple = (1, 2)
+):
+    """Array of hashed n-gram feature buckets for one text value: the
+    doc's word unigrams/bigrams, each mapped to ``pmod(xxhash64(gram),
+    n_buckets)``. Pure array expressions — map-only, no shuffle."""
+    t = tx.tokens(col)
+    grams = []
+    for n in ns:
+        if n == 1:
+            grams.append(t)
+        else:
+            sliced = [F.slice(t, i + 1, F.size(t) - (n - 1)) for i in range(n)]
+            z = F.arrays_zip(*[s.alias(f"g{i}") for i, s in enumerate(sliced)])
+            grams.append(
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        z,
+                        lambda s: F.concat_ws(
+                            " ", *[s[f"g{i}"] for i in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+    allg = grams[0] if len(grams) == 1 else F.concat(*grams)
+    return F.transform(allg, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, ns: tuple
+) -> DataFrame:
+    return (
+        df.select(
+            F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets, ns)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_fit(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    ns: tuple = (1, 2),
+    k: float = 1.0,
+) -> DataFrame:
+    """Fit the two hashed-n-gram multinomials and return the per-bucket
+    log-likelihood ratio table ``(bucket, log_ratio)`` — ``n_buckets``
+    rows, broadcastable by construction.
+
+    ``log_ratio = ln((c_target+k)/(N_target+k·B)) − ln((c_raw+k)/(N_raw+k·B))``
+    with add-k smoothing so buckets unseen in either corpus stay finite.
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be > 0, got {k}")
+    tc = _bucket_counts(target_df, text_col, n_buckets, ns)
+    rc = _bucket_counts(raw_df, text_col, n_buckets, ns)
+    nt = tc.agg(F.sum("c")).first()[0] or 0
+    nr = rc.agg(F.sum("c")).first()[0] or 0
+    kb = k * n_buckets
+    spark = target_df.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return (
+        buckets.join(tc.withColumnRenamed("c", "ct"), ["bucket"], "left")
+        .join(rc.withColumnRenamed("c", "cr"), ["bucket"], "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + F.lit(k)) / F.lit(nt + kb))
+                - F.log((F.coalesce("cr", F.lit(0)) + F.lit(k)) / F.lit(nr + kb))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    ns: tuple = (1, 2),
+) -> DataFrame:
+    """Per-document log importance weight: Σ_bucket m(doc,bucket) ·
+    log_ratio(bucket). The ratio table is broadcast (≤ n_buckets rows);
+    the per-doc sum uses the same exact-multiplicity sorted fold as the
+    LM scores, so weights are bit-reproducible."""
+    m = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets, ns)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .join(F.broadcast(ratios), ["bucket"])
+    )
+    folded = (
+        m.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "m", "log_ratio"))
+            ).alias("__bs")
+        )
+        .select(
+            id_col,
+            F.aggregate(
+                "__bs",
+                F.lit(0.0),
+                lambda acc, s: acc + s["m"].cast("double") * s["log_ratio"],
+            ).alias("log_weight"),
+        )
+    )
+    # docs with zero grams (empty text still yields [''] → 1 bucket, so
+    # only truly columnless inputs miss) — keep them at weight 0
+    return df.select(id_col).join(folded, id_col, "left").select(
+        id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    key_col: str,
+    log_weight_col: str,
+    n: int,
+    salt: str = "",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k: a weighted sample WITHOUT replacement proportional to
+    ``exp(log_weight / temperature)``, never exponentiating — the A-ES
+    companion (pipeline.weighted_sample) for weights only available in
+    log space (DSIR weights routinely reach e^±300). Deterministic and
+    content-addressed like the rest of the sampling family: the Gumbel
+    noise is ``-ln(-ln(u))`` with u drawn from the shared 60-bit key
+    hash. Executes as a distributed TakeOrdered (no full sort)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    from firepit_spark.functions.pipeline import key_hash
+
+    u = (key_hash(F.col(key_col), salt) + F.lit(1)).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    g = -F.log(-F.log(u))
+    key = F.col(log_weight_col).cast("double") / F.lit(float(temperature)) + g
+    return (
+        df.filter(F.col(log_weight_col).isNotNull())
+        .withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc(), F.col(key_col))
+        .limit(n)
+        .drop("__gk")
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    ratios: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    ns: tuple = (1, 2),
+    salt: str = "",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The full DSIR selection step: score ``df`` against a fitted ratio
+    table, then Gumbel-top-k resample ``n`` documents ∝ exp(log_weight).
+    Returns the selected rows of ``df`` (all original columns)."""
+    w = dsir_score(df, ratios, id_col, text_col, n_buckets, ns)
+    picked = gumbel_topk(w, id_col, "log_weight", n, salt, temperature)
+    return df.join(picked.select(id_col), id_col, "left_semi")

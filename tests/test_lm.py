@@ -1,0 +1,295 @@
+"""n-gram LM scoring (CCNet-style) and DSIR importance weighting.
+
+Differential strategy: a seeded synthetic corpus is scored by a pure-Python
+reference implementation of the same math (Counter-based counts, float
+sums); integer columns must match EXACTLY, float scores within 1e-9
+relative (the Spark side folds in sorted order, the Python side in its own
+order — last-ulp drift is legitimate; anything more is a bug).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import lm as L
+
+
+def _toks(text):
+    return " ".join(text.split()).lower().split(" ")
+
+
+def _corpus(n=48, seed=20240815):
+    rng = random.Random(seed)
+    vocab = ["the", "cat", "dog", "sat", "ran", "on", "mat", "log", "big"]
+    rare = ["zq", "xv", "qj"]
+    rows = []
+    for i in range(n):
+        ln = rng.randint(0, 9)
+        words = [
+            rng.choice(rare) if rng.random() < 0.08 else rng.choice(vocab)
+            for _ in range(ln)
+        ]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+def _fit_py(rows, k=0.5):
+    uni, big = Counter(), Counter()
+    for _, text in rows:
+        t = _toks(text)
+        uni.update(t)
+        big.update(zip(t, t[1:]))
+    return uni, big, len(uni), sum(uni.values()), k
+
+
+def _score_py(rows, model):
+    uni, big, V, N, k = model
+    out = {}
+    for did, text in rows:
+        t = _toks(text)
+        trans = list(zip(t, t[1:]))
+        n_trans = len(trans)
+        unseen_b = sum(1 for p in trans if p not in big)
+        unseen_h = sum(1 for w, _ in trans if w not in uni)
+        oov = sum(1 for w in t if w not in uni)
+        bits = (
+            sum(
+                -math.log2((big.get(p, 0) + k) / (uni.get(p[0], 0) + k * V))
+                for p in trans
+            )
+            / n_trans
+            if n_trans
+            else None
+        )
+        ubits = sum(
+            -math.log2((uni.get(w, 0) + k) / (N + k * V)) for w in t
+        ) / len(t)
+        out[did] = dict(
+            n_tokens=len(t),
+            n_trans=n_trans,
+            unseen_bigrams=unseen_b,
+            unseen_hist=unseen_h,
+            oov_tokens=oov,
+            bits=bits,
+            ubits=ubits,
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train_rows = [r for r in rows if r[0] % 2 == 0]
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    return rows, df, train_rows, train
+
+
+def test_fit_counts_exact(spark, corpus):
+    rows, df, train_rows, train = corpus
+    lm = L.ngram_lm_fit(train)
+    uni, big, V, N, k = _fit_py(train_rows)
+    assert lm.vocab_size == V and lm.total_tokens == N
+    got_uni = {r["w"]: r["c1"] for r in lm.unigrams.collect()}
+    assert got_uni == dict(uni)
+    got_big = {(r["w1"], r["w2"]): r["c12"] for r in lm.bigrams.collect()}
+    assert got_big == dict(big)
+
+
+def test_score_differential(spark, corpus):
+    rows, df, train_rows, train = corpus
+    lm = L.ngram_lm_fit(train)
+    exp = _score_py(rows, _fit_py(train_rows))
+    got = {r["doc_id"]: r.asDict() for r in L.ngram_lm_score(df, lm).collect()}
+    assert set(got) == set(exp)
+    for did, e in exp.items():
+        g = got[did]
+        for c in ("n_tokens", "n_trans", "unseen_bigrams", "unseen_hist", "oov_tokens"):
+            assert g[c] == e[c], (did, c, g[c], e[c])
+        if e["bits"] is None:
+            assert g["bits_per_token"] is None and g["ppl"] is None
+            assert g["unseen_rate"] is None
+        else:
+            assert g["bits_per_token"] == pytest.approx(e["bits"], rel=1e-9)
+            assert g["ppl"] == pytest.approx(2 ** e["bits"], rel=1e-9)
+            assert g["unseen_rate"] == e["unseen_bigrams"] / e["n_trans"]
+        assert g["unigram_bits_per_token"] == pytest.approx(e["ubits"], rel=1e-9)
+        assert g["oov_rate"] == e["oov_tokens"] / e["n_tokens"]
+
+
+def test_score_bit_reproducible(spark, corpus):
+    """The sorted-fold makes float scores identical run-to-run (not just
+    approximately) despite distributed summation."""
+    rows, df, train_rows, train = corpus
+    lm = L.ngram_lm_fit(train)
+    a = {
+        r["doc_id"]: (repr(r["bits_per_token"]), repr(r["unigram_bits_per_token"]))
+        for r in L.ngram_lm_score(df.repartition(7), lm).collect()
+    }
+    b = {
+        r["doc_id"]: (repr(r["bits_per_token"]), repr(r["unigram_bits_per_token"]))
+        for r in L.ngram_lm_score(df.repartition(3), lm).collect()
+    }
+    assert a == b
+
+
+def test_self_trained_no_unseen(spark, corpus):
+    rows, df, _, _ = corpus
+    lm = L.ngram_lm_fit(df)
+    got = L.ngram_lm_score(df, lm).agg(
+        F.sum("unseen_bigrams"), F.sum("unseen_hist"), F.sum("oov_tokens")
+    ).first()
+    assert tuple(got) == (0, 0, 0)
+
+
+def test_with_oov_false_skips_token_leg(spark, corpus):
+    rows, df, _, train = corpus
+    lm = L.ngram_lm_fit(train)
+    cols = L.ngram_lm_score(df, lm, with_oov=False).columns
+    assert "oov_tokens" not in cols and "unigram_bits_per_token" not in cols
+    assert "bits_per_token" in cols
+
+
+def test_perplexity_filter(spark, corpus):
+    rows, df, train_rows, train = corpus
+    lm = L.ngram_lm_fit(train)
+    exp = _score_py(rows, _fit_py(train_rows))
+    cut = sorted(e["bits"] for e in exp.values() if e["bits"] is not None)[
+        len(exp) // 2
+    ]
+    kept = {r["doc_id"] for r in L.perplexity_filter(df, lm, cut).collect()}
+    want = {d for d, e in exp.items() if e["bits"] is not None and e["bits"] <= cut}
+    assert kept == want
+    kept2 = {
+        r["doc_id"]
+        for r in L.perplexity_filter(df, lm, cut, keep_unscored=True).collect()
+    }
+    short = {d for d, e in exp.items() if e["bits"] is None}
+    assert kept2 == want | short
+    # original columns, original schema
+    assert L.perplexity_filter(df, lm, cut).columns == df.columns
+
+
+def test_fit_rejects_bad_k(spark, corpus):
+    _, df, _, _ = corpus
+    with pytest.raises(ValueError):
+        L.ngram_lm_fit(df, k=0.0)
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def _bucket_counts_via_spark(df, n_buckets):
+    """Ground-truth doc→bucket multiset via the same hash expression —
+    the hashing is deterministic-by-construction (xxhash64); what the
+    differential must independently verify is the MATH on top of it."""
+    rows = df.select(
+        "doc_id",
+        L.hashed_ngram_buckets(F.col("text"), n_buckets).alias("bs"),
+    ).collect()
+    return {r["doc_id"]: Counter(r["bs"]) for r in rows}
+
+
+def test_dsir_weights_differential(spark, corpus):
+    rows, df, train_rows, train = corpus
+    B, k = 64, 1.0
+    per_doc = _bucket_counts_via_spark(df, B)
+    tgt = Counter()
+    for d, _ in train_rows:
+        tgt.update(per_doc[d])
+    raw = Counter()
+    for d, _ in rows:
+        raw.update(per_doc[d])
+    nt, nr = sum(tgt.values()), sum(raw.values())
+
+    def logratio(b):
+        return math.log((tgt.get(b, 0) + k) / (nt + k * B)) - math.log(
+            (raw.get(b, 0) + k) / (nr + k * B)
+        )
+
+    ratios = L.dsir_fit(train, df, n_buckets=B, k=k)
+    got_r = {r["bucket"]: r["log_ratio"] for r in ratios.collect()}
+    assert len(got_r) == B
+    for b in range(B):
+        assert got_r[b] == pytest.approx(logratio(b), rel=1e-12)
+
+    got_w = {
+        r["doc_id"]: r["log_weight"]
+        for r in L.dsir_score(df, ratios, n_buckets=B).collect()
+    }
+    for d, _ in rows:
+        want = sum(m * logratio(b) for b, m in per_doc[d].items())
+        assert got_w[d] == pytest.approx(want, rel=1e-9, abs=1e-12)
+
+
+def test_dsir_grams_match_bucket_hash(spark):
+    """The hashed feature array is unigrams+bigrams of the engine
+    tokenizer, in order."""
+    df = spark.createDataFrame([(1, "A  b c")], "doc_id long, text string")
+    got = df.select(
+        L.hashed_ngram_buckets(F.col("text"), 1 << 20).alias("bs")
+    ).first()["bs"]
+    want = df.select(
+        F.transform(
+            F.array(*[F.lit(g) for g in ["a", "b", "c", "a b", "b c"]]),
+            lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 20)),
+        ).alias("bs")
+    ).first()["bs"]
+    assert got == want
+
+
+def test_gumbel_topk_extreme_log_weights(spark):
+    """Weights of e^±1000 would overflow A-ES; gumbel_topk never
+    exponentiates, so the ordering is exact: the huge-weight rows always
+    win."""
+    rows = [(f"d{i}", -1000.0 if i < 90 else 1000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string, lw double")
+    got = {r["key"] for r in L.gumbel_topk(df, "key", "lw", 10).collect()}
+    assert got == {f"d{i}" for i in range(90, 100)}
+
+
+def test_gumbel_topk_deterministic_and_salted(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", 0.0) for i in range(200)], "key string, lw double"
+    )
+    a = sorted(r["key"] for r in L.gumbel_topk(df, "key", "lw", 20, salt="s1").collect())
+    b = sorted(r["key"] for r in L.gumbel_topk(df, "key", "lw", 20, salt="s1").collect())
+    c = sorted(r["key"] for r in L.gumbel_topk(df, "key", "lw", 20, salt="s2").collect())
+    assert a == b
+    assert a != c
+
+
+def test_gumbel_topk_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a", 0.0)], "key string, lw double")
+    with pytest.raises(ValueError):
+        L.gumbel_topk(df, "key", "lw", 0)
+    with pytest.raises(ValueError):
+        L.gumbel_topk(df, "key", "lw", 1, temperature=0.0)
+
+
+def test_dsir_resample_shape_and_bias(spark, corpus):
+    rows, df, train_rows, train = corpus
+    ratios = L.dsir_fit(train, df, n_buckets=64)
+    sel = L.dsir_resample(df, ratios, 10, n_buckets=64, salt="r8")
+    assert sel.columns == df.columns
+    assert sel.count() == 10
+    ids = {r["doc_id"] for r in sel.select("doc_id").collect()}
+    assert ids <= {d for d, _ in rows}
+    # a strong-temperature resample concentrates on high-weight docs:
+    # with temperature→0 the top-n BY WEIGHT is selected exactly
+    w = L.dsir_score(df, ratios, n_buckets=64)
+    topw = {
+        r["doc_id"]
+        for r in w.orderBy(F.col("log_weight").desc(), "doc_id").limit(5).collect()
+    }
+    cold = L.dsir_resample(
+        df, ratios, 5, n_buckets=64, salt="r8", temperature=1e-9
+    )
+    assert {r["doc_id"] for r in cold.select("doc_id").collect()} == topw
