@@ -1773,11 +1773,33 @@ def q48_repetition(spark, sf_dir):
     """Gopher-style repetition signals: per-doc bigram duplicate fraction
     and top-bigram coverage — the cheap boilerplate/spam detector you run
     before spending tokens. Both aggregations key on the doc id, so no
-    shuffle key can exceed one document's n-gram count."""
+    shuffle key can exceed one document's n-gram count.
+
+    Since r8 each row also carries the OTHER half of the Gopher A1.1
+    rule set — the document-quality signals (tx.gopher_quality_stats:
+    word count/length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, required-word hits). All exact integers or
+    single exact divisions, so the full frame oracle-hashes; the quality
+    leg is map-only (no explode, no shuffle) and joins on the doc id."""
     from firepit_spark.functions import corpus as cp
+    from firepit_spark.functions import text as tx2
 
     r = _resolver(spark, sf_dir)
-    return cp.repetition_stats(r("documents"), n=2)
+    docs = r("documents")
+    rep = cp.repetition_stats(docs, n=2)
+    gq = tx2.gopher_quality_stats(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_chars",
+        "symbol_word_ratio",
+        "n_lines",
+        "bullet_lines",
+        "ellipsis_lines",
+        "alpha_words",
+        F.col("alpha_word_frac"),
+        "required_hits",
+    )
+    return rep.join(gq, "doc_id")
 
 
 _Q48_SQL = f"""
@@ -1786,14 +1808,46 @@ g AS (
   SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
   FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
 ),
-pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
-SELECT doc_id,
-       CAST(SUM(c) AS BIGINT) AS n_ngrams,
-       COUNT(*) AS n_distinct,
-       ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
-         AS dup_frac,
-       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_frac
-FROM pg GROUP BY doc_id
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         COUNT(*) AS n_distinct,
+         ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+           AS dup_frac,
+         ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_frac
+  FROM pg GROUP BY doc_id
+),
+gq AS (
+  SELECT d.doc_id,
+         string_split(d.text, chr(10)) AS lines,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(list_aggregate(list_transform(t, w -> length(w)), 'sum')
+              AS DOUBLE) / len(t) AS mean_word_chars,
+         CAST(length(d.text) - length(replace(d.text, '#', ''))
+              + (length(d.text) - length(replace(d.text, '...', ''))) // 3
+              AS DOUBLE) / len(t) AS symbol_word_ratio,
+         CAST(len(lines) AS INT) AS n_lines,
+         CAST(len(list_filter(lines, l ->
+              starts_with(trim(l), chr(8226)) OR starts_with(trim(l), '-')))
+              AS INT) AS bullet_lines,
+         CAST(len(list_filter(lines, l ->
+              ends_with(trim(l), chr(8230)) OR ends_with(trim(l), '...')))
+              AS INT) AS ellipsis_lines,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS INT)
+           AS alpha_words,
+         CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+           / len(t) AS alpha_word_frac,
+         CAST(len(list_filter(
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+              w -> list_contains(t, w))) AS INT) AS required_hits
+  FROM documents d JOIN toks tk ON tk.doc_id = d.doc_id
+)
+SELECT r.doc_id, r.n_ngrams, r.n_distinct, r.dup_frac, r.top_frac,
+       q.n_words, q.mean_word_chars, q.symbol_word_ratio, q.n_lines,
+       q.bullet_lines, q.ellipsis_lines, q.alpha_words, q.alpha_word_frac,
+       q.required_hits
+FROM rep r JOIN gq q USING (doc_id)
 """
 
 

@@ -242,6 +242,116 @@ def gopher_repetition_filter(
     return df.join(keep, id_col, "inner")
 
 
+# Gopher quality-rule "required words" (Rae et al. 2021, A1.1): a document
+# must contain at least 2 distinct entries to look like running English
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher document-level quality signals (Rae et al. 2021, appendix
+    A1.1 — the rule half that is NOT repetition; for the repetition half
+    see :func:`char_repetition_stats`). One row per document, every
+    column either an exact integer or a single exact division of
+    integers — no transcendentals, so the whole frame is oracle-hashable
+    across engines.
+
+    * ``n_words`` / ``sum_word_chars`` / ``mean_word_chars`` — engine
+      tokenizer (tx.tokens) word count, total word characters, mean.
+    * ``n_hash`` / ``n_ellipsis`` / ``symbol_word_ratio`` — '#' chars
+      plus non-overlapping '...' occurrences over words.
+    * ``n_lines`` / ``bullet_lines`` / ``ellipsis_lines`` and their
+      fractions — lines starting with a bullet ('•' or '-') / ending
+      with an ellipsis ('…' or '...'), after trim.
+    * ``alpha_words`` / ``alpha_word_frac`` — words containing at least
+      one ASCII letter.
+    * ``required_hits`` — distinct :data:`GOPHER_REQUIRED_WORDS` present.
+
+    Everything is map-only array arithmetic over one row — no explode,
+    no shuffle, whole-stage-codegen eligible; at 100 TB this runs at
+    scan speed and the downstream filter is a plain predicate.
+    """
+    t = tokens(F.col(text_col))
+    raw = F.col(text_col)
+    n_words = F.size(t)
+    sum_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length(raw) - F.length(F.regexp_replace(raw, r"#", ""))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.regexp_replace(raw, r"\.\.\.", ""))
+    ) / F.lit(3)
+    lines = F.transform(F.split(raw, r"\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("•") | l.startswith("-"))
+    )
+    ellipsis_l = F.size(
+        F.filter(lines, lambda l: l.endswith("…") | l.endswith("..."))
+    )
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+    required = F.size(
+        F.array_intersect(
+            t, F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_chars.cast("long").alias("sum_word_chars"),
+        (sum_chars.cast("double") / n_words).alias("mean_word_chars"),
+        n_hash.cast("long").alias("n_hash"),
+        n_ellipsis.cast("long").alias("n_ellipsis"),
+        ((n_hash + n_ellipsis).cast("double") / n_words).alias(
+            "symbol_word_ratio"
+        ),
+        n_lines.alias("n_lines"),
+        bullet.alias("bullet_lines"),
+        (bullet.cast("double") / n_lines).alias("bullet_line_frac"),
+        ellipsis_l.alias("ellipsis_lines"),
+        (ellipsis_l.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        alpha.alias("alpha_words"),
+        (alpha.cast("double") / n_words).alias("alpha_word_frac"),
+        required.alias("required_hits"),
+    )
+
+
+def gopher_quality_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_chars: float = 3.0,
+    max_mean_word_chars: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    min_required_hits: int = 2,
+) -> "DataFrame":
+    """Keep documents passing ALL Gopher A1.1 quality rules at the
+    paper's thresholds (each overridable). Pure predicate over
+    :func:`gopher_quality_stats` — composes with
+    :func:`gopher_repetition_filter` for the full MassiveText gate."""
+    s = gopher_quality_stats(df, text_col, id_col)
+    keep = s.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_chars") >= min_mean_word_chars)
+        & (F.col("mean_word_chars") <= max_mean_word_chars)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("required_hits") >= min_required_hits)
+    ).select(id_col)
+    return df.join(keep, id_col, "inner")
+
+
 # URL pattern: scheme + host + optional path/query; character classes and
 # bounded alternation only — identical meaning in Java regex and RE2, like
 # the PII patterns in corpus.py (portable to the SQL oracle side)

@@ -696,3 +696,99 @@ def test_vocab_report_golden(spark):
 
     with _pytest.raises(ValueError):
         cp.vocab_report(docs, top_k=0)
+
+
+def _gq_py(text):
+    """Pure-Python reference of gopher_quality_stats on one doc."""
+    import re
+
+    toks = " ".join(text.split()).lower().split(" ")
+    n_words = len(toks)
+    sum_chars = sum(len(w) for w in toks)
+    n_hash = text.count("#")
+    n_ellipsis = (len(text) - len(text.replace("...", ""))) // 3
+    lines = [l.strip() for l in text.split("\n")]
+    bullet = sum(1 for l in lines if l.startswith("•") or l.startswith("-"))
+    ell = sum(1 for l in lines if l.endswith("…") or l.endswith("..."))
+    alpha = sum(1 for w in toks if re.search("[a-z]", w))
+    req = len(
+        set(toks)
+        & {"the", "be", "to", "of", "and", "that", "have", "with"}
+    )
+    return dict(
+        n_words=n_words,
+        sum_word_chars=sum_chars,
+        mean_word_chars=sum_chars / n_words,
+        n_hash=n_hash,
+        n_ellipsis=n_ellipsis,
+        symbol_word_ratio=(n_hash + n_ellipsis) / n_words,
+        n_lines=len(lines),
+        bullet_lines=bullet,
+        bullet_line_frac=bullet / len(lines),
+        ellipsis_lines=ell,
+        ellipsis_line_frac=ell / len(lines),
+        alpha_words=alpha,
+        alpha_word_frac=alpha / n_words,
+        required_hits=req,
+    )
+
+
+def test_gopher_quality_stats_differential(spark):
+    from firepit_spark.functions import text as tx
+
+    texts = [
+        "The cat and the dog have been to the house of that man with care",
+        "# code ## sample ### with hashes and more... trailing...",
+        "• bullet one\n- bullet two\nplain line\n- bullet three",
+        "ends with dots...\nnormal line\nalso ends…",
+        "12345 67890 $$$ %%% @@@",
+        "",
+        "word",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in tx.gopher_quality_stats(docs).collect()}
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        exp = _gq_py(t)
+        for k, v in exp.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_gopher_quality_filter_rules(spark):
+    from firepit_spark.functions import text as tx
+
+    good = (
+        "The cat and the dog have been seen near the house of that man "
+        "with great care every single day while many other animals went "
+        "past the old wooden gate and into the wide green field beyond "
+        "the tall hedge that marks the edge of the old farm property line"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short to pass the fifty word minimum"),
+            (3, good + " ####################" * 3),  # symbol ratio
+            (4, "\n".join(
+                "- " + w for i, w in enumerate(good.split(" ") * 2)
+            )),
+            (5, good.replace(" the ", " 123 ")),  # still passes alpha
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in tx.gopher_quality_filter(docs).collect()}
+    assert 1 in kept and 2 not in kept and 3 not in kept and 4 not in kept
+    # doc 5 has fewer 'the' but other required words remain
+    assert 5 in kept
+    # thresholds overridable: raise the floor past every doc
+    none = tx.gopher_quality_filter(docs, min_words=10_000).count()
+    assert none == 0
+
+
+def test_gopher_quality_stats_is_map_only(spark):
+    from firepit_spark.functions import text as tx
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = tx.gopher_quality_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
