@@ -1377,10 +1377,55 @@ GROUP BY doc_id, w, h
 def q41_context_pack(spark, sf_dir):
     """Context-window packing: greedy document -> ~2048-token pack
     assignment via a per-language window prefix-sum (no iterative driver
-    logic; the sort is per partition key, never global)."""
+    logic; the sort is per partition key, never global).
+
+    Since r8 each row also audits the MATERIALIZED packer
+    (pl.pack_token_sequences — fixed 512-wide token-id sequences, hash
+    vocab 32768, EOS=1/PAD=0): per-language sequence count, pad total,
+    and two position-weighted integer checksums — Σ(seq_id+1)·Σids and
+    Σ(seq_id+1)·Σ(pos+1)·id — computed array-side over the packed rows
+    (zip_with + fold, no extra explode). The oracle derives the same
+    sums directly from each token's global offset (seq = p div 512,
+    pos = p mod 512), so a hash match proves every token of every
+    document landed in exactly the right cell of the packed layout.
+    All-integer arithmetic; sums stay under 2^57."""
     r = _resolver(spark, sf_dir)
-    packed = pl.pack_documents(r("documents"), budget=2048, part_col="lang")
-    return pl.pack_stats(packed, part_col="lang")
+    docs = r("documents")
+    packed = pl.pack_documents(docs, budget=2048, part_col="lang")
+    stats = pl.pack_stats(packed, part_col="lang")
+
+    L = 512
+    seqs = pl.pack_token_sequences(
+        docs, L, vocab_size=32768, part_col="lang"
+    )
+    zero = F.lit(0).cast("long")
+    ids_sum = F.aggregate("ids", zero, lambda a, x: a + x)
+    pos_sum = F.aggregate(
+        F.zip_with(
+            F.col("ids"),
+            F.sequence(F.lit(1).cast("long"), F.lit(L).cast("long")),
+            lambda x, i: x * i,
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
+    audit = (
+        seqs.select(
+            "lang",
+            "seq_id",
+            "n_real",
+            ids_sum.alias("__s"),
+            pos_sum.alias("__ps"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("seq_n_seqs"),
+            F.sum(F.lit(L) - F.col("n_real")).alias("seq_pad_tokens"),
+            F.sum((F.col("seq_id") + 1) * F.col("__s")).alias("seq_member_chk"),
+            F.sum((F.col("seq_id") + 1) * F.col("__ps")).alias("seq_order_chk"),
+        )
+    )
+    return stats.join(audit, "lang")
 
 
 _Q41_SQL = f"""
@@ -1395,12 +1440,42 @@ c AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum
   FROM tc
+),
+pid AS (
+  SELECT d.doc_id, d.lang,
+         list_append(list_transform(t.t, tok ->
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32766 + 2), 1) AS ids
+  FROM documents d JOIN toks t USING (doc_id)
+),
+pst AS (
+  SELECT lang, ids, len(ids) AS n,
+         COALESCE(SUM(len(ids)) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM pid
+),
+ptok AS (
+  SELECT lang, start + i - 1 AS p, ids[i] AS id
+  FROM pst, UNNEST(generate_series(1, n)) AS g(i)
+),
+paud AS (
+  SELECT lang,
+         CAST((COUNT(*) + 511) // 512 AS BIGINT) AS seq_n_seqs,
+         CAST(((COUNT(*) + 511) // 512) * 512 - COUNT(*) AS BIGINT)
+           AS seq_pad_tokens,
+         CAST(SUM((p // 512 + 1) * id) AS BIGINT) AS seq_member_chk,
+         CAST(SUM((p // 512 + 1) * ((p % 512) + 1) * id) AS BIGINT)
+           AS seq_order_chk
+  FROM ptok GROUP BY lang
 )
-SELECT lang,
-       CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM c GROUP BY 1, 2
+SELECT s.lang, s.pack_id, s.n_docs, s.total_tokens,
+       a.seq_n_seqs, a.seq_pad_tokens, a.seq_member_chk, a.seq_order_chk
+FROM (
+  SELECT lang,
+         CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM c GROUP BY 1, 2
+) s JOIN paud a USING (lang)
 """
 
 

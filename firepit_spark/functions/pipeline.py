@@ -264,6 +264,157 @@ def pack_stats(packed: DataFrame, part_col: str | None = None) -> DataFrame:
     )
 
 
+def hash_token_ids(
+    col: Column, vocab_size: int, reserved: int = 2, salt: str = ""
+) -> Column:
+    """Array of stable token ids for a text value: feature-hashing
+    tokenizer over the engine tokenizer's words, ids in
+    ``[reserved, vocab_size)`` (low ids are left free for specials —
+    PAD=0, EOS=1 by convention). Content-addressed via the same 60-bit
+    md5 as :func:`key_hash`, so ids are reproducible across runs,
+    engines, and partitionings. A real subword vocabulary drops in by
+    replacing this expression with a lookup join or a Pandas-UDF encode
+    (inference.py's batched pattern); everything downstream
+    (:func:`pack_token_sequences`) only sees ``array<bigint>``."""
+    if vocab_size <= reserved:
+        raise ValueError(
+            f"vocab_size must exceed reserved ids: {vocab_size} <= {reserved}"
+        )
+    from firepit_spark.functions.text import tokens
+
+    return F.transform(
+        tokens(col),
+        lambda t: F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 15), 16, 10
+            ).cast("bigint"),
+            F.lit(vocab_size - reserved),
+        )
+        + F.lit(reserved),
+    )
+
+
+def _idiv(c: Column, d: int) -> Column:
+    """Exact floor division of a non-negative bigint column by a positive
+    int literal, staying integer-exact (the double quotient of the
+    pmod-reduced numerator is always a whole number)."""
+    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    vocab_size: int = 32768,
+    text_col: str = "text",
+    ids_col: str | None = None,
+    order_col: str = "doc_id",
+    part_col: str | None = None,
+    pad_id: int = 0,
+    eos_id: int = 1,
+) -> DataFrame:
+    """Materialize fixed-length training sequences: every document's token
+    ids plus a trailing EOS are laid end-to-end in ``order_col`` order
+    (within ``part_col`` if given) and cut into ``seq_len``-sized rows —
+    the Megatron/GPT-style packed-dataset sink, with no tokens dropped
+    and padding only in the final sequence of each partition key.
+
+    Output: ``(part_col?, seq_id, ids array<bigint> of exactly seq_len,
+    n_real)`` where ``n_real`` counts non-pad tokens. Token ids come from
+    ``ids_col`` (any ``array<bigint>`` — a real tokenizer's output) or
+    default to :func:`hash_token_ids`.
+
+    Scale shape (100 TB): the only per-token work rides inside array
+    expressions (map-side). Each document explodes into at most
+    ``ceil(n/seq_len)+1`` (seq_id, slice) PIECES — not per-token rows —
+    so the shuffle moves document-sized array chunks keyed by seq_id,
+    and the final groupBy's reduce key never holds more than ``seq_len``
+    tokens. The prefix-sum window is per ``part_col`` (language, shard);
+    as with :func:`pack_documents`, omitting it funnels one global window
+    partition and is only sensible for small corpora. Everything is
+    integer/array arithmetic — deterministic, engine-portable, no UDFs.
+    """
+    if seq_len < 2:
+        raise ValueError(f"seq_len must be >= 2, got {seq_len}")
+    if not (0 <= pad_id < vocab_size and 0 <= eos_id < vocab_size):
+        raise ValueError("pad_id/eos_id must lie inside the vocabulary")
+    ids = (
+        F.col(ids_col)
+        if ids_col
+        else hash_token_ids(F.col(text_col), vocab_size)
+    )
+    parts = [part_col] if part_col else []
+    w = Window.partitionBy(*parts).orderBy("__ord") if parts else Window.orderBy(
+        "__ord"
+    )
+    base = (
+        df.select(
+            *parts,
+            F.col(order_col).alias("__ord"),
+            F.concat(ids, F.array(F.lit(eos_id).cast("bigint"))).alias("__ids"),
+        )
+        .withColumn("__n", F.size("__ids").cast("long"))
+        .withColumn(
+            "__start",
+            F.coalesce(
+                F.sum("__n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+    )
+    L = seq_len
+    pieces = (
+        base.select(
+            *parts,
+            "__ids",
+            "__n",
+            "__start",
+            F.explode(
+                F.sequence(
+                    _idiv(F.col("__start"), L),
+                    _idiv(F.col("__start") + F.col("__n") - 1, L),
+                )
+            ).alias("seq_id"),
+        )
+        .withColumn(
+            "__a", F.greatest(F.col("__start"), F.col("seq_id") * L)
+        )
+        .withColumn(
+            "__b",
+            F.least(F.col("__start") + F.col("__n"), (F.col("seq_id") + 1) * L),
+        )
+        .select(
+            *parts,
+            "seq_id",
+            (F.col("__a") - F.col("seq_id") * L).alias("__off"),
+            F.slice(
+                "__ids",
+                (F.col("__a") - F.col("__start") + 1).cast("int"),
+                (F.col("__b") - F.col("__a")).cast("int"),
+            ).alias("__piece"),
+        )
+    )
+    grouped = pieces.groupBy(*parts, "seq_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__off", "__piece"))),
+                lambda s: s["__piece"],
+            )
+        ).alias("__seq")
+    )
+    n_real = F.size("__seq")
+    return grouped.select(
+        *parts,
+        "seq_id",
+        F.concat(
+            F.col("__seq"),
+            F.array_repeat(
+                F.lit(pad_id).cast("bigint"), (F.lit(L) - n_real).cast("int")
+            ),
+        ).alias("ids"),
+        n_real.cast("long").alias("n_real"),
+    )
+
+
 def corpus_prep(
     df: DataFrame,
     min_quality: float = 0.5,

@@ -269,3 +269,105 @@ def test_weighted_sample(spark):
     # plan shape: distributed TakeOrdered, not a global sort shuffle
     plan = weighted_sample(df, "doc_id", "w", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def _hash_ids_py(text, vocab_size, reserved=2, salt=""):
+    import hashlib
+
+    toks = " ".join(text.split()).lower().split(" ")
+    return [
+        int(hashlib.md5((salt + t).encode()).hexdigest()[:15], 16)
+        % (vocab_size - reserved)
+        + reserved
+        for t in toks
+    ]
+
+
+def _pack_py(rows, seq_len, vocab_size, part=None, pad=0, eos=1):
+    """Pure-Python reference: lay ids+EOS end-to-end per part, cut."""
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r[0]):
+        key = r[1] if part else None
+        streams[key].extend(_hash_ids_py(r[-1], vocab_size) + [eos])
+    out = {}
+    for key, s in streams.items():
+        for i in range(0, len(s), seq_len):
+            chunk = s[i : i + seq_len]
+            n_real = len(chunk)
+            chunk = chunk + [pad] * (seq_len - n_real)
+            out[(key, i // seq_len)] = (chunk, n_real)
+    return out
+
+
+def test_hash_token_ids_matches_python_md5(spark):
+    df = spark.createDataFrame(
+        [(1, "The  quick Brown fox 123 #!")], "doc_id long, text string"
+    )
+    got = df.select(pl.hash_token_ids(F.col("text"), 1000, salt="s").alias("ids")).first()["ids"]
+    assert got == _hash_ids_py("The  quick Brown fox 123 #!", 1000, salt="s")
+    assert all(2 <= i < 1000 for i in got)
+    with pytest.raises(ValueError):
+        pl.hash_token_ids(F.col("text"), 2)
+
+
+def test_pack_token_sequences_differential(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = [
+        (
+            i,
+            "x" if i % 3 else "y",
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 23))),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    for part in (None, "lang"):
+        exp = _pack_py(rows, seq_len=16, vocab_size=512, part=part)
+        got = {
+            ((r["lang"] if part else None), r["seq_id"]): (r["ids"], r["n_real"])
+            for r in pl.pack_token_sequences(
+                df.repartition(5), 16, vocab_size=512, part_col=part
+            ).collect()
+        }
+        assert got == exp, f"part={part}"
+
+
+def test_pack_token_sequences_invariants(spark):
+    rows = [(i, "t", "w " * (i % 9)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pl.pack_token_sequences(df, 8, vocab_size=64, part_col="lang").collect()
+    seqs = sorted((r["seq_id"], r["ids"], r["n_real"]) for r in out)
+    # every sequence exactly seq_len wide; padding only in the last one
+    assert all(len(ids) == 8 for _, ids, _ in seqs)
+    assert all(n == 8 for _, _, n in seqs[:-1])
+    # one EOS per document, no token lost: total real = sum(len+1)
+    total_eos = sum(ids[:n].count(1) for _, ids, n in seqs)
+    assert total_eos == 30
+    toks = df.select(F.sum(F.size(F.split(F.trim("text"), " "))).alias("s")).first()
+    # seq ids are dense from 0
+    assert [s for s, _, _ in seqs] == list(range(len(seqs)))
+
+
+def test_pack_token_sequences_custom_ids_col(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 11, 12]), (2, [13])], "doc_id long, toks array<bigint>"
+    )
+    got = sorted(
+        (r["seq_id"], r["ids"], r["n_real"])
+        for r in pl.pack_token_sequences(df, 4, ids_col="toks").collect()
+    )
+    assert got == [(0, [10, 11, 12, 1], 4), (1, [13, 1, 0, 0], 2)]
+
+
+def test_pack_token_sequences_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pl.pack_token_sequences(df, 1)
+    with pytest.raises(ValueError):
+        pl.pack_token_sequences(df, 8, vocab_size=16, eos_id=99)
