@@ -656,3 +656,52 @@ def test_stream_interval_join_prefix_collision_raises(spark):
     # a non-colliding prefix still works
     out = stream_interval_join(left, right, on="user", right_prefix="rhs_")
     assert "rhs_amount" in out.columns and out.count() == 1
+
+
+def test_stream_quality_gate_and_token_ids(spark, tmp_path):
+    """The r8 curation expressions are pure map-only column arithmetic, so
+    they lift onto Structured Streaming unchanged: gopher_quality_stats
+    columns selected on a stream match the batch op row-for-row, and
+    hash_token_ids is content-addressed, so stream ids == batch ids."""
+    from pyspark.sql import functions as F
+
+    from firepit_spark.functions import pipeline as pl
+    from firepit_spark.functions import text as tx
+
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog have been to town"},
+        {"doc_id": 1, "text": "- bullet\n- bullet\nend..."},
+        {"doc_id": 2, "text": "### symbols everywhere ###"},
+    ]
+    indir = tmp_path / "qdocs"
+    indir.mkdir()
+    _write_events(indir / "a.json", rows)
+
+    batch_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(indir))
+    streamed = tx.gopher_quality_stats(stream).withColumn(
+        "ids", pl.hash_token_ids(F.col("doc_id").cast("string"), 99)
+    )
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("quality_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql("select * from quality_t").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in tx.gopher_quality_stats(batch_df)
+        .withColumn("ids", pl.hash_token_ids(F.col("doc_id").cast("string"), 99))
+        .collect()
+    }
+    assert got == want
