@@ -265,12 +265,11 @@ def perplexity_filter(
 # ---------------------------------------------------------------------------
 
 
-def hashed_ngram_buckets(
-    col, n_buckets: int = 8192, ns: tuple = (1, 2)
-):
-    """Array of hashed n-gram feature buckets for one text value: the
-    doc's word unigrams/bigrams, each mapped to ``pmod(xxhash64(gram),
-    n_buckets)``. Pure array expressions — map-only, no shuffle."""
+def ngram_strings(col, ns: tuple = (1, 2)):
+    """Array of word n-gram strings (space-joined) for one text value,
+    concatenated over the orders in ``ns`` — the shared feature extractor
+    for DSIR bucketing and the hashed classifier. Pure array expressions:
+    map-only, no shuffle."""
     t = tx.tokens(col)
     grams = []
     for n in ns:
@@ -290,8 +289,19 @@ def hashed_ngram_buckets(
                     ),
                 ).otherwise(F.array().cast("array<string>"))
             )
-    allg = grams[0] if len(grams) == 1 else F.concat(*grams)
-    return F.transform(allg, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
+    return grams[0] if len(grams) == 1 else F.concat(*grams)
+
+
+def hashed_ngram_buckets(
+    col, n_buckets: int = 8192, ns: tuple = (1, 2)
+):
+    """Array of hashed n-gram feature buckets for one text value: the
+    doc's word unigrams/bigrams, each mapped to ``pmod(xxhash64(gram),
+    n_buckets)``. Pure array expressions — map-only, no shuffle."""
+    return F.transform(
+        ngram_strings(col, ns),
+        lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)),
+    )
 
 
 def _bucket_counts(
@@ -443,3 +453,85 @@ def dsir_resample(
     w = dsir_score(df, ratios, id_col, text_col, n_buckets, ns)
     picked = gumbel_topk(w, id_col, "log_weight", n, salt, temperature)
     return df.join(picked.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed-n-gram quality classifier
+# ---------------------------------------------------------------------------
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_features: int = 1 << 18,
+    ns: tuple = (1, 2),
+    reg_param: float = 0.0,
+    max_iter: int = 50,
+):
+    """Train a fastText-shaped quality classifier: hashed bag-of-n-grams
+    (the same :func:`ngram_strings` features as DSIR) into a linear
+    model — the standard "give me 10k labeled docs, score the other
+    10 billion" curation tool (CCNet's LM alternative; the LLaMA-style
+    "looks like references" filter).
+
+    Spark-idiomatic end to end: features are JVM-side ``HashingTF``
+    sparse vectors (never a dense n_features array per doc), training is
+    ``pyspark.ml`` LogisticRegression (distributed L-BFGS), and the
+    returned ``PipelineModel`` is persistable with ``model.save(path)``
+    / ``PipelineModel.load``. ``label_col`` must be 0/1 (1 = keep).
+
+    Scale shape: scoring a corpus is one map-only transform — gram
+    extraction and the sparse dot product both ride per-row expressions;
+    nothing shuffles. Training shuffles only L-BFGS gradient aggregates
+    (tiny: one vector of n_features per pass), never documents.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    prepared = df.withColumn("__grams", ngram_strings(F.col(text_col), ns))
+    tf = HashingTF(
+        inputCol="__grams", outputCol="__features", numFeatures=n_features
+    )
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+    )
+    return Pipeline(stages=[tf, lr]).fit(prepared)
+
+
+def classifier_score(
+    df: DataFrame,
+    model,
+    text_col: str = "text",
+    ns: tuple = (1, 2),
+    score_col: str = "quality_prob",
+) -> DataFrame:
+    """Score documents with a trained :func:`train_quality_classifier`
+    model: appends ``score_col`` = P(label=1). Map-only (see trainer
+    docstring); original columns pass through untouched."""
+    from pyspark.ml.functions import vector_to_array
+
+    prepared = df.withColumn("__grams", ngram_strings(F.col(text_col), ns))
+    scored = model.transform(prepared)
+    return scored.select(
+        *df.columns,
+        vector_to_array(F.col("probability")).getItem(1).alias(score_col),
+    )
+
+
+def classifier_filter(
+    df: DataFrame,
+    model,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    ns: tuple = (1, 2),
+) -> DataFrame:
+    """Keep documents the classifier scores at or above ``threshold``."""
+    scored = classifier_score(df, model, text_col, ns)
+    return scored.filter(F.col("quality_prob") >= F.lit(float(threshold))).select(
+        *df.columns
+    )

@@ -293,3 +293,60 @@ def test_dsir_resample_shape_and_bias(spark, corpus):
         df, ratios, 5, n_buckets=64, salt="r8", temperature=1e-9
     )
     assert {r["doc_id"] for r in cold.select("doc_id").collect()} == topw
+
+
+# ---------------------------------------------------------------------------
+# hashed classifier
+# ---------------------------------------------------------------------------
+
+
+def _labeled_corpus(spark, n=120, seed=99):
+    rng = random.Random(seed)
+    good_v = ["the", "report", "analysis", "of", "data", "with", "results"]
+    bad_v = ["buy", "cheap", "pills", "click", "winner", "free", "casino"]
+    rows = []
+    for i in range(n):
+        label = i % 2
+        v = good_v if label else bad_v
+        rows.append(
+            (i, label, " ".join(rng.choice(v) for _ in range(rng.randint(8, 20))))
+        )
+    return spark.createDataFrame(rows, "doc_id long, label int, text string")
+
+
+def test_quality_classifier_separates(spark, tmp_path):
+    df = _labeled_corpus(spark)
+    train = df.filter(F.col("doc_id") < 80)
+    test = df.filter(F.col("doc_id") >= 80)
+    model = L.train_quality_classifier(train, n_features=1 << 12)
+    scored = L.classifier_score(test, model)
+    assert scored.columns == test.columns + ["quality_prob"]
+    rows = scored.collect()
+    acc = sum(
+        1 for r in rows if (r["quality_prob"] >= 0.5) == bool(r["label"])
+    ) / len(rows)
+    assert acc >= 0.95, acc
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+    # threshold filter keeps originals-only columns
+    kept = L.classifier_filter(test, model, threshold=0.5)
+    assert kept.columns == test.columns
+    keep_ids = {r["doc_id"] for r in kept.collect()}
+    assert keep_ids == {r["doc_id"] for r in rows if r["quality_prob"] >= 0.5}
+
+    # the PipelineModel persists and reloads with identical scores
+    from pyspark.ml import PipelineModel
+
+    path = str(tmp_path / "qmodel")
+    model.save(path)
+    re = PipelineModel.load(path)
+    again = {
+        r["doc_id"]: r["quality_prob"] for r in L.classifier_score(test, re).collect()
+    }
+    assert again == {r["doc_id"]: r["quality_prob"] for r in rows}
+
+
+def test_ngram_strings_shared_features(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = df.select(L.ngram_strings(F.col("text")).alias("g")).first()["g"]
+    assert got == ["a", "b", "c", "a b", "b c"]
