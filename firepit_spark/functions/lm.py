@@ -250,13 +250,16 @@ def perplexity_filter(
     (CCNet's head/middle cut). Docs with no transitions (<2 tokens) have
     no score; ``keep_unscored`` decides their fate (default: drop —
     sub-2-token docs are not training text)."""
+    # internal name: df may itself carry a bits_per_token column (e.g. a
+    # frame that already went through ngram_lm_score once) — joining the
+    # public name back would make the filter ambiguous
     scores = ngram_lm_score(df, lm, id_col, text_col, with_oov=False).select(
-        id_col, "bits_per_token"
+        id_col, F.col("bits_per_token").alias("__ppl_bits")
     )
     joined = df.join(scores, id_col, "left")
-    cond = F.col("bits_per_token") <= F.lit(float(max_bits))
+    cond = F.col("__ppl_bits") <= F.lit(float(max_bits))
     if keep_unscored:
-        cond = cond | F.col("bits_per_token").isNull()
+        cond = cond | F.col("__ppl_bits").isNull()
     return joined.filter(cond).select(*df.columns)
 
 
@@ -512,13 +515,32 @@ def classifier_score(
 ) -> DataFrame:
     """Score documents with a trained :func:`train_quality_classifier`
     model: appends ``score_col`` = P(label=1). Map-only (see trainer
-    docstring); original columns pass through untouched."""
+    docstring); original columns pass through untouched.
+
+    Columns the ml pipeline itself emits (``probability``,
+    ``rawPrediction``, ``prediction``, plus the internal ``__grams`` /
+    ``__features``) would collide if the input already carries them —
+    they are set aside before the transform and restored after, so any
+    frame scores cleanly (including one scored before)."""
     from pyspark.ml.functions import vector_to_array
 
-    prepared = df.withColumn("__grams", ngram_strings(F.col(text_col), ns))
+    if score_col in df.columns:
+        raise ValueError(
+            f"score_col {score_col!r} already exists in the input frame"
+        )
+    reserved = {"probability", "rawPrediction", "prediction", "__grams", "__features"}
+    clash = [c for c in df.columns if c in reserved]
+    renamed = df
+    for c in clash:
+        renamed = renamed.withColumnRenamed(c, f"__keep_{c}")
+    prepared = renamed.withColumn("__grams", ngram_strings(F.col(text_col), ns))
     scored = model.transform(prepared)
+    out_cols = [
+        F.col(f"__keep_{c}").alias(c) if c in clash else F.col(c)
+        for c in df.columns
+    ]
     return scored.select(
-        *df.columns,
+        *out_cols,
         vector_to_array(F.col("probability")).getItem(1).alias(score_col),
     )
 

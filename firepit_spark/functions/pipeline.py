@@ -332,6 +332,12 @@ def pack_token_sequences(
     as with :func:`pack_documents`, omitting it funnels one global window
     partition and is only sensible for small corpora. Everything is
     integer/array arithmetic — deterministic, engine-portable, no UDFs.
+
+    NULL text (or a NULL ids array) contributes nothing: the window sum
+    skips the NULL length and the piece explode drops the row, so a NULL
+    document vanishes without shifting any other document's offsets
+    (pinned by test). ``order_col`` values are assumed distinct per
+    partition key — equal keys make the layout order unspecified.
     """
     if seq_len < 2:
         raise ValueError(f"seq_len must be >= 2, got {seq_len}")

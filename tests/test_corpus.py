@@ -774,6 +774,7 @@ def test_gopher_quality_filter_rules(spark):
                 "- " + w for i, w in enumerate(good.split(" ") * 2)
             )),
             (5, good.replace(" the ", " 123 ")),  # still passes alpha
+            (6, None),  # NULL text: stats NULL, every rule comparison false
         ],
         "doc_id long, text string",
     )
@@ -781,6 +782,7 @@ def test_gopher_quality_filter_rules(spark):
     assert 1 in kept and 2 not in kept and 3 not in kept and 4 not in kept
     # doc 5 has fewer 'the' but other required words remain
     assert 5 in kept
+    assert 6 not in kept
     # thresholds overridable: raise the floor past every doc
     none = tx.gopher_quality_filter(docs, min_words=10_000).count()
     assert none == 0

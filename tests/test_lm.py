@@ -350,3 +350,62 @@ def test_ngram_strings_shared_features(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     got = df.select(L.ngram_strings(F.col("text")).alias("g")).first()["g"]
     assert got == ["a", "b", "c", "a b", "b c"]
+
+
+def test_perplexity_filter_on_prescored_frame(spark, corpus):
+    """A frame that already carries bits_per_token (e.g. one pass of
+    ngram_lm_score) must still filter cleanly — the join uses an
+    internal score name."""
+    rows, df, train_rows, train = corpus
+    lm = L.ngram_lm_fit(train)
+    pre = L.ngram_lm_score(df, lm, with_oov=False).join(df, "doc_id")
+    kept = L.perplexity_filter(pre, lm, max_bits=100.0)
+    assert kept.columns == pre.columns
+    assert kept.count() == pre.filter(F.col("bits_per_token").isNotNull()).count()
+
+
+def test_classifier_score_reserved_column_collisions(spark, tmp_path):
+    df = _labeled_corpus(spark, n=40)
+    model = L.train_quality_classifier(df, n_features=1 << 10)
+    # input already carries ml-pipeline output names: they survive untouched
+    weird = df.withColumn("probability", F.lit(7)).withColumn(
+        "prediction", F.lit("x")
+    )
+    out = L.classifier_score(weird, model)
+    assert out.columns == weird.columns + ["quality_prob"]
+    r = out.first()
+    assert r["probability"] == 7 and r["prediction"] == "x"
+    # re-scoring an already-scored frame: new name works, same name raises
+    scored = L.classifier_score(df, model)
+    again = L.classifier_score(scored, model, score_col="quality_prob2")
+    assert again.columns == scored.columns + ["quality_prob2"]
+    with pytest.raises(ValueError):
+        L.classifier_score(scored, model)
+
+
+def test_lm_and_packer_null_text(spark, corpus):
+    """NULL text never corrupts neighbors: the packer drops the doc
+    without shifting offsets; LM scoring carries NULLs for that row
+    only."""
+    from firepit_spark.functions import pipeline as pl
+
+    rows_ok = [(1, "a b c d"), (3, "e f g h")]
+    with_null = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "e f g h")], "doc_id long, text string"
+    )
+    without = spark.createDataFrame(rows_ok, "doc_id long, text string")
+    a = sorted(
+        (r["seq_id"], r["ids"], r["n_real"])
+        for r in pl.pack_token_sequences(with_null, 4, vocab_size=50).collect()
+    )
+    b = sorted(
+        (r["seq_id"], r["ids"], r["n_real"])
+        for r in pl.pack_token_sequences(without, 4, vocab_size=50).collect()
+    )
+    assert a == b
+
+    lm = L.ngram_lm_fit(without)
+    got = {r["doc_id"]: r for r in L.ngram_lm_score(with_null, lm).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["n_tokens"] is None and got[2]["bits_per_token"] is None
+    assert got[1]["n_trans"] == 3 and got[3]["n_trans"] == 3
