@@ -1,0 +1,264 @@
+"""Byte-pair-encoding tokenizer training and encoding, Spark-first.
+
+Sennrich et al. 2016's algorithm, restructured for a distributed corpus:
+
+1. **One corpus-wide pass**: aggregate text to a ``(word, freq)``
+   vocabulary table (explode + groupBy — map-side combine carries the
+   weight; this is the ONLY stage that touches every document).
+2. **Merge learning over the vocab table**: each iteration counts
+   adjacent symbol pairs weighted by word frequency (a groupBy over the
+   vocab-sized table, not the corpus), takes the arg-max pair with a
+   deterministic (count desc, pair asc) tie-break, and applies the merge
+   with a map-only array fold. Web-scale corpora keep 100M+ distinct
+   words, so the vocab table STAYS a DataFrame; only the single winning
+   pair (1 row) ever reaches the driver per iteration. Lineage is cut
+   per iteration (localCheckpoint / reliable checkpoint) so N merges
+   don't stack N nested plans.
+3. **Encoding** is the classic per-word merge loop — genuinely
+   imperative, so it runs as an Arrow-batched ``mapInPandas`` with the
+   merge ranks in the closure and a per-batch word memo (Zipf makes the
+   memo hit rate extreme). Output ids compose directly with
+   ``pipeline.pack_token_sequences(ids_col=...)``.
+
+The fold that applies one merge left-to-right non-overlapping as a pure
+array expression: step(acc, s) appends s unless the tail of acc is ``a``
+and s is ``b``, in which case the tail becomes ``ab``. Because the
+merged tail no longer equals ``a``, overlapping runs resolve exactly the
+way sequential BPE does ("a a a a" -> "aa aa", not "aa a a").
+
+The reference engine has no tokenizer surface; this belongs to the
+LLM-training-data layer (siblings: lm.py, pipeline.py packing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.functions import text as tx
+
+END_OF_WORD = "▁"  # sentencepiece-style marker, appended to each word
+
+
+@dataclass
+class BpeModel:
+    """Learned merge list (rank order) plus the derived symbol vocab.
+
+    ``merges`` is what training produces; ``vocab`` maps every base
+    character and merge product to a stable id, reserving 0/1 for
+    PAD/EOS so encodings drop straight into ``pack_token_sequences``.
+    A tokenizer model is inherently small (merge count × a few bytes) —
+    driver-side by nature, broadcast into encode tasks.
+    """
+
+    merges: list  # [(a, b), ...] in rank order
+    vocab: dict = field(default_factory=dict)  # symbol -> id (>= 2)
+
+    @property
+    def id_to_symbol(self) -> dict:
+        return {i: s for s, i in self.vocab.items()}
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(tx.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_fold(a: str, b: str):
+    """Array expression applying merge (a, b) left-to-right."""
+    merged = a + b
+
+    def step(acc, s):
+        n = F.size(acc)
+        # guard the tail access behind a lazy CASE: element_at(-1) on an
+        # empty array is an ANSI error, and boolean AND does not promise
+        # short-circuit evaluation
+        tail = F.when(n > 0, F.element_at(acc, -1))
+        return F.when(
+            (tail == F.lit(a)) & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, n - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return lambda col: F.aggregate(
+        col, F.array().cast("array<string>"), step
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_dir: str | None = None,
+) -> BpeModel:
+    """Learn ``n_merges`` BPE merges from the corpus (stops early when no
+    pair reaches ``min_pair_count``). See the module docstring for the
+    distribution strategy; determinism: ties on pair count break on the
+    lexicographically smallest (a, b), so the same corpus always yields
+    the same merge list on any engine or partitioning.
+
+    Per-round lineage truncation follows graph.py's contract:
+    ``localCheckpoint`` by default (local mode / short jobs), reliable
+    ``checkpoint`` when ``checkpoint_dir`` is given — the
+    failure-durable choice for a long cluster run."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+
+    from firepit_spark.functions.graph import _truncate
+
+    words = _word_freqs(df, text_col).withColumn(
+        "syms",
+        F.concat(
+            # split("") can emit boundary empties; drop them
+            F.filter(F.split(F.col("w"), ""), lambda s: s != ""),
+            F.array(F.lit(END_OF_WORD)),
+        ),
+    ).select("freq", "syms")
+    # lineage truncation per round, same contract as graph.py's
+    # connected_components: without it round k's plan nests k merge-fold
+    # projections and analysis cost (then the JVM) blows up around ~20
+    words = _truncate(words, eager=True, checkpoint_dir=None)
+
+    merges: list = []
+    base_syms = set()
+    for r in words.select(
+        F.explode(F.array_distinct("syms")).alias("s")
+    ).distinct().collect():
+        base_syms.add(r["s"])
+
+    prev = words
+    for _ in range(n_merges):
+        pairs = (
+            prev.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+        )
+        top = pairs.first()
+        if top is None or top["n"] < min_pair_count:
+            break
+        a, b = top["a"], top["b"]
+        merges.append((a, b))
+        prev = _truncate(
+            prev.withColumn("syms", _merge_fold(a, b)(F.col("syms"))),
+            eager=True,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    vocab_symbols = sorted(base_syms) + [a + b for a, b in merges]
+    vocab = {}
+    nid = 2  # 0=PAD, 1=EOS reserved (pack_token_sequences convention)
+    for s in vocab_symbols:
+        if s not in vocab:
+            vocab[s] = nid
+            nid += 1
+    return BpeModel(merges=merges, vocab=vocab)
+
+
+def _encode_word(word: str, ranks: dict) -> tuple:
+    """Classic BPE encode of one word: repeatedly merge the lowest-rank
+    adjacent pair. Pure Python — runs inside the Arrow batch."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        # apply THIS merge left-to-right everywhere (one rank at a time,
+        # matching how training rewrote the vocab table)
+        a, b = syms[best_i], syms[best_i + 1]
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+    return tuple(syms)
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    out_col: str = "bpe_ids",
+    unk_id: int | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the BPE token-id array (``array<bigint>``) of
+    each row's text. Arrow-batched ``mapInPandas``; the merge-rank dict
+    rides the task closure (a tokenizer model is small), and a per-task
+    word memo exploits Zipf. Symbols outside the vocab (characters never
+    seen in training) map to ``unk_id`` when given, else are skipped.
+
+    The output plugs straight into
+    ``pipeline.pack_token_sequences(ids_col=out_col)``.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    ranks = {p: i for i, p in enumerate(model.merges)}
+    vocab = dict(model.vocab)
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(f"out_col {out_col!r} already exists in the input frame")
+    # fresh StructType: .add would mutate the DataFrame's cached schema
+    schema = StructType(fields + [StructField(out_col, ArrayType(LongType()))])
+    cols = [f.name for f in fields]
+
+    def run(batches):
+        memo: dict = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            ids = []
+            for w in " ".join(str(text).split()).lower().split(" "):
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = _encode_word(w, ranks)
+                for s in memo[w]:
+                    i = vocab.get(s)
+                    if i is not None:
+                        ids.append(i)
+                    elif unk_id is not None:
+                        ids.append(unk_id)
+            return ids
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(enc)
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def bpe_decode_ids(ids: list, model: BpeModel) -> str:
+    """Driver-side helper: ids back to text (spot checks / debugging)."""
+    inv = model.id_to_symbol
+    return (
+        "".join(inv.get(i, "") for i in ids)
+        .replace(END_OF_WORD, " ")
+        .strip()
+    )

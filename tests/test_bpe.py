@@ -1,0 +1,156 @@
+"""BPE tokenizer training/encoding vs a pure-Python Sennrich reference.
+
+The Spark trainer iterates merges over the distributed vocab table; the
+reference implements the textbook algorithm on dicts. Merge lists must
+match EXACTLY (deterministic count-desc/pair-asc tie-break on both
+sides), encodings must match id-for-id, and decode must round-trip the
+normalized text.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import bpe
+
+EOW = bpe.END_OF_WORD
+
+
+def _norm_words(text):
+    return [w for w in " ".join(text.split()).lower().split(" ") if w]
+
+
+def _apply_merge(syms, pair):
+    a, b = pair
+    out = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def _train_py(texts, n_merges, min_pair=2):
+    wf = Counter(w for t in texts for w in _norm_words(t))
+    words = {tuple(list(w) + [EOW]): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        best_pair, best_n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best_n < min_pair:
+            break
+        merges.append(best_pair)
+        words = {_apply_merge(s, best_pair): f for s, f in words.items()}
+    return merges
+
+
+def _encode_py(word, merges):
+    syms = tuple(list(word) + [EOW])
+    for p in merges:
+        syms = _apply_merge(syms, p)
+    return syms
+
+
+@pytest.fixture(scope="module")
+def bpe_corpus(spark):
+    rng = random.Random(31)
+    stems = ["low", "new", "wide", "deep", "fast"]
+    sufs = ["", "er", "est", "ly"]
+    rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(stems) + rng.choice(sufs) for _ in range(rng.randint(3, 12))
+            ),
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return rows, df
+
+
+def test_bpe_train_matches_python_reference(spark, bpe_corpus):
+    rows, df = bpe_corpus
+    model = bpe.bpe_train(df, n_merges=25)
+    want = _train_py([t for _, t in rows], 25)
+    assert model.merges == want
+    # vocab covers every base char + every merge product, ids from 2 up
+    assert set(model.vocab.values()) == set(range(2, 2 + len(model.vocab)))
+    for a, b in model.merges:
+        assert a + b in model.vocab
+
+
+def test_bpe_encode_matches_python_reference(spark, bpe_corpus):
+    rows, df = bpe_corpus
+    model = bpe.bpe_train(df, n_merges=25)
+    got = {
+        r["doc_id"]: r["bpe_ids"] for r in bpe.bpe_encode(df, model).collect()
+    }
+    for did, text in rows:
+        want = [
+            model.vocab[s]
+            for w in _norm_words(text)
+            for s in _encode_py(w, model.merges)
+        ]
+        assert got[did] == want, did
+
+
+def test_bpe_decode_round_trip(spark, bpe_corpus):
+    rows, df = bpe_corpus
+    model = bpe.bpe_train(df, n_merges=10)
+    enc = bpe.bpe_encode(df, model).collect()
+    for r in enc:
+        text = dict(rows)[r["doc_id"]]
+        assert bpe.bpe_decode_ids(r["bpe_ids"], model) == " ".join(_norm_words(text))
+
+
+def test_bpe_early_stop_and_errors(spark):
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    model = bpe.bpe_train(df, n_merges=100)
+    # only pairs with corpus count >= 2 are learnable; the merge list is
+    # finite and far below the requested 100
+    assert 0 < len(model.merges) < 100
+    with pytest.raises(ValueError):
+        bpe.bpe_train(df, n_merges=0)
+    with pytest.raises(ValueError):
+        bpe.bpe_train(df, n_merges=1, min_pair_count=0)
+    with pytest.raises(ValueError):
+        bpe.bpe_encode(df.withColumn("bpe_ids", F.lit(1)), model)
+
+
+def test_bpe_unknown_symbols(spark):
+    train = spark.createDataFrame([(1, "abc abc")], "doc_id long, text string")
+    model = bpe.bpe_train(train, n_merges=3)
+    other = spark.createDataFrame([(2, "abc xyz")], "doc_id long, text string")
+    # unseen chars skipped by default
+    skipped = bpe.bpe_encode(other, model).first()["bpe_ids"]
+    # with unk_id they appear as the sentinel; 'xyz▁' has no learnable
+    # merges in this model, so each of x, y, z plus EOW maps to unk/EOW
+    unked = bpe.bpe_encode(other, model, unk_id=0).first()["bpe_ids"]
+    assert len(unked) > len(skipped)
+    assert 0 in unked and 0 not in skipped
+
+
+def test_bpe_feeds_token_packer(spark, bpe_corpus):
+    from firepit_spark.functions import pipeline as pl
+
+    rows, df = bpe_corpus
+    model = bpe.bpe_train(df, n_merges=15)
+    enc = bpe.bpe_encode(df, model)
+    packed = pl.pack_token_sequences(enc, 32, ids_col="bpe_ids")
+    got = packed.collect()
+    assert all(len(r["ids"]) == 32 for r in got)
+    total_real = sum(r["n_real"] for r in got)
+    n_ids = enc.select(F.sum(F.size("bpe_ids"))).first()[0]
+    # every BPE id plus one EOS per document survives packing
+    assert total_real == n_ids + len(rows)
