@@ -1,0 +1,260 @@
+"""Web-corpus curation operators: URL parsing/normalization, registered
+domains, domain blocklists, and per-domain caps.
+
+Every web-scale pre-training pipeline (C4, RefinedWeb, Dolma) starts from
+URLs: parse the host out of the crawl record, collapse tracking noise so
+exact URL dedup works, roll hosts up to registered domains for blocklists
+and per-domain mixing caps. The reference engine has no web layer (it is a
+STIX/observation store); these are the additive curation ops the driver
+brief asks for, built Spark-first:
+
+- parsing and normalization are pure Catalyst expressions (``regexp_extract``
+  + array functions) — map-only, whole-stage-codegen, ANSI-SQL-reproducible
+  so the DuckDB oracle can recompute them independently;
+- blocklist filtering is a broadcast semi/anti join (a blocklist is KBs);
+- per-domain caps window ONLY the over-cap keys: at 100 TB the handful of
+  mega-domains are the skew problem, so the hot-key set is found with one
+  map-side-combined count, broadcast, and everything else passes through
+  map-only with no window sort at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .pipeline import key_hash
+
+__all__ = [
+    "url_scheme",
+    "url_host",
+    "url_port",
+    "url_path",
+    "url_query",
+    "url_fragment",
+    "registered_domain",
+    "url_normalize",
+    "parse_urls",
+    "domain_filter",
+    "cap_per_key",
+    "cap_per_domain",
+    "TRACKING_PARAMS",
+    "PUBLIC_SECOND_LEVELS",
+]
+
+# Query parameters that carry session/campaign tracking state, not content
+# identity: two fetches of the same page differ only here, so normalization
+# drops them before exact URL dedup.  (utm_* is matched by prefix.)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid", "ref", "igshid")
+
+# Second-level labels that act as public suffixes (``example.co.uk`` —
+# the registrable domain is three labels, not two).  A deliberately small,
+# deterministic set standing in for the full public-suffix list; pass a
+# custom set when you ship the real PSL as a broadcast table.
+PUBLIC_SECOND_LEVELS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme of a URL ('' when absent). Map-only expression."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _authority(url: Column) -> Column:
+    return F.regexp_extract(url, _AUTH_RE, 1)
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host: the authority with userinfo and port stripped."""
+    return F.lower(F.regexp_extract(_authority(url), r"^(?:[^@]*@)?([^:]*)", 1))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as INT, NULL when the URL does not carry one."""
+    p = F.regexp_extract(_authority(url), r":([0-9]+)$", 1)
+    return F.when(p != "", p.cast("int"))
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' when absent; normalization maps '' -> '/')."""
+    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+
+
+def url_query(url: Column) -> Column:
+    """Raw query string after '?' (before any '#'), '' when absent."""
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+def url_fragment(url: Column) -> Column:
+    """Fragment after '#', '' when absent."""
+    return F.regexp_extract(url, r"#(.*)$", 1)
+
+
+def registered_domain(
+    host: Column, public_second_levels: tuple = PUBLIC_SECOND_LEVELS
+) -> Column:
+    """Registrable domain of a host: the last two labels, or the last three
+    when the second-to-last label is a public second level ('co' in
+    ``example.co.uk``). Pure expression over ``split``/``element_at`` —
+    the roll-up key for blocklists and per-domain caps.
+    """
+    labels = F.split(F.lower(host), r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    sld_public = F.element_at(labels, -2).isin(*public_second_levels)
+    return (
+        F.when(n <= 2, F.lower(host))
+        .when((n >= 3) & sld_public, last3)
+        .otherwise(last2)
+    )
+
+
+def _kept_params(query: Column, tracking_params: tuple) -> Column:
+    """Query params minus tracking params, lexically sorted (array<string>)."""
+    parts = F.filter(F.split(query, "&"), lambda p: p != "")
+    is_tracking = lambda p: F.split(p, "=")[0].startswith("utm_") | F.split(p, "=")[
+        0
+    ].isin(*tracking_params)
+    return F.array_sort(F.filter(parts, lambda p: ~is_tracking(p)))
+
+
+def url_normalize(url: Column, tracking_params: tuple = TRACKING_PARAMS) -> Column:
+    """Canonical URL for exact dedup: lower-case scheme and host, drop the
+    fragment, drop default ports (http:80 / https:443), drop tracking
+    params, sort the surviving query params lexically, map an empty path
+    to '/'. One map-only expression tree — no UDF, no shuffle — and every
+    piece is ANSI-SQL-expressible so the oracle recomputes it exactly.
+    """
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    default = ((scheme == "http") & (port == 80)) | ((scheme == "https") & (port == 443))
+    port_part = F.when(
+        port.isNotNull() & ~default, F.concat(F.lit(":"), port.cast("string"))
+    ).otherwise(F.lit(""))
+    raw_path = url_path(url)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    kept = _kept_params(url_query(url), tracking_params)
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+
+
+def parse_urls(
+    df: DataFrame, url_col: str = "url", prefix: str = ""
+) -> DataFrame:
+    """Attach parsed URL columns (scheme/host/port/path/query/fragment/
+    domain/url_norm) to a frame. Map-only; column names take ``prefix``.
+    """
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            f"{prefix}scheme": url_scheme(u),
+            f"{prefix}host": url_host(u),
+            f"{prefix}port": url_port(u),
+            f"{prefix}path": url_path(u),
+            f"{prefix}query": url_query(u),
+            f"{prefix}fragment": url_fragment(u),
+            f"{prefix}domain": registered_domain(url_host(u)),
+            f"{prefix}url_norm": url_normalize(u),
+        }
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    domains,
+    domain_col: str = "domain",
+    mode: str = "block",
+) -> DataFrame:
+    """Filter a corpus by registered domain against a block/allow list.
+
+    ``domains`` is a Python sequence (inlined as an ``isin`` literal —
+    right for the KB-sized lists curation uses) or a single-column
+    DataFrame (broadcast semi/anti join — right when the list itself is a
+    managed table). Either way the corpus side stays map-only / one
+    broadcast exchange; the 100 TB side is never shuffled.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    if isinstance(df, DataFrame) and isinstance(domains, DataFrame):
+        other_col = domains.columns[0]
+        how = "left_anti" if mode == "block" else "left_semi"
+        return df.join(
+            F.broadcast(domains.select(F.col(other_col).alias("__bl_domain"))),
+            df[domain_col] == F.col("__bl_domain"),
+            how,
+        )
+    member = F.col(domain_col).isin(*[str(d).lower() for d in domains])
+    return df.filter(~member if mode == "block" else member)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_col: str,
+    salt: str = "",
+    skew_safe: bool = True,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen by deterministic hash
+    order — the per-domain cap every web corpus applies so a handful of
+    mega-domains can't dominate the training mix.
+
+    Selection order is ``h(salt || order_col)`` (ties by ``order_col``),
+    identical to :func:`~firepit_spark.functions.pipeline.per_group_sample`
+    — content-addressed, so reruns and engine changes keep the same rows.
+
+    ``skew_safe=True`` is the 100 TB shape: per-domain caps are precisely
+    a hot-key problem (the web is Zipfian — most domains are under the
+    cap, a few are millions of pages). One map-side-combined count finds
+    the over-cap keys; that set is broadcast; under-cap rows pass through
+    MAP-ONLY (broadcast anti join, no sort, no shuffle), and the window
+    sort runs only over the hot subset. ``skew_safe=False`` is the plain
+    single-window variant (fine when keys are near-uniform); both produce
+    identical rows.
+    """
+    from pyspark.sql import Window
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    order = [key_hash(F.col(order_col), salt), F.col(order_col)]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    if not skew_safe:
+        return df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= cap
+        ).drop("__rn")
+    hot = (
+        df.groupBy(key_col)
+        .count()
+        .filter(F.col("count") > cap)
+        .select(F.col(key_col).alias("__hot_key"))
+    )
+    cold_rows = df.join(
+        F.broadcast(hot), df[key_col] == F.col("__hot_key"), "left_anti"
+    )
+    hot_rows = (
+        df.join(F.broadcast(hot), df[key_col] == F.col("__hot_key"), "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return cold_rows.unionByName(hot_rows)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "domain",
+    order_col: str = "doc_id",
+    salt: str = "",
+    skew_safe: bool = True,
+) -> DataFrame:
+    """:func:`cap_per_key` with web-corpus default column names."""
+    return cap_per_key(df, domain_col, cap, order_col, salt=salt, skew_safe=skew_safe)

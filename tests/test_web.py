@@ -1,0 +1,143 @@
+"""Web/URL curation ops: parse fields vs urllib, normalization vs a pure
+Python reference of the same rules, registered-domain roll-up, blocklist
+filtering, and the skew-safe per-domain cap."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import web as wb
+from firepit_spark.functions.pipeline import per_group_sample
+
+URLS = [
+    "https://WWW.Example.COM/path/to/page?b=2&a=1&utm_source=x#frag",
+    "http://example.co.uk:80/?utm_campaign=c&z=9",
+    "https://sub.host.example.com:8443/deep/path?gclid=abc&q=spark",
+    "http://user:pw@blog.example.org:8080/a%20b?x=1",
+    "https://example.com",
+    "http://news.example.ac.jp/articles?id=7&fbclid=zz&ref=tw",
+    "https://single-label/x?utm_medium=m",
+    "http://a.b.c.d.example.net/long?p=1&p=0",
+    "ftp://files.example.com:21/pub",
+    "https://example.com:443/exact?A=2&a=1",
+]
+
+
+def py_normalize(u: str) -> str:
+    """Pure-Python reference for url_normalize's documented rules."""
+    s = urlsplit(u)
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower()
+    port = s.port
+    default = (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    port_part = f":{port}" if (port is not None and not default) else ""
+    path = s.path or "/"
+    kept = sorted(
+        p
+        for p in s.query.split("&")
+        if p
+        and not p.split("=")[0].startswith("utm_")
+        and p.split("=")[0] not in wb.TRACKING_PARAMS
+    )
+    query_part = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{port_part}{path}{query_part}"
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame([(i, u) for i, u in enumerate(URLS)], "i INT, url STRING")
+
+
+def test_parse_fields_match_urllib(urls_df):
+    rows = wb.parse_urls(urls_df).orderBy("i").collect()
+    for row, u in zip(rows, URLS):
+        s = urlsplit(u)
+        assert row["scheme"] == s.scheme.lower(), u
+        assert row["host"] == (s.hostname or ""), u
+        assert row["port"] == s.port, u
+        assert row["path"] == s.path, u
+        assert row["query"] == s.query, u
+        assert row["fragment"] == s.fragment, u
+
+
+def test_normalize_matches_python_reference_and_is_idempotent(spark, urls_df):
+    got = [r["url_norm"] for r in wb.parse_urls(urls_df).orderBy("i").collect()]
+    assert got == [py_normalize(u) for u in URLS]
+    again = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(got)], "i INT, url STRING"
+    )
+    got2 = [r["url_norm"] for r in wb.parse_urls(again).orderBy("i").collect()]
+    assert got2 == got  # normalization is a fixpoint
+
+
+def test_registered_domain(urls_df):
+    got = {
+        r["host"]: r["domain"] for r in wb.parse_urls(urls_df).collect()
+    }
+    assert got["www.example.com"] == "example.com"
+    assert got["example.co.uk"] == "example.co.uk"
+    assert got["sub.host.example.com"] == "example.com"
+    assert got["news.example.ac.jp"] == "example.ac.jp"
+    assert got["single-label"] == "single-label"
+    assert got["a.b.c.d.example.net"] == "example.net"
+
+
+def test_domain_filter_list_and_frame(spark, urls_df):
+    parsed = wb.parse_urls(urls_df)
+    blocked = wb.domain_filter(parsed, ["example.com"], mode="block")
+    assert all(r["domain"] != "example.com" for r in blocked.collect())
+    allowed = wb.domain_filter(parsed, ["example.com"], mode="allow")
+    assert {r["domain"] for r in allowed.collect()} == {"example.com"}
+    assert blocked.count() + allowed.count() == parsed.count()
+
+    bl = spark.createDataFrame([("example.com",), ("example.net",)], "d STRING")
+    blocked2 = wb.domain_filter(parsed, bl, mode="block")
+    assert {r["domain"] for r in blocked2.collect()} & {"example.com", "example.net"} == set()
+    allowed2 = wb.domain_filter(parsed, bl, mode="allow")
+    assert blocked2.count() + allowed2.count() == parsed.count()
+    with pytest.raises(ValueError):
+        wb.domain_filter(parsed, ["x"], mode="drop")
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one mega-domain (120 rows), one exactly-at-cap (10), many tiny
+    rows = [(i, "big.com") for i in range(120)]
+    rows += [(1000 + i, "atcap.com") for i in range(10)]
+    rows += [(2000 + i, f"tiny{i % 17}.org") for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id INT, domain STRING")
+
+
+def test_cap_per_key_counts_and_skew_safe_equivalence(skewed):
+    capped = wb.cap_per_domain(skewed, 10, salt="s")
+    sizes = {r["domain"]: r["n"] for r in capped.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sizes["big.com"] == 10
+    assert sizes["atcap.com"] == 10
+    assert all(v <= 10 for v in sizes.values())
+
+    plain = wb.cap_per_domain(skewed, 10, salt="s", skew_safe=False)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, plain.collect()))
+
+    # identical selection to per_group_sample's hash order (same primitive)
+    pgs = per_group_sample(skewed, "domain", "doc_id", 10, salt="s")
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, pgs.collect()))
+
+    # deterministic under repartitioning
+    repart = wb.cap_per_domain(skewed.repartition(7), 10, salt="s")
+    assert sorted(map(tuple, repart.collect())) == sorted(map(tuple, capped.collect()))
+
+
+def test_cap_per_key_windows_only_hot_keys(skewed):
+    plan = wb.cap_per_domain(skewed, 10, salt="s")._jdf.queryExecution().executedPlan().toString()
+    # exactly one window operator (over the broadcast-semi hot subset); the
+    # cold leg is a broadcast anti join with no sort
+    assert plan.count("Window [") == 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cap_validation(skewed):
+    with pytest.raises(ValueError):
+        wb.cap_per_key(skewed, "domain", 0, "doc_id")
