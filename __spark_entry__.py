@@ -1809,7 +1809,18 @@ def q44_sampling(spark, sf_dir):
     per-language downsampling (rare groups kept whole), and
     Efraimidis-Spirakis weighted sampling without replacement (top-100 by
     ln(u)/n_chars — length-proportional inclusion, distributed
-    TakeOrdered, merged this slot)."""
+    TakeOrdered, merged this slot).
+
+    Since r8 a fourth leg gates the skew-safe per-key cap
+    (web.cap_per_key, the per-domain cap every web corpus applies):
+    at most 40 docs per language by the same content-addressed hash
+    order. The Spark side takes the hot-key path — one count finds
+    over-cap langs, the window sorts ONLY their rows, under-cap rows
+    pass through map-only — while the oracle is the plain
+    row_number-over-everything formulation; the hash match proves the
+    two formulations select identical rows."""
+    from firepit_spark.functions import web as wb
+
     r = _resolver(spark, sf_dir)
     docs = r("documents")
     hs = pl.hash_sample(docs, "doc_id", 0.25, salt="s1").select(
@@ -1821,7 +1832,10 @@ def q44_sampling(spark, sf_dir):
     ws = pl.weighted_sample(docs, "doc_id", "n_chars", 100, salt="w1").select(
         F.lit("weighted").alias("method"), "doc_id", "lang"
     )
-    return hs.unionByName(st).unionByName(ws)
+    cap = wb.cap_per_key(docs, "lang", 40, "doc_id", salt="c1").select(
+        F.lit("cap").alias("method"), "doc_id", "lang"
+    )
+    return hs.unionByName(st).unionByName(ws).unionByName(cap)
 
 
 _Q44_SQL = f"""
@@ -1841,6 +1855,16 @@ SELECT 'weighted' AS method, doc_id, lang FROM (
   FROM documents WHERE n_chars > 0
   ORDER BY es DESC, doc_id LIMIT 100
 )
+UNION ALL
+SELECT 'cap' AS method, doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('c1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 40
 """
 
 
@@ -2149,8 +2173,22 @@ def q53_pii_scrub(spark, sf_dir):
     PII line that must survive dedup and be scrubbed. The hash match
     proves explode/count/anti-join/reassemble ordering AND regex
     find/replace agree between engines. Line counting shuffles 8-byte
-    xxhash64 keys; the scrub is map-only whole-stage codegen."""
+    xxhash64 keys; the scrub is map-only whole-stage codegen.
+
+    Since r8 the slot also gates the web-curation family
+    (functions/web.py): each doc gets a deterministically synthesized
+    messy URL (mixed-case scheme/host, default and explicit ports, empty
+    paths, tracking params, fragments, multi-label public suffixes), and
+    the row carries ``url_host`` / ``url_domain`` / ``url_norm`` from
+    parse_urls + registered_domain + url_normalize. The oracle does NOT
+    mirror the regex pipeline — it recomputes the expected canonical
+    values directly from the doc_id generation arithmetic, so a hash
+    match proves the parser/normalizer SEMANTICS (case folding, default
+    port stripping, tracking-param drop, param sort, empty-path -> '/',
+    public-suffix roll-up), not just expression equality. The URL leg is
+    map-only and joins on the doc id."""
     from firepit_spark.functions import corpus as cp
+    from firepit_spark.functions import web as wb
 
     r = _resolver(spark, sf_dir)
     docs = r("documents").select(
@@ -2169,10 +2207,54 @@ def q53_pii_scrub(spark, sf_dir):
         ).alias("text"),
     )
     out = cp.pii_scrub(cp.line_dedup(docs))
-    return out.select(
+    pii = out.select(
         "doc_id", "n_email", "n_ipv4", "n_phone",
         F.md5(F.col("text")).alias("clean_md5"),
     )
+
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    sub = (
+        F.when(d % 3 == 0, F.lit("WWW"))
+        .when(d % 3 == 1, F.lit("Blog"))
+        .otherwise(F.lit("cdn"))
+    )
+    zone = (
+        F.when(d % 4 == 0, F.lit("example.com"))
+        .when(d % 4 == 1, F.lit("Example.CO.uk"))
+        .when(d % 4 == 2, F.lit("sample.net"))
+        .otherwise(F.lit("example.ac.jp"))
+    )
+    port = (
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .when(d % 5 == 2, F.lit(":80"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/d/"), d.cast("string"))
+    )
+    query = F.concat(
+        F.lit("utm_source=S&b="),
+        (d % 3).cast("string"),
+        F.lit("&a=1"),
+        F.when(d % 6 == 0, F.lit("&fbclid=Z")).otherwise(F.lit("")),
+    )
+    frag = F.when(d % 2 == 0, F.lit("#f")).otherwise(F.lit(""))
+    urls = r("documents").select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), sub, F.lit("."), zone, port, path,
+            F.lit("?"), query, frag,
+        ).alias("url"),
+    )
+    web = wb.parse_urls(urls).select(
+        "doc_id",
+        F.col("host").alias("url_host"),
+        F.col("domain").alias("url_domain"),
+        F.col("url_norm"),
+    )
+    return pii.join(web, "doc_id")
 
 
 _Q53_SQL = r"""
@@ -2218,7 +2300,27 @@ SELECT doc_id,
                regexp_replace(text,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
-             '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g')) AS clean_md5
+             '\+\d[\d()\- ]{6,}\d', '<PHONE>', 'g')) AS clean_md5,
+       -- web-curation leg: expected canonical values straight from the
+       -- doc_id generation arithmetic (NOT a mirror of the parser regexes)
+       (CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'blog' ELSE 'cdn' END)
+         || '.' ||
+       (CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
+             WHEN 2 THEN 'sample.net' ELSE 'example.ac.jp' END) AS url_host,
+       (CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
+             WHEN 2 THEN 'sample.net' ELSE 'example.ac.jp' END) AS url_domain,
+       (CASE doc_id % 2 WHEN 0 THEN 'https' ELSE 'http' END) || '://'
+         || (CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'blog' ELSE 'cdn' END)
+         || '.' ||
+         (CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
+               WHEN 2 THEN 'sample.net' ELSE 'example.ac.jp' END)
+         || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':443'
+                  WHEN doc_id % 5 = 1 THEN ':8080'
+                  WHEN doc_id % 5 = 2 AND doc_id % 2 = 0 THEN ':80'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN '/'
+                  ELSE '/d/' || CAST(doc_id AS VARCHAR) END)
+         || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm
 FROM deduped
 """
 
