@@ -848,3 +848,140 @@ def lsh_band_plan(num_perm: int, threshold: float) -> dict:
             }
     del best["_score"]
     return best
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bands: int = 8,
+    bits: int = 64,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs among fixed-width integer hashes (SimHash,
+    image dHash) under a Hamming-distance bound — the multi-index
+    pigeonhole join.
+
+    The ``bits``-wide hash is sliced into ``bands`` equal slices; two
+    hashes within ``max_hamming`` bit flips must agree on at least one
+    whole slice whenever ``max_hamming < bands`` (pigeonhole), so an
+    equi-join on (slice index, slice value) generates every qualifying
+    pair — LOSSLESS candidate generation, unlike probabilistic LSH
+    banding — and ``bit_count(a ^ b) <= max_hamming`` verifies exactly,
+    all JVM-side.
+
+    Scale shape (the 100 TB story, in order of importance):
+
+    1. **Exact duplicates never band.** Identical content means identical
+       hash, and real corpora are full of it (solid-color images, template
+       pages all hash alike). The join runs over DISTINCT hash values with
+       a min-id representative; a billion copies of the same meme
+       contribute ONE row per band, not a quadratic bucket. Recover the
+       hamming-0 members by grouping on the hash column (that is plain
+       :func:`exact_duplicates` on the hash).
+    2. **Candidates, never corpus².** Only bucket collisions are verified;
+       the shuffle key is a ≤(8+8)-byte (slice idx, slice value) pair.
+    3. **Hot buckets are boundable.** Narrow slices have small value
+       ranges (64/8 = 8-bit slices → 256 values), so pathological corpora
+       can pile into few buckets; ``max_bucket`` drops buckets above the
+       cutoff (count over distinct hashes, broadcast anti join — same
+       design as the shingle hot-set cutoff). That trades bounded recall
+       loss for a bounded join, and ONLY for hashes that collide with
+       >max_bucket distinct others on that slice. Off by default; log
+       what you drop.
+
+    4. **One pass over pairs.** Without a cutoff, each pair is emitted on
+       its lowest agreeing slice only (every lower slice of the xor must
+       be non-zero), so no dedup shuffle over the pair set exists; with
+       ``max_bucket`` the pair set is deduped instead, since the lowest
+       agreeing slice may itself have been cut.
+
+    The distinct-hash frame is persisted (both join sides and the
+    potentially expensive upstream — e.g. an image decode — must not run
+    twice); call :func:`firepit_spark.functions.release` on the result in
+    long-lived sessions.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b over the distinct-hash
+    representatives.
+    """
+    if bits % bands:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"lossless pigeonhole needs max_hamming < bands, got "
+            f"{max_hamming} >= {bands}; raise bands or lower max_hamming"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col).cast("bigint")
+    # persist the distinct-hash frame: both join sides read it, and its
+    # upstream may be an expensive Python decode (image_dhash) that must
+    # not run twice; 16 bytes/row, so it caches even at corpus scale
+    distinct = (
+        df.groupBy(h.alias("__h"))
+        .agg(F.min(F.col(id_col)).alias("__rep"))
+        .persist()
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slice"),
+                F.shiftrightunsigned(F.col("__h"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    keyed = distinct.select(
+        "__h", "__rep", F.explode(slices).alias("__s")
+    ).select("__h", "__rep", F.col("__s.slice").alias("__slice"), F.col("__s.val").alias("__val"))
+    if max_bucket is not None:
+        hot = (
+            keyed.groupBy("__slice", "__val")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("__slice", "__val")
+        )
+        keyed = keyed.join(F.broadcast(hot), ["__slice", "__val"], "left_anti")
+    a = keyed.select(
+        F.col("__slice"), F.col("__val"),
+        F.col("__h").alias("__ha"), F.col("__rep").alias("id_a"),
+    )
+    b = keyed.select(
+        F.col("__slice"), F.col("__val"),
+        F.col("__h").alias("__hb"), F.col("__rep").alias("id_b"),
+    )
+    xor = F.col("__ha").bitwiseXOR(F.col("__hb"))
+    joined = a.join(b, ["__slice", "__val"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is None:
+        # emit each pair only on its LOWEST agreeing slice: the filter
+        # requires every lower slice of the xor to be non-zero, so pairs
+        # come out of the join exactly once — no dedup shuffle over the
+        # pair set at all
+        first_match = F.lit(True)
+        for i in range(1, bands):
+            lower_differs = F.lit(True)
+            for j in range(i):
+                lower_differs = lower_differs & (
+                    F.shiftrightunsigned(xor, j * width).bitwiseAND(F.lit(mask)) != 0
+                )
+            first_match = F.when(F.col("__slice") == i, lower_differs).otherwise(
+                first_match
+            )
+        uniq = joined.filter(first_match).select("__ha", "__hb", "id_a", "id_b")
+    else:
+        # under a hot-bucket cutoff the lowest agreeing slice may have
+        # been dropped while a higher one survived; dedup over the pair
+        # set keeps those pairs instead of silently losing them
+        uniq = joined.select("__ha", "__hb", "id_a", "id_b").dropDuplicates(
+            ["id_a", "id_b"]
+        )
+    pairs = (
+        uniq.withColumn("hamming", F.bit_count(xor).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    pairs._fp_caches = [distinct]
+    return pairs

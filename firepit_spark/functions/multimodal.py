@@ -666,6 +666,83 @@ def image_stats(pixels: np.ndarray) -> dict:
     }
 
 
+def luma(pixels: np.ndarray) -> np.ndarray:
+    """Integer Rec.601 luma (h, w) from gray/RGB/RGBA uint8 pixels —
+    exact integer arithmetic so hashes are bit-stable across platforms."""
+    arr = np.asarray(pixels)
+    if arr.ndim == 2:
+        return arr.astype(np.uint8)
+    if arr.shape[2] == 1:
+        return arr[:, :, 0].astype(np.uint8)
+    r, g, b = (arr[:, :, i].astype(np.int64) for i in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def _box_mean_grid(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average downsample to (out_h, out_w) with integer cell means
+    (floor division) — deterministic, no interpolation libraries."""
+    h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w), dtype=np.int64)
+    acc = gray.astype(np.int64)
+    for r in range(out_h):
+        band = acc[ys[r] : max(ys[r + 1], ys[r] + 1)]
+        for c in range(out_w):
+            cell = band[:, xs[c] : max(xs[c + 1], xs[c] + 1)]
+            out[r, c] = cell.sum() // cell.size
+    return out
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash): luma -> 9x8 box-mean grid -> bit
+    (r*8+c) set when cell[r, c] > cell[r, c+1]. Integer-only, so the hash
+    is identical on every platform; robust to re-encode/resize/brightness
+    shifts, which is what makes it the standard cheap perceptual
+    fingerprint for image dedup."""
+    grid = _box_mean_grid(luma(pixels), 9, 8)
+    out = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r, c] > grid[r, c + 1]:
+                out |= 1 << (r * 8 + c)
+    return out - (1 << 64) if out >= 1 << 63 else out  # signed 64-bit
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def image_dhash(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Perceptual 64-bit dHash per PNG blob over Arrow ``mapInPandas``
+    (decode + hash per batch; non-PNG rows quarantine the codec error
+    instead of failing the job). Feed the result to
+    :func:`firepit_spark.functions.dedup.hamming_near_dup_pairs` for the
+    lossless banded near-dup join — together they are the image
+    equivalent of the text MinHash/Jaccard path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    recs.append((mid, dhash64(png_decode(blob)), None))
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    recs.append((mid, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in IMAGE_DHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+
+
 def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
     """Per-blob feature extraction over ``mapInPandas``.
 

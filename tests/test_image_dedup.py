@@ -1,0 +1,129 @@
+"""Perceptual image dedup: dHash (pure-python differential + invariances)
+and the lossless banded Hamming near-dup join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import multimodal as mm
+from firepit_spark.functions.dedup import hamming_near_dup_pairs
+
+
+def ref_dhash(pixels: np.ndarray) -> int:
+    """Independent pure-python re-derivation of the documented dHash rules."""
+    arr = np.asarray(pixels)
+    if arr.ndim == 3 and arr.shape[2] >= 3:
+        gray = (
+            299 * arr[:, :, 0].astype(int)
+            + 587 * arr[:, :, 1].astype(int)
+            + 114 * arr[:, :, 2].astype(int)
+        ) // 1000
+    else:
+        gray = arr.reshape(arr.shape[0], arr.shape[1]).astype(int)
+    h, w = gray.shape
+    out = 0
+    for r in range(8):
+        row = []
+        for c in range(9):
+            y0, y1 = r * h // 8, (r + 1) * h // 8
+            x0, x1 = c * w // 9, (c + 1) * w // 9
+            cell = gray[y0:max(y1, y0 + 1), x0:max(x1, x0 + 1)]
+            row.append(int(cell.sum()) // cell.size)
+        for c in range(8):
+            if row[c] > row[c + 1]:
+                out |= 1 << (r * 8 + c)
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def _pattern(seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (6, 8), dtype=np.int64)
+    # upsample a coarse random pattern -> structured image with real edges
+    return base.repeat(8, axis=0).repeat(8, axis=1).astype(np.uint8)
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_matches_reference_and_invariances():
+    img = _pattern(1)
+    h0 = mm.dhash64(img)
+    assert h0 == ref_dhash(img)
+    rgb = np.stack([img, 255 - img, img // 2], axis=2)
+    assert mm.dhash64(rgb) == ref_dhash(rgb)
+    # brightness shift: differences preserved
+    shifted = np.clip(img.astype(int) + 25, 0, 255).astype(np.uint8)
+    assert hamming(mm.dhash64(shifted), h0) <= 2
+    # 2x nearest resize: same grid means
+    assert hamming(mm.dhash64(mm.resize_nearest(img, 128, 96)), h0) <= 2
+    # unrelated image: far
+    assert hamming(mm.dhash64(_pattern(2)), h0) > 10
+
+
+def test_image_dhash_distributed_and_quarantine(spark):
+    img = _pattern(3)
+    noisy = img.copy()
+    # shift a corner block hard: a small, local edit flips a few bits
+    noisy[0:12, 0:16] = np.clip(noisy[0:12, 0:16].astype(int) + 120, 0, 255).astype(np.uint8)
+    rows = [
+        (0, bytearray(mm.png_encode(img))),
+        (1, bytearray(mm.png_encode(img))),          # exact copy
+        (2, bytearray(mm.png_encode(noisy))),        # near dup
+        (3, bytearray(mm.png_encode(_pattern(4)))),  # unrelated
+        (4, bytearray(b"not a png")),                # quarantined
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    hashed = mm.image_dhash(media)
+    got = {r["media_id"]: (r["dhash"], r["err"]) for r in hashed.collect()}
+    assert got[0][0] == got[1][0] == mm.dhash64(img)
+    assert got[4][0] is None and "PNG" in got[4][1]
+    assert 0 < hamming(got[2][0], got[0][0]) <= 8
+    assert hamming(got[3][0], got[0][0]) > 8
+
+    pairs = hamming_near_dup_pairs(
+        hashed.filter(F.col("dhash").isNotNull()),
+        "dhash", id_col="media_id", max_hamming=7, bands=8,
+    ).collect()
+    # exact copy collapses to the min-id representative (0); the noisy
+    # image pairs with it; the unrelated image pairs with nothing
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 2)]
+    assert pairs[0]["hamming"] == hamming(got[2][0], got[0][0])
+
+
+def test_hamming_pigeonhole_is_lossless(spark):
+    rng = np.random.default_rng(7)
+    base = [int(rng.integers(-(1 << 62), 1 << 62)) for _ in range(5)]
+    rows, expect = [], set()
+    for i, h in enumerate(base):
+        rows.append((i * 10, h))
+        flips = rng.choice(64, size=7, replace=False)  # exactly 7 bit flips
+        x = h
+        for f in flips:
+            x ^= 1 << int(f)
+        x = x - (1 << 64) if x >= 1 << 63 else x
+        rows.append((i * 10 + 1, x))
+        expect.add((i * 10, i * 10 + 1))
+    df = spark.createDataFrame(rows, "doc_id LONG, h LONG")
+    pairs = hamming_near_dup_pairs(df, "h", max_hamming=7, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # every planted ≤7-flip pair is guaranteed found (max_hamming < bands)
+    assert expect <= got
+    assert all(r["hamming"] <= 7 for r in pairs.collect())
+
+
+def test_hamming_max_bucket_cutoff_and_validation(spark):
+    # 20 hashes identical on slice 0 (low byte) but far apart overall
+    rows = [(i, (i << 8) | 0x55) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, h LONG")
+    loose = hamming_near_dup_pairs(df, "h", max_hamming=3, bands=16, bits=64)
+    capped = hamming_near_dup_pairs(
+        df, "h", max_hamming=3, bands=16, bits=64, max_bucket=5
+    )
+    assert capped.count() <= loose.count()
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, "h", max_hamming=8, bands=8)
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, "h", bands=7)
