@@ -561,13 +561,44 @@ def q22_text_stats(spark, sf_dir):
         "dup5_chars",
         "dup5_char_frac",
     )
+    # r8 merge: banded-Hamming near-dup degree over the simhash signal
+    # (dedup.hamming_near_dup_pairs — the lossless pigeonhole multi-index
+    # join that also backs image dHash dedup). Spark finds pairs via the
+    # 8-slice band join; the ORACLE brute-forces all representative pairs
+    # — a hash match therefore PROVES the banding is lossless at
+    # max_hamming < bands, not merely self-consistent. Gate runs on the
+    # doc_id%4 subsample so the oracle's O(n^2) stays cheap at sf1.
+    sub = sim.filter(F.col("doc_id") % 4 == 0)
+    ndp = dd.hamming_near_dup_pairs(
+        sub, "simhash", id_col="doc_id", max_hamming=6, bands=8, bits=32
+    )
+    nd = (
+        ndp.select(F.col("id_a").alias("doc_id"), "hamming")
+        .unionByName(ndp.select(F.col("id_b").alias("doc_id"), "hamming"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__ndc"),
+            F.min("hamming").alias("min_hamming"),
+        )
+    )
     out = (
         stats.join(sim, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .crossJoin(F.broadcast(summary))
+        .join(nd, "doc_id", "left")
+        .withColumn(
+            "n_neardup",
+            F.when(
+                (F.col("doc_id") % 4 == 0) & F.col("simhash").isNotNull(),
+                F.coalesce(F.col("__ndc"), F.lit(0).cast("bigint")),
+            ),
+        )
+        .drop("__ndc")
     )
-    out._fp_caches = getattr(postings, "_fp_caches", [])
+    out._fp_caches = getattr(postings, "_fp_caches", []) + list(
+        getattr(ndp, "_fp_caches", [])
+    )
     return out
 
 
@@ -629,7 +660,24 @@ rep5 AS (
            AS dup5_chars
   FROM g5c GROUP BY 1
 ),
-nrm AS (SELECT doc_id, length({_NORM}) AS rep_chars FROM documents)
+nrm AS (SELECT doc_id, length({_NORM}) AS rep_chars FROM documents),
+sims AS ({{SIMHASH}}),
+-- near-dup leg: BRUTE-FORCE all representative pairs (independent of the
+-- Spark side's pigeonhole banding — a hash match proves banding lossless)
+nreps AS (
+  SELECT MIN(doc_id) AS rep, simhash AS h FROM sims
+  WHERE doc_id % 4 = 0 AND simhash IS NOT NULL GROUP BY simhash
+),
+ndpairs AS (
+  SELECT a.rep AS ra, b.rep AS rb, bit_count(xor(a.h, b.h)) AS hm
+  FROM nreps a JOIN nreps b ON a.rep < b.rep
+  WHERE bit_count(xor(a.h, b.h)) <= 6
+),
+nd AS (
+  SELECT rep AS doc_id, COUNT(*) AS ndc, CAST(MIN(hm) AS INTEGER) AS min_hamming
+  FROM (SELECT ra AS rep, hm FROM ndpairs UNION ALL SELECT rb AS rep, hm FROM ndpairs)
+  GROUP BY rep
+)
 SELECT m.doc_id, n_tokens, bpe_tokens,
        ROUND(p_ratio, 6) AS punct_ratio,
        ROUND(sw_ratio, 6) AS stopword_ratio,
@@ -644,11 +692,15 @@ SELECT m.doc_id, n_tokens, bpe_tokens,
        rep2.top2_count, rep2.top2_cover_chars,
        rep2.top2_cover_chars / nrm.rep_chars AS top2_char_frac,
        rep5.dup5_chars,
-       rep5.dup5_chars / nrm.rep_chars AS dup5_char_frac
-FROM m LEFT JOIN ({{SIMHASH}}) s ON m.doc_id = s.doc_id
+       rep5.dup5_chars / nrm.rep_chars AS dup5_char_frac,
+       CASE WHEN m.doc_id % 4 = 0 AND s.simhash IS NOT NULL
+            THEN COALESCE(nd.ndc, 0) END AS n_neardup,
+       nd.min_hamming
+FROM m LEFT JOIN sims s ON m.doc_id = s.doc_id
 LEFT JOIN pd ON m.doc_id = pd.doc_id
 LEFT JOIN rep2 ON m.doc_id = rep2.doc_id
 LEFT JOIN rep5 ON m.doc_id = rep5.doc_id
+LEFT JOIN nd ON m.doc_id = nd.doc_id
 JOIN nrm ON m.doc_id = nrm.doc_id
 JOIN documents d2 ON m.doc_id = d2.doc_id
 """
