@@ -436,6 +436,62 @@ def audio_stats(samples: np.ndarray, rate: int) -> dict:
     }
 
 
+def audio_ahash64(samples: np.ndarray, _rate: int = 0) -> int:
+    """64-bit energy-contour hash: mono mix -> 65 equal frames -> bit i set
+    when frame i+1 carries more energy than frame i. The audio sibling of
+    :func:`dhash64` — invariant to positive gain scaling (comparisons
+    only), robust to low-level noise, far apart for unrelated signals.
+    Feed results to ``dedup.hamming_near_dup_pairs`` for banded near-dup
+    audio dedup. Deterministic: float64 energies via numpy's fixed
+    pairwise summation over fixed frame shapes."""
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n = len(mono)
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    edges = (np.arange(66) * n) // 65
+    energy = [float((mono[edges[i] : max(edges[i + 1], edges[i] + 1)] ** 2).sum())
+              for i in range(65)]
+    out = 0
+    for i in range(64):
+        if energy[i + 1] > energy[i]:
+            out |= 1 << i
+    return out - (1 << 64) if out >= 1 << 63 else out  # signed 64-bit
+
+
+AUDIO_AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def audio_ahash(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Perceptual energy-contour hash per WAV blob over Arrow
+    ``mapInPandas`` (decode + hash per batch; non-WAV rows quarantine the
+    codec error instead of failing the job)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    recs.append((mid, audio_ahash64(*wav_decode(blob)), None))
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    recs.append((mid, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in AUDIO_AHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_AHASH_SCHEMA)
+
+
 # ---------------------------------------------------------------- MP4 probe
 #
 # ISO-BMFF is length-prefixed boxes; duration and track metadata live in

@@ -127,3 +127,58 @@ def test_hamming_max_bucket_cutoff_and_validation(spark):
         hamming_near_dup_pairs(df, "h", max_hamming=8, bands=8)
     with pytest.raises(ValueError):
         hamming_near_dup_pairs(df, "h", bands=7)
+
+
+# ----------------------------------------------------------- audio sibling
+
+
+def _tone(seed: int = 5, secs: float = 2.0, rate: int = 16000) -> np.ndarray:
+    # the hash keys on the ENERGY ENVELOPE (pitch-blind by design), so
+    # distinct seeds must differ in envelope, not just frequency
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * secs)) / rate
+    env = np.exp(-t * (0.2 + 0.9 * (seed % 5))) * (
+        1 + 0.5 * np.sin(2 * np.pi * (1 + seed) * t)
+    )
+    return (
+        np.sin(2 * np.pi * (300 + 200 * seed) * t) * env
+        + 0.02 * rng.normal(0, 1, t.shape)
+    )
+
+
+def test_audio_ahash_invariances():
+    sig = _tone(1)
+    h0 = mm.audio_ahash64(sig[:, None])
+    # positive gain scaling never flips an energy comparison
+    assert mm.audio_ahash64((0.25 * sig)[:, None]) == h0
+    # low-level noise: close
+    noisy = sig + np.random.default_rng(9).normal(0, 0.01, sig.shape)
+    assert hamming(mm.audio_ahash64(noisy[:, None]), h0) <= 4
+    # int16 WAV encode/decode roundtrip: close
+    blob = mm.wav_encode((sig * 32767).astype(np.int16), 16000)
+    assert hamming(mm.audio_ahash64(*mm.wav_decode(blob)), h0) <= 6
+    # unrelated signal: far
+    assert hamming(mm.audio_ahash64(_tone(3)[:, None]), h0) > 10
+    # short clips pad deterministically instead of failing
+    assert isinstance(mm.audio_ahash64(np.zeros((10, 1))), int)
+
+
+def test_audio_ahash_distributed_near_dup(spark):
+    sig = _tone(2)
+    rows = [
+        (0, bytearray(mm.wav_encode((sig * 32767).astype(np.int16), 16000))),
+        (1, bytearray(mm.wav_encode((sig * 16383).astype(np.int16), 16000))),  # gain
+        (2, bytearray(mm.wav_encode((_tone(7) * 32767).astype(np.int16), 16000))),
+        (3, bytearray(b"not a wav")),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    hashed = mm.audio_ahash(media)
+    got = {r["media_id"]: (r["ahash"], r["err"]) for r in hashed.collect()}
+    assert got[3][0] is None and "WAV" in got[3][1]
+    assert hamming(got[0][0], got[1][0]) <= 6
+    pairs = hamming_near_dup_pairs(
+        hashed.filter(F.col("ahash").isNotNull()),
+        "ahash", id_col="media_id", max_hamming=7, bands=8,
+    ).collect()
+    assert (0, 1) in [(r["id_a"], r["id_b"]) for r in pairs]
+    assert (0, 2) not in [(r["id_a"], r["id_b"]) for r in pairs]
