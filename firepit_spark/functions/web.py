@@ -143,7 +143,12 @@ def url_normalize(url: Column, tracking_params: tuple = TRACKING_PARAMS) -> Colu
     query_part = F.when(
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    # a URL without scheme+host (relative link, garbage) has no canonical
+    # absolute form — NULL, not a '://...' fragment
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, port_part, path, query_part),
+    )
 
 
 def parse_urls(

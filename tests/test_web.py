@@ -73,6 +73,15 @@ def test_normalize_matches_python_reference_and_is_idempotent(spark, urls_df):
     assert got2 == got  # normalization is a fixpoint
 
 
+def test_normalize_null_for_non_absolute(spark):
+    df = spark.createDataFrame(
+        [("/relative/path?a=1",), ("not a url at all",), ("mailto:x",), (None,)],
+        "url STRING",
+    )
+    got = [r[0] for r in df.select(wb.url_normalize(F.col("url"))).collect()]
+    assert got == [None, None, None, None]
+
+
 def test_registered_domain(urls_df):
     got = {
         r["host"]: r["domain"] for r in wb.parse_urls(urls_df).collect()
