@@ -83,8 +83,10 @@ def url_path(url: Column) -> Column:
 
 
 def url_query(url: Column) -> Column:
-    """Raw query string after '?' (before any '#'), '' when absent."""
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    """Raw query string after '?' (before any '#'), '' when absent. The
+    anchored non-greedy prefix keeps a '?' inside the fragment from
+    matching ('http://h/p#f?x' has no query)."""
+    return F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
 
 
 def url_fragment(url: Column) -> Column:
@@ -192,7 +194,9 @@ def domain_filter(
         other_col = domains.columns[0]
         how = "left_anti" if mode == "block" else "left_semi"
         return df.join(
-            F.broadcast(domains.select(F.col(other_col).alias("__bl_domain"))),
+            F.broadcast(
+                domains.select(F.lower(F.col(other_col)).alias("__bl_domain"))
+            ),
             df[domain_col] == F.col("__bl_domain"),
             how,
         )
@@ -241,11 +245,12 @@ def cap_per_key(
         .filter(F.col("count") > cap)
         .select(F.col(key_col).alias("__hot_key"))
     )
-    cold_rows = df.join(
-        F.broadcast(hot), df[key_col] == F.col("__hot_key"), "left_anti"
-    )
+    # null-safe equality: a NULL key forms a group under the plain window,
+    # so the hot-key path must route it the same way or the modes diverge
+    cond = df[key_col].eqNullSafe(F.col("__hot_key"))
+    cold_rows = df.join(F.broadcast(hot), cond, "left_anti")
     hot_rows = (
-        df.join(F.broadcast(hot), df[key_col] == F.col("__hot_key"), "left_semi")
+        df.join(F.broadcast(hot), cond, "left_semi")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")

@@ -23,6 +23,7 @@ URLS = [
     "http://a.b.c.d.example.net/long?p=1&p=0",
     "ftp://files.example.com:21/pub",
     "https://example.com:443/exact?A=2&a=1",
+    "http://h.example.com/p#f?notaquery=1",  # '?' inside fragment
 ]
 
 
@@ -102,7 +103,7 @@ def test_domain_filter_list_and_frame(spark, urls_df):
     assert {r["domain"] for r in allowed.collect()} == {"example.com"}
     assert blocked.count() + allowed.count() == parsed.count()
 
-    bl = spark.createDataFrame([("example.com",), ("example.net",)], "d STRING")
+    bl = spark.createDataFrame([("Example.COM",), ("example.net",)], "d STRING")
     blocked2 = wb.domain_filter(parsed, bl, mode="block")
     assert {r["domain"] for r in blocked2.collect()} & {"example.com", "example.net"} == set()
     allowed2 = wb.domain_filter(parsed, bl, mode="allow")
@@ -145,6 +146,16 @@ def test_cap_per_key_windows_only_hot_keys(skewed):
     # cold leg is a broadcast anti join with no sort
     assert plan.count("Window [") == 1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cap_per_key_null_keys_match_plain_window(spark):
+    rows = [(i, None) for i in range(25)] + [(100 + i, "a.org") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id INT, domain STRING")
+    safe = wb.cap_per_domain(df, 10, salt="n")
+    plain = wb.cap_per_domain(df, 10, salt="n", skew_safe=False)
+    assert sorted(map(tuple, safe.collect())) == sorted(map(tuple, plain.collect()))
+    nulls = [r for r in safe.collect() if r["domain"] is None]
+    assert len(nulls) == 10  # the NULL-key group is capped too
 
 
 def test_cap_validation(skewed):
