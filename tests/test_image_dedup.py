@@ -182,3 +182,44 @@ def test_audio_ahash_distributed_near_dup(spark):
     ).collect()
     assert (0, 1) in [(r["id_a"], r["id_b"]) for r in pairs]
     assert (0, 2) not in [(r["id_a"], r["id_b"]) for r in pairs]
+
+
+def test_media_dedup_end_to_end_clusters(spark):
+    """The full image-dedup endgame: blobs -> dHash -> banded Hamming
+    pairs -> connected components -> one keeper per cluster (min id) —
+    the media twin of the text fuzzy_dedup pipeline."""
+    from firepit_spark.functions.graph import dedup_clusters
+
+    img_a, img_b = _pattern(11), _pattern(12)
+    near_a = img_a.copy()
+    near_a[0:12, 0:16] = np.clip(
+        near_a[0:12, 0:16].astype(int) + 120, 0, 255
+    ).astype(np.uint8)
+    rows = [
+        (0, bytearray(mm.png_encode(img_a))),
+        (1, bytearray(mm.png_encode(near_a))),   # near dup of 0
+        (2, bytearray(mm.png_encode(img_a))),    # exact dup of 0
+        (3, bytearray(mm.png_encode(img_b))),    # its own cluster
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    hashed = mm.image_dhash(media).filter(F.col("dhash").isNotNull())
+    pairs = hamming_near_dup_pairs(
+        hashed, "dhash", id_col="media_id", max_hamming=7, bands=8
+    )
+    # exact dups share a hash: rejoin members to their representative's
+    # cluster through the hash column
+    clusters = dedup_clusters(pairs)
+    reps = hashed.groupBy("dhash").agg(F.min("media_id").alias("rep"))
+    members = (
+        hashed.join(reps, "dhash")
+        .join(
+            clusters.withColumnRenamed("doc_id", "rep"), "rep", "left"
+        )
+        .select(
+            "media_id",
+            F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
+        )
+    )
+    got = {r["media_id"]: r["cluster_id"] for r in members.collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == 3
