@@ -228,6 +228,13 @@ def cap_per_key(
     sort runs only over the hot subset. ``skew_safe=False`` is the plain
     single-window variant (fine when keys are near-uniform); both produce
     identical rows.
+
+    Cost trade, spelled out: skew-safe pays one extra NARROW scan (the
+    count reads only the key column — column pruning makes it a fraction
+    of a full scan) and reads the full rows once per join leg, in
+    exchange for shrinking the plain window's full-data shuffle+sort to
+    just the over-cap rows. Scans are bandwidth-bound and cheap; the
+    global sort is the thing that doesn't survive 100×.
     """
     from pyspark.sql import Window
 
