@@ -522,3 +522,161 @@ def weighted_sample(
         .limit(n)
         .drop("__es")
     )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    members: dict,
+    n_shards: int,
+    salt: str = "",
+    mode: str = "error",
+) -> list:
+    """Materialize a WebDataset-style tar-shard layout — the standard
+    training sink for multimodal samples (image+caption, audio+transcript):
+    ``path/shard-00000.tar`` each holding samples as adjacent members
+    ``{key}.{ext}``.
+
+    ``members`` maps member extension -> column (``{"txt": "text", "png":
+    "content"}``); binary columns are written raw, strings utf-8, anything
+    else JSON; a NULL cell skips that member. Shard membership is
+    content-addressed (``h(salt||key) % n_shards``, the same rule as
+    :func:`assign_shards`) and members are written in ``(h(key), key)``
+    order with zeroed tar metadata, so THE SHARD BYTES THEMSELVES are
+    reproducible across runs, engines, and partitionings.
+
+    Scale shape: one shuffle co-locates each shard (same rows a parquet
+    shard write would move), then every executor streams its shards
+    straight to ``path`` through Arrow batches — tars are append-only, so
+    a shard never materializes in memory, and each is written to a
+    ``.tmp`` name and atomically renamed. ``path`` must be writable from
+    executors (shared filesystem / fuse-mounted object store — exactly
+    what WebDataset training jobs read back). Eager (the write IS the
+    action); returns the manifest as a list of dicts (shard_id,
+    n_samples, n_bytes, path), ≤ ``n_shards`` entries.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if not members:
+        raise ValueError("members must be non-empty")
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"mode must be 'error' or 'overwrite', got {mode!r}")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if f.endswith(".tar")]
+    if existing:
+        if mode == "error":
+            raise FileExistsError(f"{path} already holds {len(existing)} tar shards")
+        for f in existing:
+            os.remove(os.path.join(path, f))
+
+    exts = sorted(members)
+    cols = [F.col(key_col).cast("string").alias("__key")] + [
+        F.col(members[e]).alias(f"__m_{e}") for e in exts
+    ]
+    rows = df.select(*cols).withColumn(
+        "__shard", (key_hash(F.col("__key"), salt) % n_shards).cast("int")
+    ).withColumn("__ord", key_hash(F.col("__key"), salt))
+    placed = rows.repartition(n_shards, F.col("__shard")).sortWithinPartitions(
+        "__shard", "__ord", "__key"
+    )
+
+    def run(batches):
+        import io as _io
+        import tarfile
+
+        open_tars = {}  # shard -> [tarfile, fileobj, n_samples, tmp, final]
+
+        def member_bytes(v):
+            if v is None:
+                return None
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            if isinstance(v, str):
+                return v.encode("utf-8")
+            import json as _json
+
+            return _json.dumps(v, sort_keys=True, default=str).encode("utf-8")
+
+        for pdf in batches:
+            # to_dict, not itertuples: namedtuples rename the __-prefixed
+            # internal columns positionally
+            for d in pdf.to_dict("records"):
+                sid = int(d["__shard"])
+                if sid not in open_tars:
+                    final = os.path.join(path, f"shard-{sid:05d}.tar")
+                    tmp = final + ".tmp"
+                    fobj = open(tmp, "wb")
+                    open_tars[sid] = [
+                        tarfile.open(fileobj=fobj, mode="w"), fobj, 0, tmp, final,
+                    ]
+                ent = open_tars[sid]
+                for e in exts:
+                    data = member_bytes(d[f"__m_{e}"])
+                    if data is None:
+                        continue
+                    info = tarfile.TarInfo(name=f"{d['__key']}.{e}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    ent[0].addfile(info, _io.BytesIO(data))
+                ent[2] += 1
+        out = []
+        for sid, (tf, fobj, n, tmp, final) in open_tars.items():
+            tf.close()
+            fobj.close()
+            os.replace(tmp, final)
+            out.append((sid, n, os.path.getsize(final), final))
+        yield pd.DataFrame(
+            out, columns=["shard_id", "n_samples", "n_bytes", "path"]
+        )
+
+    manifest = placed.mapInPandas(
+        run, schema="shard_id int, n_samples long, n_bytes long, path string"
+    ).collect()
+    return sorted((r.asDict() for r in manifest), key=lambda m: m["shard_id"])
+
+
+def read_webdataset_shards(spark, path: str) -> DataFrame:
+    """Read a WebDataset tar-shard directory back as one row per member:
+    (shard_path, key, ext, data BINARY). Shards are read in parallel via
+    Spark's binaryFile source (one task per tar — the WebDataset access
+    pattern); untar happens in Arrow batches. Pivot/join by ``key``
+    downstream to reassemble samples."""
+
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+    )
+
+    def run(batches):
+        import io
+        import tarfile
+
+        for pdf in batches:
+            recs = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for info in tf.getmembers():
+                        if not info.isfile():
+                            continue
+                        stem, _, ext = info.name.rpartition(".")
+                        recs.append(
+                            (p, stem, ext, tf.extractfile(info).read())
+                        )
+            yield pd.DataFrame(
+                recs, columns=["shard_path", "key", "ext", "data"]
+            )
+
+    return blobs.select("path", "content").mapInPandas(
+        run, schema="shard_path string, key string, ext string, data binary"
+    )
