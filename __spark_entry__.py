@@ -2144,10 +2144,24 @@ def q51_corpus_profile(spark, sf_dir):
         "p50_tokens",
         "p95_tokens",
     )
+    # r8 merge: snapshot diff (corpus_diff/diff_summary — the dataset-
+    # versioning primitive). Two synthetic snapshots derived from the same
+    # table (old drops doc_id%5==0, new drops doc_id%7==3 and rewrites
+    # text for doc_id%3==0), so every status arises; the oracle rebuilds
+    # both snapshots and full-outer-joins them independently.
+    dold = docs.filter(F.col("doc_id") % 5 != 0)
+    dnew = docs.filter(F.col("doc_id") % 7 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    dsum = cp.diff_summary(dold, dnew, group_col="source")
     return (
         w.join(p.select("source", "p50", "p90", "p99"), "source")
         .join(msum, "source", "left")
         .join(rep, "source")
+        .join(dsum, "source")
     )
 
 
@@ -2206,12 +2220,40 @@ rep AS (
          ROUND(quantile_cont(CAST(len(string_split({_NORM}, ' ')) AS DOUBLE), 0.95), 6)
            AS p95_tokens
   FROM documents GROUP BY source
+),
+-- snapshot-diff leg: rebuild both synthetic snapshots and full-outer-join
+dold AS (
+  SELECT doc_id, source, md5({_NORM}) AS fp FROM documents WHERE doc_id % 5 != 0
+),
+dnewt AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 3
+),
+dnew AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM dnewt),
+ddiff AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp = n.fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM dold o FULL OUTER JOIN dnew n ON o.doc_id = n.doc_id
+),
+dsum AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM ddiff GROUP BY source
 )
 SELECT w.source, w.n_docs, w.weight, p.p50, p.p90, p.p99,
        mix.mix_docs, mix.mix_tokens,
        rep.distinct_docs, rep.dup_ratio, rep.total_tokens, rep.mean_tokens,
-       rep.p50_tokens, rep.p95_tokens
+       rep.p50_tokens, rep.p95_tokens,
+       dsum.n_added, dsum.n_removed, dsum.n_changed, dsum.n_unchanged
 FROM w JOIN p USING (source) LEFT JOIN mix USING (source) JOIN rep USING (source)
+JOIN dsum USING (source)
 """
 
 

@@ -638,3 +638,81 @@ def vocab_report(
         "doc_freq",
         (F.col("__cum") / F.col("__total")).alias("coverage"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """Per-document status between two corpus snapshots — the dataset-
+    versioning primitive behind incremental releases ("what changed since
+    v1?") and reproducibility audits.
+
+    Returns (id, status, carry...) with status in
+    {'added', 'removed', 'changed', 'unchanged'}: membership by id,
+    change detection by content fingerprint (md5 of whitespace-normalized
+    text by default; pass ``fingerprint_col`` when a fingerprint is
+    already materialized — e.g. from ingest — to skip recomputing).
+    ``carry_cols`` are taken from the NEW snapshot, falling back to the
+    old one for removed docs.
+
+    Scale shape: fingerprints are map-side; the only shuffle is ONE
+    full-outer equi-join on the id — both snapshots co-partition on it,
+    and bucketed-by-id snapshot tables make the diff exchange-free. No
+    text ever moves unless it's the fingerprint input being read.
+    """
+    fp = (
+        (lambda df: F.col(fingerprint_col))
+        if fingerprint_col
+        else (lambda df: tx.fingerprint(F.col(text_col)))
+    )
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        fp(old).alias("__fp_old"),
+        *[F.col(c).alias(f"__old_{c}") for c in carry_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        fp(new).alias("__fp_new"),
+        *[F.col(c).alias(f"__new_{c}") for c in carry_cols],
+    )
+    j = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col("__id").alias(id_col),
+        status.alias("status"),
+        *[
+            F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c)
+            for c in carry_cols
+        ],
+    )
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Aggregate :func:`corpus_diff` to release-note counts
+    (n_added / n_removed / n_changed / n_unchanged), optionally per
+    ``group_col`` (source, language). One extra map-side-combined
+    aggregation over the diff — counts, never text."""
+    carry = (group_col,) if group_col else ()
+    d = corpus_diff(old, new, id_col=id_col, text_col=text_col, carry_cols=carry)
+    keys = [group_col] if group_col else []
+    aggs = [
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(f"n_{s}")
+        for s in ("added", "removed", "changed", "unchanged")
+    ]
+    return d.groupBy(*keys).agg(*aggs)

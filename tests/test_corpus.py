@@ -794,3 +794,41 @@ def test_gopher_quality_stats_is_map_only(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = tx.gopher_quality_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(0, "same text", "a"), (1, "will change", "a"), (2, "will vanish", "b"),
+         (3, "ws   change", "b")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same text", "a"), (1, "changed now", "a"), (4, "brand new", "b"),
+         (3, "ws change", "b")],
+        "doc_id long, text string, source string",
+    )
+    d = {r["doc_id"]: r for r in
+         cp.corpus_diff(old, new, carry_cols=("source",)).collect()}
+    assert d[0]["status"] == "unchanged"
+    assert d[1]["status"] == "changed"
+    assert d[2]["status"] == "removed" and d[2]["source"] == "b"  # carried from old
+    # whitespace-only edits are 'unchanged' (fingerprint normalizes ws)
+    assert d[3]["status"] == "unchanged"
+    assert d[4]["status"] == "added" and d[4]["source"] == "b"
+
+    s = {r["source"]: r for r in
+         cp.diff_summary(old, new, group_col="source").collect()}
+    assert (s["a"]["n_unchanged"], s["a"]["n_changed"]) == (1, 1)
+    assert (s["b"]["n_added"], s["b"]["n_removed"], s["b"]["n_unchanged"]) == (1, 1, 1)
+
+
+def test_corpus_diff_prematerialized_fingerprint(spark):
+    from firepit_spark.functions import text as tx
+
+    old = spark.createDataFrame([(0, "alpha"), (1, "beta")], "doc_id long, text string")
+    new = spark.createDataFrame([(0, "alpha"), (1, "gamma")], "doc_id long, text string")
+    via_text = sorted(map(tuple, cp.corpus_diff(old, new).collect()))
+    o2 = old.withColumn("fp", tx.fingerprint(F.col("text")))
+    n2 = new.withColumn("fp", tx.fingerprint(F.col("text")))
+    via_fp = sorted(map(tuple, cp.corpus_diff(o2, n2, fingerprint_col="fp").collect()))
+    assert via_text == via_fp
