@@ -199,3 +199,52 @@ def read_seen_bloom(
             spark, state_dir, num_bits, num_hashes, write_if_missing=False
         )
     return bloom_merge(spark.read.parquet(state_dir).drop("__epoch"))
+
+
+def stream_cap_per_key(
+    stream: DataFrame,
+    key_col: str,
+    cap: int,
+) -> DataFrame:
+    """Streaming twin of :func:`firepit_spark.functions.web.cap_per_key`:
+    admit at most ``cap`` rows per key over the LIFETIME of the stream —
+    the per-domain admission cap of a continuously-fed crawl pipeline,
+    the same way ``stream_dedup_exact`` is the streaming twin of
+    ``dedup_exact`` (a cap of 1 per content fingerprint).
+
+    Custom stateful operator (``applyInPandasWithState``): state is ONE
+    long per distinct key (the admitted count), so memory is bounded by
+    key cardinality, not row volume — for registered domains that is
+    millions of longs at web scale, not a problem. Admission order
+    within a micro-batch follows arrival order; across batches the count
+    carries, so a key that filled its cap admits nothing ever after.
+    Unlike the batch op there is no content-addressed global order — a
+    stream can't see the future; this is the standard streaming
+    rate-limit semantics (first-come), documented trade.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    out_schema = stream.schema
+
+    def fn(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if n >= cap:
+                continue  # the iterator must still be drained
+            take = pdf.iloc[: cap - n]
+            n += len(take)
+            if len(take):
+                yield take
+        state.update((n,))
+
+    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -745,3 +745,55 @@ def test_stream_url_curation_lift(spark, tmp_path):
     want = {r["doc_id"]: r.asDict() for r in wb.parse_urls(batch_df).collect()}
     assert got == want
     assert got[2]["url_norm"] is None
+
+
+def test_stream_cap_per_key_across_batches(spark, tmp_path):
+    """Lifetime admission cap: the count carries across micro-batches, so
+    a key that filled its cap in batch 1 admits only the remainder in
+    batch 2 and nothing after."""
+    import pytest
+
+    from firepit_spark.streaming.dedup import stream_cap_per_key
+
+    indir = tmp_path / "capdocs"
+    indir.mkdir()
+    _write_events(
+        indir / "a.json",
+        [{"doc_id": i, "domain": "big.com"} for i in range(3)]
+        + [{"doc_id": 100, "domain": "tiny.org"}],
+    )
+    stream = spark.readStream.schema("doc_id long, domain string").json(str(indir))
+    out = stream_cap_per_key(stream, "domain", cap=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select * from cap_t").collect()
+        assert len([r for r in got1 if r["domain"] == "big.com"]) == 3
+        # batch 2: five more big.com rows, only ONE admitted (3 + 1 = cap)
+        _write_events(
+            indir / "b.json",
+            [{"doc_id": 10 + i, "domain": "big.com"} for i in range(5)]
+            + [{"doc_id": 101, "domain": "tiny.org"}],
+        )
+        q.processAllAvailable()
+        got2 = spark.sql("select * from cap_t").collect()
+        assert len([r for r in got2 if r["domain"] == "big.com"]) == 4
+        assert len([r for r in got2 if r["domain"] == "tiny.org"]) == 2
+        # batch 3: nothing more admitted for the capped key
+        _write_events(
+            indir / "c.json", [{"doc_id": 99, "domain": "big.com"}]
+        )
+        q.processAllAvailable()
+        got3 = spark.sql("select * from cap_t").collect()
+        assert len([r for r in got3 if r["domain"] == "big.com"]) == 4
+    finally:
+        q.stop()
+
+    with pytest.raises(ValueError):
+        stream_cap_per_key(stream, "domain", cap=0)
