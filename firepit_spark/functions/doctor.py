@@ -38,6 +38,7 @@ class PlanReport:
     bnl_joins: int = 0
     sorts: int = 0
     codegen_spans: int = 0
+    global_windows: int = 0
     findings: list = field(default_factory=list)
 
     @property
@@ -77,6 +78,17 @@ def plan_report(df: DataFrame, executed: bool = True) -> PlanReport:
     rep.bnl_joins = plan.count("BroadcastNestedLoopJoin")
     rep.sorts = plan.count("Sort ")
     rep.codegen_spans = plan.count("WholeStageCodegen")
+    # a Window with an EMPTY partition list funnels every row through one
+    # partition; the physical string then OMITS the partition bracket:
+    # `Window [exprs], [order]` (two groups) vs `Window [exprs],
+    # [partition], [order]` (three)
+    rep.global_windows = sum(
+        1
+        for line in plan.splitlines()
+        if "Window [" in line
+        and "WindowGroupLimit" not in line
+        and line.count("], [") == 1
+    )
 
     if rep.python_row_udfs:
         rep.findings.append(
@@ -104,6 +116,17 @@ def plan_report(df: DataFrame, executed: bool = True) -> PlanReport:
              f"{rep.scans_without_pushdown} scan(s) with empty "
              "PushedFilters: if the query filters these tables, the "
              "predicate is not reaching parquet (cast/udf in the way?)")
+        )
+    if rep.global_windows:
+        pruned = "WindowGroupLimit" in plan
+        rep.findings.append(
+            (YELLOW,
+             f"{rep.global_windows} un-partitioned Window(s): every row "
+             "funnels through ONE partition"
+             + (" — a rank-limit prunes inputs first (WindowGroupLimit), "
+                "fine when the post-limit size is bounded" if pruned
+                else " with no rank-limit pruning — single-partition sort "
+                "of the full input; partitionBy something or pre-aggregate"))
         )
     if rep.exchanges >= 10:
         rep.findings.append(

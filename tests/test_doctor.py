@@ -88,3 +88,21 @@ def test_all_gated_queries_scaleworthy(spark):
             release(df)
     # exactly the six STIX warehouse queries are exempt
     assert len(skipped) == 6, skipped
+
+
+def test_detects_global_window(spark):
+    from pyspark.sql import Window
+
+    from firepit_spark.functions.doctor import plan_report
+
+    df = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    rep = plan_report(df)
+    assert rep.global_windows == 1
+    assert any("un-partitioned Window" in m for _, m in rep.findings)
+    # a partitioned window does not trip the rule
+    ok = spark.range(100).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 5).orderBy("id"))
+    )
+    assert plan_report(ok).global_windows == 0
