@@ -1,0 +1,72 @@
+"""Generic JSONL corpus ingestion with malformed-record quarantine.
+
+Crawl and annotation pipelines deliver JSONL with a long tail of garbage:
+truncated lines, invalid UTF-8 escapes, schema drift. Dropping them
+silently corrupts dataset accounting; failing the job on one bad line is
+worse. This reader splits a JSONL source into (clean, quarantine) in ONE
+map-only pass.
+
+Built on ``spark.read.text`` + ``from_json`` rather than
+``spark.read.json``'s ``_corrupt_record`` column: Spark refuses
+filters that reference the corrupt-record column on an un-cached json
+read (SPARK-21610 — the documented workaround is a cache this reader
+shouldn't force), while the text+from_json formulation has no such
+caveat, keeps the raw line for the quarantine side, and stays entirely
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def read_jsonl_corpus(
+    spark,
+    path: str,
+    schema: str,
+    required: tuple = (),
+) -> tuple:
+    """(clean, quarantine) from a JSONL file/directory.
+
+    ``schema`` is a DDL string (``"doc_id LONG, text STRING, ..."``).
+    A line lands in quarantine with reason ``parse_error`` when it fails
+    to parse against the schema (malformed JSON and per-field TYPE
+    mismatches both surface through the corrupt-record column), or with
+    ``null_required:<col>`` when a ``required`` column parsed but is NULL
+    (missing key or explicit null). Quarantine rows carry (``raw``,
+    ``reason``) so a triage job can re-parse or count by failure mode.
+
+    Scale shape: one text scan, two map-only projections — Spark plans
+    both sides off the same scan; no shuffle, no cache requirement.
+    Blank lines are dropped from both sides (JSONL padding, not data).
+    """
+    raw = spark.read.text(path).select(F.col("value").alias("raw"))
+    raw = raw.filter(F.trim(F.col("raw")) != "")
+    # PERMISSIVE from_json returns a struct of nulls (not a NULL struct)
+    # for malformed lines; the corrupt-record side column is the reliable
+    # parse-failure signal
+    parsed = raw.withColumn(
+        "__rec",
+        F.from_json(
+            F.col("raw"),
+            schema + ", __corrupt STRING",
+            {"columnNameOfCorruptRecord": "__corrupt"},
+        ),
+    )
+    parse_ok = F.col("__rec.__corrupt").isNull()
+    missing = F.lit(False)
+    reason = F.when(~parse_ok, F.lit("parse_error"))
+    for c in required:
+        is_null = F.col(f"__rec.{c}").isNull()
+        missing = missing | is_null
+        reason = reason.when(parse_ok & is_null, F.lit(f"null_required:{c}"))
+    clean = parsed.filter(parse_ok & ~missing).select("__rec.*").drop("__corrupt")
+    quarantine = parsed.filter(~parse_ok | missing).select(
+        "raw", reason.alias("reason")
+    )
+    return clean, quarantine
+
+
+def quarantine_summary(quarantine: DataFrame) -> DataFrame:
+    """Failure-mode counts for the quarantine side — the triage report."""
+    return quarantine.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,54 @@
+"""JSONL corpus ingestion with quarantine (sources/corpus.py)."""
+
+from __future__ import annotations
+
+from firepit_spark.sources.corpus import quarantine_summary, read_jsonl_corpus
+
+SCHEMA = "doc_id LONG, text STRING"
+
+
+def _write(tmp_path, lines):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_clean_and_quarantine_split(spark, tmp_path):
+    p = _write(
+        tmp_path,
+        [
+            '{"doc_id": 1, "text": "ok"}',
+            '{"doc_id": 2, "text": null}',        # null required field
+            '{"doc_id": "notanint", "text": "x"}',  # type mismatch
+            'truncated {"doc_id": 4',             # malformed
+            "",                                   # blank padding: dropped
+            '{"text": "missing id"}',             # missing required key
+            '{"doc_id": 7, "text": "also ok", "extra": 1}',  # extra key ok
+        ],
+    )
+    clean, quar = read_jsonl_corpus(spark, p, SCHEMA, required=("doc_id", "text"))
+    assert clean.columns == ["doc_id", "text"]
+    assert sorted(map(tuple, clean.collect())) == [(1, "ok"), (7, "also ok")]
+    reasons = {r["raw"]: r["reason"] for r in quar.collect()}
+    assert reasons['{"doc_id": 2, "text": null}'] == "null_required:text"
+    assert reasons['{"text": "missing id"}'] == "null_required:doc_id"
+    assert reasons['truncated {"doc_id": 4'] == "parse_error"
+    assert reasons['{"doc_id": "notanint", "text": "x"}'] == "parse_error"
+    assert len(reasons) == 4  # blank line in neither side
+    s = {r["reason"]: r["n"] for r in quarantine_summary(quar).collect()}
+    assert s == {"parse_error": 2, "null_required:text": 1, "null_required:doc_id": 1}
+
+
+def test_no_required_means_parse_only_gate(spark, tmp_path):
+    p = _write(tmp_path, ['{"doc_id": 1}', "not json"])
+    clean, quar = read_jsonl_corpus(spark, p, SCHEMA)
+    assert [tuple(r) for r in clean.collect()] == [(1, None)]
+    assert [r["reason"] for r in quar.collect()] == ["parse_error"]
+
+
+def test_single_scan_no_shuffle(spark, tmp_path):
+    p = _write(tmp_path, ['{"doc_id": 1, "text": "a"}'])
+    clean, quar = read_jsonl_corpus(spark, p, SCHEMA, required=("doc_id",))
+    for df in (clean, quar):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # map-only
