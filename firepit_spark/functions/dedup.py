@@ -985,3 +985,28 @@ def hamming_near_dup_pairs(
     )
     pairs._fp_caches = [distinct]
     return pairs
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 8,
+    bits: int = 32,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs in one call: :func:`simhash` per doc,
+    then the lossless :func:`hamming_near_dup_pairs` pigeonhole join.
+    Returns (id_a, id_b, hamming) over distinct-hash representatives —
+    the textual sibling of the image/audio perceptual-dedup path."""
+    hashed = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    return hamming_near_dup_pairs(
+        hashed,
+        "simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        bits=bits,
+        max_bucket=max_bucket,
+    )

@@ -223,3 +223,18 @@ def test_media_dedup_end_to_end_clusters(spark):
     got = {r["media_id"]: r["cluster_id"] for r in members.collect()}
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == 3
+
+
+def test_simhash_near_dup_pairs_convenience(spark):
+    from firepit_spark.functions.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base),
+        (1, base.replace("lazy", "sleepy")),  # near dup
+        (2, "completely different words compose this other document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_near_dup_pairs(df, max_hamming=7).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
