@@ -658,7 +658,10 @@ def corpus_diff(
     text by default; pass ``fingerprint_col`` when a fingerprint is
     already materialized — e.g. from ingest — to skip recomputing).
     ``carry_cols`` are taken from the NEW snapshot, falling back to the
-    old one for removed docs.
+    old one for removed docs. Precondition: ids are unique within each
+    snapshot (the corpus invariant every other id-keyed op here assumes);
+    a duplicated id would fan out through the full-outer join — run
+    ``dedup_exact`` first if the snapshot can't guarantee it.
 
     Scale shape: fingerprints are map-side; the only shuffle is ONE
     full-outer equi-join on the id — both snapshots co-partition on it,

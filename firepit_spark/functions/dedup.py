@@ -905,12 +905,19 @@ def hamming_near_dup_pairs(
     Returns (id_a, id_b, hamming) with id_a < id_b over the distinct-hash
     representatives.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64] (bigint hashes), got {bits}")
+    if bands < 2:
+        # bands=1 implies max_hamming=0 (exact equality) — that is plain
+        # exact_duplicates on the hash column, and its 64-bit slice mask
+        # would overflow a long literal anyway
+        raise ValueError(f"bands must be >= 2, got {bands}")
     if bits % bands:
         raise ValueError(f"bands={bands} must divide bits={bits}")
-    if max_hamming >= bands:
+    if not 0 <= max_hamming < bands:
         raise ValueError(
-            f"lossless pigeonhole needs max_hamming < bands, got "
-            f"{max_hamming} >= {bands}; raise bands or lower max_hamming"
+            f"lossless pigeonhole needs 0 <= max_hamming < bands, got "
+            f"{max_hamming} vs {bands}; raise bands or lower max_hamming"
         )
     width = bits // bands
     mask = (1 << width) - 1

@@ -40,6 +40,8 @@ def read_jsonl_corpus(
     both sides off the same scan; no shuffle, no cache requirement.
     Blank lines are dropped from both sides (JSONL padding, not data).
     """
+    if "__corrupt" in schema:
+        raise ValueError("schema may not use the reserved column '__corrupt'")
     raw = spark.read.text(path).select(F.col("value").alias("raw"))
     raw = raw.filter(F.trim(F.col("raw")) != "")
     # PERMISSIVE from_json returns a struct of nulls (not a NULL struct)
