@@ -161,3 +161,59 @@ def test_cap_per_key_null_keys_match_plain_window(spark):
 def test_cap_validation(skewed):
     with pytest.raises(ValueError):
         wb.cap_per_key(skewed, "domain", 0, "doc_id")
+
+
+# ------------------------------------------------------- hypothesis fuzz
+
+from hypothesis import given, settings, strategies as st
+
+_label = st.from_regex(r"[a-z]([a-z0-9-]{0,6}[a-z0-9])?", fullmatch=True)
+_pkey = st.from_regex(r"[a-zA-Z][a-zA-Z0-9_]{0,5}", fullmatch=True)
+_pval = st.from_regex(r"[a-zA-Z0-9~.]{0,6}", fullmatch=True)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=4)))
+    if draw(st.booleans()):
+        host = host.upper() if draw(st.booleans()) else host.title()
+    port = draw(st.one_of(st.none(), st.integers(1, 65535)))
+    segs = draw(st.lists(_pval, min_size=0, max_size=3))
+    path = "/" + "/".join(segs) if segs else draw(st.sampled_from(["", "/"]))
+    pairs = draw(st.lists(st.tuples(_pkey, _pval), min_size=0, max_size=4))
+    if draw(st.booleans()):
+        pairs.append(("utm_campaign", "x"))
+    query = "&".join(f"{k}={v}" for k, v in pairs)
+    frag = draw(st.one_of(st.none(), _pval))
+    url = f"{scheme}://{host}"
+    if port is not None:
+        url += f":{port}"
+    url += path
+    if query:
+        url += f"?{query}"
+    if frag is not None:
+        url += f"#{frag}"
+    return url
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_urls(), min_size=1, max_size=12, unique=True))
+def test_fuzz_parse_matches_urllib_and_normalize_idempotent(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i INT, url STRING")
+    rows = wb.parse_urls(df).orderBy("i").collect()
+    for row, u in zip(rows, urls):
+        s = urlsplit(u)
+        assert row["scheme"] == s.scheme.lower(), u
+        assert row["host"] == (s.hostname or ""), u
+        assert row["port"] == s.port, u
+        assert row["path"] == s.path, u
+        assert row["query"] == s.query, u
+        assert row["fragment"] == (s.fragment or ""), u
+        assert row["url_norm"] == py_normalize(u), u
+    # normalization is a fixpoint on every fuzzed URL
+    again = spark.createDataFrame(
+        [(i, r["url_norm"]) for i, r in enumerate(rows)], "i INT, url STRING"
+    )
+    renorm = [r["url_norm"] for r in wb.parse_urls(again).orderBy("i").collect()]
+    assert renorm == [r["url_norm"] for r in rows]
