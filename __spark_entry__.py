@@ -390,11 +390,34 @@ SELECT o_custkey, o_orderkey, o_totalprice FROM (
 
 
 def q17_json_extract(spark, sf_dir):
-    """Semi-structured props column: regex extraction + grouped agg."""
+    """Semi-structured props column: regex extraction + grouped agg.
+
+    Since r8 the slot also gates the event-analytics family
+    (functions/events.py) as two extra union legs under a ``leg``
+    discriminator (gate-packing like q22, documented as such):
+
+    - ``funnel``: ordered view→click→purchase completion counts. The
+      Spark side is the single-pass greedy fold over each user's sorted
+      event array; the ORACLE is the independent chained-min formulation
+      (step k = MIN event time at/after step k-1's match, tie order
+      mirroring the fold's (ts, type) sort) — the hash match proves the
+      fold implements the standard funnel semantics.
+    - ``retention``: weekly cohort matrix (cohort bucket as the string
+      key, period as k). Oracle recomputes via DISTINCT buckets + MIN
+      window.
+
+    Shared shape: (leg, event_type, k, n, sum_k, unique_k); legs leave
+    inapplicable columns NULL."""
+    from firepit_spark.functions import events as ev
+
     r = _resolver(spark, sf_dir)
-    return (
-        r("events")
-        .withColumn(
+    e = r("events")
+    nulls = [
+        F.lit(None).cast("bigint").alias("sum_k"),
+        F.lit(None).cast("bigint").alias("unique_k"),
+    ]
+    js = (
+        e.withColumn(
             "k_val", F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("bigint")
         )
         .groupBy("event_type")
@@ -403,14 +426,66 @@ def q17_json_extract(spark, sf_dir):
             F.sum("k_val").alias("sum_k"),
             F.countDistinct("k_val").alias("unique_k"),
         )
+        .select(
+            F.lit("json").alias("leg"),
+            "event_type",
+            F.lit(None).cast("bigint").alias("k"),
+            "n",
+            "sum_k",
+            "unique_k",
+        )
     )
+    fu = ev.funnel(e, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("leg"),
+        F.col("step").alias("event_type"),
+        F.col("stage").cast("bigint").alias("k"),
+        F.col("n_users").alias("n"),
+        *nulls,
+    )
+    rt = ev.retention(e).select(
+        F.lit("retention").alias("leg"),
+        F.col("cohort_bucket").cast("string").alias("event_type"),
+        F.col("period").cast("bigint").alias("k"),
+        F.col("n_users").alias("n"),
+        *nulls,
+    )
+    return js.unionByName(fu).unionByName(rt)
 
 
 _Q17_SQL = """
-SELECT event_type, COUNT(*) AS n,
+WITH ev AS (SELECT user_id AS u, event_type AS t, epoch(ts) AS ep FROM events),
+f1 AS (SELECT u, MIN(ep) AS m FROM ev WHERE t = 'view' GROUP BY u),
+-- tie rule mirrors the fold's (ts, type) sort: 'click' < 'view' so an
+-- equal-timestamp click sorted BEFORE the matched view cannot count -> strict
+f2 AS (
+  SELECT ev.u, MIN(ep) AS m FROM ev JOIN f1 USING (u)
+  WHERE t = 'click' AND ep > f1.m GROUP BY ev.u
+),
+-- 'purchase' > 'click': an equal-timestamp purchase sorts after the click
+f3 AS (
+  SELECT ev.u, MIN(ep) AS m FROM ev JOIN f2 USING (u)
+  WHERE t = 'purchase' AND ep >= f2.m GROUP BY ev.u
+),
+ub AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(FLOOR(epoch(ts) / 604800.0) AS BIGINT) AS b
+  FROM events
+),
+coh AS (SELECT u, b, MIN(b) OVER (PARTITION BY u) AS c FROM ub)
+SELECT 'json' AS leg, event_type, CAST(NULL AS BIGINT) AS k, COUNT(*) AS n,
        CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(DISTINCT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS unique_k
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'funnel', s.event_type, s.k, s.n, NULL, NULL FROM (
+  SELECT 'view' AS event_type, CAST(1 AS BIGINT) AS k,
+         (SELECT COUNT(*) FROM f1) AS n
+  UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM f2)
+  UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM f3)
+) s
+UNION ALL
+SELECT 'retention', CAST(c AS VARCHAR), b - c, COUNT(*), NULL, NULL
+FROM coh GROUP BY c, b - c
 """
 
 
