@@ -232,9 +232,16 @@ def cap_per_key(
     Cost trade, spelled out: skew-safe pays one extra NARROW scan (the
     count reads only the key column — column pruning makes it a fraction
     of a full scan) and reads the full rows once per join leg, in
-    exchange for shrinking the plain window's full-data shuffle+sort to
-    just the over-cap rows. Scans are bandwidth-bound and cheap; the
-    global sort is the thing that doesn't survive 100×.
+    exchange for shrinking the plain window's full-data shuffle to just
+    the over-cap rows. MEASURED on local[32] (scripts/ab_capkey.py,
+    BASELINE.md round-8 lever log) the plain window is FASTER at
+    sf0.1/sf1 — WindowGroupLimit prunes its sort inputs and the local
+    exchange is an in-memory copy — so flip ``skew_safe=False`` for
+    small single-node jobs. The default stays True for the deployment
+    this op exists for: a real cluster, where the exchange is a network
+    shuffle of wide document rows and the under-cap Zipf bulk (which
+    WindowGroupLimit cannot prune — every one of its rows still
+    shuffles) instead passes through map-only.
     """
     from pyspark.sql import Window
 

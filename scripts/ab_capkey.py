@@ -1,0 +1,87 @@
+"""A/B: cap_per_key skew-safe (hot-key-only window) vs plain window.
+
+Hypothesis (web.py docstring claim): on Zipf-skewed keys, finding the
+over-cap keys with one narrow count, broadcasting them, and windowing
+ONLY their rows beats sorting the full input through a window — because
+the under-cap bulk passes through map-only.
+
+Counter-hypothesis: Spark 4's WindowGroupLimit already prunes the plain
+window's sort inputs to <=cap rows per key per partition BEFORE the
+exchange, so at local scale the extra scan + two joins of the skew-safe
+plan may cost more than they save; the skew-safe win may only appear
+when the exchange itself (network shuffle of the full input) is the
+bottleneck — i.e., on a real cluster.
+
+A = plain single window; B = skew-safe. Outputs asserted identical
+first (the selection rule is the same hash order), then interleaved
+median-of-N on a Zipf-shaped domain column derived from documents
+(~55% of rows in one mega-domain, long tail of small ones). Record in
+BASELINE.md either way.
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python scripts/ab_capkey.py [n_runs]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from firepit_spark.functions import web as wb  # noqa: E402
+from firepit_spark.session import build_spark, testdata_resolver  # noqa: E402
+
+CAP = 200
+
+
+def skewed_docs(r):
+    docs = r("documents")
+    d = F.col("doc_id")
+    # ~55% one mega-domain, ~25% across 10 medium, rest across 1000 tiny
+    domain = (
+        F.when(d % 9 < 5, F.lit("mega.com"))
+        .when(d % 9 < 7, F.concat(F.lit("mid"), (d % 10).cast("string"), F.lit(".org")))
+        .otherwise(F.concat(F.lit("t"), (d % 1000).cast("string"), F.lit(".net")))
+    )
+    return docs.select("doc_id", "n_chars", domain.alias("domain"))
+
+
+def run(df, skew_safe):
+    out = wb.cap_per_key(df, "domain", CAP, "doc_id", salt="ab", skew_safe=skew_safe)
+    t0 = time.monotonic()
+    out.agg(
+        F.count(F.lit(1)), F.sum("n_chars"), F.sum(F.crc32(F.col("domain")))
+    ).collect()
+    return time.monotonic() - t0
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_spark("ab_capkey")
+    r = testdata_resolver(spark, sf_dir)
+    df = skewed_docs(r)
+
+    a = sorted(map(tuple, wb.cap_per_key(df, "domain", CAP, "doc_id", salt="ab",
+                                         skew_safe=False).collect()))
+    b = sorted(map(tuple, wb.cap_per_key(df, "domain", CAP, "doc_id", salt="ab",
+                                         skew_safe=True).collect()))
+    assert a == b, "outputs differ — abort timing"
+    print(f"outputs identical: {len(a)} rows kept of {df.count()}")
+
+    times = {"plain": [], "skew_safe": []}
+    run(df, False), run(df, True)  # warm
+    for _ in range(n):
+        times["plain"].append(run(df, False))
+        times["skew_safe"].append(run(df, True))
+    for k, v in times.items():
+        print(f"{k}: median {statistics.median(v):.3f}s  {[round(x, 3) for x in v]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
