@@ -648,7 +648,13 @@ def read_webdataset_shards(spark, path: str) -> DataFrame:
     (shard_path, key, ext, data BINARY). Shards are read in parallel via
     Spark's binaryFile source (one task per tar — the WebDataset access
     pattern); untar happens in Arrow batches. Pivot/join by ``key``
-    downstream to reassemble samples."""
+    downstream to reassemble samples.
+
+    A corrupt/truncated tar quarantines instead of failing the job: its
+    members that parsed before the corruption are kept, and one row with
+    ``ext='__corrupt'`` (key NULL, error text in ``data``) marks the
+    shard — filter on it to triage, the same contract as the JSONL
+    reader's quarantine side."""
 
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
@@ -665,14 +671,19 @@ def read_webdataset_shards(spark, path: str) -> DataFrame:
         for pdf in batches:
             recs = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                    for info in tf.getmembers():
-                        if not info.isfile():
-                            continue
-                        stem, _, ext = info.name.rpartition(".")
-                        recs.append(
-                            (p, stem, ext, tf.extractfile(info).read())
-                        )
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                        for info in tf:
+                            if not info.isfile():
+                                continue
+                            stem, _, ext = info.name.rpartition(".")
+                            recs.append(
+                                (p, stem, ext, tf.extractfile(info).read())
+                            )
+                except Exception as exc:  # noqa: BLE001 — per-shard quarantine
+                    recs.append(
+                        (p, None, "__corrupt", str(exc)[:200].encode("utf-8"))
+                    )
             yield pd.DataFrame(
                 recs, columns=["shard_path", "key", "ext", "data"]
             )

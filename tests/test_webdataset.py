@@ -113,3 +113,22 @@ def test_modes_and_validation(samples, tmp_path):
         pl.write_webdataset_shards(
             samples, out, "media_id", MEMBERS, n_shards=2, mode="append"
         )
+
+
+def test_corrupt_tar_quarantines_not_fails(spark, samples, tmp_path):
+    out = str(tmp_path / "wds")
+    pl.write_webdataset_shards(samples, out, "media_id", MEMBERS, n_shards=2, salt="s")
+    # truncate one shard mid-stream: its parsed prefix survives, the
+    # corruption lands as a __corrupt marker row, other shards unaffected
+    victim = os.path.join(out, _shard_files(out)[0])
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[: len(blob) // 2 - 7])
+    back = pl.read_webdataset_shards(spark, out).collect()
+    marks = [r for r in back if r["ext"] == "__corrupt"]
+    assert len(marks) == 1 and marks[0]["shard_path"].endswith(_shard_files(out)[0])
+    assert marks[0]["key"] is None and len(bytes(marks[0]["data"])) > 0
+    # the intact shard's members all came through
+    good = [r for r in back if r["ext"] != "__corrupt"
+            and r["shard_path"].endswith(_shard_files(out)[1])]
+    with_json = sum(1 for r in good if r["ext"] == "json")
+    assert len(good) > 0 and with_json <= len(good) // 2
