@@ -91,12 +91,54 @@ def _merge_fold(a: str, b: str):
     )
 
 
+def _select_batch(top_rows, min_pair_count: int, limit: int, horizon_full: bool):
+    """Greedy prefix of the sorted pair table that is PROVABLY equivalent
+    to applying the merges one-at-a-time (exact Sennrich order, including
+    the (count desc, pair asc) tie-break). Drives the batched training
+    rounds — see :func:`bpe_train`.
+
+    Accept pairs in sorted order; end the batch at the first pair that
+    (1) shares a symbol with an accepted pair — its count may change, or
+    a pair skipped over it could sequentially outrank later picks;
+    (2) fails ``n > bound`` where ``bound`` upper-bounds every pair the
+    accepted merges can CREATE: a new adjacency involving the product
+    ``ab`` always sits on an old ``(x, a)`` or ``(b, y)`` junction, so
+    its count is at most the max count of those pattern pairs (plus the
+    sorted table's horizon floor when only a prefix was collected).
+    Strict ``>`` also defeats the lexicographic tie-break, since a new
+    product symbol could sort below an accepted pair. Pairs accepted
+    this way each remain the exact sequential arg-max: disjoint old
+    pairs keep exact counts, overlapping old pairs only shrink, and any
+    old pair counting above an accepted one appears earlier in the
+    prefix (where it was accepted or ended the batch).
+    """
+    accepted: list = []
+    symbols: set = set()
+    floor = top_rows[-1]["n"] if horizon_full else 0
+    bound = floor
+    for row in top_rows:
+        a, b, n = row["a"], row["b"], row["n"]
+        if len(accepted) >= limit or n < min_pair_count:
+            break
+        if accepted and ((a in symbols) or (b in symbols) or not (n > bound)):
+            break
+        accepted.append((a, b))
+        symbols.update((a, b))
+        # widen the new-pair bound with every (x, a) / (b, y) junction
+        # visible in the collected prefix (unseen ones are <= floor)
+        for r in top_rows:
+            if r["b"] == a or r["a"] == b:
+                bound = max(bound, r["n"])
+    return accepted
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_dir: str | None = None,
+    batch_merges: int = 8,
 ) -> BpeModel:
     """Learn ``n_merges`` BPE merges from the corpus (stops early when no
     pair reaches ``min_pair_count``). See the module docstring for the
@@ -107,11 +149,22 @@ def bpe_train(
     Per-round lineage truncation follows graph.py's contract:
     ``localCheckpoint`` by default (local mode / short jobs), reliable
     ``checkpoint`` when ``checkpoint_dir`` is given — the
-    failure-durable choice for a long cluster run."""
+    failure-durable choice for a long cluster run.
+
+    ``batch_merges`` bounds how many merges one Spark round may apply: a
+    production 32k-merge vocab must not mean 32k sequential count-jobs +
+    checkpoints, so each round collects the top of the pair table ONCE
+    and applies the longest sorted prefix that :func:`_select_batch`
+    proves order-equivalent to one-at-a-time training — the merge list
+    is bit-identical to ``batch_merges=1`` (differentially tested
+    against a pure-Python Sennrich reference), only the job count
+    shrinks. 1 disables batching."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
 
     from firepit_spark.functions.graph import _truncate
 
@@ -126,7 +179,7 @@ def bpe_train(
     # lineage truncation per round, same contract as graph.py's
     # connected_components: without it round k's plan nests k merge-fold
     # projections and analysis cost (then the JVM) blows up around ~20
-    words = _truncate(words, eager=True, checkpoint_dir=None)
+    words = _truncate(words, eager=True, checkpoint_dir=checkpoint_dir)
 
     merges: list = []
     base_syms = set()
@@ -135,8 +188,11 @@ def bpe_train(
     ).distinct().collect():
         base_syms.add(r["s"])
 
+    # enough horizon that the batch's junction-pair bound is usually
+    # decided by observed rows, not the conservative tail floor
+    top_n = max(64, 8 * batch_merges)
     prev = words
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = (
             prev.select(
                 "freq",
@@ -151,13 +207,21 @@ def bpe_train(
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
         )
-        top = pairs.first()
-        if top is None or top["n"] < min_pair_count:
+        top_rows = pairs.limit(top_n).collect()
+        if not top_rows or top_rows[0]["n"] < min_pair_count:
             break
-        a, b = top["a"], top["b"]
-        merges.append((a, b))
+        batch = _select_batch(
+            top_rows,
+            min_pair_count,
+            min(batch_merges, n_merges - len(merges)),
+            horizon_full=len(top_rows) == top_n,
+        )
+        merges.extend(batch)
+        syms_col = F.col("syms")
+        for a, b in batch:  # disjoint symbols: application order is moot
+            syms_col = _merge_fold(a, b)(syms_col)
         prev = _truncate(
-            prev.withColumn("syms", _merge_fold(a, b)(F.col("syms"))),
+            prev.withColumn("syms", syms_col),
             eager=True,
             checkpoint_dir=checkpoint_dir,
         )
@@ -210,6 +274,13 @@ def bpe_encode(
     word memo exploits Zipf. Symbols outside the vocab (characters never
     seen in training) map to ``unk_id`` when given, else are skipped.
 
+    Pre-tokenization runs JVM-side through the SAME ``tx.tokens``
+    expression training used (NOT a Python re-implementation: Java's
+    ``\\s`` is ASCII-only and its lower-casing differs from
+    ``str.lower()`` on edge code points — NBSP / U+2028 documents would
+    otherwise segment differently at encode time than the vocab was
+    trained on); the Python boundary only sees the word arrays.
+
     The output plugs straight into
     ``pipeline.pack_token_sequences(ids_col=out_col)``.
     """
@@ -225,17 +296,20 @@ def bpe_encode(
     # fresh StructType: .add would mutate the DataFrame's cached schema
     schema = StructType(fields + [StructField(out_col, ArrayType(LongType()))])
     cols = [f.name for f in fields]
+    words_col = f"__bpe_words_{out_col}"
+    with_words = df.withColumn(
+        words_col,
+        F.filter(tx.tokens(F.col(text_col)), lambda w: F.length(w) > 0),
+    )
 
     def run(batches):
         memo: dict = {}
 
-        def enc(text):
-            if text is None:
+        def enc(words):
+            if words is None:
                 return None
             ids = []
-            for w in " ".join(str(text).split()).lower().split(" "):
-                if not w:
-                    continue
+            for w in words:
                 if w not in memo:
                     memo[w] = _encode_word(w, ranks)
                 for s in memo[w]:
@@ -248,10 +322,10 @@ def bpe_encode(
 
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = pdf[text_col].map(enc)
+            pdf[out_col] = pdf[words_col].map(enc)
             yield pdf[cols + [out_col]]
 
-    return df.mapInPandas(run, schema=schema)
+    return with_words.mapInPandas(run, schema=schema)
 
 
 def bpe_decode_ids(ids: list, model: BpeModel) -> str:

@@ -568,10 +568,13 @@ def write_webdataset_shards(
 
     os.makedirs(path, exist_ok=True)
     existing = [f for f in os.listdir(path) if f.endswith(".tar")]
-    if existing:
-        if mode == "error":
-            raise FileExistsError(f"{path} already holds {len(existing)} tar shards")
-        for f in existing:
+    if existing and mode == "error":
+        raise FileExistsError(f"{path} already holds {len(existing)} tar shards")
+    if mode == "overwrite":
+        # also sweep *.tmp: a previously crashed run (or a failed task
+        # attempt) leaves shard-NNNNN.tar.<attempt>.tmp orphans behind
+        stale = existing + [f for f in os.listdir(path) if f.endswith(".tmp")]
+        for f in stale:
             os.remove(os.path.join(path, f))
 
     exts = sorted(members)
@@ -609,7 +612,14 @@ def write_webdataset_shards(
                 sid = int(d["__shard"])
                 if sid not in open_tars:
                     final = os.path.join(path, f"shard-{sid:05d}.tar")
-                    tmp = final + ".tmp"
+                    # task-unique tmp name: two attempts of the same shard
+                    # (speculation, retry racing a zombie) must never write
+                    # the same .tmp path; os.replace keeps publish atomic
+                    from pyspark import TaskContext
+
+                    tc = TaskContext.get()
+                    attempt = tc.taskAttemptId() if tc is not None else os.getpid()
+                    tmp = f"{final}.{attempt}.tmp"
                     fobj = open(tmp, "wb")
                     open_tars[sid] = [
                         tarfile.open(fileobj=fobj, mode="w"), fobj, 0, tmp, final,

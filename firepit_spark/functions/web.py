@@ -72,9 +72,16 @@ def url_host(url: Column) -> Column:
 
 
 def url_port(url: Column) -> Column:
-    """Explicit port as INT, NULL when the URL does not carry one."""
+    """Explicit port as INT, NULL when the URL does not carry one.
+
+    Garbage-tolerant like the rest of the parser: a digit run wider than
+    int32 (``http://h:99999999999/``) or outside the TCP range goes to
+    NULL via ``try_cast`` + a 65535 bound instead of raising
+    CAST_INVALID_INPUT under Spark 4's default ANSI mode and killing the
+    whole scan over one dirty crawl record."""
     p = F.regexp_extract(_authority(url), r":([0-9]+)$", 1)
-    return F.when(p != "", p.cast("int"))
+    port = p.try_cast("int")
+    return F.when((p != "") & (port >= 0) & (port <= 65535), port)
 
 
 def url_path(url: Column) -> Column:

@@ -19,6 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Sidecar column for from_json's corrupt-record channel. Deliberately
+# obscure (fixed random suffix) so real-world records with a plain
+# "__corrupt" key don't collide; the raw-line re-validation in
+# read_jsonl_corpus covers even a record that names THIS key.
+_CORRUPT = "__corrupt_rec_5f3a9d"
+
 
 def read_jsonl_corpus(
     spark,
@@ -39,9 +45,17 @@ def read_jsonl_corpus(
     Scale shape: one text scan, two map-only projections — Spark plans
     both sides off the same scan; no shuffle, no cache requirement.
     Blank lines are dropped from both sides (JSONL padding, not data).
+
+    The corrupt-record sidecar column uses an uncollidable sentinel name
+    AND re-validates against the raw line: PERMISSIVE mode writes the
+    ENTIRE raw input into the sidecar on parse failure, so a populated
+    sidecar that differs from the raw line can only be a legitimate JSON
+    key that happens to share the sentinel name (the value of a key is
+    always a strict substring of its line) — such records stay clean
+    instead of being mis-quarantined as ``parse_error``.
     """
-    if "__corrupt" in schema:
-        raise ValueError("schema may not use the reserved column '__corrupt'")
+    if _CORRUPT in schema:
+        raise ValueError(f"schema may not use the reserved column {_CORRUPT!r}")
     raw = spark.read.text(path).select(F.col("value").alias("raw"))
     raw = raw.filter(F.trim(F.col("raw")) != "")
     # PERMISSIVE from_json returns a struct of nulls (not a NULL struct)
@@ -51,18 +65,20 @@ def read_jsonl_corpus(
         "__rec",
         F.from_json(
             F.col("raw"),
-            schema + ", __corrupt STRING",
-            {"columnNameOfCorruptRecord": "__corrupt"},
+            schema + f", {_CORRUPT} STRING",
+            {"columnNameOfCorruptRecord": _CORRUPT},
         ),
     )
-    parse_ok = F.col("__rec.__corrupt").isNull()
+    parse_ok = F.col(f"__rec.{_CORRUPT}").isNull() | (
+        F.col(f"__rec.{_CORRUPT}") != F.col("raw")
+    )
     missing = F.lit(False)
     reason = F.when(~parse_ok, F.lit("parse_error"))
     for c in required:
         is_null = F.col(f"__rec.{c}").isNull()
         missing = missing | is_null
         reason = reason.when(parse_ok & is_null, F.lit(f"null_required:{c}"))
-    clean = parsed.filter(parse_ok & ~missing).select("__rec.*").drop("__corrupt")
+    clean = parsed.filter(parse_ok & ~missing).select("__rec.*").drop(_CORRUPT)
     quarantine = parsed.filter(~parse_ok | missing).select(
         "raw", reason.alias("reason")
     )

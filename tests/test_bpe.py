@@ -154,3 +154,85 @@ def test_bpe_feeds_token_packer(spark, bpe_corpus):
     n_ids = enc.select(F.sum(F.size("bpe_ids"))).first()[0]
     # every BPE id plus one EOS per document survives packing
     assert total_real == n_ids + len(rows)
+
+
+def test_bpe_batched_rounds_exact_and_fewer_jobs(spark):
+    """Batched merge rounds (batch_merges>1) must keep the merge list
+    bit-identical to one-at-a-time training (= the pure-Python Sennrich
+    reference) while running strictly fewer Spark rounds — the r9 fix for
+    '32k merges = 32k sequential barriers'."""
+    from firepit_spark.functions import graph
+
+    rng = random.Random(97)
+    vocab = [
+        "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+        "pack", "my", "box", "with", "five", "dozen", "liquor", "jugs",
+    ]
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(3, 12))) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    calls = {"n": 0}
+    orig = graph._truncate
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    graph._truncate = counting
+    try:
+        batched = bpe.bpe_train(df, 30, batch_merges=8)
+        rounds_batched = calls["n"]
+        calls["n"] = 0
+        sequential = bpe.bpe_train(df, 30, batch_merges=1)
+        rounds_seq = calls["n"]
+    finally:
+        graph._truncate = orig
+
+    assert batched.merges == sequential.merges == _train_py(texts, 30)
+    assert batched.vocab == sequential.vocab
+    assert rounds_batched < rounds_seq
+
+
+def test_bpe_train_checkpoint_dir_reaches_base_vocab_table(spark, tmp_path):
+    """The initial word-freq truncation must honor the caller's reliable
+    checkpoint_dir (r9 ADVICE fix): executor loss during a long cluster
+    run would otherwise kill the job at round 0 despite the documented
+    durability contract."""
+    from firepit_spark.functions import graph
+
+    seen = []
+    orig = graph._truncate
+
+    def spy(df, eager, checkpoint_dir):
+        seen.append(checkpoint_dir)
+        return orig(df, eager=eager, checkpoint_dir=None)  # keep test fast
+
+    graph._truncate = spy
+    try:
+        bpe.bpe_train(
+            spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string"),
+            n_merges=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    finally:
+        graph._truncate = orig
+    assert seen and all(d == str(tmp_path / "ckpt") for d in seen)
+
+
+def test_bpe_encode_tokenizes_like_training(spark):
+    """Encode-side pre-tokenization runs through the SAME JVM tx.tokens
+    expression as training (r9 ADVICE fix): a document with Unicode
+    whitespace (NBSP) must segment identically in both places — Python's
+    str.split() would split the NBSP that Java's ASCII-only \\s keeps."""
+    nbsp_text = "foo bar baz qux"
+    df = spark.createDataFrame([(1, nbsp_text)], "doc_id long, text string")
+    model = bpe.bpe_train(df, n_merges=3, min_pair_count=1)
+    # training saw the NBSP/U+2028 as base symbols inside single words
+    assert " " in model.vocab and " " in model.vocab
+    ids = bpe.bpe_encode(df, model).first()["bpe_ids"]
+    # round-trip preserves the Unicode-whitespace words exactly: the
+    # pre-fix encoder dropped the NBSP (Python split) and emitted
+    # 'foo bar baz qux' instead
+    assert bpe.bpe_decode_ids(ids, model) == nbsp_text

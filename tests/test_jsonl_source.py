@@ -52,3 +52,27 @@ def test_single_scan_no_shuffle(spark, tmp_path):
     for df in (clean, quar):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # map-only
+
+
+def test_record_with_corrupt_named_key_stays_clean(spark, tmp_path):
+    """A legitimate record that happens to carry a '__corrupt'-ish key
+    must not be mis-quarantined (r9 ADVICE fix): the sidecar column name
+    is uncollidable AND a populated sidecar is re-validated against the
+    raw line (PERMISSIVE writes the WHOLE line on real parse failures)."""
+    from firepit_spark.sources.corpus import _CORRUPT
+
+    p = _write(
+        tmp_path,
+        [
+            '{"doc_id": 1, "text": "ok", "__corrupt": "user data"}',
+            '{"doc_id": 2, "text": "ok2", "%s": "evil"}' % _CORRUPT,
+            "broken {",
+        ],
+    )
+    clean, quar = read_jsonl_corpus(spark, p, SCHEMA, required=("doc_id",))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert [r["reason"] for r in quar.collect()] == ["parse_error"]
+    # '__corrupt' is an ordinary user column now, not a reserved name
+    clean2, _ = read_jsonl_corpus(spark, p, SCHEMA + ", __corrupt STRING")
+    got = {r["doc_id"]: r["__corrupt"] for r in clean2.collect()}
+    assert got[1] == "user data"

@@ -27,12 +27,21 @@ URLS = [
 ]
 
 
+def py_port(s) -> int | None:
+    """urllib's .port, with its out-of-range ValueError mapped to the
+    garbage-returns-NULL contract url_port documents."""
+    try:
+        return s.port
+    except ValueError:
+        return None
+
+
 def py_normalize(u: str) -> str:
     """Pure-Python reference for url_normalize's documented rules."""
     s = urlsplit(u)
     scheme = s.scheme.lower()
     host = (s.hostname or "").lower()
-    port = s.port
+    port = py_port(s)
     default = (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     port_part = f":{port}" if (port is not None and not default) else ""
     path = s.path or "/"
@@ -58,7 +67,7 @@ def test_parse_fields_match_urllib(urls_df):
         s = urlsplit(u)
         assert row["scheme"] == s.scheme.lower(), u
         assert row["host"] == (s.hostname or ""), u
-        assert row["port"] == s.port, u
+        assert row["port"] == py_port(s), u
         assert row["path"] == s.path, u
         assert row["query"] == s.query, u
         assert row["fragment"] == s.fragment, u
@@ -178,7 +187,13 @@ def _urls(draw):
     host = ".".join(draw(st.lists(_label, min_size=1, max_size=4)))
     if draw(st.booleans()):
         host = host.upper() if draw(st.booleans()) else host.title()
-    port = draw(st.one_of(st.none(), st.integers(1, 65535)))
+    # include out-of-range and int32-overflowing ports: dirty crawl data
+    # carries them, and the pre-r9 cast('int') raised under ANSI mode
+    port = draw(
+        st.one_of(
+            st.none(), st.integers(1, 65535), st.integers(65536, 10**12)
+        )
+    )
     segs = draw(st.lists(_pval, min_size=0, max_size=3))
     path = "/" + "/".join(segs) if segs else draw(st.sampled_from(["", "/"]))
     pairs = draw(st.lists(st.tuples(_pkey, _pval), min_size=0, max_size=4))
@@ -206,7 +221,7 @@ def test_fuzz_parse_matches_urllib_and_normalize_idempotent(spark, urls):
         s = urlsplit(u)
         assert row["scheme"] == s.scheme.lower(), u
         assert row["host"] == (s.hostname or ""), u
-        assert row["port"] == s.port, u
+        assert row["port"] == py_port(s), u
         assert row["path"] == s.path, u
         assert row["query"] == s.query, u
         assert row["fragment"] == (s.fragment or ""), u
@@ -217,3 +232,29 @@ def test_fuzz_parse_matches_urllib_and_normalize_idempotent(spark, urls):
     )
     renorm = [r["url_norm"] for r in wb.parse_urls(again).orderBy("i").collect()]
     assert renorm == [r["url_norm"] for r in rows]
+
+
+def test_url_port_garbage_is_null_not_ansi_error(spark):
+    """Ports wider than int32 or outside 0..65535 must go to NULL (r9
+    ADVICE fix): under Spark 4 default ANSI mode the old cast('int')
+    raised CAST_INVALID_INPUT and failed the whole scan on one dirty
+    crawl record."""
+    df = spark.createDataFrame(
+        [
+            (0, "http://h:99999999999/x"),     # wider than int32
+            (1, "http://h:65536/x"),            # just out of TCP range
+            (2, "http://h:65535/x"),            # boundary: valid
+            (3, "https://h:443/x"),             # valid default port
+        ],
+        "i INT, url STRING",
+    )
+    rows = (
+        df.select("i", wb.url_port(F.col("url")).alias("p"), wb.url_normalize(F.col("url")).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["p"] for r in rows] == [None, None, 65535, 443]
+    # normalization survives the garbage rows instead of raising
+    assert rows[0]["n"] == "http://h/x"
+    assert rows[2]["n"] == "http://h:65535/x"
+    assert rows[3]["n"] == "https://h/x"

@@ -132,3 +132,22 @@ def test_corrupt_tar_quarantines_not_fails(spark, samples, tmp_path):
             and r["shard_path"].endswith(_shard_files(out)[1])]
     with_json = sum(1 for r in good if r["ext"] == "json")
     assert len(good) > 0 and with_json <= len(good) // 2
+
+
+def test_overwrite_sweeps_stale_tmp_files(samples, tmp_path):
+    """mode='overwrite' must also clean shard-*.tmp orphans left by a
+    crashed run (r9 ADVICE fix), and live tmp names are task-unique so
+    racing attempts never share a path."""
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    stale = os.path.join(out, "shard-00000.tar.12345.tmp")
+    open(stale, "wb").write(b"half-written garbage")
+    # error mode with no completed shards: proceeds, does not raise
+    pl.write_webdataset_shards(samples, out, "media_id", MEMBERS, n_shards=2)
+    assert os.path.exists(stale)  # error mode never deletes
+    pl.write_webdataset_shards(
+        samples, out, "media_id", MEMBERS, n_shards=2, mode="overwrite"
+    )
+    left = [f for f in os.listdir(out) if f.endswith(".tmp")]
+    assert left == []
+    assert len(_shard_files(out)) == 2
