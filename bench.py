@@ -14,6 +14,16 @@ point (10x data via scripts/make_scale_data.py, built on demand under
 totals <10 s and is dominated by host noise, so sf1 is where a real plan
 regression (q25's postings join, q35's iteration rounds) actually shows.
 Disable with SPARK_GRAFT_BENCH_SF1=0.
+
+Calibration gate (round 9): the whole timed pass is bracketed by
+calibrate() runs and retried (up to SPARK_GRAFT_BENCH_MAX_ATTEMPTS,
+sleeping SPARK_GRAFT_BENCH_RETRY_SLEEP between) whenever the host reads
+more than SPARK_GRAFT_BENCH_CAL_GATE (1.25) slower than the recorded
+idle baseline — round 8 shipped an artifact captured at ratio 1.396
+whose raw numbers read as a 2x regression that did not exist. The kept
+attempt is the best-calibrated one; every attempt's ratios land in
+"calibration_attempts" so a forced hot-host artifact is marked, and
+normalization divides by the mean of the kept pass's pre/post ratios.
 """
 
 from __future__ import annotations
@@ -123,6 +133,35 @@ def ensure_sf1(sf1_dir: str) -> bool:
         return False
 
 
+# Recorded idle-host cost of calibrate() (BASELINE.md "Host calibration")
+CALIBRATION_BASELINE_SEC = 1.01
+
+
+def timed_pass(spark, qs, sf_dir, sf, runs, sf1_dir, sf1_runs, gate, forced):
+    """ONE gated attempt at the full timed pass.
+
+    Calibrate FIRST; a hot host (pre-run ratio > ``gate``) aborts before
+    paying for the query sets — unless ``forced`` (the last permitted
+    attempt always measures so the artifact is never empty, just visibly
+    marked). A post-run calibration catches load that arrived mid-pass;
+    the caller retries whole passes and keeps the best-calibrated one.
+    """
+    cal_pre = calibrate(spark, runs)
+    pre_ratio = round(cal_pre / CALIBRATION_BASELINE_SEC, 3)
+    out = {"calibration_sec": cal_pre, "ratio_pre": pre_ratio}
+    if pre_ratio > gate and not forced:
+        out["aborted"] = "hot host before run"
+        return out
+    out["timings"] = run_set(spark, qs, sf_dir, runs, f"sf{sf}")
+    if sf1_dir is not None:
+        out["sf1_timings"] = run_set(spark, qs, sf1_dir, sf1_runs, "sf1")
+    cal_post = calibrate(spark, runs)
+    out["post_calibration_sec"] = cal_post
+    out["ratio_post"] = round(cal_post / CALIBRATION_BASELINE_SEC, 3)
+    out["ratio_max"] = max(out["ratio_pre"], out["ratio_post"])
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -147,16 +186,57 @@ def main():
                 pass
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    calibration = calibrate(spark, runs)
-    timings = run_set(spark, qs, sf_dir, runs, f"sf{sf}")
-    total = round(sum(timings.values()), 3)
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".benchdata", "sf1")
+    )
+    want_sf1 = (
+        os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+        and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir)
+    )
+    if not (want_sf1 and ensure_sf1(sf1_dir)):
+        sf1_dir = None
+    sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SF1", str(runs)))
 
-    # host-normalized timings (judge r7 #8): divide by the calibration
-    # ratio vs the recorded idle-host baseline (BASELINE.md "Host
-    # calibration": 1.01 s) so the artifact carries the numbers future
-    # rounds would otherwise recompute by hand before flagging drift
-    CALIBRATION_BASELINE_SEC = 1.01
-    cal_ratio = round(calibration / CALIBRATION_BASELINE_SEC, 3)
+    # ---- calibration gate (judge r8 #1): a loaded host must not ship an
+    # artifact whose raw numbers read as a plan regression. Calibrate
+    # BEFORE the sets; if the host is > gate slow, retry the whole timed
+    # pass (sleeping in between) and keep the best-calibrated attempt.
+    # The trail of every attempt lands in "calibration_attempts" so a
+    # forced hot-host artifact is visibly marked rather than misleading.
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_CAL_GATE", "1.25"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS", "3"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "45"))
+    attempts = []
+    best = None
+    for i in range(1, max_attempts + 1):
+        p = timed_pass(
+            spark, qs, sf_dir, sf, runs, sf1_dir, sf1_runs, gate,
+            forced=i == max_attempts and best is None,
+        )
+        attempts.append(
+            {k: v for k, v in p.items() if not k.endswith("timings")}
+            | {"attempt": i}
+        )
+        if "timings" in p and (
+            best is None or p["ratio_max"] < best["ratio_max"]
+        ):
+            best = p
+        if best is not None and best["ratio_max"] <= gate:
+            break
+        if i < max_attempts:
+            print(
+                f"# calibration gate: attempt {i} ratio "
+                f"{p.get('ratio_max', p['ratio_pre'])} > {gate}; sleeping "
+                f"{retry_sleep}s and retrying the whole timed pass",
+                file=sys.stderr,
+            )
+            time.sleep(retry_sleep)
+
+    # normalize by the mean of pre/post ratios of the kept pass — the
+    # load level DURING the measured window, not just before it
+    cal_ratio = round((best["ratio_pre"] + best["ratio_post"]) / 2, 3)
+    timings = best["timings"]
+    total = round(sum(timings.values()), 3)
     normalized = {k: round(v / cal_ratio, 3) for k, v in timings.items()}
 
     result = {
@@ -165,26 +245,22 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calibration_sec": calibration,
+        "calibration_sec": best["calibration_sec"],
         "calibration_baseline_sec": CALIBRATION_BASELINE_SEC,
         "calibration_ratio": cal_ratio,
+        "calibration_ratio_pre": best["ratio_pre"],
+        "calibration_ratio_post": best["ratio_post"],
+        "calibration_gate": gate,
+        "calibration_gate_passed": best["ratio_max"] <= gate,
+        "calibration_attempts": attempts,
         "normalized": {
             "total": round(sum(normalized.values()), 3),
             "queries": normalized,
         },
     }
 
-    # sf1 section: 10x scale point in the same artifact
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR", os.path.join(REPO, ".benchdata", "sf1")
-    )
-    want_sf1 = (
-        os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
-        and os.path.abspath(sf1_dir) != os.path.abspath(sf_dir)
-    )
-    if want_sf1 and ensure_sf1(sf1_dir):
-        sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SF1", str(runs)))
-        sf1_timings = run_set(spark, qs, sf1_dir, sf1_runs, "sf1")
+    if sf1_dir is not None:
+        sf1_timings = best["sf1_timings"]
         sf1_norm = {k: round(v / cal_ratio, 3) for k, v in sf1_timings.items()}
         result["sf1"] = {
             "total": round(sum(sf1_timings.values()), 3),
