@@ -218,6 +218,8 @@ def cap_per_key(
     order_col: str,
     salt: str = "",
     skew_safe: bool = True,
+    mode: str | None = None,
+    hot_key_limit: int = 5_000_000,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per key, chosen by deterministic hash
     order — the per-domain cap every web corpus applies so a handful of
@@ -249,23 +251,54 @@ def cap_per_key(
     shuffle of wide document rows and the under-cap Zipf bulk (which
     WindowGroupLimit cannot prune — every one of its rows still
     shuffles) instead passes through map-only.
+
+    ``mode`` picks the formulation explicitly and supersedes
+    ``skew_safe`` (kept for call-site compatibility; ``None`` derives
+    ``'skew'``/``'window'`` from it):
+
+    - ``'skew'`` / ``'window'``: the two shapes above, unconditionally.
+    - ``'auto'``: MEASURE the hot set first, then choose. The narrow
+      map-side-combined count runs as its own job; if NO key is over
+      cap — the common case on a pre-capped or re-run corpus — the
+      input passes through untouched (zero window, zero join, zero
+      shuffle of the 100 TB side: the count job is the entire cost).
+      A modest hot set takes the skew-safe split, with the hot-key
+      frame persisted so its aggregation isn't recomputed per join
+      leg. A hot set wider than ``hot_key_limit`` is not a skew
+      problem (no small side to broadcast) and falls back to the
+      plain window, whose single shuffle then beats three.
+      Eager by construction: 'auto' triggers the count job at call
+      time. All three decisions return row-identical results.
     """
     from pyspark.sql import Window
 
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
+    if mode is None:
+        mode = "skew" if skew_safe else "window"
+    if mode not in ("skew", "window", "auto"):
+        raise ValueError(f"mode must be 'skew', 'window' or 'auto', got {mode!r}")
     order = [key_hash(F.col(order_col), salt), F.col(order_col)]
     w = Window.partitionBy(key_col).orderBy(*order)
-    if not skew_safe:
-        return df.withColumn("__rn", F.row_number().over(w)).filter(
-            F.col("__rn") <= cap
-        ).drop("__rn")
     hot = (
         df.groupBy(key_col)
         .count()
         .filter(F.col("count") > cap)
         .select(F.col(key_col).alias("__hot_key"))
     )
+    if mode == "auto":
+        hot = hot.persist()
+        n_hot = hot.count()
+        if n_hot == 0:
+            hot.unpersist()
+            return df
+        if n_hot > hot_key_limit:
+            hot.unpersist()
+            mode = "window"
+    if mode == "window":
+        return df.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= cap
+        ).drop("__rn")
     # null-safe equality: a NULL key forms a group under the plain window,
     # so the hot-key path must route it the same way or the modes diverge
     cond = df[key_col].eqNullSafe(F.col("__hot_key"))
@@ -286,6 +319,9 @@ def cap_per_domain(
     order_col: str = "doc_id",
     salt: str = "",
     skew_safe: bool = True,
+    mode: str | None = None,
 ) -> DataFrame:
     """:func:`cap_per_key` with web-corpus default column names."""
-    return cap_per_key(df, domain_col, cap, order_col, salt=salt, skew_safe=skew_safe)
+    return cap_per_key(
+        df, domain_col, cap, order_col, salt=salt, skew_safe=skew_safe, mode=mode
+    )

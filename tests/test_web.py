@@ -258,3 +258,40 @@ def test_url_port_garbage_is_null_not_ansi_error(spark):
     assert rows[0]["n"] == "http://h/x"
     assert rows[2]["n"] == "http://h:65535/x"
     assert rows[3]["n"] == "https://h/x"
+
+
+def test_cap_per_key_auto_mode_three_regimes(spark, skewed):
+    """mode='auto' (r9): measure the hot set, then choose — pass-through
+    when nothing is over cap, skew-safe split for a modest hot set,
+    plain window beyond hot_key_limit. All regimes row-identical to the
+    plain window."""
+    want = sorted(map(tuple, wb.cap_per_domain(skewed, 10, salt="s", skew_safe=False).collect()))
+
+    # regime 1: pre-capped corpus -> the INPUT frame comes back untouched
+    pre_capped = wb.cap_per_domain(skewed, 10, salt="s", mode="auto")
+    again = wb.cap_per_key(pre_capped, "domain", 10, "doc_id", salt="s", mode="auto")
+    assert again is pre_capped  # no window, no joins, zero-cost fast path
+    assert sorted(map(tuple, pre_capped.collect())) == want
+
+    # regime 2: modest hot set -> skew-safe split (one window over the
+    # hot side only). Plan asserted on a fresh un-executed frame — after
+    # an action AQE's toString interleaves nested Initial/Final sections.
+    assert sorted(map(tuple, pre_capped.collect())) == want
+    plan2 = (
+        wb.cap_per_domain(skewed, 10, salt="s", mode="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("Window [") == 1
+    assert "BroadcastHashJoin" in plan2 or "BroadcastNestedLoopJoin" in plan2
+
+    # regime 3: hot set wider than hot_key_limit -> plain single window
+    wide = wb.cap_per_key(skewed, "domain", 10, "doc_id", salt="s", mode="auto", hot_key_limit=0)
+    assert sorted(map(tuple, wide.collect())) == want
+    plan3 = (
+        wb.cap_per_key(skewed, "domain", 10, "doc_id", salt="s", mode="auto", hot_key_limit=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan3.count("Window [") == 1 and "Join" not in plan3
+
+    with pytest.raises(ValueError):
+        wb.cap_per_key(skewed, "domain", 10, "doc_id", mode="eager")
