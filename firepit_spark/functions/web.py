@@ -33,6 +33,8 @@ __all__ = [
     "url_query",
     "url_fragment",
     "registered_domain",
+    "psl_rules",
+    "registered_domain_psl",
     "url_normalize",
     "parse_urls",
     "domain_filter",
@@ -108,7 +110,14 @@ def registered_domain(
     when the second-to-last label is a public second level ('co' in
     ``example.co.uk``). Pure expression over ``split``/``element_at`` —
     the roll-up key for blocklists and per-domain caps.
-    """
+
+    This is the inline HEURISTIC (deterministic, oracle-reproducible,
+    no side table); hosts under multi-label public suffixes it doesn't
+    list (``example.com.br``, ``foo.github.io``) roll up one label
+    short. When correctness on real crawls matters, use
+    :func:`registered_domain_psl` with the published public-suffix
+    list — full longest-match/wildcard/exception semantics via
+    broadcast joins."""
     labels = F.split(F.lower(host), r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
@@ -121,6 +130,133 @@ def registered_domain(
         .when((n >= 3) & sld_public, last3)
         .otherwise(last2)
     )
+
+
+def psl_rules(spark, lines) -> DataFrame:
+    """Parse public-suffix-list rule lines into the small rules table
+    :func:`registered_domain_psl` joins against.
+
+    Accepts the real PSL file format: blank lines and ``//`` comments
+    skipped, ``!`` exception rules, ``*.`` wildcard rules (one leading
+    wildcard label, as the published list uses), plain suffix rules.
+    Output columns — one row per distinct join key:
+
+    - ``match_key``: the lowercased labels a host suffix must equal
+      (wildcards keyed by their TAIL: ``*.ck`` joins on ``ck``);
+    - ``match_len``: label count of ``match_key``;
+    - ``is_exact`` / ``has_wildcard``: a plain rule with exactly these
+      labels / a wildcard rule with this tail;
+    - ``exc_ps_len``: for exception rules (``!www.ck``), the public
+      suffix length the exception forces (rule labels − 1), else NULL.
+    """
+    rows: dict = {}
+    for raw in lines:
+        line = raw.strip().split()[0] if raw.strip() else ""
+        if not line or line.startswith("//"):
+            continue
+        exception = line.startswith("!")
+        rule = line[1:] if exception else line
+        wildcard = rule.startswith("*.")
+        if wildcard:
+            rule = rule[2:]
+        if "*" in rule:
+            raise ValueError(f"unsupported wildcard placement in PSL rule {line!r}")
+        key = rule.lower()
+        n = len(key.split("."))
+        ent = rows.setdefault(
+            (key, n), {"is_exact": False, "has_wildcard": False, "exc_ps_len": None}
+        )
+        if exception:
+            # exception public suffix = the rule minus its leftmost label
+            ent["exc_ps_len"] = max(ent["exc_ps_len"] or 0, n - 1)
+        elif wildcard:
+            ent["has_wildcard"] = True
+        else:
+            ent["is_exact"] = True
+    return spark.createDataFrame(
+        [
+            (k, n, e["is_exact"], e["has_wildcard"], e["exc_ps_len"])
+            for (k, n), e in sorted(rows.items())
+        ],
+        "match_key STRING, match_len INT, is_exact BOOLEAN, "
+        "has_wildcard BOOLEAN, exc_ps_len INT",
+    )
+
+
+def registered_domain_psl(
+    df: DataFrame,
+    host_col: str,
+    psl: DataFrame,
+    out_col: str = "reg_domain",
+) -> DataFrame:
+    """Registrable domain against a REAL public-suffix list — the
+    table-driven twin of :func:`registered_domain` for when the 7-entry
+    heuristic isn't enough (``example.com.br``, ``foo.github.io``).
+    Implements the published algorithm: the prevailing rule is any
+    matching exception rule, else the matching rule with the most
+    labels (wildcard ``*`` counts as one), else the implicit ``*``
+    default; the registrable domain is the public suffix plus one more
+    label, NULL when the host IS a public suffix (or NULL/garbage).
+
+    100 TB shape: the PSL is KBs, the corpus is not — so matching is
+    ``max(match_len)`` BROADCAST left joins (one per candidate suffix
+    length, each map-only; AQE plans them into one whole-stage pass
+    over the corpus with K hash probes) and a final pure-expression
+    arbitration. No explode, no shuffle, no UDF — the host side is
+    never repartitioned. The ``psl.agg(max)`` driver action at build
+    time touches only the rules table.
+
+    Differential-tested against a pure-Python implementation of the
+    spec over a bundled snippet with multi-label suffixes
+    (tests/test_web.py)."""
+    max_len = psl.agg(F.max("match_len")).first()[0]
+    if max_len is None:
+        raise ValueError("psl rules table is empty")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input frame")
+
+    labels_c = f"__psl_labels_{out_col}"
+    n_c = f"__psl_n_{out_col}"
+    out = df.withColumn(
+        labels_c, F.split(F.lower(F.col(host_col)), r"\.")
+    ).withColumn(n_c, F.size(F.col(labels_c)))
+    internal = [labels_c, n_c]
+    for i in range(1, max_len + 1):
+        sfx = F.when(
+            F.col(n_c) >= i,
+            F.concat_ws(
+                ".", *[F.element_at(F.col(labels_c), -j) for j in range(i, 0, -1)]
+            ),
+        )
+        rules_i = psl.filter(F.col("match_len") == i).select(
+            F.col("match_key").alias(f"__k{i}"),
+            F.col("is_exact").alias(f"__ex{i}"),
+            F.col("has_wildcard").alias(f"__w{i}"),
+            F.col("exc_ps_len").alias(f"__e{i}"),
+        )
+        out = out.withColumn(f"__s{i}", sfx).join(
+            F.broadcast(rules_i), F.col(f"__s{i}") == F.col(f"__k{i}"), "left"
+        )
+        internal += [f"__s{i}", f"__k{i}", f"__ex{i}", f"__w{i}", f"__e{i}"]
+
+    # arbitration: exception > longest match > implicit '*' default.
+    # greatest() skips NULLs, so unmatched candidates drop out; a
+    # wildcard needs one host label beyond its tail to consume.
+    exc_len = F.coalesce(
+        *[F.col(f"__e{i}") for i in range(max_len, 0, -1)]
+    )
+    cands = [
+        F.when(F.col(f"__ex{i}"), F.lit(i)) for i in range(1, max_len + 1)
+    ] + [
+        F.when(F.col(f"__w{i}") & (F.col(n_c) >= i + 1), F.lit(i + 1))
+        for i in range(1, max_len + 1)
+    ]
+    ps_len = F.coalesce(exc_len, F.greatest(*cands, F.lit(1)))
+    reg = F.when(
+        F.col(n_c) > ps_len,
+        F.concat_ws(".", F.slice(F.col(labels_c), F.col(n_c) - ps_len, ps_len + 1)),
+    )
+    return out.withColumn(out_col, reg).drop(*internal)
 
 
 def _kept_params(query: Column, tracking_params: tuple) -> Column:

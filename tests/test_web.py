@@ -295,3 +295,116 @@ def test_cap_per_key_auto_mode_three_regimes(spark, skewed):
 
     with pytest.raises(ValueError):
         wb.cap_per_key(skewed, "domain", 10, "doc_id", mode="eager")
+
+
+# ------------------------------------------- PSL-table registered domain
+
+# Bundled snippet of the real public-suffix list: multi-label suffixes,
+# a wildcard, and an exception (format-faithful, incl. comments)
+PSL_SNIPPET = """\
+// ===BEGIN ICANN DOMAINS===
+com
+net
+org
+uk
+co.uk
+gov.uk
+br
+com.br
+jp
+ac.jp
+ck
+*.ck
+!www.ck
+// ===BEGIN PRIVATE DOMAINS===
+io
+github.io
+"""
+
+
+def py_registered_domain_psl(host, rules_lines):
+    """Pure-Python reference of the publicsuffix.org algorithm."""
+    rules = []
+    for line in rules_lines.splitlines():
+        line = line.strip().split()[0] if line.strip() else ""
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line)
+    labels = host.lower().split(".")
+    matches = []
+    for rule in rules:
+        exception = rule.startswith("!")
+        r = rule[1:] if exception else rule
+        rl = r.split(".")
+        if len(rl) > len(labels):
+            continue
+        tail = labels[-len(rl):]
+        ok = all(a == b or a == "*" for a, b in zip(rl, tail))
+        if ok:
+            matches.append((exception, len(rl), rl))
+    exceptions = [m for m in matches if m[0]]
+    if exceptions:
+        ps_len = max(m[1] for m in exceptions) - 1
+    elif matches:
+        ps_len = max(m[1] for m in matches)
+    else:
+        ps_len = 1  # implicit '*' default rule
+    if len(labels) <= ps_len:
+        return None
+    return ".".join(labels[-(ps_len + 1):])
+
+
+def test_registered_domain_psl_differential(spark):
+    hosts = [
+        "www.example.com",
+        "example.com.br",            # multi-label suffix the heuristic misses
+        "sub.example.com.br",
+        "com.br",                    # IS a public suffix -> NULL
+        "foo.github.io",             # private-section suffix
+        "deep.foo.github.io",
+        "github.io",                 # IS a public suffix -> NULL
+        "example.co.uk",
+        "b.example.gov.uk",
+        "foo.bar.ck",                # wildcard *.ck -> bar.ck public
+        "bar.ck",                    # matched by *? no: needs a label for *
+        "www.ck",                    # exception !www.ck -> registrable itself
+        "sub.www.ck",
+        "example.xyz",               # unknown TLD -> implicit '*' default
+        "xyz",                       # bare unknown TLD -> NULL
+        "UPPER.Example.COM",         # case-folded
+        "example.jp",
+        "host.ac.jp",
+        "ac.jp",
+    ]
+    df = spark.createDataFrame([(i, h) for i, h in enumerate(hosts)], "i INT, host STRING")
+    rules = wb.psl_rules(spark, PSL_SNIPPET.splitlines())
+    got = {
+        r["host"]: r["reg_domain"]
+        for r in wb.registered_domain_psl(df, "host", rules).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_registered_domain_psl(h, PSL_SNIPPET), h
+    # spot-check the cases that motivated the table variant
+    assert got["example.com.br"] == "example.com.br"
+    assert got["foo.github.io"] == "foo.github.io"
+    assert got["foo.bar.ck"] == "foo.bar.ck"
+    assert got["www.ck"] == "www.ck"
+    assert got["com.br"] is None
+
+
+def test_registered_domain_psl_plan_is_broadcast_only(spark):
+    df = spark.createDataFrame([("a.example.com",)], "host STRING")
+    rules = wb.psl_rules(spark, PSL_SNIPPET.splitlines())
+    plan = (
+        wb.registered_domain_psl(df, "host", rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # every PSL probe is a broadcast hash join; the corpus side never
+    # hits a shuffle exchange
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+    with pytest.raises(ValueError):
+        wb.registered_domain_psl(df, "host", rules, out_col="host")
+    with pytest.raises(ValueError):
+        wb.psl_rules(spark, ["foo.*.bar"])
