@@ -201,10 +201,36 @@ def read_seen_bloom(
     return bloom_merge(spark.read.parquet(state_dir).drop("__epoch"))
 
 
+_DURATION_UNITS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(s: str) -> int:
+    """'10 minutes' -> 600000; the subset of Spark's duration syntax the
+    TTL mode needs, parsed identically on both sides of the window
+    arithmetic."""
+    parts = s.strip().lower().split()
+    if len(parts) != 2 or not parts[0].lstrip("-").isdigit():
+        raise ValueError(f"expected '<n> <unit>' duration, got {s!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s")
+    if unit not in _DURATION_UNITS or n <= 0:
+        raise ValueError(f"unsupported duration {s!r}")
+    return n * _DURATION_UNITS[unit]
+
+
 def stream_cap_per_key(
     stream: DataFrame,
     key_col: str,
     cap: int,
+    ttl: str | None = None,
+    time_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Streaming twin of :func:`firepit_spark.functions.web.cap_per_key`:
     admit at most ``cap`` rows per key over the LIFETIME of the stream —
@@ -221,6 +247,22 @@ def stream_cap_per_key(
     Unlike the batch op there is no content-addressed global order — a
     stream can't see the future; this is the standard streaming
     rate-limit semantics (first-come), documented trade.
+
+    ``ttl`` switches to cap-per-key-per-window for long-lived jobs
+    (r9): rows are admitted per (key, tumbling ``ttl`` window of
+    ``time_col``), the stream gets ``withWatermark(time_col,
+    watermark_delay)``, and each window's counter is EVICTED via
+    event-time timeout once the watermark passes its end — so over an
+    infinite stream, state is one long per key ACTIVE in the last
+    ``ttl + watermark_delay`` of event time instead of one long per key
+    ever seen. State-size math: K_active keys × (key bytes + 8) per
+    open window, × at most ``1 + ceil(watermark_delay / ttl) + 1``
+    windows simultaneously open per key (current, straggler windows
+    the watermark hasn't sealed, and at most one just-opened) — e.g.
+    1e7 active domains, 1h TTL, 10m delay ≈ 2 open windows ≈ a few
+    hundred MB across the cluster, constant over stream lifetime.
+    Late rows beyond the watermark are dropped by the engine (standard
+    watermark semantics), never admitted against a sealed window.
     """
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
@@ -228,23 +270,64 @@ def stream_cap_per_key(
 
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    out_schema = stream.schema
+    if ttl is None:
+        out_schema = stream.schema
 
-    def fn(key, pdfs, state):
+        def fn(key, pdfs, state):
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                if n >= cap:
+                    continue  # the iterator must still be drained
+                take = pdf.iloc[: cap - n]
+                n += len(take)
+                if len(take):
+                    yield take
+            state.update((n,))
+
+        return stream.groupBy(F.col(key_col)).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    if time_col is None:
+        raise ValueError("ttl requires time_col (the event-time column)")
+    ttl_ms = _duration_ms(ttl)
+    out_schema = stream.schema
+    cols = [f.name for f in out_schema.fields]
+    win_col = "__cap_win_end"
+    # tumbling-window END in epoch millis, pure integer arithmetic (no
+    # float round-trip): u - pmod(u, ttl) + ttl
+    u = F.unix_millis(F.col(time_col))
+    s = stream.withWatermark(time_col, watermark_delay).withColumn(
+        win_col, (u - F.pmod(u, F.lit(ttl_ms)) + F.lit(ttl_ms)).cast("long")
+    )
+
+    def fn_ttl(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        win_end_ms = int(key[1])
         n = state.get[0] if state.exists else 0
         for pdf in pdfs:
             if n >= cap:
-                continue  # the iterator must still be drained
+                continue
             take = pdf.iloc[: cap - n]
             n += len(take)
             if len(take):
-                yield take
+                yield take[cols]
         state.update((n,))
+        # evict once the watermark passes the window end; clamp above the
+        # current watermark (setting a timeout at/below it is an error —
+        # the clamped timer then fires on the next micro-batch)
+        state.setTimeoutTimestamp(max(win_end_ms, state.getCurrentWatermarkMs() + 1))
 
-    return stream.groupBy(F.col(key_col)).applyInPandasWithState(
-        fn,
+    return s.groupBy(F.col(key_col), F.col(win_col)).applyInPandasWithState(
+        fn_ttl,
         outputStructType=out_schema,
         stateStructType="n LONG",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -797,3 +797,80 @@ def test_stream_cap_per_key_across_batches(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_cap_per_key(stream, "domain", cap=0)
+
+
+def test_stream_cap_per_key_ttl_resets_per_window_and_evicts(spark, tmp_path):
+    """TTL mode (r9): the admission counter is per (key, tumbling ttl
+    window of event time), carries across micro-batches WITHIN a window,
+    resets for the next window, and sealed-window state is evicted via
+    event-time timeout so an infinite stream holds bounded state."""
+    import pytest
+
+    from firepit_spark.streaming.dedup import stream_cap_per_key
+
+    indir = tmp_path / "capttl"
+    indir.mkdir()
+    # window 1 (00:00-00:10): 3 big.com rows, cap 2 -> 2 admitted
+    _write_events(
+        indir / "a.json",
+        [
+            {"doc_id": i, "domain": "big.com", "ts": f"2020-01-01T00:0{i}:00"}
+            for i in range(3)
+        ],
+    )
+    schema = "doc_id long, domain string, ts timestamp"
+    stream = spark.readStream.schema(schema).json(str(indir))
+    out = stream_cap_per_key(
+        stream, "domain", cap=2, ttl="10 minutes", time_col="ts"
+    )
+    assert out.schema == stream.schema  # no internal window column leaks
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cap_ttl_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select * from cap_ttl_t").collect()
+        assert len(got1) == 2  # window-1 cap
+        # batch 2: one more window-1 row (rejected: window already full)
+        # plus three window-2 rows (00:10-00:20) -> counter RESET, 2 pass
+        _write_events(
+            indir / "b.json",
+            [{"doc_id": 9, "domain": "big.com", "ts": "2020-01-01T00:05:00"}]
+            + [
+                {"doc_id": 10 + i, "domain": "big.com", "ts": f"2020-01-01T00:1{i}:00"}
+                for i in range(3)
+            ],
+        )
+        q.processAllAvailable()
+        got2 = spark.sql("select * from cap_ttl_t").collect()
+        assert len(got2) == 4
+        win2 = [r for r in got2 if r["doc_id"] >= 10]
+        assert len(win2) == 2  # fresh counter for the new window
+        # batch 3: event time far ahead -> watermark seals old windows;
+        # their timers fire and the state store DROPS their counters
+        # (this is the bounded-state claim, asserted via store metrics)
+        _write_events(
+            indir / "c.json",
+            [{"doc_id": 50, "domain": "big.com", "ts": "2020-01-01T03:00:00"}],
+        )
+        q.processAllAvailable()
+        state = q.lastProgress["stateOperators"][0]
+        assert state["numRowsTotal"] == 1  # only the 03:00 window survives
+        _write_events(
+            indir / "d.json",
+            [{"doc_id": 51, "domain": "big.com", "ts": "2020-01-01T03:01:00"}],
+        )
+        q.processAllAvailable()
+        got3 = spark.sql("select * from cap_ttl_t").collect()
+        assert len(got3) == 6
+    finally:
+        q.stop()
+
+    with pytest.raises(ValueError):
+        stream_cap_per_key(stream, "domain", cap=2, ttl="10 minutes")
+    with pytest.raises(ValueError):
+        stream_cap_per_key(stream, "domain", cap=2, ttl="bogus", time_col="ts")
