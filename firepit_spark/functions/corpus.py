@@ -493,6 +493,9 @@ def document_signals(
     top_n: int = 2,
     dup_n: int = 5,
     max_df_frac: float = 0.5,
+    simhash_bits: int | None = None,
+    score_loader=None,
+    with_vocab_summary: bool = False,
 ) -> DataFrame:
     """Every per-document curation signal in ONE corpus scan.
 
@@ -503,7 +506,16 @@ def document_signals(
     cache — fingerprint, token/char counts, punct/stopword/quality,
     lang guess, Gopher char-fraction repetition (``top{top_n}_*``,
     ``dup{dup_n}_*``), and the BM25 index stats (n_index_terms / max_tf /
-    dl under the ``max_df_frac`` stopword cutoff).
+    dl under the ``max_df_frac`` stopword cutoff). Optional families,
+    all fanned from the SAME cache (no extra corpus scan):
+    ``simhash_bits`` adds the per-doc SimHash (``dedup.simhash``),
+    ``score_loader`` adds the Arrow-batched model score
+    (``inference.score_documents``), ``with_vocab_summary`` adds the
+    broadcast ``n_vocab_kept`` scalar (surviving index vocabulary).
+    With all three, the frame reproduces the driver gate q22's full
+    per-document column set bit-for-bit from one normalized-token pass
+    (pinned by tests/test_corpus.py::
+    test_document_signals_reproduces_q22_from_one_pass).
 
     At 100 TB: one parquet pass builds the cache (spills under
     MEMORY_AND_DISK); every downstream shuffle keys on the doc id or on
@@ -586,6 +598,32 @@ def document_signals(
             F.col(f"dup{dup_n}_chars") / F.col("n_norm_chars"),
         )
     )
+
+    # optional families fan from the SAME cached base — the frames below
+    # start at an InMemoryTableScan, never a second corpus read
+    tdoc = base.select(F.col(id_col), F.col("__text").alias(text_col))
+    if simhash_bits is not None:
+        from firepit_spark.functions import dedup as _dd
+
+        out = out.join(
+            _dd.simhash(tdoc, text_col, id_col, bits=simhash_bits),
+            id_col,
+            "left",
+        )
+    if score_loader is not None:
+        from firepit_spark.functions.inference import score_documents
+
+        out = out.join(
+            score_documents(tdoc, loader=score_loader, text_col=text_col).select(
+                id_col, "model_score"
+            ),
+            id_col,
+            "left",
+        )
+    if with_vocab_summary:
+        out = out.crossJoin(
+            F.broadcast(dfreq.agg(F.count(F.lit(1)).alias("n_vocab_kept")))
+        )
     out._fp_caches = [base]
     return out
 

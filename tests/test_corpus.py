@@ -832,3 +832,71 @@ def test_corpus_diff_prematerialized_fingerprint(spark):
     n2 = new.withColumn("fp", tx.fingerprint(F.col("text")))
     via_fp = sorted(map(tuple, cp.corpus_diff(o2, n2, fingerprint_col="fp").collect()))
     assert via_text == via_fp
+
+
+def test_document_signals_reproduces_q22_from_one_pass(spark):
+    """The production fused frame (document_signals + its optional
+    families) must reproduce the driver gate q22's FULL column set
+    bit-for-bit while reading the corpus parquet at most twice — q22
+    deliberately re-scans documents per merged family (gate packing);
+    this pins the one-normalized-token-pass production shape (r9)."""
+    import os
+
+    import __spark_entry__ as entry
+    from firepit_spark.functions import dedup as dd
+    from firepit_spark.functions import inference as inf
+    from firepit_spark.functions import release
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    q22 = entry.queries()["q22_text_stats"](spark, sf_dir)
+    cols = q22.columns
+    want = {r["doc_id"]: tuple(r[c] for c in cols) for r in q22.collect()}
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sig = cp.document_signals(
+        docs,
+        simhash_bits=32,
+        score_loader=inf.stub_classifier_loader,
+        with_vocab_summary=True,
+    )
+
+    # near-dup degree derives from the fused frame's OWN simhash column
+    # (pair-level op, same params as the gate) — still no corpus rescan
+    sub = sig.select("doc_id", "simhash").filter(F.col("doc_id") % 4 == 0)
+    ndp = dd.hamming_near_dup_pairs(
+        sub, "simhash", id_col="doc_id", max_hamming=6, bands=8, bits=32
+    )
+    nd = (
+        ndp.select(F.col("id_a").alias("doc_id"), "hamming")
+        .unionByName(ndp.select(F.col("id_b").alias("doc_id"), "hamming"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__ndc"), F.min("hamming").alias("min_hamming"))
+    )
+    fused = (
+        sig.join(nd, "doc_id", "left")
+        .withColumn(
+            "n_neardup",
+            F.when(
+                (F.col("doc_id") % 4 == 0) & F.col("simhash").isNotNull(),
+                F.coalesce(F.col("__ndc"), F.lit(0).cast("bigint")),
+            ),
+        )
+        .withColumn("model_score", F.round(F.col("model_score"), 6))
+        .select(*cols)
+    )
+    got = {r["doc_id"]: tuple(r[c] for c in cols) for r in fused.collect()}
+    assert got == want
+
+    # plan assert: the fused frame reads parquet at most twice; every
+    # signal family starts from the in-memory token cache. Count TRUE
+    # leaf relations of the optimized logical plan — the executed-plan
+    # STRING reprints the cached subtree (and its parquet scan) under
+    # every InMemoryTableScan reference, which is display, not IO.
+    jplan = fused._jdf.queryExecution().optimizedPlan()
+    leaves = jplan.collectLeaves()
+    kinds = [leaves.apply(i).toString().split("\n")[0] for i in range(leaves.size())]
+    n_parquet = sum(1 for k in kinds if "parquet" in k and "InMemoryRelation" not in k)
+    n_cached = sum(1 for k in kinds if "InMemoryRelation" in k)
+    assert n_parquet <= 2, f"{n_parquet} parquet leaf scans: {kinds}"
+    assert n_cached >= 4  # the signal families fan from the cache
+    release(sig)
