@@ -1682,7 +1682,61 @@ def q45_dedup_clusters(spark, sf_dir):
     return out
 
 
-_Q45_SQL = f"""
+# q45's transitive closure, two DuckDB dialects (version-gated in
+# _q45_sql): the plain recursive CTE runs on any DuckDB but its working
+# table is the FULL reachability relation (quadratic per clique — fine at
+# sf0.01, superlinear at sf1, which is why the sf1 cross-check lives in
+# scripts/check_q45_sf1.py); DuckDB >= 1.3's USING KEY recursion keys the
+# working table on the node, so each iteration stores one improving
+# (node, min-label) row instead of all reachable pairs — linear state,
+# and it retires the union-find stand-in when the harness upgrades.
+_Q45_CLOSURE_PLAIN = """reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)"""
+_Q45_CLUSTERS_PLAIN = """SELECT 'cluster' AS leg, a AS doc_id, LEAST(a, MIN(b)) AS cluster_id,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS start_a,
+       CAST(NULL AS BIGINT) AS start_b, CAST(NULL AS BIGINT) AS span_tokens
+FROM reach GROUP BY a"""
+# min-label propagation with key-addressed state: rows re-emitted for a
+# node REPLACE its stored row, so the HAVING strictly-improves guard is
+# both the convergence proof (labels only decrease, bounded below) and
+# the termination condition (no improved row -> empty iteration)
+_Q45_CLOSURE_USING_KEY = """comp(node, lbl) USING KEY (node) AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS lbl FROM sym GROUP BY a
+  UNION
+  SELECT s.a AS node, LEAST(MIN(c.lbl), ANY_VALUE(rc.lbl)) AS lbl
+  FROM comp c
+  JOIN sym s ON s.b = c.node
+  JOIN recurring.comp rc ON rc.node = s.a
+  GROUP BY s.a
+  HAVING MIN(c.lbl) < ANY_VALUE(rc.lbl)
+)"""
+_Q45_CLUSTERS_USING_KEY = """SELECT 'cluster' AS leg, node AS doc_id, lbl AS cluster_id,
+       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS start_a,
+       CAST(NULL AS BIGINT) AS start_b, CAST(NULL AS BIGINT) AS span_tokens
+FROM comp"""
+
+
+def _q45_sql(use_using_key: bool | None = None) -> str:
+    """Assemble the q45 oracle for the DuckDB that will run it. ``None``
+    sniffs the installed version (the driver runs oracle_sql() in the
+    same environment as its DuckDB); pass a bool to force a dialect."""
+    if use_using_key is None:
+        try:
+            import duckdb
+
+            ver = tuple(int(x) for x in duckdb.__version__.split(".")[:2])
+            use_using_key = ver >= (1, 3)
+        except Exception:
+            use_using_key = False
+    closure = _Q45_CLOSURE_USING_KEY if use_using_key else _Q45_CLOSURE_PLAIN
+    clusters = _Q45_CLUSTERS_USING_KEY if use_using_key else _Q45_CLUSTERS_PLAIN
+    return _Q45_TEMPLATE.format(closure=closure, clusters=clusters)
+
+
+_Q45_TEMPLATE = f"""
 WITH RECURSIVE {_TOKS_CTE},
 {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
@@ -1703,11 +1757,7 @@ sym AS (
   UNION ALL
   SELECT id_b AS a, id_a AS b FROM pairs
 ),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-),
+{{closure}},
 pg AS (
   SELECT doc_id, n - 1 AS pos,
          ('0x' || substr(md5(t[n] || ' ' || t[n+1] || ' ' || t[n+2] || ' ' || t[n+3]
@@ -1734,10 +1784,7 @@ spans AS (
   FROM runs GROUP BY id_a, id_b, diag, isl
   HAVING COUNT(*) + 7 >= 12
 )
-SELECT 'cluster' AS leg, a AS doc_id, LEAST(a, MIN(b)) AS cluster_id,
-       CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS BIGINT) AS start_a,
-       CAST(NULL AS BIGINT) AS start_b, CAST(NULL AS BIGINT) AS span_tokens
-FROM reach GROUP BY a
+{{clusters}}
 UNION ALL
 SELECT 'span' AS leg, id_a AS doc_id, CAST(NULL AS BIGINT) AS cluster_id,
        id_b, start_a, start_b, span_tokens
@@ -3101,7 +3148,7 @@ def oracle_sql() -> dict[str, str]:
         "q41_context_pack": _Q41_SQL,
         "q42_corpus_prep": _Q42_SQL,
         "q44_sampling": _Q44_SQL,
-        "q45_dedup_clusters": _Q45_SQL,
+        "q45_dedup_clusters": _q45_sql(),
         "q46_quantize_embeddings": _Q46_SQL,
         "q47_decontaminate": _Q47_SQL,
         "q48_repetition": _Q48_SQL,

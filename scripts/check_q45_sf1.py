@@ -1,0 +1,137 @@
+"""q45 cross-check at scales where the plain recursive-CTE oracle is
+infeasible (its working table is the full reachability relation —
+quadratic per near-dup clique, superlinear wall at sf1 on DuckDB 1.0).
+
+This formalizes the union-find stand-in earlier rounds ran by hand:
+
+1. DuckDB evaluates the NON-recursive prefix of the q45 oracle — the
+   shingle index, the Jaccard pair set, and the span chaining — exactly
+   as the driver's gate would (same SQL text, sliced from the same
+   template).
+2. The transitive closure over those pairs runs as a driver-side
+   union-find (path-halving; the pair set is small even at sf1 — it is
+   the DEDUP CANDIDATE set, not the corpus).
+3. Spark's q45 output is compared leg-by-leg: cluster labels must match
+   the union-find min-label per component EXACTLY; span rows must match
+   the SQL set EXACTLY.
+
+When the harness ships DuckDB >= 1.3, __spark_entry__._q45_sql switches
+the driver oracle to the USING KEY keyed-recursion dialect (linear
+state) and this script is only a belt-and-suspenders differential.
+
+Usage: python scripts/check_q45_sf1.py [sf_dir]   (default .benchdata/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+
+def union_find_min_labels(pairs):
+    """(doc -> min reachable doc id, incl. itself) over the pair graph."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict = {}
+    for x in list(parent):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    labels = {}
+    for members in comp.values():
+        lbl = min(members)
+        for m in members:
+            labels[m] = lbl
+    return labels
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".benchdata/sf1"
+
+    import __spark_entry__ as entrymod
+
+    # the oracle's non-recursive prefix, sliced from the SAME template the
+    # driver gate uses (so this check can't drift from the real oracle):
+    # everything up to the closure CTE, closed with the pair/span selects
+    template = entrymod._Q45_TEMPLATE
+    prefix = template.split("{closure},")[0].rstrip().rstrip(",")
+    span_part = template.split("{closure},")[1].split("{clusters}")[0].rstrip().rstrip(",")
+    assert "sym AS" in prefix and "spans AS" in span_part, "oracle template drifted"
+
+    con = duckdb.connect()
+    # driver testdata is a single file; Spark-written sf1 tables are
+    # directories of part files (same handling as check_correctness.py)
+    path = os.path.join(sf_dir, "documents.parquet")
+    pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pattern}'")
+    t0 = time.time()
+    pair_rows = con.execute(prefix + "\nSELECT id_a, id_b FROM pairs").fetchall()
+    span_rows = con.execute(
+        prefix + ",\n" + span_part
+        + "\nSELECT id_a, id_b, start_a, start_b, span_tokens FROM spans"
+    ).fetchall()
+    want_labels = union_find_min_labels(pair_rows)
+    print(
+        f"# duckdb prefix: {len(pair_rows)} pairs, {len(span_rows)} spans, "
+        f"{len(want_labels)} clustered docs [{time.time() - t0:.1f}s]"
+    )
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    spark = (
+        SparkSession.builder.appName("q45sf1")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    t0 = time.time()
+    out = entrymod.queries()["q45_dedup_clusters"](spark, sf_dir).collect()
+    spark.stop()
+    got_labels = {
+        r["doc_id"]: r["cluster_id"] for r in out if r["leg"] == "cluster"
+    }
+    got_spans = sorted(
+        (r["doc_id"], r["id_b"], r["start_a"], r["start_b"], r["span_tokens"])
+        for r in out
+        if r["leg"] == "span"
+    )
+    print(f"# spark q45: {len(out)} rows [{time.time() - t0:.1f}s]")
+
+    ok = True
+    if got_labels != want_labels:
+        only_spark = {k for k in got_labels if got_labels.get(k) != want_labels.get(k)}
+        print(f"FAIL cluster leg: {len(only_spark)} label mismatches, e.g. "
+              f"{sorted(only_spark)[:5]}")
+        ok = False
+    else:
+        print(f"OK   cluster leg: {len(got_labels)} labels == union-find")
+    want_spans = sorted(map(tuple, span_rows))
+    if got_spans != want_spans:
+        print(f"FAIL span leg: spark {len(got_spans)} vs sql {len(want_spans)}")
+        ok = False
+    else:
+        print(f"OK   span leg: {len(got_spans)} spans exact")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -900,3 +900,31 @@ def test_document_signals_reproduces_q22_from_one_pass(spark):
     assert n_parquet <= 2, f"{n_parquet} parquet leaf scans: {kinds}"
     assert n_cached >= 4  # the signal families fan from the cache
     release(sig)
+
+
+def test_q45_oracle_version_gate():
+    """The q45 oracle assembles per DuckDB dialect (r9): plain recursive
+    CTE on <1.3 (what this container ships — and the auto path must pick
+    it), USING KEY keyed recursion on >=1.3. Both variants must build
+    from the same template so the span/pair SQL can't drift."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    plain = entry._q45_sql(False)
+    keyed = entry._q45_sql(True)
+    auto = entry._q45_sql()
+    ver = tuple(int(x) for x in duckdb.__version__.split(".")[:2])
+    assert auto == (keyed if ver >= (1, 3) else plain)
+    assert "USING KEY" not in plain and "FROM reach GROUP BY a" in plain
+    assert "USING KEY (node)" in keyed and "recurring.comp" in keyed
+    # shared prefix: identical pair/span SQL in both dialects
+    assert plain.split("reach(")[0] == keyed.split("comp(")[0]
+    assert entry.oracle_sql()["q45_dedup_clusters"] == auto
+    # the installed-DuckDB dialect actually parses (EXPLAIN = parse+bind,
+    # no execution cost)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'a b c' AS text"
+    )
+    con.execute("EXPLAIN " + auto)
