@@ -1,0 +1,599 @@
+"""Pure-python baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+
+Real crawled image corpora are overwhelmingly JPEG, and this container
+ships no codec library — so the perceptual-dedup family
+(:func:`multimodal.image_dhash`) needs a self-contained baseline decoder
+the same way :func:`multimodal.png_decode` covers PNG. Numpy is the only
+dependency: entropy decoding is a tight pure-python loop per block, while
+DCT/IDCT, dequantization, upsampling and color conversion are batched
+numpy over all blocks at once — inside Arrow ``mapInPandas`` tasks that
+is plenty for per-document thumbnails and dHash inputs (dHash only needs
+a 9x8 mean grid, which survives heavy quantization).
+
+Coverage, honestly scoped:
+
+- decode: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
+  grayscale / YCbCr (JFIF), 4:4:4 / 4:2:2 / 4:2:0 (any h_i x v_i factors
+  up to 2), restart markers, 8/16-bit DQT, multi-segment DHT/DQT.
+- NOT decoded (raise ``NotImplementedError`` so the Arrow wrappers
+  quarantine per row instead of failing the task): progressive (SOF2),
+  arithmetic coding (SOF9+), 12-bit precision, CMYK/4-component, DNL.
+- encode: baseline JFIF writer used to build test fixtures and to
+  round-trip the decoder — IJG-style quality-scaled Annex-K quant
+  tables, per-image canonical Huffman tables (flat code length over the
+  symbols actually used: always a VALID table, deliberately simple),
+  optional 4:2:0 subsampling and restart intervals.
+
+The analytic single-coefficient tests in tests/test_jpeg.py pin the
+zigzag order, dequantization and IDCT convention against a cosine-basis
+formula computed independently — encoder/decoder bug-cancellation can't
+hide there.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["jpeg_decode", "jpeg_encode"]
+
+# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+_ZZ_ROWS = np.array([r for r, _ in ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in ZIGZAG])
+
+# Annex K.1 quantization tables (natural row-major order)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# orthonormal DCT-II basis: _DCT_A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# forward F = A f A^T, inverse f = A^T F A
+_DCT_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+        _DCT_A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) spatial samples."""
+    return np.einsum("ux,nuv,vy->nxy", _DCT_A, coeffs.astype(np.float64), _DCT_A)
+
+
+def _dct_blocks(samples: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted samples -> (n, 8, 8) DCT coefficients."""
+    return np.einsum("ux,nxy,vy->nuv", _DCT_A, samples.astype(np.float64), _DCT_A)
+
+
+# ------------------------------------------------------------------ decode
+
+
+class _BitReader:
+    """MSB-first bit reader over already-destuffed entropy bytes."""
+
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated entropy-coded segment")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan data")
+
+
+def _receive_extend(br: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = br.read_bits(s)
+    if v < (1 << (s - 1)):  # negative branch (T.81 F.2.2.1 EXTEND)
+        v -= (1 << s) - 1
+    return v
+
+
+def _build_huff_decode(bits: list, vals: list) -> dict:
+    """Canonical (length, code) -> symbol map from BITS/HUFFVAL."""
+    table: dict = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _destuff(scan: bytes):
+    """Split entropy data into restart segments with 0xFF00 unstuffed.
+
+    Returns a list of byte segments: element 0 is the data before the
+    first RST marker, element i the data after RSTi-1. Stops at EOI (or
+    any non-RST marker)."""
+    segs = []
+    cur = bytearray()
+    i, n = 0, len(scan)
+    while i < n:
+        byte = scan[i]
+        if byte != 0xFF:
+            cur.append(byte)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = scan[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or the next real marker
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def jpeg_decode(b: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, channels) uint8 pixels.
+
+    Raises ``ValueError`` for malformed streams and
+    ``NotImplementedError`` for well-formed-but-unsupported encodings
+    (progressive, arithmetic, 12-bit, 4-component) — the multimodal
+    Arrow wrappers quarantine those rows.
+    """
+    try:
+        return _jpeg_decode(b)
+    except (IndexError, struct.error) as exc:  # truncated header/segment
+        raise ValueError(f"malformed JPEG: {exc}") from exc
+
+
+def _jpeg_decode(b: bytes) -> np.ndarray:
+    if not b or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qt: dict = {}          # table id -> (8, 8) int
+    huff: dict = {}        # (class, id) -> decode table
+    frame = None           # (h, w, comps) with comps = [(cid, hi, vi, tq)]
+    restart_interval = 0
+    scan = None
+    scan_comps = None
+
+    i, n = 2, len(b)
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS: no image
+            break
+        seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[j:j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(seg[j:j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                full = np.zeros((8, 8), dtype=np.int64)
+                full[_ZZ_ROWS, _ZZ_COLS] = tbl  # DQT is in zigzag order
+                qt[tq] = full
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                huff[(tc, th)] = _build_huff_decode(bits, vals)
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError(f"SOF{marker - 0xC0} JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append((cs, tables >> 4, tables & 15))
+            scan = b[i + 2 + seg_len:]
+            break
+        i += 2 + seg_len
+
+    if frame is None or scan is None:
+        raise ValueError("no frame/scan found (truncated JPEG)")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise NotImplementedError("DNL-deferred dimensions not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component coefficient store, (blocks_y, blocks_x, 64)
+    store = {}
+    for cid, hi, vi, _tq in comps:
+        store[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+
+    segs = _destuff(scan)
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    pred = {cid: 0 for cid, *_ in comps}
+    order = scan_comps if scan_comps else [(cid, 0, 1) for cid, *_ in comps]
+
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(m, mcux)
+        for cs, td, ta in order:
+            hi, vi, _tq = by_id[cs]
+            dct = huff.get((0, td))
+            act = huff.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError("scan references undefined Huffman table")
+            for v in range(vi):
+                for u in range(hi):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = br.read_huff(dct)
+                    if s > 15:
+                        raise ValueError("bad DC magnitude category")
+                    pred[cs] += _receive_extend(br, s)
+                    coef[0] = pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = br.read_huff(act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[k] = _receive_extend(br, s)
+                        k += 1
+                    store[cs][my * vi + v, mx * hi + u] = coef
+
+    # dequantize + un-zigzag + batched IDCT + plane assembly + upsample
+    planes = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"component references undefined DQT {tq}")
+        zz = store[cid].reshape(-1, 64)
+        blocks = np.zeros((zz.shape[0], 8, 8), dtype=np.int64)
+        blocks[:, _ZZ_ROWS, _ZZ_COLS] = zz
+        blocks = blocks * qt[tq][None, :, :]
+        spatial = _idct_blocks(blocks) + 128.0
+        by, bx = store[cid].shape[:2]
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[: h, : w])
+
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encode
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-pad
+
+
+def _magnitude(v: int) -> tuple:
+    """(category s, s-bit code) for a DC diff / AC value (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    code = v if v > 0 else v + (1 << s) - 1
+    return s, code
+
+
+def _flat_huff(symbols: set) -> tuple:
+    """A valid canonical Huffman table giving every used symbol the same
+    code length L (2^L > n so the all-ones code stays unused, as T.81
+    requires). Deliberately simple over optimal — this encoder exists
+    for fixtures and round-trip tests, not compression ratio."""
+    syms = sorted(symbols) or [0]
+    length = max(2, (len(syms) + 1).bit_length())  # 2^L >= n+1, L >= 2
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    enc = {s: (length, code) for code, s in enumerate(syms)}
+    return bits, syms, enc
+
+
+def _block_symbols(zz: np.ndarray, prev_dc: int) -> tuple:
+    """(dc_sym, dc_code, ac_items, new_dc) for one zigzagged block."""
+    dc = int(zz[0])
+    s, code = _magnitude(dc - prev_dc)
+    ac_items = []
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k] != 0:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ac_items.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        vs, vcode = _magnitude(v)
+        ac_items.append(((run << 4) | vs, vs, vcode))
+        run = 0
+    if last_nz < 63:
+        ac_items.append((0x00, 0, 0))  # EOB
+    return s, code, ac_items, dc
+
+
+def jpeg_encode(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w[, 1|3]) uint8 pixels as a baseline JFIF JPEG.
+
+    ``quality`` 1..100 scales the Annex-K tables with the IJG formula;
+    ``subsampling`` is '4:4:4' or '4:2:0' (box-averaged chroma);
+    ``restart_interval`` > 0 inserts DRI/RSTn every that many MCUs.
+    Huffman tables are per-image flat canonical tables (see
+    :func:`_flat_huff`) — valid baseline JPEG, readable by any decoder.
+    """
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3) or px.dtype != np.uint8:
+        raise ValueError("pixels must be (h, w[, 1|3]) uint8")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"subsampling must be '4:4:4' or '4:2:0', got {subsampling!r}")
+    h, w, nc = px.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def q_scaled(base):
+        return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+    qtabs = [q_scaled(QUANT_LUMA)] + ([q_scaled(QUANT_CHROMA)] if nc == 3 else [])
+
+    # color transform + per-component planes
+    fpx = px.astype(np.float64)
+    if nc == 3:
+        r, g, bl = fpx[:, :, 0], fpx[:, :, 1], fpx[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        if subsampling == "4:2:0":
+            comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+        else:
+            comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+    else:
+        comps = [(1, 1, 1, 0, fpx[:, :, 0])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # per-component zigzagged quantized blocks, (blocks_y, blocks_x, 64)
+    zz_store = {}
+    for cid, hi, vi, tq, plane in comps:
+        ph, pw = mcuy * vi * 8 * (vmax // vi), mcux * hi * 8 * (hmax // hi)
+        padded = np.empty((ph, pw))
+        padded[: plane.shape[0], : plane.shape[1]] = plane
+        padded[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        padded[:, plane.shape[1]:] = padded[:, plane.shape[1] - 1:plane.shape[1]]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # box-average downsample
+            padded = padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        by, bx = mcuy * vi, mcux * hi
+        blocks = (
+            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coeff = _dct_blocks(blocks - 128.0)
+        q = qtabs[tq][None, :, :].astype(np.float64)
+        quant = np.round(coeff / q).astype(np.int64)
+        zz_store[cid] = quant[:, _ZZ_ROWS, _ZZ_COLS].reshape(by, bx, 64)
+
+    # pass 1: symbol usage per table class (0 = luma, 1 = chroma)
+    dc_used = {0: set(), 1: set()}
+    ac_used = {0: set(), 1: set()}
+
+    def walk(emit):
+        pred = {cid: 0 for cid, *_ in comps}
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                emit("rst", (m // restart_interval - 1) % 8, None, None)
+                pred = {cid: 0 for cid in pred}
+            my, mx = divmod(m, mcux)
+            for cid, hi, vi, tq, _plane in comps:
+                cls = 0 if tq == 0 else 1
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = zz_store[cid][my * vi + v, mx * hi + u]
+                        s, code, ac_items, dc = _block_symbols(zz, pred[cid])
+                        pred[cid] = dc
+                        emit("blk", cls, (s, code), ac_items)
+
+    def collect(kind, cls, dc, ac):
+        if kind != "blk":
+            return
+        dc_used[cls].add(dc[0])
+        for sym, _s, _code in ac:
+            ac_used[cls].add(sym)
+
+    walk(collect)
+    n_classes = 1 if nc == 1 else 2
+    dc_tabs = {c: _flat_huff(dc_used[c]) for c in range(n_classes)}
+    ac_tabs = {c: _flat_huff(ac_used[c]) for c in range(n_classes)}
+
+    # pass 2: emit the entropy stream
+    bw = _BitWriter()
+
+    def emit(kind, cls, dc, ac):
+        if kind == "rst":
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + cls])
+            return
+        dlen, dcode = dc_tabs[cls][2][dc[0]]
+        bw.write(dcode, dlen)
+        if dc[0]:
+            bw.write(dc[1], dc[0])
+        for sym, s, code in ac:
+            alen, acode = ac_tabs[cls][2][sym]
+            bw.write(acode, alen)
+            if s:
+                bw.write(code, s)
+
+    walk(emit)
+    bw.flush()
+
+    # assemble the file
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    for tq, tbl in enumerate(qtabs):
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid, hi, vi, tq, _plane in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    seg(0xC0, bytes(sof))
+    for cls in range(n_classes):
+        for tc, tabs in ((0, dc_tabs), (1, ac_tabs)):
+            bits, vals, _enc = tabs[cls]
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([nc])
+    for cid, _hi, _vi, tq, _plane in comps:
+        cls = 0 if tq == 0 else 1
+        sos += bytes([cid, (cls << 4) | cls])
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al (baseline fixed)
+    seg(0xDA, bytes(sos))
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -81,14 +81,24 @@ def decode_stub(kind: str, content: bytes):
 def decode_image(content: bytes) -> "np.ndarray":
     """(h, w, channels) uint8 pixels for any decodable image.
 
-    PNG always decodes via the built-in pure-python kernel
-    (:func:`png_decode`); other containers (JPEG/GIF/BMP/WebP) use
-    Pillow WHEN INSTALLED and fall back to :func:`decode_stub` otherwise
-    — this repo's container has no codec libs, so the stub path is the
+    PNG and baseline JPEG decode via the built-in pure-python kernels
+    (:func:`png_decode`, :func:`firepit_spark.functions.jpeg.jpeg_decode`
+    — JPEG being the dominant wild format, r9); JPEG encodings the
+    baseline kernel doesn't cover (progressive, arithmetic, 12-bit,
+    CMYK) and other containers (GIF/BMP/WebP) use Pillow WHEN INSTALLED
+    and fall back to :func:`decode_stub` otherwise — this repo's
+    container has no codec libs, so for those the stub path is the
     tested default and the Pillow path is exercised wherever the library
     exists."""
     if content and content.startswith(_PNG_SIG):
         return png_decode(content)
+    if content and content.startswith(b"\xff\xd8"):
+        from firepit_spark.functions.jpeg import jpeg_decode
+
+        try:
+            return jpeg_decode(content)
+        except NotImplementedError:
+            pass  # progressive/arithmetic/12-bit: Pillow or stub below
     try:
         from PIL import Image
     except ImportError:
@@ -777,9 +787,13 @@ IMAGE_DHASH_SCHEMA = StructType(
 def image_dhash(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """Perceptual 64-bit dHash per PNG blob over Arrow ``mapInPandas``
-    (decode + hash per batch; non-PNG rows quarantine the codec error
-    instead of failing the job). Feed the result to
+    """Perceptual 64-bit dHash per image blob over Arrow ``mapInPandas``
+    (decode + hash per batch). PNG and baseline JPEG decode through the
+    built-in pure-python kernels (:func:`decode_image`); rows no kernel
+    covers quarantine the codec error instead of failing the job. The
+    hash is decode-invariant by construction — the PNG and JPEG twins of
+    the same pixels produce the same dHash (tests/test_jpeg.py) — so
+    mixed-format near-dups still cluster. Feed the result to
     :func:`firepit_spark.functions.dedup.hamming_near_dup_pairs` for the
     lossless banded near-dup join — together they are the image
     equivalent of the text MinHash/Jaccard path."""
@@ -789,7 +803,7 @@ def image_dhash(
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    recs.append((mid, dhash64(png_decode(blob)), None))
+                    recs.append((mid, dhash64(decode_image(blob)), None))
                 except Exception as exc:  # noqa: BLE001 — per-row quarantine
                     recs.append((mid, None, str(exc)[:200]))
             yield pd.DataFrame(

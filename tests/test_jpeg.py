@@ -1,0 +1,232 @@
+"""Pure-python baseline JPEG codec (functions/jpeg.py).
+
+Three independent evidence layers, so encoder/decoder bug-cancellation
+can't hide:
+
+1. a HAND-CRAFTED single-block JPEG whose expected pixels are computed
+   from the T.81 IDCT formula directly in this file — pins zigzag
+   order, dequantization alignment, EXTEND sign handling and the IDCT
+   convention against the spec, independent of the codec module;
+2. encode→decode round-trips with error bounds (incl. 4:2:0, grayscale,
+   restart markers);
+3. perceptual invariance: the PNG and JPEG twins of the same pixels
+   produce the SAME dHash, end-to-end through the Arrow image_dhash
+   path — the property the decoder exists to provide.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from firepit_spark.functions import jpeg
+from firepit_spark.functions import multimodal as mm
+
+
+def _smooth_image(h=45, w=61):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 / w,
+            yy * 255 / h,
+            128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- analytic hand-crafted
+
+
+def _handcrafted_jpeg():
+    """8x8 grayscale baseline JPEG built byte-by-byte (no encoder):
+
+    - DQT in zigzag order with value k+1 at zigzag index k, so a
+      misaligned zigzag in the decoder dequantizes with the WRONG step
+      and the analytic comparison fails;
+    - DC category 2 with diff +2, one AC at zigzag index 10 (run 9,
+      size 2) with value -3 (exercises the EXTEND negative branch), EOB;
+    - hand Huffman tables: two symbols each at code length 2.
+    """
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(range(1, 65)))  # q[k] = k+1, zigzag
+    seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # DC table 0: symbols {0, 2} at length 2 -> codes 00, 01
+    seg(0xC4, bytes([0x00]) + bytes([0, 2] + [0] * 14) + bytes([0, 2]))
+    # AC table 0: symbols {0x00 (EOB), 0x92 (run 9, size 2)} at length 2
+    seg(0xC4, bytes([0x10]) + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x92]))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # scan bits: DC sym 2 '01' + diff +2 '10'; AC sym 0x92 '01' + value
+    # -3 -> code 00 (EXTEND: 0 < 2 -> 0 - 3 = -3); EOB '00'; pad '111111'
+    # -> 0110 0100 0011 1111 = 0x64 0x3F
+    out.extend(bytes([0x64, 0x3F]))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _idct_spec(coeff):
+    """T.81 A.3.3 IDCT, straight from the spec formula."""
+    px = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeff[u][v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            px[x, y] = s / 4 + 128
+    return px
+
+
+def test_handcrafted_single_block_matches_spec_formula():
+    dec = jpeg.jpeg_decode(_handcrafted_jpeg())
+    assert dec.shape == (8, 8, 1)
+    # dequantized: DC = +2 * q(zz 0)=1 -> 2; AC at zigzag index 10
+    # (natural position row 4, col 0) = -3 * q(zz 10)=11 -> -33
+    coeff = np.zeros((8, 8))
+    coeff[0, 0] = 2
+    r, c = jpeg.ZIGZAG[10]
+    assert (r, c) == (4, 0)
+    coeff[r, c] = -33
+    want = np.clip(np.round(_idct_spec(coeff)), 0, 255)
+    assert np.abs(dec[:, :, 0].astype(float) - want).max() <= 1
+    # the AC coefficient actually shaped the output (not a DC-only image)
+    assert dec[:, :, 0].min() != dec[:, :, 0].max()
+
+
+# ------------------------------------------------------------ round trips
+
+
+@pytest.mark.parametrize(
+    "subsampling,quality,bound",
+    [("4:4:4", 95, 8), ("4:4:4", 75, 16), ("4:2:0", 95, 20), ("4:2:0", 75, 32)],
+)
+def test_roundtrip_error_bounds(subsampling, quality, bound):
+    img = _smooth_image()
+    blob = jpeg.jpeg_encode(img, quality=quality, subsampling=subsampling)
+    dec = jpeg.jpeg_decode(blob)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= bound
+    assert err.mean() <= bound / 4
+
+
+def test_grayscale_roundtrip_and_header_probe():
+    img = _smooth_image()[:, :, :1]
+    blob = jpeg.jpeg_encode(img, quality=90)
+    dec = jpeg.jpeg_decode(blob)
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+    # the existing header probes agree with the new codec's output
+    assert mm.sniff_mime(blob) == "image/jpeg"
+    assert mm.image_dims(blob) == (img.shape[1], img.shape[0])
+    feats = mm.jpeg_features(blob)
+    assert feats["width"] == img.shape[1] and not feats["progressive"]
+
+
+def test_restart_markers_roundtrip_identical():
+    img = _smooth_image(37, 43)
+    plain = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=90))
+    with_rst = jpeg.jpeg_encode(img, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in with_rst  # DRI segment present
+    assert b"\xff\xd0" in with_rst  # at least one RST0
+    assert np.array_equal(jpeg.jpeg_decode(with_rst), plain)
+
+
+def test_odd_sizes_and_edge_padding():
+    # non-multiple-of-8 (and of-16 for 4:2:0) dimensions crop correctly
+    for h, w in [(1, 1), (7, 9), (16, 17), (8, 8)]:
+        img = _smooth_image(max(h, 1), max(w, 1))[:h, :w]
+        for sub in ("4:4:4", "4:2:0"):
+            dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 95, sub))
+            assert dec.shape == (h, w, 3)
+
+
+def test_unsupported_encodings_raise_not_implemented():
+    img = _smooth_image(16, 16)
+    blob = bytearray(jpeg.jpeg_encode(img, quality=90))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite the frame marker: progressive
+    with pytest.raises(NotImplementedError):
+        jpeg.jpeg_decode(bytes(blob))
+    blob[sof + 1] = 0xC9  # arithmetic coding
+    with pytest.raises(NotImplementedError):
+        jpeg.jpeg_decode(bytes(blob))
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        jpeg.jpeg_encode(img, quality=0)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_encode(img, subsampling="4:1:1")
+
+
+def test_truncated_scan_raises_value_error():
+    blob = jpeg.jpeg_encode(_smooth_image(24, 24), quality=90)
+    with pytest.raises(ValueError):
+        jpeg.jpeg_decode(blob[: len(blob) // 2])
+
+
+# --------------------------------------------------- perceptual invariance
+
+
+def test_dhash_invariant_across_png_and_jpeg_twins():
+    """The property the decoder exists for: the PNG twin and the JPEG
+    twin of the same pixels must carry the SAME perceptual fingerprint,
+    so mixed-format near-dup clusters form."""
+    img = _smooth_image(64, 64)
+    base = mm.dhash64(img)
+    for sub in ("4:4:4", "4:2:0"):
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=90, subsampling=sub))
+        assert mm.dhash64(dec) == base, sub
+    assert mm.dhash64(mm.png_decode(mm.png_encode(img))) == base
+
+
+def test_decode_image_routes_jpeg_and_quarantines_progressive():
+    img = _smooth_image(32, 32)
+    blob = jpeg.jpeg_encode(img, quality=95)
+    dec = mm.decode_image(blob)
+    assert dec.shape == img.shape
+    prog = bytearray(blob)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: progressive decodes for real")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bytes(prog))
+
+
+def test_image_dhash_spark_path_mixed_formats(spark):
+    """End-to-end through the Arrow mapInPandas path: PNG and JPEG twins
+    of the same image hash identically; a progressive row quarantines
+    per-row instead of failing the task."""
+    img = _smooth_image(48, 48)
+    png_blob = mm.png_encode(img)
+    jpg_blob = jpeg.jpeg_encode(img, quality=90)
+    prog = bytearray(jpg_blob)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    df = spark.createDataFrame(
+        [(1, png_blob), (2, jpg_blob), (3, bytes(prog))],
+        "media_id LONG, content BINARY",
+    )
+    rows = {r["media_id"]: r for r in mm.image_dhash(df).collect()}
+    assert rows[1]["err"] is None and rows[2]["err"] is None
+    assert rows[1]["dhash"] == rows[2]["dhash"]
+    assert rows[3]["dhash"] is None and rows[3]["err"]  # quarantined row
