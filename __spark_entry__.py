@@ -1988,11 +1988,15 @@ def q44_sampling(spark, sf_dir):
     Since r8 a fourth leg gates the skew-safe per-key cap
     (web.cap_per_key, the per-domain cap every web corpus applies):
     at most 40 docs per language by the same content-addressed hash
-    order. The Spark side takes the hot-key path — one count finds
-    over-cap langs, the window sorts ONLY their rows, under-cap rows
-    pass through map-only — while the oracle is the plain
-    row_number-over-everything formulation; the hash match proves the
-    two formulations select identical rows."""
+    order. Since r9 the leg runs ``mode='auto'`` — the runtime
+    formulation picker: its hot-set count job observes every language
+    over cap here, so the gate drives the measure-then-decide machinery
+    INTO the skew-safe split (count -> broadcast -> window over hot rows
+    only) — while the oracle is the plain row_number-over-everything
+    formulation; the hash match proves the chosen formulation selects
+    identical rows. (The other two auto regimes — untouched pass-through
+    and the over-limit window fallback — are pytest row-identity gated,
+    tests/test_web.py.)"""
     from firepit_spark.functions import web as wb
 
     r = _resolver(spark, sf_dir)
@@ -2006,7 +2010,7 @@ def q44_sampling(spark, sf_dir):
     ws = pl.weighted_sample(docs, "doc_id", "n_chars", 100, salt="w1").select(
         F.lit("weighted").alias("method"), "doc_id", "lang"
     )
-    cap = wb.cap_per_key(docs, "lang", 40, "doc_id", salt="c1").select(
+    cap = wb.cap_per_key(docs, "lang", 40, "doc_id", salt="c1", mode="auto").select(
         F.lit("cap").alias("method"), "doc_id", "lang"
     )
     return hs.unionByName(st).unionByName(ws).unionByName(cap)
@@ -2402,7 +2406,14 @@ def q53_pii_scrub(spark, sf_dir):
     match proves the parser/normalizer SEMANTICS (case folding, default
     port stripping, tracking-param drop, param sort, empty-path -> '/',
     public-suffix roll-up), not just expression equality. The URL leg is
-    map-only and joins on the doc id."""
+    map-only and joins on the doc id.
+
+    Since r9 a ``url_domain_psl`` leg gates the PSL-TABLE registrable
+    domain (web.registered_domain_psl: per-suffix-length broadcast hash
+    joins + longest-match arbitration) against a rules snippet where
+    'sample.net' is itself a public suffix, so those hosts must roll up
+    one label deeper than the heuristic column beside them; the oracle
+    recomputes the expectation from the doc_id arithmetic."""
     from firepit_spark.functions import corpus as cp
     from firepit_spark.functions import web as wb
 
@@ -2470,7 +2481,18 @@ def q53_pii_scrub(spark, sf_dir):
         F.col("domain").alias("url_domain"),
         F.col("url_norm"),
     )
-    return pii.join(web, "doc_id")
+    # r9 PSL leg: the table-driven registrable domain (broadcast joins +
+    # longest-match arbitration) against a rules snippet that declares
+    # 'sample.net' a public suffix — its hosts must roll up one label
+    # deeper than the heuristic url_domain column next to it
+    rules = wb.psl_rules(
+        spark, ["com", "uk", "co.uk", "net", "sample.net", "jp", "ac.jp"]
+    )
+    hosts = urls.select("doc_id", wb.url_host(F.col("url")).alias("h"))
+    psl = wb.registered_domain_psl(hosts, "h", rules).select(
+        "doc_id", F.col("reg_domain").alias("url_domain_psl")
+    )
+    return pii.join(web, "doc_id").join(psl, "doc_id")
 
 
 _Q53_SQL = r"""
@@ -2536,7 +2558,17 @@ SELECT doc_id,
                   ELSE '' END)
          || (CASE WHEN doc_id % 7 = 0 THEN '/'
                   ELSE '/d/' || CAST(doc_id AS VARCHAR) END)
-         || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm
+         || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url_norm,
+       -- PSL-table leg (r9): the bundled rules declare 'sample.net' a
+       -- public suffix, so its hosts roll up one label DEEPER than the
+       -- heuristic url_domain — expected values again straight from the
+       -- generation arithmetic, never from re-running the join
+       (CASE doc_id % 4
+          WHEN 0 THEN 'example.com'
+          WHEN 1 THEN 'example.co.uk'
+          WHEN 2 THEN (CASE doc_id % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'blog'
+                            ELSE 'cdn' END) || '.sample.net'
+          ELSE 'example.ac.jp' END) AS url_domain_psl
 FROM deduped
 """
 
