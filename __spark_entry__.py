@@ -1413,7 +1413,14 @@ def q39_media_probe(spark, sf_dir):
     codec-free box walker reads back (frame count/rate/bytes —
     multimodal.mp4_track_probe). The oracle recomputes dimensions, pixel
     mean, and the frame arithmetic, so a hash match proves the byte-level
-    encode/probe/decode round-trips, not just plumbing."""
+    encode/probe/decode round-trips, not just plumbing.
+
+    Since r9 a JPEG leg gates the pure-python baseline codec
+    (functions/jpeg.py): per-doc JPEG synthesis (4:4:4 / 4:2:0 /
+    restart-interval variants by doc_id), codec-free header features
+    back out, and a per-row entropy-decode round-trip bound vs the
+    source pixels — geometry columns recomputed by the oracle from the
+    generation arithmetic, jpg_roundtrip_ok pinned TRUE per row."""
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
@@ -1456,9 +1463,61 @@ def q39_media_probe(spark, sf_dir):
         "fps",
         "frame_bytes",
     )
+
+    # r9 JPEG leg: synthesize a baseline JPEG per doc through the
+    # pure-python encoder (quality 95; subsampling and restart intervals
+    # vary by doc_id so the gate covers 4:4:4 AND 4:2:0 AND RST paths),
+    # parse its header features back codec-free, and round-trip the
+    # entropy decoder against the source pixels. The oracle recomputes
+    # the header geometry from the generation arithmetic and pins
+    # jpg_roundtrip_ok=TRUE per row — the pixel fixture's measured
+    # worst-case error is 4, so the 16 bound fails loudly on any
+    # entropy/IDCT/upsampling regression while never flaking.
+    def jpeg_leg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firepit_spark.functions import jpeg as jp
+        from firepit_spark.functions.multimodal import jpeg_features
+
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 13, 8 + d % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [2 * xx + 2 * yy + d % 50, 2 * xx + d % 40, 2 * yy + d % 30],
+                    axis=-1,
+                ).astype("uint8")
+                blob = jp.jpeg_encode(
+                    img,
+                    quality=95,
+                    subsampling="4:2:0" if d % 2 else "4:4:4",
+                    restart_interval=2 if d % 3 == 0 else 0,
+                )
+                f = jpeg_features(blob)
+                dec = jp.jpeg_decode(blob)
+                ok = bool(np.abs(dec.astype(int) - img.astype(int)).max() <= 16)
+                recs.append(
+                    (d, f["width"], f["height"], f["n_components"],
+                     bool(f["progressive"]), ok)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "jpg_w", "jpg_h", "jpg_components",
+                         "jpg_progressive", "jpg_roundtrip_ok"],
+            )
+
+    jpg = docs.mapInPandas(
+        jpeg_leg,
+        schema="media_id long, jpg_w int, jpg_h int, jpg_components int, "
+        "jpg_progressive boolean, jpg_roundtrip_ok boolean",
+    )
     return (
         probed.join(feats, "media_id")
         .join(vid, "media_id")
+        .join(jpg, "media_id")
         .select(
             F.col("media_id").alias("doc_id"),
             "mime_sniffed",
@@ -1469,6 +1528,11 @@ def q39_media_probe(spark, sf_dir):
             "n_frames",
             "fps",
             "frame_bytes",
+            "jpg_w",
+            "jpg_h",
+            "jpg_components",
+            "jpg_progressive",
+            "jpg_roundtrip_ok",
         )
     )
 
@@ -1495,7 +1559,15 @@ SELECT doc_id,
          AS n_frames,
        CAST(10 + doc_id % 5 AS DOUBLE) AS fps,
        CAST(512 * ((500 * (1 + doc_id % 8) * (10 + doc_id % 5)) // 1000)
-            AS BIGINT) AS frame_bytes
+            AS BIGINT) AS frame_bytes,
+       -- JPEG leg (r9): header geometry straight from the generation
+       -- arithmetic; the round-trip flag is pinned TRUE so any decoder
+       -- regression past the 16-level bound breaks the hash
+       CAST(w AS INT) AS jpg_w,
+       CAST(h AS INT) AS jpg_h,
+       3 AS jpg_components,
+       FALSE AS jpg_progressive,
+       TRUE AS jpg_roundtrip_ok
 FROM px
 GROUP BY doc_id, w, h
 """

@@ -22,7 +22,7 @@ Coverage, honestly scoped:
   round-trip the decoder — IJG-style quality-scaled Annex-K quant
   tables, per-image canonical Huffman tables (flat code length over the
   symbols actually used: always a VALID table, deliberately simple),
-  optional 4:2:0 subsampling and restart intervals.
+  optional 4:2:2 / 4:2:0 subsampling and restart intervals.
 
 The analytic single-coefficient tests in tests/test_jpeg.py pin the
 zigzag order, dequantization and IDCT convention against a cosine-basis
@@ -452,7 +452,7 @@ def jpeg_encode(
     """Encode (h, w[, 1|3]) uint8 pixels as a baseline JFIF JPEG.
 
     ``quality`` 1..100 scales the Annex-K tables with the IJG formula;
-    ``subsampling`` is '4:4:4' or '4:2:0' (box-averaged chroma);
+    ``subsampling`` is '4:4:4', '4:2:2' or '4:2:0' (box-averaged chroma);
     ``restart_interval`` > 0 inserts DRI/RSTn every that many MCUs.
     Huffman tables are per-image flat canonical tables (see
     :func:`_flat_huff`) — valid baseline JPEG, readable by any decoder.
@@ -464,8 +464,10 @@ def jpeg_encode(
         raise ValueError("pixels must be (h, w[, 1|3]) uint8")
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be 1..100, got {quality}")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError(f"subsampling must be '4:4:4' or '4:2:0', got {subsampling!r}")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(
+            f"subsampling must be '4:4:4', '4:2:2' or '4:2:0', got {subsampling!r}"
+        )
     h, w, nc = px.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -485,6 +487,8 @@ def jpeg_encode(
         cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
         if subsampling == "4:2:0":
             comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+        elif subsampling == "4:2:2":
+            comps = [(1, 2, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
         else:
             comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
     else:

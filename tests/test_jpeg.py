@@ -114,7 +114,8 @@ def test_handcrafted_single_block_matches_spec_formula():
 
 @pytest.mark.parametrize(
     "subsampling,quality,bound",
-    [("4:4:4", 95, 8), ("4:4:4", 75, 16), ("4:2:0", 95, 20), ("4:2:0", 75, 32)],
+    [("4:4:4", 95, 8), ("4:4:4", 75, 16), ("4:2:2", 95, 14),
+     ("4:2:0", 95, 20), ("4:2:0", 75, 32)],
 )
 def test_roundtrip_error_bounds(subsampling, quality, bound):
     img = _smooth_image()
@@ -152,7 +153,7 @@ def test_odd_sizes_and_edge_padding():
     # non-multiple-of-8 (and of-16 for 4:2:0) dimensions crop correctly
     for h, w in [(1, 1), (7, 9), (16, 17), (8, 8)]:
         img = _smooth_image(max(h, 1), max(w, 1))[:h, :w]
-        for sub in ("4:4:4", "4:2:0"):
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
             dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 95, sub))
             assert dec.shape == (h, w, 3)
 
@@ -190,7 +191,7 @@ def test_dhash_invariant_across_png_and_jpeg_twins():
     so mixed-format near-dup clusters form."""
     img = _smooth_image(64, 64)
     base = mm.dhash64(img)
-    for sub in ("4:4:4", "4:2:0"):
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
         dec = jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=90, subsampling=sub))
         assert mm.dhash64(dec) == base, sub
     assert mm.dhash64(mm.png_decode(mm.png_encode(img))) == base
