@@ -1,0 +1,75 @@
+"""A/B: BPE merge-round batching (bpe_train batch_merges=8 vs 1).
+
+The lever's target metric is BARRIER COUNT — on a cluster every merge
+round is a full job (pair-count shuffle + checkpoint), so a 32k-merge
+production vocab at 1 round/merge is 32k sequential barriers; batching
+prunes rounds with a PROVEN order-equivalent prefix (bpe._select_batch).
+Locally the rounds are cheap (driver-latency-bound), so wall time is
+reported for honesty but the decision metric is rounds/merge.
+
+Outputs asserted identical first (merge list AND vocab), then
+interleaved median-of-N wall seconds + the Spark-round counts.
+
+Usage: python scripts/ab_bpe_batch.py [sf_dir] [n_merges] [runs]
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    from firepit_spark.functions import bpe, graph
+    from firepit_spark.session import build_spark
+
+    spark = build_spark("ab_bpe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    docs.count()  # warm
+
+    calls = {"n": 0}
+    orig = graph._truncate
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    graph._truncate = counting
+    try:
+        # identity first
+        m8 = bpe.bpe_train(docs, n_merges, batch_merges=8)
+        r8 = calls["n"]
+        calls["n"] = 0
+        m1 = bpe.bpe_train(docs, n_merges, batch_merges=1)
+        r1 = calls["n"]
+        assert m8.merges == m1.merges and m8.vocab == m1.vocab, "NOT identical"
+        print(f"# identical merge lists ({len(m1.merges)} merges); "
+              f"rounds: batch8={r8} batch1={r1}")
+
+        t8, t1 = [], []
+        for i in range(runs):
+            for label, k, sink in (("batch8", 8, t8), ("batch1", 1, t1)):
+                t0 = time.time()
+                bpe.bpe_train(docs, n_merges, batch_merges=k)
+                dt = time.time() - t0
+                sink.append(dt)
+                print(f"# run {i} {label}: {dt:.2f}s")
+    finally:
+        graph._truncate = orig
+    print(
+        f"RESULT n_merges={n_merges} rounds: batch8={r8} batch1={r1} "
+        f"({r1 / max(r8, 1):.2f}x fewer) | wall median: "
+        f"batch8={statistics.median(t8):.2f}s batch1={statistics.median(t1):.2f}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
