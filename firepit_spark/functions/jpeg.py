@@ -12,12 +12,15 @@ a 9x8 mean grid, which survives heavy quantization).
 
 Coverage, honestly scoped:
 
-- decode: baseline + extended-sequential Huffman (SOF0/SOF1), 8-bit,
-  grayscale / YCbCr (JFIF), 4:4:4 / 4:2:2 / 4:2:0 (any h_i x v_i factors
-  up to 2), restart markers, 8/16-bit DQT, multi-segment DHT/DQT.
+- decode: baseline + extended-sequential Huffman (SOF0/SOF1) AND
+  progressive (SOF2: spectral selection + successive approximation,
+  EOB runs, AC refinement correction bits — r9), 8-bit, grayscale /
+  YCbCr (JFIF), 4:4:4 / 4:2:2 / 4:2:0 (any h_i x v_i factors up to 2),
+  restart markers, 8/16-bit DQT, multi-segment DHT/DQT, per-scan table
+  redefinition.
 - NOT decoded (raise ``NotImplementedError`` so the Arrow wrappers
-  quarantine per row instead of failing the task): progressive (SOF2),
-  arithmetic coding (SOF9+), 12-bit precision, CMYK/4-component, DNL.
+  quarantine per row instead of failing the task): arithmetic coding
+  (SOF9+), lossless (SOF3), 12-bit precision, CMYK/4-component, DNL.
 - encode: baseline JFIF writer used to build test fixtures and to
   round-trip the decoder — IJG-style quality-scaled Annex-K quant
   tables, per-image canonical Huffman tables (flat code length over the
@@ -158,9 +161,10 @@ def _build_huff_decode(bits: list, vals: list) -> dict:
 def _destuff(scan: bytes):
     """Split entropy data into restart segments with 0xFF00 unstuffed.
 
-    Returns a list of byte segments: element 0 is the data before the
-    first RST marker, element i the data after RSTi-1. Stops at EOI (or
-    any non-RST marker)."""
+    Returns ``(segs, end)``: a list of byte segments (element 0 the data
+    before the first RST marker, element i the data after RSTi-1) plus
+    the offset of the terminating marker's 0xFF — progressive streams
+    carry several scans, so the caller resumes header parsing there."""
     segs = []
     cur = bytearray()
     i, n = 0, len(scan)
@@ -171,6 +175,7 @@ def _destuff(scan: bytes):
             i += 1
             continue
         if i + 1 >= n:
+            i = n
             break
         nxt = scan[i + 1]
         if nxt == 0x00:
@@ -183,7 +188,7 @@ def _destuff(scan: bytes):
         else:  # EOI or the next real marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def jpeg_decode(b: bytes) -> np.ndarray:
@@ -191,8 +196,11 @@ def jpeg_decode(b: bytes) -> np.ndarray:
 
     Raises ``ValueError`` for malformed streams and
     ``NotImplementedError`` for well-formed-but-unsupported encodings
-    (progressive, arithmetic, 12-bit, 4-component) — the multimodal
-    Arrow wrappers quarantine those rows.
+    (arithmetic, lossless, 12-bit, 4-component) — the multimodal
+    Arrow wrappers quarantine those rows. Progressive streams decode
+    for real (r9); a truncated progressive TAIL decodes to the partial
+    refinement it carries (that is the format's design), while
+    truncation inside a scan's entropy data still raises.
     """
     try:
         return _jpeg_decode(b)
@@ -207,8 +215,8 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     huff: dict = {}        # (class, id) -> decode table
     frame = None           # (h, w, comps) with comps = [(cid, hi, vi, tq)]
     restart_interval = 0
-    scan = None
-    scan_comps = None
+    progressive = False
+    scans = []             # per SOS: dict(comps, ss, se, ah, al, segs, ri, huff)
 
     i, n = 2, len(b)
     while i + 3 < n:
@@ -248,10 +256,11 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
                 vals = list(seg[j + 17:j + 17 + nv])
                 huff[(tc, th)] = _build_huff_decode(bits, vals)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive DCT
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc not in (1, 3):
@@ -261,8 +270,6 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(f"SOF{marker - 0xC0} JPEG not supported")
         elif marker == 0xDD:  # DRI
@@ -273,11 +280,20 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cs, tables >> 4, tables & 15))
-            scan = b[i + 2 + seg_len:]
-            break
+            ss, se, aa = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segs, end = _destuff(b[i + 2 + seg_len:])
+            scans.append({
+                "comps": scan_comps, "ss": ss, "se": se,
+                "ah": aa >> 4, "al": aa & 15, "segs": segs,
+                "ri": restart_interval, "huff": dict(huff),
+            })
+            if not progressive:
+                break  # sequential: exactly one scan
+            i = i + 2 + seg_len + end
+            continue
         i += 2 + seg_len
 
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("no frame/scan found (truncated JPEG)")
     h, w, comps = frame
     if h == 0 or w == 0:
@@ -293,49 +309,54 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
         store[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
 
-    segs = _destuff(scan)
-    seg_idx = 0
-    br = _BitReader(segs[0])
-    pred = {cid: 0 for cid, *_ in comps}
-    order = scan_comps if scan_comps else [(cid, 0, 1) for cid, *_ in comps]
+    if progressive:
+        for sc in scans:
+            _apply_progressive_scan(sc, store, by_id, w, h, hmax, vmax, mcux, mcuy)
+    else:
+        sc = scans[0]
+        segs, ri, shuff = sc["segs"], sc["ri"], sc["huff"]
+        seg_idx = 0
+        br = _BitReader(segs[0])
+        pred = {cid: 0 for cid, *_ in comps}
+        order = sc["comps"]
 
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                raise ValueError("missing restart segment")
-            br = _BitReader(segs[seg_idx])
-            pred = {cid: 0 for cid in pred}
-        my, mx = divmod(m, mcux)
-        for cs, td, ta in order:
-            hi, vi, _tq = by_id[cs]
-            dct = huff.get((0, td))
-            act = huff.get((1, ta))
-            if dct is None or act is None:
-                raise ValueError("scan references undefined Huffman table")
-            for v in range(vi):
-                for u in range(hi):
-                    coef = np.zeros(64, dtype=np.int64)
-                    s = br.read_huff(dct)
-                    if s > 15:
-                        raise ValueError("bad DC magnitude category")
-                    pred[cs] += _receive_extend(br, s)
-                    coef[0] = pred[cs]
-                    k = 1
-                    while k < 64:
-                        rs = br.read_huff(act)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        coef[k] = _receive_extend(br, s)
-                        k += 1
-                    store[cs][my * vi + v, mx * hi + u] = coef
+        for m in range(mcux * mcuy):
+            if ri and m and m % ri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("missing restart segment")
+                br = _BitReader(segs[seg_idx])
+                pred = {cid: 0 for cid in pred}
+            my, mx = divmod(m, mcux)
+            for cs, td, ta in order:
+                hi, vi, _tq = by_id[cs]
+                dct = shuff.get((0, td))
+                act = shuff.get((1, ta))
+                if dct is None or act is None:
+                    raise ValueError("scan references undefined Huffman table")
+                for v in range(vi):
+                    for u in range(hi):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = br.read_huff(dct)
+                        if s > 15:
+                            raise ValueError("bad DC magnitude category")
+                        pred[cs] += _receive_extend(br, s)
+                        coef[0] = pred[cs]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[k] = _receive_extend(br, s)
+                            k += 1
+                        store[cs][my * vi + v, mx * hi + u] = coef
 
     # dequantize + un-zigzag + batched IDCT + plane assembly + upsample
     planes = []
@@ -365,6 +386,163 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+
+
+# ------------------------------------------------- progressive (T.81 G.2)
+
+
+def _ac_first_block(br, act, blk, ss, se, al, eobrun):
+    """First (Ah=0) AC scan for one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _receive_extend(br, s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, act, blk, ss, se, al, eobrun):
+    """Refinement (Ah>0) AC scan for one block (T.81 G.2.2 / the classic
+    correction-bit algorithm): newly-nonzero coefficients arrive as
+    run+size-1 symbols with a sign bit; every nonzero-HISTORY coefficient
+    crossed — including the EOB-run tail — consumes one correction bit
+    that may grow its magnitude by 1<<Al. Returns the new EOB run."""
+    p1 = 1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if c != 0 and br.read_bit() and (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else -p1)
+            return True
+        return c != 0
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_huff(act)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement magnitude")
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_block_dims(w, h, hi, vi, hmax, vmax):
+    """Non-interleaved scan block grid: ceil over the COMPONENT size,
+    not the MCU-padded store (T.81 A.2.2)."""
+    cw = -(-w * hi // hmax)
+    ch = -(-h * vi // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _apply_progressive_scan(sc, store, by_id, w, h, hmax, vmax, mcux, mcuy):
+    scomps, ss, se = sc["comps"], sc["ss"], sc["se"]
+    ah, al, segs, ri, huff = sc["ah"], sc["al"], sc["segs"], sc["ri"], sc["huff"]
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    eobrun = 0
+    pred = {cs: 0 for cs, _td, _ta in scomps}
+
+    def next_segment():
+        nonlocal br, eobrun, pred, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("missing restart segment")
+        br = _BitReader(segs[seg_idx])
+        eobrun = 0
+        pred = {cs: 0 for cs in pred}
+
+    if ss == 0:  # DC scan (spectral band 0..0)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+
+        def dc_unit(cs, td, blk):
+            if ah == 0:
+                dct = huff.get((0, td))
+                if dct is None:
+                    raise ValueError("scan references undefined Huffman table")
+                s = br.read_huff(dct)
+                if s > 15:
+                    raise ValueError("bad DC magnitude category")
+                pred[cs] += _receive_extend(br, s)
+                blk[0] = pred[cs] << al
+            elif br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+
+        if len(scomps) > 1:  # interleaved over the MCU grid
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    next_segment()
+                my, mx = divmod(m, mcux)
+                for cs, td, _ta in scomps:
+                    hi, vi, _tq = by_id[cs]
+                    for v in range(vi):
+                        for u in range(hi):
+                            dc_unit(cs, td, store[cs][my * vi + v, mx * hi + u])
+        else:
+            cs, td, _ta = scomps[0]
+            hi, vi, _tq = by_id[cs]
+            bw, bh = _scan_block_dims(w, h, hi, vi, hmax, vmax)
+            for m in range(bw * bh):
+                if ri and m and m % ri == 0:
+                    next_segment()
+                dc_unit(cs, td, store[cs][m // bw, m % bw])
+        return
+
+    # AC scan: exactly one component, non-interleaved (T.81 G.1.1.1.1)
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    cs, _td, ta = scomps[0]
+    act = huff.get((1, ta))
+    if act is None:
+        raise ValueError("scan references undefined Huffman table")
+    hi, vi, _tq = by_id[cs]
+    bw, bh = _scan_block_dims(w, h, hi, vi, hmax, vmax)
+    fn = _ac_first_block if ah == 0 else _ac_refine_block
+    for m in range(bw * bh):
+        if ri and m and m % ri == 0:
+            next_segment()
+        eobrun = fn(br, act, store[cs][m // bw, m % bw], ss, se, al, eobrun)
 
 
 # ------------------------------------------------------------------ encode
@@ -443,11 +621,247 @@ def _block_symbols(zz: np.ndarray, prev_dc: int) -> tuple:
     return s, code, ac_items, dc
 
 
+
+
+# ----------------------------------------------- progressive encoder
+
+
+class _SymCounter:
+    """Dry-run sink: collects the Huffman symbols a scan will emit."""
+
+    def __init__(self):
+        self.used = set()
+
+    def sym(self, s):
+        self.used.add(s)
+
+    def bits(self, _v, _n):
+        pass
+
+
+class _SymWriter:
+    """Real sink: Huffman-encodes symbols through a flat table into a
+    shared :class:`_BitWriter`."""
+
+    def __init__(self, bw, enc):
+        self.bw = bw
+        self.enc = enc
+
+    def sym(self, s):
+        length, code = self.enc[s]
+        self.bw.write(code, length)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v, n)
+
+
+def _emit_dc_first(out, blocks, al):
+    pred = {}
+    for cs, blk in blocks():
+        v = int(blk[0]) >> al  # DC point transform: arithmetic shift
+        diff = v - pred.get(cs, 0)
+        pred[cs] = v
+        s, code = _magnitude(diff)
+        out.sym(s)
+        out.bits(code, s)
+
+
+def _emit_dc_refine(out, blocks, al):
+    for _cs, blk in blocks():
+        out.bits((int(blk[0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(out, blocks, ss, se, al):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for _cs, blk in blocks():
+        band = [int(blk[k]) for k in range(ss, se + 1)]
+        tv = [(abs(x) >> al) * (1 if x >= 0 else -1) for x in band]
+        last = max((i for i, x in enumerate(tv) if x), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        r = 0
+        for i in range(last + 1):
+            v = tv[i]
+            if v == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                out.sym(0xF0)
+                r -= 16
+            s, code = _magnitude(v)
+            out.sym((r << 4) | s)
+            out.bits(code, s)
+            r = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(out, blocks, ss, se, al):
+    """Refinement-scan emitter (T.81 G.1.2.3 figure G.7 shape): history
+    coefficients buffer one correction bit each; the buffer rides after
+    the next emitted symbol (ZRL / run-size-1 / EOB run) so the decoder
+    reads each bit exactly where its coefficient is crossed."""
+    eobrun = 0
+    pending = []  # correction bits riding with the pending EOB run
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            out.sym(r << 4)
+            out.bits(eobrun - (1 << r), r)
+            for bit in pending:
+                out.bits(bit, 1)
+            eobrun = 0
+            pending = []
+
+    for _cs, blk in blocks():
+        band = [int(blk[k]) for k in range(ss, se + 1)]
+        absv = [abs(x) >> al for x in band]
+        eobpos = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+        r = 0
+        br_bits = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # ZRLs are due as soon as any nonzero is reached with r > 15
+            # (unless the zeros can fold into the EOB run instead)
+            while r > 15 and i <= eobpos:
+                flush()
+                out.sym(0xF0)
+                for bit in br_bits:
+                    out.bits(bit, 1)
+                br_bits = []
+                r -= 16
+            if a > 1:  # history coefficient: one buffered correction bit
+                br_bits.append(a & 1)
+                continue
+            flush()
+            out.sym((r << 4) | 1)
+            out.bits(1 if band[i] > 0 else 0, 1)
+            for bit in br_bits:
+                out.bits(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            pending.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _assemble_progressive(h, w, nc, comps, qtabs, zz_store, mcux, mcuy):
+    """SOF2 file from the shared quantized-coefficient store: DC first
+    (Al=1, interleaved) -> per-component AC first in two spectral bands
+    (Al=1) -> DC refinement -> per-component AC refinement (Al 1 -> 0).
+    Each scan carries its own flat DHT (tables may be redefined between
+    scans), so the same simple table builder serves every scan."""
+    comps = [(c[0], c[1], c[2], c[3]) for c in comps]  # drop planes
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    def mcu_blocks():
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for cid, hi, vi, _tq in comps:
+                for v in range(vi):
+                    for u in range(hi):
+                        yield cid, zz_store[cid][my * vi + v, mx * hi + u]
+
+    def comp_blocks(cid, hi, vi):
+        bw, bh = _scan_block_dims(w, h, hi, vi, hmax, vmax)
+        for m in range(bw * bh):
+            yield cid, zz_store[cid][m // bw, m % bw]
+
+    # scan script: (comp ids, ss, se, ah, al, tc) — tc 0 uses DC coding
+    script = [([c[0] for c in comps], 0, 0, 0, 1, 0)]
+    for cid, hi, vi, _tq in comps:
+        script.append(([cid], 1, 5, 0, 1, 1))
+        script.append(([cid], 6, 63, 0, 1, 1))
+    script.append(([c[0] for c in comps], 0, 0, 1, 0, 0))
+    for cid, hi, vi, _tq in comps:
+        script.append(([cid], 1, 63, 1, 0, 1))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, tbl in enumerate(qtabs):
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    seg(0xC2, bytes(sof))
+
+    by_id = {c[0]: c for c in comps}
+    for cids, ss, se, ah, al, tc in script:
+        if len(cids) > 1:
+            blocks = mcu_blocks
+        else:
+            cid, hi, vi, _tq = by_id[cids[0]]
+
+            def blocks(cid=cid, hi=hi, vi=vi):
+                return comp_blocks(cid, hi, vi)
+
+        def run(sink):
+            if ss == 0 and ah == 0:
+                _emit_dc_first(sink, blocks, al)
+            elif ss == 0:
+                _emit_dc_refine(sink, blocks, al)
+            elif ah == 0:
+                _emit_ac_first(sink, blocks, ss, se, al)
+            else:
+                _emit_ac_refine(sink, blocks, ss, se, al)
+
+        counter = _SymCounter()
+        run(counter)
+        if counter.used or (ss == 0 and ah == 0) or ss > 0:
+            bits, vals, enc = _flat_huff(counter.used)
+            seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits) + bytes(vals))
+        else:
+            enc = {}
+        bw_ = _BitWriter()
+        run(_SymWriter(bw_, enc))
+        bw_.flush()
+        sos = bytearray([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        out.extend(bw_.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def jpeg_encode(
     pixels: np.ndarray,
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (h, w[, 1|3]) uint8 pixels as a baseline JFIF JPEG.
 
@@ -456,6 +870,10 @@ def jpeg_encode(
     ``restart_interval`` > 0 inserts DRI/RSTn every that many MCUs.
     Huffman tables are per-image flat canonical tables (see
     :func:`_flat_huff`) — valid baseline JPEG, readable by any decoder.
+    ``progressive=True`` writes SOF2 with a spectral-selection +
+    successive-approximation scan script instead (restart intervals are
+    a sequential-path option only); the quantized coefficients are
+    IDENTICAL either way, so both files decode to the same pixels.
     """
     px = np.asarray(pixels)
     if px.ndim == 2:
@@ -517,6 +935,11 @@ def jpeg_encode(
         q = qtabs[tq][None, :, :].astype(np.float64)
         quant = np.round(coeff / q).astype(np.int64)
         zz_store[cid] = quant[:, _ZZ_ROWS, _ZZ_COLS].reshape(by, bx, 64)
+
+    if progressive:
+        if restart_interval:
+            raise ValueError("restart_interval is a sequential-mode option")
+        return _assemble_progressive(h, w, nc, comps, qtabs, zz_store, mcux, mcuy)
 
     # pass 1: symbol usage per table class (0 = luma, 1 = chroma)
     dc_used = {0: set(), 1: set()}

@@ -9,15 +9,16 @@ Kernels come in two tiers:
 - **Real, pure-python**: container sniffing (magic numbers), header
   dimension parsing (PNG/JPEG/GIF/BMP), a full PNG codec
   (decode/encode/resize/stats — PNG is zlib+filters, both stdlib, pixels
-  land in numpy), a WAV/PCM codec (RIFF chunk walk + sample decode, so
-  audio features are real numpy math), and an MP4 box walker (duration/
-  timescale/track metadata from ``mvhd``/``tkhd``). These run
-  distributed under ``mapInPandas``.
-- **Stubbed**: kernels that genuinely need external libraries (JPEG
-  entropy decode, compressed-audio decode, video frame extraction)
-  raise ``NotImplementedError`` from ``decode_stub``; the Spark-side
-  schema, partitioning, UDF signatures, and batch shapes around them
-  are real and tested.
+  land in numpy), a JPEG codec (baseline AND progressive decode +
+  baseline/progressive encode, functions/jpeg.py — r9), a WAV/PCM codec
+  (RIFF chunk walk + sample decode, so audio features are real numpy
+  math), and an MP4 box walker (duration/timescale/track metadata from
+  ``mvhd``/``tkhd``). These run distributed under ``mapInPandas``.
+- **Stubbed**: kernels that genuinely need external libraries
+  (arithmetic/lossless/12-bit JPEG, compressed-audio decode, video frame
+  extraction) raise ``NotImplementedError`` from ``decode_stub``; the
+  Spark-side schema, partitioning, UDF signatures, and batch shapes
+  around them are real and tested.
 """
 
 from __future__ import annotations
@@ -70,8 +71,8 @@ def _fake_feature(content: bytes) -> str:
 
 
 def decode_stub(kind: str, content: bytes):
-    """Terminal fallback for codecs that need external libraries (JPEG
-    entropy decode, compressed audio, video frames). The decode_* entry
+    """Terminal fallback for codecs that need external libraries
+    (arithmetic/lossless JPEG, compressed audio, video frames). The decode_* entry
     points below only land here when the pure-python kernel doesn't cover
     the container AND the optional library (Pillow / soundfile / av) is
     not installed."""
@@ -81,11 +82,12 @@ def decode_stub(kind: str, content: bytes):
 def decode_image(content: bytes) -> "np.ndarray":
     """(h, w, channels) uint8 pixels for any decodable image.
 
-    PNG and baseline JPEG decode via the built-in pure-python kernels
-    (:func:`png_decode`, :func:`firepit_spark.functions.jpeg.jpeg_decode`
-    — JPEG being the dominant wild format, r9); JPEG encodings the
-    baseline kernel doesn't cover (progressive, arithmetic, 12-bit,
-    CMYK) and other containers (GIF/BMP/WebP) use Pillow WHEN INSTALLED
+    PNG and JPEG — baseline AND progressive — decode via the built-in
+    pure-python kernels (:func:`png_decode`,
+    :func:`firepit_spark.functions.jpeg.jpeg_decode` — JPEG being the
+    dominant wild format, r9); JPEG encodings the kernel doesn't cover
+    (arithmetic, lossless, 12-bit, CMYK) and other containers
+    (GIF/BMP/WebP) use Pillow WHEN INSTALLED
     and fall back to :func:`decode_stub` otherwise — this repo's
     container has no codec libs, so for those the stub path is the
     tested default and the Pillow path is exercised wherever the library

@@ -162,10 +162,10 @@ def test_unsupported_encodings_raise_not_implemented():
     img = _smooth_image(16, 16)
     blob = bytearray(jpeg.jpeg_encode(img, quality=90))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # rewrite the frame marker: progressive
+    blob[sof + 1] = 0xC9  # arithmetic coding
     with pytest.raises(NotImplementedError):
         jpeg.jpeg_decode(bytes(blob))
-    blob[sof + 1] = 0xC9  # arithmetic coding
+    blob[sof + 1] = 0xC3  # lossless
     with pytest.raises(NotImplementedError):
         jpeg.jpeg_decode(bytes(blob))
     with pytest.raises(ValueError):
@@ -174,6 +174,8 @@ def test_unsupported_encodings_raise_not_implemented():
         jpeg.jpeg_encode(img, quality=0)
     with pytest.raises(ValueError):
         jpeg.jpeg_encode(img, subsampling="4:1:1")
+    with pytest.raises(ValueError):
+        jpeg.jpeg_encode(img, progressive=True, restart_interval=2)
 
 
 def test_truncated_scan_raises_value_error():
@@ -197,37 +199,87 @@ def test_dhash_invariant_across_png_and_jpeg_twins():
     assert mm.dhash64(mm.png_decode(mm.png_encode(img))) == base
 
 
-def test_decode_image_routes_jpeg_and_quarantines_progressive():
+def test_decode_image_routes_jpeg_including_progressive():
     img = _smooth_image(32, 32)
     blob = jpeg.jpeg_encode(img, quality=95)
     dec = mm.decode_image(blob)
     assert dec.shape == img.shape
-    prog = bytearray(blob)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    # progressive twin of the SAME quantized coefficients: decode_image
+    # must produce bit-identical pixels (r9 progressive decoder)
+    prog = jpeg.jpeg_encode(img, quality=95, progressive=True)
+    assert np.array_equal(mm.decode_image(prog), dec)
+    # genuinely unsupported encodings still quarantine through the stub
+    lossless = bytearray(blob)
+    lossless[lossless.index(b"\xff\xc0") + 1] = 0xC3
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("Pillow installed: progressive decodes for real")
+        pytest.skip("Pillow installed: fallback decodes for real")
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        mm.decode_image(bytes(prog))
+        mm.decode_image(bytes(lossless))
 
 
 def test_image_dhash_spark_path_mixed_formats(spark):
-    """End-to-end through the Arrow mapInPandas path: PNG and JPEG twins
-    of the same image hash identically; a progressive row quarantines
-    per-row instead of failing the task."""
+    """End-to-end through the Arrow mapInPandas path: PNG, baseline-JPEG
+    and progressive-JPEG twins of the same image hash identically; a row
+    in a genuinely unsupported encoding quarantines per-row instead of
+    failing the task."""
     img = _smooth_image(48, 48)
     png_blob = mm.png_encode(img)
     jpg_blob = jpeg.jpeg_encode(img, quality=90)
-    prog = bytearray(jpg_blob)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    prog_blob = jpeg.jpeg_encode(img, quality=90, progressive=True)
+    lossless = bytearray(jpg_blob)
+    lossless[lossless.index(b"\xff\xc0") + 1] = 0xC3
     df = spark.createDataFrame(
-        [(1, png_blob), (2, jpg_blob), (3, bytes(prog))],
+        [(1, png_blob), (2, jpg_blob), (3, prog_blob), (4, bytes(lossless))],
         "media_id LONG, content BINARY",
     )
     rows = {r["media_id"]: r for r in mm.image_dhash(df).collect()}
-    assert rows[1]["err"] is None and rows[2]["err"] is None
-    assert rows[1]["dhash"] == rows[2]["dhash"]
-    assert rows[3]["dhash"] is None and rows[3]["err"]  # quarantined row
+    assert rows[1]["err"] is None and rows[2]["err"] is None and rows[3]["err"] is None
+    assert rows[1]["dhash"] == rows[2]["dhash"] == rows[3]["dhash"]
+    assert rows[4]["dhash"] is None and rows[4]["err"]  # quarantined row
+
+
+# ----------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_progressive_decode_bit_identical_to_baseline(subsampling):
+    """Progressive and baseline files built from the SAME quantized
+    coefficients must decode to BIT-IDENTICAL pixels — baseline is
+    already pinned to the spec formula, so this transfers that pin to
+    the whole progressive path (DC/AC first scans, spectral bands,
+    successive-approximation refinement, EOB runs)."""
+    img = _smooth_image(41, 53)
+    base = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 85, subsampling))
+    prog_blob = jpeg.jpeg_encode(img, 85, subsampling, progressive=True)
+    assert b"\xff\xc2" in prog_blob  # SOF2 frame
+    assert prog_blob.count(b"\xff\xda") >= 5  # multi-scan stream
+    assert np.array_equal(jpeg.jpeg_decode(prog_blob), base)
+    feats = mm.jpeg_features(prog_blob)
+    assert feats["progressive"] is True
+
+
+def test_progressive_equality_stress_adversarial_images():
+    """Noise (dense coefficients, heavy refinement), blocky (sparse big
+    coefficients, ZRL runs), smooth (long EOB runs) and grayscale, at
+    low/high quality — every case must match baseline bit-for-bit."""
+    rng = np.random.default_rng(7)
+    cases = []
+    cases.append(rng.integers(0, 256, (23, 31, 3)).astype(np.uint8))
+    cases.append(
+        (rng.integers(0, 2, (4, 5, 3)) * 255)
+        .repeat(8, 0).repeat(8, 1)[:29, :37].astype(np.uint8)
+    )
+    cases.append(_smooth_image(17, 19))
+    cases.append(rng.integers(0, 256, (26, 22, 1)).astype(np.uint8))
+    for img in cases:
+        for q in (30, 97):
+            sub = "4:2:0" if img.shape[2] == 3 else "4:4:4"
+            base = jpeg.jpeg_decode(jpeg.jpeg_encode(img, q, sub))
+            prog = jpeg.jpeg_decode(
+                jpeg.jpeg_encode(img, q, sub, progressive=True)
+            )
+            assert np.array_equal(base, prog), (img.shape, q)
