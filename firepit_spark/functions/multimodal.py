@@ -374,9 +374,198 @@ def png_decode(content: bytes) -> np.ndarray:
 #
 # RIFF/WAVE with integer PCM (format 1) or float PCM (format 3) is pure
 # struct + numpy: chunk walk to `fmt ` and `data`, then a frombuffer.
+# r9 adds the classic COMPRESSED wave formats real telephony/legacy
+# corpora carry: G.711 mu-law (7) / A-law (6) via 256-entry expansion
+# tables, IMA ADPCM (0x11) block decode, and WAVE_FORMAT_EXTENSIBLE
+# (0xFFFE) unwrapping — so "compressed audio" is no longer a blanket
+# stub, only genuinely library-bound codecs (MP3/AAC/Opus/FLAC) are.
 
 _WAV_DTYPES = {(1, 8): np.uint8, (1, 16): np.int16, (1, 32): np.int32,
                (3, 32): np.float32, (3, 64): np.float64}
+
+
+def _ulaw_tables():
+    """G.711 mu-law: 256-entry decode table + int16 -> code encoder."""
+    dec = np.zeros(256, dtype=np.int16)
+    for i in range(256):
+        u = ~i & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+        val = (((mant << 3) + 0x84) << exp) - 0x84
+        dec[i] = -val if sign else val
+
+    def enc(x: int) -> int:
+        sign = 0x80 if x < 0 else 0
+        x = min(-x if x < 0 else x, 32635) + 0x84
+        exp = 7
+        mask = 0x4000
+        while exp > 0 and not (x & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (x >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    return dec, enc
+
+
+def _alaw_tables():
+    """G.711 A-law: 256-entry decode table + int16 -> code encoder."""
+    dec = np.zeros(256, dtype=np.int16)
+    for i in range(256):
+        a = i ^ 0x55
+        sign, exp, mant = a & 0x80, (a >> 4) & 0x07, a & 0x0F
+        val = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        dec[i] = val if sign else -val  # A-law: 0x80 set means POSITIVE
+
+    seg_ends = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def enc(x: int) -> int:
+        x >>= 3  # 16-bit -> 13-bit magnitude domain
+        if x >= 0:
+            mask = 0xD5  # sign bit set (A-law: 0x80 = positive) ^ 0x55
+        else:
+            mask = 0x55
+            x = -x - 1
+        seg = next((s for s, end in enumerate(seg_ends) if x <= end), 8)
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (x >> (1 if seg < 2 else seg)) & 0x0F
+        return aval ^ mask
+
+    return dec, enc
+
+
+_ULAW_DEC, _ulaw_enc = _ulaw_tables()
+_ALAW_DEC, _alaw_enc = _alaw_tables()
+
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple:
+    """One IMA ADPCM decode step -> (new_pred, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return pred, index
+
+
+def _ima_decode(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM data chunk -> int16 array (n, channels). Per block:
+    a 4-byte (predictor, index) header per channel, then nibbles in
+    4-byte channel-interleaved words, low nibble first."""
+    chans = [[] for _ in range(n_ch)]
+    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[bstart:bstart + block_align]
+        pred, idx = [], []
+        for c in range(n_ch):
+            p = struct.unpack("<h", block[4 * c:4 * c + 2])[0]
+            pred.append(p)
+            idx.append(min(88, block[4 * c + 2]))
+            chans[c].append(p)  # the header predictor IS sample 0
+        body = block[4 * n_ch:]
+        for word in range(0, len(body) - (len(body) % (4 * n_ch)), 4 * n_ch):
+            for c in range(n_ch):
+                for byte in body[word + 4 * c:word + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                        chans[c].append(pred[c])
+    n = min(len(ch) for ch in chans)
+    return np.stack([np.asarray(ch[:n], dtype=np.int16) for ch in chans], axis=1)
+
+
+def wav_encode_compressed(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    codec: str = "ulaw",
+    block_align: int = 256,
+) -> bytes:
+    """WAV writer for the COMPRESSED formats :func:`wav_decode` reads
+    back: G.711 ``'ulaw'``/``'alaw'`` (one byte per sample) and IMA
+    ``'adpcm'`` (4-bit, ``block_align``-byte blocks). Exists for
+    fixtures and as the round-trip proof of the decode tables; input is
+    (n,) or (n, channels) float [-1, 1] or int16."""
+    arr = np.asarray(samples)
+    if arr.dtype.kind == "f":
+        arr = (arr.clip(-1, 1) * 32767).astype(np.int16)
+    arr = arr.astype(np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    if codec in ("ulaw", "alaw"):
+        enc = _ulaw_enc if codec == "ulaw" else _alaw_enc
+        code = 7 if codec == "ulaw" else 6
+        data = bytes(enc(int(v)) for v in arr.reshape(-1))
+        fmt = struct.pack(
+            "<HHIIHH", code, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8
+        )
+    elif codec == "adpcm":
+        if block_align < 4 * n_ch + 4 * n_ch or block_align % (4 * n_ch):
+            raise ValueError(f"bad block_align {block_align} for {n_ch}ch ADPCM")
+        spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        out = bytearray()
+        pred = [0] * n_ch
+        idx = [0] * n_ch
+        pos = 0
+        n = arr.shape[0]
+        while pos < n:
+            for c in range(n_ch):
+                pred[c] = int(arr[pos, c])
+                out += struct.pack("<hBB", pred[c], idx[c], 0)
+            nibbles = [[] for _ in range(n_ch)]
+            for s in range(1, spb):
+                for c in range(n_ch):
+                    sample = int(arr[pos + s, c]) if pos + s < n else pred[c]
+                    step = _IMA_STEPS[idx[c]]
+                    delta = sample - pred[c]
+                    nib = 8 if delta < 0 else 0
+                    delta = -delta if delta < 0 else delta
+                    if delta >= step:
+                        nib |= 4
+                        delta -= step
+                    if delta >= step >> 1:
+                        nib |= 2
+                        delta -= step >> 1
+                    if delta >= step >> 2:
+                        nib |= 1
+                    pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                    nibbles[c].append(nib)
+            for word in range(0, spb - 1, 8):
+                for c in range(n_ch):
+                    grp = nibbles[c][word:word + 8] + [0] * (word + 8 - min(spb - 1, word + 8))
+                    for j in range(0, 8, 2):
+                        out.append(grp[j] | (grp[j + 1] << 4))
+            pos += spb
+        data = bytes(out)
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, n_ch, sample_rate,
+            sample_rate * block_align // spb + 1, block_align, 4, 2, spb,
+        )
+    else:
+        raise ValueError(f"codec must be 'ulaw', 'alaw' or 'adpcm', got {codec!r}")
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
 
 
 def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
@@ -403,23 +592,40 @@ def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def wav_decode(content: bytes) -> tuple[np.ndarray, int]:
     """(samples, sample_rate) from WAV bytes. Samples come back float64 in
-    [-1, 1], shape (n, channels). Integer PCM 8/16/32-bit and IEEE-float
-    32/64-bit supported — the shapes synthetic/training audio uses."""
+    [-1, 1], shape (n, channels). Integer PCM 8/16/32-bit, IEEE-float
+    32/64-bit, G.711 mu-law/A-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE
+    wrappers of any of those — MP3/AAC/Opus/FLAC payloads stay with
+    :func:`decode_stub`."""
     if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         (clen,) = struct.unpack("<I", content[pos + 4 : pos + 8])
         body = content[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("truncated WAV")
-    audio_fmt, n_ch, rate, _br, _ba, bits = fmt
+    audio_fmt, n_ch, rate, _br, block_align, bits = fmt
+    if audio_fmt == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code leads the SubFormat
+        # GUID (bytes 24-25 of the fmt body)
+        audio_fmt = struct.unpack("<H", fmt_body[24:26])[0]
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law, one byte per sample
+        table = _ALAW_DEC if audio_fmt == 6 else _ULAW_DEC
+        codes = np.frombuffer(data[: len(data) - len(data) % n_ch], dtype=np.uint8)
+        arr = table[codes].reshape(-1, n_ch).astype(np.float64)
+        return arr / 32768.0, rate
+    if audio_fmt == 0x11:  # IMA ADPCM
+        if block_align < 4 * n_ch:
+            raise ValueError("bad IMA ADPCM block_align")
+        arr = _ima_decode(data, n_ch, block_align).astype(np.float64)
+        return arr / 32768.0, rate
     dtype = _WAV_DTYPES.get((audio_fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"WAV format={audio_fmt} bits={bits}")

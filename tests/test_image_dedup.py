@@ -240,3 +240,26 @@ def test_simhash_near_dup_pairs_convenience(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              simhash_near_dup_pairs(df, max_hamming=7).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_compressed_wav_feeds_audio_ahash(spark):
+    """The perceptual audio hash must survive G.711 transcoding: a
+    mu-law twin of the same signal lands within a few Hamming bits of
+    the PCM original, end-to-end through the Arrow path."""
+    t = np.arange(32000) / 16000.0
+    rng = np.random.default_rng(3)
+    sig = np.sin(2 * np.pi * 300 * t) * np.exp(-t * 1.5) + 0.02 * rng.normal(0, 1, t.shape)
+    rows = [
+        (0, bytearray(mm.wav_encode(sig, 16000))),
+        (1, bytearray(mm.wav_encode_compressed(sig, 16000, "ulaw"))),
+        (2, bytearray(mm.wav_encode_compressed(sig, 16000, "adpcm"))),
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, content BINARY")
+    got = {r["media_id"]: r["ahash"] for r in mm.audio_ahash(media).collect()}
+    assert all(v is not None for v in got.values())
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) <= 4
+    assert ham(got[0], got[2]) <= 6

@@ -5,6 +5,7 @@ these run in milliseconds and fuzz the byte-level codecs directly."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from firepit_spark.functions import multimodal as mm
@@ -94,3 +95,72 @@ def test_probes_never_crash_on_garbage(blob):
             fn(blob)
         except (ValueError, NotImplementedError):
             pass
+
+
+# --------------------------------------------- compressed WAV (r9)
+
+
+def _snr_db(a, b):
+    a, b = a[: len(b)], b[: len(a)]
+    return 10 * np.log10(np.sum(a**2) / max(np.sum((a - b) ** 2), 1e-12))
+
+
+@pytest.fixture(scope="module")
+def tone():
+    t = np.arange(16000) / 8000.0
+    return 0.6 * np.sin(2 * np.pi * 440 * t) * np.exp(-t)
+
+
+@pytest.mark.parametrize("codec,min_snr", [("ulaw", 30), ("alaw", 30), ("adpcm", 20)])
+def test_compressed_wav_roundtrip_snr(tone, codec, min_snr):
+    """G.711 and IMA ADPCM round-trips must reconstruct within the
+    codec's nominal quantization noise (mu/A-law ~37 dB on speech-band
+    signals, ADPCM ~25 dB)."""
+    dec, rate = mm.wav_decode(mm.wav_encode_compressed(tone, 8000, codec))
+    assert rate == 8000 and dec.shape[1] == 1
+    assert _snr_db(tone, dec[:, 0]) > min_snr
+
+
+def test_g711_code_level_consistency():
+    """Every 8-bit code must survive decode -> encode exactly (the
+    codec-consistency identity of the G.711 tables); mu-law's 0x7F is
+    the known negative-zero alias of 0xFF."""
+    bad_u = [c for c in range(256) if mm._ulaw_enc(int(mm._ULAW_DEC[c])) != c]
+    assert bad_u == [0x7F]
+    bad_a = [c for c in range(256) if mm._alaw_enc(int(mm._ALAW_DEC[c])) != c]
+    assert bad_a == []
+    # decode tables are odd-ish symmetric and bounded
+    assert mm._ULAW_DEC.max() <= 32767 and mm._ULAW_DEC.min() >= -32768
+    assert int(mm._ULAW_DEC[0xFF]) == 0  # positive zero code
+
+
+def test_adpcm_stereo_and_block_edges(tone):
+    st = np.stack([tone, -0.5 * tone], axis=1)
+    dec, _ = mm.wav_decode(mm.wav_encode_compressed(st, 8000, "adpcm"))
+    assert dec.shape[1] == 2
+    assert _snr_db(st[:, 0], dec[:, 0]) > 20
+    assert _snr_db(st[:, 1], dec[:, 1]) > 20
+    with pytest.raises(ValueError):
+        mm.wav_encode_compressed(st, 8000, "adpcm", block_align=10)
+    with pytest.raises(ValueError):
+        mm.wav_encode_compressed(tone, 8000, "opus")
+
+
+def test_wave_format_extensible_unwraps(tone):
+    """0xFFFE fmt chunks carry the real code in the SubFormat GUID; the
+    decoder must unwrap PCM and G.711 payloads alike."""
+    import struct as st_
+
+    def wrap(blob, code, n_ch, block, bits):
+        i = blob.index(b"fmt ")
+        clen = st_.unpack("<I", blob[i + 4:i + 8])[0]
+        base = st_.pack("<HHIIHH", 0xFFFE, n_ch, 8000, 8000 * block, block, bits)
+        ext = base + st_.pack("<HHI", 22, bits, 1) + st_.pack("<H", code) + b"\x00" * 14
+        return blob[:i] + b"fmt " + st_.pack("<I", len(ext)) + ext + blob[i + 8 + clen:]
+
+    pcm = mm.wav_encode(tone, 8000)
+    dec, _ = mm.wav_decode(wrap(pcm, 1, 1, 2, 16))
+    assert _snr_db(tone, dec[:, 0]) > 60
+    alaw = mm.wav_encode_compressed(tone, 8000, "alaw")
+    dec2, _ = mm.wav_decode(wrap(alaw, 6, 1, 1, 8))
+    assert _snr_db(tone, dec2[:, 0]) > 30
