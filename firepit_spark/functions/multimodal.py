@@ -1044,9 +1044,10 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
                     return json.dumps(
                         image_stats(decode_image(content)), sort_keys=True
                     )
-                except NotImplementedError:
-                    # no pixel codec (e.g. JPEG without Pillow): fall back
-                    # to the pure-python header+entropy scan when possible
+                except (NotImplementedError, ValueError):
+                    # no pixel codec (arithmetic/lossless JPEG without
+                    # Pillow) OR corrupt pixel data: fall back to the
+                    # pure-python header+entropy scan when possible
                     jf = jpeg_features(content)
                     if jf is not None:
                         return json.dumps(jf, sort_keys=True)
@@ -1075,10 +1076,10 @@ def extract_features(media: DataFrame, use_fake: bool = True) -> DataFrame:
                 }
                 return json.dumps(feat, sort_keys=True)
             return decode_stub(kind, content)
-        except NotImplementedError:
-            # no codec for this blob in this environment: degrade like an
-            # empty blob (NULL feature) instead of failing the whole
-            # corpus-scale pass on one unsupported row
+        except (NotImplementedError, ValueError):
+            # no codec for this blob in this environment, or the blob is
+            # corrupt: degrade like an empty blob (NULL feature) instead
+            # of failing the whole corpus-scale pass on one bad row
             return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -207,9 +207,12 @@ def test_real_feature_kernels_for_image_and_audio(spark):
 
 
 def test_decode_image_audio_fallback_paths():
-    """decode_image/decode_audio: pure-python kernels cover PNG/WAV; other
-    containers route to Pillow/soundfile when installed, decode_stub when
-    not (this container has neither, so assert the honest stub error)."""
+    """decode_image/decode_audio: pure-python kernels cover PNG/JPEG/WAV;
+    other containers route to Pillow/soundfile when installed,
+    decode_stub when not (this container has neither, so assert the
+    honest stub error). A blob with a JPEG magic but garbage inside is
+    MALFORMED data, not a missing codec — the r9 kernel raises
+    ValueError for it (the Arrow wrappers quarantine either way)."""
     import numpy as np
     import pytest as _pytest
 
@@ -220,12 +223,14 @@ def test_decode_image_audio_fallback_paths():
     wav = mm.wav_encode(np.zeros(80), sample_rate=8000)
     samples, rate = mm.decode_audio(wav)
     assert rate == 8000 and samples.shape[1] == 1
-    jpeg_like = b"\xff\xd8\xff\xe0" + b"\0" * 32
+    with _pytest.raises(ValueError, match="JPEG"):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 32)
+    gif_like = b"GIF89a" + b"\0" * 32  # no built-in kernel for GIF
     try:
         import PIL  # noqa: F401
     except ImportError:
         with _pytest.raises(NotImplementedError, match="no image codec"):
-            mm.decode_image(jpeg_like)
+            mm.decode_image(gif_like)
     try:
         import soundfile  # noqa: F401
     except ImportError:
