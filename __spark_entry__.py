@@ -1415,12 +1415,17 @@ def q39_media_probe(spark, sf_dir):
     mean, and the frame arithmetic, so a hash match proves the byte-level
     encode/probe/decode round-trips, not just plumbing.
 
-    Since r9 a JPEG leg gates the pure-python baseline codec
+    Since r9 a JPEG leg gates the pure-python codec
     (functions/jpeg.py): per-doc JPEG synthesis (4:4:4 / 4:2:0 /
-    restart-interval variants by doc_id), codec-free header features
-    back out, and a per-row entropy-decode round-trip bound vs the
-    source pixels — geometry columns recomputed by the oracle from the
-    generation arithmetic, jpg_roundtrip_ok pinned TRUE per row."""
+    restart-interval / PROGRESSIVE multi-scan variants by doc_id),
+    codec-free header features back out, and a per-row entropy-decode
+    round-trip bound vs the source pixels — geometry and the
+    progressive flag recomputed by the oracle from the generation
+    arithmetic, jpg_roundtrip_ok pinned TRUE per row. An audio leg does
+    the same for the compressed WAV kernels: per-doc triangle wave
+    through mu-law / A-law / IMA-ADPCM, decoded sample counts (ADPCM
+    block padding included) and a 64-level round-trip bound, all
+    oracle-recomputed from arithmetic."""
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
@@ -1464,15 +1469,16 @@ def q39_media_probe(spark, sf_dir):
         "frame_bytes",
     )
 
-    # r9 JPEG leg: synthesize a baseline JPEG per doc through the
-    # pure-python encoder (quality 95; subsampling and restart intervals
-    # vary by doc_id so the gate covers 4:4:4 AND 4:2:0 AND RST paths),
-    # parse its header features back codec-free, and round-trip the
-    # entropy decoder against the source pixels. The oracle recomputes
-    # the header geometry from the generation arithmetic and pins
+    # r9 JPEG leg: synthesize a JPEG per doc through the pure-python
+    # encoder — quality 95; subsampling, restart intervals, AND the
+    # progressive scan script vary by doc_id so the gate covers 4:4:4 /
+    # 4:2:0 / RST / SOF2 multi-scan paths — parse its header features
+    # back codec-free, and round-trip the entropy decoder against the
+    # source pixels. The oracle recomputes the header geometry and the
+    # progressive flag from the generation arithmetic and pins
     # jpg_roundtrip_ok=TRUE per row — the pixel fixture's measured
     # worst-case error is 4, so the 16 bound fails loudly on any
-    # entropy/IDCT/upsampling regression while never flaking.
+    # entropy/IDCT/upsampling/refinement regression while never flaking.
     def jpeg_leg(batches):
         import numpy as np
         import pandas as pd
@@ -1490,11 +1496,13 @@ def q39_media_probe(spark, sf_dir):
                     [2 * xx + 2 * yy + d % 50, 2 * xx + d % 40, 2 * yy + d % 30],
                     axis=-1,
                 ).astype("uint8")
+                prog = d % 5 == 1
                 blob = jp.jpeg_encode(
                     img,
                     quality=95,
                     subsampling="4:2:0" if d % 2 else "4:4:4",
-                    restart_interval=2 if d % 3 == 0 else 0,
+                    restart_interval=2 if d % 3 == 0 and not prog else 0,
+                    progressive=prog,
                 )
                 f = jpeg_features(blob)
                 dec = jp.jpeg_decode(blob)
@@ -1514,10 +1522,52 @@ def q39_media_probe(spark, sf_dir):
         schema="media_id long, jpg_w int, jpg_h int, jpg_components int, "
         "jpg_progressive boolean, jpg_roundtrip_ok boolean",
     )
+
+    # r9 audio leg: per-doc triangle wave (max step 7, so even ADPCM's
+    # adaptive predictor tracks it) encoded through the G.711/ADPCM
+    # writer by doc_id, decoded back, and bounded against the source
+    # int16 samples. Measured worst roundtrip errors on this fixture:
+    # mu-law 32, A-law 16, ADPCM 2 — the 64 bound is 2x the worst. The
+    # oracle recomputes codec / sample counts (ADPCM pads to whole
+    # 505-sample blocks) / rate from arithmetic and pins the bound flag.
+    def audio_leg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firepit_spark.functions import multimodal as mmod
+
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 + d % 37
+                i = np.arange(n)
+                x = (np.abs(((d * 13 + i * 7) % 4000) - 2000) - 1000).astype(
+                    "int16"
+                )
+                codec = ("ulaw", "alaw", "adpcm")[d % 3]
+                dec, rate = mmod.wav_decode(
+                    mmod.wav_encode_compressed(x, 8000, codec)
+                )
+                got = np.round(dec[:n, 0] * 32768.0).astype(int)
+                ok = bool(np.abs(got - x).max() <= 64)
+                recs.append((d, codec, int(dec.shape[0]), int(rate), ok))
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "wav_codec", "wav_n_samples",
+                         "wav_rate", "wav_roundtrip_ok"],
+            )
+
+    wav = docs.mapInPandas(
+        audio_leg,
+        schema="media_id long, wav_codec string, wav_n_samples long, "
+        "wav_rate int, wav_roundtrip_ok boolean",
+    )
     return (
         probed.join(feats, "media_id")
         .join(vid, "media_id")
         .join(jpg, "media_id")
+        .join(wav, "media_id")
         .select(
             F.col("media_id").alias("doc_id"),
             "mime_sniffed",
@@ -1533,6 +1583,10 @@ def q39_media_probe(spark, sf_dir):
             "jpg_components",
             "jpg_progressive",
             "jpg_roundtrip_ok",
+            "wav_codec",
+            "wav_n_samples",
+            "wav_rate",
+            "wav_roundtrip_ok",
         )
     )
 
@@ -1566,8 +1620,17 @@ SELECT doc_id,
        CAST(w AS INT) AS jpg_w,
        CAST(h AS INT) AS jpg_h,
        3 AS jpg_components,
-       FALSE AS jpg_progressive,
-       TRUE AS jpg_roundtrip_ok
+       doc_id % 5 = 1 AS jpg_progressive,
+       TRUE AS jpg_roundtrip_ok,
+       -- audio leg (r9): G.711/ADPCM codec choice, decoded length (ADPCM
+       -- pads to whole 505-sample blocks), rate, and the pinned bound
+       (CASE doc_id % 3 WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'
+             ELSE 'adpcm' END) AS wav_codec,
+       CAST(CASE WHEN doc_id % 3 = 2
+                 THEN ((400 + doc_id % 37 + 504) // 505) * 505
+                 ELSE 400 + doc_id % 37 END AS BIGINT) AS wav_n_samples,
+       8000 AS wav_rate,
+       TRUE AS wav_roundtrip_ok
 FROM px
 GROUP BY doc_id, w, h
 """
