@@ -153,6 +153,8 @@ def sniff_mime(content: bytes | None) -> str | None:
             return "audio/wav"
         if content[8:12] == b"WEBP":
             return "image/webp"
+        if content[8:12] == b"AVI ":
+            return "video/x-msvideo"
     if len(content) >= 12 and content[4:8] == b"ftyp":
         return "video/mp4"
     if content[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
@@ -1278,6 +1280,140 @@ def video_probe(
             )
 
     return media.mapInPandas(run, schema=VIDEO_PROBE_SCHEMA)
+
+
+# ------------------------------------------------------------ MJPEG video
+#
+# Motion-JPEG in an AVI (RIFF) container is the one mainstream VIDEO
+# format whose frames this repo can now decode for real: every frame is
+# a standalone JPEG, and functions/jpeg.py covers baseline+progressive.
+# That retires the frame-PIXEL-decode stub for this container — H.264/
+# VP9/AV1 payloads remain honestly library-bound.
+
+
+def avi_mjpeg_encode(frames: list, fps: int = 10) -> bytes:
+    """Minimal AVI wrapping pre-encoded JPEG frames ('MJPG' fourcc):
+    RIFF('AVI ') -> LIST('hdrl'): avih + one LIST('strl') with strh/strf
+    -> LIST('movi') with one '00dc' chunk per frame -> idx1. Dimensions
+    come from the first frame's JPEG header. Fixture/sink twin of
+    :func:`avi_mjpeg_frames`."""
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    dims = image_dims(frames[0])
+    if dims is None:
+        raise ValueError("frames must be JPEG blobs")
+    w, h = dims
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, max_bytes * fps, 0, 0x10, len(frames), 0, 1, max_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), max_bytes, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4
+    for f in frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+        off += 8 + len(f) + (len(f) & 1)
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_mjpeg_frames(content: bytes) -> list:
+    """The JPEG blobs inside an MJPEG AVI, in stream order: a linear
+    RIFF chunk walk into LIST('movi'), collecting '..dc'/'..db'
+    compressed-frame chunks. Raises ValueError for non-AVI bytes."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    frames: list = []
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            (clen,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_end = min(pos + 8 + clen, end)
+            if cid == b"LIST":
+                ltype = buf[pos + 8:pos + 12]
+                if ltype in (b"movi", b"rec "):
+                    walk(buf, pos + 12, body_end)
+            elif cid[2:4] in (b"dc", b"db") and clen:
+                frames.append(buf[pos + 8:body_end])
+            pos += 8 + clen + (clen & 1)
+
+    walk(content, 12, len(content))
+    return frames
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-frame perceptual hashes for MJPEG AVI blobs: decode every
+    ``every_n``-th frame through the pure-python JPEG kernel and dHash
+    it — (id, frame_idx, dhash, err) rows, the video sibling of
+    :func:`image_dhash`. Feed the result to
+    ``dedup.hamming_near_dup_pairs`` (key on the hash) or aggregate
+    per-video hash sets for clip-level near-dup — frame hashes make
+    video dedup a SET-SIMILARITY problem on longs, which is exactly the
+    machinery this repo already scales (banded Hamming join, MinHash).
+
+    100 TB story: map-only Arrow batches, one task per partition of
+    video blobs; the output is (id, int, long) — thousands of times
+    smaller than the input — so every downstream join/groupBy shuffles
+    hashes, never video bytes. Rows whose container or frames can't be
+    decoded quarantine per (frame), not per task."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("dhash", LongType()),
+            StructField("err", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firepit_spark.functions.jpeg import jpeg_decode
+
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    frames = avi_mjpeg_frames(bytes(blob))
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    recs.append((mid, None, None, str(exc)[:200]))
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    try:
+                        recs.append(
+                            (mid, idx, dhash64(jpeg_decode(frames[idx])), None)
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        recs.append((mid, idx, None, str(exc)[:200]))
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema.fields])
+
+    return media.mapInPandas(run, schema=out_schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -283,3 +283,85 @@ def test_progressive_equality_stress_adversarial_images():
                 jpeg.jpeg_encode(img, q, sub, progressive=True)
             )
             assert np.array_equal(base, prog), (img.shape, q)
+
+
+# ------------------------------------------------------ MJPEG video (r9)
+
+
+def _mjpeg_fixture(shift=0, n=6, progressive_at=None):
+    """AVI of JPEG frames of a drifting gradient; ``shift`` offsets the
+    content so two fixtures share (or don't share) frame pixels."""
+    frames = []
+    for t in range(n):
+        yy, xx = np.mgrid[0:32, 0:48]
+        img = np.clip(
+            np.stack([xx * 4 + (t + shift) * 10, yy * 5, (xx + yy) * 2], -1),
+            0, 255,
+        ).astype(np.uint8)
+        frames.append(
+            jpeg.jpeg_encode(img, 90, progressive=(t == progressive_at))
+        )
+    return mm.avi_mjpeg_encode(frames, fps=5), frames
+
+
+def test_avi_mjpeg_container_roundtrip():
+    avi, frames = _mjpeg_fixture(progressive_at=3)
+    assert mm.sniff_mime(avi) == "video/x-msvideo"
+    back = mm.avi_mjpeg_frames(avi)
+    assert back == frames  # byte-identical frames in stream order
+    with pytest.raises(ValueError):
+        mm.avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        mm.avi_mjpeg_encode([])
+    with pytest.raises(ValueError):
+        mm.avi_mjpeg_encode([b"not a jpeg"])
+
+
+def test_video_frame_dhash_and_clip_near_dup(spark):
+    """Frame-level perceptual hashing makes video dedup a set-similarity
+    problem on longs: two clips sharing most frames pair up through the
+    SAME banded Hamming join the image path uses; an unrelated clip and
+    a corrupt row stay out (per-row quarantine)."""
+    from pyspark.sql import functions as F
+
+    from firepit_spark.functions.dedup import hamming_near_dup_pairs
+
+    avi_a, _ = _mjpeg_fixture(shift=0, progressive_at=2)
+    avi_b, _ = _mjpeg_fixture(shift=0)        # same content, re-encoded
+    avi_c, _ = _mjpeg_fixture(shift=11)       # different content
+    media = spark.createDataFrame(
+        [(1, avi_a), (2, avi_b), (3, avi_c), (4, b"\x00junk")],
+        "media_id LONG, content BINARY",
+    )
+    fh = mm.video_frame_dhash(media)
+    rows = fh.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert all(r["err"] is None for r in by_id[1] + by_id[2] + by_id[3])
+    assert len(by_id[1]) == len(by_id[2]) == 6
+    assert by_id[4][0]["dhash"] is None and by_id[4][0]["err"]
+    # same-content clips agree frame-for-frame (incl. the progressive one)
+    h1 = {r["frame_idx"]: r["dhash"] for r in by_id[1]}
+    h2 = {r["frame_idx"]: r["dhash"] for r in by_id[2]}
+    assert h1 == h2
+    # clip-level near-dup: distinct frame-hash sets -> banded Hamming join
+    per_clip = fh.filter(F.col("dhash").isNotNull()).select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("fid"), "dhash"
+    )
+    pairs = hamming_near_dup_pairs(
+        per_clip, "dhash", id_col="fid", max_hamming=3, bands=8
+    ).collect()
+    matched = {(r["id_a"] // 100, r["id_b"] // 100) for r in pairs}
+    assert (1, 2) in matched or all(p[0] == p[1] for p in matched)
+    # every cross-clip pair involves the re-encoded twin, never clip 3
+    assert all({a, b} <= {1, 2} for a, b in matched if a != b)
+
+
+def test_video_frame_dhash_every_n(spark):
+    avi, _ = _mjpeg_fixture()
+    media = spark.createDataFrame([(1, avi)], "media_id LONG, content BINARY")
+    rows = mm.video_frame_dhash(media, every_n=2).collect()
+    assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    with pytest.raises(ValueError):
+        mm.video_frame_dhash(media, every_n=0)
