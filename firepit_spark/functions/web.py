@@ -445,7 +445,13 @@ def cap_per_key(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
-    return cold_rows.unionByName(hot_rows)
+    out = cold_rows.unionByName(hot_rows)
+    if mode == "auto":
+        # auto persisted the hot frame for its decision count; expose it
+        # through the repo's release() convention so long-lived sessions
+        # can free it after the terminal action
+        out._fp_caches = [hot]
+    return out
 
 
 def cap_per_domain(

@@ -296,6 +296,14 @@ def test_cap_per_key_auto_mode_three_regimes(spark, skewed):
     with pytest.raises(ValueError):
         wb.cap_per_key(skewed, "domain", 10, "doc_id", mode="eager")
 
+    # the decision count's persisted hot frame is exposed for release()
+    from firepit_spark.functions import release
+
+    again2 = wb.cap_per_domain(skewed, 10, salt="s", mode="auto")
+    assert len(getattr(again2, "_fp_caches", [])) == 1
+    again2.count()
+    release(again2)  # no-op-safe unpersist of the hot-key cache
+
 
 # ------------------------------------------- PSL-table registered domain
 
