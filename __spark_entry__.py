@@ -2145,10 +2145,13 @@ def q44_sampling(spark, sf_dir):
     ws = pl.weighted_sample(docs, "doc_id", "n_chars", 100, salt="w1").select(
         F.lit("weighted").alias("method"), "doc_id", "lang"
     )
-    cap = wb.cap_per_key(docs, "lang", 40, "doc_id", salt="c1", mode="auto").select(
-        F.lit("cap").alias("method"), "doc_id", "lang"
-    )
-    return hs.unionByName(st).unionByName(ws).unionByName(cap)
+    capped = wb.cap_per_key(docs, "lang", 40, "doc_id", salt="c1", mode="auto")
+    cap = capped.select(F.lit("cap").alias("method"), "doc_id", "lang")
+    out = hs.unionByName(st).unionByName(ws).unionByName(cap)
+    # carry the hot-key cache forward past the .select() so release(out)
+    # actually frees auto mode's persisted decision frame (ADVICE r9)
+    out._fp_caches = list(getattr(capped, "_fp_caches", []))
+    return out
 
 
 _Q44_SQL = f"""

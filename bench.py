@@ -273,7 +273,43 @@ def main():
             },
         }
 
-    print(json.dumps(result))
+    # ---- artifact envelope (judge r9 #1): the driver parses the LAST
+    # 2000 chars of stdout, and r9's single fully-detailed JSON line grew
+    # past that window -> BENCH_r09.json shipped "parsed": null. Emit the
+    # full detail FIRST (an earlier stdout line + a sidecar file), then a
+    # COMPACT summary as the FINAL line — per-query raw timings at the
+    # primary sf (the prompt-required "queries" map), totals, calibration
+    # verdict, and a pointer to the detail. Size is asserted, not hoped.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO, "BENCH_DETAIL.json")
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as exc:
+        print(f"# could not write detail sidecar: {exc}", file=sys.stderr)
+        detail_path = None
+    print(json.dumps(result))  # full detail: NOT the last line
+
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": result["sf"],
+        "calibration_ratio": cal_ratio,
+        "calibration_gate_passed": result["calibration_gate_passed"],
+        "normalized_total": result["normalized"]["total"],
+        "detail": detail_path,
+    }
+    if "sf1" in result:
+        compact["sf1_total"] = result["sf1"]["total"]
+        compact["sf1_normalized_total"] = result["sf1"]["normalized"]["total"]
+    line = json.dumps(compact)
+    # 14 headline entries ~500 chars; hard-fail before shipping an
+    # artifact the driver can't machine-read (tail window is 2000).
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
     spark.stop()
 
 

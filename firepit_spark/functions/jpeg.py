@@ -224,6 +224,9 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -290,8 +293,9 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
                 "ah": aa >> 4, "al": aa & 15, "segs": segs,
                 "ri": restart_interval, "huff": dict(huff),
             })
-            if not progressive:
-                break  # sequential: exactly one scan
+            # keep walking: sequential files may carry MULTIPLE scans
+            # (non-interleaved, one component per scan — T.81 A.2.2),
+            # each preceded by its own DHT/DRI segments
             i = i + 2 + seg_len + end
             continue
         i += 2 + seg_len
@@ -316,50 +320,10 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
         for sc in scans:
             _apply_progressive_scan(sc, store, by_id, w, h, hmax, vmax, mcux, mcuy)
     else:
-        sc = scans[0]
-        segs, ri, shuff = sc["segs"], sc["ri"], sc["huff"]
-        seg_idx = 0
-        br = _BitReader(segs[0])
-        pred = {cid: 0 for cid, *_ in comps}
-        order = sc["comps"]
-
-        for m in range(mcux * mcuy):
-            if ri and m and m % ri == 0:
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise ValueError("missing restart segment")
-                br = _BitReader(segs[seg_idx])
-                pred = {cid: 0 for cid in pred}
-            my, mx = divmod(m, mcux)
-            for cs, td, ta in order:
-                hi, vi, _tq = by_id[cs]
-                dct = shuff.get((0, td))
-                act = shuff.get((1, ta))
-                if dct is None or act is None:
-                    raise ValueError("scan references undefined Huffman table")
-                for v in range(vi):
-                    for u in range(hi):
-                        coef = np.zeros(64, dtype=np.int64)
-                        s = br.read_huff(dct)
-                        if s > 15:
-                            raise ValueError("bad DC magnitude category")
-                        pred[cs] += _receive_extend(br, s)
-                        coef[0] = pred[cs]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_huff(act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[k] = _receive_extend(br, s)
-                            k += 1
-                        store[cs][my * vi + v, mx * hi + u] = coef
+        for sc in scans:
+            _apply_sequential_scan(
+                sc, store, by_id, comps, w, h, hmax, vmax, mcux, mcuy
+            )
 
     # dequantize + un-zigzag + batched IDCT + plane assembly + upsample
     planes = []
@@ -468,6 +432,88 @@ def _ac_refine_block(br, act, blk, ss, se, al, eobrun):
             k += 1
         eobrun -= 1
     return eobrun
+
+
+def _apply_sequential_scan(sc, store, by_id, comps, w, h, hmax, vmax, mcux, mcuy):
+    """One sequential-DCT scan (T.81 F.2): fully interleaved (all frame
+    components, MCU order) or non-interleaved (Ns=1, raster order over the
+    component's own block grid — multi-scan baseline files carry one such
+    scan per component).  Partial interleave (1 < Ns < frame components)
+    is legal but unseen in crawled corpora; it raises NotImplementedError
+    so the Arrow wrapper quarantines the row instead of mis-decoding."""
+    segs, ri, shuff = sc["segs"], sc["ri"], sc["huff"]
+    order = sc["comps"]
+    pred = {cs: 0 for cs, _td, _ta in order}
+    seg_idx = 0
+    br = _BitReader(segs[0])
+
+    def next_segment():
+        nonlocal br, pred, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("missing restart segment")
+        br = _BitReader(segs[seg_idx])
+        pred = {cs: 0 for cs in pred}
+
+    def decode_block(cs, dct, act):
+        coef = np.zeros(64, dtype=np.int64)
+        s = br.read_huff(dct)
+        if s > 15:
+            raise ValueError("bad DC magnitude category")
+        pred[cs] += _receive_extend(br, s)
+        coef[0] = pred[cs]
+        k = 1
+        while k < 64:
+            rs = br.read_huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            coef[k] = _receive_extend(br, s)
+            k += 1
+        return coef
+
+    tables = {}
+    for cs, td, ta in order:
+        dct, act = shuff.get((0, td)), shuff.get((1, ta))
+        if dct is None or act is None:
+            raise ValueError("scan references undefined Huffman table")
+        tables[cs] = (dct, act)
+
+    if len(order) == 1:
+        # non-interleaved: block raster over _scan_block_dims; the restart
+        # interval counts MCUs, and here an MCU is a single block
+        cs = order[0][0]
+        hi, vi, _tq = by_id[cs]
+        dct, act = tables[cs]
+        bw, bh = _scan_block_dims(w, h, hi, vi, hmax, vmax)
+        for m in range(bw * bh):
+            if ri and m and m % ri == 0:
+                next_segment()
+            by, bx = divmod(m, bw)
+            store[cs][by, bx] = decode_block(cs, dct, act)
+        return
+    if len(order) != len(comps):
+        raise NotImplementedError(
+            "partially interleaved sequential scan not supported"
+        )
+    for m in range(mcux * mcuy):
+        if ri and m and m % ri == 0:
+            next_segment()
+        my, mx = divmod(m, mcux)
+        for cs, _td, _ta in order:
+            hi, vi, _tq = by_id[cs]
+            dct, act = tables[cs]
+            for v in range(vi):
+                for u in range(hi):
+                    store[cs][my * vi + v, mx * hi + u] = decode_block(
+                        cs, dct, act
+                    )
 
 
 def _scan_block_dims(w, h, hi, vi, hmax, vmax):
@@ -859,12 +905,90 @@ def _assemble_progressive(h, w, nc, comps, qtabs, zz_store, mcux, mcuy):
     return bytes(out)
 
 
+def _assemble_multiscan(h, w, nc, comps, qtabs, zz_store, hmax, vmax, ri):
+    """SOF0 file with one NON-INTERLEAVED scan per component (T.81
+    A.2.2) from the shared quantized-coefficient store — the fixture
+    path for the multi-scan sequential decoder.  Each scan redefines
+    flat DC/AC tables (ids 0/0) right before its SOS; ``ri`` > 0 writes
+    DRI once and RSTn every ``ri`` blocks inside each scan (in a
+    non-interleaved scan an MCU is a single block)."""
+    comps = [(c[0], c[1], c[2], c[3]) for c in comps]  # drop planes
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, tbl in enumerate(qtabs):
+        seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    seg(0xC0, bytes(sof))
+    if ri:
+        seg(0xDD, struct.pack(">H", ri))
+
+    for cid, hi, vi, _tq in comps:
+        sbw, sbh = _scan_block_dims(w, h, hi, vi, hmax, vmax)
+
+        def walk(emit, cid=cid, sbw=sbw, sbh=sbh):
+            pred = 0
+            for m in range(sbw * sbh):
+                if ri and m and m % ri == 0:
+                    emit("rst", (m // ri - 1) % 8, None, None)
+                    pred = 0
+                zz = zz_store[cid][m // sbw, m % sbw]
+                s, code, ac_items, pred = _block_symbols(zz, pred)
+                emit("blk", None, (s, code), ac_items)
+
+        dc_used, ac_used = set(), set()
+
+        def collect(kind, _x, dc, ac):
+            if kind != "blk":
+                return
+            dc_used.add(dc[0])
+            for sym, _s, _c in ac:
+                ac_used.add(sym)
+
+        walk(collect)
+        dc_tab = _flat_huff(dc_used)
+        ac_tab = _flat_huff(ac_used)
+        seg(0xC4, bytes([0x00]) + bytes(dc_tab[0]) + bytes(dc_tab[1]))
+        seg(0xC4, bytes([0x10]) + bytes(ac_tab[0]) + bytes(ac_tab[1]))
+        bwr = _BitWriter()
+
+        def emit(kind, x, dc, ac):
+            if kind == "rst":
+                bwr.flush()
+                bwr.out += bytes([0xFF, 0xD0 + x])
+                return
+            dlen, dcode = dc_tab[2][dc[0]]
+            bwr.write(dcode, dlen)
+            if dc[0]:
+                bwr.write(dc[1], dc[0])
+            for sym, s, code in ac:
+                alen, acode = ac_tab[2][sym]
+                bwr.write(acode, alen)
+                if s:
+                    bwr.write(code, s)
+
+        walk(emit)
+        bwr.flush()
+        seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        out.extend(bwr.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
 def jpeg_encode(
     pixels: np.ndarray,
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
     progressive: bool = False,
+    multiscan: bool = False,
 ) -> bytes:
     """Encode (h, w[, 1|3]) uint8 pixels as a baseline JFIF JPEG.
 
@@ -877,6 +1001,9 @@ def jpeg_encode(
     successive-approximation scan script instead (restart intervals are
     a sequential-path option only); the quantized coefficients are
     IDENTICAL either way, so both files decode to the same pixels.
+    ``multiscan=True`` writes a MULTI-SCAN sequential file (SOF0, one
+    non-interleaved SOS per component, T.81 A.2.2) from the same
+    coefficients — the fixture path for the multi-scan decoder.
     """
     px = np.asarray(pixels)
     if px.ndim == 2:
@@ -940,9 +1067,15 @@ def jpeg_encode(
         zz_store[cid] = quant[:, _ZZ_ROWS, _ZZ_COLS].reshape(by, bx, 64)
 
     if progressive:
-        if restart_interval:
-            raise ValueError("restart_interval is a sequential-mode option")
+        if restart_interval or multiscan:
+            raise ValueError(
+                "restart_interval/multiscan are sequential-mode options"
+            )
         return _assemble_progressive(h, w, nc, comps, qtabs, zz_store, mcux, mcuy)
+    if multiscan:
+        return _assemble_multiscan(
+            h, w, nc, comps, qtabs, zz_store, hmax, vmax, restart_interval
+        )
 
     # pass 1: symbol usage per table class (0 = luma, 1 = chroma)
     dc_used = {0: set(), 1: set()}

@@ -79,31 +79,73 @@ def decode_stub(kind: str, content: bytes):
     raise NotImplementedError(f"no {kind} codec available in this environment")
 
 
+# Pixel-count guard for the pure-python JPEG kernel: per-block Huffman
+# decode costs seconds of CPU per megapixel, so when Pillow is absent a
+# crawled 12 MP photo would stall an executor task rather than fail fast.
+# Above this bound the row QUARANTINES (ValueError) instead. Kept as a
+# module global so a caller that accepts the cost can raise it.
+MAX_BUILTIN_JPEG_PIXELS = 1 << 22  # ~4.2 MP
+
+# Tests that pin the spec-reference kernel (PNG/JPEG twin dHash identity,
+# progressive-vs-baseline bit equality) set this to skip Pillow even when
+# the library is installed.
+PREFER_BUILTIN_JPEG = False
+
+
+def _pil_image():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(content: bytes) -> "np.ndarray":
     """(h, w, channels) uint8 pixels for any decodable image.
 
-    PNG and JPEG — baseline AND progressive — decode via the built-in
-    pure-python kernels (:func:`png_decode`,
-    :func:`firepit_spark.functions.jpeg.jpeg_decode` — JPEG being the
-    dominant wild format, r9); JPEG encodings the kernel doesn't cover
-    (arithmetic, lossless, 12-bit, CMYK) and other containers
-    (GIF/BMP/WebP) use Pillow WHEN INSTALLED
-    and fall back to :func:`decode_stub` otherwise — this repo's
-    container has no codec libs, so for those the stub path is the
-    tested default and the Pillow path is exercised wherever the library
-    exists."""
+    PNG decodes via the built-in pure-python kernel (:func:`png_decode`).
+    JPEG prefers Pillow WHEN INSTALLED — libjpeg is orders of magnitude
+    faster than the pure-python kernel on megapixel crawled photos, which
+    is the 100 TB throughput path — and otherwise uses the built-in
+    spec-pinned kernel (:func:`firepit_spark.functions.jpeg.jpeg_decode`,
+    baseline AND progressive AND multi-scan sequential), bounded by
+    :data:`MAX_BUILTIN_JPEG_PIXELS` so an oversized frame quarantines
+    instead of stalling a task. When Pillow is installed but fails a
+    stream the builtin kernel covers, the builtin result (or its precise
+    error) still stands — and vice versa: kernel errors
+    (NotImplementedError for arithmetic/lossless/12-bit/CMYK, ValueError
+    for malformed streams) fall through to Pillow before failing the row.
+    Other containers (GIF/BMP/WebP) use Pillow when installed and
+    :func:`decode_stub` otherwise — this repo's container has no codec
+    libs, so for those the stub path is the tested default."""
     if content and content.startswith(_PNG_SIG):
         return png_decode(content)
     if content and content.startswith(b"\xff\xd8"):
         from firepit_spark.functions.jpeg import jpeg_decode
 
+        Image = None if PREFER_BUILTIN_JPEG else _pil_image()
+        if Image is not None:
+            import io
+
+            try:
+                arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+                return arr if arr.ndim == 3 else arr[:, :, None]
+            except Exception:
+                pass  # let the builtin kernel decode or raise precisely
+            return jpeg_decode(content)
         try:
+            dims = _jpeg_dims(content)
+            if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
+                raise ValueError(
+                    f"JPEG {dims[0]}x{dims[1]} exceeds the builtin-kernel "
+                    f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install "
+                    "Pillow or raise MAX_BUILTIN_JPEG_PIXELS"
+                )
             return jpeg_decode(content)
         except NotImplementedError:
-            pass  # progressive/arithmetic/12-bit: Pillow or stub below
-    try:
-        from PIL import Image
-    except ImportError:
+            pass  # arithmetic/lossless/12-bit/CMYK: Pillow or stub below
+    Image = _pil_image()
+    if Image is None:
         return decode_stub("image", content)
     import io
 
@@ -203,6 +245,9 @@ def jpeg_features(b: bytes | None) -> dict | None:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -250,6 +295,9 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -1394,8 +1442,6 @@ def video_frame_dhash(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from firepit_spark.functions.jpeg import jpeg_decode
-
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
@@ -1406,8 +1452,12 @@ def video_frame_dhash(
                     continue
                 for idx in range(0, len(frames), every_n):
                     try:
+                        # decode_image, not jpeg_decode directly: prefers
+                        # the libjpeg path when Pillow is installed and
+                        # pixel-guards the pure-python kernel so a
+                        # megapixel frame quarantines instead of stalling
                         recs.append(
-                            (mid, idx, dhash64(jpeg_decode(frames[idx])), None)
+                            (mid, idx, dhash64(decode_image(frames[idx])), None)
                         )
                     except Exception as exc:  # noqa: BLE001
                         recs.append((mid, idx, None, str(exc)[:200]))

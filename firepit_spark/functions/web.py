@@ -435,6 +435,13 @@ def cap_per_key(
         return df.withColumn("__rn", F.row_number().over(w)).filter(
             F.col("__rn") <= cap
         ).drop("__rn")
+    if mode == "skew":
+        # both join legs reference the hot aggregate; Catalyst's exchange
+        # reuse USUALLY computes it once, but nothing guarantees that
+        # across AQE replans — persist makes single computation a property
+        # of the plan, not an optimizer courtesy (same release() contract
+        # as 'auto', which already persisted for its decision count)
+        hot = hot.persist()
     # null-safe equality: a NULL key forms a group under the plain window,
     # so the hot-key path must route it the same way or the modes diverge
     cond = df[key_col].eqNullSafe(F.col("__hot_key"))
@@ -446,11 +453,10 @@ def cap_per_key(
         .drop("__rn")
     )
     out = cold_rows.unionByName(hot_rows)
-    if mode == "auto":
-        # auto persisted the hot frame for its decision count; expose it
-        # through the repo's release() convention so long-lived sessions
-        # can free it after the terminal action
-        out._fp_caches = [hot]
+    # the hot frame is persisted in both remaining modes; expose it
+    # through the repo's release() convention so long-lived sessions can
+    # free it after the terminal action
+    out._fp_caches = [hot]
     return out
 
 

@@ -263,3 +263,57 @@ def test_compressed_wav_feeds_audio_ahash(spark):
 
     assert ham(got[0], got[1]) <= 4
     assert ham(got[0], got[2]) <= 6
+
+
+# ------------------------------------- decode_image routing (ADVICE r9)
+
+
+def test_builtin_jpeg_pixel_guard_quarantines(monkeypatch):
+    """Without Pillow, a JPEG above MAX_BUILTIN_JPEG_PIXELS must raise
+    ValueError (fail-fast quarantine) instead of spending seconds in the
+    pure-python Huffman loop — and the Arrow image_dhash path must turn
+    that into a per-row err, not a task stall."""
+    from firepit_spark.functions import jpeg
+
+    img = _pattern(3)[:, :, None].repeat(3, axis=2)
+    blob = jpeg.jpeg_encode(img, 90)
+    assert np.array_equal(mm.decode_image(blob), jpeg.jpeg_decode(blob))
+    monkeypatch.setattr(mm, "MAX_BUILTIN_JPEG_PIXELS", 100)
+    with pytest.raises(ValueError, match="pixel guard"):
+        mm.decode_image(blob)
+
+
+def test_decode_image_prefers_pillow_then_falls_back(monkeypatch):
+    """When 'Pillow' is installed it is the throughput path (tried
+    FIRST); when its decode fails, the builtin kernel result stands; and
+    PREFER_BUILTIN_JPEG pins the spec kernel for differential tests."""
+    from firepit_spark.functions import jpeg
+
+    img = _pattern(5)[:, :, None].repeat(3, axis=2)
+    blob = jpeg.jpeg_encode(img, 95)
+    kernel_pixels = jpeg.jpeg_decode(blob)
+    sentinel = np.full((4, 4, 3), 7, dtype=np.uint8)
+
+    class _FakePil:
+        class _Img:
+            def convert(self, _mode):
+                return sentinel
+
+        @staticmethod
+        def open(_buf):
+            return _FakePil._Img()
+
+    monkeypatch.setattr(mm, "_pil_image", lambda: _FakePil)
+    assert np.array_equal(mm.decode_image(blob), sentinel)
+
+    class _BrokenPil:
+        @staticmethod
+        def open(_buf):
+            raise OSError("truncated")
+
+    monkeypatch.setattr(mm, "_pil_image", lambda: _BrokenPil)
+    assert np.array_equal(mm.decode_image(blob), kernel_pixels)
+
+    monkeypatch.setattr(mm, "_pil_image", lambda: _FakePil)
+    monkeypatch.setattr(mm, "PREFER_BUILTIN_JPEG", True)
+    assert np.array_equal(mm.decode_image(blob), kernel_pixels)

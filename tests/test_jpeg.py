@@ -285,6 +285,88 @@ def test_progressive_equality_stress_adversarial_images():
             assert np.array_equal(base, prog), (img.shape, q)
 
 
+# ------------------------------------------- multi-scan sequential (r10)
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
+def test_multiscan_sequential_bit_identical_to_interleaved(subsampling):
+    """A multi-scan baseline file (one non-interleaved SOS per component,
+    T.81 A.2.2) built from the SAME quantized coefficients as the
+    interleaved single-scan file must decode BIT-IDENTICALLY — r9 decoded
+    only the first scan of such files (ADVICE r9 #2)."""
+    img = _smooth_image(37, 51)
+    base = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 85, subsampling))
+    ms_blob = jpeg.jpeg_encode(img, 85, subsampling, multiscan=True)
+    assert b"\xff\xc0" in ms_blob  # still SOF0
+    assert ms_blob.count(b"\xff\xda") == 3  # one scan per component
+    assert np.array_equal(jpeg.jpeg_decode(ms_blob), base)
+    feats = mm.jpeg_features(ms_blob)
+    assert feats["progressive"] is False
+
+
+def test_multiscan_sequential_stress_and_restarts():
+    """Noise / blocky / smooth / grayscale at low+high quality, plus
+    restart markers INSIDE non-interleaved scans (the restart interval
+    counts blocks there, not frame MCUs)."""
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 256, (23, 31, 3)).astype(np.uint8),
+        (rng.integers(0, 2, (4, 5, 3)) * 255)
+        .repeat(8, 0).repeat(8, 1)[:29, :37].astype(np.uint8),
+        _smooth_image(17, 19),
+        rng.integers(0, 256, (26, 22, 1)).astype(np.uint8),
+    ]
+    for img in cases:
+        for q in (30, 97):
+            sub = "4:2:0" if img.shape[2] == 3 else "4:4:4"
+            base = jpeg.jpeg_decode(jpeg.jpeg_encode(img, q, sub))
+            ms = jpeg.jpeg_decode(jpeg.jpeg_encode(img, q, sub, multiscan=True))
+            assert np.array_equal(base, ms), (img.shape, q)
+    img = _smooth_image(33, 49)
+    base = jpeg.jpeg_decode(jpeg.jpeg_encode(img, 85, "4:2:0"))
+    with_rst = jpeg.jpeg_encode(
+        img, 85, "4:2:0", multiscan=True, restart_interval=3
+    )
+    assert b"\xff\xd0" in with_rst
+    assert np.array_equal(jpeg.jpeg_decode(with_rst), base)
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """0xFF padding before a marker (T.81 B.1.1.2) is legal; r9 parsed
+    the fill byte as a marker and skipped real data (ADVICE r9 #1).
+    Insert fills before DHT and SOS and require identical decode — and
+    jpeg_features must still find the frame geometry."""
+    img = _smooth_image(21, 27)
+    blob = jpeg.jpeg_encode(img, 90)
+    expected = jpeg.jpeg_decode(blob)
+    for marker in (b"\xff\xc4", b"\xff\xda", b"\xff\xc0"):
+        idx = blob.find(marker)
+        patched = blob[:idx] + b"\xff\xff" + blob[idx:]
+        assert np.array_equal(jpeg.jpeg_decode(patched), expected), marker
+        assert mm.jpeg_features(patched)["width"] == img.shape[1]
+        assert mm.image_dims(patched) == (img.shape[1], img.shape[0])
+
+
+def test_partial_interleave_quarantines():
+    """1 < Ns < frame components is legal JPEG but unseen in crawls; the
+    decoder must refuse explicitly (NotImplementedError -> per-row
+    quarantine), not mis-decode. Build one by patching a multiscan
+    file's first SOS to claim two components."""
+    img = _smooth_image(19, 23)
+    blob = jpeg.jpeg_encode(img, 90, multiscan=True)
+    idx = blob.find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) [cs td/ta]*ns ss se ah/al — rewrite the
+    # 1-component scan header into a bogus 2-component one
+    ns_off = idx + 4
+    patched = bytearray(blob)
+    patched[idx + 2:idx + 4] = struct.pack(">H", 2 + 1 + 4 + 3)
+    patched[ns_off:ns_off + 1 + 2 + 3] = bytes(
+        [2, 1, 0x00, 2, 0x00]
+    ) + blob[ns_off + 3:ns_off + 6]
+    with pytest.raises((NotImplementedError, ValueError)):
+        jpeg.jpeg_decode(bytes(patched))
+
+
 # ------------------------------------------------------ MJPEG video (r9)
 
 

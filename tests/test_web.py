@@ -305,6 +305,26 @@ def test_cap_per_key_auto_mode_three_regimes(spark, skewed):
     release(again2)  # no-op-safe unpersist of the hot-key cache
 
 
+def test_cap_per_key_skew_mode_persists_hot_set_once(skewed):
+    """mode='skew' (VERDICT r9 #7): the hot aggregate feeds BOTH join
+    legs; persisting it makes single computation a plan property instead
+    of relying on Catalyst exchange reuse. The cache is exposed via the
+    release() contract like auto mode's."""
+    from firepit_spark.functions import release
+
+    capped = wb.cap_per_domain(skewed, 10, salt="s", mode="skew")
+    caches = getattr(capped, "_fp_caches", [])
+    assert len(caches) == 1
+    capped.count()  # materialize: the hot frame lands in the cache
+    assert caches[0].storageLevel.useMemory
+    # both legs now read InMemoryTableScan of the SAME cached aggregate —
+    # the executed plan carries no second aggregation of the hot set
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    release(capped)
+    assert not caches[0].storageLevel.useMemory
+
+
 # ------------------------------------------- PSL-table registered domain
 
 # Bundled snippet of the real public-suffix list: multi-label suffixes,
