@@ -1425,7 +1425,10 @@ def q39_media_probe(spark, sf_dir):
     the same for the compressed WAV kernels: per-doc triangle wave
     through mu-law / A-law / IMA-ADPCM, decoded sample counts (ADPCM
     block padding included) and a 64-level round-trip bound, all
-    oracle-recomputed from arithmetic."""
+    oracle-recomputed from arithmetic. Since r10 a FLAC leg gates the
+    pure-python LOSSLESS codec (functions/flac.py): per-doc mono/stereo
+    signals through all four stereo decorrelation modes, multi-frame
+    streams, Rice partitions — exactness (not a bound) pinned per row."""
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
@@ -1563,11 +1566,62 @@ def q39_media_probe(spark, sf_dir):
         schema="media_id long, wav_codec string, wav_n_samples long, "
         "wav_rate int, wav_roundtrip_ok boolean",
     )
+
+    # r10 FLAC leg: per-doc deterministic int16 signal (triangle wave,
+    # second channel derived) through the pure-python LOSSLESS codec —
+    # mono/stereo and all four stereo decorrelation modes vary by doc_id,
+    # block_size 128 forces multi-frame streams with a short tail, and
+    # partition_order 1 exercises Rice partitions. FLAC is lossless, so
+    # the gate is EXACT integer equality (flac_exact pinned TRUE) — the
+    # strongest round-trip bound of the codec family; the oracle
+    # recomputes sample count / rate / channels from the generation
+    # arithmetic.
+    def flac_leg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firepit_spark.functions.flac import flac_decode, flac_encode
+
+        modes = ["independent", "left-side", "right-side", "mid-side"]
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 300 + d % 29
+                i = np.arange(n)
+                x = (np.abs(((d * 13 + i * 7) % 4000) - 2000) - 1000).astype(
+                    np.int64
+                )
+                if d % 2:
+                    x = np.stack([x, x // 2 + d % 50], axis=1)
+                blob = flac_encode(
+                    x, sample_rate=8000, block_size=128,
+                    stereo=modes[d % 4], partition_order=1,
+                )
+                dec, rate, _bps = flac_decode(blob)
+                want = x if x.ndim == 2 else x[:, None]
+                exact = bool(np.array_equal(dec, want))
+                recs.append(
+                    (d, int(dec.shape[0]), int(rate), int(dec.shape[1]),
+                     exact)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "flac_n_samples", "flac_rate",
+                         "flac_channels", "flac_exact"],
+            )
+
+    flc = docs.mapInPandas(
+        flac_leg,
+        schema="media_id long, flac_n_samples long, flac_rate int, "
+        "flac_channels int, flac_exact boolean",
+    )
     return (
         probed.join(feats, "media_id")
         .join(vid, "media_id")
         .join(jpg, "media_id")
         .join(wav, "media_id")
+        .join(flc, "media_id")
         .select(
             F.col("media_id").alias("doc_id"),
             "mime_sniffed",
@@ -1587,6 +1641,10 @@ def q39_media_probe(spark, sf_dir):
             "wav_n_samples",
             "wav_rate",
             "wav_roundtrip_ok",
+            "flac_n_samples",
+            "flac_rate",
+            "flac_channels",
+            "flac_exact",
         )
     )
 
@@ -1630,7 +1688,15 @@ SELECT doc_id,
                  THEN ((400 + doc_id % 37 + 504) // 505) * 505
                  ELSE 400 + doc_id % 37 END AS BIGINT) AS wav_n_samples,
        8000 AS wav_rate,
-       TRUE AS wav_roundtrip_ok
+       TRUE AS wav_roundtrip_ok,
+       -- FLAC leg (r10): the codec is LOSSLESS, so decoded sample count
+       -- and channel count come straight from the generation arithmetic
+       -- and the exactness flag is pinned TRUE — any Rice/LPC/stereo
+       -- reconstruction regression breaks the hash
+       CAST(300 + doc_id % 29 AS BIGINT) AS flac_n_samples,
+       8000 AS flac_rate,
+       CAST(1 + doc_id % 2 AS INT) AS flac_channels,
+       TRUE AS flac_exact
 FROM px
 GROUP BY doc_id, w, h
 """

@@ -155,10 +155,18 @@ def decode_image(content: bytes) -> "np.ndarray":
 
 def decode_audio(content: bytes) -> "tuple[np.ndarray, int]":
     """(samples, sample_rate) for any decodable audio blob: WAV/PCM via
-    the built-in pure-python kernel (:func:`wav_decode`), compressed
-    formats via soundfile when installed, else :func:`decode_stub`."""
+    the built-in pure-python kernel (:func:`wav_decode`), FLAC via the
+    built-in lossless codec (:func:`firepit_spark.functions.flac.
+    flac_decode` — exact integer samples, scaled to [-1, 1] float like
+    the WAV path), other compressed formats (MP3/AAC/Opus) via soundfile
+    when installed, else :func:`decode_stub`."""
     if content and len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return wav_decode(content)
+    if content and content.startswith(b"fLaC"):
+        from firepit_spark.functions.flac import flac_decode
+
+        ints, rate, bps = flac_decode(content)
+        return ints.astype(np.float64) / float(1 << (bps - 1)), rate
     try:
         import soundfile as sf
     except ImportError:
@@ -741,16 +749,18 @@ AUDIO_AHASH_SCHEMA = StructType(
 def audio_ahash(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """Perceptual energy-contour hash per WAV blob over Arrow
-    ``mapInPandas`` (decode + hash per batch; non-WAV rows quarantine the
-    codec error instead of failing the job)."""
+    """Perceptual energy-contour hash per audio blob (WAV or FLAC, via
+    :func:`decode_audio`) over Arrow ``mapInPandas`` (decode + hash per
+    batch; undecodable rows quarantine the codec error instead of failing
+    the job). FLAC is lossless, so the FLAC and PCM-WAV twins of the same
+    samples hash IDENTICALLY (tests/test_flac.py)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    recs.append((mid, audio_ahash64(*wav_decode(blob)), None))
+                    recs.append((mid, audio_ahash64(*decode_audio(blob)), None))
                 except Exception as exc:  # noqa: BLE001 — per-row quarantine
                     recs.append((mid, None, str(exc)[:200]))
             yield pd.DataFrame(
@@ -1249,15 +1259,16 @@ AUDIO_FEATURE_SCHEMA = StructType(
 def audio_features(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:
-    """Real sample-level features for WAV blobs (PCM decode + numpy stats);
-    non-WAV rows carry the codec error instead of failing the job."""
+    """Real sample-level features for audio blobs — WAV (PCM/G.711/ADPCM)
+    and FLAC via :func:`decode_audio`; undecodable rows carry the codec
+    error instead of failing the job."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    samples, rate = wav_decode(blob)
+                    samples, rate = decode_audio(blob)
                     st = audio_stats(samples, rate)
                     recs.append(
                         (mid, st["duration_ms"], st["sample_rate"],

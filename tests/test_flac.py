@@ -1,0 +1,253 @@
+"""Pure-python FLAC codec (functions/flac.py).
+
+FLAC is LOSSLESS, so the evidence is stronger than the lossy codecs':
+
+1. a HAND-CRAFTED frame whose bit layout is written out in this file
+   (sync, header codes, a FIXED-order-1 subframe with hand-Rice-coded
+   residuals) — pins the frame grammar against the spec, independent of
+   the encoder;
+2. encode -> decode EXACT sample equality across every construct the
+   encoder can emit (stereo decorrelation modes, FIXED and LPC
+   predictors, wasted bits, Rice partitions, escape codes, multi-frame
+   with a short tail, 8/16/24-bit);
+3. perceptual identity: the FLAC and PCM-WAV twins of the same samples
+   produce the SAME audio_ahash, end-to-end through the Arrow path;
+4. integrity: flipped bits fail CRC, truncation raises, a wrong
+   STREAMINFO MD5 is caught, reserved constructs quarantine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from firepit_spark.functions import flac as fl
+from firepit_spark.functions import multimodal as mm
+from firepit_spark.functions.flac import flac_decode, flac_encode
+
+
+def _sig(n=3000, seed=0):
+    t = np.arange(n)
+    x = 1000 * np.sin(t / 30.0) + 500 * np.sin(t / 7.0)
+    rng = np.random.default_rng(seed)
+    return (x + rng.integers(-3, 4, n)).astype(np.int16)
+
+
+def _ar_resonant(n=4000, seed=5):
+    """AR(2) with non-integer poles: FIXED predictors can't model it, so
+    the encoder's cost pick selects the LPC subframe type."""
+    rng = np.random.default_rng(seed)
+    x = np.zeros(n)
+    e = rng.normal(0, 30, n)
+    for i in range(2, n):
+        x[i] = 1.9 * x[i - 1] - 0.97 * x[i - 2] + e[i]
+    return np.clip(x, -30000, 30000).astype(np.int64)
+
+
+def _roundtrip(x, **kw):
+    dec, rate, bps = flac_decode(flac_encode(x, **kw))
+    want = np.asarray(x)
+    if want.ndim == 1:
+        want = want[:, None]
+    assert np.array_equal(dec, want), kw
+    return rate, bps
+
+
+# --------------------------------------------------- hand-crafted frame
+
+
+def _handcrafted_flac():
+    """Mono 16-bit, 4 samples, one frame, FIXED order 1:
+
+    warmup 100; residuals [+1, -2, +3] Rice-coded with param k=2
+    (zigzag 2, 3, 6 -> quotients 0,0,1 + 2 low bits each); expected
+    samples [100, 101, 99, 102] follow from the order-1 recurrence
+    x[i] = r[i] + x[i-1]."""
+    out = bytearray(b"fLaC")
+    si = bytearray()
+    si += struct.pack(">HH", 4, 4)        # min/max block size
+    si += b"\x00\x00\x00" * 2             # min/max frame size
+    bits = (8000 << 44) | (0 << 41) | (15 << 36) | 4
+    si += bits.to_bytes(8, "big")
+    si += b"\x00" * 16                    # MD5 unset -> not checked
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+
+    bw = fl._BitWriter()
+    bw.write(0x3FFE, 14)  # sync
+    bw.write(0, 1)        # reserved
+    bw.write(0, 1)        # fixed blocking
+    bw.write(0b0110, 4)   # block size: 8-bit follows
+    bw.write(0b0100, 4)   # sample rate: 8 kHz from the table
+    bw.write(0, 4)        # 1 channel, independent
+    bw.write(0b100, 3)    # 16-bit samples
+    bw.write(0, 1)        # reserved
+    bw.write(0, 8)        # frame number 0 (1-byte UTF-8)
+    bw.write(3, 8)        # block size - 1
+    bw.align_to_byte()
+    header = bw.bytes()
+    header += bytes([fl._crc8(header)])
+
+    body = fl._BitWriter()
+    body.write(0, 1)       # subframe pad bit
+    body.write(8 + 1, 6)   # FIXED order 1
+    body.write(0, 1)       # no wasted bits
+    body.write(100, 16)    # warmup sample
+    body.write(0, 2)       # residual method: 4-bit Rice
+    body.write(0, 4)       # partition order 0
+    body.write(2, 4)       # Rice parameter k=2
+    for zz in (2, 3, 6):   # zigzag of +1, -2, +3
+        q, low = zz >> 2, zz & 3
+        body.write(1, q + 1)  # unary quotient
+        body.write(low, 2)
+    body.align_to_byte()
+    frame = header + body.bytes()
+    frame += struct.pack(">H", fl._crc16(frame))
+    return bytes(out) + frame
+
+
+def test_handcrafted_frame_decodes_to_analytic_samples():
+    samples, rate, bps = flac_decode(_handcrafted_flac())
+    assert rate == 8000 and bps == 16
+    assert samples[:, 0].tolist() == [100, 101, 99, 102]
+
+
+# ------------------------------------------------------- exact roundtrip
+
+
+def test_roundtrip_mono_and_metadata():
+    x = _sig()
+    rate, bps = _roundtrip(x, sample_rate=8000)
+    assert (rate, bps) == (8000, 16)
+    # compression actually happened (fixture is smooth)
+    assert len(flac_encode(x, sample_rate=8000)) < x.nbytes // 2
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left-side", "right-side", "mid-side", "auto"]
+)
+def test_roundtrip_stereo_decorrelation_modes(mode):
+    x = _sig()
+    st = np.stack([x, (x // 2 + 17).astype(np.int16)], axis=1)
+    _roundtrip(st, sample_rate=44100, stereo=mode)
+    # odd mid-side reconstruction: (L+R) odd exercises the carry bit
+    odd = np.stack([x, (x + 1).astype(np.int16)], axis=1)
+    _roundtrip(odd, stereo="mid-side")
+
+
+def test_roundtrip_constructs():
+    rng = np.random.default_rng(3)
+    _roundtrip(np.full(800, -1234, dtype=np.int16))          # CONSTANT
+    _roundtrip(rng.integers(-32768, 32768, 5000).astype(np.int16),
+               block_size=1024)                               # noise, tail
+    _roundtrip((rng.integers(-100, 100, 1200) * 16).astype(np.int16),
+               block_size=256)                                # wasted bits
+    _roundtrip(_sig(), block_size=1024, partition_order=3)    # partitions
+    _roundtrip((_sig() // 256), bps=8)
+    _roundtrip(_sig().astype(np.int64) * 200, bps=24)
+    # 1-sample edge and tiny blocks
+    _roundtrip(np.array([123], dtype=np.int16))
+    _roundtrip(_sig(40), block_size=16)
+
+
+def test_lpc_subframes_selected_and_exact():
+    x = _ar_resonant()
+    with_lpc = flac_encode(x, max_lpc_order=8)
+    fixed_only = flac_encode(x, max_lpc_order=0)
+    assert len(with_lpc) < len(fixed_only)  # LPC actually chosen
+    dec, _rate, _bps = flac_decode(with_lpc)
+    assert np.array_equal(dec[:, 0], x)
+
+
+def test_escape_partitions_roundtrip():
+    # a partition of huge residual outliers drives the raw-bits escape
+    rng = np.random.default_rng(9)
+    x = np.zeros(1024, dtype=np.int64)
+    x[512:] = rng.integers(-30000, 30000, 512)
+    blob = flac_encode(x.astype(np.int16), block_size=1024, partition_order=1)
+    dec, _r, _b = flac_decode(blob)
+    assert np.array_equal(dec[:, 0], x)
+
+
+# -------------------------------------------------- integrity and errors
+
+
+def test_bitflips_fail_crc_and_truncation_raises():
+    x = _sig(2000)
+    blob = bytearray(flac_encode(x, sample_rate=16000))
+    ok, _, _ = flac_decode(bytes(blob))
+    # flip one bit inside the audio frames (past the 4+4+34 byte header)
+    blob[80] ^= 0x10
+    with pytest.raises(ValueError):
+        flac_decode(bytes(blob))
+    with pytest.raises(ValueError):
+        flac_decode(flac_encode(x)[:100])
+    with pytest.raises(ValueError):
+        flac_decode(b"fLaC")
+    with pytest.raises(ValueError):
+        flac_decode(b"RIFFxxxx")
+
+
+def test_md5_mismatch_detected():
+    x = _sig(1000)
+    blob = bytearray(flac_encode(x))
+    # STREAMINFO md5 lives at bytes 8+18 .. 8+34 of the metadata block
+    # (4 magic + 4 block header + 18 offset)
+    blob[26] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        flac_decode(bytes(blob))
+
+
+def test_reserved_constructs_quarantine():
+    blob = bytearray(_handcrafted_flac())
+    # the subframe type byte: pad(0) + type(6) + wasted(1) is the first
+    # body byte after the 14-byte header+crc8... locate it by rebuilding
+    base = _handcrafted_flac()
+    # find the FIXED-order-1 subframe byte: 0b0_001001_0 = 0x12
+    idx = base.index(0x12, 42)
+    patched = bytearray(base)
+    patched[idx] = 0b0_000100_0  # reserved subframe type 4
+    with pytest.raises((NotImplementedError, ValueError)):
+        flac_decode(bytes(patched))
+
+
+# ------------------------------------------------ integration (Arrow)
+
+
+def test_decode_audio_routes_flac_and_ahash_matches_wav_twin(spark):
+    """The FLAC and PCM-WAV twins of the same int16 samples must produce
+    IDENTICAL floats from decode_audio and the SAME audio_ahash through
+    the distributed Arrow path — the lossless analogue of the PNG/JPEG
+    dHash identity."""
+    x = _sig(4000)
+    wav = mm.wav_encode(x, 16000)
+    flc = flac_encode(x, sample_rate=16000)
+    sw, rw = mm.decode_audio(wav)
+    sf_, rf = mm.decode_audio(flc)
+    assert rw == rf == 16000
+    assert np.array_equal(sw, sf_)  # bit-exact floats: both are x/32768
+
+    rows = [(1, bytearray(wav)), (2, bytearray(flc)), (3, bytearray(b"junk"))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: (r["ahash"], r["err"])
+           for r in mm.audio_ahash(media).collect()}
+    assert got[1][0] == got[2][0] and got[1][0] is not None
+    assert got[3][0] is None and got[3][1]  # quarantined, not failed
+
+    feats = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert feats[2]["sample_rate"] == 16000
+    assert feats[2]["duration_ms"] == feats[1]["duration_ms"] == 250
+    assert feats[2]["err"] is None and feats[3]["err"]
+
+
+def test_sniff_and_stub_paths():
+    x = _sig(100)
+    blob = flac_encode(x)
+    assert mm.sniff_mime(blob) == "audio/flac"
+    with pytest.raises(ValueError):
+        flac_encode(np.array([70000], dtype=np.int64), bps=16)  # range
+    with pytest.raises(ValueError):
+        flac_encode(np.zeros((0,)), bps=16)
+    with pytest.raises(ValueError):
+        flac_encode(x, stereo="surround")
