@@ -2376,7 +2376,18 @@ def q50_doc_term_stats(spark, sf_dir):
     INTEGER outputs plus one exact single division — the float
     bits-per-token path uses log2, which is not ulp-identical across
     engines (libm vs JVM Math.log), so it is pytest-gated
-    (tests/test_lm.py differential) rather than oracle-hashed."""
+    (tests/test_lm.py differential) rather than oracle-hashed.
+
+    Since r10 a third leg gates the interpolated Kneser-Ney TRIGRAM
+    model (lm.kneser_ney_fit/score — the smoothing KenLM/CCNet actually
+    uses), same even-half train / full-corpus score split: trigram
+    transition count, unseen-trigram and unseen-history counts (the
+    wholesale-backoff paths), and the continuation-count checksum
+    Σ N1+(• w2 w3) — an integer the oracle recomputes from its own
+    independently-built trigram type tables, so a hash match proves the
+    continuation structure (the part of KN that is not just counting),
+    while the log-space interpolation itself is pytest-differentialed
+    against a pure-python reference (tests/test_lm.py)."""
     from firepit_spark.functions import corpus as cp
     from firepit_spark.functions import lm as L
 
@@ -2391,7 +2402,15 @@ def q50_doc_term_stats(spark, sf_dir):
         F.col("unseen_hist").alias("lm_unseen_hist"),
         F.col("unseen_rate").alias("lm_unseen_rate"),
     )
-    return base.join(sc, "doc_id")
+    knm = L.kneser_ney_fit(docs.filter(F.col("doc_id") % 2 == 0))
+    knsc = L.kneser_ney_score(docs, knm).select(
+        "doc_id", "kn_n_tri", "kn_unseen_tri", "kn_unseen_hist",
+        "kn_cont_sum",
+    )
+    out = base.join(sc, "doc_id").join(knsc, "doc_id")
+    # the fit persisted its trigram type table; hand it to release()
+    out._fp_caches = [knm.tri]
+    return out
 
 
 _Q50_SQL = f"""
@@ -2429,6 +2448,35 @@ lmsc AS (
   LEFT JOIN lmbig b ON b.w1 = tr.w1 AND b.w2 = tr.w2
   LEFT JOIN lmuni u ON u.w = tr.w1
   GROUP BY 1
+),
+-- Kneser-Ney leg (r10): rebuild the trigram TYPE structure from scratch
+-- (even-half model) and recompute the integer diagnostics, incl. the
+-- continuation-count checksum over N1+(. w2 w3)
+kn_tr AS (
+  SELECT doc_id, t[n] AS w1, t[n+1] AS w2, t[n+2] AS w3
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(n)
+),
+kn_tri AS (
+  SELECT w1, w2, w3, COUNT(*) AS c123
+  FROM kn_tr WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3
+),
+kn_hist AS (SELECT DISTINCT w1, w2 FROM kn_tri),
+kn_cont AS (SELECT w2, w3, COUNT(*) AS cb23 FROM kn_tri GROUP BY 1, 2),
+knsc AS (
+  SELECT tr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS kn_n_tri,
+         CAST(COALESCE(SUM(CASE WHEN k.c123 IS NULL THEN 1 END), 0)
+              AS BIGINT) AS kn_unseen_tri,
+         CAST(COALESCE(SUM(CASE WHEN h.w1 IS NULL THEN 1 END), 0)
+              AS BIGINT) AS kn_unseen_hist,
+         CAST(COALESCE(SUM(COALESCE(cb.cb23, 0)), 0) AS BIGINT)
+           AS kn_cont_sum
+  FROM kn_tr tr
+  LEFT JOIN kn_tri k
+    ON k.w1 = tr.w1 AND k.w2 = tr.w2 AND k.w3 = tr.w3
+  LEFT JOIN kn_hist h ON h.w1 = tr.w1 AND h.w2 = tr.w2
+  LEFT JOIN kn_cont cb ON cb.w2 = tr.w2 AND cb.w3 = tr.w3
+  GROUP BY 1
 )
 SELECT r.doc_id, r.term, r.tf, r.df, r.rank,
        CAST(COALESCE(s.lm_n_trans, 0) AS BIGINT) AS lm_n_trans,
@@ -2436,8 +2484,14 @@ SELECT r.doc_id, r.term, r.tf, r.df, r.rank,
        CAST(COALESCE(s.lm_unseen_hist, 0) AS BIGINT) AS lm_unseen_hist,
        CASE WHEN s.lm_n_trans > 0
             THEN CAST(s.lm_unseen_bigrams AS DOUBLE) / s.lm_n_trans
-       END AS lm_unseen_rate
-FROM ranked r LEFT JOIN lmsc s USING (doc_id)
+       END AS lm_unseen_rate,
+       CAST(COALESCE(kn.kn_n_tri, 0) AS BIGINT) AS kn_n_tri,
+       CAST(COALESCE(kn.kn_unseen_tri, 0) AS BIGINT) AS kn_unseen_tri,
+       CAST(COALESCE(kn.kn_unseen_hist, 0) AS BIGINT) AS kn_unseen_hist,
+       CAST(COALESCE(kn.kn_cont_sum, 0) AS BIGINT) AS kn_cont_sum
+FROM ranked r
+LEFT JOIN lmsc s USING (doc_id)
+LEFT JOIN knsc kn USING (doc_id)
 WHERE r.rank <= 3
 """
 

@@ -264,6 +264,266 @@ def perplexity_filter(
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney trigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1999) — the smoothing KenLM implements, i.e. the model CCNet actually
+# filters with; the add-k bigram above is the cheap sibling.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class KneserNeyLM:
+    """A fitted interpolated-KN trigram model; every table stays a
+    DataFrame with ONE row per key (joins fan out 1:1, no skew
+    amplification), and the only driver-side values are seven scalars
+    from 1-row aggregates.
+
+    All lower-order structures derive from the TRIGRAM TYPE table, which
+    keeps the three interpolation levels exactly normalized:
+
+    - ``tri``     (w1, w2, w3, c123): trigram occurrence counts.
+    - ``hist``    (w1, w2, h12, nf12): history occurrence total
+      (h12 = Σ_w3 c123) and follower-type count N1+(w1 w2 •).
+    - ``contbig`` (w2, w3, cb23): continuation count N1+(• w2 w3) —
+      distinct predecessors of the bigram.
+    - ``mid``     (w2, md2, nf2): middle-order denominator
+      N1+(• w2 •) = Σ_w3 cb23 and follower-type count.
+    - ``contuni`` (w3, cu3): unigram continuation count N1+(• w3)
+      within the trigram-derived bigram types.
+    - ``nb`` = Σ cu3 (distinct (w2, w3) types), ``u`` = distinct w3 with
+      cu3 > 0, ``vocab_size`` = V (distinct training tokens).
+    - ``d3/d2/d1``: per-order absolute discounts, the Ney estimate
+      n1/(n1 + 2·n2) over that order's count-of-counts.
+
+    P(w3|w1 w2) = [max(c123−D3,0) + D3·nf12·P(w3|w2)] / h12
+    P(w3|w2)    = [max(cb23−D2,0) + D2·nf2·P(w3)] / md2
+    P(w3)       = [max(cu3−D1,0) + D1·U/(V+1)] / NB
+
+    each level backing off wholesale when its denominator is absent
+    (unseen history / unseen middle word). The (V+1) cell count gives
+    every OOV token one uniform share, so each level sums to exactly 1
+    over the V seen words plus an OOV bucket.
+    """
+
+    tri: DataFrame
+    hist: DataFrame
+    contbig: DataFrame
+    mid: DataFrame
+    contuni: DataFrame
+    nb: int
+    u: int
+    vocab_size: int
+    d3: float
+    d2: float
+    d1: float
+
+
+def _doc_trigrams(toks: DataFrame, id_col: str) -> DataFrame:
+    """Explode each doc's adjacent token triples, array-side like
+    :func:`_transitions` (slice+zip: map-only, no shuffle)."""
+    triples = F.arrays_zip(
+        F.slice(F.col("__t"), 1, F.size("__t") - 2).alias("w1"),
+        F.slice(F.col("__t"), 2, F.size("__t") - 2).alias("w2"),
+        F.slice(F.col("__t"), 3, F.size("__t") - 2).alias("w3"),
+    )
+    return (
+        toks.filter(F.size("__t") >= 3)
+        .select(F.col(id_col), F.explode(triples).alias("__p"))
+        .select(
+            id_col,
+            F.col("__p.w1").alias("w1"),
+            F.col("__p.w2").alias("w2"),
+            F.col("__p.w3").alias("w3"),
+        )
+    )
+
+
+def _ney_discount(counts: DataFrame, col: str) -> float:
+    """Ney absolute-discount estimate D = n1 / (n1 + 2·n2) from the
+    count-of-counts of one order (one 1-row aggregate)."""
+    row = counts.agg(
+        F.sum(F.when(F.col(col) == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col(col) == 2, 1).otherwise(0)).alias("n2"),
+    ).first()
+    n1, n2 = int(row["n1"] or 0), int(row["n2"] or 0)
+    return n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.5
+
+
+def kneser_ney_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> KneserNeyLM:
+    """Fit the interpolated-KN trigram model on ``df``'s text.
+
+    One explode → trigram groupBy does the heavy counting (map-side
+    combine; the shuffle carries (w1,w2,w3, partial-count), never text);
+    every lower-order table is a further aggregation OF THE TRIGRAM
+    TABLE, so the corpus is scanned once for the n-gram structure plus
+    once for V. The trigram type table is persisted while the derived
+    aggregates and the five scalar jobs run, then handed over still
+    cached — call ``release_kn(lm)`` / unpersist when done scoring.
+
+    100 TB story: identical to ngram_lm_fit's — model tables are
+    1-row-per-key DataFrames joined by key, AQE broadcasts small models
+    and shuffle-joins corpus-scale ones; no driver-side model object
+    ever materializes."""
+    toks = _doc_tokens(df, id_col, text_col)
+    tri = (
+        _doc_trigrams(toks, id_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .persist()
+    )
+    hist = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("h12"), F.count(F.lit(1)).alias("nf12")
+    )
+    contbig = tri.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("cb23")
+    )
+    mid = contbig.groupBy("w2").agg(
+        F.sum("cb23").alias("md2"), F.count(F.lit(1)).alias("nf2")
+    )
+    contuni = contbig.groupBy("w3").agg(F.count(F.lit(1)).alias("cu3"))
+    nb_u = contuni.agg(
+        F.sum("cu3").alias("nb"), F.count(F.lit(1)).alias("u")
+    ).first()
+    v = toks.select(F.explode("__t").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    ).first()["v"]
+    return KneserNeyLM(
+        tri=tri,
+        hist=hist,
+        contbig=contbig,
+        mid=mid,
+        contuni=contuni,
+        nb=int(nb_u["nb"] or 0),
+        u=int(nb_u["u"] or 0),
+        vocab_size=int(v or 0),
+        d3=_ney_discount(tri, "c123"),
+        d2=_ney_discount(contbig, "cb23"),
+        d1=_ney_discount(contuni, "cu3"),
+    )
+
+
+def release_kn(lm: KneserNeyLM) -> None:
+    """Unpersist the trigram type table kneser_ney_fit cached."""
+    lm.tri.unpersist()
+
+
+def kneser_ney_score(
+    df: DataFrame,
+    lm: KneserNeyLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document interpolated-KN trigram score frame.
+
+    Columns (one row per input doc):
+
+    * ``kn_n_tri`` — trigram transitions (0 for docs under 3 tokens).
+    * ``kn_unseen_tri`` — transitions whose trigram the model never saw.
+    * ``kn_unseen_hist`` — transitions whose (w1, w2) history is unseen
+      (the full-backoff-to-bigram path).
+    * ``kn_cont_sum`` — Σ over transitions of the bigram continuation
+      count N1+(• w2 w3) (0 when unseen): an INTEGER that exercises the
+      continuation tables end-to-end, so the driver oracle can recompute
+      it without any float arithmetic.
+    * ``kn_bits_per_token`` — mean of −log2 P(w3|w1 w2); NULL when
+      kn_n_tri = 0.  ``kn_ppl`` = 2^kn_bits_per_token.
+
+    Five 1-row-per-key equi-joins (trigram, history, continuation,
+    middle, unigram-continuation); per-doc reduction first collapses to
+    exact INTEGER model-count cells with multiplicities, then folds the
+    float log terms over a sorted cell array — bit-reproducible across
+    partitionings, like ngram_lm_score."""
+    d3, d2, d1 = float(lm.d3), float(lm.d2), float(lm.d1)
+    uni_mass = d1 * lm.u / (lm.vocab_size + 1) if lm.nb else 0.0
+
+    toks = _doc_tokens(df, id_col, text_col)
+    base = toks.select(id_col)  # one output row per input doc, always
+    tr = (
+        _doc_trigrams(toks, id_col)
+        .join(lm.tri, ["w1", "w2", "w3"], "left")
+        .join(lm.hist, ["w1", "w2"], "left")
+        .join(lm.contbig, ["w2", "w3"], "left")
+        .join(lm.mid, ["w2"], "left")
+        .join(lm.contuni, ["w3"], "left")
+        .select(
+            id_col,
+            F.coalesce("c123", F.lit(0)).alias("c123"),
+            F.coalesce("h12", F.lit(0)).alias("h12"),
+            F.coalesce("nf12", F.lit(0)).alias("nf12"),
+            F.coalesce("cb23", F.lit(0)).alias("cb23"),
+            F.coalesce("md2", F.lit(0)).alias("md2"),
+            F.coalesce("nf2", F.lit(0)).alias("nf2"),
+            F.coalesce("cu3", F.lit(0)).alias("cu3"),
+        )
+    )
+    cells = (
+        tr.groupBy(id_col, "c123", "h12", "nf12", "cb23", "md2", "nf2", "cu3")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("kn_n_tri"),
+            F.sum(F.when(F.col("c123") == 0, F.col("m")).otherwise(0)).alias(
+                "kn_unseen_tri"
+            ),
+            F.sum(F.when(F.col("h12") == 0, F.col("m")).otherwise(0)).alias(
+                "kn_unseen_hist"
+            ),
+            F.sum(F.col("cb23") * F.col("m")).alias("kn_cont_sum"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("c123", "h12", "nf12", "cb23", "md2", "nf2",
+                             "cu3", "m")
+                )
+            ).alias("__cells"),
+        )
+    )
+
+    def _p(s):
+        uni = (
+            F.greatest(s["cu3"] - F.lit(d1), F.lit(0.0)) + F.lit(uni_mass)
+        ) / F.lit(float(lm.nb) if lm.nb else 1.0)
+        mid = F.when(
+            s["md2"] > 0,
+            (
+                F.greatest(s["cb23"] - F.lit(d2), F.lit(0.0))
+                + F.lit(d2) * s["nf2"] * uni
+            )
+            / s["md2"],
+        ).otherwise(uni)
+        return F.when(
+            s["h12"] > 0,
+            (
+                F.greatest(s["c123"] - F.lit(d3), F.lit(0.0))
+                + F.lit(d3) * s["nf12"] * mid
+            )
+            / s["h12"],
+        ).otherwise(mid)
+
+    bits_sum = F.aggregate(
+        "__cells",
+        F.lit(0.0),
+        lambda acc, s: acc + s["m"].cast("double") * -F.log2(_p(s)),
+    )
+    scored = (
+        cells.withColumn("kn_bits_per_token", bits_sum / F.col("kn_n_tri"))
+        .withColumn("kn_ppl", F.pow(F.lit(2.0), F.col("kn_bits_per_token")))
+        .drop("__cells")
+    )
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("kn_n_tri", F.lit(0)).alias("kn_n_tri"),
+        F.coalesce("kn_unseen_tri", F.lit(0)).alias("kn_unseen_tri"),
+        F.coalesce("kn_unseen_hist", F.lit(0)).alias("kn_unseen_hist"),
+        F.coalesce("kn_cont_sum", F.lit(0)).alias("kn_cont_sum"),
+        "kn_bits_per_token",
+        "kn_ppl",
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
 

@@ -409,3 +409,152 @@ def test_lm_and_packer_null_text(spark, corpus):
     assert set(got) == {1, 2, 3}
     assert got[2]["n_tokens"] is None and got[2]["bits_per_token"] is None
     assert got[1]["n_trans"] == 3 and got[3]["n_trans"] == 3
+
+
+# ------------------------------------------- Kneser-Ney trigram (r10)
+
+
+def _fit_kn_py(rows):
+    """Pure-python reference of kneser_ney_fit's exact definition."""
+    tri = Counter()
+    vocab = set()
+    for _, text in rows:
+        t = _toks(text)
+        vocab.update(t)
+        tri.update(zip(t, t[1:], t[2:]))
+    hist, contbig = {}, Counter()
+    for (w1, w2, w3), c in tri.items():
+        h = hist.setdefault((w1, w2), [0, 0])
+        h[0] += c
+        h[1] += 1
+        contbig[(w2, w3)] += 1
+    mid, contuni = {}, Counter()
+    for (w2, w3), cb in contbig.items():
+        m = mid.setdefault(w2, [0, 0])
+        m[0] += cb
+        m[1] += 1
+        contuni[w3] += 1
+
+    def disc(counter):
+        n1 = sum(1 for c in counter.values() if c == 1)
+        n2 = sum(1 for c in counter.values() if c == 2)
+        return n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.5
+
+    return dict(
+        tri=tri, hist=hist, contbig=contbig, mid=mid, contuni=contuni,
+        nb=sum(contuni.values()), u=len(contuni), V=len(vocab),
+        d3=disc(tri), d2=disc(contbig), d1=disc(contuni),
+    )
+
+
+def _p_kn_py(m, w1, w2, w3):
+    c123 = m["tri"].get((w1, w2, w3), 0)
+    h12, nf12 = m["hist"].get((w1, w2), (0, 0))
+    cb23 = m["contbig"].get((w2, w3), 0)
+    md2, nf2 = m["mid"].get(w2, (0, 0))
+    cu3 = m["contuni"].get(w3, 0)
+    uni = (
+        max(cu3 - m["d1"], 0.0) + m["d1"] * m["u"] / (m["V"] + 1)
+    ) / (m["nb"] or 1)
+    midp = (
+        (max(cb23 - m["d2"], 0.0) + m["d2"] * nf2 * uni) / md2
+        if md2 > 0 else uni
+    )
+    return (
+        (max(c123 - m["d3"], 0.0) + m["d3"] * nf12 * midp) / h12
+        if h12 > 0 else midp
+    )
+
+
+def _score_kn_py(rows, m):
+    out = {}
+    for did, text in rows:
+        t = _toks(text)
+        tris = list(zip(t, t[1:], t[2:]))
+        n, u_tri, u_hist, cont_sum, bits = len(tris), 0, 0, 0, 0.0
+        for w1, w2, w3 in tris:
+            u_tri += m["tri"].get((w1, w2, w3), 0) == 0
+            u_hist += m["hist"].get((w1, w2), (0, 0))[0] == 0
+            cont_sum += m["contbig"].get((w2, w3), 0)
+            bits += -math.log2(_p_kn_py(m, w1, w2, w3))
+        out[did] = (n, u_tri, u_hist, cont_sum, bits / n if n else None)
+    return out
+
+
+def test_kn_fit_tables_and_discounts_exact(spark, corpus):
+    rows, df, _tr, _t = corpus
+    m = L.kneser_ney_fit(df)
+    py = _fit_kn_py(rows)
+    got_tri = {(r["w1"], r["w2"], r["w3"]): r["c123"] for r in m.tri.collect()}
+    assert got_tri == dict(py["tri"])
+    got_hist = {(r["w1"], r["w2"]): [r["h12"], r["nf12"]] for r in m.hist.collect()}
+    assert got_hist == py["hist"]
+    got_cb = {(r["w2"], r["w3"]): r["cb23"] for r in m.contbig.collect()}
+    assert got_cb == dict(py["contbig"])
+    got_mid = {r["w2"]: [r["md2"], r["nf2"]] for r in m.mid.collect()}
+    assert got_mid == py["mid"]
+    got_cu = {r["w3"]: r["cu3"] for r in m.contuni.collect()}
+    assert got_cu == dict(py["contuni"])
+    assert (m.nb, m.u, m.vocab_size) == (py["nb"], py["u"], py["V"])
+    # Ney discounts are ratios of exact integers: equal exactly
+    assert (m.d3, m.d2, m.d1) == (py["d3"], py["d2"], py["d1"])
+    L.release_kn(m)
+
+
+def test_kn_score_differential(spark, corpus):
+    """Model on the even half, scored over everything (the odd half
+    exercises unseen trigram/history/continuation backoff paths), vs the
+    pure-python reference: integers EXACT, bits within 1e-9 relative."""
+    rows, df, train, train_df = corpus
+    m = L.kneser_ney_fit(train_df)
+    py = _score_kn_py(rows, _fit_kn_py(train))
+    got = {r["doc_id"]: r for r in L.kneser_ney_score(df, m).collect()}
+    assert set(got) == set(py)
+    backoff_seen = 0
+    for did, (n, u_tri, u_hist, cont_sum, bits) in py.items():
+        g = got[did]
+        assert (g["kn_n_tri"], g["kn_unseen_tri"], g["kn_unseen_hist"],
+                g["kn_cont_sum"]) == (n, u_tri, u_hist, cont_sum), did
+        if bits is None:
+            assert g["kn_bits_per_token"] is None
+        else:
+            assert g["kn_bits_per_token"] == pytest.approx(bits, rel=1e-9)
+            assert g["kn_ppl"] == pytest.approx(2.0 ** bits, rel=1e-9)
+        backoff_seen += u_hist
+    assert backoff_seen > 0  # the odd half actually hit the backoff path
+    L.release_kn(m)
+
+
+def test_kn_distribution_sums_to_one(spark, corpus):
+    """Spec-level invariant: for any history, P summed over the V seen
+    words plus one OOV cell is exactly 1 at every interpolation level —
+    checked through the pure-python twin the Spark differential pins."""
+    rows, _df, _tr, _t = corpus
+    m = _fit_kn_py(rows)
+    vocab = sorted({w for _i, tx_ in rows for w in _toks(tx_)})
+    cells = vocab + ["__oov__"]
+
+    # a seen history, a seen-middle-only history, and an unseen one
+    (h1, h2), _ = next(iter(m["hist"].items()))
+    for w1, w2 in [(h1, h2), ("__oov__", h2), ("__oov__", "__oov__")]:
+        total = sum(_p_kn_py(m, w1, w2, w3) for w3 in cells)
+        assert total == pytest.approx(1.0, rel=1e-9), (w1, w2)
+
+
+def test_kn_short_docs_and_reproducibility(spark, corpus):
+    rows, df, _tr, _t = corpus
+    m = L.kneser_ney_fit(df)
+    extra = spark.createDataFrame(
+        [(900, ""), (901, "one"), (902, "two tokens")],
+        "doc_id INT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in L.kneser_ney_score(extra, m).collect()}
+    for did in (901, 902):
+        assert got[did]["kn_n_tri"] == 0
+        assert got[did]["kn_bits_per_token"] is None
+    a = L.kneser_ney_score(df, m).collect()
+    b = L.kneser_ney_score(df.repartition(13), m).collect()
+    am = {r["doc_id"]: r["kn_bits_per_token"] for r in a}
+    bm = {r["doc_id"]: r["kn_bits_per_token"] for r in b}
+    assert am == bm  # bit-identical across partitionings (sorted fold)
+    L.release_kn(m)
