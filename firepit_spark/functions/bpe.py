@@ -336,3 +336,364 @@ def bpe_decode_ids(ids: list, model: BpeModel) -> str:
         .replace(END_OF_WORD, " ")
         .strip()
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018; the SentencePiece 'unigram' model) —
+# BPE's sibling: instead of learning merges bottom-up, start from a large
+# seed vocabulary of frequent substrings and iteratively (a) re-estimate
+# piece probabilities with EM whose E-step is the Viterbi segmentation of
+# every distinct word, (b) prune the pieces whose removal costs the least
+# corpus likelihood, until the target vocabulary size remains.
+# ---------------------------------------------------------------------------
+
+# log-prob assigned to a single character the model has never seen —
+# large enough to never beat a real piece, finite so encode still
+# segments around it deterministically
+_UNK_LOGP = -1.0e4
+
+
+@dataclass
+class UnigramModel:
+    """Learned piece log-probabilities plus the derived id vocab.
+
+    Like :class:`BpeModel`, a tokenizer model is small by nature
+    (vocab_size × a few bytes) — driver-side, broadcast into encode
+    tasks; ids reserve 0/1 for PAD/EOS so encodings drop straight into
+    ``pipeline.pack_token_sequences``.
+    """
+
+    pieces: dict  # piece -> natural-log probability
+    vocab: dict = field(default_factory=dict)  # piece -> id (>= 2)
+
+    @property
+    def id_to_piece(self) -> dict:
+        return {i: s for s, i in self.vocab.items()}
+
+
+def _viterbi_segment(chars: str, logp: dict, max_len: int, allow_unk: bool):
+    """Best segmentation of ``chars`` under piece log-probs: maximize the
+    sum of logp over pieces.  Deterministic tie-break: ascending start
+    positions with strict improvement, so equal-score splits prefer the
+    LONGEST final piece.  ``allow_unk`` lets unseen single characters
+    segment with :data:`_UNK_LOGP` (the encode path; during training all
+    single characters are in the vocabulary by construction)."""
+    n = len(chars)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = chars[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if allow_unk and i - j == 1:
+                    lp = _UNK_LOGP
+                else:
+                    continue
+            sc = best[j] + lp
+            if sc > best[i]:
+                best[i] = sc
+                back[i] = j
+    if best[n] == neg:
+        return (), neg  # unsegmentable (training never hits this)
+    out = []
+    i = n
+    while i > 0:
+        out.append(chars[back[i]:i])
+        i = back[i]
+    out.reverse()
+    return tuple(out), best[n]
+
+
+def _unigram_estep(words: DataFrame, logp: dict, max_len: int) -> dict:
+    """One Viterbi E-step over the distributed (word, freq) table:
+    Arrow-batched ``mapInPandas`` with the piece table in the task
+    closure (tokenizer-sized), per-batch word memo, partial counts
+    pre-aggregated INSIDE each batch so the shuffle carries
+    (piece, partial-count) rows bounded by the vocab, and a final
+    groupBy-sum whose integer result (bounded by the piece count) is the
+    only thing collected."""
+
+    def run(batches):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in batches:
+            agg: dict = {}
+            for w, fr in zip(pdf["w"], pdf["freq"]):
+                if w not in memo:
+                    # the words table already carries END_OF_WORD
+                    memo[w] = _viterbi_segment(
+                        w, logp, max_len, allow_unk=False
+                    )[0]
+                for piece in memo[w]:
+                    agg[piece] = agg.get(piece, 0) + int(fr)
+            if agg:
+                yield pd.DataFrame(
+                    {"piece": list(agg), "n": list(agg.values())}
+                )
+
+    counted = (
+        words.mapInPandas(run, schema="piece string, n long")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    return {r["piece"]: int(r["n"]) for r in counted}
+
+
+def _unigram_mstep(counts: dict, required: set) -> dict:
+    """Counts -> log-probs.  Pieces with zero Viterbi usage drop out,
+    EXCEPT required single characters (full-coverage guarantee), which
+    keep half a count so their probability stays positive."""
+    import math
+
+    eff = {}
+    for piece, c in counts.items():
+        if c > 0:
+            eff[piece] = float(c)
+    for ch in required:
+        if ch not in eff:
+            eff[ch] = 0.5
+    total = sum(eff.values())
+    return {p: math.log(c / total) for p, c in sorted(eff.items())}
+
+
+def _unigram_prune(logp: dict, counts: dict, required: set, target: int,
+                   max_len: int) -> dict:
+    """Keep the ``target`` pieces whose removal would cost the corpus
+    likelihood most (Kudo's loss approximation): for multi-char piece x,
+    loss(x) = count(x) · (logp(x) − alt(x)) where alt(x) is the Viterbi
+    score of segmenting x's own string with every OTHER piece — the
+    likelihood its occurrences fall back to.  Required single characters
+    are never pruned.  Driver-side over the model (vocab_size² · L work
+    on a tokenizer-sized table, never the corpus)."""
+    cands = []
+    for piece, lp in logp.items():
+        if piece in required and len(piece) == 1:
+            continue
+        others = dict(logp)
+        del others[piece]
+        _segs, alt = _viterbi_segment(piece, others, max_len,
+                                      allow_unk=False)
+        loss = counts.get(piece, 0) * (lp - alt)  # alt may be -inf
+        cands.append((loss, piece))
+    keep_n = target - len([p for p in logp if p in required and len(p) == 1])
+    # highest loss = most valuable; ties break on the piece string
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    kept = {p for _l, p in cands[:max(keep_n, 0)]}
+    return {p: lp for p, lp in logp.items()
+            if p in kept or (p in required and len(p) == 1)}
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    em_rounds: int = 2,
+    shrink: float = 0.75,
+    min_piece_count: int = 2,
+) -> UnigramModel:
+    """Train a SentencePiece-style unigram-LM tokenizer on ``df``'s text.
+
+    Distribution strategy (the BPE module docstring's sibling):
+
+    1. **One corpus pass** aggregates text to the (word, freq) table —
+       the only stage that touches every document; it is persisted and
+       re-read by every EM round.
+    2. **Seeding** explodes each distinct word's substrings (length ≤
+       ``max_piece_len``) weighted by word frequency — a vocab-table-
+       sized job — and keeps the top ``seed_size`` (default
+       4·vocab_size) by (weight desc, piece asc), plus every single
+       character (full coverage, never pruned).
+    3. **EM**: each round's E-step Viterbi-segments every distinct word
+       in Arrow batches with the current piece table in the closure
+       (:func:`_unigram_estep` — the shuffle carries (piece, count)
+       rows, the collect is piece-table-sized, exactly the bounded-fold
+       contract bpe_train's per-round collect documents); the M-step
+       renormalizes counts driver-side.  After each round, if the table
+       is still above ``vocab_size``, the least-loss pieces are pruned
+       (:func:`_unigram_prune`) down to ``max(vocab_size,
+       shrink·current)``; EM keeps running until the size target AND
+       ``em_rounds`` minimum iterations are both met.
+    4. Ids: pieces sorted, 0/1 reserved for PAD/EOS.
+
+    Unlike bpe_train, NO per-round lineage truncation is needed: BPE
+    rewrites the distributed vocab table every round (k rounds nest k
+    merge-fold projections without checkpointing), whereas unigram EM
+    leaves the persisted (word, freq) table untouched — the only
+    per-round state is the driver-side piece table, so every round's
+    plan is exactly one mapInPandas + groupBy over the cached table.
+
+    Determinism: integer seed/E-step counts, total orders on every sort,
+    and a fixed Viterbi tie-break — the same corpus yields the same
+    model on any engine or partitioning (differential-tested against a
+    pure-python reference, tests/test_bpe.py)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if not 0 < shrink < 1:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    if seed_size is None:
+        seed_size = 4 * vocab_size
+    import math
+
+    words = _word_freqs(df, text_col).select(
+        F.concat("w", F.lit(END_OF_WORD)).alias("w"), "freq"
+    ).persist()
+    try:
+        # freq-weighted per-character totals: IDENTICAL to what the
+        # substring table computes for length-1 pieces, so a required
+        # char that missed the seed's top-k joins with the same weight
+        char_rows = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.filter(F.split("w", ""), lambda s: s != "")
+                ).alias("c"),
+            )
+            .groupBy("c")
+            .agg(F.sum("freq").alias("n"))
+            .collect()
+        )
+        char_counts = {r["c"]: int(r["n"]) for r in char_rows}
+        required = set(char_counts)
+        if not required:
+            raise ValueError("empty corpus: no characters to train on")
+
+        # substring seed candidates, weighted by word frequency
+        subs = words.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("w") - i + 1,
+                                ),
+                            ),
+                            lambda ln: F.substring(F.col("w"), i, ln),
+                        ),
+                    )
+                )
+            ).alias("piece"),
+        )
+        seed_rows = (
+            subs.groupBy("piece")
+            .agg(F.sum("freq").alias("n"))
+            .filter(
+                (F.length("piece") == 1) | (F.col("n") >= min_piece_count)
+            )
+            .orderBy(F.col("n").desc(), "piece")
+            .limit(int(seed_size) + len(required))
+            .collect()
+        )
+        seed = {r["piece"]: int(r["n"]) for r in seed_rows}
+        for ch, cn in char_counts.items():
+            seed.setdefault(ch, cn)
+        total = sum(seed.values())
+        logp = {p: math.log(c / total) for p, c in sorted(seed.items())}
+
+        rounds = 0
+        # geometric shrink: bounded rounds even from a huge seed
+        max_rounds = em_rounds + int(
+            math.log(max(len(logp) / vocab_size, 1)) / -math.log(shrink)
+        ) + 2
+        while True:
+            counts = _unigram_estep(words, logp, max_piece_len)
+            logp = _unigram_mstep(counts, required)
+            rounds += 1
+            if len(logp) > vocab_size:
+                target = max(vocab_size, int(len(logp) * shrink))
+                logp = _unigram_prune(logp, counts, required, target,
+                                      max_piece_len)
+            elif rounds >= em_rounds:
+                break
+            if rounds >= max_rounds:
+                break
+    finally:
+        words.unpersist()
+
+    vocab = {}
+    nid = 2  # 0=PAD, 1=EOS reserved (pack_token_sequences convention)
+    for p in sorted(logp):
+        vocab[p] = nid
+        nid += 1
+    return UnigramModel(pieces=logp, vocab=vocab)
+
+
+def unigram_encode(
+    df: DataFrame,
+    model: UnigramModel,
+    text_col: str = "text",
+    out_col: str = "unigram_ids",
+    unk_id: int | None = None,
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Append ``out_col``: the unigram-LM token-id array
+    (``array<bigint>``) of each row's text — :func:`bpe_encode`'s exact
+    contract (JVM-side ``tx.tokens`` pre-tokenization so encode
+    segments match training, Arrow ``mapInPandas`` with the piece table
+    in the closure, per-task word memo, unseen characters -> ``unk_id``
+    or skipped).  Output composes with
+    ``pipeline.pack_token_sequences(ids_col=out_col)``."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    logp = dict(model.pieces)
+    vocab = dict(model.vocab)
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(f"out_col {out_col!r} already exists in the input frame")
+    schema = StructType(fields + [StructField(out_col, ArrayType(LongType()))])
+    cols = [f.name for f in fields]
+    words_col = f"__uni_words_{out_col}"
+    with_words = df.withColumn(
+        words_col,
+        F.filter(tx.tokens(F.col(text_col)), lambda w: F.length(w) > 0),
+    )
+
+    def run(batches):
+        memo: dict = {}
+
+        def enc(words):
+            if words is None:
+                return None
+            ids = []
+            for w in words:
+                if w not in memo:
+                    memo[w] = _viterbi_segment(
+                        w + END_OF_WORD, logp, max_piece_len, allow_unk=True
+                    )[0]
+                for piece in memo[w]:
+                    i = vocab.get(piece)
+                    if i is not None:
+                        ids.append(i)
+                    elif unk_id is not None:
+                        ids.append(unk_id)
+            return ids
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[words_col].map(enc)
+            yield pdf[cols + [out_col]]
+
+    return with_words.mapInPandas(run, schema=schema)
+
+
+def unigram_decode_ids(ids: list, model: UnigramModel) -> str:
+    """Driver-side helper: ids back to text (spot checks / debugging)."""
+    inv = model.id_to_piece
+    return (
+        "".join(inv.get(i, "") for i in ids)
+        .replace(END_OF_WORD, " ")
+        .strip()
+    )

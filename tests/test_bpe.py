@@ -236,3 +236,188 @@ def test_bpe_encode_tokenizes_like_training(spark):
     # pre-fix encoder dropped the NBSP (Python split) and emitted
     # 'foo bar baz qux' instead
     assert bpe.bpe_decode_ids(ids, model) == nbsp_text
+
+
+# ----------------------------------------- unigram-LM tokenizer (r10)
+
+
+def _uni_train_py(texts, vocab_size, max_piece_len=8, seed_size=None,
+                  em_rounds=2, shrink=0.75, min_piece_count=2):
+    """Independent pure-python re-implementation of unigram_train's
+    documented definition (Kudo 2018, Viterbi hard-EM + loss pruning)."""
+    import math
+
+    if seed_size is None:
+        seed_size = 4 * vocab_size
+    wf = Counter(w for t in texts for w in _norm_words(t))
+    words = {w + EOW: f for w, f in wf.items()}
+    chars = Counter()
+    for w, f in words.items():
+        for c in w:
+            chars[c] += f
+    required = set(chars)
+
+    subs = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                subs[w[i:i + ln]] += f
+    cands = [(p, n) for p, n in subs.items()
+             if len(p) == 1 or n >= min_piece_count]
+    cands.sort(key=lambda kv: (-kv[1], kv[0]))
+    seed = dict(cands[:seed_size + len(required)])
+    for ch, cn in chars.items():
+        seed.setdefault(ch, cn)
+    total = sum(seed.values())
+    logp = {p: math.log(c / total) for p, c in sorted(seed.items())}
+
+    def viterbi(s, table, allow_unk=False):
+        neg = float("-inf")
+        best = [neg] * (len(s) + 1)
+        best[0] = 0.0
+        back = [0] * (len(s) + 1)
+        for i in range(1, len(s) + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                lp = table.get(s[j:i])
+                if lp is None:
+                    if allow_unk and i - j == 1:
+                        lp = -1.0e4
+                    else:
+                        continue
+                if best[j] + lp > best[i]:
+                    best[i] = best[j] + lp
+                    back[i] = j
+        if best[len(s)] == neg:
+            return (), neg
+        out, i = [], len(s)
+        while i > 0:
+            out.append(s[back[i]:i])
+            i = back[i]
+        return tuple(reversed(out)), best[len(s)]
+
+    rounds = 0
+    max_rounds = em_rounds + int(
+        math.log(max(len(logp) / vocab_size, 1)) / -math.log(shrink)
+    ) + 2
+    while True:
+        counts = Counter()
+        for w, f in words.items():
+            for piece in viterbi(w, logp)[0]:
+                counts[piece] += f
+        eff = {p: float(c) for p, c in counts.items() if c > 0}
+        for ch in required:
+            eff.setdefault(ch, 0.5)
+        total = sum(eff.values())
+        logp = {p: math.log(c / total) for p, c in sorted(eff.items())}
+        rounds += 1
+        if len(logp) > vocab_size:
+            target = max(vocab_size, int(len(logp) * shrink))
+            cands2 = []
+            for piece, lp in logp.items():
+                if piece in required and len(piece) == 1:
+                    continue
+                others = dict(logp)
+                del others[piece]
+                _s, alt = viterbi(piece, others)
+                cands2.append((counts.get(piece, 0) * (lp - alt), piece))
+            keep_n = target - len(
+                [p for p in logp if p in required and len(p) == 1]
+            )
+            cands2.sort(key=lambda t: (-t[0], t[1]))
+            kept = {p for _l, p in cands2[:max(keep_n, 0)]}
+            logp = {p: lp for p, lp in logp.items()
+                    if p in kept or (p in required and len(p) == 1)}
+        elif rounds >= em_rounds:
+            break
+        if rounds >= max_rounds:
+            break
+    return logp, viterbi
+
+
+@pytest.fixture(scope="module")
+def uni_corpus(spark):
+    rng = random.Random(47)
+    stems = ["walk", "talk", "jump", "read", "play", "work"]
+    sufs = ["", "ing", "ed", "s", "er"]
+    rows = [
+        (
+            i,
+            " ".join(
+                rng.choice(stems) + rng.choice(sufs)
+                for _ in range(rng.randint(2, 10))
+            ),
+        )
+        for i in range(80)
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_train_matches_python_reference_exactly(spark, uni_corpus):
+    """Piece set AND log-probabilities must be bit-identical to the
+    independent reference: both sides reduce to exact integer counts
+    first, then take math.log of the same ratios in the same order."""
+    rows, df = uni_corpus
+    m = bpe.unigram_train(df, vocab_size=40, seed_size=160, em_rounds=2)
+    py_logp, _vit = _uni_train_py(
+        [t for _i, t in rows], vocab_size=40, seed_size=160, em_rounds=2
+    )
+    assert set(m.pieces) == set(py_logp)
+    for p in py_logp:
+        assert m.pieces[p] == py_logp[p], p  # EXACT float equality
+    # vocab ids: sorted pieces, 0/1 reserved
+    assert m.vocab == {p: i + 2 for i, p in enumerate(sorted(py_logp))}
+    # the model learned real subword structure, not just characters
+    assert any(len(p) > 2 for p in m.pieces)
+    import math
+    assert sum(math.exp(lp) for lp in m.pieces.values()) == pytest.approx(1.0)
+
+
+def test_unigram_encode_matches_reference_viterbi(spark, uni_corpus):
+    rows, df = uni_corpus
+    m = bpe.unigram_train(df, vocab_size=40, seed_size=160, em_rounds=2)
+    py_logp, vit = _uni_train_py(
+        [t for _i, t in rows], vocab_size=40, seed_size=160, em_rounds=2
+    )
+    enc = {
+        r["doc_id"]: list(r["uids"])
+        for r in bpe.unigram_encode(df, m, out_col="uids").collect()
+    }
+    for did, text in rows:
+        want = []
+        for w in _norm_words(text):
+            for piece in vit(w + EOW, py_logp, allow_unk=True)[0]:
+                want.append(m.vocab[piece])
+        assert enc[did] == want, did
+        # decode round-trips the normalized text
+        norm = " ".join(_norm_words(text))
+        assert bpe.unigram_decode_ids(enc[did], m) == norm
+
+
+def test_unigram_unknown_chars_and_validation(spark, uni_corpus):
+    _rows, df = uni_corpus
+    m = bpe.unigram_train(df, vocab_size=30, seed_size=100)
+    weird = spark.createDataFrame(
+        [(0, "walk zzqqx talk")], "doc_id long, text string"
+    )
+    with_unk = bpe.unigram_encode(weird, m, unk_id=1).first()["unigram_ids"]
+    skipped = bpe.unigram_encode(weird, m).first()["unigram_ids"]
+    assert with_unk.count(1) >= 4  # z z q q x never seen
+    assert 1 not in skipped and len(skipped) < len(with_unk)
+    with pytest.raises(ValueError):
+        bpe.unigram_encode(df.withColumn("uids", F.lit(1)), m, out_col="uids")
+    with pytest.raises(ValueError):
+        bpe.unigram_train(df, vocab_size=0)
+    with pytest.raises(ValueError):
+        bpe.unigram_train(df, vocab_size=10, shrink=1.5)
+
+
+def test_unigram_feeds_token_packer(spark, uni_corpus):
+    from firepit_spark.functions import pipeline as pl
+
+    _rows, df = uni_corpus
+    m = bpe.unigram_train(df, vocab_size=30, seed_size=100)
+    enc = bpe.unigram_encode(df, m)
+    packed = pl.pack_token_sequences(enc, 32, ids_col="unigram_ids")
+    rows = packed.collect()
+    assert rows and all(len(r["ids"]) == 32 for r in rows)
+    assert all(r["n_real"] <= 32 for r in rows)
