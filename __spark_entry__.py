@@ -1428,7 +1428,12 @@ def q39_media_probe(spark, sf_dir):
     oracle-recomputed from arithmetic. Since r10 a FLAC leg gates the
     pure-python LOSSLESS codec (functions/flac.py): per-doc mono/stereo
     signals through all four stereo decorrelation modes, multi-frame
-    streams, Rice partitions — exactness (not a bound) pinned per row."""
+    streams, Rice partitions — exactness (not a bound) pinned per row.
+    And a GIF leg gates the pure-python LZW codec (functions/gif.py):
+    per-doc single-frame and ANIMATED streams (interlace and the
+    diff-region + transparency optimization vary by doc_id), composed
+    back through gif_frames and exact-compared to the source frames —
+    GIF is palette-lossless, so gif_exact is pinned TRUE like FLAC's."""
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
@@ -1616,12 +1621,70 @@ def q39_media_probe(spark, sf_dir):
         schema="media_id long, flac_n_samples long, flac_rate int, "
         "flac_channels int, flac_exact boolean",
     )
+
+    # r10 GIF leg: per-doc grayscale gradient frames (<=200 palette
+    # entries by construction) through the pure-python GIF encoder —
+    # frame count, interlace, and the diff-region/transparency
+    # optimization vary by doc_id so single-frame, animated-plain, and
+    # animated-optimized streams are all on the gate — composed back via
+    # gif_frames and exact-compared to the source. LZW + palette is
+    # lossless, so gif_exact is pinned TRUE in the oracle; frame count
+    # and geometry are recomputed from the generation arithmetic.
+    def gif_leg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firepit_spark.functions import gif as gf
+
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 13, 8 + d % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = ((3 * xx + 5 * yy + d) % 200).astype("uint8")
+                n_frames = 1 + d % 3
+                frames = [np.stack([base, base, base], axis=-1)]
+                for j in range(1, n_frames):
+                    f = frames[-1].copy()
+                    r0 = (2 * j) % h
+                    band = ((base[r0 : r0 + 3] + 50 * j) % 200).astype(
+                        "uint8"
+                    )
+                    f[r0 : r0 + 3] = np.stack([band, band, band], axis=-1)
+                    frames.append(f)
+                blob = gf.gif_encode(
+                    frames,
+                    delays_cs=4,
+                    interlace=d % 3 == 0,
+                    optimize=d % 2 == 1 and n_frames > 1,
+                )
+                dec = gf.gif_frames(blob)
+                exact = len(dec) == n_frames and all(
+                    np.array_equal(a, b) for a, b in zip(frames, dec)
+                )
+                p = gf.gif_probe(blob)
+                recs.append(
+                    (d, p["width"], p["height"], p["n_frames"], bool(exact))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "gif_w", "gif_h", "gif_n_frames",
+                         "gif_exact"],
+            )
+
+    gifd = docs.mapInPandas(
+        gif_leg,
+        schema="media_id long, gif_w int, gif_h int, gif_n_frames int, "
+        "gif_exact boolean",
+    )
     return (
         probed.join(feats, "media_id")
         .join(vid, "media_id")
         .join(jpg, "media_id")
         .join(wav, "media_id")
         .join(flc, "media_id")
+        .join(gifd, "media_id")
         .select(
             F.col("media_id").alias("doc_id"),
             "mime_sniffed",
@@ -1645,6 +1708,10 @@ def q39_media_probe(spark, sf_dir):
             "flac_rate",
             "flac_channels",
             "flac_exact",
+            "gif_w",
+            "gif_h",
+            "gif_n_frames",
+            "gif_exact",
         )
     )
 
@@ -1696,7 +1763,14 @@ SELECT doc_id,
        CAST(300 + doc_id % 29 AS BIGINT) AS flac_n_samples,
        8000 AS flac_rate,
        CAST(1 + doc_id % 2 AS INT) AS flac_channels,
-       TRUE AS flac_exact
+       TRUE AS flac_exact,
+       -- GIF leg (r10): LZW + palette is lossless — geometry and frame
+       -- count from the generation arithmetic, exactness pinned TRUE so
+       -- any LZW/interlace/composition regression breaks the hash
+       CAST(w AS INT) AS gif_w,
+       CAST(h AS INT) AS gif_h,
+       CAST(1 + doc_id % 3 AS INT) AS gif_n_frames,
+       TRUE AS gif_exact
 FROM px
 GROUP BY doc_id, w, h
 """

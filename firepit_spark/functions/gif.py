@@ -1,0 +1,637 @@
+"""Pure-python GIF codec (GIF87a/GIF89a) — LZW, palettes, interlace,
+animation composition.
+
+The image sibling of :mod:`firepit_spark.functions.jpeg` (lossy DCT) and
+:mod:`firepit_spark.functions.flac` (lossless audio): a spec-pinned
+kernel for the one mainstream image container this repo could not decode
+without Pillow. GIF is palette-indexed and LZW is lossless, so — like
+FLAC — the round-trip gate is EXACT pixel equality, the strongest oracle
+an image codec can carry.
+
+Scope (decoder):
+
+* GIF87a and GIF89a, global and local color tables, interlaced and
+  sequential row order (T.81-style four-pass interlace per GIF89a
+  appendix E),
+* the full variable-width LZW scheme: deferred clear codes (a full
+  4096-entry table that keeps coding), the KwKwK self-referencing case,
+  early width growth synchronized with the table size,
+* animation: Graphic Control Extensions (delay, transparency index,
+  disposal methods 0/1 "leave", 2 "restore to background", 3 "restore
+  to previous"), NETSCAPE2.0 loop extension, frame regions composited
+  onto the logical-screen canvas,
+* per-row quarantine contract: malformed streams raise ``ValueError``
+  with a precise message; genuinely out-of-scope constructs raise
+  ``NotImplementedError`` (there are none in practice — GIF has no
+  optional codec features the way JPEG does).
+
+The fixture encoder emits everything the decoder consumes — interlace,
+local palettes, sub-256 palettes with exact index round-trip, animated
+streams with inter-frame diff optimization (changed-region bounding box
++ transparent-pixel carry-forward), explicit disposal methods and frame
+offsets — so tests can gate composition against hand-built numpy
+expectations instead of trusting the decoder to check itself.
+
+Reference parity note: the reference engine (firepit) has no multimodal
+surface at all — this module belongs to the brief's LLM-training-data
+pipeline families, not to reference parity.
+
+100 TB story: the codec is a per-row kernel invoked from Arrow
+``mapInPandas`` batches (``multimodal.decode_image`` /
+``video_frame_dhash``); outputs are scalar features and 64-bit hashes,
+so nothing downstream ever shuffles pixel bytes. Like the JPEG kernel,
+wild-corpus throughput prefers Pillow when installed; the pure-python
+path is the spec oracle and the no-dependency fallback, pixel-guarded by
+the caller so an adversarial giant frame quarantines instead of stalling
+an executor core.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+# Interlace passes per the GIF89a spec, appendix E: (row offset, step).
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+_MAX_CODE = 4096  # 12-bit LZW table bound (GIF89a appendix F)
+
+
+def _interlace_order(height: int) -> list:
+    """Display-row index for each stored row of an interlaced image."""
+    return [
+        r for off, step in _INTERLACE_PASSES for r in range(off, height, step)
+    ]
+
+
+# --------------------------------------------------------------------- LZW
+
+
+class _BitReaderLSB:
+    """LSB-first bit reader over the concatenated LZW sub-block bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        got = 0
+        while got < n:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF: LZW stream truncated mid-code")
+            take = min(n - got, 8 - self.bit)
+            v |= ((self.data[self.pos] >> self.bit) & ((1 << take) - 1)) << got
+            got += take
+            self.bit += take
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+def lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF variable-width LZW → ``n_pixels`` palette indices (uint8).
+
+    Width grows when the table reaches the current code capacity (the
+    decoder's table runs one entry behind the encoder's, so the trigger
+    is ``len(table) == 1 << width``); a full table keeps decoding at 12
+    bits until a clear code arrives (deferred clear). The KwKwK case
+    (``code == len(table)``) reconstructs ``prev + prev[0]``.
+    """
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"GIF: bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    br = _BitReaderLSB(data)
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code_size + 1
+    out: list = []
+    prev = None
+    while len(out) < n_pixels:
+        code = br.read(width)
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF: first LZW code after clear not a literal")
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and len(table) < _MAX_CODE:
+            entry = table[prev] + (table[prev][0],)  # KwKwK
+        else:
+            raise ValueError(f"GIF: LZW code {code} out of table range")
+        out.extend(entry)
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(table[prev] + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    if len(out) < n_pixels:
+        raise ValueError(
+            f"GIF: LZW data ended at {len(out)} of {n_pixels} pixels"
+        )
+    return np.asarray(out[:n_pixels], dtype=np.uint8)
+
+
+def lzw_encode(min_code_size: int, indices) -> bytes:
+    """Palette indices → GIF LZW bytes (no sub-block framing).
+
+    Emits a clear code first (per spec recommendation), grows the code
+    width when the next table slot crosses the current capacity, and
+    emits a clear + table reset when the 12-bit table fills. Exact
+    inverse of :func:`lzw_decode` (property-tested).
+    """
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"GIF: bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        if not 0 <= k < clear:
+            raise ValueError(f"GIF: index {k} exceeds LZW literal range")
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < _MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+            # the just-assigned code is next_code-1; once next_code would
+            # not fit, the NEXT emitted code might be it -> widen now
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- container
+
+
+def _read_subblocks(b: bytes, pos: int) -> tuple:
+    """Concatenate data sub-blocks starting at ``pos`` → (bytes, end)."""
+    chunks = []
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF: truncated inside data sub-blocks")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(b):
+            raise ValueError("GIF: truncated data sub-block")
+        chunks.append(b[pos:pos + n])
+        pos += n
+
+
+def _skip_subblocks(b: bytes, pos: int) -> int:
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF: truncated inside data sub-blocks")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n
+
+
+def _color_table(b: bytes, pos: int, size_bits: int) -> tuple:
+    n = 2 << size_bits
+    end = pos + 3 * n
+    if end > len(b):
+        raise ValueError("GIF: truncated color table")
+    pal = np.frombuffer(b[pos:end], dtype=np.uint8).reshape(n, 3)
+    return pal, end
+
+
+def gif_parse(content: bytes) -> dict:
+    """Low-level structural parse: header + raw per-frame records.
+
+    Returns ``{"version", "width", "height", "bg_index", "gct",
+    "loop", "frames": [{"left","top","w","h","interlace","lct",
+    "min_code_size","lzw","gce"}, ...]}`` without running LZW — probes
+    stay cheap; :func:`gif_frames` does the pixel work.
+    """
+    if len(content) < 13 or content[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF (bad signature)")
+    version = content[:6].decode("ascii")
+    width, height, packed, bg_index, _aspect = struct.unpack(
+        "<HHBBB", content[6:13]
+    )
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _color_table(content, pos, packed & 0x07)
+    frames: list = []
+    loop = None
+    gce = None
+    while pos < len(content):
+        block = content[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(content):
+                raise ValueError("GIF: truncated extension")
+            label = content[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                data, pos = _read_subblocks(content, pos)
+                if len(data) < 4:
+                    raise ValueError("GIF: short graphic control extension")
+                flags = data[0]
+                gce = {
+                    "disposal": (flags >> 2) & 0x07,
+                    "delay_cs": struct.unpack("<H", data[1:3])[0],
+                    "transparent_index": data[3] if flags & 0x01 else None,
+                }
+            elif label == 0xFF:  # application
+                data, pos = _read_subblocks(content, pos)
+                if data[:11] in (b"NETSCAPE2.0", b"ANIMEXTS1.0") and len(
+                    data
+                ) >= 14 and data[11] == 1:
+                    loop = struct.unpack("<H", data[12:14])[0]
+            else:  # comment / plain text / unknown: skip
+                pos = _skip_subblocks(content, pos)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(content):
+                raise ValueError("GIF: truncated image descriptor")
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", content[pos:pos + 9]
+            )
+            pos += 9
+            lct = None
+            if ipacked & 0x80:
+                lct, pos = _color_table(content, pos, ipacked & 0x07)
+            if w == 0 or h == 0:
+                raise ValueError("GIF: empty image descriptor")
+            if left + w > width or top + h > height:
+                raise ValueError("GIF: frame region exceeds logical screen")
+            if pos >= len(content):
+                raise ValueError("GIF: missing LZW minimum code size")
+            mcs = content[pos]
+            pos += 1
+            lzw, pos = _read_subblocks(content, pos)
+            frames.append(
+                {
+                    "left": left,
+                    "top": top,
+                    "w": w,
+                    "h": h,
+                    "interlace": bool(ipacked & 0x40),
+                    "lct": lct,
+                    "min_code_size": mcs,
+                    "lzw": lzw,
+                    "gce": gce,
+                }
+            )
+            gce = None
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return {
+        "version": version,
+        "width": width,
+        "height": height,
+        "bg_index": bg_index,
+        "gct": gct,
+        "loop": loop,
+        "frames": frames,
+    }
+
+
+def gif_probe(content: bytes) -> dict:
+    """Codec-free metadata: dims, frame count, loop, total duration."""
+    p = gif_parse(content)
+    delays = [
+        (f["gce"] or {}).get("delay_cs", 0) for f in p["frames"]
+    ]
+    return {
+        "version": p["version"],
+        "width": p["width"],
+        "height": p["height"],
+        "n_frames": len(p["frames"]),
+        "loop": p["loop"],
+        "animated": len(p["frames"]) > 1,
+        "duration_cs": int(sum(delays)),
+        "has_gct": p["gct"] is not None,
+    }
+
+
+def gif_frames(content: bytes) -> list:
+    """Composed full-canvas RGB frames, one per image block.
+
+    Composition contract (the common renderer interpretation, and the
+    exact inverse of :func:`gif_encode`'s ``optimize`` mode): the canvas
+    starts as the background color (GCT[bg] when a GCT exists, else
+    black); transparent-index pixels leave the canvas unchanged;
+    disposal 0/1 leave the drawn frame, 2 restores the frame's region to
+    the background color, 3 restores the pre-frame canvas.
+    """
+    p = gif_parse(content)
+    W, H = p["width"], p["height"]
+    gct = p["gct"]
+    if gct is not None and p["bg_index"] < len(gct):
+        bg = gct[p["bg_index"]]
+    else:
+        bg = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((H, W, 3), dtype=np.uint8)
+    canvas[:] = bg
+    out = []
+    for fr in p["frames"]:
+        pal = fr["lct"] if fr["lct"] is not None else gct
+        if pal is None:
+            raise ValueError("GIF: frame has no local or global color table")
+        gce = fr["gce"] or {}
+        disposal = gce.get("disposal", 0)
+        tidx = gce.get("transparent_index")
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        idx = lzw_decode(
+            fr["min_code_size"], fr["lzw"], fr["w"] * fr["h"]
+        ).reshape(fr["h"], fr["w"])
+        if fr["interlace"]:
+            order = np.asarray(_interlace_order(fr["h"]))
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: palette index out of range")
+        rgb = pal[idx]
+        region = canvas[
+            fr["top"]:fr["top"] + fr["h"], fr["left"]:fr["left"] + fr["w"]
+        ]
+        if tidx is not None:
+            mask = idx != tidx
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        out.append(canvas.copy())
+        if disposal == 2:
+            region[:] = bg
+        elif disposal == 3:
+            canvas = prev_canvas
+    return out
+
+
+def gif_decode(content: bytes) -> np.ndarray:
+    """First composed frame as (h, w, 3) uint8 — the ``decode_image``
+    entry point (animated streams go through :func:`gif_frames`)."""
+    return gif_frames(content)[0]
+
+
+# --------------------------------------------------------------- encoder
+
+
+def _as_rgb_frames(frames) -> list:
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    out = []
+    for f in frames:
+        f = np.asarray(f)
+        if f.dtype != np.uint8:
+            raise ValueError("GIF: frames must be uint8")
+        if f.ndim == 2:
+            f = np.stack([f, f, f], axis=-1)
+        if f.ndim != 3 or f.shape[2] != 3:
+            raise ValueError("GIF: frames must be (h, w) or (h, w, 3)")
+        out.append(f)
+    return out
+
+
+def _pack_rgb(f: np.ndarray) -> np.ndarray:
+    return (
+        f[..., 0].astype(np.uint32) << 16
+    ) | (f[..., 1].astype(np.uint32) << 8) | f[..., 2].astype(np.uint32)
+
+
+def _palette_block(pal: np.ndarray) -> tuple:
+    """Pad a (n,3) palette to a power-of-two table → (bytes, size_bits)."""
+    n = len(pal)
+    size = 2
+    bits = 0
+    while size < n:
+        size *= 2
+        bits += 1
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[:n] = pal
+    return table.tobytes(), bits
+
+
+def gif_encode(
+    frames,
+    delays_cs=None,
+    loop=None,
+    interlace: bool = False,
+    disposals=None,
+    offsets=None,
+    canvas=None,
+    optimize: bool = False,
+    local_palettes: bool = False,
+    bg_rgb=(0, 0, 0),
+) -> bytes:
+    """Fixture/sink encoder — exact inverse of :func:`gif_frames`.
+
+    ``frames``: one (h, w[, 3]) uint8 array or a list. Distinct colors
+    across all frames (plus ``bg_rgb``, plus one reserved transparent
+    slot when needed) must fit a 256-entry palette; quantize upstream
+    otherwise (this is a codec, not a quantizer).
+
+    ``optimize=True`` (animated only, full-canvas frames): each frame
+    after the first is encoded as the bounding box of pixels that
+    changed from the previous frame, with unchanged pixels inside the
+    box carried forward via a transparent index — the standard GIF
+    animation diff optimization. Decoding MUST reproduce the original
+    full frames exactly; tests gate that.
+
+    ``offsets``/``canvas``/``disposals`` place explicit sub-frames on a
+    larger logical screen with explicit disposal methods (for
+    composition tests); mutually exclusive with ``optimize``.
+    """
+    frames = _as_rgb_frames(frames)
+    n_frames = len(frames)
+    if n_frames == 0:
+        raise ValueError("GIF: no frames")
+    if optimize and (offsets is not None or canvas is not None):
+        raise ValueError("GIF: optimize and explicit offsets are exclusive")
+    if optimize and len({f.shape for f in frames}) != 1:
+        raise ValueError("GIF: optimize needs equal-shaped full frames")
+    if delays_cs is None:
+        delays_cs = [10] * n_frames if n_frames > 1 else [0]
+    elif isinstance(delays_cs, int):
+        delays_cs = [delays_cs] * n_frames
+    if disposals is None:
+        disposals = [1] * n_frames if n_frames > 1 else [0]
+    if offsets is None:
+        offsets = [(0, 0)] * n_frames
+    if canvas is None:
+        W = max(left + f.shape[1] for (left, _), f in zip(offsets, frames))
+        H = max(top + f.shape[0] for (_, top), f in zip(offsets, frames))
+    else:
+        W, H = canvas
+        for (left, top), f in zip(offsets, frames):
+            if left + f.shape[1] > W or top + f.shape[0] > H:
+                raise ValueError("GIF: frame exceeds logical screen")
+
+    # per-frame (left, top, sub_rgb, transparent_mask)
+    regions = []
+    if optimize and n_frames > 1:
+        prev = frames[0]
+        regions.append((0, 0, frames[0], None))
+        for f in frames[1:]:
+            diff = np.any(f != prev, axis=2)
+            if not diff.any():
+                regions.append((0, 0, f[:1, :1], np.ones((1, 1), bool)))
+            else:
+                rows = np.flatnonzero(diff.any(axis=1))
+                cols = np.flatnonzero(diff.any(axis=0))
+                r0, r1 = int(rows[0]), int(rows[-1]) + 1
+                c0, c1 = int(cols[0]), int(cols[-1]) + 1
+                regions.append(
+                    (c0, r0, f[r0:r1, c0:c1], ~diff[r0:r1, c0:c1])
+                )
+            prev = f
+    else:
+        for (left, top), f in zip(offsets, frames):
+            regions.append((left, top, f, None))
+
+    needs_transparency = any(m is not None for (_, _, _, m) in regions)
+    bg_rgb = tuple(int(c) for c in bg_rgb)
+
+    def build_palette(rgb_frames) -> tuple:
+        colors: dict = {bg_rgb: 0}
+        for f in rgb_frames:
+            for v in np.unique(_pack_rgb(f)):
+                c = (int(v) >> 16 & 0xFF, int(v) >> 8 & 0xFF, int(v) & 0xFF)
+                colors.setdefault(c, len(colors))
+        tslot = None
+        if needs_transparency:
+            if len(colors) > 255:
+                raise ValueError(
+                    f"GIF: {len(colors)} colors + transparency exceed the "
+                    "256-entry palette; quantize first"
+                )
+            tslot = len(colors)
+        elif len(colors) > 256:
+            raise ValueError(
+                f"GIF: {len(colors)} colors exceed the 256-entry palette; "
+                "quantize first"
+            )
+        n = len(colors) + (1 if tslot is not None else 0)
+        pal = np.zeros((n, 3), dtype=np.uint8)
+        for c, i in colors.items():
+            pal[i] = c
+        return pal, colors, tslot
+
+    animated = n_frames > 1
+    if loop is None and animated:
+        loop = 0
+    use_gce = (
+        animated
+        or needs_transparency
+        or any(d for d in disposals)
+        or any(delays_cs)
+    )
+    version = b"GIF89a" if (use_gce or loop is not None) else b"GIF87a"
+
+    out = bytearray()
+    out += version
+    if local_palettes:
+        gpal, gcolors, gtslot = build_palette([])  # bg-only GCT
+    else:
+        gpal, gcolors, gtslot = build_palette([r[2] for r in regions])
+    gct_bytes, gct_bits = _palette_block(gpal)
+    out += struct.pack("<HHBBB", W, H, 0x80 | gct_bits, gcolors[bg_rgb], 0)
+    out += gct_bytes
+    if loop is not None and animated:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop) + b"\x00"
+
+    for i, (left, top, sub, tmask) in enumerate(regions):
+        if local_palettes:
+            pal, colors, tslot = build_palette([sub])
+        else:
+            pal, colors, tslot = gpal, gcolors, gtslot
+        if use_gce:
+            flags = (int(disposals[i]) & 0x07) << 2
+            tindex = 0
+            if tmask is not None:
+                flags |= 0x01
+                tindex = tslot
+            out += b"\x21\xf9\x04" + bytes([flags])
+            out += struct.pack("<H", int(delays_cs[i])) + bytes([tindex, 0])
+        h, w = sub.shape[:2]
+        packed = 0x40 if interlace else 0
+        lct_bytes = b""
+        if local_palettes:
+            lct_bytes, lct_bits = _palette_block(pal)
+            packed |= 0x80 | lct_bits
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, packed)
+        out += lct_bytes
+        lut = {c: j for c, j in colors.items()}
+        packed_px = _pack_rgb(sub)
+        idx = np.empty((h, w), dtype=np.int32)
+        flat = idx.reshape(-1)
+        for j, v in enumerate(packed_px.reshape(-1)):
+            v = int(v)
+            flat[j] = lut[(v >> 16 & 0xFF, v >> 8 & 0xFF, v & 0xFF)]
+        if tmask is not None:
+            idx[tmask] = tslot
+        if interlace:
+            idx = idx[np.asarray(_interlace_order(h))]
+        pal_n = len(pal)
+        padded = 2
+        while padded < pal_n:
+            padded *= 2
+        mcs = max(2, padded.bit_length() - 1)
+        out.append(mcs)
+        data = lzw_encode(mcs, idx.reshape(-1))
+        for off in range(0, len(data), 255):
+            chunk = data[off:off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -86,9 +86,10 @@ def decode_stub(kind: str, content: bytes):
 # module global so a caller that accepts the cost can raise it.
 MAX_BUILTIN_JPEG_PIXELS = 1 << 22  # ~4.2 MP
 
-# Tests that pin the spec-reference kernel (PNG/JPEG twin dHash identity,
-# progressive-vs-baseline bit equality) set this to skip Pillow even when
-# the library is installed.
+# Tests that pin the spec-reference kernels (PNG/JPEG twin dHash identity,
+# progressive-vs-baseline bit equality, GIF composition) set this to skip
+# Pillow even when the library is installed. Governs JPEG and GIF — the
+# two containers whose builtin decoders are per-pixel Python loops.
 PREFER_BUILTIN_JPEG = False
 
 
@@ -115,11 +116,41 @@ def decode_image(content: bytes) -> "np.ndarray":
     error) still stands — and vice versa: kernel errors
     (NotImplementedError for arithmetic/lossless/12-bit/CMYK, ValueError
     for malformed streams) fall through to Pillow before failing the row.
-    Other containers (GIF/BMP/WebP) use Pillow when installed and
-    :func:`decode_stub` otherwise — this repo's container has no codec
-    libs, so for those the stub path is the tested default."""
+    GIF decodes via the built-in pure-python codec
+    (:func:`firepit_spark.functions.gif.gif_decode` — LZW, interlace,
+    animation composition; the first composed frame), behind the same
+    Pillow-first preference and pixel guard as JPEG since pure-python
+    LZW on a megapixel frame is also a per-pixel loop. BMP (BI_RGB)
+    decodes via :func:`bmp_decode` — numpy slicing, no guard needed.
+    Only WebP remains Pillow-or-stub."""
     if content and content.startswith(_PNG_SIG):
         return png_decode(content)
+    if content and content[:6] in (b"GIF87a", b"GIF89a"):
+        from firepit_spark.functions.gif import gif_decode
+
+        Image = None if PREFER_BUILTIN_JPEG else _pil_image()
+        if Image is not None:
+            import io
+
+            try:
+                arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+                return arr if arr.ndim == 3 else arr[:, :, None]
+            except Exception:
+                pass  # let the builtin codec decode or raise precisely
+            return gif_decode(content)
+        dims = image_dims(content)
+        if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
+            raise ValueError(
+                f"GIF {dims[0]}x{dims[1]} exceeds the builtin-kernel "
+                f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install "
+                "Pillow or raise MAX_BUILTIN_JPEG_PIXELS"
+            )
+        return gif_decode(content)
+    if content and content.startswith(b"BM"):
+        try:
+            return bmp_decode(content)
+        except NotImplementedError:
+            pass  # RLE/bitfields: Pillow or stub below
     if content and content.startswith(b"\xff\xd8"):
         from firepit_spark.functions.jpeg import jpeg_decode
 
@@ -167,6 +198,14 @@ def decode_audio(content: bytes) -> "tuple[np.ndarray, int]":
 
         ints, rate, bps = flac_decode(content)
         return ints.astype(np.float64) / float(1 << (bps - 1)), rate
+    mime = sniff_mime(content)
+    if mime is None or not mime.startswith("audio/"):
+        # garbage is malformed (quarantine with a precise message), not
+        # "a codec we lack" — the stub path is for real compressed
+        # containers this environment can't decode
+        raise ValueError(
+            "not a recognized audio container (WAV/FLAC/MP3/OGG)"
+        )
     try:
         import soundfile as sf
     except ImportError:
@@ -426,6 +465,79 @@ def png_decode(content: bytes) -> np.ndarray:
                     raise ValueError(f"bad PNG filter {ftype}")
         out[y] = prev = (recon & 0xFF).astype(np.uint8)
     return out.reshape(h, w, channels)
+
+
+# ---------------------------------------------------------------- BMP codec
+#
+# Windows BMP with BI_RGB (uncompressed) payloads is pure struct + numpy
+# slicing: 24/32-bit truecolor and 8-bit palette, bottom-up (positive
+# biHeight) or top-down, 4-byte row padding. RLE4/RLE8/bitfield variants
+# raise NotImplementedError (honest per-row quarantine — they are rare in
+# crawls and trivially transcoded upstream).
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """Minimal BMP writer: 24-bit BI_RGB, bottom-up. ``pixels`` is
+    (h, w) gray or (h, w, 3) RGB uint8 — the fixture twin of
+    :func:`bmp_decode` (round-trip is exact: BI_RGB is lossless)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr, arr, arr], axis=-1)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"unsupported pixel shape {arr.shape}")
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def bmp_decode(content: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 from an uncompressed BMP (BI_RGB 8/24/32-bit)."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", content[10:14])
+    hdr_size, w, h_signed, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", content[14:34]
+    )
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core header size {hdr_size}")
+    if compression != 0:  # BI_RGB only
+        raise NotImplementedError(f"BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("BMP: bad dimensions")
+    h = abs(h_signed)
+    stride = (w * bpp // 8 + 3) & ~3
+    if data_off + stride * h > len(content):
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(
+        content[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)
+    if h_signed > 0:  # bottom-up
+        rows = rows[::-1]
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        (n_colors,) = struct.unpack("<I", content[46:50])
+        n_colors = n_colors or 256
+        pal_end = pal_off + 4 * n_colors
+        if pal_end > len(content):
+            raise ValueError("BMP: truncated palette")
+        quads = np.frombuffer(
+            content[pal_off:pal_end], dtype=np.uint8
+        ).reshape(n_colors, 4)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP: palette index out of range")
+        return quads[idx][:, :, 2::-1].copy()  # BGRA quads -> RGB
+    ch = bpp // 8
+    px = rows[:, : w * ch].reshape(h, w, ch)
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
 
 
 # ---------------------------------------------------------------- WAV codec
@@ -1427,10 +1539,12 @@ def video_frame_dhash(
     content_col: str = "content",
     every_n: int = 1,
 ) -> DataFrame:
-    """Per-frame perceptual hashes for MJPEG AVI blobs: decode every
-    ``every_n``-th frame through the pure-python JPEG kernel and dHash
-    it — (id, frame_idx, dhash, err) rows, the video sibling of
-    :func:`image_dhash`. Feed the result to
+    """Per-frame perceptual hashes for MJPEG AVI and animated-GIF blobs:
+    decode every ``every_n``-th frame through the pure-python JPEG or
+    GIF kernel and dHash it — (id, frame_idx, dhash, err) rows, the
+    video sibling of :func:`image_dhash`. GIF frames are the COMPOSED
+    canvases (disposal + transparency applied), so a diff-optimized
+    re-encode of the same animation hashes frame-for-frame identical. Feed the result to
     ``dedup.hamming_near_dup_pairs`` (key on the hash) or aggregate
     per-video hash sets for clip-level near-dup — frame hashes make
     video dedup a SET-SIMILARITY problem on longs, which is exactly the
@@ -1456,8 +1570,22 @@ def video_frame_dhash(
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(blob)
+                if blob[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: composed frames ride the same
+                    # machinery — frame hashes, not container bytes
+                    try:
+                        from firepit_spark.functions.gif import gif_frames
+
+                        gfs = gif_frames(blob)
+                    except Exception as exc:  # noqa: BLE001
+                        recs.append((mid, None, None, str(exc)[:200]))
+                        continue
+                    for idx in range(0, len(gfs), every_n):
+                        recs.append((mid, idx, dhash64(gfs[idx]), None))
+                    continue
                 try:
-                    frames = avi_mjpeg_frames(bytes(blob))
+                    frames = avi_mjpeg_frames(blob)
                 except Exception as exc:  # noqa: BLE001 — per-row quarantine
                     recs.append((mid, None, None, str(exc)[:200]))
                     continue

@@ -1,0 +1,344 @@
+"""GIF codec gates: LZW exactness (incl. KwKwK, table wrap, deferred
+clear), interlace, palette modes, animation composition vs hand-built
+canvases, decode_image routing, animated-GIF video dedup — plus the BMP
+kernel. GIF and BMP(BI_RGB) are lossless, so every round-trip gate is
+EXACT pixel equality (the FLAC standard, not the JPEG bound)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from firepit_spark.functions import gif
+from firepit_spark.functions import multimodal as mm
+
+
+def _rand_frame(seed: int, h: int = 23, w: int = 31, levels: int = 6):
+    rng = np.random.default_rng(seed)
+    f = (rng.integers(0, levels, (h, w)) * (255 // max(levels - 1, 1))).astype(
+        np.uint8
+    )
+    return np.stack([f, f // 2, 255 - f], axis=-1)
+
+
+# ------------------------------------------------------------------- LZW
+
+
+def test_lzw_roundtrip_random_and_width_boundaries():
+    rng = np.random.default_rng(11)
+    for mcs in (2, 3, 5, 8):
+        n_lit = 1 << mcs
+        for n in (1, 2, 7, 100, 5000):
+            idx = rng.integers(0, n_lit, n).astype(np.uint8)
+            enc = gif.lzw_encode(mcs, idx)
+            assert np.array_equal(gif.lzw_decode(mcs, enc, n), idx)
+
+
+def test_lzw_kwkwk_and_table_wrap():
+    # 'ababab...' drives the decoder through code == len(table)
+    idx = np.tile([0, 1], 500).astype(np.uint8)
+    assert np.array_equal(
+        gif.lzw_decode(2, gif.lzw_encode(2, idx), len(idx)), idx
+    )
+    # 200k random bytes force the 12-bit table to fill and reset
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 256, 200_000).astype(np.uint8)
+    assert np.array_equal(
+        gif.lzw_decode(8, gif.lzw_encode(8, big), len(big)), big
+    )
+
+
+def test_lzw_deferred_clear_stream_decodes():
+    """A spec-legal foreign encoder may let the table sit full (no clear
+    code) and keep emitting 12-bit codes; the decoder must coast."""
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 256, 60_000).astype(np.uint8)
+
+    out = bytearray()
+    cur = nbits = 0
+
+    def emit(code, width):
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    clear, eoi = 256, 257
+    width, table, next_code = 9, {(i,): i for i in range(256)}, 258
+    emit(clear, width)
+    w = ()
+    for k in map(int, idx):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:  # table full -> just stop adding (deferred)
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        w = (k,)
+    emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(cur & 0xFF)
+    assert next_code == 4096  # the fixture really did fill the table
+    assert np.array_equal(gif.lzw_decode(8, bytes(out), len(idx)), idx)
+
+
+def test_lzw_error_paths():
+    with pytest.raises(ValueError, match="min code size"):
+        gif.lzw_encode(1, [0])
+    with pytest.raises(ValueError, match="truncated"):
+        gif.lzw_decode(2, b"", 5)
+    with pytest.raises(ValueError, match="literal range"):
+        gif.lzw_encode(2, [4])
+    # a code beyond the table is malformed, not KwKwK
+    enc = bytearray(gif.lzw_encode(2, [0, 1, 2, 3] * 10))
+    with pytest.raises(ValueError):
+        gif.lzw_decode(2, bytes([0xFF] * 8), 16)
+
+
+# -------------------------------------------------------------- container
+
+
+def test_spec_minimal_gif_pins_decoder():
+    """Hand-assembled 1x1 white GIF from the GIF89a spec — independent
+    of this repo's encoder, so it pins the decoder's byte layout."""
+    b = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    assert np.array_equal(gif.gif_decode(b), [[[255, 255, 255]]])
+    p = gif.gif_probe(b)
+    assert (p["width"], p["height"], p["n_frames"], p["animated"]) == (
+        1, 1, 1, False,
+    )
+
+
+def test_single_frame_roundtrips_exact():
+    f = _rand_frame(1)
+    for kwargs in ({}, {"interlace": True}, {"local_palettes": True}):
+        assert np.array_equal(gif.gif_decode(gif.gif_encode(f, **kwargs)), f)
+    # grayscale 2D input promotes to 3 channels
+    g = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    assert np.array_equal(
+        gif.gif_decode(gif.gif_encode(g)), np.stack([g, g, g], axis=-1)
+    )
+
+
+def test_interlace_odd_height_roundtrip():
+    # heights hitting every pass-boundary case
+    for h in (1, 2, 3, 5, 8, 13):
+        f = _rand_frame(h, h=h, w=9)
+        b = gif.gif_encode(f, interlace=True)
+        assert np.array_equal(gif.gif_decode(b), f), f"h={h}"
+
+
+def test_animated_optimize_roundtrip_and_probe():
+    base = np.zeros((20, 30, 3), np.uint8)
+    base[:] = (10, 20, 30)
+    f2 = base.copy()
+    f2[5:9, 7:15] = (200, 0, 0)
+    f3 = f2.copy()
+    f3[12:18, 2:6] = (0, 200, 50)
+    frames = [base, f2, f3, f3.copy()]  # last frame identical to previous
+    for opt in (False, True):
+        b = gif.gif_encode(frames, delays_cs=5, optimize=opt)
+        dec = gif.gif_frames(b)
+        assert len(dec) == 4
+        for i, (want, got) in enumerate(zip(frames, dec)):
+            assert np.array_equal(want, got), f"optimize={opt} frame {i}"
+    p = gif.gif_probe(gif.gif_encode(frames, delays_cs=5, loop=2))
+    assert p["n_frames"] == 4 and p["animated"] and p["loop"] == 2
+    assert p["duration_cs"] == 20
+    # the diff-optimized stream is smaller than the full re-draw stream
+    assert len(gif.gif_encode(frames, optimize=True)) < len(
+        gif.gif_encode(frames)
+    )
+
+
+def test_disposal_background_and_previous_composition():
+    """Disposal 2 (restore region to background) and 3 (restore previous)
+    against hand-built expected canvases."""
+    bg = (1, 2, 3)
+    fa = np.full((24, 40, 3), 99, np.uint8)
+    patch = np.full((6, 8, 3), 7, np.uint8)
+    b = gif.gif_encode(
+        [fa, patch, patch],
+        offsets=[(0, 0), (4, 3), (20, 10)],
+        canvas=(40, 24),
+        disposals=[1, 2, 0],
+        bg_rgb=bg,
+    )
+    dec = gif.gif_frames(b)
+    e1 = fa.copy()
+    e2 = e1.copy()
+    e2[3:9, 4:12] = 7
+    e3 = e1.copy()
+    e3[3:9, 4:12] = bg  # disposal 2 restored the patch region
+    e3[10:16, 20:28] = 7
+    assert np.array_equal(dec[0], e1)
+    assert np.array_equal(dec[1], e2)
+    assert np.array_equal(dec[2], e3)
+    # disposal 3: second frame vanishes entirely before the third draws
+    b = gif.gif_encode(
+        [fa, patch, patch],
+        offsets=[(0, 0), (4, 3), (20, 10)],
+        canvas=(40, 24),
+        disposals=[1, 3, 0],
+        bg_rgb=bg,
+    )
+    dec = gif.gif_frames(b)
+    e3 = fa.copy()
+    e3[10:16, 20:28] = 7  # patch-2 region back to frame-1 pixels
+    assert np.array_equal(dec[2], e3)
+
+
+def test_encoder_validation_and_quarantine():
+    rng = np.random.default_rng(9)
+    too_many = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="quantize"):
+        gif.gif_encode(too_many)
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif.gif_decode(b"\x89PNG not a gif")
+    f = _rand_frame(2)
+    blob = bytearray(gif.gif_encode(f))
+    with pytest.raises(ValueError):  # truncated mid-stream
+        gif.gif_decode(bytes(blob[: len(blob) // 2]))
+    # frame region exceeding the logical screen
+    with pytest.raises(ValueError, match="logical screen"):
+        gif.gif_encode([f], offsets=[(10, 10)], canvas=(20, 20))
+    with pytest.raises(ValueError, match="uint8"):
+        gif.gif_encode(f.astype(np.int32))
+
+
+def test_decode_image_routes_gif_and_matches_png_twin(monkeypatch):
+    monkeypatch.setattr(mm, "PREFER_BUILTIN_JPEG", True)
+    f = _rand_frame(4, h=32, w=40)
+    via_gif = mm.decode_image(gif.gif_encode(f))
+    via_png = mm.decode_image(mm.png_encode(f))
+    assert np.array_equal(via_gif, f)
+    # lossless twins hash identically -- cross-container dedup just works
+    assert mm.dhash64(via_gif) == mm.dhash64(via_png)
+
+
+def test_decode_image_gif_pixel_guard(monkeypatch):
+    monkeypatch.setattr(mm, "MAX_BUILTIN_JPEG_PIXELS", 100)
+    blob = gif.gif_encode(_rand_frame(5, h=20, w=20))
+    if mm._pil_image() is None:
+        with pytest.raises(ValueError, match="pixel guard"):
+            mm.decode_image(blob)
+    else:  # Pillow installed: guard is moot, Pillow decodes
+        assert mm.decode_image(blob).shape == (20, 20, 3)
+
+
+def test_video_frame_dhash_animated_gif_twins(spark):
+    """A diff-optimized re-encode of the same animation hashes
+    frame-for-frame identical to the full-frame encode — composed
+    canvases, not stored regions, are what gets hashed. Unrelated
+    animations and corrupt rows stay out."""
+    base = np.zeros((24, 36, 3), np.uint8)
+    base[:] = (40, 80, 120)
+    frames = [base.copy()]
+    for i in range(1, 5):
+        f = frames[-1].copy()
+        f[2 * i : 2 * i + 6, 5 * i : 5 * i + 8] = (250 - 30 * i, 10 * i, 0)
+        frames.append(f)
+    other = [np.full((24, 36, 3), 17 * (i + 1), np.uint8) for i in range(5)]
+    media = spark.createDataFrame(
+        [
+            (1, gif.gif_encode(frames, optimize=False)),
+            (2, gif.gif_encode(frames, optimize=True)),
+            (3, gif.gif_encode(other)),
+            (4, b"GIF89a\x00junk"),
+        ],
+        "media_id LONG, content BINARY",
+    )
+    rows = mm.video_frame_dhash(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == len(by_id[2]) == 5
+    assert all(r["err"] is None for r in by_id[1] + by_id[2] + by_id[3])
+    h1 = {r["frame_idx"]: r["dhash"] for r in by_id[1]}
+    h2 = {r["frame_idx"]: r["dhash"] for r in by_id[2]}
+    assert h1 == h2
+    assert by_id[4][0]["dhash"] is None and by_id[4][0]["err"]
+    # every_n subsampling applies to GIF frames too
+    sub = mm.video_frame_dhash(media, every_n=2).collect()
+    assert sorted(
+        r["frame_idx"] for r in sub if r["media_id"] == 1
+    ) == [0, 2, 4]
+
+
+# -------------------------------------------------------------------- BMP
+
+
+def test_bmp_roundtrip_exact_and_gray():
+    f = _rand_frame(6, h=17, w=23, levels=200)  # odd width -> row padding
+    assert np.array_equal(mm.bmp_decode(mm.bmp_encode(f)), f)
+    g = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
+    assert np.array_equal(
+        mm.bmp_decode(mm.bmp_encode(g)), np.stack([g, g, g], axis=-1)
+    )
+
+
+def test_bmp_palette_topdown_and_32bit():
+    import struct
+
+    # hand-built 8-bit palette BMP, top-down (negative height)
+    w, h = 5, 3
+    pal = [(i * 50 % 256, i * 30 % 256, i * 10 % 256) for i in range(4)]
+    idx = np.array([[0, 1, 2, 3, 0], [1, 1, 2, 2, 3], [3, 0, 0, 1, 2]],
+                   np.uint8)
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx
+    pal_bytes = b"".join(bytes([b_, g_, r_, 0]) for r_, g_, b_ in pal)
+    body = rows.tobytes()
+    off = 54 + len(pal_bytes)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, len(body),
+                      0, 0, 4, 0)
+        + pal_bytes
+        + body
+    )
+    got = mm.bmp_decode(blob)
+    want = np.array(pal, np.uint8)[idx]
+    assert np.array_equal(got, want)
+    # 32-bit BGRA decode (alpha dropped): splice a 32bpp image by hand
+    f = _rand_frame(7, h=4, w=3, levels=50)
+    bgra = np.concatenate(
+        [f[:, :, ::-1], np.full((4, 3, 1), 255, np.uint8)], axis=2
+    )
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + bgra.size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, -4, 1, 32, 0, bgra.size,
+                      0, 0, 0, 0)
+        + bgra.tobytes()
+    )
+    assert np.array_equal(mm.bmp_decode(blob), f)
+
+
+def test_bmp_quarantine_paths():
+    import struct
+
+    f = _rand_frame(8, h=4, w=4)
+    blob = bytearray(mm.bmp_encode(f))
+    # RLE8 compression flag -> honest NotImplementedError
+    rle = bytearray(blob)
+    rle[30:34] = struct.pack("<I", 1)
+    with pytest.raises(NotImplementedError, match="compression"):
+        mm.bmp_decode(bytes(rle))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.bmp_decode(bytes(blob[:70]))
+    with pytest.raises(ValueError, match="not a BMP"):
+        mm.bmp_decode(b"XX")
+    # decode_image: BI_RGB routes through the builtin, exact
+    assert np.array_equal(mm.decode_image(bytes(blob)), f)
