@@ -147,3 +147,179 @@ def assert_scaleworthy(df: DataFrame, executed: bool = True) -> PlanReport:
         msgs = "; ".join(m for _, m in rep.red_findings)
         raise AssertionError(f"plan not scale-worthy: {msgs}")
     return rep
+
+
+# ------------------------------------------------------------- streaming
+#
+# Batch plans die of shuffles; streaming plans die of STATE. The checks
+# below walk the ANALYZED logical plan (py4j tree walk — the physical
+# plan of an unstarted streaming query doesn't exist yet, and these
+# mistakes should be caught BEFORE .start(), not as a runtime OOM three
+# days into a job): stateful operators without an eviction path
+# (watermark or state timeout), stream-stream joins whose condition
+# doesn't bound event time (state grows with the stream), and
+# stream-static joins that re-shuffle the static side every micro-batch
+# instead of broadcasting it.
+
+
+@dataclass
+class StreamReport:
+    watermarks: int = 0
+    stateful_ops: int = 0
+    stream_stream_joins: int = 0
+    stream_static_joins: int = 0
+    unbroadcast_static_joins: int = 0
+    unevicted_state_ops: int = 0
+    findings: list = field(default_factory=list)
+
+    @property
+    def red_findings(self) -> list:
+        return [f for f in self.findings if f[0] == RED]
+
+
+def _walk_jplan(jnode):
+    yield jnode
+    kids = jnode.children()
+    for i in range(kids.size()):
+        yield from _walk_jplan(kids.apply(i))
+
+
+def _subtree_has(jnode, node_name: str) -> bool:
+    return any(n.nodeName() == node_name for n in _walk_jplan(jnode))
+
+
+def _head(jnode) -> str:
+    return jnode.toString().splitlines()[0]
+
+
+# logical nodes that keep per-key state between micro-batches
+_STATEFUL_NODES = frozenset(
+    {
+        "Aggregate",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "FlatMapGroupsWithState",
+        "FlatMapGroupsInPandasWithState",
+        "TransformWithStateInPandas",
+    }
+)
+
+
+def stream_report(df: DataFrame) -> StreamReport:
+    """Summarize state-relevant facts of an UNSTARTED streaming
+    DataFrame's analyzed plan — the streaming sibling of
+    :func:`plan_report`.
+
+    Rules (severity in brackets):
+
+    * [red] plain ``Deduplicate`` over a streaming input with no
+      upstream watermark — per-row state forever;
+      ``dropDuplicatesWithinWatermark`` (``stream_dedup_exact``) or a
+      Bloom-history dedup (``stream_bloom_dedup``) is always the better
+      op.
+    * [red] stream-stream join missing a watermark on either side, or
+      whose join condition references no watermarked (event-time)
+      column — both make join state unbounded.
+    * [yellow] stateful op (aggregation / dedup-within-watermark /
+      ``applyInPandasWithState``) with neither a watermark upstream nor
+      a state timeout: legitimate when state is bounded by KEY
+      CARDINALITY (one long per domain, latest-value-per-key) — review
+      that the key domain really is bounded.
+    * [yellow] stream-static join without a broadcast hint on the
+      static side: the static side is re-scanned and shuffled every
+      micro-batch; ``F.broadcast`` it (``stream_enrich`` does).
+    """
+    if not df.isStreaming:
+        raise ValueError(
+            "stream_report expects a streaming DataFrame; use plan_report "
+            "for batch plans"
+        )
+    root = df._jdf.queryExecution().analyzed()
+    rep = StreamReport()
+    for node in _walk_jplan(root):
+        name = node.nodeName()
+        if name == "EventTimeWatermark":
+            rep.watermarks += 1
+            continue
+        if name == "Join":
+            kids = node.children()
+            left, right = kids.apply(0), kids.apply(1)
+            l_stream, r_stream = left.isStreaming(), right.isStreaming()
+            if l_stream and r_stream:
+                rep.stream_stream_joins += 1
+                missing_wm = [
+                    side
+                    for side, kid in (("left", left), ("right", right))
+                    if not _subtree_has(kid, "EventTimeWatermark")
+                ]
+                if missing_wm:
+                    rep.findings.append(
+                        (RED,
+                         "stream-stream join without a watermark on the "
+                         f"{' and '.join(missing_wm)} side(s): join state "
+                         "is never evicted — withWatermark both inputs "
+                         "(stream_interval_join does)")
+                    )
+                # watermarked event-time attributes print with a `-T<ms>`
+                # delay marker; a condition that references none of them
+                # has no time bound, so matched-row state grows forever
+                elif "-T" not in _head(node):
+                    rep.findings.append(
+                        (RED,
+                         "stream-stream join whose condition has no "
+                         "event-time bound: state grows with the stream — "
+                         "add a time-range predicate between the two "
+                         "event-time columns (stream_interval_join does)")
+                    )
+            elif l_stream or r_stream:
+                rep.stream_static_joins += 1
+                static_side = right if l_stream else left
+                if not _subtree_has(static_side, "ResolvedHint"):
+                    rep.unbroadcast_static_joins += 1
+                    rep.findings.append(
+                        (YELLOW,
+                         "stream-static join without a broadcast hint: the "
+                         "static side re-scans and shuffles every "
+                         "micro-batch; F.broadcast it unless it is too "
+                         "large to broadcast (then pre-bucket both sides)")
+                    )
+            continue
+        if name in _STATEFUL_NODES and node.isStreaming():
+            rep.stateful_ops += 1
+            head = _head(node)
+            has_timeout = name in (
+                "FlatMapGroupsWithState",
+                "FlatMapGroupsInPandasWithState",
+            ) and "NoTimeout" not in head
+            has_wm = _subtree_has(node, "EventTimeWatermark")
+            if name == "Deduplicate" and not has_wm:
+                rep.unevicted_state_ops += 1
+                rep.findings.append(
+                    (RED,
+                     "streaming dropDuplicates without a watermark: per-row "
+                     "state is kept forever — use "
+                     "dropDuplicatesWithinWatermark (stream_dedup_exact) "
+                     "or Bloom-history dedup (stream_bloom_dedup)")
+                )
+            elif not has_wm and not has_timeout:
+                rep.unevicted_state_ops += 1
+                rep.findings.append(
+                    (YELLOW,
+                     f"stateful {name} with no watermark and no state "
+                     "timeout: state never evicts — fine only when bounded "
+                     "by key cardinality (one row per domain/user); "
+                     "otherwise add withWatermark or a GroupStateTimeout")
+                )
+    return rep
+
+
+def assert_stream_safe(df: DataFrame) -> StreamReport:
+    """Raise ``AssertionError`` when a streaming plan has a red finding
+    (unbounded dedup state, unbounded stream-stream join state).
+    Returns the report otherwise for further shape assertions — the
+    streaming twin of :func:`assert_scaleworthy`."""
+    rep = stream_report(df)
+    if rep.red_findings:
+        msgs = "; ".join(m for _, m in rep.red_findings)
+        raise AssertionError(f"streaming plan not state-safe: {msgs}")
+    return rep

@@ -1,0 +1,149 @@
+"""Streaming plan doctor (doctor.stream_report / assert_stream_safe):
+state-hygiene rules over UNSTARTED streaming plans, plus the CI sweep
+that gates every streaming operator this repo ships the way
+assert_scaleworthy gates the batch plans."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions.doctor import (
+    RED,
+    YELLOW,
+    assert_stream_safe,
+    stream_report,
+)
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    with open(indir / "a.json", "w") as fp:
+        fp.write(
+            json.dumps(
+                {"src": "a", "ts": "2020-01-01T00:00:00", "text": "x",
+                 "first_observed": "2020-01-01T00:00:00",
+                 "number_observed": 1}
+            )
+            + "\n"
+        )
+    schema = (
+        "src string, ts timestamp, text string, "
+        "first_observed timestamp, number_observed long"
+    )
+    return spark.readStream.schema(schema).json(str(indir))
+
+
+def test_repo_streaming_operators_are_state_safe(spark, stream, tmp_path):
+    """The CI sweep: every streaming operator the repo ships builds a
+    plan with no red finding, and the ones designed around eviction
+    (watermark or state timeout) carry no unevicted-state finding."""
+    from firepit_spark.streaming.dedup import (
+        stream_cap_per_key,
+        stream_dedup_exact,
+    )
+    from firepit_spark.streaming.enrich import stream_enrich
+    from firepit_spark.streaming.joins import (
+        stream_interval_join,
+        stream_latest_enrich,
+    )
+    from firepit_spark.streaming.sessions import (
+        gap_sessions,
+        windowed_observation_rollup,
+    )
+
+    rep = assert_stream_safe(stream_dedup_exact(stream, time_col="ts"))
+    assert rep.watermarks == 1 and rep.unevicted_state_ops == 0
+
+    rep = assert_stream_safe(
+        windowed_observation_rollup(stream, window="5 minutes")
+    )
+    assert rep.stateful_ops >= 1 and rep.unevicted_state_ops == 0
+
+    rep = assert_stream_safe(gap_sessions(stream, key_col="src", ts_col="ts"))
+    assert rep.unevicted_state_ops == 0  # EventTimeTimeout + watermark
+
+    # TTL mode evicts by event-time timeout: clean
+    rep = assert_stream_safe(
+        stream_cap_per_key(
+            stream, key_col="src", cap=2, ttl="1 hour", time_col="ts"
+        )
+    )
+    assert rep.unevicted_state_ops == 0
+
+    # lifetime-cap mode holds one long per key forever — safe by design
+    # (bounded by key cardinality) but the doctor must SAY so
+    rep = assert_stream_safe(stream_cap_per_key(stream, key_col="src", cap=2))
+    assert rep.unevicted_state_ops == 1
+    assert any(s == YELLOW and "key cardinality" in m for s, m in rep.findings)
+
+    # same contract for latest-value-per-key enrichment
+    rep = assert_stream_safe(
+        stream_latest_enrich(
+            stream.select("src", "ts", "text"),
+            stream.select("src", "ts", F.col("text").alias("value")),
+            key="src",
+        )
+    )
+    assert rep.unevicted_state_ops == 1
+
+    rep = assert_stream_safe(
+        stream_interval_join(stream, stream.select("src", "ts"), on="src")
+    )
+    assert rep.stream_stream_joins == 1 and rep.watermarks == 2
+
+    dim = spark.createDataFrame([("a", 1)], "src string, d int")
+    rep = assert_stream_safe(stream_enrich(stream, dim, keys=["src"]))
+    assert rep.stream_static_joins == 1
+    assert rep.unbroadcast_static_joins == 0
+
+
+def test_unwatermarked_dropduplicates_is_red(stream):
+    bad = stream.dropDuplicates(["src"])
+    rep = stream_report(bad)
+    assert any(
+        s == RED and "dropDuplicatesWithinWatermark" in m
+        for s, m in rep.findings
+    )
+    with pytest.raises(AssertionError, match="not state-safe"):
+        assert_stream_safe(bad)
+
+
+def test_stream_stream_join_rules(spark, stream):
+    right = stream.select(F.col("src"), F.col("ts").alias("rts"))
+    # no watermarks at all -> red
+    rep = stream_report(stream.join(right, "src"))
+    assert any(s == RED and "watermark" in m for s, m in rep.findings)
+    # watermarks present but an equi-only condition (no event-time
+    # bound) -> state still unbounded -> red
+    l = stream.withWatermark("ts", "1 minute")
+    r = right.withWatermark("rts", "1 minute")
+    rep = stream_report(l.join(r, "src"))
+    assert any(s == RED and "event-time bound" in m for s, m in rep.findings)
+    # time-range condition -> clean
+    good = l.alias("l").join(
+        r.alias("r"),
+        F.expr(
+            "l.src = r.src and rts between ts and ts + interval 5 minutes"
+        ),
+    )
+    rep = assert_stream_safe(good)
+    assert rep.stream_stream_joins == 1 and not rep.findings
+
+
+def test_unbroadcast_static_join_is_flagged(spark, stream):
+    dim = spark.createDataFrame([("a", 1)], "src string, d int")
+    rep = assert_stream_safe(stream.join(dim, "src"))  # yellow, not red
+    assert rep.unbroadcast_static_joins == 1
+    rep = assert_stream_safe(stream.join(F.broadcast(dim), "src"))
+    assert rep.unbroadcast_static_joins == 0
+
+
+def test_batch_frame_is_rejected(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="streaming"):
+        stream_report(df)
