@@ -1,0 +1,303 @@
+"""WordPiece tokenizer training and encoding, Spark-first.
+
+The third member of the tokenizer family (siblings:
+:func:`firepit_spark.functions.bpe.bpe_train` — count-argmax merges —
+and ``unigram_train`` — EM over a seeded vocab): Schuster & Nakajima
+2012's likelihood-scored merge rule as popularized by BERT. Structure
+mirrors BPE training exactly, with two deliberate differences:
+
+1. **Continuation marking.** A word splits into ``[c0, ##c1, ##c2,
+   ...]`` — word-initial and word-internal occurrences of a character
+   are DIFFERENT symbols, and a merge product keeps the left symbol's
+   prefix status (``("h", "##e") -> "he"``, ``("##l", "##o") ->
+   "##lo"``). No end-of-word marker.
+2. **Score-argmax.** Each round merges the pair maximizing
+   ``count(a,b) / (count(a) * count(b))`` — the corpus-likelihood gain
+   of fusing the pair under a unigram factorization — rather than the
+   raw count. Ties break (score desc, a asc, b asc), so the same corpus
+   yields the same merge list on any engine or partitioning.
+
+Distribution strategy is BPE's: one corpus-wide pass builds the
+``(word, freq)`` table (the only stage that touches every document);
+each round is two vocab-table aggregations (adjacent-pair counts and
+symbol counts — the score's denominator needs current symbol
+frequencies), a 1-row arg-max collect, and a map-only merge fold, with
+per-round lineage truncation.
+
+**Why rounds stay sequential here while BPE batches.** BPE's
+``_select_batch`` proof rests on merge products being bounded by
+observed junction-pair COUNTS. WordPiece selects on a RATIO whose
+denominator involves the just-created product's own (small) frequency:
+a pair created by an accepted merge can have near-zero denominator and
+therefore arbitrarily LARGE score — no prefix of the current score
+table bounds it. Batching by the BPE argument would be wrong, not just
+unproven; a production WordPiece vocab (~30k) accepts the sequential
+cost (BERT's own vocab was trained this way).
+
+**Encoding is not merge replay.** WordPiece inference is greedy
+longest-match-first over the final vocab (BERT's ``max_input_chars_per
+_word`` guard included): repeatedly take the longest prefix of the
+remaining word that is a vocab piece (with ``##`` for non-initial
+positions); if no prefix matches, the WHOLE word becomes ``[UNK]``.
+Runs as an Arrow-batched ``mapInPandas`` with the vocab set in the task
+closure and a per-task word memo, exactly like ``bpe_encode``.
+
+The reference engine has no tokenizer surface; this belongs to the
+LLM-training-data layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from firepit_spark.functions import text as tx
+from firepit_spark.functions.bpe import _word_freqs
+
+CONT = "##"  # continuation prefix (BERT convention)
+
+PAD_ID = 0
+UNK_ID = 1
+
+
+@dataclass
+class WordPieceModel:
+    """Learned merge list (training artifact, rank order) plus the final
+    piece vocab. ``vocab`` maps every piece to a stable id; 0/1 are
+    reserved for PAD/UNK so encodings drop straight into
+    ``pack_token_sequences`` (UNK doubles as EOS-slot 1 there — pass a
+    different ``eos_id`` downstream if both are needed)."""
+
+    merges: list  # [(a, b), ...] in rank order
+    vocab: dict = field(default_factory=dict)  # piece -> id (>= 2)
+    max_word_chars: int = 100
+
+    @property
+    def id_to_piece(self) -> dict:
+        return {i: s for s, i in self.vocab.items()}
+
+
+def _wp_product(a: str, b: str) -> str:
+    return a + (b[len(CONT):] if b.startswith(CONT) else b)
+
+
+def _wp_syms(col):
+    """word -> [c0, ##c1, ##c2, ...] as a pure array expression."""
+    chars = F.filter(F.split(col, ""), lambda s: s != "")
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit(CONT), c)),
+    )
+
+
+def _wp_merge_fold(a: str, b: str):
+    """Array expression applying merge (a, b) left-to-right, with the
+    WordPiece product rule (continuation prefix stripped from ``b``)."""
+    merged = _wp_product(a, b)
+
+    def step(acc, s):
+        n = F.size(acc)
+        tail = F.when(n > 0, F.element_at(acc, -1))
+        return F.when(
+            (tail == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, n - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return lambda col: F.aggregate(
+        col, F.array().cast("array<string>"), step
+    )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_dir: str | None = None,
+    max_word_chars: int = 100,
+) -> WordPieceModel:
+    """Learn ``n_merges`` WordPiece merges from the corpus (stops early
+    when no pair reaches ``min_pair_count``). See the module docstring
+    for the score rule, determinism contract, and why rounds are
+    sequential. Lineage truncation per round follows graph.py's
+    contract (``localCheckpoint`` by default, reliable ``checkpoint``
+    under ``checkpoint_dir``)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(
+            f"min_pair_count must be >= 1, got {min_pair_count}"
+        )
+
+    from firepit_spark.functions.graph import _truncate
+
+    words = (
+        _word_freqs(df, text_col)
+        .withColumn("syms", _wp_syms(F.col("w")))
+        .select("freq", "syms")
+    )
+    words = _truncate(words, eager=True, checkpoint_dir=checkpoint_dir)
+
+    base_syms = {
+        r["s"]
+        for r in words.select(
+            F.explode(F.array_distinct("syms")).alias("s")
+        ).distinct().collect()
+    }
+
+    merges: list = []
+    prev = words
+    while len(merges) < n_merges:
+        # symbol frequencies — the score denominators — from the CURRENT
+        # segmentation; vocab-bounded (base chars + merges so far), so
+        # broadcast-joining them against the pair table is free
+        syms = (
+            prev.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        pairs = (
+            prev.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1).alias("a"),
+                        F.slice("syms", 2, F.size("syms") - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .filter(F.col("n") >= min_pair_count)
+            .join(F.broadcast(syms.withColumnRenamed("s", "a")), "a")
+            .withColumnRenamed("cnt", "cnt_a")
+            .join(F.broadcast(syms.withColumnRenamed("s", "b")), "b")
+            .withColumnRenamed("cnt", "cnt_b")
+            .withColumn(
+                "score",
+                F.col("n")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+            )
+        )
+        top = pairs.orderBy(
+            F.col("score").desc(), "a", "b"
+        ).limit(1).collect()
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        prev = _truncate(
+            prev.withColumn("syms", _wp_merge_fold(a, b)(F.col("syms"))),
+            eager=True,
+            checkpoint_dir=checkpoint_dir,
+        )
+
+    vocab: dict = {}
+    nid = 2  # 0=PAD, 1=UNK reserved
+    for s in sorted(base_syms) + [_wp_product(a, b) for a, b in merges]:
+        if s not in vocab:
+            vocab[s] = nid
+            nid += 1
+    return WordPieceModel(
+        merges=merges, vocab=vocab, max_word_chars=max_word_chars
+    )
+
+
+def _wp_encode_word(word: str, vocab: dict, max_chars: int):
+    """Greedy longest-match-first (BERT's WordpieceTokenizer): returns
+    the piece tuple, or None when the word maps to a single [UNK]."""
+    if len(word) > max_chars:
+        return None
+    out = []
+    i = 0
+    while i < len(word):
+        j = len(word)
+        piece = None
+        while j > i:
+            cand = word[i:j]
+            if i > 0:
+                cand = CONT + cand
+            if cand in vocab:
+                piece = cand
+                break
+            j -= 1
+        if piece is None:
+            return None
+        out.append(piece)
+        i = j
+    return tuple(out)
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    model: WordPieceModel,
+    text_col: str = "text",
+    out_col: str = "wp_ids",
+    unk_id: int = UNK_ID,
+) -> DataFrame:
+    """Append ``out_col``: the WordPiece token-id array
+    (``array<bigint>``) of each row's text. Arrow-batched
+    ``mapInPandas``; the vocab set rides the task closure and a
+    per-task word memo exploits Zipf. Pre-tokenization runs JVM-side
+    through the SAME ``tx.tokens`` expression training used (the
+    NBSP/U+2028 consistency contract ``bpe_encode`` documents). A word
+    that greedy matching cannot cover — or longer than
+    ``model.max_word_chars`` — contributes one ``unk_id`` (BERT
+    semantics: the WHOLE word, not the unmatched tail)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    vocab = dict(model.vocab)
+    max_chars = model.max_word_chars
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the input frame"
+        )
+    schema = StructType(fields + [StructField(out_col, ArrayType(LongType()))])
+    cols = [f.name for f in fields]
+    words_col = f"__wp_words_{out_col}"
+    with_words = df.withColumn(
+        words_col,
+        F.filter(tx.tokens(F.col(text_col)), lambda w: F.length(w) > 0),
+    )
+
+    def run(batches):
+        memo: dict = {}
+
+        def enc(words):
+            if words is None:
+                return None
+            ids = []
+            for w in words:
+                if w not in memo:
+                    memo[w] = _wp_encode_word(w, vocab, max_chars)
+                pieces = memo[w]
+                if pieces is None:
+                    ids.append(unk_id)
+                else:
+                    ids.extend(vocab[p] for p in pieces)
+            return ids
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[words_col].map(enc)
+            yield pdf[cols + [out_col]]
+
+    return with_words.mapInPandas(run, schema=schema)
+
+
+def wordpiece_decode_ids(ids: list, model: WordPieceModel) -> str:
+    """Driver-side helper: ids back to text (spot checks / debugging)."""
+    inv = model.id_to_piece
+    out = []
+    for i in ids:
+        s = inv.get(i)
+        if s is None:
+            s = "[UNK]" if i == UNK_ID else ""
+            out.append(" " + s)
+        elif s.startswith(CONT):
+            out.append(s[len(CONT):])
+        else:
+            out.append(" " + s)
+    return "".join(out).strip()

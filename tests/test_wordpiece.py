@@ -1,0 +1,165 @@
+"""WordPiece trainer/encoder gates: differential vs an independent
+pure-python reference of the same spec (score-argmax merges with
+continuation marking, greedy longest-match encode), the
+score-vs-count discriminating corpus, UNK semantics, and composition
+with pack_token_sequences."""
+
+from __future__ import annotations
+
+import pytest
+
+from firepit_spark.functions import wordpiece as wp
+
+
+# ------------------------------------------------ pure-python reference
+#
+# Independent implementation (dicts + loops, no Spark, no shared
+# helpers) of the documented spec: word -> [c0, ##c1, ...]; each round
+# merges argmax of count(a,b) / (count(a)*count(b)) with (score desc,
+# a asc, b asc) ties; product strips b's continuation prefix.
+
+
+def _ref_tokens(text: str) -> list:
+    return [w for w in text.lower().split() if w]
+
+
+def _ref_train(texts, n_merges, min_pair_count=2):
+    freqs: dict = {}
+    for t in texts:
+        for w in _ref_tokens(t):
+            freqs[w] = freqs.get(w, 0) + 1
+    segs = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in freqs
+    }
+    merges = []
+    while len(merges) < n_merges:
+        pair_n: dict = {}
+        sym_n: dict = {}
+        for w, f in freqs.items():
+            s = segs[w]
+            for x in s:
+                sym_n[x] = sym_n.get(x, 0) + f
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + f
+        best, best_key = None, None
+        for (a, b), n in pair_n.items():
+            if n < min_pair_count:
+                continue
+            score = n / (sym_n[a] * sym_n[b])
+            key = (-score, a, b)
+            if best_key is None or key < best_key:
+                best, best_key = (a, b), key
+        if best is None:
+            break
+        a, b = best
+        prod = a + (b[2:] if b.startswith("##") else b)
+        merges.append(best)
+        for w, s in segs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = prod
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges
+
+
+def _random_texts(seed: int, n: int = 60) -> list:
+    import random
+
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 7)))
+        for _ in range(25)
+    ]
+    return [
+        " ".join(rng.choice(words) for _ in range(rng.randint(3, 12)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_train_differential_vs_pure_python(spark, seed):
+    texts = _random_texts(seed)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    model = wp.wordpiece_train(df, n_merges=18)
+    assert model.merges == _ref_train(texts, 18)
+    # every merge product (and every base char) is a vocab piece
+    for a, b in model.merges:
+        assert wp._wp_product(a, b) in model.vocab
+
+
+def test_score_argmax_differs_from_count_argmax(spark):
+    """The discriminating corpus: ('x','##y') is the most FREQUENT pair
+    but both symbols are ubiquitous; ('q','##z') is rarer but its
+    symbols appear nowhere else, so its likelihood score wins. BPE must
+    pick the count winner, WordPiece the score winner."""
+    from firepit_spark.functions.bpe import bpe_train
+
+    rows = [("xy xr yx sx ry",)] * 8 + [("qz",)] * 4
+    df = spark.createDataFrame(rows, "text string")
+    wmodel = wp.wordpiece_train(df, n_merges=1)
+    assert wmodel.merges == [("q", "##z")]
+    bmodel = bpe_train(df, n_merges=1)
+    assert bmodel.merges[0][0] == "x"  # count winner: (x, ##y)-shaped
+
+
+def test_encode_greedy_longest_match_and_unk(spark):
+    texts = ["the theme thesis", "the theme", "unbreakable"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    model = wp.wordpiece_train(df, n_merges=12, min_pair_count=1)
+    enc = wp.wordpiece_encode(df, model).collect()
+    inv = model.id_to_piece
+    for r in enc:
+        assert r["wp_ids"], "trained corpus rows must encode"
+        # greedy match agrees with the pure-python helper word-for-word
+        pieces = []
+        for w in _ref_tokens(r["text"]):
+            got = wp._wp_encode_word(w, model.vocab, 100)
+            assert got is not None
+            pieces.extend(got)
+        assert [inv[i] for i in r["wp_ids"]] == pieces
+        # decode round-trips the (lower-cased) text
+        assert wp.wordpiece_decode_ids(r["wp_ids"], model) == r["text"].lower()
+    # unseen characters -> ONE unk for the whole word, not per char
+    df2 = spark.createDataFrame([("the ZZZ!!! theme",)], "text string")
+    ids = wp.wordpiece_encode(df2, model).collect()[0]["wp_ids"]
+    the, theme = (
+        [model.vocab[p] for p in wp._wp_encode_word(w, model.vocab, 100)]
+        for w in ("the", "theme")
+    )
+    assert ids == the + [wp.UNK_ID] + theme
+    # max_word_chars guard: a long word maps to a single UNK
+    model.max_word_chars = 5
+    ids = wp.wordpiece_encode(
+        spark.createDataFrame([("theme theses",)], "text string"), model
+    ).collect()[0]["wp_ids"]
+    assert ids == theme + [wp.UNK_ID]
+
+
+def test_validation_and_packing_composition(spark):
+    df = spark.createDataFrame([("aa ab aa",)], "text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        wp.wordpiece_train(df, 0)
+    with pytest.raises(ValueError, match="min_pair_count"):
+        wp.wordpiece_train(df, 1, min_pair_count=0)
+    model = wp.wordpiece_train(df, n_merges=2, min_pair_count=1)
+    enc = wp.wordpiece_encode(df, model)
+    with pytest.raises(ValueError, match="already exists"):
+        wp.wordpiece_encode(enc, model)
+    from firepit_spark.functions.pipeline import pack_token_sequences
+
+    from pyspark.sql import functions as F
+
+    packed = pack_token_sequences(
+        enc.withColumn("lang", enc.text.substr(1, 1)).withColumn(
+            "doc_id", F.lit(0)
+        ),
+        16,
+        ids_col="wp_ids",
+        part_col="lang",
+    )
+    rows = packed.collect()
+    assert rows and all(len(r["ids"]) == 16 for r in rows)
