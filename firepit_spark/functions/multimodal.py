@@ -246,8 +246,10 @@ def sniff_mime(content: bytes | None) -> str | None:
             return "video/x-msvideo"
     if len(content) >= 12 and content[4:8] == b"ftyp":
         return "video/mp4"
-    if content[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2"):
+    if content[:2] in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2", b"\xff\xe3"):
         return "audio/mpeg"
+    if len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xF6) == 0xF0:
+        return "audio/aac"  # ADTS sync + layer 00
     return None
 
 
@@ -270,9 +272,192 @@ def image_dims(content: bytes | None) -> tuple[int, int] | None:
             return (w, abs(h))  # negative height = top-down rows
         if mime == "image/jpeg":
             return _jpeg_dims(content)
+        if mime == "image/webp":
+            return _webp_dims(content)
     except struct.error:
         return None
     return None
+
+
+def _webp_dims(b: bytes) -> tuple[int, int] | None:
+    """WebP canvas dimensions from the first VP8 / VP8L / VP8X chunk —
+    pure header arithmetic per the WebP container/bitstream specs (lossy
+    frame tag, lossless 14-bit packed dims, extended 24-bit canvas)."""
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos:pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + clen]
+        if fourcc == b"VP8X" and len(body) >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return (w, h)
+        if fourcc == b"VP8 " and len(body) >= 10:
+            if body[3:6] != b"\x9d\x01\x2a":  # keyframe start code
+                return None
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            return (w, h)
+        if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            return (1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF))
+        pos += 8 + clen + (clen & 1)
+    return None
+
+
+# ----------------------------------------------- MP3 / ADTS audio probes
+#
+# Codec-free container metadata for the two dominant compressed-audio
+# stream formats, the audio siblings of mp4_probe: frame-header walks
+# give codec profile, sample rate, channels, frame count and duration
+# without touching the (honestly library-bound) entropy decode. This is
+# what a 100 TB corpus triage actually needs from wild MP3/AAC blobs —
+# length/rate stratification, truncation detection — and it shuffles
+# scalar features only.
+
+# bitrate (kbps) tables indexed by [version_group][layer][bitrate_index];
+# version_group 0 = MPEG1, 1 = MPEG2/2.5 (ISO 11172-3 / 13818-3)
+_MP3_BITRATES = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+             384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224,
+             256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),   # MPEG1
+    2: (22050, 24000, 16000),   # MPEG2
+    0: (11025, 12000, 8000),    # MPEG2.5
+}
+
+
+def mp3_probe(content: bytes) -> dict:
+    """MPEG audio stream metadata from a linear frame-header walk:
+    version/layer/bitrate/rate/channels from the first frame, frame
+    count and duration from walking frame lengths (VBR streams probe
+    correctly — each frame carries its own bitrate), plus the Xing/Info
+    VBR tag's declared frame count when present. Skips ID3v2 prefixes.
+    Raises ValueError for non-MPEG bytes; tolerates trailing garbage
+    (ID3v1, truncation) by stopping at the first lost sync."""
+    if not content or len(content) < 4:
+        raise ValueError("not an MPEG audio stream (too short)")
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        # syncsafe 28-bit size
+        sz = 0
+        for byte in content[6:10]:
+            sz = (sz << 7) | (byte & 0x7F)
+        pos = 10 + sz
+    first = None
+    n_frames = 0
+    total_samples = 0
+    xing_frames = None
+    while pos + 4 <= len(content):
+        hdr = content[pos:pos + 4]
+        if hdr[0] != 0xFF or (hdr[1] & 0xE0) != 0xE0:
+            break
+        version = (hdr[1] >> 3) & 0x03   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer_code = (hdr[1] >> 1) & 0x03  # 3=L1, 2=L2, 1=L3
+        br_idx = (hdr[2] >> 4) & 0x0F
+        sr_idx = (hdr[2] >> 2) & 0x03
+        padding = (hdr[2] >> 1) & 0x01
+        mode = (hdr[3] >> 6) & 0x03
+        if version == 1 or layer_code == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break  # reserved fields / free-format: stop at lost sync
+        layer = 4 - layer_code
+        vgroup = 0 if version == 3 else 1
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        if layer == 1:
+            samples = 384
+            flen = (12 * bitrate // rate + padding) * 4
+        elif layer == 2:
+            samples = 1152
+            flen = 144 * bitrate // rate + padding
+        else:
+            samples = 1152 if version == 3 else 576
+            coef = 144 if version == 3 else 72
+            flen = coef * bitrate // rate + padding
+        if flen <= 4:
+            break
+        if first is None:
+            first = {
+                "version": {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[version],
+                "layer": layer,
+                "bitrate": bitrate,
+                "sample_rate": rate,
+                "channels": 1 if mode == 3 else 2,
+            }
+            # Xing/Info VBR tag sits after the side info of frame 1
+            side = (
+                (17 if mode == 3 else 32)
+                if version == 3
+                else (9 if mode == 3 else 17)
+            )
+            tag_at = pos + 4 + side
+            tag = content[tag_at:tag_at + 8]
+            if tag[:4] in (b"Xing", b"Info") and len(tag) == 8:
+                flags = struct.unpack(">I", tag[4:8])[0]
+                if flags & 0x01 and len(content) >= tag_at + 12:
+                    xing_frames = struct.unpack(
+                        ">I", content[tag_at + 8:tag_at + 12]
+                    )[0]
+        n_frames += 1
+        total_samples += samples
+        pos += flen
+    if first is None:
+        raise ValueError("not an MPEG audio stream (no valid frame header)")
+    out = dict(first)
+    out["n_frames"] = n_frames
+    out["duration_ms"] = int(total_samples * 1000 // out["sample_rate"])
+    out["vbr_declared_frames"] = xing_frames
+    return out
+
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350)
+
+
+def aac_adts_probe(content: bytes) -> dict:
+    """AAC ADTS stream metadata: profile / sample rate / channels from
+    the first header, frame count and duration (1024 samples per AAC
+    frame) from walking the 13-bit frame lengths. Raises ValueError for
+    non-ADTS bytes; stops at the first lost sync."""
+    if not content or len(content) < 7:
+        raise ValueError("not an ADTS stream (too short)")
+    pos = 0
+    first = None
+    n_frames = 0
+    while pos + 7 <= len(content):
+        h = content[pos:pos + 7]
+        if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:  # sync + layer 00
+            break
+        profile = (h[2] >> 6) & 0x03
+        sr_idx = (h[2] >> 2) & 0x0F
+        channels = ((h[2] & 0x01) << 2) | ((h[3] >> 6) & 0x03)
+        flen = ((h[3] & 0x03) << 11) | (h[4] << 3) | ((h[5] >> 5) & 0x07)
+        if sr_idx >= len(_ADTS_RATES) or flen < 7:
+            break
+        if first is None:
+            first = {
+                "profile": ("Main", "LC", "SSR", "LTP")[profile],
+                "sample_rate": _ADTS_RATES[sr_idx],
+                "channels": channels,
+                "crc_absent": bool(h[1] & 0x01),
+            }
+        n_frames += 1
+        pos += flen
+    if first is None:
+        raise ValueError("not an ADTS stream (no valid frame header)")
+    out = dict(first)
+    out["n_frames"] = n_frames
+    out["duration_ms"] = int(n_frames * 1024 * 1000 // out["sample_rate"])
+    return out
 
 
 def jpeg_features(b: bytes | None) -> dict | None:
