@@ -225,17 +225,28 @@ def test_decode_image_audio_fallback_paths():
     assert rate == 8000 and samples.shape[1] == 1
     with _pytest.raises(ValueError, match="JPEG"):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\0" * 32)
-    gif_like = b"GIF89a" + b"\0" * 32  # no built-in kernel for GIF
+    # GIF/FLAC now have built-in kernels (r10): a blob with the right
+    # magic but garbage inside is MALFORMED data, not a missing codec
+    with _pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a" + b"\0" * 32)
+    with _pytest.raises(ValueError):
+        mm.decode_audio(b"fLaC" + b"\0" * 16)
+    # a blob that sniffs as NO known container is malformed, with a
+    # precise message — never "codec missing"
+    with _pytest.raises(ValueError, match="recognized audio container"):
+        mm.decode_audio(b"not audio at all")
+    webp_like = b"RIFF\x10\0\0\0WEBPVP8 " + b"\0" * 16  # truly library-bound
     try:
         import PIL  # noqa: F401
     except ImportError:
         with _pytest.raises(NotImplementedError, match="no image codec"):
-            mm.decode_image(gif_like)
+            mm.decode_image(webp_like)
+    mp3_like = b"\xff\xfb\x90\x00" + b"\0" * 32  # sniffs audio/mpeg
     try:
         import soundfile  # noqa: F401
     except ImportError:
         with _pytest.raises(NotImplementedError, match="no audio codec"):
-            mm.decode_audio(b"fLaC" + b"\0" * 16)
+            mm.decode_audio(mp3_like)
 
 
 def test_sniff_mime_magic():
