@@ -419,6 +419,79 @@ def mp3_probe(content: bytes) -> dict:
     return out
 
 
+def ogg_probe(content: bytes) -> dict:
+    """Ogg container metadata (Vorbis / Opus / Ogg-FLAC / Theora): codec
+    identified from the first BOS packet's magic, channels/rate from its
+    ID header, duration from the stream's LAST granule position (PCM
+    samples for Vorbis; 48 kHz ticks minus pre-skip for Opus — the
+    granule clock is 48 kHz regardless of the input rate, per RFC 7845).
+    Pure page walk, CRCs not verified (this is a probe, not a decoder).
+    Raises ValueError for non-Ogg bytes."""
+    if not content or content[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    pos = 0
+    first: dict | None = None
+    serial0 = None
+    last_granule = 0
+    n_pages = 0
+    while pos + 27 <= len(content):
+        if content[pos:pos + 4] != b"OggS":
+            break
+        htype = content[pos + 5]
+        granule = struct.unpack("<q", content[pos + 6:pos + 14])[0]
+        serial = struct.unpack("<I", content[pos + 14:pos + 18])[0]
+        nseg = content[pos + 26]
+        seg_table = content[pos + 27:pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            break
+        body_len = sum(seg_table)
+        body = content[pos + 27 + nseg:pos + 27 + nseg + body_len]
+        if first is None and htype & 0x02:  # beginning-of-stream page
+            serial0 = serial
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                first = {
+                    "codec": "vorbis",
+                    "channels": body[11],
+                    "sample_rate": struct.unpack("<I", body[12:16])[0],
+                    "granule_rate": struct.unpack("<I", body[12:16])[0],
+                    "pre_skip": 0,
+                }
+            elif body[:8] == b"OpusHead" and len(body) >= 16:
+                first = {
+                    "codec": "opus",
+                    "channels": body[9],
+                    "sample_rate": struct.unpack("<I", body[12:16])[0],
+                    "granule_rate": 48000,
+                    "pre_skip": struct.unpack("<H", body[10:12])[0],
+                }
+            elif body[:5] == b"\x7fFLAC":
+                first = {"codec": "flac", "channels": None,
+                         "sample_rate": None, "granule_rate": None,
+                         "pre_skip": 0}
+            elif body[:7] == b"\x80theora":
+                first = {"codec": "theora", "channels": None,
+                         "sample_rate": None, "granule_rate": None,
+                         "pre_skip": 0}
+            else:
+                first = {"codec": "unknown", "channels": None,
+                         "sample_rate": None, "granule_rate": None,
+                         "pre_skip": 0}
+        if serial == serial0 and granule > 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos += 27 + nseg + body_len
+    if first is None:
+        raise ValueError("Ogg stream has no BOS page")
+    out = dict(first)
+    out["n_pages"] = n_pages
+    gr = out.pop("granule_rate")
+    skip = out.pop("pre_skip")
+    out["duration_ms"] = (
+        int(max(last_granule - skip, 0) * 1000 // gr) if gr else None
+    )
+    return out
+
+
 _ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
                16000, 12000, 11025, 8000, 7350)
 
