@@ -3409,6 +3409,78 @@ FROM base b
 """
 
 
+def q60_html_strip(spark, sf_dir):
+    """HTML → text on the JVM fast path (functions/html.strip_tags_expr —
+    a pure-Catalyst regexp_replace chain, zero Python): synthesize a
+    deterministic HTML page around each document's text (head+style
+    subtree, comment, heading, paragraph, nav list, inline script with a
+    literal '<' inside), strip it, and return the clean text. The oracle
+    rebuilds the SAME page in SQL and mirrors the SAME chain through
+    DuckDB's RE2 engine (backreference subtree pass expanded into
+    per-tag passes — equivalent on non-interleaved subtrees; entity
+    passes are no-ops here because '&' is stripped from the base text),
+    so a hash match proves two independent regex engines agree on every
+    byte of the extraction. The fidelity path (html_to_text, stdlib
+    parser + boilerplate link-density filter) is pytest-gated against
+    this expression path in tests/test_html.py."""
+    from firepit_spark.functions.html import strip_tags_expr
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").filter(F.col("doc_id") < 2000)
+    base = F.translate(F.substring(F.col("text"), 1, 120), "<>&", "")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><style>p{x}</style></head>"
+            "<body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- c --><p>"),
+        base,
+        F.lit(
+            '</p><ul><li><a href="/a">one</a></li><li>two</li></ul>'
+            "<script>var x = 1 < 2;</script></body></html>"
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        strip_tags_expr(html).alias("clean_text"),
+    ).withColumn("n_chars", F.length("clean_text").cast("int"))
+
+
+_Q60_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         translate(substr(text, 1, 120), '<>&', '') AS base
+  FROM documents WHERE doc_id < 2000
+), h AS (
+  SELECT doc_id,
+         '<html><head><title>T</title><style>p{x}</style></head><body><h1>Doc '
+         || CAST(doc_id AS VARCHAR)
+         || '</h1><!-- c --><p>' || base
+         || '</p><ul><li><a href="/a">one</a></li><li>two</li></ul>'
+         || '<script>var x = 1 < 2;</script></body></html>' AS html
+  FROM d
+), s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(html,
+      '(?is)<!--.*?-->', '', 'g'),
+      '(?is)<head\b.*?</head\s*>', '', 'g'),
+      '(?is)<script\b.*?</script\s*>', '', 'g'),
+      '(?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|blockquote|pre|section|article|header|footer|nav|aside|main|form|figure|figcaption|hr|dl|dt|dd)\b[^>]*>',
+      chr(10), 'g'),
+      '(?s)<[^>]*>', '', 'g'),
+      '[ \t\r]+', ' ', 'g'),
+      ' ?\n ?', chr(10), 'g'),
+      '\n{2,}', chr(10), 'g'),
+      '^[\n ]+|[\n ]+$', '', 'g') AS clean_text
+  FROM h
+)
+SELECT doc_id, clean_text, length(clean_text)::INT AS n_chars FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3471,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_stix_timestamped": q57_stix_timestamped,
         "q58_stix_path_join": q58_stix_path_join,
         "q59_stix_reassign": q59_stix_reassign,
+        "q60_html_strip": q60_html_strip,
     }
 
 
@@ -3526,4 +3599,5 @@ def oracle_sql() -> dict[str, str]:
         "q57_stix_timestamped": _Q57_SQL,
         "q58_stix_path_join": _Q58_SQL,
         "q59_stix_reassign": _Q59_SQL,
+        "q60_html_strip": _Q60_SQL,
     }

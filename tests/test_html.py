@@ -1,0 +1,99 @@
+"""HTML → text extraction: fidelity-path semantics (entities, blocks,
+drops, pre, boilerplate link-density filter), the distributed wrapper,
+and parser-vs-Catalyst-expression agreement + plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import html as H
+
+
+def test_html_to_text_blocks_entities_and_drops():
+    doc = (
+        "<html><head><title>nope</title><style>p{color:red}</style></head>"
+        "<body><!-- chrome comment -->"
+        "<h1>Header &amp; more</h1>"
+        "<p>First <b>bold</b> paragraph.</p>"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<p>Caf&eacute; &#39;quoted&#39;</p>"
+        "<div>a<br/>b</div></body></html>"
+    )
+    assert H.html_to_text(doc) == (
+        "Header & more\n"
+        "First bold paragraph.\n"
+        "Café 'quoted'\n"
+        "a\nb"
+    )
+
+
+def test_html_to_text_pre_and_malformed():
+    doc = "<p>x<pre>  keep\n  this </pre><p>tail"
+    out = H.html_to_text(doc)
+    assert "  keep\n  this " in out.splitlines()[1] + "\n" + out.splitlines()[2]
+    assert out.startswith("x\n") and out.endswith("tail")
+    # unclosed / crossing tags: tolerant, never raises
+    assert H.html_to_text("<div><b>a</div>b</b><p>c") == "a\nb\nc"
+    assert H.html_to_text("") == ""
+    assert H.html_to_text("plain no tags") == "plain no tags"
+
+
+def test_extract_main_text_link_density():
+    nav = "<ul>" + "".join(
+        f'<li><a href="/{i}">Nav item number {i} here</a></li>'
+        for i in range(4)
+    ) + "</ul>"
+    body1 = ("<p>This is the actual article body, long enough to pass the "
+             "minimum block length and made of prose, not links.</p>")
+    body2 = ('<p>Second paragraph with one <a href="x">inline link</a> but '
+             "mostly plain running text around it, as articles have.</p>")
+    footer = '<div><a href="/about">About</a> <a href="/tos">Terms</a></div>'
+    doc = f"<body>{nav}{body1}{body2}{footer}</body>"
+    main = H.extract_main_text(doc)
+    assert "actual article body" in main
+    assert "Second paragraph" in main
+    assert "Nav item" not in main and "About" not in main
+    # everything still visible on the unfiltered path
+    assert "Nav item number 0 here" in H.html_to_text(doc)
+
+
+def test_html_text_distributed(spark):
+    rows = [
+        (1, "<p>Hello &amp; goodbye</p><script>x</script>"),
+        (2, None),
+        (3, "<div>plain</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, html STRING")
+    out = {r["doc_id"]: (r["text"], r["text_err"])
+           for r in H.html_text(df).collect()}
+    assert out[1] == ("Hello & goodbye", None)
+    assert out[2] == (None, None)
+    assert out[3] == ("plain", None)
+    with pytest.raises(ValueError, match="already exists"):
+        H.html_text(df, out_col="html")
+    main = H.html_text(
+        df, main_content=True, min_block_chars=3
+    ).collect()
+    assert {r["doc_id"]: r["text"] for r in main}[3] == "plain"
+
+
+def test_strip_tags_expr_agrees_with_parser(spark):
+    docs = [
+        "<p>Hello &amp; goodbye</p><p>Second block</p>",
+        "<div>a<br/>b</div><!-- hidden --><style>p{}</style>tail",
+        "<h1>Title &lt;tag&gt;</h1><ul><li>one</li><li>two</li></ul>",
+        "<script>var a = 1 < 2;</script><p>&quot;x&quot; &#39;y&#39;</p>",
+        "no tags at all &amp;lt; stays encoded once",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "html STRING")
+    got = [r["t"] for r in df.select(
+        H.strip_tags_expr("html").alias("t")
+    ).collect()]
+    want = [H.html_to_text(d) for d in docs]
+    assert got == want
+    # JVM path: no Python eval stage, no shuffle — map-only codegen
+    from firepit_spark.functions.doctor import assert_scaleworthy
+
+    rep = assert_scaleworthy(df.select(H.strip_tags_expr("html").alias("t")))
+    assert rep.arrow_evals == 0 and rep.exchanges == 0
