@@ -1433,7 +1433,11 @@ def q39_media_probe(spark, sf_dir):
     per-doc single-frame and ANIMATED streams (interlace and the
     diff-region + transparency optimization vary by doc_id), composed
     back through gif_frames and exact-compared to the source frames —
-    GIF is palette-lossless, so gif_exact is pinned TRUE like FLAC's."""
+    GIF is palette-lossless, so gif_exact is pinned TRUE like FLAC's.
+    A TIFF leg does the same for the baseline TIFF codec
+    (functions/tiff.py): none/LZW/PackBits compression, both byte
+    orders, predictor and strip chunking by doc_id — tif_exact pinned
+    TRUE (baseline TIFF is lossless)."""
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
@@ -1678,6 +1682,52 @@ def q39_media_probe(spark, sf_dir):
         schema="media_id long, gif_w int, gif_h int, gif_n_frames int, "
         "gif_exact boolean",
     )
+
+    # r10 TIFF leg: per-doc gradient image through the baseline TIFF
+    # codec — compression (none / LZW / PackBits), byte order, predictor
+    # and strip chunking vary by doc_id; baseline TIFF is lossless so
+    # tif_exact is pinned TRUE like FLAC's and GIF's.
+    def tiff_leg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from firepit_spark.functions import tiff as tf
+
+        comps = ["none", "lzw", "packbits"]
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 13, 8 + d % 7
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(2 * xx + yy + d) % 256, (xx + 3 * yy) % 256,
+                     (xx * yy + d) % 256], axis=-1
+                ).astype("uint8")
+                comp = comps[d % 3]
+                blob = tf.tiff_encode(
+                    img,
+                    compression=comp,
+                    big_endian=d % 2 == 1,
+                    predictor=comp == "lzw" and d % 4 == 1,
+                    rows_per_strip=3 if d % 5 == 0 else None,
+                )
+                dec = tf.tiff_decode(blob)
+                exact = bool(np.array_equal(dec, img))
+                recs.append(
+                    (d, comp, dec.shape[1], dec.shape[0], exact)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "tif_comp", "tif_w", "tif_h",
+                         "tif_exact"],
+            )
+
+    tif = docs.mapInPandas(
+        tiff_leg,
+        schema="media_id long, tif_comp string, tif_w int, tif_h int, "
+        "tif_exact boolean",
+    )
     return (
         probed.join(feats, "media_id")
         .join(vid, "media_id")
@@ -1685,6 +1735,7 @@ def q39_media_probe(spark, sf_dir):
         .join(wav, "media_id")
         .join(flc, "media_id")
         .join(gifd, "media_id")
+        .join(tif, "media_id")
         .select(
             F.col("media_id").alias("doc_id"),
             "mime_sniffed",
@@ -1712,6 +1763,10 @@ def q39_media_probe(spark, sf_dir):
             "gif_h",
             "gif_n_frames",
             "gif_exact",
+            "tif_comp",
+            "tif_w",
+            "tif_h",
+            "tif_exact",
         )
     )
 
@@ -1770,7 +1825,14 @@ SELECT doc_id,
        CAST(w AS INT) AS gif_w,
        CAST(h AS INT) AS gif_h,
        CAST(1 + doc_id % 3 AS INT) AS gif_n_frames,
-       TRUE AS gif_exact
+       TRUE AS gif_exact,
+       -- TIFF leg (r10): baseline TIFF is lossless — compression choice
+       -- and geometry from the generation arithmetic, exactness pinned
+       (CASE doc_id % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'lzw'
+             ELSE 'packbits' END) AS tif_comp,
+       CAST(w AS INT) AS tif_w,
+       CAST(h AS INT) AS tif_h,
+       TRUE AS tif_exact
 FROM px
 GROUP BY doc_id, w, h
 """

@@ -151,6 +151,30 @@ def decode_image(content: bytes) -> "np.ndarray":
             return bmp_decode(content)
         except NotImplementedError:
             pass  # RLE/bitfields: Pillow or stub below
+    if content and content[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from firepit_spark.functions.tiff import tiff_decode
+
+        Image = None if PREFER_BUILTIN_JPEG else _pil_image()
+        if Image is not None:
+            import io
+
+            try:
+                arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+                return arr if arr.ndim == 3 else arr[:, :, None]
+            except Exception:
+                pass  # let the builtin kernel decode or raise precisely
+            return tiff_decode(content)
+        dims = image_dims(content)
+        if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
+            raise ValueError(
+                f"TIFF {dims[0]}x{dims[1]} exceeds the builtin-kernel "
+                f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install "
+                "Pillow or raise MAX_BUILTIN_JPEG_PIXELS"
+            )
+        try:
+            return tiff_decode(content)
+        except NotImplementedError:
+            pass  # tiled / deep / palette TIFF: Pillow or stub below
     if content and content.startswith(b"\xff\xd8"):
         from firepit_spark.functions.jpeg import jpeg_decode
 
@@ -227,6 +251,8 @@ _MAGIC = [
     (b"ID3", "audio/mpeg"),
     (b"OggS", "audio/ogg"),
     (b"fLaC", "audio/flac"),
+    (b"II\x2a\x00", "image/tiff"),
+    (b"MM\x00\x2a", "image/tiff"),
 ]
 
 
@@ -274,7 +300,13 @@ def image_dims(content: bytes | None) -> tuple[int, int] | None:
             return _jpeg_dims(content)
         if mime == "image/webp":
             return _webp_dims(content)
-    except struct.error:
+        if mime == "image/tiff":
+            from firepit_spark.functions import tiff as _tiff
+
+            endian = "<" if content[:2] == b"II" else ">"
+            tags = _tiff._read_ifd(content, endian)
+            return (tags[_tiff._TAG_WIDTH][0], tags[_tiff._TAG_HEIGHT][0])
+    except (struct.error, ValueError, KeyError):
         return None
     return None
 

@@ -1,0 +1,408 @@
+"""Pure-python baseline TIFF codec — the scanned-document sibling of
+functions/gif.py (palette web images) and functions/jpeg.py (photos).
+
+Scope (decoder): TIFF 6.0 baseline, both byte orders (II/MM), 8-bit
+grayscale and RGB(A), strip organization, compressions 1 (none),
+5 (LZW — the TIFF variant: MSB-first bit packing and EARLY code-width
+change, one code before GIF's), and 32773 (PackBits), plus horizontal
+differencing (Predictor 2) and white-is-zero inversion. Tiled files,
+other bit depths, palette color, and JPEG-in-TIFF raise
+``NotImplementedError`` (honest per-row quarantine); malformed
+structures raise ``ValueError``. The fixture encoder emits everything
+the decoder consumes — both byte orders, all three compressions,
+predictor, multi-strip — so round-trip gates are EXACT pixel equality
+(TIFF baseline is lossless).
+
+TIFF LZW vs GIF LZW (both here, deliberately separate): TIFF packs
+codes MSB-first (GIF: LSB-first) and widens one code EARLY — the width
+grows when the next code to assign equals ``(1 << width) - 1`` — per
+TIFF 6.0 §13 and the historic Aldus implementation every reader
+matches. The dictionaries and clear/EOI conventions are otherwise the
+same 12-bit scheme.
+
+The reference engine has no multimodal surface; this module belongs to
+the brief's LLM-training-data families. 100 TB story: per-row kernel
+under Arrow ``mapInPandas`` (``multimodal.decode_image`` routes TIFF),
+outputs are pixels reduced to scalar features/hashes before anything
+shuffles.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_CODE = 4096
+
+
+# ------------------------------------------------------------- TIFF LZW
+
+
+def tiff_lzw_decode(data: bytes, n_bytes: int) -> bytes:
+    """TIFF-variant LZW: MSB-first codes, early width change."""
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_bytes:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF: LZW stream truncated mid-code")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # clear
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF: first LZW code after clear not a literal")
+            entry = table[code]
+        elif code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and len(table) < _MAX_CODE:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"TIFF: LZW code {code} out of table range")
+        out += entry
+        if prev is not None and len(table) < _MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:  # EARLY change
+                width += 1
+        prev = entry
+    if len(out) < n_bytes:
+        raise ValueError(f"TIFF: LZW data ended at {len(out)} of {n_bytes}")
+    return bytes(out[:n_bytes])
+
+
+def tiff_lzw_encode(raw: bytes) -> bytes:
+    """Exact inverse of :func:`tiff_lzw_decode` (property-tested)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256, width)
+    w = b""
+    for byte in raw:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < _MAX_CODE - 1:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder runs one table entry BEHIND the encoder and
+            # early-changes at (1<<w)-1 (the documented Aldus/libtiff
+            # behavior: widths grow at 511/1023/2047); the matching
+            # encoder threshold is therefore one later, (1<<w)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# -------------------------------------------------------------- PackBits
+
+
+def packbits_decode(data: bytes, n_bytes: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while len(out) < n_bytes and pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1
+            if pos + n + 1 > len(data):
+                raise ValueError("TIFF: PackBits literal run truncated")
+            out += data[pos:pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("TIFF: PackBits repeat run truncated")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) < n_bytes:
+        raise ValueError(f"TIFF: PackBits ended at {len(out)} of {n_bytes}")
+    return bytes(out[:n_bytes])
+
+
+def packbits_encode(raw: bytes) -> bytes:
+    """Greedy PackBits: runs of >=3 become repeats, else literals."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, raw[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and len(raw) - i:
+            run = 1
+            while i + run < n and raw[i + run] == raw[i] and run < 128:
+                run += 1
+            if run >= 3 or i - lit_start + run > 128:
+                break
+            i += run
+        chunk = raw[lit_start:min(i, lit_start + 128)]
+        i = lit_start + len(chunk)
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
+# -------------------------------------------------------------- container
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _read_ifd(b: bytes, endian: str) -> dict:
+    (ifd_off,) = struct.unpack(endian + "I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("TIFF: truncated IFD offset")
+    (n_entries,) = struct.unpack(endian + "H", b[ifd_off:ifd_off + 2])
+    tags: dict = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(b):
+            raise ValueError("TIFF: truncated IFD entry")
+        tag, typ, count = struct.unpack(endian + "HHI", b[off:off + 8])
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            payload = b[off + 8:off + 8 + size]
+        else:
+            (voff,) = struct.unpack(endian + "I", b[off + 8:off + 12])
+            if voff + size > len(b):
+                raise ValueError("TIFF: tag value out of bounds")
+            payload = b[voff:voff + size]
+        if typ == 3:
+            vals = list(struct.unpack(endian + "H" * count, payload))
+        elif typ == 4:
+            vals = list(struct.unpack(endian + "I" * count, payload))
+        elif typ == 1:
+            vals = list(payload)
+        else:  # RATIONAL / ASCII: not needed for pixels, keep raw
+            vals = [payload]
+        tags[tag] = vals
+    return tags
+
+
+def tiff_decode(content: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 pixels from a baseline strip TIFF."""
+    if len(content) < 8:
+        raise ValueError("not a TIFF (too short)")
+    if content[:4] == b"II\x2a\x00":
+        endian = "<"
+    elif content[:4] == b"MM\x00\x2a":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order header)")
+    tags = _read_ifd(content, endian)
+    if _TAG_TILE_WIDTH in tags:
+        raise NotImplementedError("TIFF: tiled organization")
+    try:
+        w = tags[_TAG_WIDTH][0]
+        h = tags[_TAG_HEIGHT][0]
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_COUNTS]
+    except KeyError as exc:
+        raise ValueError(f"TIFF: missing required tag {exc}") from exc
+    spp = tags.get(_TAG_SPP, [1])[0]
+    bits = tags.get(_TAG_BITS, [8])
+    if any(v != 8 for v in bits):
+        raise NotImplementedError(f"TIFF: BitsPerSample {bits}")
+    compression = tags.get(_TAG_COMPRESSION, [1])[0]
+    photometric = tags.get(_TAG_PHOTOMETRIC, [1])[0]
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF: photometric {photometric}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF: predictor {predictor}")
+    rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [h])[0] or h
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF: strip offsets/counts mismatch")
+    row_bytes = w * spp
+    rows = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(content):
+            raise ValueError("TIFF: strip out of bounds")
+        n_rows = min(rows_per_strip, h - s * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF: more strips than rows")
+        expect = n_rows * row_bytes
+        blob = content[off:off + cnt]
+        if compression == 1:
+            if cnt < expect:
+                raise ValueError("TIFF: uncompressed strip short")
+            raw = blob[:expect]
+        elif compression == 5:
+            raw = tiff_lzw_decode(blob, expect)
+        elif compression == 32773:
+            raw = packbits_decode(blob, expect)
+        else:
+            raise NotImplementedError(f"TIFF: compression {compression}")
+        rows.append(
+            np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, w, spp)
+        )
+    px = np.concatenate(rows, axis=0)
+    if px.shape[0] != h:
+        raise ValueError("TIFF: strip rows do not cover the image")
+    if predictor == 2:
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
+    if photometric == 0:  # white-is-zero
+        px = 255 - px
+    return px.copy()
+
+
+def tiff_encode(
+    pixels: np.ndarray,
+    compression: str = "none",
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+    predictor: bool = False,
+) -> bytes:
+    """Fixture/sink twin of :func:`tiff_decode`: baseline strip TIFF,
+    8-bit gray or RGB(A), ``compression`` in none/lzw/packbits,
+    optional horizontal predictor (LZW only, like real writers)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError(f"unsupported pixel shape {arr.shape}")
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}.get(compression)
+    if comp_code is None:
+        raise ValueError(f"compression must be none/lzw/packbits, got {compression!r}")
+    if predictor and comp_code != 5:
+        raise ValueError("predictor is only written with LZW")
+    h, w, spp = arr.shape
+    endian = ">" if big_endian else "<"
+    rows_per_strip = rows_per_strip or h
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        strip = arr[r0:r0 + rows_per_strip]
+        if predictor:
+            strip = np.concatenate(
+                [strip[:, :1].astype(np.int16),
+                 np.diff(strip.astype(np.int16), axis=1)], axis=1
+            ).astype(np.uint8)
+        raw = strip.tobytes()
+        if comp_code == 5:
+            strips.append(tiff_lzw_encode(raw))
+        elif comp_code == 32773:
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    entries = []  # (tag, type, count, value-or-bytes)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(_TAG_WIDTH, 4, [w])
+    entry(_TAG_HEIGHT, 4, [h])
+    entry(_TAG_BITS, 3, [8] * spp)
+    entry(_TAG_COMPRESSION, 3, [comp_code])
+    entry(_TAG_PHOTOMETRIC, 3, [2 if spp >= 3 else 1])
+    entry(_TAG_STRIP_OFFSETS, 4, [0] * len(strips))  # patched below
+    entry(_TAG_SPP, 3, [spp])
+    entry(_TAG_ROWS_PER_STRIP, 4, [rows_per_strip])
+    entry(_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if predictor:
+        entry(_TAG_PREDICTOR, 3, [2])
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size  # overflow value area
+    ext = bytearray()
+    fixed = []
+    for tag, typ, vals in entries:
+        size = _TYPE_SIZE[typ] * len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(endian + fmt * len(vals), *vals)
+        if size <= 4:
+            fixed.append((tag, typ, len(vals), payload.ljust(4, b"\x00"), None))
+        else:
+            fixed.append((tag, typ, len(vals), ext_off + len(ext), (fmt, vals)))
+            ext += payload
+    data_off = ext_off + len(ext)
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    out = bytearray()
+    out += (b"MM\x00\x2a" if big_endian else b"II\x2a\x00")
+    out += struct.pack(endian + "I", ifd_off)
+    out += struct.pack(endian + "H", len(entries))
+    ext = bytearray()  # rebuild with patched strip offsets
+    for tag, typ, count, val, overflow in fixed:
+        if tag == _TAG_STRIP_OFFSETS:
+            vals = offsets
+        elif overflow is not None:
+            vals = overflow[1]
+        else:
+            out += struct.pack(endian + "HHI", tag, typ, count) + val
+            continue
+        fmt = {3: "H", 4: "I"}[typ]
+        payload = struct.pack(endian + fmt * len(vals), *vals)
+        if len(payload) <= 4:
+            out += struct.pack(endian + "HHI", tag, typ, count)
+            out += payload.ljust(4, b"\x00")
+        else:
+            out += struct.pack(endian + "HHI", tag, typ, count)
+            out += struct.pack(endian + "I", ext_off + len(ext))
+            ext += payload
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)

@@ -1,0 +1,147 @@
+"""TIFF codec gates: TIFF-variant LZW (MSB-first, early change),
+PackBits, container round-trips across byte orders / compressions /
+predictor / multi-strip — all EXACT (baseline TIFF is lossless) — plus
+decode_image routing, dims/sniff, and quarantine paths."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from firepit_spark.functions import multimodal as mm
+from firepit_spark.functions import tiff as T
+
+
+def _img(seed: int, h: int = 37, w: int = 23, ch: int = 3) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    return a[:, :, 0] if ch == 1 else a
+
+
+def test_tiff_lzw_roundtrips_and_width_growth():
+    rng = np.random.default_rng(1)
+    for n in (1, 2, 257, 5000, 300_000):  # 300k random forces table wrap
+        raw = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert T.tiff_lzw_decode(T.tiff_lzw_encode(raw), n) == raw, n
+    # highly compressible: long dictionary chains, KwKwK-style entries
+    raw = bytes([1, 2, 3, 4] * 50_000)
+    assert T.tiff_lzw_decode(T.tiff_lzw_encode(raw), len(raw)) == raw
+    with pytest.raises(ValueError, match="truncated"):
+        T.tiff_lzw_decode(b"", 4)
+    with pytest.raises(ValueError, match="ended at"):
+        enc = T.tiff_lzw_encode(b"abc")
+        T.tiff_lzw_decode(enc, 10)
+
+
+def test_tiff_lzw_is_not_gif_lzw():
+    """The two variants must NOT be interchangeable: MSB vs LSB packing
+    and early vs standard width change both break cross-decoding."""
+    from firepit_spark.functions import gif
+
+    raw = bytes(np.random.default_rng(2).integers(0, 256, 4000, dtype=np.uint8))
+    tiff_stream = T.tiff_lzw_encode(raw)
+    with pytest.raises(ValueError):
+        decoded = gif.lzw_decode(8, tiff_stream, len(raw))
+        if not np.array_equal(np.frombuffer(raw, np.uint8), decoded):
+            raise ValueError("diverged (expected)")
+
+
+def test_packbits_roundtrips_and_spec_cases():
+    rng = np.random.default_rng(3)
+    for n in (1, 2, 130, 1000):
+        raw = bytes(rng.integers(0, 3, n, dtype=np.uint8))
+        assert T.packbits_decode(T.packbits_encode(raw), n) == raw, n
+    # classic Apple spec example round-trips through our decoder
+    spec = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                  0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    want = (b"\xaa\xaa\xaa\x80\x00\x2a\xaa\xaa\xaa\xaa\x80\x00\x2a"
+            b"\x22\xaa\xaa\xaa\xaa\xaa\xaa\xaa\xaa\xaa\xaa")
+    assert T.packbits_decode(spec, len(want)) == want
+    # 128 no-op byte is skipped
+    assert T.packbits_decode(bytes([128, 0, 65]), 1) == b"A"
+    with pytest.raises(ValueError, match="truncated"):
+        T.packbits_decode(bytes([5, 1, 2]), 6)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(),
+    dict(compression="lzw"),
+    dict(compression="packbits"),
+    dict(big_endian=True),
+    dict(compression="lzw", predictor=True),
+    dict(compression="lzw", rows_per_strip=8, big_endian=True),
+    dict(compression="packbits", rows_per_strip=5),
+])
+def test_container_roundtrip_exact(kwargs):
+    img = _img(7)
+    assert np.array_equal(T.tiff_decode(T.tiff_encode(img, **kwargs)), img)
+    gray = _img(8, ch=1)
+    assert np.array_equal(
+        T.tiff_decode(T.tiff_encode(gray, **kwargs)), gray[:, :, None]
+    )
+
+
+def test_smooth_image_predictor_helps_and_stays_exact():
+    yy, xx = np.mgrid[0:40, 0:50]
+    smooth = ((xx + yy) % 256).astype(np.uint8)
+    plain = T.tiff_encode(smooth, compression="lzw")
+    pred = T.tiff_encode(smooth, compression="lzw", predictor=True)
+    assert np.array_equal(T.tiff_decode(pred), smooth[:, :, None])
+    assert len(pred) < len(plain)  # differencing is why predictor exists
+
+
+def test_white_is_zero_photometric():
+    gray = _img(9, ch=1)
+    blob = bytearray(T.tiff_encode(gray))
+    # flip PhotometricInterpretation (tag 262) value 1 -> 0 in the IFD
+    (n,) = struct.unpack("<H", blob[8:10])
+    for i in range(n):
+        off = 10 + 12 * i
+        tag, typ, cnt = struct.unpack("<HHI", blob[off:off + 8])
+        if tag == 262:
+            assert struct.unpack("<H", blob[off + 8:off + 10])[0] == 1
+            blob[off + 8:off + 10] = struct.pack("<H", 0)
+    assert np.array_equal(
+        T.tiff_decode(bytes(blob)), (255 - gray)[:, :, None]
+    )
+
+
+def test_validation_and_quarantine():
+    img = _img(10)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        T.tiff_decode(b"GIF89a")
+    with pytest.raises(ValueError, match="compression"):
+        T.tiff_encode(img, compression="zstd")
+    with pytest.raises(ValueError, match="predictor"):
+        T.tiff_encode(img, compression="none", predictor=True)
+    blob = bytearray(T.tiff_encode(img))
+    with pytest.raises(ValueError):
+        T.tiff_decode(bytes(blob[:40]))
+    # unsupported compression code quarantines honestly
+    (n,) = struct.unpack("<H", blob[8:10])
+    for i in range(n):
+        off = 10 + 12 * i
+        tag = struct.unpack("<H", blob[off:off + 2])[0]
+        if tag == 259:
+            blob[off + 8:off + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        T.tiff_decode(bytes(blob))
+
+
+def test_decode_image_routes_tiff_and_png_twin_hash(monkeypatch):
+    monkeypatch.setattr(mm, "PREFER_BUILTIN_JPEG", True)
+    img = _img(11, h=32, w=40)
+    blob = T.tiff_encode(img, compression="lzw", predictor=True)
+    assert mm.sniff_mime(blob) == "image/tiff"
+    assert mm.image_dims(blob) == (40, 32)
+    via_tiff = mm.decode_image(blob)
+    assert np.array_equal(via_tiff, img)
+    # lossless twins hash identically across containers
+    assert mm.dhash64(via_tiff) == mm.dhash64(mm.decode_image(mm.png_encode(img)))
+    # pixel guard applies to the per-byte LZW path
+    monkeypatch.setattr(mm, "MAX_BUILTIN_JPEG_PIXELS", 100)
+    if mm._pil_image() is None:
+        with pytest.raises(ValueError, match="pixel guard"):
+            mm.decode_image(blob)
