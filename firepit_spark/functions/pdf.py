@@ -1,0 +1,375 @@
+"""Best-effort PDF probing and text extraction for document corpora.
+
+PDFs are the highest-value, messiest document source a training
+pipeline mines. This module is deliberately scoped to what pure python
+plus ``zlib`` can do HONESTLY:
+
+* :func:`pdf_probe` — version, object/stream counts, page count, and
+  encryption detection WITHOUT an xref walk: scan every ``N G obj …
+  endobj`` slot, inflate ``/FlateDecode`` streams, recurse into
+  ``/ObjStm`` object streams (where modern writers hide the page
+  objects), and count ``/Type /Page`` occurrences. Robust to the two
+  dominant layouts (classic xref tables and compressed xref streams)
+  because it never trusts either.
+* :func:`pdf_extract_text` — concatenated text-show operator content
+  from every content stream: ``(…) Tj``, ``(…) '``, ``(…) "``, and
+  ``[…] TJ`` arrays, with PDF string escapes (octal, ``\\n``,
+  ``\\(``, line continuations) and hex strings, ``BT``/``ET`` blocks
+  honored, ``Td/TD/T*`` treated as line breaks. Simple byte encodings
+  (Standard/WinAnsi-ish Latin) come out readable; CID/multi-byte fonts
+  produce high non-text ratios and the per-row wrapper QUARANTINES on
+  that signal rather than emitting garbage silently. Encrypted
+  documents quarantine outright.
+* :func:`pdf_encode_simple` — a minimal single-font PDF writer
+  (catalog → pages → page → Helvetica, one Flate content stream per
+  page, a classic xref table) used as the round-trip fixture; tests
+  also pin the parser on a hand-assembled PDF independent of it.
+* :func:`extract_pdf_text` — the distributed wrapper: map-only Arrow
+  batches, per-row quarantine, scalar text out (nothing downstream
+  shuffles PDF bytes).
+
+This is an extraction HEURISTIC with documented limits (no font cmap
+resolution, no layout reconstruction, no encryption) — the same
+honesty contract as extract_main_text's boilerplate filter. The
+reference engine has no document surface; LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\b")
+
+
+def _iter_objects(b: bytes):
+    """Yield (dict_bytes, stream_bytes_or_None) per indirect object."""
+    for m in _OBJ_RE.finditer(b):
+        start = m.end()
+        end = b.find(b"endobj", start)
+        if end < 0:
+            end = len(b)
+        body = b[start:end]
+        sm = _STREAM_RE.search(body)
+        if sm is None:
+            yield body, None
+            continue
+        head = body[:sm.start()]
+        send = body.rfind(b"endstream")
+        data = body[sm.end():send if send >= 0 else len(body)]
+        yield head, data
+
+
+def _inflate(head: bytes, data: bytes) -> bytes | None:
+    """Stream payload as plain bytes, inflating FlateDecode; None when
+    the filter is unsupported or the deflate stream is corrupt."""
+    if _FLATE_RE.search(head):
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            try:  # tolerate padded/truncated tails the way readers do
+                return zlib.decompressobj().decompress(data)
+            except zlib.error:
+                return None
+    if b"/Filter" in head:
+        return None  # DCT/LZW/ASCII85…: honest unsupported
+    return data
+
+
+def pdf_probe(content: bytes) -> dict:
+    """Codec-free-ish structural metadata (zlib only). Raises
+    ``ValueError`` for non-PDF bytes."""
+    if not content or not content.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    version = content[5:8].decode("latin-1", "replace")
+    n_objects = 0
+    n_streams = 0
+    n_pages = 0
+    for head, data in _iter_objects(content):
+        n_objects += 1
+        n_pages += len(_PAGE_RE.findall(head))
+        if data is None:
+            continue
+        n_streams += 1
+        if _OBJSTM_RE.search(head):
+            plain = _inflate(head, data)
+            if plain is not None:
+                n_pages += len(_PAGE_RE.findall(plain))
+    return {
+        "version": version,
+        "n_objects": n_objects,
+        "n_streams": n_streams,
+        "n_pages": n_pages,
+        "encrypted": bool(_ENCRYPT_RE.search(content)),
+    }
+
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _parse_pdf_string(b: bytes, i: int) -> tuple:
+    """Parse a literal string starting at the '(' → (text, next_index)."""
+    out = []
+    depth = 1
+    i += 1
+    n = len(b)
+    while i < n and depth:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = b[i]
+            if 0x30 <= e <= 0x37:  # octal, up to 3 digits
+                oct_digits = [e]
+                for _ in range(2):
+                    if i + 1 < n and 0x30 <= b[i + 1] <= 0x37:
+                        i += 1
+                        oct_digits.append(b[i])
+                out.append(chr(int(bytes(oct_digits), 8) & 0xFF))
+            elif e in (0x0A, 0x0D):  # line continuation
+                if e == 0x0D and i + 1 < n and b[i + 1] == 0x0A:
+                    i += 1
+            else:
+                out.append(_ESCAPES.get(e, chr(e)))
+            i += 1
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if not depth:
+                i += 1
+                break
+        if depth:
+            out.append(chr(c))
+        i += 1
+    return "".join(out), i
+
+
+def _content_stream_text(plain: bytes) -> list:
+    """Text-show fragments from one decoded content stream, in order."""
+    frags: list = []
+    i = 0
+    n = len(plain)
+    in_text = False
+    pending: list = []
+
+    def flush_op(op: bytes) -> None:
+        nonlocal pending
+        if not in_text:
+            pending = []
+            return
+        if op in (b"Tj", b"'", b'"', b"TJ"):
+            frags.extend(pending)
+            if op in (b"'", b'"'):
+                frags.append("\n")
+        elif op in (b"Td", b"TD", b"T*"):
+            if frags and not frags[-1].endswith("\n"):
+                frags.append("\n")
+        pending = []
+
+    while i < n:
+        c = plain[i]
+        if c == 0x28:  # (
+            s, i = _parse_pdf_string(plain, i)
+            pending.append(s)
+            continue
+        if c == 0x3C and i + 1 < n and plain[i + 1] != 0x3C:  # hex string
+            j = plain.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", plain[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                pending.append(bytes.fromhex(hx.decode("ascii")).decode(
+                    "latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+            continue
+        if c == 0x3C:  # << dictionary: skip token
+            i += 2
+            continue
+        m = re.match(rb"[A-Za-z'\"*]+", plain[i:i + 8])
+        if m:
+            op = m.group(0)
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+                if frags and not frags[-1].endswith("\n"):
+                    frags.append("\n")
+            else:
+                flush_op(op)
+            i += len(op)
+            continue
+        i += 1
+    return frags
+
+
+def pdf_extract_text(content: bytes) -> str:
+    """All text-show content across the document's content streams.
+    Raises ``ValueError`` for non-PDF or encrypted documents; the
+    caller decides what to do with low-printability output (the Spark
+    wrapper quarantines on it)."""
+    if not content or not content.startswith(b"%PDF-"):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    if _ENCRYPT_RE.search(content):
+        raise ValueError("encrypted PDF (no decryption support)")
+    frags: list = []
+    for head, data in _iter_objects(content):
+        if data is None:
+            continue
+        if _OBJSTM_RE.search(head) or b"/XRef" in head:
+            continue  # structural streams, not page content
+        plain = _inflate(head, data)
+        if plain is None:
+            continue
+        if b"BT" not in plain:
+            continue
+        frags.extend(_content_stream_text(plain))
+    text = "".join(frags)
+    lines = [" ".join(ln.split()) for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def printable_ratio(text: str) -> float:
+    """Share of characters that are printable-or-whitespace — the
+    garbage detector for CID/multi-byte font output."""
+    if not text:
+        return 1.0
+    ok = sum(1 for ch in text if ch.isprintable() or ch in "\n\t\r ")
+    return ok / len(text)
+
+
+def extract_pdf_text(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "text",
+    min_printable: float = 0.8,
+) -> DataFrame:
+    """Distributed extraction with per-row quarantine: rows whose bytes
+    aren't a PDF, are encrypted, or whose extracted text falls under
+    ``min_printable`` printability (CID-font garbage) carry the reason
+    in ``<out_col>_err`` instead of poisoning the corpus."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(f"out_col {out_col!r} already exists")
+    err_col = f"{out_col}_err"
+    schema = StructType(
+        fields + [StructField(out_col, StringType()),
+                  StructField(err_col, StringType())]
+    )
+    cols = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, errs = [], []
+            for blob in pdf[content_col]:
+                try:
+                    if blob is None:
+                        texts.append(None)
+                        errs.append(None)
+                        continue
+                    t = pdf_extract_text(bytes(blob))
+                    if printable_ratio(t) < min_printable:
+                        texts.append(None)
+                        errs.append(
+                            "low printable ratio (unsupported font "
+                            "encoding?)"
+                        )
+                    else:
+                        texts.append(t)
+                        errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    texts.append(None)
+                    errs.append(str(exc)[:200])
+            pdf = pdf.copy()
+            pdf[out_col] = texts
+            pdf[err_col] = errs
+            yield pdf[cols + [out_col, err_col]]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def pdf_encode_simple(pages: list, compress: bool = True) -> bytes:
+    """Minimal PDF writer (fixture/sink twin): one Helvetica text page
+    per entry in ``pages`` (each a string; lines become successive
+    ``Td``-advanced ``Tj`` shows), classic xref table. Strings are
+    escaped per the PDF string rules, so round-trip through
+    :func:`pdf_extract_text` is exact line-for-line."""
+    objects: list = []  # bodies, 1-indexed
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        )
+
+    n_pages = len(pages)
+    page_ids = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, page in enumerate(pages):
+        content_id = page_ids[i] + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {content_id} 0 R >>"
+            ).encode()
+        )
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for j, line in enumerate(page.split("\n")):
+            if j:
+                ops.append("0 -14 Td")
+            ops.append(f"({esc(line)}) Tj")
+        ops.append("ET")
+        body = " ".join(ops).encode("latin-1")
+        if compress:
+            payload = zlib.compress(body)
+            head = (
+                f"<< /Length {len(payload)} /Filter /FlateDecode >>"
+            ).encode()
+        else:
+            payload = body
+            head = f"<< /Length {len(payload)} >>".encode()
+        objects.append(head + b"\nstream\n" + payload + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

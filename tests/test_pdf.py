@@ -1,0 +1,116 @@
+"""PDF probe/extraction gates: writer round-trips (compressed and
+plain), a hand-assembled PDF pin independent of the writer, string
+escape/hex/TJ/quote operator semantics, ObjStm page counting,
+quarantine paths, and the distributed wrapper."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from firepit_spark.functions import pdf as P
+
+
+def test_roundtrip_simple_pages():
+    pages = [
+        "Hello world\nSecond line with (parens) and \\ backslash",
+        "Page two: café text",
+    ]
+    for compress in (True, False):
+        blob = P.pdf_encode_simple(pages, compress=compress)
+        text = P.pdf_extract_text(blob)
+        assert text.split("\n") == [
+            "Hello world",
+            "Second line with (parens) and \\ backslash",
+            "Page two: café text",
+        ], compress
+        probe = P.pdf_probe(blob)
+        assert probe["n_pages"] == 2 and not probe["encrypted"]
+        assert probe["version"] == "1.4"
+
+
+def test_hand_assembled_pdf_pin():
+    """Parser pinned on bytes written by hand, not by pdf_encode_simple:
+    octal escapes, a hex string, a TJ array, and the ' operator."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(A\\101) -120 (B)] TJ "
+        b"0 -14 Td (line\\ntwo \\() Tj "
+        b"<48656C6C6F> Tj "
+        b"(quoted) ' "
+        b"ET"
+    )
+    blob = (
+        b"%PDF-1.1\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    text = P.pdf_extract_text(blob)
+    # \101 is octal 'A'; the \n escape inside the literal becomes a real
+    # newline (a line break after normalization); successive shows on
+    # one line CONCATENATE — inter-show spacing is glyph positioning,
+    # which this heuristic deliberately does not model
+    assert text.split("\n") == ["AAB", "line", "two (Helloquoted"]
+    assert P.pdf_probe(blob)["n_pages"] == 1
+
+
+def test_objstm_page_counting():
+    """Modern writers hide page objects inside compressed /ObjStm
+    streams; the probe inflates and counts them."""
+    inner = b"<< /Type /Page >> << /Type /Page >> << /Type /Pages >>"
+    payload = zlib.compress(inner)
+    blob = (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /ObjStm /N 3 /Filter /FlateDecode /Length "
+        + str(len(payload)).encode() + b" >>\nstream\n"
+        + payload + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    p = P.pdf_probe(blob)
+    assert p["n_pages"] == 2  # /Pages (the tree node) is NOT a page
+    assert p["n_streams"] == 1
+
+
+def test_quarantine_paths():
+    with pytest.raises(ValueError, match="not a PDF"):
+        P.pdf_probe(b"GIF89a")
+    with pytest.raises(ValueError, match="not a PDF"):
+        P.pdf_extract_text(b"")
+    enc = P.pdf_encode_simple(["x"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        P.pdf_extract_text(enc)
+    assert P.pdf_probe(enc)["encrypted"]
+    # corrupt deflate body: the stream is skipped, not fatal
+    blob = bytearray(P.pdf_encode_simple(["hello there"]))
+    i = blob.find(b"stream\n") + 7
+    blob[i:i + 4] = b"\xff\xff\xff\xff"
+    assert P.pdf_extract_text(bytes(blob)) == ""
+
+
+def test_printable_ratio_guard():
+    assert P.printable_ratio("normal text\nwith lines") == 1.0
+    garbage = "".join(chr(c) for c in range(1, 25)) * 10
+    assert P.printable_ratio(garbage) < 0.5
+
+
+def test_extract_pdf_text_distributed(spark):
+    good = P.pdf_encode_simple(["Document body text", "page 2"])
+    rows = [
+        (1, good),
+        (2, b"not a pdf"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, content BINARY")
+    out = {r["doc_id"]: (r["text"], r["text_err"])
+           for r in P.extract_pdf_text(df).collect()}
+    assert out[1] == ("Document body text\npage 2", None)
+    assert out[1][0] and out[2][0] is None and "not a PDF" in out[2][1]
+    assert out[3] == (None, None)
+    with pytest.raises(ValueError, match="already exists"):
+        P.extract_pdf_text(df, out_col="content")
