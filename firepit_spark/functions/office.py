@@ -1,0 +1,319 @@
+"""Office/e-book document extraction: DOCX, EPUB, ZIP triage, and the
+unified by-magic document router.
+
+Completes the document-pipeline trio started by functions/html.py and
+functions/pdf.py. Everything here is stdlib (``zipfile``/``zlib``,
+``xml.etree``) over binary columns:
+
+* :func:`zip_probe` — member count/bytes/encryption triage for any ZIP
+  container (which is also what DOCX/EPUB/XLSX are underneath).
+* :func:`docx_extract_text` — WordprocessingML text: ``w:t`` runs
+  joined within paragraphs, ``w:p`` boundaries and ``w:br`` as line
+  breaks, ``w:tab`` as tabs. Namespace-agnostic local-name matching so
+  strict/transitional variants both work.
+* :func:`epub_extract_text` — spine-ordered chapters resolved through
+  ``META-INF/container.xml`` → OPF manifest, each XHTML chapter through
+  :func:`html_to_text`; falls back to name-ordered (x)html members
+  when the OPF is missing/corrupt (best-effort, like real pipelines).
+* :func:`extract_document_text` — the distributed router: per row,
+  sniff PDF / DOCX / EPUB / generic-ZIP / HTML / plain text and apply
+  the right extractor, returning ``(text, doc_kind, err)`` with
+  per-row quarantine. Map-only Arrow batches; only extracted TEXT ever
+  reaches a shuffle.
+
+The reference engine has no document surface; LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Iterator
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame
+
+from firepit_spark.functions.html import extract_main_text, html_to_text
+from firepit_spark.functions.pdf import pdf_extract_text, printable_ratio
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def zip_probe(content: bytes) -> dict:
+    """ZIP container triage: member/byte counts, whether any member is
+    encrypted, and the top member extensions. Raises ValueError for
+    non-ZIP bytes."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+        infos = zf.infolist()
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"not a ZIP: {exc}") from exc
+    exts: dict = {}
+    encrypted = False
+    for i in infos:
+        if i.flag_bits & 0x1:
+            encrypted = True
+        ext = i.filename.rsplit(".", 1)[-1].lower() if "." in i.filename else ""
+        exts[ext] = exts.get(ext, 0) + 1
+    return {
+        "n_members": len(infos),
+        "uncompressed_bytes": int(sum(i.file_size for i in infos)),
+        "compressed_bytes": int(sum(i.compress_size for i in infos)),
+        "encrypted": encrypted,
+        "top_extensions": sorted(
+            exts, key=lambda e: (-exts[e], e)
+        )[:5],
+    }
+
+
+def docx_extract_text(content: bytes) -> str:
+    """Paragraph text from a DOCX (WordprocessingML) blob."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+        xml = zf.read("word/document.xml")
+    except (zipfile.BadZipFile, KeyError) as exc:
+        raise ValueError(f"not a DOCX: {exc}") from exc
+    try:
+        root = ElementTree.fromstring(xml)
+    except ElementTree.ParseError as exc:
+        raise ValueError(f"DOCX: malformed document.xml: {exc}") from exc
+    paras: list = []
+    for p in root.iter():
+        if _local(p.tag) != "p":
+            continue
+        parts: list = []
+        for node in p.iter():
+            name = _local(node.tag)
+            if name == "t":
+                parts.append(node.text or "")
+            elif name == "tab":
+                parts.append("\t")
+            elif name == "br":
+                parts.append("\n")
+        text = "".join(parts)
+        if text.strip():
+            paras.append(text)
+    return "\n".join(paras)
+
+
+def _epub_spine_paths(zf: zipfile.ZipFile) -> list:
+    """Chapter paths in reading order via container.xml → OPF spine."""
+    container = ElementTree.fromstring(zf.read("META-INF/container.xml"))
+    opf_path = next(
+        n.get("full-path")
+        for n in container.iter()
+        if _local(n.tag) == "rootfile" and n.get("full-path")
+    )
+    opf = ElementTree.fromstring(zf.read(opf_path))
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    items = {
+        n.get("id"): n.get("href")
+        for n in opf.iter()
+        if _local(n.tag) == "item" and n.get("id") and n.get("href")
+    }
+    return [
+        base + items[ref]
+        for n in opf.iter()
+        if _local(n.tag) == "spine"
+        for ref in [
+            it.get("idref") for it in n if _local(it.tag) == "itemref"
+        ]
+        if ref in items
+    ]
+
+
+def epub_extract_text(content: bytes, main_content: bool = False) -> str:
+    """Spine-ordered chapter text from an EPUB blob (OPF resolved; name-
+    ordered (x)html members as the fallback). ``main_content`` applies
+    the html boilerplate filter per chapter."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"not an EPUB: {exc}") from exc
+    try:
+        paths = _epub_spine_paths(zf)
+    except Exception:  # noqa: BLE001 — OPF missing/corrupt: best effort
+        paths = sorted(
+            n for n in zf.namelist()
+            if n.lower().endswith((".xhtml", ".html", ".htm"))
+        )
+    if not paths:
+        raise ValueError("EPUB: no chapters found")
+    extract = extract_main_text if main_content else html_to_text
+    chapters: list = []
+    for path in paths:
+        try:
+            chapters.append(
+                extract(zf.read(path).decode("utf-8", "replace"))
+            )
+        except KeyError:
+            continue  # spine points at a missing member: skip
+    return "\n".join(c for c in chapters if c)
+
+
+def sniff_document(content: bytes) -> str | None:
+    """'pdf' / 'docx' / 'epub' / 'zip' / 'html' / 'text' by magic +
+    cheap member checks; None for empty input."""
+    if not content:
+        return None
+    if content.startswith(b"%PDF-"):
+        return "pdf"
+    if content.startswith(b"PK\x03\x04"):
+        try:
+            names = set(zipfile.ZipFile(io.BytesIO(content)).namelist())
+        except zipfile.BadZipFile:
+            return "zip"
+        if "word/document.xml" in names:
+            return "docx"
+        if "META-INF/container.xml" in names or "mimetype" in names:
+            return "epub"
+        return "zip"
+    head = content[:512].lstrip()[:64].lower()
+    if head.startswith((b"<!doctype html", b"<html")) or b"<body" in content[:2048].lower():
+        return "html"
+    return "text"
+
+
+def extract_document_text(
+    df: DataFrame,
+    content_col: str = "content",
+    out_col: str = "text",
+    main_content: bool = False,
+    min_printable: float = 0.8,
+) -> DataFrame:
+    """The unified router: per row, sniff the container and extract —
+    PDF via :func:`pdf_extract_text` (printable-ratio guarded), DOCX,
+    EPUB, HTML via the parser path, anything else decoded as UTF-8
+    text. Output columns: ``out_col``, ``doc_kind``, ``<out_col>_err``
+    (quarantine reason). Map-only Arrow batches."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = list(df.schema.fields)
+    for c in (out_col, "doc_kind"):
+        if any(f.name == c for f in fields):
+            raise ValueError(f"output column {c!r} already exists")
+    err_col = f"{out_col}_err"
+    schema = StructType(
+        fields
+        + [StructField(out_col, StringType()),
+           StructField("doc_kind", StringType()),
+           StructField(err_col, StringType())]
+    )
+    cols = [f.name for f in fields]
+
+    def one(blob) -> tuple:
+        if blob is None:
+            return None, None, None
+        blob = bytes(blob)
+        kind = sniff_document(blob)
+        try:
+            if kind == "pdf":
+                t = pdf_extract_text(blob)
+                if printable_ratio(t) < min_printable:
+                    return None, kind, (
+                        "low printable ratio (unsupported font encoding?)"
+                    )
+                return t, kind, None
+            if kind == "docx":
+                return docx_extract_text(blob), kind, None
+            if kind == "epub":
+                return epub_extract_text(blob, main_content), kind, None
+            if kind == "zip":
+                return None, kind, "generic ZIP: no document extractor"
+            if kind == "html":
+                text = blob.decode("utf-8", "replace")
+                return (
+                    extract_main_text(text)
+                    if main_content
+                    else html_to_text(text)
+                ), kind, None
+            return blob.decode("utf-8", "replace"), kind, None
+        except Exception as exc:  # noqa: BLE001 — per-row quarantine
+            return None, kind, str(exc)[:200]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            trip = [one(b) for b in pdf_[content_col]]
+            pdf_ = pdf_.copy()
+            pdf_[out_col] = [t[0] for t in trip]
+            pdf_["doc_kind"] = [t[1] for t in trip]
+            pdf_[err_col] = [t[2] for t in trip]
+            yield pdf_[cols + [out_col, "doc_kind", err_col]]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------- fixtures
+
+
+def docx_encode_simple(paragraphs: list) -> bytes:
+    """Minimal DOCX writer (fixture twin of :func:`docx_extract_text`)."""
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{_xml_escape(p)}</w:t>"
+        "</w:r></w:p>"
+        for p in paragraphs
+    )
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{ns}"><w:body>{body}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/content-types"/>',
+        )
+        zf.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def epub_encode_simple(chapters: list) -> bytes:
+    """Minimal EPUB writer (fixture twin of :func:`epub_extract_text`):
+    chapters are (title, html_body) pairs wired through a real OPF
+    spine. Chapter i is deliberately stored under the file name
+    ``chap{N-1-i}.xhtml`` — name order is the REVERSE of reading
+    order — so a reader that ignores the spine provably extracts the
+    book backwards."""
+    n = len(chapters)
+    container = (
+        '<?xml version="1.0"?><container version="1.0" xmlns="urn:oasis:'
+        'names:tc:opendocument:xmlns:container"><rootfiles><rootfile '
+        'full-path="OEBPS/content.opf" media-type="application/oebps-'
+        'package+xml"/></rootfiles></container>'
+    )
+    manifest = "".join(
+        f'<item id="c{i}" href="chap{n - 1 - i}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for i in range(n)
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(n))
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/'
+        'opf" version="3.0"><manifest>' + manifest + "</manifest><spine>"
+        + spine + "</spine></package>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for i, (title, html_body) in enumerate(chapters):
+            zf.writestr(
+                f"OEBPS/chap{n - 1 - i}.xhtml",
+                f"<html><head><title>{_xml_escape(title)}</title></head>"
+                f"<body>{html_body}</body></html>",
+            )
+    return buf.getvalue()
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
