@@ -77,8 +77,9 @@ def test_all_gated_queries_scaleworthy(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     skipped = []
+    stix_slots = ("q54", "q55", "q56", "q57", "q58", "q59")
     for name, fn in sorted(entry.queries().items()):
-        if name >= "q54":
+        if name.startswith(stix_slots):
             skipped.append(name)
             continue
         df = fn(spark, sf_dir)
