@@ -1,0 +1,204 @@
+"""Lightweight markup → text cleaners: MediaWiki wikitext and Markdown.
+
+The two non-HTML markup dialects every pretraining mix actually
+contains (Wikipedia/wiki dumps; READMEs, forums, docs sites). Pure
+python + regex, deliberately heuristic with pinned semantics:
+
+* :func:`wikitext_to_text` — templates ``{{…}}`` and tables ``{|…|}``
+  removed INNERMOST-OUT (regex alone cannot nest; the loop can),
+  ``<ref>`` subtrees and comments dropped, ``[[File:…]]`` /
+  ``[[Image:…]]`` links removed entirely (their captions are media
+  chrome), ``[[target|label]]`` → label, ``[[target]]`` → target,
+  external ``[url label]`` → label, bold/italic quote runs removed,
+  ``== headings ==`` and list markers unwrapped, residual HTML tags
+  stripped and entities decoded.
+* :func:`markdown_to_text` — fenced code blocks kept (default) or
+  dropped, inline code unwrapped, images → alt, links → label,
+  emphasis/strikethrough unwrapped, ATX/Setext headings and
+  blockquote/list/table furniture removed, entities decoded.
+* :func:`clean_markup` — the distributed wrapper (map-only Arrow,
+  per-row quarantine), with ``dialect='wikitext'|'markdown'``.
+
+These compose upstream of the text-quality family (functions/text.py)
+exactly like html_to_text does for crawls. Reference engine: no text
+surface; LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+# --------------------------------------------------------------- wikitext
+
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_REF = re.compile(r"<ref[^>/]*/>|<ref[^>]*>.*?</ref\s*>", re.S | re.I)
+_INNER_TEMPLATE = re.compile(r"\{\{[^{}]*\}\}", re.S)
+_INNER_TABLE = re.compile(r"\{\|[^{}]*?\|\}", re.S)
+_MEDIA_LINK = re.compile(
+    r"\[\[(?:File|Image|Media)\s*:[^\[\]]*\]\]", re.I
+)
+_INNER_LINK = re.compile(r"\[\[([^\[\]|]*)(?:\|([^\[\]]*))?\]\]")
+_EXT_LINK = re.compile(r"\[(?:https?|ftp)://\S*(?:\s+([^\]]*))?\]")
+_QUOTES = re.compile(r"'{2,5}")
+_HEADING = re.compile(r"^(={1,6})\s*(.*?)\s*\1\s*$", re.M)
+_LIST_MARK = re.compile(r"^[*#:;]+\s*", re.M)
+_TAG = re.compile(r"<[^>]+>")
+
+
+def _strip_nested(text: str, inner: re.Pattern, limit: int = 50) -> str:
+    """Remove nested constructs innermost-out until fixpoint."""
+    for _ in range(limit):
+        new = inner.sub("", text)
+        if new == text:
+            return new
+        text = new
+    return text
+
+
+def wikitext_to_text(src: str) -> str:
+    """Plain text from MediaWiki wikitext (see module docstring)."""
+    t = src or ""
+    t = _COMMENT.sub("", t)
+    t = _REF.sub("", t)
+    t = _strip_nested(t, _INNER_TEMPLATE)
+    t = _strip_nested(t, _INNER_TABLE)
+    # links resolve INNERMOST-OUT with media links removed before plain
+    # links each round: a [[map]] nested in a [[File:…|caption]] first
+    # becomes text, which lets the media pattern match and drop the
+    # whole caption (captions are media chrome, not prose)
+    for _ in range(50):
+        new = _MEDIA_LINK.sub("", t)
+        new = _INNER_LINK.sub(lambda m: m.group(2) or m.group(1), new)
+        if new == t:
+            break
+        t = new
+    t = _EXT_LINK.sub(lambda m: m.group(1) or "", t)
+    t = _HEADING.sub(r"\2", t)
+    t = _QUOTES.sub("", t)
+    t = _LIST_MARK.sub("", t)
+    t = _TAG.sub(" ", t)
+    t = _htmllib.unescape(t)
+    lines = [" ".join(ln.split()) for ln in t.split("\n")]
+    out: list = []
+    for ln in lines:
+        if ln:
+            out.append(ln)
+        elif out and out[-1] != "":
+            out.append("")  # collapse blank runs to one paragraph break
+    return "\n".join(out).strip("\n")
+
+
+# --------------------------------------------------------------- markdown
+
+_MD_FENCE = re.compile(r"^(```|~~~)[^\n]*\n(.*?)^\1\s*$\n?", re.S | re.M)
+_MD_INLINE_CODE = re.compile(r"`([^`\n]+)`")
+_MD_IMAGE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_MD_LINK = re.compile(r"\[([^\]]+)\]\([^)]*\)")
+_MD_REF_LINK = re.compile(r"\[([^\]]+)\]\[[^\]]*\]")
+_MD_AUTOLINK = re.compile(r"<(https?://[^>\s]+)>")
+_MD_EMPH = re.compile(r"(\*\*\*|___|\*\*|__|\*|_)(?=\S)(.+?)(?<=\S)\1")
+_MD_STRIKE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
+_MD_ATX = re.compile(r"^#{1,6}\s+", re.M)
+_MD_SETEXT = re.compile(r"^(=+|-+)\s*$", re.M)
+_MD_QUOTE = re.compile(r"^\s{0,3}>\s?", re.M)
+_MD_LIST = re.compile(r"^\s{0,3}(?:[-*+]|\d{1,3}[.)])\s+", re.M)
+_MD_HRULE = re.compile(r"^\s{0,3}(?:[-*_]\s*){3,}$", re.M)
+_MD_TABLE_SEP = re.compile(r"^\s*\|?[\s:|-]+\|[\s:|-]*$", re.M)
+
+
+def markdown_to_text(src: str, keep_code: bool = True) -> str:
+    """Plain text from Markdown. ``keep_code=True`` keeps fenced-block
+    CONTENT verbatim (minus the fence lines) — code is signal for code
+    corpora, and it is protected from every later pass so ``*ptr`` or
+    ``# comment`` inside a block survives untouched; ``False`` drops
+    the blocks entirely."""
+    t = src or ""
+    stash: list = []
+
+    def _stash(m) -> str:
+        stash.append(m.group(2))
+        return f"\x00{len(stash) - 1}\x00\n"
+
+    t = _MD_FENCE.sub(_stash if keep_code else "", t)
+    t = _MD_HRULE.sub("", t)
+    t = _MD_TABLE_SEP.sub("", t)
+    t = _MD_IMAGE.sub(r"\1", t)
+    t = _MD_LINK.sub(r"\1", t)
+    t = _MD_REF_LINK.sub(r"\1", t)
+    t = _MD_AUTOLINK.sub(r"\1", t)
+    t = _MD_INLINE_CODE.sub(r"\1", t)
+    for _ in range(3):  # ***x*** unwraps one marker pair per pass
+        new = _MD_EMPH.sub(r"\2", t)
+        if new == t:
+            break
+        t = new
+    t = _MD_STRIKE.sub(r"\1", t)
+    t = _MD_ATX.sub("", t)
+    t = _MD_SETEXT.sub("", t)
+    t = _MD_QUOTE.sub("", t)
+    t = _MD_LIST.sub("", t)
+    t = t.replace("|", " ")
+    t = _htmllib.unescape(t)
+    lines = [" ".join(ln.split()) for ln in t.split("\n")]
+    out: list = []
+    for ln in lines:
+        m = re.fullmatch("\x00(\\d+)\x00", ln)
+        if m:  # restore fenced code VERBATIM, after normalization
+            out.append(stash[int(m.group(1))].rstrip("\n"))
+        elif ln:
+            out.append(ln)
+        elif out and out[-1] != "":
+            out.append("")
+    return "\n".join(out).strip("\n")
+
+
+_DIALECTS = {"wikitext": wikitext_to_text, "markdown": markdown_to_text}
+
+
+def clean_markup(
+    df: DataFrame,
+    dialect: str,
+    src_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Distributed cleaner: map-only Arrow batches, per-row quarantine
+    (``<out_col>_err``)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fn = _DIALECTS.get(dialect)
+    if fn is None:
+        raise ValueError(
+            f"dialect must be one of {sorted(_DIALECTS)}, got {dialect!r}"
+        )
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(f"out_col {out_col!r} already exists")
+    err_col = f"{out_col}_err"
+    schema = StructType(
+        fields + [StructField(out_col, StringType()),
+                  StructField(err_col, StringType())]
+    )
+    cols = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, errs = [], []
+            for s in pdf[src_col]:
+                try:
+                    outs.append(None if s is None else fn(s))
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 — per-row quarantine
+                    outs.append(None)
+                    errs.append(str(exc)[:200])
+            pdf = pdf.copy()
+            pdf[out_col] = outs
+            pdf[err_col] = errs
+            yield pdf[cols + [out_col, err_col]]
+
+    return df.mapInPandas(run, schema=schema)

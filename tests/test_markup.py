@@ -1,0 +1,101 @@
+"""Wikitext and Markdown cleaners: pinned semantics on hand-written
+samples (nested templates, piped links, fences, emphasis), plus the
+distributed wrapper."""
+
+from __future__ import annotations
+
+import pytest
+
+from firepit_spark.functions import markup as M
+
+
+def test_wikitext_core_constructs():
+    src = (
+        "== History ==\n"
+        "The '''city''' of [[Springfield (fiction)|Springfield]] lies on "
+        "the [[River X]].{{sfn|Smith|2001}}<ref>Smith, p. 3</ref>\n"
+        "{{Infobox city|name=Springfield|pop={{formatnum:30000}}}}\n"
+        "* item one\n"
+        "# item two\n"
+        "[[File:Map.png|thumb|A [[map]] caption]]\n"
+        "See [https://example.org the site] and [https://bare.example].\n"
+        "{| class=\"wikitable\"\n|-\n| a || b\n|}\n"
+        "''Emphasis'' &amp; entity."
+    )
+    out = M.wikitext_to_text(src)
+    # blank lines (template-only / table-only source lines) survive as
+    # single paragraph breaks — they are segmentation signal downstream
+    assert out.split("\n") == [
+        "History",
+        "The city of Springfield lies on the River X.",
+        "",
+        "item one",
+        "item two",
+        "",
+        "See the site and .",
+        "",
+        "Emphasis & entity.",
+    ]
+
+
+def test_wikitext_nested_templates_removed_innermost_out():
+    src = "a {{outer|{{inner|x}}|y={{deep|{{deeper}}}}}} b"
+    assert M.wikitext_to_text(src) == "a b"
+    # unbalanced braces do not loop forever or raise
+    assert M.wikitext_to_text("a {{broken b") == "a {{broken b"
+
+
+def test_markdown_core_constructs():
+    src = (
+        "# Title\n"
+        "Some **bold** and *italic* and ***both*** and ~~gone~~ text.\n"
+        "A [link label](https://example.org) and ![alt text](img.png) "
+        "and <https://auto.example> and `inline code`.\n"
+        "> quoted line\n"
+        "- bullet one\n"
+        "1. numbered\n"
+        "---\n"
+        "| a | b |\n"
+        "|---|---|\n"
+        "| 1 | 2 |\n"
+    )
+    out = M.markdown_to_text(src)
+    assert out.split("\n") == [
+        "Title",
+        "Some bold and italic and both and gone text.",
+        "A link label and alt text and https://auto.example and "
+        "inline code.",
+        "quoted line",
+        "bullet one",
+        "numbered",
+        "",  # removed hrule/table-separator lines become one break
+        "a b",
+        "",
+        "1 2",
+    ]
+
+
+def test_markdown_fences_kept_or_dropped():
+    src = "before\n```python\nx = 1  # not *emphasis*\n```\nafter"
+    kept = M.markdown_to_text(src)
+    # fenced content is VERBATIM: emphasis/heading passes and even the
+    # whitespace normalizer must not touch it
+    assert kept.split("\n") == ["before", "x = 1  # not *emphasis*", "after"]
+    dropped = M.markdown_to_text(src, keep_code=False)
+    assert dropped.split("\n") == ["before", "after"]
+
+
+def test_clean_markup_distributed(spark):
+    rows = [
+        (1, "== H ==\n{{tpl}}[[a|b]]"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: (r["clean_text"], r["clean_text_err"])
+           for r in M.clean_markup(df, "wikitext").collect()}
+    assert out[1] == ("H\nb", None)
+    assert out[2] == (None, None)
+    with pytest.raises(ValueError, match="dialect"):
+        M.clean_markup(df, "rst")
+    with pytest.raises(ValueError, match="already exists"):
+        M.clean_markup(df, "markdown", out_col="text")
