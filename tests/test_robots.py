@@ -1,0 +1,146 @@
+"""robots.txt compliance: parser groups, agent selection, longest-match
+/ allow-tie precedence, wildcard + anchor patterns, and a randomized
+differential between the Spark verdict plan and the independent
+pure-python matcher."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import robots as R
+
+SAMPLE = """\
+# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+
+User-agent: googlebot-news
+User-agent: examplebot
+Disallow: /news-draft/
+
+User-agent: googlebot
+Disallow: /
+Allow: /public*.html$
+Disallow:
+"""
+
+
+def test_parser_groups_and_empty_disallow():
+    rules = R.parse_robots_txt(SAMPLE)
+    assert ("*", False, "/private/") in rules
+    assert ("*", True, "/private/ok") in rules
+    # two consecutive User-agent lines share the group's rules
+    assert ("googlebot-news", False, "/news-draft/") in rules
+    assert ("examplebot", False, "/news-draft/") in rules
+    # the empty Disallow: produced NO rule
+    assert all(p for _, _, p in rules)
+    assert R.parse_robots_txt("") == []
+
+
+def test_reference_matcher_rfc_semantics():
+    rules = R.parse_robots_txt(SAMPLE)
+    # generic agent: longest match wins -> the Allow overrides inside
+    assert R.match_robots(rules, "SomeBot/1.0", "/private/x") == (
+        False, "/private/",
+    )
+    assert R.match_robots(rules, "SomeBot/1.0", "/private/ok/y") == (
+        True, "/private/ok",
+    )
+    assert R.match_robots(rules, "SomeBot/1.0", "/else") == (True, None)
+    # specific agent group REPLACES *: googlebot is blocked everywhere
+    # except the anchored wildcard allow
+    assert R.match_robots(rules, "Googlebot/2.1", "/private/ok") == (
+        False, "/",
+    )
+    ok, pat = R.match_robots(rules, "Googlebot/2.1", "/public_a.html")
+    assert ok and pat == "/public*.html$"
+    assert R.match_robots(rules, "Googlebot/2.1", "/public_a.html?x") == (
+        False, "/",
+    )  # $ anchor: query string defeats the allow
+    # longest agent token wins: googlebot-news beats googlebot
+    assert R.match_robots(rules, "Googlebot-News/1.0", "/news-draft/a") == (
+        False, "/news-draft/",
+    )
+    assert R.match_robots(rules, "Googlebot-News/1.0", "/private/x") == (
+        True, None,
+    )  # its group has no rule for this path; * is NOT consulted
+    # allow wins exact ties
+    tie = R.parse_robots_txt("User-agent: *\nAllow: /page\nDisallow: /page")
+    assert R.match_robots(tie, "x", "/page") == (True, "/page")
+
+
+def test_pattern_to_regex():
+    assert R.pattern_to_regex("/a*.php$") == "^/a.*\\.php$"
+    assert R.pattern_to_regex("/plain") == "^/plain"
+
+
+def test_spark_verdict_matches_reference_fuzz(spark):
+    rng = random.Random(42)
+    segs = ["a", "b", "c", "dd", "e.php", "f$g"]
+    hosts = [f"h{i}.example" for i in range(6)]
+    robots_rows = []
+    host_rules = {}
+    for h in hosts[:5]:  # one host has NO robots.txt at all
+        lines = []
+        for _ in range(rng.randint(1, 3)):
+            lines.append(
+                "User-agent: " + rng.choice(["*", "mybot", "otherbot"])
+            )
+            for _ in range(rng.randint(0, 4)):
+                field = rng.choice(["Allow", "Disallow"])
+                pat = "/" + "/".join(
+                    rng.choice(segs + ["*"])
+                    for _ in range(rng.randint(1, 3))
+                ) + rng.choice(["", "$"])
+                lines.append(f"{field}: {pat}")
+        text = "\n".join(lines)
+        robots_rows.append((h, text.encode()))
+        host_rules[h] = R.parse_robots_txt(text)
+    urls = []
+    for i in range(300):
+        h = rng.choice(hosts)
+        path = "/" + "/".join(
+            rng.choice(segs) for _ in range(rng.randint(1, 4))
+        ) + rng.choice(["", "?q=1"])
+        urls.append((i, h, path))
+
+    rules = R.robots_rules(
+        spark.createDataFrame(robots_rows, "host string, content binary")
+    )
+    verdict = R.robots_verdict(
+        spark.createDataFrame(urls, "url_id long, host string, path string"),
+        rules,
+        crawler_agent="MyBot/1.0",
+    )
+    got = {r["url_id"]: (r["allowed"], r["matched_pattern"])
+           for r in verdict.collect()}
+    assert len(got) == len(urls)
+    for i, h, path in urls:
+        want = R.match_robots(host_rules.get(h, []), "MyBot/1.0", path)
+        assert got[i] == want, (i, h, path, got[i], want)
+
+
+def test_robots_filter_and_plan_shape(spark):
+    robots = spark.createDataFrame(
+        [("h.example", b"User-agent: *\nDisallow: /no/")],
+        "host string, content binary",
+    )
+    rules = R.robots_rules(robots)
+    urls = spark.createDataFrame(
+        [(1, "h.example", "/ok"), (2, "h.example", "/no/x"),
+         (3, "other.example", "/anything")],
+        "url_id long, host string, path string",
+    )
+    kept = R.robots_filter(urls, rules)
+    assert sorted(r["url_id"] for r in kept.collect()) == [1, 3]
+    # scale shape: the URL side joins the rules via BROADCAST — no
+    # corpus-side exchange for the join; the verdict agg is the only
+    # shuffle and it carries (id, len, bool)
+    from firepit_spark.functions.doctor import assert_scaleworthy
+
+    rep = assert_scaleworthy(R.robots_verdict(urls, rules))
+    assert rep.broadcasts >= 1
