@@ -17,6 +17,7 @@ runs, no data moves.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -260,10 +261,13 @@ def stream_report(df: DataFrame) -> StreamReport:
                          "is never evicted — withWatermark both inputs "
                          "(stream_interval_join does)")
                     )
-                # watermarked event-time attributes print with a `-T<ms>`
-                # delay marker; a condition that references none of them
-                # has no time bound, so matched-row state grows forever
-                elif "-T" not in _head(node):
+                # watermarked event-time attributes print with a
+                # `#<exprId>-T<delay>ms` delay marker; a condition that
+                # references none of them has no time bound, so
+                # matched-row state grows forever. Strict pattern — a
+                # column NAME containing "-T" (prints as `x-Ty#7L`,
+                # no exprId before the -T) must not suppress the finding
+                elif not re.search(r"#\d+-T\d+ms", _head(node)):
                     rep.findings.append(
                         (RED,
                          "stream-stream join whose condition has no "

@@ -116,7 +116,10 @@ def markdown_to_text(src: str, keep_code: bool = True) -> str:
     corpora, and it is protected from every later pass so ``*ptr`` or
     ``# comment`` inside a block survives untouched; ``False`` drops
     the blocks entirely."""
-    t = src or ""
+    # CommonMark §2.3: U+0000 in the source is replaced with U+FFFD —
+    # which also makes the \x00-framed stash sentinels collision-free
+    # against adversarial input that mimics them
+    t = (src or "").replace("\x00", "�")
     stash: list = []
 
     def _stash(m) -> str:

@@ -101,6 +101,19 @@ def _pil_image():
         return None
 
 
+def _guard_builtin_pixels(kind: str, dims) -> None:
+    """Quarantine (ValueError) any frame too large for the per-pixel
+    pure-python kernels — applied on EVERY route into a builtin codec,
+    including the Pillow-installed-but-failed fallback, so a crafted
+    large-dimension blob that defeats Pillow cannot stall a task."""
+    if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
+        raise ValueError(
+            f"{kind} {dims[0]}x{dims[1]} exceeds the builtin-kernel "
+            f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install Pillow "
+            "or raise MAX_BUILTIN_JPEG_PIXELS"
+        )
+
+
 def decode_image(content: bytes) -> "np.ndarray":
     """(h, w, channels) uint8 pixels for any decodable image.
 
@@ -136,15 +149,8 @@ def decode_image(content: bytes) -> "np.ndarray":
                 arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
                 return arr if arr.ndim == 3 else arr[:, :, None]
             except Exception:
-                pass  # let the builtin codec decode or raise precisely
-            return gif_decode(content)
-        dims = image_dims(content)
-        if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
-            raise ValueError(
-                f"GIF {dims[0]}x{dims[1]} exceeds the builtin-kernel "
-                f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install "
-                "Pillow or raise MAX_BUILTIN_JPEG_PIXELS"
-            )
+                pass  # guarded builtin codec decodes or raises precisely
+        _guard_builtin_pixels("GIF", image_dims(content))
         return gif_decode(content)
     if content and content.startswith(b"BM"):
         try:
@@ -162,15 +168,10 @@ def decode_image(content: bytes) -> "np.ndarray":
                 arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
                 return arr if arr.ndim == 3 else arr[:, :, None]
             except Exception:
-                pass  # let the builtin kernel decode or raise precisely
+                pass  # guarded builtin kernel decodes or raises precisely
+            _guard_builtin_pixels("TIFF", image_dims(content))
             return tiff_decode(content)
-        dims = image_dims(content)
-        if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
-            raise ValueError(
-                f"TIFF {dims[0]}x{dims[1]} exceeds the builtin-kernel "
-                f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install "
-                "Pillow or raise MAX_BUILTIN_JPEG_PIXELS"
-            )
+        _guard_builtin_pixels("TIFF", image_dims(content))
         try:
             return tiff_decode(content)
         except NotImplementedError:
@@ -186,16 +187,11 @@ def decode_image(content: bytes) -> "np.ndarray":
                 arr = np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
                 return arr if arr.ndim == 3 else arr[:, :, None]
             except Exception:
-                pass  # let the builtin kernel decode or raise precisely
+                pass  # guarded builtin kernel decodes or raises precisely
+            _guard_builtin_pixels("JPEG", _jpeg_dims(content))
             return jpeg_decode(content)
         try:
-            dims = _jpeg_dims(content)
-            if dims and dims[0] * dims[1] > MAX_BUILTIN_JPEG_PIXELS:
-                raise ValueError(
-                    f"JPEG {dims[0]}x{dims[1]} exceeds the builtin-kernel "
-                    f"pixel guard ({MAX_BUILTIN_JPEG_PIXELS}); install "
-                    "Pillow or raise MAX_BUILTIN_JPEG_PIXELS"
-                )
+            _guard_builtin_pixels("JPEG", _jpeg_dims(content))
             return jpeg_decode(content)
         except NotImplementedError:
             pass  # arithmetic/lossless/12-bit/CMYK: Pillow or stub below

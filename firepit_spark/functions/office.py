@@ -154,6 +154,33 @@ def epub_extract_text(content: bytes, main_content: bool = False) -> str:
     return "\n".join(c for c in chapters if c)
 
 
+def _is_ocf_epub(zf: zipfile.ZipFile, names: set) -> bool:
+    """True only for a real OCF container: a ``mimetype`` member whose
+    CONTENT is ``application/epub+zip``, or a ``container.xml`` whose
+    rootfile resolves to an OPF member actually present. A generic ZIP
+    that merely contains a member NAMED ``mimetype`` must not route its
+    unrelated archive HTML into document text."""
+    if "mimetype" in names:
+        try:
+            if zf.read("mimetype").strip() == b"application/epub+zip":
+                return True
+        except Exception:  # noqa: BLE001 — encrypted/corrupt member
+            pass
+    if "META-INF/container.xml" in names:
+        try:
+            container = ElementTree.fromstring(
+                zf.read("META-INF/container.xml")
+            )
+        except Exception:  # noqa: BLE001
+            return False
+        for n in container.iter():
+            if _local(n.tag) == "rootfile":
+                fp = n.get("full-path")
+                if fp and fp in names:
+                    return True
+    return False
+
+
 def sniff_document(content: bytes) -> str | None:
     """'pdf' / 'docx' / 'epub' / 'zip' / 'html' / 'text' by magic +
     cheap member checks; None for empty input."""
@@ -163,12 +190,13 @@ def sniff_document(content: bytes) -> str | None:
         return "pdf"
     if content.startswith(b"PK\x03\x04"):
         try:
-            names = set(zipfile.ZipFile(io.BytesIO(content)).namelist())
+            zf = zipfile.ZipFile(io.BytesIO(content))
+            names = set(zf.namelist())
         except zipfile.BadZipFile:
             return "zip"
         if "word/document.xml" in names:
             return "docx"
-        if "META-INF/container.xml" in names or "mimetype" in names:
+        if _is_ocf_epub(zf, names):
             return "epub"
         return "zip"
     head = content[:512].lstrip()[:64].lower()

@@ -67,7 +67,8 @@ def parse_robots_txt(text: str) -> list:
             if rules_seen_for_group:
                 agents = []
                 rules_seen_for_group = False
-            agents.append(value.lower())
+            if value:  # an empty product token names no crawler at all
+                agents.append(value.lower())
         elif field in ("allow", "disallow"):
             rules_seen_for_group = True
             if not value:
@@ -224,13 +225,25 @@ def match_robots(
     ]
     if not candidates:
         return True, None
-    agent = max(candidates, key=lambda a: 0 if a == "*" else len(a))
+    # RFC 9309 §2.2.1: groups matching the crawler equally are merged —
+    # every candidate tied at the longest token contributes its rules
+    # (mirrors select_agent_rules keeping all max-priority groups).
+    best_len = max(0 if a == "*" else len(a) for a in candidates)
+    agents = [
+        a
+        for a in candidates
+        if (0 if a == "*" else len(a)) == best_len
+    ]
     best = None
-    for allow, pattern in groups[agent]:
-        if re.match(pattern_to_regex(pattern), path):
-            key = (len(pattern), 1 if allow else 0)
-            if best is None or key > best[0]:
-                best = (key, allow, pattern)
+    for agent in agents:
+        for allow, pattern in groups[agent]:
+            if re.match(pattern_to_regex(pattern), path):
+                # same total order as the Spark struct max: longest
+                # pattern, then allow, then lexicographically-greatest
+                # pattern text on full ties
+                key = (len(pattern), 1 if allow else 0, pattern)
+                if best is None or key > best[0]:
+                    best = (key, allow, pattern)
     if best is None:
         return True, None
     return best[1], best[2]

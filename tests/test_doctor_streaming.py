@@ -133,6 +133,12 @@ def test_stream_stream_join_rules(spark, stream):
     )
     rep = assert_stream_safe(good)
     assert rep.stream_stream_joins == 1 and not rep.findings
+    # adversarial column NAME containing "-T" (prints as `x-Ty#N`) must
+    # NOT pass for a watermark delay marker (`#N-TDDDDms`): the join is
+    # still equi-only, so the red finding must fire
+    l_adv = l.withColumnRenamed("src", "x-Ty")
+    rep = stream_report(l_adv.join(r, F.col("`x-Ty`") == F.col("src")))
+    assert any(s == RED and "event-time bound" in m for s, m in rep.findings)
 
 
 def test_unbroadcast_static_join_is_flagged(spark, stream):

@@ -237,6 +237,26 @@ def test_decode_image_gif_pixel_guard(monkeypatch):
         assert mm.decode_image(blob).shape == (20, 20, 3)
 
 
+def test_decode_image_gif_pixel_guard_on_pillow_failed_path(monkeypatch):
+    """When Pillow is installed but raises, the fallback into the
+    pure-python LZW decode must STILL be pixel-guarded — a crafted
+    large-dimension GIF that defeats Pillow cannot stall a task."""
+
+    class _BrokenPIL:
+        @staticmethod
+        def open(_fp):
+            raise OSError("simulated Pillow failure")
+
+    monkeypatch.setattr(mm, "_pil_image", lambda: _BrokenPIL)
+    monkeypatch.setattr(mm, "MAX_BUILTIN_JPEG_PIXELS", 100)
+    blob = gif.gif_encode(_rand_frame(6, h=20, w=20))
+    with pytest.raises(ValueError, match="pixel guard"):
+        mm.decode_image(blob)
+    # under the guard bound the builtin codec still decodes the fallback
+    small = gif.gif_encode(_rand_frame(7, h=8, w=8))
+    assert mm.decode_image(small).shape == (8, 8, 3)
+
+
 def test_video_frame_dhash_animated_gif_twins(spark):
     """A diff-optimized re-encode of the same animation hashes
     frame-for-frame identical to the full-frame encode — composed

@@ -85,6 +85,19 @@ def test_markdown_fences_kept_or_dropped():
     assert dropped.split("\n") == ["before", "after"]
 
 
+def test_markdown_nul_bytes_cannot_forge_stash_sentinels():
+    # adversarial input shaped like the internal \x00{n}\x00 placeholder
+    # must not swap in the wrong fenced block or raise IndexError
+    src = "\x007\x00\n```\nreal code\n```\n\x000\x00 tail"
+    out = M.markdown_to_text(src)
+    assert "real code" in out
+    assert "\x00" not in out
+    # CommonMark: U+0000 becomes U+FFFD, so the shape survives visibly
+    assert "�7�" in out and "�0� tail" in out
+    # NUL inside a fence is sanitized too, not restored raw
+    assert "\x00" not in M.markdown_to_text("```\na\x00b\n```")
+
+
 def test_clean_markup_distributed(spark):
     rows = [
         (1, "== H ==\n{{tpl}}[[a|b]]"),

@@ -80,6 +80,39 @@ def test_sniff_document_kinds():
     assert O.sniff_document(buf.getvalue()) == "zip"
 
 
+def test_epub_sniff_requires_real_ocf_container():
+    # a generic ZIP with a member NAMED 'mimetype' (wrong content) plus
+    # unrelated .html files must stay 'zip' — not have its archive HTML
+    # concatenated as document text
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "text/plain backup manifest")
+        zf.writestr("notes.html", "<html><body>unrelated</body></html>")
+    assert O.sniff_document(buf.getvalue()) == "zip"
+    # container.xml whose rootfile points at a MISSING OPF: also 'zip'
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "META-INF/container.xml",
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+            'container"><rootfiles><rootfile full-path="gone.opf"/>'
+            "</rootfiles></container>",
+        )
+        zf.writestr("a.html", "<html><body>x</body></html>")
+    assert O.sniff_document(buf.getvalue()) == "zip"
+    # the real thing (correct mimetype content) still sniffs as epub,
+    # and a mimetype-less EPUB resolves through its container.xml
+    real = O.epub_encode_simple([("c", "<p>ch</p>")])
+    assert O.sniff_document(real) == "epub"
+    src = zipfile.ZipFile(io.BytesIO(real))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name in src.namelist():
+            if name != "mimetype":
+                zf.writestr(name, src.read(name))
+    assert O.sniff_document(buf.getvalue()) == "epub"
+
+
 def test_extract_document_text_router(spark):
     docx = O.docx_encode_simple(["Docx body paragraph"])
     epub = O.epub_encode_simple([("c", "<p>Epub chapter body</p>")])

@@ -73,6 +73,40 @@ def test_reference_matcher_rfc_semantics():
     assert R.match_robots(tie, "x", "/page") == (True, "/page")
 
 
+def test_tied_groups_merge_and_empty_agent_dropped(spark):
+    # two same-length agent tokens both matching the crawler: RFC 9309
+    # merges the tied groups — both engines must agree (and agree on
+    # the lexicographic pattern tie-break within the merged set)
+    tied = (
+        "User-agent: abcbot\nDisallow: /x\n"
+        "User-agent: abdbot\nAllow: /x/y\n"
+        "User-agent: \nDisallow: /\n"  # empty token: no crawler, dropped
+    )
+    rules = R.parse_robots_txt(tied)
+    assert all(a for a, _, _ in rules)  # the empty agent parsed to nothing
+    crawler = "abcbot-abdbot/1.0"
+    assert R.match_robots(rules, crawler, "/x/y/z") == (True, "/x/y")
+    assert R.match_robots(rules, crawler, "/x/q") == (False, "/x")
+    assert R.match_robots(rules, crawler, "/") == (True, None)
+    # same-length same-verdict patterns: lexicographic max is reported
+    lex = R.parse_robots_txt("User-agent: *\nDisallow: /aa\nDisallow: /ab")
+    assert R.match_robots(lex, "any", "/a") == (True, None)
+    text = tied.encode()
+    sdf_rules = R.robots_rules(
+        spark.createDataFrame([("h", text)], "host string, content binary")
+    )
+    urls = [(0, "h", "/x/y/z"), (1, "h", "/x/q"), (2, "h", "/")]
+    verdict = R.robots_verdict(
+        spark.createDataFrame(urls, "url_id long, host string, path string"),
+        sdf_rules,
+        crawler_agent=crawler,
+    )
+    got = {r["url_id"]: (r["allowed"], r["matched_pattern"])
+           for r in verdict.collect()}
+    for i, _, path in urls:
+        assert got[i] == R.match_robots(rules, crawler, path), (i, path)
+
+
 def test_pattern_to_regex():
     assert R.pattern_to_regex("/a*.php$") == "^/a.*\\.php$"
     assert R.pattern_to_regex("/plain") == "^/plain"
