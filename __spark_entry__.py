@@ -3543,6 +3543,121 @@ SELECT doc_id, clean_text, length(clean_text)::INT AS n_chars FROM s
 """
 
 
+def q61_warc_pipeline(spark, sf_dir):
+    """WARC/WET web-archive source end-to-end (sources/warc.py): per
+    document, synthesize a REAL multi-member ``.warc.gz`` archive —
+    warcinfo + (even ids) request + response + conversion records, the
+    response block a raw HTTP/1.1 message that is Transfer-Encoding:
+    chunked for every third id — then push the bytes through the
+    PRODUCTION parse path (gzip member split → record parse → HTTP
+    de-chunk → html_to_text for responses / verbatim decode for WET
+    conversions, all Arrow map-only). The oracle recomputes record
+    counts, URIs, status, and BOTH text channels from the generation
+    arithmetic, so a hash match proves byte-exact record framing,
+    chunked-body reassembly, and the two independent text routes agree
+    — parse bugs cannot hide behind plumbing. n_errs pins the
+    quarantine channel empty on well-formed archives."""
+    from firepit_spark.sources import warc as wc
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") < 1000)
+
+    def build(batches):
+        import re as _re
+
+        import pandas as pd
+
+        drop = {ord("<"): None, ord(">"): None, ord("&"): None}
+        for pdf in batches:
+            recs = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                base = _re.sub(
+                    r"[ \t\n\r\f\v]+", " ",
+                    (text or "")[:100].translate(drop),
+                ).strip(" ")
+                uri = f"http://site{d % 20}.example/doc/{d}"
+                html = (
+                    f"<html><head><title>T</title></head><body>"
+                    f"<h1>Doc {d}</h1><p>{base}</p></body></html>"
+                )
+                records = [
+                    ({"WARC-Type": "warcinfo",
+                      "Content-Type": "application/warc-fields"},
+                     b"software: firepit-spark\r\n"),
+                ]
+                if d % 2 == 0:
+                    records.append(
+                        ({"WARC-Type": "request", "WARC-Target-URI": uri,
+                          "Content-Type":
+                              "application/http;msgtype=request"},
+                         f"GET /doc/{d} HTTP/1.1\r\nHost: x\r\n\r\n"
+                         .encode()),
+                    )
+                records.append(
+                    ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                      "Content-Type": "application/http;msgtype=response"},
+                     wc.http_response_bytes(
+                         html.encode(), chunked=(d % 3 == 0)
+                     )),
+                )
+                records.append(
+                    ({"WARC-Type": "conversion", "WARC-Target-URI": uri,
+                      "Content-Type": "text/plain"},
+                     (f"Doc {d}\n{base}" if base else f"Doc {d}").encode()),
+                )
+                recs.append((str(d), wc.warc_encode(records)))
+            yield pd.DataFrame(recs, columns=["warc_file", "content"])
+
+    archives = docs.mapInPandas(
+        build, schema="warc_file string, content binary"
+    )
+    texted = wc.warc_text(wc.parse_warc_members(archives))
+    return texted.groupBy(
+        F.col("warc_file").cast("long").alias("doc_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.max("target_uri").alias("uri"),
+        F.max(
+            F.when(F.col("warc_type") == "response", F.col("http_status"))
+        ).cast("int").alias("http_status"),
+        F.max(
+            F.when(F.col("warc_type") == "response", F.col("text"))
+        ).alias("clean_text"),
+        F.max(
+            F.when(F.col("warc_type") == "conversion", F.col("text"))
+        ).alias("wet_text"),
+        F.sum(
+            F.when(F.col("err").isNotNull(), 1).otherwise(0)
+        ).cast("int").alias("n_errs"),
+    )
+
+
+_Q61_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         trim(regexp_replace(translate(substr(text, 1, 100), '<>&', ''),
+                             '[ \t\n\r\f\v]+', ' ', 'g')) AS base
+  FROM documents WHERE doc_id < 1000
+)
+SELECT doc_id,
+       CAST(4 - doc_id % 2 AS BIGINT) AS n_records,
+       'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS uri,
+       200::INT AS http_status,
+       'Doc ' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN base = '' THEN '' ELSE chr(10) || base END
+         AS clean_text,
+       'Doc ' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN base = '' THEN '' ELSE chr(10) || base END
+         AS wet_text,
+       0::INT AS n_errs
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3606,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_stix_path_join": q58_stix_path_join,
         "q59_stix_reassign": q59_stix_reassign,
         "q60_html_strip": q60_html_strip,
+        "q61_warc_pipeline": q61_warc_pipeline,
     }
 
 
@@ -3662,4 +3778,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_stix_path_join": _Q58_SQL,
         "q59_stix_reassign": _Q59_SQL,
         "q60_html_strip": _Q60_SQL,
+        "q61_warc_pipeline": _Q61_SQL,
     }

@@ -1,0 +1,397 @@
+"""WARC / WET web-archive source (ISO 28500, the CommonCrawl layout).
+
+The last missing piece of the end-to-end web-corpus pipeline: crawls
+arrive as ``.warc.gz`` files (raw captures: ``request`` / ``response`` /
+``warcinfo`` records whose blocks are HTTP messages) or ``.wet.gz``
+files (``conversion`` records whose blocks are pre-extracted text).
+Downstream, :mod:`firepit_spark.functions.html` strips markup,
+:mod:`~firepit_spark.functions.robots` applies crawl governance,
+:mod:`~firepit_spark.functions.web` curates URLs and
+:mod:`~firepit_spark.functions.dedup` deduplicates — this module turns
+archive bytes into the (uri, payload) rows they all consume.
+
+Format facts this reader is built on:
+
+* a ``.warc.gz`` is a CONCATENATION of gzip members, one member per
+  record (the spec's recommended layout and what CommonCrawl ships) —
+  so records are recoverable member-by-member and one corrupt member
+  quarantines alone instead of poisoning the file,
+* each record is ``WARC/1.x`` + CRLF header lines + ``\\r\\n\\r\\n`` +
+  exactly ``Content-Length`` block bytes + ``\\r\\n\\r\\n``,
+* a ``response`` record's block is a raw HTTP response — status line,
+  headers, and a payload that may be ``Transfer-Encoding: chunked``
+  exactly as captured on the wire (this reader de-chunks).
+
+Scale shape: :func:`read_warc` maps over ``binaryFile`` rows — ONE TASK
+PER ARCHIVE FILE, which is precisely the unit CommonCrawl publishes
+(~1 GB gzip per file, ~64k files per crawl): a 1000-executor cluster
+processes 1000 archives at a time with zero shuffle, and only the rows
+a downstream query keeps ever leave the scan stage. Records that fail
+to parse quarantine PER GZIP MEMBER (``err`` column) — the rest of the
+file still loads. Offset-splitting a single archive would need a
+member-boundary index (cluster.idx in CC parlance); with file counts in
+the tens of thousands per crawl, file-granularity parallelism already
+saturates any realistic cluster, so this reader deliberately stays
+index-free.
+
+The reference engine has no web-archive surface; LLM-pipeline family
+(the brief's training-data sources). Fixture writer
+(:func:`warc_encode`) and reader are twins, and the reader is
+additionally pinned on hand-assembled spec bytes in tests/test_warc.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+#: output schema of :func:`read_warc` / :func:`parse_warc_members`
+WARC_SCHEMA = (
+    "warc_file string, member_offset long, warc_type string, "
+    "record_id string, warc_date string, target_uri string, "
+    "content_type string, content_length long, http_status int, "
+    "http_content_type string, payload binary, err string"
+)
+_WARC_COLS = [f.split()[0] for f in WARC_SCHEMA.split(", ")]
+
+
+# ----------------------------------------------------------------- write
+
+
+def warc_record_bytes(
+    headers: dict, block: bytes, version: str = "WARC/1.0"
+) -> bytes:
+    """One serialized WARC record: version line, header lines, computed
+    ``Content-Length``, the block, and the two-CRLF record terminator."""
+    lines = [version.encode("ascii")]
+    for k, v in headers.items():
+        lines.append(f"{k}: {v}".encode("utf-8"))
+    lines.append(f"Content-Length: {len(block)}".encode("ascii"))
+    return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def warc_encode(records: list, compress: bool = True) -> bytes:
+    """``[(headers, block), ...]`` → archive bytes. ``compress=True``
+    writes one gzip member PER RECORD (the spec-recommended and
+    CommonCrawl layout; mtime pinned to 0 so fixture bytes are
+    deterministic); ``False`` writes a plain ``.warc``."""
+    out = []
+    for headers, block in records:
+        rec = warc_record_bytes(headers, block)
+        out.append(gzip.compress(rec, mtime=0) if compress else rec)
+    return b"".join(out)
+
+
+def http_response_bytes(
+    payload: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+    chunked: bool = False,
+    chunk_size: int = 7,
+) -> bytes:
+    """A raw HTTP/1.1 response block for a ``response`` record —
+    optionally ``Transfer-Encoding: chunked`` the way live captures
+    often are."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "Status"
+    )
+    head = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    if chunked:
+        head.append("Transfer-Encoding: chunked")
+        chunks = [
+            payload[i:i + chunk_size]
+            for i in range(0, len(payload), chunk_size)
+        ]
+        body = b"".join(
+            b"%x\r\n%s\r\n" % (len(c), c) for c in chunks
+        ) + b"0\r\n\r\n"
+    else:
+        head.append(f"Content-Length: {len(payload)}")
+        body = payload
+    return "\r\n".join(head).encode("ascii") + b"\r\n\r\n" + body
+
+
+# ----------------------------------------------------------------- parse
+
+
+def split_gzip_members(data: bytes) -> Iterator[tuple]:
+    """Yield ``(byte_offset, decompressed_bytes)`` per gzip member of a
+    multi-member stream. Raises ValueError at the offset of the first
+    undecodable member (callers quarantine from there)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error as exc:
+            raise ValueError(f"bad gzip member at offset {pos}: {exc}")
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        yield pos, out
+        pos = n - len(d.unused_data)
+
+
+def parse_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield ``{offset, version, headers, block}`` per record of an
+    UNCOMPRESSED WARC stream (header keys lowercased). Raises
+    ValueError at the first malformed record — resync past a record
+    with a wrong Content-Length is guesswork, so the caller quarantines
+    the remainder of the member instead."""
+    pos, n = 0, len(data)
+    while pos < n:
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1  # inter-record CRLF padding
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated record header at offset {pos}")
+        lines = data[pos:head_end].decode("utf-8", "replace").split("\r\n")
+        version = lines[0].strip()
+        if not version.startswith("WARC/"):
+            raise ValueError(
+                f"not a WARC record at offset {pos}: {lines[0][:24]!r}"
+            )
+        headers: dict = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"missing/bad Content-Length at offset {pos}")
+        block = data[head_end + 4:head_end + 4 + clen]
+        if len(block) < clen:
+            raise ValueError(f"truncated record block at offset {pos}")
+        yield {
+            "offset": pos, "version": version,
+            "headers": headers, "block": block,
+        }
+        pos = head_end + 4 + clen
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode a Transfer-Encoding: chunked HTTP body."""
+    out, pos = [], 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked body: missing size line")
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(f"chunked body: bad size {size_token[:12]!r}")
+        if size == 0:
+            return b"".join(out)
+        chunk = body[eol + 2:eol + 2 + size]
+        if len(chunk) < size:
+            raise ValueError("chunked body: truncated chunk")
+        out.append(chunk)
+        pos = eol + 2 + size + 2  # skip chunk CRLF
+
+
+def parse_http_response(block: bytes) -> tuple:
+    """``(status, headers, payload)`` from a response record's block —
+    headers lowercased, chunked transfer-encoding decoded."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP response: no header terminator")
+    lines = block[:sep].decode("iso-8859-1").split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"not an HTTP response: {lines[0][:24]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"bad HTTP status {parts[1][:12]!r}")
+    headers: dict = {}
+    for ln in lines[1:]:
+        k, sep_, v = ln.partition(":")
+        if sep_:
+            headers[k.strip().lower()] = v.strip()
+    payload = block[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    return status, headers, payload
+
+
+def _record_row(fname: str, offset: int, rec: dict, keep_payload: bool):
+    """One WARC record dict → a WARC_SCHEMA row tuple."""
+    h = rec["headers"]
+    wtype = (h.get("warc-type") or "").lower() or None
+    status, http_ct, payload = None, None, rec["block"]
+    if wtype in ("response", "request") and payload[:5] in (
+        b"HTTP/", b"GET /", b"POST ", b"HEAD "
+    ):
+        if wtype == "response":
+            try:
+                status, hh, payload = parse_http_response(rec["block"])
+                http_ct = hh.get("content-type")
+            except ValueError as exc:
+                return (
+                    fname, offset, wtype, h.get("warc-record-id"),
+                    h.get("warc-date"), h.get("warc-target-uri"),
+                    h.get("content-type"),
+                    int(h.get("content-length", 0)), None, None, None,
+                    f"http: {exc}",
+                )
+    return (
+        fname, offset, wtype, h.get("warc-record-id"), h.get("warc-date"),
+        h.get("warc-target-uri"), h.get("content-type"),
+        int(h.get("content-length", 0)), status, http_ct,
+        bytes(payload) if keep_payload else None, None,
+    )
+
+
+def warc_rows(fname: str, content: bytes, keep_payload: bool = True) -> list:
+    """All WARC_SCHEMA rows of one archive file (gzip or plain),
+    quarantining per gzip member: a member whose bytes or records fail
+    to parse contributes one ``err`` row at its offset and the walk
+    continues with the next member (plain files can't resync, so the
+    remainder quarantines as one row)."""
+    rows: list = []
+    if content[:2] == b"\x1f\x8b":
+        members = split_gzip_members(content)
+    else:
+        members = iter([(0, bytes(content))])
+    while True:
+        try:
+            off, raw = next(members)
+        except StopIteration:
+            return rows
+        except ValueError as exc:  # gzip stream damage: cannot resync
+            rows.append(
+                (fname, None, None, None, None, None, None, None, None,
+                 None, None, str(exc)[:200])
+            )
+            return rows
+        try:
+            for rec in parse_warc_records(raw):
+                rows.append(
+                    _record_row(fname, off + rec["offset"], rec,
+                                keep_payload)
+                )
+        except ValueError as exc:
+            rows.append(
+                (fname, off, None, None, None, None, None, None, None,
+                 None, None, str(exc)[:200])
+            )
+
+
+def parse_warc_members(
+    df: DataFrame,
+    file_col: str = "warc_file",
+    content_col: str = "content",
+    keep_payload: bool = True,
+) -> DataFrame:
+    """Distributed record parse of a ``(file, archive_bytes)`` frame —
+    the kernel :func:`read_warc` runs over ``binaryFile`` rows, exposed
+    separately so synthesized archives (tests, the driver gate) ride
+    the exact production path. Map-only Arrow batches; one output row
+    per record (or per quarantined member)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for fname, content in zip(pdf[file_col], pdf[content_col]):
+                if content is None:
+                    continue
+                rows.extend(
+                    warc_rows(str(fname), bytes(content), keep_payload)
+                )
+            yield pd.DataFrame(rows, columns=_WARC_COLS)
+
+    return df.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def read_warc(
+    spark,
+    path: str,
+    keep_payload: bool = True,
+    path_glob: str | None = None,
+) -> DataFrame:
+    """WARC/WET records from archive files under ``path`` — one task
+    per file (the CommonCrawl unit; see the module docstring for why
+    that is the right 100 TB shape), per-member quarantine in the
+    ``err`` column. ``keep_payload=False`` drops payload bytes at the
+    source for header-only accounting scans."""
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    binary = reader.load(path).select(
+        F.col("path").alias("warc_file"), "content"
+    )
+    return parse_warc_members(binary, keep_payload=keep_payload)
+
+
+def warc_text(
+    df: DataFrame,
+    out_col: str = "text",
+    main_content: bool = False,
+) -> DataFrame:
+    """Extracted text per record of a :func:`read_warc` frame:
+    ``conversion`` (WET) payloads decode as UTF-8 verbatim; ``response``
+    payloads whose Content-Type says HTML go through the fidelity
+    parser (:func:`firepit_spark.functions.html.html_to_text`, or the
+    boilerplate filter with ``main_content=True``); everything else
+    stays NULL with a reason in ``<out_col>_err``. Map-only Arrow
+    batches — the html/robots/dedup stages downstream never see raw
+    archive bytes."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from firepit_spark.functions.html import extract_main_text, html_to_text
+
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(f"out_col {out_col!r} already exists")
+    err_col = f"{out_col}_err"
+    schema = StructType(
+        fields + [StructField(out_col, StringType()),
+                  StructField(err_col, StringType())]
+    )
+    cols = [f.name for f in fields]
+
+    def one(wtype, http_ct, payload) -> tuple:
+        if payload is None:
+            return None, "no payload"
+        try:
+            if wtype == "conversion":
+                return bytes(payload).decode("utf-8", "replace"), None
+            if wtype == "response":
+                ct = (http_ct or "").lower()
+                if "html" not in ct and "xml" not in ct:
+                    return None, f"non-html response ({ct or 'no type'})"
+                html = bytes(payload).decode("utf-8", "replace")
+                return (
+                    extract_main_text(html)
+                    if main_content
+                    else html_to_text(html)
+                ), None
+            return None, f"no text extractor for {wtype or 'unknown'}"
+        except Exception as exc:  # noqa: BLE001 — per-row quarantine
+            return None, str(exc)[:200]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [
+                one(t, ct, p)
+                for t, ct, p in zip(
+                    pdf["warc_type"], pdf["http_content_type"],
+                    pdf["payload"],
+                )
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = [p[0] for p in pairs]
+            pdf[err_col] = [p[1] for p in pairs]
+            yield pdf[cols + [out_col, err_col]]
+
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,238 @@
+"""WARC/WET source: hand-assembled spec-byte fixtures (independent of
+the writer), writer/reader round-trips, per-member quarantine, chunked
+HTTP decode, the binaryFile path over real archive files, and the full
+warc → html → robots → dedup pipeline end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.sources import warc as W
+
+# -------------------------------------------------- hand-assembled bytes
+# Built character-by-character from ISO 28500 + RFC 9112, NOT via
+# warc_encode, so the reader is pinned on the spec rather than on its
+# twin. Expectations below are recomputed by hand from these bytes.
+
+_HTML = b"<html><body><p>Hello spec &amp; bytes</p></body></html>"
+_CHUNKED_HTTP = (
+    b"HTTP/1.1 200 OK\r\n"
+    b"Content-Type: text/html; charset=utf-8\r\n"
+    b"Transfer-Encoding: chunked\r\n"
+    b"\r\n"
+    b"a\r\n" + _HTML[:10] + b"\r\n"
+    b"2D\r\n" + _HTML[10:55] + b"\r\n"   # upper-case hex size is legal
+    b"0\r\n\r\n"
+)
+_RESPONSE_REC = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-000000000001>\r\n"
+    b"WARC-Date: 2024-06-01T00:00:00Z\r\n"
+    b"WARC-Target-URI: http://spec.example/page\r\n"
+    b"Content-Type: application/http;msgtype=response\r\n"
+    + b"Content-Length: %d\r\n\r\n" % len(_CHUNKED_HTTP)
+    + _CHUNKED_HTTP + b"\r\n\r\n"
+)
+_WET_TEXT = "Plain extracted text — already clean.".encode()
+_CONVERSION_REC = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: conversion\r\n"
+    b"WARC-Record-ID: <urn:uuid:00000000-0000-4000-8000-000000000002>\r\n"
+    b"WARC-Target-URI: http://spec.example/page\r\n"
+    b"Content-Type: text/plain\r\n"
+    + b"Content-Length: %d\r\n\r\n" % len(_WET_TEXT)
+    + _WET_TEXT + b"\r\n\r\n"
+)
+
+
+def test_hand_assembled_records_parse_to_spec_values():
+    recs = list(W.parse_warc_records(_RESPONSE_REC + _CONVERSION_REC))
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "response", "conversion",
+    ]
+    assert recs[0]["headers"]["warc-target-uri"] == "http://spec.example/page"
+    assert recs[1]["offset"] == len(_RESPONSE_REC)
+    status, headers, payload = W.parse_http_response(recs[0]["block"])
+    assert status == 200
+    assert headers["content-type"] == "text/html; charset=utf-8"
+    assert payload == _HTML  # chunk sizes 0xA + 0x2D == 55 == len(_HTML)
+    assert recs[1]["block"].decode() == (
+        "Plain extracted text — already clean."
+    )
+
+
+def test_gzip_member_split_and_row_kernel():
+    blob = gzip.compress(_RESPONSE_REC, mtime=0) + gzip.compress(
+        _CONVERSION_REC, mtime=0
+    )
+    members = list(W.split_gzip_members(blob))
+    assert [m[0] for m in members] == [0, len(gzip.compress(_RESPONSE_REC, mtime=0))]
+    assert members[0][1] == _RESPONSE_REC
+    rows = W.warc_rows("f.warc.gz", blob)
+    assert len(rows) == 2 and all(r[-1] is None for r in rows)
+    by_type = {r[2]: r for r in rows}
+    assert by_type["response"][8] == 200           # http_status
+    assert by_type["response"][10] == _HTML        # de-chunked payload
+    assert by_type["conversion"][10] == _WET_TEXT
+    # member_offset of the second record = compressed size of the first
+    assert by_type["conversion"][1] == members[1][0]
+
+
+def test_writer_reader_round_trip_plain_and_gzip():
+    records = [
+        ({"WARC-Type": "warcinfo", "Content-Type": "application/warc-fields"},
+         b"software: test\r\n"),
+        ({"WARC-Type": "response",
+          "WARC-Target-URI": "http://a.example/x",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(b"<p>A</p>", chunked=True, chunk_size=3)),
+        ({"WARC-Type": "conversion",
+          "WARC-Target-URI": "http://a.example/x"},
+         b"A"),
+    ]
+    for compress in (False, True):
+        rows = W.warc_rows("f", W.warc_encode(records, compress=compress))
+        assert [r[2] for r in rows] == ["warcinfo", "response", "conversion"]
+        assert rows[1][8] == 200 and rows[1][10] == b"<p>A</p>"
+        assert all(r[-1] is None for r in rows)
+
+
+def test_per_member_quarantine_keeps_the_rest_of_the_file():
+    good = gzip.compress(_CONVERSION_REC, mtime=0)
+    bad_warc = gzip.compress(b"NOT-A-RECORD\r\n\r\n", mtime=0)
+    rows = W.warc_rows("f", good + bad_warc + good)
+    assert len(rows) == 3
+    assert rows[0][2] == "conversion" and rows[0][-1] is None
+    assert rows[1][-1] is not None and "not a WARC record" in rows[1][-1]
+    assert rows[2][2] == "conversion" and rows[2][-1] is None
+    # gzip STREAM damage can't resync: one err row for the remainder
+    torn = good + b"\x1f\x8b\x08\xff broken" + good
+    rows = W.warc_rows("f", torn)
+    assert rows[0][2] == "conversion"
+    assert sum(1 for r in rows if r[-1] is not None) == 1
+    # plain-file truncation quarantines the tail
+    rows = W.warc_rows("f", _RESPONSE_REC[: len(_RESPONSE_REC) // 2])
+    assert len(rows) == 1 and "unterminated record header" in rows[0][-1]
+    rows = W.warc_rows("f", _RESPONSE_REC[:-20])  # cut inside the block
+    assert len(rows) == 1 and "truncated record block" in rows[0][-1]
+
+
+def test_http_edge_cases():
+    with pytest.raises(ValueError, match="no header terminator"):
+        W.parse_http_response(b"HTTP/1.1 200 OK\r\n")
+    with pytest.raises(ValueError, match="not an HTTP response"):
+        W.parse_http_response(b"FTP ok\r\n\r\nx")
+    with pytest.raises(ValueError, match="truncated chunk"):
+        W._dechunk(b"10\r\nshort\r\n0\r\n\r\n")
+    # a response record whose block is not HTTP quarantines just itself
+    rec = W.warc_record_bytes(
+        {"WARC-Type": "response", "WARC-Target-URI": "http://x/"},
+        b"HTTP/1.1 bad status\r\n\r\nx",
+    )
+    rows = W.warc_rows("f", rec)
+    assert len(rows) == 1 and "bad HTTP status" in rows[0][-1]
+
+
+def test_read_warc_binaryfile_path(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(
+        W.warc_encode(
+            [({"WARC-Type": "conversion",
+               "WARC-Target-URI": f"http://h{i}.example/p"},
+              f"text {i}".encode()) for i in range(3)]
+        )
+    )
+    (tmp_path / "b.warc").write_bytes(
+        W.warc_encode(
+            [({"WARC-Type": "conversion",
+               "WARC-Target-URI": "http://h9.example/p"}, b"text 9")],
+            compress=False,
+        )
+    )
+    (tmp_path / "ignore.txt").write_text("not an archive")
+    df = W.read_warc(spark, str(tmp_path), path_glob="*.warc*")
+    rows = df.collect()
+    assert len(rows) == 4 and all(r["err"] is None for r in rows)
+    assert sorted(r["target_uri"] for r in rows) == [
+        "http://h0.example/p", "http://h1.example/p",
+        "http://h2.example/p", "http://h9.example/p",
+    ]
+    # header-only scan drops payload bytes at the source
+    lean = W.read_warc(spark, str(tmp_path), path_glob="*.warc*",
+                       keep_payload=False)
+    assert all(r["payload"] is None for r in lean.collect())
+
+
+def test_warc_text_routes_by_record_type(spark):
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/x",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             b"<html><body><h1>T</h1><p>Body text</p></body></html>")),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/img",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(b"\x89PNG", content_type="image/png")),
+        ({"WARC-Type": "conversion", "WARC-Target-URI": "http://a/x"},
+         "wet text ✓".encode()),
+        ({"WARC-Type": "warcinfo"}, b"software: x\r\n"),
+    ]
+    df = spark.createDataFrame(
+        [("f", W.warc_encode(records))], "warc_file string, content binary"
+    )
+    out = {
+        (r["warc_type"], r["target_uri"]): (r["text"], r["text_err"])
+        for r in W.warc_text(W.parse_warc_members(df)).collect()
+    }
+    assert len(out) == 4
+    assert out[("response", "http://a/x")] == ("T\nBody text", None)
+    assert out[("conversion", "http://a/x")] == ("wet text ✓", None)
+    assert out[("response", "http://a/img")][0] is None
+    assert "non-html" in out[("response", "http://a/img")][1]
+    assert out[("warcinfo", None)][0] is None
+
+
+def test_end_to_end_warc_html_robots_dedup(spark, tmp_path):
+    """The full web-corpus pipeline over real archive files: read_warc →
+    warc_text → robots_filter → exact dedup. Hosts h0/h1; h0's robots
+    disallows /secret; pages 2 and 3 are byte-identical content."""
+    from firepit_spark.functions.dedup import dedup_exact
+    from firepit_spark.functions.robots import robots_filter, robots_rules
+
+    pages = [
+        ("http://h0.example/a", "h0.example", "/a", "unique page zero"),
+        ("http://h0.example/secret/x", "h0.example", "/secret/x", "hidden"),
+        ("http://h1.example/b", "h1.example", "/b", "duplicated body"),
+        ("http://h1.example/c", "h1.example", "/c", "duplicated body"),
+    ]
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": uri,
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             f"<html><body><p>{body}</p></body></html>".encode(),
+             chunked=(i % 2 == 0)))
+        for i, (uri, _, _, body) in enumerate(pages)
+    ]
+    (tmp_path / "crawl.warc.gz").write_bytes(W.warc_encode(records))
+
+    recs = W.warc_text(W.read_warc(spark, str(tmp_path / "crawl.warc.gz")))
+    corpus = recs.filter(F.col("text").isNotNull()).select(
+        F.col("target_uri").alias("url_id"),
+        F.regexp_extract("target_uri", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_replace("target_uri", r"^https?://[^/]+", "").alias("path"),
+        "text",
+    )
+    robots = robots_rules(
+        spark.createDataFrame(
+            [("h0.example", b"User-agent: *\nDisallow: /secret")],
+            "host string, content binary",
+        )
+    )
+    allowed = robots_filter(corpus, robots)
+    kept = dedup_exact(allowed, text_col="text", id_col="url_id")
+    urls = sorted(r["url_id"] for r in kept.collect())
+    # /secret dropped by robots; one of b/c dropped by dedup
+    assert len(urls) == 2 and urls[0] == "http://h0.example/a"
+    assert urls[1] in ("http://h1.example/b", "http://h1.example/c")
