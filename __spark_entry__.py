@@ -3658,6 +3658,140 @@ FROM d
 """
 
 
+# Frozen WordPiece vocab for q62 — ids assigned by list position from 2
+# (0/1 reserved PAD/UNK). Deliberately j-less: 'join' (and its sf1
+# '-cN' variants) must whole-word-UNK on BOTH engines. Shared between
+# the Spark leg and the SQL generator the way q60 shares its HTML
+# template: the constant is common, the ALGORITHM (greedy
+# longest-match-first with ## continuations) is implemented twice.
+_WP_VOCAB_LIST = (
+    ["the", "sort", "scan", "hash", "merge", "value", "window", "stream",
+     "part", "key",
+     "a", "b", "c", "d", "f", "g", "h", "k", "l", "m", "o", "p", "q", "r",
+     "s", "t", "v", "w"]
+    + ["##" + ch for ch in "abcdefghiklmnopqrstuvwxyz"]  # no ##j
+    + ["##le", "##er", "##ow", "##art", "##atch", "##mall", "##olumn",
+       "##ue", "##ream", "##-c"]
+    + ["##" + d for d in "0123456789"] + ["##-"]
+)
+
+
+def q62_wordpiece_encode(spark, sf_dir):
+    """Tokenizer ENCODE boundary under the driver's hash gate
+    (functions/wordpiece.py — training itself is pytest-differentialed;
+    this leg proves the inference path end-to-end): a frozen vocab is
+    loaded into a WordPieceModel and every document is greedy
+    longest-match-first encoded (Arrow mapInPandas, vocab in the task
+    closure, per-task word memo). The oracle RE-IMPLEMENTS the greedy
+    algorithm in SQL — a recursive CTE walks each distinct word,
+    picking the longest matching piece per position via a LATERAL
+    argmax, with BERT's whole-word-[UNK] fallback — and rebuilds each
+    document's token sequence with window cumulative offsets. Matching
+    n_tokens / id_sum / position-weighted checksum / n_unk therefore
+    pins every token id at every position against an independent
+    engine, including UNK semantics ('join' is deliberately
+    unencodable) and multi-char piece precedence."""
+    from firepit_spark.functions import wordpiece as wp
+
+    model = wp.WordPieceModel(
+        merges=[],
+        vocab={p: i for i, p in enumerate(_WP_VOCAB_LIST, start=2)},
+    )
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") < 1500)
+    enc = wp.wordpiece_encode(docs, model, text_col="text",
+                              out_col="wp_ids")
+    tok = enc.select(
+        "doc_id", F.posexplode_outer("wp_ids").alias("pos", "tid")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.count("tid").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("tid"), F.lit(0)).cast("long").alias("id_sum"),
+        F.coalesce(
+            F.sum((F.col("pos") + 1) * F.col("tid")), F.lit(0)
+        ).cast("long").alias("pos_checksum"),
+        F.coalesce(
+            F.sum(F.when(F.col("tid") == wp.UNK_ID, 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_unk"),
+    )
+
+
+def _q62_sql() -> str:
+    from firepit_spark.functions.wordpiece import UNK_ID
+
+    values = ", ".join(
+        f"('{p}', {i})" for i, p in enumerate(_WP_VOCAB_LIST, start=2)
+    )
+    return rf"""
+WITH RECURSIVE
+vocab(piece, id) AS (VALUES {values}),
+docs AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                      ' ') AS ws
+  FROM documents WHERE doc_id < 1500
+),
+words AS (
+  SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM docs) WHERE w <> ''
+),
+enc(w, pos, ids) AS (
+  SELECT w, 1, CAST([] AS BIGINT[]) FROM words
+  UNION ALL
+  SELECT e.w,
+         CASE WHEN m.id IS NULL THEN length(e.w) + 1
+              ELSE e.pos + m.len END,
+         CASE WHEN m.id IS NULL THEN [CAST({UNK_ID} AS BIGINT)]
+              ELSE list_append(e.ids, m.id) END
+  FROM enc e LEFT JOIN LATERAL (
+    SELECT v.id AS id,
+           length(CASE WHEN e.pos = 1 THEN v.piece
+                       ELSE substr(v.piece, 3) END) AS len
+    FROM vocab v
+    WHERE (e.pos = 1) = (v.piece NOT LIKE '##%')
+      AND substr(e.w, e.pos,
+                 length(CASE WHEN e.pos = 1 THEN v.piece
+                             ELSE substr(v.piece, 3) END))
+          = CASE WHEN e.pos = 1 THEN v.piece ELSE substr(v.piece, 3) END
+    ORDER BY len DESC LIMIT 1
+  ) m ON TRUE
+  WHERE e.pos <= length(e.w)
+),
+wstats AS (
+  SELECT w,
+         CAST(len(ids) AS BIGINT) AS n_tok,
+         CAST(list_sum(ids) AS BIGINT) AS w_id_sum,
+         CAST(list_sum(list_transform(ids, (x, i) -> x * i)) AS BIGINT)
+           AS pw_local,
+         CAST(len(list_filter(ids, x -> x = {UNK_ID})) AS BIGINT) AS w_unk
+  FROM enc WHERE pos = length(w) + 1
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS ord
+  FROM docs
+),
+seq AS (
+  SELECT t.doc_id, s.n_tok, s.w_id_sum, s.pw_local, s.w_unk,
+         coalesce(sum(s.n_tok) OVER (
+           PARTITION BY t.doc_id ORDER BY t.ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM tok t JOIN wstats s USING (w)
+  WHERE t.w <> ''
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(w_id_sum), 0) AS BIGINT) AS id_sum,
+       CAST(coalesce(sum(pw_local + cum_before * w_id_sum), 0) AS BIGINT)
+         AS pos_checksum,
+       CAST(coalesce(sum(w_unk), 0) AS BIGINT) AS n_unk
+FROM docs d LEFT JOIN seq ON seq.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3722,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_stix_reassign": q59_stix_reassign,
         "q60_html_strip": q60_html_strip,
         "q61_warc_pipeline": q61_warc_pipeline,
+        "q62_wordpiece_encode": q62_wordpiece_encode,
     }
 
 
@@ -3779,4 +3914,5 @@ def oracle_sql() -> dict[str, str]:
         "q59_stix_reassign": _Q59_SQL,
         "q60_html_strip": _Q60_SQL,
         "q61_warc_pipeline": _Q61_SQL,
+        "q62_wordpiece_encode": _q62_sql(),
     }
