@@ -1519,20 +1519,42 @@ def q39_media_probe(spark, sf_dir):
                 f = jpeg_features(blob)
                 dec = jp.jpeg_decode(blob)
                 ok = bool(np.abs(dec.astype(int) - img.astype(int)).max() <= 16)
+                # r11 Adobe 4-component leg: smooth stored-CMYK planes
+                # (inverted-ink convention) through transform 0 (cmyk)
+                # or 2 (ycck) by parity; the decoder must return RGB
+                # within the sequential-JPEG bound of the independent
+                # (C*K)/255 conversion — pinned like jpg_roundtrip_ok
+                space = "cmyk" if d % 2 else "ycck"
+                k = (255 - 2 * xx - 3 * yy - d % 40).astype("uint8")
+                stored = np.concatenate([img, k[:, :, None]], axis=-1)
+                blob4 = jp.jpeg_encode(stored, quality=95, colorspace=space)
+                f4 = jpeg_features(blob4)
+                want = np.clip(np.round(
+                    stored[:, :, :3].astype(np.float64)
+                    * stored[:, :, 3:4].astype(np.float64) / 255.0
+                ), 0, 255).astype(int)
+                ok4 = bool(
+                    np.abs(jp.jpeg_decode(blob4).astype(int) - want).max()
+                    <= 16
+                )
                 recs.append(
                     (d, f["width"], f["height"], f["n_components"],
-                     bool(f["progressive"]), ok)
+                     bool(f["progressive"]), ok,
+                     space, int(f4["n_components"]), ok4)
                 )
             yield pd.DataFrame(
                 recs,
                 columns=["media_id", "jpg_w", "jpg_h", "jpg_components",
-                         "jpg_progressive", "jpg_roundtrip_ok"],
+                         "jpg_progressive", "jpg_roundtrip_ok",
+                         "jpg4_space", "jpg4_components",
+                         "jpg4_roundtrip_ok"],
             )
 
     jpg = docs.mapInPandas(
         jpeg_leg,
         schema="media_id long, jpg_w int, jpg_h int, jpg_components int, "
-        "jpg_progressive boolean, jpg_roundtrip_ok boolean",
+        "jpg_progressive boolean, jpg_roundtrip_ok boolean, "
+        "jpg4_space string, jpg4_components int, jpg4_roundtrip_ok boolean",
     )
 
     # r9 audio leg: per-doc triangle wave (max step 7, so even ADPCM's
@@ -1751,6 +1773,9 @@ def q39_media_probe(spark, sf_dir):
             "jpg_components",
             "jpg_progressive",
             "jpg_roundtrip_ok",
+            "jpg4_space",
+            "jpg4_components",
+            "jpg4_roundtrip_ok",
             "wav_codec",
             "wav_n_samples",
             "wav_rate",
@@ -1802,6 +1827,13 @@ SELECT doc_id,
        3 AS jpg_components,
        doc_id % 5 = 1 AS jpg_progressive,
        TRUE AS jpg_roundtrip_ok,
+       -- Adobe 4-component leg (r11): colorspace choice from the
+       -- generation arithmetic, header component count, and the pinned
+       -- inverted-CMYK/YCCK round-trip bound vs (C*K)/255
+       (CASE WHEN doc_id % 2 = 1 THEN 'cmyk' ELSE 'ycck' END)
+         AS jpg4_space,
+       4 AS jpg4_components,
+       TRUE AS jpg4_roundtrip_ok,
        -- audio leg (r9): G.711/ADPCM codec choice, decoded length (ADPCM
        -- pads to whole 505-sample blocks), rate, and the pinned bound
        (CASE doc_id % 3 WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'

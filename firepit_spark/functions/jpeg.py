@@ -20,7 +20,8 @@ Coverage, honestly scoped:
   redefinition.
 - NOT decoded (raise ``NotImplementedError`` so the Arrow wrappers
   quarantine per row instead of failing the task): arithmetic coding
-  (SOF9+), lossless (SOF3), 12-bit precision, CMYK/4-component, DNL.
+  (SOF9+), lossless (SOF3), 12-bit precision, DNL. Adobe CMYK/YCCK
+  4-component files DO decode (r11, APP14 transform 0/2 → RGB).
 - encode: baseline JFIF writer used to build test fixtures and to
   round-trip the decoder — IJG-style quality-scaled Annex-K quant
   tables, per-image canonical Huffman tables (flat code length over the
@@ -196,11 +197,15 @@ def jpeg_decode(b: bytes) -> np.ndarray:
 
     Raises ``ValueError`` for malformed streams and
     ``NotImplementedError`` for well-formed-but-unsupported encodings
-    (arithmetic, lossless, 12-bit, 4-component) — the multimodal
-    Arrow wrappers quarantine those rows. Progressive streams decode
-    for real (r9); a truncated progressive TAIL decodes to the partial
-    refinement it carries (that is the format's design), while
-    truncation inside a scan's entropy data still raises.
+    (arithmetic, lossless, 12-bit) — the multimodal Arrow wrappers
+    quarantine those rows. Progressive streams decode for real (r9); a
+    truncated progressive TAIL decodes to the partial refinement it
+    carries (that is the format's design), while truncation inside a
+    scan's entropy data still raises. Adobe 4-component files (APP14
+    TN 5116) decode for real (r11): plain inverted CMYK (transform
+    0 / no marker) and YCCK (transform 2) both return RGB via
+    ``R = (255-C_ink)(255-K_ink)/255``; transform 0 with 3 components
+    is stored RGB.
     """
     try:
         return _jpeg_decode(b)
@@ -216,6 +221,7 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     frame = None           # (h, w, comps) with comps = [(cid, hi, vi, tq)]
     restart_interval = 0
     progressive = False
+    adobe_transform = None  # APP14: 0=none(CMYK/RGB), 1=YCbCr, 2=YCCK
     scans = []             # per SOS: dict(comps, ss, se, ah, al, segs, ri, huff)
 
     i, n = 2, len(b)
@@ -266,7 +272,7 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
             progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(f"{nc}-component JPEG not supported")
             comps = []
             for c in range(nc):
@@ -280,6 +286,9 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
             raise NotImplementedError(f"SOF{marker - 0xC0} JPEG not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14 (TN 5116)
+            # 5 'Adobe' + 2 version + 2 flags0 + 2 flags1 + 1 transform
+            adobe_transform = seg[11] if len(seg) >= 12 else 0
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -347,7 +356,30 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
     if len(planes) == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return gray[:, :, None]
+    if len(planes) == 4:
+        # Adobe 4-component (TN 5116): stored values are INVERTED inks
+        # (255 = no ink, libjpeg/Photoshop convention). transform 2
+        # (YCCK) carries the inverted CMY through the YCbCr matrix; 0
+        # or no marker is plain inverted CMYK.
+        c, m, ye, k = planes
+        if adobe_transform == 2:
+            y_, cb, cr = c, m, ye
+            c = y_ + 1.402 * (cr - 128.0)
+            m = y_ - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ye = y_ + 1.772 * (cb - 128.0)
+        elif adobe_transform not in (None, 0):
+            raise NotImplementedError(
+                f"Adobe transform {adobe_transform} with 4 components"
+            )
+        cmy = np.clip(np.round(np.stack([c, m, ye], axis=-1)), 0, 255)
+        kk = np.clip(np.round(k), 0, 255)
+        rgb = cmy * kk[:, :, None] / 255.0  # R = (255-C_ink)(255-K_ink)/255
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = planes
+    if adobe_transform == 0:
+        # Adobe transform 0 with 3 components: planes are stored RGB
+        rgb = np.stack([y, cb, cr], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bl = y + 1.772 * (cb - 128.0)
@@ -989,6 +1021,7 @@ def jpeg_encode(
     restart_interval: int = 0,
     progressive: bool = False,
     multiscan: bool = False,
+    colorspace: str = "auto",
 ) -> bytes:
     """Encode (h, w[, 1|3]) uint8 pixels as a baseline JFIF JPEG.
 
@@ -1004,18 +1037,34 @@ def jpeg_encode(
     ``multiscan=True`` writes a MULTI-SCAN sequential file (SOF0, one
     non-interleaved SOS per component, T.81 A.2.2) from the same
     coefficients — the fixture path for the multi-scan decoder.
+    ``colorspace`` is 'auto' (gray/YCbCr by channel count), or the
+    Adobe 4-channel forms 'cmyk' / 'ycck': input is (h, w, 4) STORED
+    (Adobe-inverted, 255 = no ink) values, an APP14 marker with
+    transform 0/2 replaces the JFIF APP0 (JFIF only defines 1/3
+    components), K rides at luma resolution; cmyk is 4:4:4-only and
+    both are baseline-sequential-only (fixture scope).
     """
     px = np.asarray(pixels)
     if px.ndim == 2:
         px = px[:, :, None]
-    if px.ndim != 3 or px.shape[2] not in (1, 3) or px.dtype != np.uint8:
-        raise ValueError("pixels must be (h, w[, 1|3]) uint8")
+    want4 = colorspace in ("cmyk", "ycck")
+    if colorspace != "auto" and not want4:
+        raise ValueError(f"colorspace must be 'auto', 'cmyk' or 'ycck'")
+    ok_nc = (4,) if want4 else (1, 3)
+    if px.ndim != 3 or px.shape[2] not in ok_nc or px.dtype != np.uint8:
+        raise ValueError(
+            f"pixels must be (h, w[, {'|'.join(map(str, ok_nc))}]) uint8"
+        )
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be 1..100, got {quality}")
     if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(
             f"subsampling must be '4:4:4', '4:2:2' or '4:2:0', got {subsampling!r}"
         )
+    if want4 and (progressive or multiscan):
+        raise ValueError("cmyk/ycck fixtures are baseline-sequential only")
+    if colorspace == "cmyk" and subsampling != "4:4:4":
+        raise ValueError("cmyk is 4:4:4 only (no luma/chroma split)")
     h, w, nc = px.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -1024,11 +1073,27 @@ def jpeg_encode(
     def q_scaled(base):
         return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 
-    qtabs = [q_scaled(QUANT_LUMA)] + ([q_scaled(QUANT_CHROMA)] if nc == 3 else [])
+    use_chroma_tab = nc == 3 or colorspace == "ycck"
+    qtabs = [q_scaled(QUANT_LUMA)] + (
+        [q_scaled(QUANT_CHROMA)] if use_chroma_tab else []
+    )
 
     # color transform + per-component planes
     fpx = px.astype(np.float64)
-    if nc == 3:
+    if colorspace == "cmyk":
+        comps = [(i + 1, 1, 1, 0, fpx[:, :, i]) for i in range(4)]
+    elif colorspace == "ycck":
+        # stored inverted CMY through the forward YCbCr matrix; K as-is
+        r, g, bl = fpx[:, :, 0], fpx[:, :, 1], fpx[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        sh, sv = {"4:2:0": (2, 2), "4:2:2": (2, 1), "4:4:4": (1, 1)}[
+            subsampling
+        ]
+        comps = [(1, sh, sv, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr),
+                 (4, sh, sv, 0, fpx[:, :, 3])]
+    elif nc == 3:
         r, g, bl = fpx[:, :, 0], fpx[:, :, 1], fpx[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * bl
         cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
@@ -1105,7 +1170,7 @@ def jpeg_encode(
             ac_used[cls].add(sym)
 
     walk(collect)
-    n_classes = 1 if nc == 1 else 2
+    n_classes = 2 if use_chroma_tab else 1
     dc_tabs = {c: _flat_huff(dc_used[c]) for c in range(n_classes)}
     ac_tabs = {c: _flat_huff(ac_used[c]) for c in range(n_classes)}
 
@@ -1138,7 +1203,14 @@ def jpeg_encode(
         out.extend(struct.pack(">H", len(payload) + 2))
         out.extend(payload)
 
-    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    if want4:  # JFIF forbids 4 components; Adobe APP14 names the space
+        seg(
+            0xEE,
+            b"Adobe\x00\x64\x00\x00\x00\x00"
+            + bytes([2 if colorspace == "ycck" else 0]),
+        )
+    else:
+        seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
     for tq, tbl in enumerate(qtabs):
         seg(0xDB, bytes([tq]) + bytes(int(v) for v in tbl[_ZZ_ROWS, _ZZ_COLS]))
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nc])

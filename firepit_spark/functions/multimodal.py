@@ -127,7 +127,7 @@ def decode_image(content: bytes) -> "np.ndarray":
     instead of stalling a task. When Pillow is installed but fails a
     stream the builtin kernel covers, the builtin result (or its precise
     error) still stands — and vice versa: kernel errors
-    (NotImplementedError for arithmetic/lossless/12-bit/CMYK, ValueError
+    (NotImplementedError for arithmetic/lossless/12-bit, ValueError
     for malformed streams) fall through to Pillow before failing the row.
     GIF decodes via the built-in pure-python codec
     (:func:`firepit_spark.functions.gif.gif_decode` — LZW, interlace,
@@ -194,7 +194,7 @@ def decode_image(content: bytes) -> "np.ndarray":
             _guard_builtin_pixels("JPEG", _jpeg_dims(content))
             return jpeg_decode(content)
         except NotImplementedError:
-            pass  # arithmetic/lossless/12-bit/CMYK: Pillow or stub below
+            pass  # arithmetic/lossless/12-bit: Pillow or stub below
     Image = _pil_image()
     if Image is None:
         return decode_stub("image", content)

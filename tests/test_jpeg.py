@@ -178,6 +178,114 @@ def test_unsupported_encodings_raise_not_implemented():
         jpeg.jpeg_encode(img, progressive=True, restart_interval=2)
 
 
+def _cmyk_to_rgb_ref(stored):
+    """Independent reference of the Adobe-inverted CMYK → RGB rule."""
+    s = stored.astype(np.float64)
+    rgb = s[:, :, :3] * s[:, :, 3:4] / 255.0
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _stored_cmyk(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    s = np.stack(
+        [xx * 255 / w, yy * 255 / h,
+         128 + 90 * np.sin(xx / 8.0) * np.cos(yy / 6.0),
+         255 - (xx + yy) * 120 / (h + w)],
+        axis=-1,
+    )
+    return np.clip(s, 0, 255).astype(np.uint8)
+
+
+def test_cmyk_roundtrip_against_independent_conversion():
+    stored = _stored_cmyk()
+    blob = jpeg.jpeg_encode(stored, quality=95, colorspace="cmyk")
+    assert b"Adobe" in blob and blob[blob.index(b"Adobe") + 11] == 0
+    feats = mm.jpeg_features(blob)
+    assert feats["n_components"] == 4 and not feats["progressive"]
+    assert mm.image_dims(blob) == (stored.shape[1], stored.shape[0])
+    dec = jpeg.jpeg_decode(blob)
+    assert dec.shape == (stored.shape[0], stored.shape[1], 3)
+    want = _cmyk_to_rgb_ref(stored)
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= 8
+
+
+@pytest.mark.parametrize("subsampling,bound", [("4:4:4", 10), ("4:2:0", 24)])
+def test_ycck_roundtrip_against_independent_conversion(subsampling, bound):
+    stored = _stored_cmyk()
+    blob = jpeg.jpeg_encode(
+        stored, quality=95, colorspace="ycck", subsampling=subsampling
+    )
+    assert blob[blob.index(b"Adobe") + 11] == 2  # transform 2 in APP14
+    assert mm.jpeg_features(blob)["n_components"] == 4
+    dec = jpeg.jpeg_decode(blob)
+    want = _cmyk_to_rgb_ref(stored)
+    assert np.abs(dec.astype(int) - want.astype(int)).max() <= bound
+
+
+def test_cmyk_k255_is_dhash_identical_to_rgb_twin():
+    """With no black ink (stored K plane = 255) the inverted C/M/Y
+    planes ARE the RGB values — the CMYK and YCCK twins of an RGB image
+    must land in the same perceptual bucket as the RGB JPEG/PNG twins,
+    and decode_image must route all of them."""
+    img = _smooth_image(48, 48)
+    stored = np.concatenate(
+        [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=-1
+    )
+    base = mm.dhash64(img)
+    for blob in (
+        jpeg.jpeg_encode(stored, quality=95, colorspace="cmyk"),
+        jpeg.jpeg_encode(stored, quality=95, colorspace="ycck"),
+        jpeg.jpeg_encode(img, quality=95),
+        mm.png_encode(img),
+    ):
+        dec = mm.decode_image(blob)
+        assert dec.shape == img.shape
+        assert mm.dhash64(dec) == base
+
+
+def test_four_component_without_app14_is_cmyk():
+    stored = _stored_cmyk(24, 24)
+    blob = jpeg.jpeg_encode(stored, quality=95, colorspace="cmyk")
+    i = blob.index(b"\xff\xee")
+    seg_len = struct.unpack(">H", blob[i + 2:i + 4])[0]
+    stripped = blob[:i] + blob[i + 2 + seg_len:]
+    assert b"Adobe" not in stripped
+    assert np.array_equal(jpeg.jpeg_decode(stripped), jpeg.jpeg_decode(blob))
+
+
+def test_app14_transform_edge_cases():
+    # transform 1 on a 3-component file: ordinary YCbCr, decode unchanged
+    img = _smooth_image(24, 24)
+    blob = jpeg.jpeg_encode(img, quality=95)
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe\x00\x64" + b"\x00" * 4 + b"\x01"
+    patched = blob[:2] + app14 + blob[2:]
+    assert np.array_equal(jpeg.jpeg_decode(patched), jpeg.jpeg_decode(blob))
+    # transform 0 on a 3-component file: planes are STORED RGB — the
+    # decode must return the raw (YCbCr-valued) planes untransformed
+    app14_rgb = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe\x00\x64" + b"\x00" * 4 + b"\x00"
+    as_rgb = jpeg.jpeg_decode(blob[:2] + app14_rgb + blob[2:])
+    f = img.astype(np.float64)
+    y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+    cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+    want = np.clip(np.round(np.stack([y, cb, cr], -1)), 0, 255)
+    assert np.abs(as_rgb.astype(int) - want.astype(int)).max() <= 8
+    # an unknown transform with 4 components quarantines precisely
+    cm = jpeg.jpeg_encode(_stored_cmyk(16, 16), quality=95, colorspace="cmyk")
+    j = cm.index(b"Adobe") + 11
+    with pytest.raises(NotImplementedError, match="transform 7"):
+        jpeg.jpeg_decode(cm[:j] + b"\x07" + cm[j + 1:])
+    # encoder guards
+    with pytest.raises(ValueError, match="4:4:4 only"):
+        jpeg.jpeg_encode(_stored_cmyk(8, 8), colorspace="cmyk",
+                         subsampling="4:2:0")
+    with pytest.raises(ValueError, match="baseline-sequential"):
+        jpeg.jpeg_encode(_stored_cmyk(8, 8), colorspace="ycck",
+                         progressive=True)
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg.jpeg_encode(_smooth_image(8, 8), colorspace="cmyk")
+
+
 def test_truncated_scan_raises_value_error():
     blob = jpeg.jpeg_encode(_smooth_image(24, 24), quality=90)
     with pytest.raises(ValueError):
