@@ -1459,7 +1459,8 @@ def q39_media_probe(spark, sf_dir):
                 blobs.append(png_encode(((xx + yy + int(d)) % 256).astype("uint8")))
                 vblobs.append(
                     mp4_encode_stub(
-                        500 * (1 + int(d) % 8), fps=10 + int(d) % 5
+                        500 * (1 + int(d) % 8), fps=10 + int(d) % 5,
+                        keyframe_every=1 + int(d) % 4,
                     )
                 )
             yield pd.DataFrame(
@@ -1479,6 +1480,7 @@ def q39_media_probe(spark, sf_dir):
         "n_frames",
         "fps",
         "frame_bytes",
+        "n_sync",
     )
 
     # r9 JPEG leg: synthesize a JPEG per doc through the pure-python
@@ -1768,6 +1770,7 @@ def q39_media_probe(spark, sf_dir):
             "n_frames",
             "fps",
             "frame_bytes",
+            "n_sync",
             "jpg_w",
             "jpg_h",
             "jpg_components",
@@ -1819,6 +1822,10 @@ SELECT doc_id,
        CAST(10 + doc_id % 5 AS DOUBLE) AS fps,
        CAST(512 * ((500 * (1 + doc_id % 8) * (10 + doc_id % 5)) // 1000)
             AS BIGINT) AS frame_bytes,
+       -- stss keyframe leg (r11): syncs listed every (1 + doc_id % 4)
+       -- samples -> ceil(n_frames / k), recomputed from the arithmetic
+       CAST(((500 * (1 + doc_id % 8) * (10 + doc_id % 5)) // 1000
+             + doc_id % 4) // (1 + doc_id % 4) AS BIGINT) AS n_sync,
        -- JPEG leg (r9): header geometry straight from the generation
        -- arithmetic; the round-trip flag is pinned TRUE so any decoder
        -- regression past the 16-level bound breaks the hash

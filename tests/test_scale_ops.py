@@ -468,6 +468,43 @@ def test_mp4_probe_and_video_probe(spark):
     legacy = mm.mp4_track_probe(blob)
     assert len(legacy) == 2 and all(t["n_samples"] is None for t in legacy)
 
+    # stss keyframe leg (r11): writer lists every 4th sample as sync,
+    # the probe reads counts+positions back, absent box stays None
+    kf = mm.mp4_track_probe(
+        mm.mp4_encode_stub(2000, fps=6, keyframe_every=4)
+    )[0]
+    assert kf["n_samples"] == 12 and kf["n_sync"] == 3
+    assert kf["sync_samples"] == [1, 5, 9]
+    assert vide["n_sync"] is None and vide["sync_samples"] is None
+    # keyframe-aligned sampling: snap to the sync at or before target
+    assert mm.align_to_keyframes([1, 4, 5, 12], [1, 5, 9]) == [1, 1, 5, 9]
+    assert mm.align_to_keyframes([3, 7], None) == [3, 7]  # all-sync file
+    with pytest.raises(ValueError, match="empty stss"):
+        mm.align_to_keyframes([1], [])
+
+    # hand-assembled stss bytes (independent of the writer): a minimal
+    # ftyp + moov/trak/mdia/minf/stbl with ONLY an stss box listing
+    # samples 2 and 7 — pins the box layout (fullbox header + count +
+    # 1-based uint32 entries) straight from ISO 14496-12 8.6.2
+    import struct as st
+
+    def _box(t, p):
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    stss = _box(b"stss", st.pack(">IIII", 0, 2, 2, 7))
+    hand = (
+        _box(b"ftyp", b"isom" + st.pack(">I", 512))
+        + _box(
+            b"moov",
+            _box(
+                b"trak",
+                _box(b"mdia", _box(b"minf", _box(b"stbl", stss))),
+            ),
+        )
+    )
+    t = mm.mp4_track_probe(hand)[0]
+    assert t["n_sync"] == 2 and t["sync_samples"] == [2, 7]
+
     media = synthesize_media(spark, n=9, partitions=2)
     probed = {r["media_id"]: r for r in video_probe(media).collect()}
     # video 5: duration 1000*(1+5%30) = 6000 ms, 1 + 5%2 = 2 tracks
