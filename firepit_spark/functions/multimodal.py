@@ -75,7 +75,27 @@ def decode_stub(kind: str, content: bytes):
     (arithmetic/lossless JPEG, compressed audio, video frames). The decode_* entry
     points below only land here when the pure-python kernel doesn't cover
     the container AND the optional library (Pillow / soundfile / av) is
-    not installed."""
+    not installed.
+
+    Scope decision — why MP3/AAC entropy decode stays a stub while
+    JPEG/FLAC/GIF/TIFF decode for real: every codec shipped in this repo
+    either carries its entropy tables IN the file (JPEG's DHT/DQT) or
+    uses parameterized algorithmic coding (FLAC's Rice, GIF/TIFF's LZW,
+    PNG's DEFLATE) — so a spec-faithful kernel is derivable from the
+    format's ALGORITHM alone. MPEG audio is different in kind: Layer
+    III needs the 32 fixed big-value Huffman codebooks, scalefactor-band
+    tables and the 512-tap synthesis window of ISO 11172-3 Annex B (AAC
+    likewise needs ISO 14496-3's eleven spectrum codebooks), which are
+    arbitrary tabulated DATA, not derivable structure. Reconstructing
+    them from memory would round-trip against this repo's own fixture
+    encoder (the two wrongs cancel) while silently mis-decoding real
+    crawled files — the exact bug-cancellation failure mode the test
+    strategy here exists to prevent. Until a vetted table source is in
+    the environment, MP3/AAC rows quarantine here honestly; their
+    codec-free probes (mp3_probe / aac_adts_probe — duration, rate,
+    bitrate, frame walk) cover the triage every pipeline stage before
+    PCM actually needs. H.264/VP9/AV1 video frames are library-bound
+    for the same reason, squared."""
     raise NotImplementedError(f"no {kind} codec available in this environment")
 
 
