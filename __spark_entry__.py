@@ -3587,9 +3587,10 @@ def q61_warc_pipeline(spark, sf_dir):
     document, synthesize a REAL multi-member ``.warc.gz`` archive —
     warcinfo + (even ids) request + response + conversion records, the
     response block a raw HTTP/1.1 message that is Transfer-Encoding:
-    chunked for every third id — then push the bytes through the
-    PRODUCTION parse path (gzip member split → record parse → HTTP
-    de-chunk → html_to_text for responses / verbatim decode for WET
+    chunked for every third id and Content-Encoding: gzip for every
+    fifth — then push the bytes through the PRODUCTION parse path
+    (gzip member split → record parse → HTTP de-chunk → body
+    decompress → html_to_text for responses / verbatim decode for WET
     conversions, all Arrow map-only). The oracle recomputes record
     counts, URIs, status, and BOTH text channels from the generation
     arithmetic, so a hash match proves byte-exact record framing,
@@ -3639,7 +3640,8 @@ def q61_warc_pipeline(spark, sf_dir):
                     ({"WARC-Type": "response", "WARC-Target-URI": uri,
                       "Content-Type": "application/http;msgtype=response"},
                      wc.http_response_bytes(
-                         html.encode(), chunked=(d % 3 == 0)
+                         html.encode(), chunked=(d % 3 == 0),
+                         gzip_body=(d % 5 == 0),
                      )),
                 )
                 records.append(
@@ -3831,6 +3833,107 @@ GROUP BY d.doc_id
 """
 
 
+def q63_cdx_surt(spark, sf_dir):
+    """CDX crawl-index source + SURT URL canonicalization
+    (sources/cdx.py) under the driver gate — a THREE-WAY differential
+    on the urlkey: per document, a URL is built from arithmetic with
+    deliberately tricky shapes (www prefix every third id, an explicit
+    DEFAULT port every fifth — must drop, :8080 every seventh — must
+    keep, mixed-case path, unsorted query params every fourth), then
+
+    1. the pure-PYTHON twin keys it into a synthesized CDX-J line,
+    2. the production Catalyst parser (parse_cdx_lines) reads the line
+       back — urlkey/status/filename/offset/length all typed,
+    3. the pure-CATALYST expression (surt_key_expr) re-keys the parsed
+       url column JVM-side,
+
+    and the DuckDB oracle builds the EXPECTED key (host reversal, port
+    rule, lowercased path, sorted query) from the same arithmetic —
+    independent of both implementations. A hash match therefore proves
+    python twin == Catalyst expr == arithmetic on every URL shape, plus
+    the CDX framing/typing round trip. n_quarantined pins the parse's
+    quarantine channel empty on well-formed lines."""
+    import json as _json
+
+    from firepit_spark.sources import cdx as cx
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).filter(F.col("doc_id") < 2000)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            lines = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                scheme = "https" if d % 2 else "http"
+                host = ("www." if d % 3 == 0 else "") + (
+                    f"site{d % 20}.example.com"
+                )
+                if d % 7 == 0:
+                    port = ":8080"
+                elif d % 5 == 0:
+                    port = ":443" if scheme == "https" else ":80"
+                else:
+                    port = ""
+                query = f"?b={d % 3}&a={d % 5}" if d % 4 == 0 else ""
+                url = f"{scheme}://{host}{port}/Doc/{d}{query}"
+                meta = {
+                    "url": url, "mime": "text/html", "status": "200",
+                    "digest": "sha1:0", "length": str(100 + d % 50),
+                    "offset": str(d * 1000),
+                    "filename": f"shard{d % 10}.warc.gz",
+                }
+                lines.append(
+                    f"{cx.surt_key_py(url)} 20240601000000 "
+                    + _json.dumps(meta)
+                )
+            yield pd.DataFrame({"raw": lines})
+
+    raw = docs.mapInPandas(build, schema="raw string")
+    clean, quar = cx.parse_cdx_lines(raw)
+    n_quar = quar.agg(F.count(F.lit(1)).cast("int").alias("n"))
+    return (
+        clean.select(
+            F.regexp_extract("url", r"(?i)/doc/(\d+)", 1)
+            .cast("long").alias("doc_id"),
+            F.col("urlkey"),
+            cx.surt_key_expr("url").alias("urlkey_expr"),
+            "status", "filename", "offset", "length",
+        )
+        .crossJoin(F.broadcast(n_quar.select(F.col("n").alias("n_quarantined"))))
+    )
+
+
+_Q63_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), k AS (
+  SELECT doc_id,
+         'com,example,site' || CAST(doc_id % 20 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+         || ')/doc/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '?a=' || CAST(doc_id % 5 AS VARCHAR)
+                      || '&b=' || CAST(doc_id % 3 AS VARCHAR)
+                 ELSE '' END AS expected_key
+  FROM d
+)
+SELECT doc_id,
+       expected_key AS urlkey,
+       expected_key AS urlkey_expr,
+       200::INT AS status,
+       'shard' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' AS filename,
+       CAST(doc_id * 1000 AS BIGINT) AS offset,
+       CAST(100 + doc_id % 50 AS BIGINT) AS length,
+       0::INT AS n_quarantined
+FROM k
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3896,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_html_strip": q60_html_strip,
         "q61_warc_pipeline": q61_warc_pipeline,
         "q62_wordpiece_encode": q62_wordpiece_encode,
+        "q63_cdx_surt": q63_cdx_surt,
     }
 
 
@@ -3954,4 +4058,5 @@ def oracle_sql() -> dict[str, str]:
         "q60_html_strip": _Q60_SQL,
         "q61_warc_pipeline": _Q61_SQL,
         "q62_wordpiece_encode": _q62_sql(),
+        "q63_cdx_surt": _Q63_SQL,
     }

@@ -92,14 +92,20 @@ def http_response_bytes(
     content_type: str = "text/html",
     chunked: bool = False,
     chunk_size: int = 7,
+    gzip_body: bool = False,
 ) -> bytes:
     """A raw HTTP/1.1 response block for a ``response`` record —
-    optionally ``Transfer-Encoding: chunked`` the way live captures
-    often are."""
+    optionally ``Transfer-Encoding: chunked`` and/or
+    ``Content-Encoding: gzip`` the way live captures often are (gzip
+    applies first, chunking frames the compressed bytes, mirroring the
+    wire)."""
     reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
         status, "Status"
     )
     head = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    if gzip_body:
+        head.append("Content-Encoding: gzip")
+        payload = gzip.compress(payload, mtime=0)
     if chunked:
         head.append("Transfer-Encoding: chunked")
         chunks = [
@@ -198,7 +204,9 @@ def _dechunk(body: bytes) -> bytes:
 
 def parse_http_response(block: bytes) -> tuple:
     """``(status, headers, payload)`` from a response record's block —
-    headers lowercased, chunked transfer-encoding decoded."""
+    headers lowercased, chunked transfer-encoding de-chunked, then
+    ``Content-Encoding: gzip/deflate`` decompressed (the order the wire
+    applies them in reverse; both are routine in live captures)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("HTTP response: no header terminator")
@@ -218,6 +226,22 @@ def parse_http_response(block: bytes) -> tuple:
     payload = block[sep + 4:]
     if "chunked" in headers.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            payload = gzip.decompress(payload)
+        except Exception as exc:  # OSError/EOFError/zlib.error
+            raise ValueError(f"bad gzip content-encoding: {exc}")
+    elif enc == "deflate":
+        try:  # RFC 9110 says zlib-wrapped; raw-deflate senders exist
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, wbits=-15)
+            except zlib.error as exc:
+                raise ValueError(f"bad deflate content-encoding: {exc}")
+    elif enc and enc != "identity":
+        raise ValueError(f"unsupported content-encoding {enc[:16]!r}")
     return status, headers, payload
 
 

@@ -121,6 +121,28 @@ def test_per_member_quarantine_keeps_the_rest_of_the_file():
     assert len(rows) == 1 and "truncated record block" in rows[0][-1]
 
 
+def test_content_encoding_gzip_and_deflate():
+    import zlib
+
+    # gzip body, additionally chunked — decode order mirrors the wire
+    blob = W.http_response_bytes(_HTML, gzip_body=True, chunked=True)
+    status, headers, payload = W.parse_http_response(blob)
+    assert status == 200 and payload == _HTML
+    assert headers["content-encoding"] == "gzip"
+    # deflate: zlib-wrapped AND the raw variant real servers emit
+    raw_co = zlib.compressobj(wbits=-15)
+    raw_deflate = raw_co.compress(_HTML) + raw_co.flush()
+    for body in (zlib.compress(_HTML), raw_deflate):
+        raw = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body)
+        assert W.parse_http_response(raw)[2] == _HTML
+    with pytest.raises(ValueError, match="unsupported content-encoding"):
+        W.parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx")
+    with pytest.raises(ValueError, match="bad gzip"):
+        W.parse_http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+        )
+
+
 def test_http_edge_cases():
     with pytest.raises(ValueError, match="no header terminator"):
         W.parse_http_response(b"HTTP/1.1 200 OK\r\n")
