@@ -28,11 +28,18 @@ PER ARCHIVE FILE, which is precisely the unit CommonCrawl publishes
 processes 1000 archives at a time with zero shuffle, and only the rows
 a downstream query keeps ever leave the scan stage. Records that fail
 to parse quarantine PER GZIP MEMBER (``err`` column) — the rest of the
-file still loads. Offset-splitting a single archive would need a
-member-boundary index (cluster.idx in CC parlance); with file counts in
-the tens of thousands per crawl, file-granularity parallelism already
-saturates any realistic cluster, so this reader deliberately stays
-index-free.
+file still loads. Offset-splitting a single archive needs a
+member-boundary index: that path lives in
+:mod:`firepit_spark.sources.cdx` (CDX-J index parse + SURT keys +
+``fetch_warc_records`` range reads); this reader stays index-free for
+the scan-everything case, where file-granularity parallelism already
+saturates any realistic cluster.
+
+The write side (:func:`write_warc_shards`) closes the loop: one
+``.warc.gz`` shard per partition (conversion/WET records, one gzip
+member each) plus a CDX-J sidecar per shard, so an exported corpus is
+immediately range-fetchable through the same index machinery that reads
+CommonCrawl itself.
 
 The reference engine has no web-archive surface; LLM-pipeline family
 (the brief's training-data sources). Fixture writer
@@ -353,6 +360,89 @@ def read_warc(
         F.col("path").alias("warc_file"), "content"
     )
     return parse_warc_members(binary, keep_payload=keep_payload)
+
+
+def write_warc_shards(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "uri",
+    text_col: str = "text",
+    date_col: str | None = None,
+    prefix: str = "part",
+    compress: bool = True,
+    cdx_sidecar: bool = True,
+) -> DataFrame:
+    """Export a (uri, text) corpus as WET-style archive shards: each
+    partition writes ONE ``<prefix>-<partition:05d>.warc.gz`` under
+    ``out_dir`` (one ``conversion`` record per row, one gzip member per
+    record — the exact layout :func:`read_warc` and the CDX range
+    fetcher consume) plus, with ``cdx_sidecar``, a ``.cdx`` index twin
+    whose offsets make every record individually fetchable. Returns the
+    manifest frame ``(shard, n_records, archive_bytes)`` — the WRITE
+    happens when the manifest is acted on, exactly like any Spark sink.
+
+    Scale/robustness notes: shard names are derived from partition ids,
+    so a task retry overwrites its own shard (idempotent via
+    write-to-temp + atomic rename); rows with NULL uri or text are
+    skipped and counted via the manifest delta rather than poisoning an
+    archive. Local/NFS ``out_dir`` only (executor-side python ``open`` —
+    the JVM committer machinery isn't reachable from Arrow workers);
+    object-store export goes through a mounted path or a custom
+    uploader over the manifest."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    cols = [uri_col, text_col] + ([date_col] if date_col else [])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        records: list = []
+        for pdf in batches:
+            dates = pdf[date_col] if date_col else [None] * len(pdf)
+            for uri, text, date in zip(pdf[uri_col], pdf[text_col], dates):
+                if uri is None or text is None:
+                    continue
+                headers = {
+                    "WARC-Type": "conversion",
+                    "WARC-Target-URI": str(uri),
+                    "Content-Type": "text/plain",
+                }
+                if date_col and date is not None:
+                    headers["WARC-Date"] = str(date)
+                records.append((headers, str(text).encode("utf-8")))
+        if not records:
+            yield pd.DataFrame(
+                {"shard": [], "n_records": [], "archive_bytes": []}
+            ).astype({"shard": str, "n_records": "int64",
+                      "archive_bytes": "int64"})
+            return
+        ext = ".warc.gz" if compress else ".warc"
+        shard = f"{prefix}-{pid:05d}{ext}"
+        blob = warc_encode(records, compress=compress)
+        tmp = os.path.join(out_dir, f".{shard}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, os.path.join(out_dir, shard))
+        if cdx_sidecar:
+            from firepit_spark.sources.cdx import cdx_lines_for
+
+            lines = cdx_lines_for(records, shard, compress=compress)
+            tmp = os.path.join(out_dir, f".{shard}.cdx.tmp")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            os.replace(tmp, os.path.join(out_dir, shard + ".cdx"))
+        yield pd.DataFrame(
+            {"shard": [shard], "n_records": [len(records)],
+             "archive_bytes": [len(blob)]}
+        )
+
+    return df.select(*cols).mapInPandas(
+        run, schema="shard string, n_records long, archive_bytes long"
+    )
 
 
 def warc_text(

@@ -69,6 +69,59 @@ def test_read_cdx_and_quarantine(spark, tmp_path):
     assert reasons == ["missing_fetch_coordinates", "parse_error"]
 
 
+def test_dedup_by_digest_keeps_earliest_deterministically(spark):
+    rows = [
+        ("k/a", "20240603000000", "u1", "d1", "f1", 0, 10),
+        ("k/a", "20240601000000", "u1", "d1", "f2", 50, 10),  # earliest
+        ("k/b", "20240602000000", "u2", "d1", "f3", 99, 10),  # same bytes
+        ("k/c", "20240601000000", "u3", "d2", "f1", 10, 10),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "urlkey string, ts string, url string, digest string, "
+        "filename string, offset long, length long",
+    )
+    kept = {r["digest"]: r for r in C.dedup_by_digest(cdx).collect()}
+    assert len(kept) == 2
+    assert (kept["d1"]["ts"], kept["d1"]["filename"]) == (
+        "20240601000000", "f2",
+    )
+    assert kept["d2"]["filename"] == "f1"
+    assert set(kept["d1"].asDict()) == set(cdx.columns)  # columns survive
+
+
+def test_write_warc_shards_round_trip(spark, tmp_path):
+    """Sink → source closure: shards written by write_warc_shards read
+    back byte-exact through read_warc, AND through the CDX sidecar +
+    range fetcher — an exported corpus is immediately index-addressable."""
+    from firepit_spark.sources.warc import read_warc, write_warc_shards
+
+    docs = spark.createDataFrame(
+        [(f"http://h.example/{i}", f"text body {i}", f"2024-06-0{i + 1}T00:00:00Z")
+         for i in range(5)] + [(None, "skipped", None), ("http://x/", None, None)],
+        "uri string, text string, date string",
+    ).repartition(2)
+    out = tmp_path / "export"
+    out.mkdir()
+    manifest = write_warc_shards(
+        docs, str(out), date_col="date"
+    ).collect()
+    assert sum(m["n_records"] for m in manifest) == 5  # null rows skipped
+    shards = sorted(p.name for p in out.glob("*.warc.gz"))
+    assert [m["shard"] for m in sorted(manifest, key=lambda m: m["shard"])] == shards
+    # read back through the full-file source
+    back = read_warc(spark, str(out), path_glob="*.warc.gz")
+    got = {r["target_uri"]: bytes(r["payload"]).decode()
+           for r in back.collect() if r["err"] is None}
+    assert got == {f"http://h.example/{i}": f"text body {i}" for i in range(5)}
+    # and through the index: every sidecar line range-fetches its record
+    clean, quar = C.read_cdx(spark, str(out / "*.cdx"))
+    assert quar.count() == 0 and clean.count() == 5
+    fetched = C.fetch_warc_records(clean, base_dir=str(out) + "/").collect()
+    assert all(r["err"] is None for r in fetched)
+    assert {bytes(r["payload"]).decode() for r in fetched} == set(got.values())
+
+
 def test_index_driven_range_fetch_end_to_end(spark, tmp_path):
     """Write a real 6-record .warc.gz + its CDX index (offsets from the
     fixture twin), then fetch a FILTERED subset by byte range and check
