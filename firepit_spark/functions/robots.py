@@ -208,6 +208,83 @@ def robots_filter(
     return urls.join(F.broadcast(allowed), id_col, "left_semi")
 
 
+def robots_directives(
+    df: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-host non-rule directives a polite crawler also needs:
+    ``(host, crawl_delay, sitemaps)`` — Crawl-delay from the group a
+    ``*`` crawler obeys (de-facto extension, seconds, NULL when
+    absent/unparseable), Sitemap URLs collected file-wide (RFC 9309:
+    sitemaps are not group-scoped). Arrow map-only, same shape as
+    :func:`robots_rules`."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("crawl_delay", DoubleType()),
+            StructField("sitemaps", ArrayType(StringType())),
+        ]
+    )
+
+    def one(text: str) -> tuple:
+        delay, sitemaps = None, []
+        agents: list = []
+        rules_seen = False
+        star_delay, any_delay = None, None
+        for raw in (text or "").lstrip("﻿").splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            field, _, value = line.partition(":")
+            field = field.strip().lower()
+            value = value.strip()
+            if field == "user-agent":
+                if rules_seen:
+                    agents = []
+                    rules_seen = False
+                if value:
+                    agents.append(value.lower())
+            elif field == "sitemap":
+                if value:
+                    sitemaps.append(value)
+            elif field in ("allow", "disallow"):
+                rules_seen = True
+            elif field == "crawl-delay":
+                rules_seen = True
+                try:
+                    d = float(value)
+                except ValueError:
+                    continue
+                if "*" in (agents or ["*"]):
+                    star_delay = d if star_delay is None else star_delay
+                any_delay = d if any_delay is None else any_delay
+        delay = star_delay if star_delay is not None else any_delay
+        return delay, sitemaps
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                if content is None:
+                    continue
+                if isinstance(content, (bytes, bytearray, memoryview)):
+                    content = bytes(content).decode("utf-8", "replace")
+                delay, maps = one(content)
+                recs.append((host, delay, maps))
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in schema.fields]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # ------------------------------------------------- pure-python reference
 
 

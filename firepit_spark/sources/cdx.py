@@ -232,6 +232,49 @@ def cdx_lines_for(records: list, filename: str, compress: bool = True) -> list:
     return lines
 
 
+def read_cluster_idx(spark, path: str) -> DataFrame:
+    """The SECONDARY index (``cluster.idx``): CC splits each crawl's
+    CDX into ~300 gzipped shards and publishes one tab-separated line
+    per compressed BLOCK — ``<first urlkey> <ts>\\t<cdx shard>\\t
+    <offset>\\t<length>\\t<cluster no>`` — i.e. an index OF the index,
+    small enough to broadcast (~200 MB). Pure Catalyst parse."""
+    parts = F.split(F.col("value"), "\t")
+    key_ts = F.split(F.element_at(parts, 1), " ")
+    return (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.element_at(key_ts, 1).alias("first_urlkey"),
+            F.element_at(key_ts, 2).alias("ts"),
+            F.element_at(parts, 2).alias("cdx_file"),
+            F.element_at(parts, 3).try_cast("long").alias("offset"),
+            F.element_at(parts, 4).try_cast("long").alias("length"),
+        )
+    )
+
+
+def cdx_blocks_for_prefix(cluster_rows: list, prefix: str) -> list:
+    """Driver-side block lookup over COLLECTED cluster.idx rows (sorted
+    by urlkey — that is the file's contract): the CDX blocks that can
+    contain keys with ``prefix``. Standard sorted-run logic: a block
+    covers [its first_urlkey, next block's first_urlkey), so the match
+    starts at the last block whose first key is <= prefix and ends
+    before the first block whose first key no longer shares it. Returns
+    ``(cdx_file, offset, length)`` triples — typically a handful out of
+    hundreds of thousands, which is what makes single-URL/domain lookups
+    on a 100 TB crawl interactive."""
+    import bisect
+
+    rows = sorted(cluster_rows, key=lambda r: (r[0], r[1]))
+    keys = [r[0] for r in rows]
+    # the block BEFORE the insertion point of `prefix` may contain it...
+    lo = max(bisect.bisect_right(keys, prefix) - 1, 0)
+    # ...and every block whose first key is still within the prefix
+    # range (all extensions of `prefix` sort below prefix+U+10FFFF)
+    hi = max(bisect.bisect_left(keys, prefix + "\U0010ffff"), lo + 1)
+    return [(r[2], r[3], r[4]) for r in rows[lo:hi]]
+
+
 def dedup_by_digest(cdx: DataFrame,
                     order_cols: tuple = ("ts", "urlkey", "filename",
                                          "offset")) -> DataFrame:

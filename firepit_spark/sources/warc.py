@@ -362,6 +362,35 @@ def read_warc(
     return parse_warc_members(binary, keep_payload=keep_payload)
 
 
+def stream_warc(
+    spark,
+    path: str,
+    keep_payload: bool = True,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_warc`: watch ``path``
+    for newly landed archive files (the shape of a live crawl dropping
+    ``.warc.gz`` shards) and emit parsed records per micro-batch —
+    same schema, same per-member quarantine, STATELESS (map-only, so
+    nothing for the streaming doctor to flag and exactly-once comes
+    free from the file source's tracked-files log).
+    ``max_files_per_trigger`` paces ingest (one ~1 GB archive is
+    already a healthy task)."""
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, "
+        "content binary"
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    binary = reader.load(path).select(
+        F.col("path").alias("warc_file"), "content"
+    )
+    return parse_warc_members(binary, keep_payload=keep_payload)
+
+
 def write_warc_shards(
     df: DataFrame,
     out_dir: str,

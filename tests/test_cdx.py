@@ -122,6 +122,36 @@ def test_write_warc_shards_round_trip(spark, tmp_path):
     assert {bytes(r["payload"]).decode() for r in fetched} == set(got.values())
 
 
+def test_cluster_idx_parse_and_prefix_lookup(spark, tmp_path):
+    # cluster.idx layout: "<first urlkey> <ts>\t<shard>\t<off>\t<len>\t<n>"
+    lines = [
+        "com,aaa)/ 20240101000000\tcdx-00000.gz\t0\t100\t1",
+        "com,example)/m 20240101000000\tcdx-00000.gz\t100\t100\t2",
+        "com,example)/z 20240101000000\tcdx-00001.gz\t0\t100\t3",
+        "org,zzz)/ 20240101000000\tcdx-00001.gz\t100\t100\t4",
+    ]
+    p = tmp_path / "cluster.idx"
+    p.write_text("\n".join(lines) + "\n")
+    rows = C.read_cluster_idx(spark, str(p)).collect()
+    assert len(rows) == 4
+    assert rows[0]["first_urlkey"] == "com,aaa)/"
+    assert rows[1]["offset"] == 100 and rows[1]["cdx_file"] == "cdx-00000.gz"
+    tuples = [tuple(r) for r in rows]
+    # keys for host example.com span the block BEFORE the insertion
+    # point and every block whose first key extends the prefix
+    got = C.cdx_blocks_for_prefix(tuples, "com,example)/")
+    assert got == [("cdx-00000.gz", 0, 100), ("cdx-00000.gz", 100, 100),
+                   ("cdx-00001.gz", 0, 100)]
+    # a key inside the last block only touches that block
+    assert C.cdx_blocks_for_prefix(tuples, "org,zzz)/x") == [
+        ("cdx-00001.gz", 100, 100)
+    ]
+    # a key before everything clamps to the first block
+    assert C.cdx_blocks_for_prefix(tuples, "com,a)") == [
+        ("cdx-00000.gz", 0, 100)
+    ]
+
+
 def test_index_driven_range_fetch_end_to_end(spark, tmp_path):
     """Write a real 6-record .warc.gz + its CDX index (offsets from the
     fixture twin), then fetch a FILTERED subset by byte range and check

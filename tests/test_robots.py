@@ -158,6 +158,32 @@ def test_spark_verdict_matches_reference_fuzz(spark):
         assert got[i] == want, (i, h, path, got[i], want)
 
 
+def test_robots_directives(spark):
+    txt = (
+        "Sitemap: https://h.example/sitemap.xml\n"
+        "User-agent: fastbot\nCrawl-delay: 0.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 7\nDisallow: /y\n"
+        "Sitemap: https://h.example/news.xml\n"
+        "User-agent: otherbot\nCrawl-delay: nonsense\n"
+    )
+    df = spark.createDataFrame(
+        [("h.example", txt.encode()), ("bare.example", b"Disallow: /z"),
+         ("none.example", None)],
+        "host string, content binary",
+    )
+    got = {r["host"]: r for r in __import__(
+        "firepit_spark.functions.robots", fromlist=["robots_directives"]
+    ).robots_directives(df).collect()}
+    assert got["h.example"]["crawl_delay"] == 7.0  # the * group's value
+    assert got["h.example"]["sitemaps"] == [
+        "https://h.example/sitemap.xml", "https://h.example/news.xml",
+    ]  # file-wide, not group-scoped
+    # rules with no User-agent line default to *; no delay -> NULL
+    assert got["bare.example"]["crawl_delay"] is None
+    assert got["bare.example"]["sitemaps"] == []
+    assert "none.example" not in got  # unreadable robots: no row
+
+
 def test_robots_filter_and_plan_shape(spark):
     robots = spark.createDataFrame(
         [("h.example", b"User-agent: *\nDisallow: /no/")],

@@ -216,6 +216,41 @@ def test_warc_text_routes_by_record_type(spark):
     assert out[("warcinfo", None)][0] is None
 
 
+def test_stream_warc_availablenow(spark, tmp_path):
+    """Streaming twin: archives landed in a watched directory parse per
+    micro-batch with the same schema/quarantine; map-only, so the
+    streaming doctor finds nothing to flag."""
+    from firepit_spark.functions.doctor import assert_stream_safe
+
+    for i in range(2):
+        (tmp_path / f"s{i}.warc.gz").write_bytes(
+            W.warc_encode(
+                [({"WARC-Type": "conversion",
+                   "WARC-Target-URI": f"http://s.example/{i}"},
+                  f"stream {i}".encode())]
+            )
+        )
+    sdf = W.stream_warc(spark, str(tmp_path), path_glob="*.warc.gz",
+                        max_files_per_trigger=1)
+    rep = assert_stream_safe(sdf)
+    assert rep.stateful_ops == 0 and not rep.findings
+    q = (
+        sdf.writeStream.format("memory").queryName("warc_stream_mem")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT target_uri, payload, err FROM warc_stream_mem"
+    ).collect()
+    assert sorted(r["target_uri"] for r in rows) == [
+        "http://s.example/0", "http://s.example/1",
+    ]
+    assert all(r["err"] is None for r in rows)
+    assert {bytes(r["payload"]).decode() for r in rows} == {
+        "stream 0", "stream 1",
+    }
+
+
 def test_end_to_end_warc_html_robots_dedup(spark, tmp_path):
     """The full web-corpus pipeline over real archive files: read_warc →
     warc_text → robots_filter → exact dedup. Hosts h0/h1; h0's robots
