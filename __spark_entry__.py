@@ -3731,7 +3731,10 @@ def q62_wordpiece_encode(spark, sf_dir):
     n_tokens / id_sum / position-weighted checksum / n_unk therefore
     pins every token id at every position against an independent
     engine, including UNK semantics ('join' is deliberately
-    unencodable) and multi-char piece precedence."""
+    unencodable) and multi-char piece precedence. Spark-side the
+    checksums are document-local per-row array folds
+    (aggregate/transform lambdas) — ZERO shuffle, the plan is
+    scan → encode → project."""
     from firepit_spark.functions import wordpiece as wp
 
     model = wp.WordPieceModel(
@@ -3744,18 +3747,21 @@ def q62_wordpiece_encode(spark, sf_dir):
     ).filter(F.col("doc_id") < 1500)
     enc = wp.wordpiece_encode(docs, model, text_col="text",
                               out_col="wp_ids")
-    tok = enc.select(
-        "doc_id", F.posexplode_outer("wp_ids").alias("pos", "tid")
-    )
-    return tok.groupBy("doc_id").agg(
-        F.count("tid").cast("long").alias("n_tokens"),
-        F.coalesce(F.sum("tid"), F.lit(0)).cast("long").alias("id_sum"),
-        F.coalesce(
-            F.sum((F.col("pos") + 1) * F.col("tid")), F.lit(0)
-        ).cast("long").alias("pos_checksum"),
-        F.coalesce(
-            F.sum(F.when(F.col("tid") == wp.UNK_ID, 1).otherwise(0)),
-            F.lit(0),
+    # per-row array folds, not posexplode+groupBy: the checksums are
+    # document-local, so JVM-side aggregate/transform lambdas compute
+    # them with ZERO shuffle — the plan is scan → encode → project
+    ids = F.coalesce(F.col("wp_ids"), F.array().cast("array<bigint>"))
+    zero = F.lit(0).cast("long")
+    return enc.select(
+        "doc_id",
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.aggregate(ids, zero, lambda a, x: a + x).alias("id_sum"),
+        F.aggregate(
+            F.transform(ids, lambda x, i: x * (i + 1).cast("long")),
+            zero, lambda a, x: a + x,
+        ).alias("pos_checksum"),
+        F.size(
+            F.filter(ids, lambda x: x == F.lit(wp.UNK_ID))
         ).cast("long").alias("n_unk"),
     )
 
@@ -3849,7 +3855,9 @@ def q63_cdx_surt(spark, sf_dir):
 
     and the DuckDB oracle builds the EXPECTED key (host reversal, port
     rule, lowercased path, sorted query) from the same arithmetic —
-    independent of both implementations. A hash match therefore proves
+    independent of both implementations. Plan shape: the whole leg is
+    scan → build → parse → project; the only exchange is the broadcast
+    of the 1-row quarantine count. A hash match therefore proves
     python twin == Catalyst expr == arithmetic on every URL shape, plus
     the CDX framing/typing round trip. n_quarantined pins the parse's
     quarantine channel empty on well-formed lines."""
