@@ -3942,6 +3942,110 @@ FROM k
 """
 
 
+def q64_robots_verdict(spark, sf_dir):
+    """robots.txt compliance under the driver gate (functions/robots.py
+    — previously pytest-only): per document a URL is built from
+    arithmetic (host h{d%10}, four path families, .html suffix every
+    third id, a query string every fifth — the $-anchor case), each
+    host's robots.txt carries a specific-agent group (a per-host Allow,
+    a wildcard+anchor Disallow ``/tmp/*.html$``, nested
+    /archive//archive/p3 precedence) PLUS decoy ``*`` and ``otherbot``
+    groups that forbid far more — so group selection, longest-match
+    precedence, allow-on-tie, wildcard and anchor semantics all sit on
+    the hash. The Spark side runs the production broadcast-join +
+    struct-max plan; the oracle is an INDEPENDENT hand-derived CASE
+    ladder over the same arithmetic (precedence order worked out from
+    the rule lengths by hand, prefix/suffix string functions instead of
+    regex). The ``*`` decoy blocks /public — a selection bug that
+    merges or mis-picks groups flips those rows and breaks the hash."""
+    from firepit_spark.functions import robots as R
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    urls = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 2000)
+        .select(
+            "doc_id",
+            F.concat(F.lit("h"), (d % 10).cast("string"),
+                     F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("/"),
+                F.element_at(
+                    F.array(F.lit("public"), F.lit("private"),
+                            F.lit("archive"), F.lit("tmp")),
+                    (d % 4 + 1).cast("int"),
+                ),
+                F.lit("/p"), (d % 7).cast("string"),
+                F.when(d % 3 == 0, F.lit(".html")).otherwise(F.lit("")),
+                F.when(d % 5 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+            ).alias("path"),
+        )
+    )
+    robots_rows = [
+        (
+            f"h{k}.example",
+            (
+                "User-agent: *\nDisallow: /public\n\n"
+                "User-agent: testbot\n"
+                "Disallow: /private/\n"
+                f"Allow: /private/p{k}\n"
+                "Disallow: /tmp/*.html$\n"
+                "Allow: /archive\n"
+                "Disallow: /archive/p3\n\n"
+                "User-agent: otherbot\nDisallow: /\n"
+            ).encode(),
+        )
+        for k in range(10)
+    ]
+    rules = R.robots_rules(
+        spark.createDataFrame(robots_rows, "host string, content binary")
+    )
+    return R.robots_verdict(
+        urls, rules, crawler_agent="TestBot/1.0",
+        id_col="doc_id", host_col="host", path_col="path",
+    )
+
+
+_Q64_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), u AS (
+  SELECT doc_id,
+         '/' || (CASE doc_id % 4 WHEN 0 THEN 'public' WHEN 1 THEN 'private'
+                 WHEN 2 THEN 'archive' ELSE 'tmp' END)
+         || '/p' || CAST(doc_id % 7 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '.html' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END) AS path,
+         '/private/p' || CAST(doc_id % 10 AS VARCHAR) AS host_allow
+  FROM d
+)
+-- precedence ladder derived BY HAND from the rule lengths:
+-- /tmp/*.html$ (12) > /private/pK (11) = /archive/p3 (11, disjoint)
+-- > /private/ (9) > /archive (8); testbot's group replaces both decoys
+SELECT doc_id,
+       CASE
+         WHEN starts_with(path, '/tmp/') AND ends_with(path, '.html')
+           THEN FALSE
+         WHEN starts_with(path, host_allow) THEN TRUE
+         WHEN starts_with(path, '/archive/p3') THEN FALSE
+         WHEN starts_with(path, '/private/') THEN FALSE
+         WHEN starts_with(path, '/archive') THEN TRUE
+         ELSE TRUE
+       END AS allowed,
+       CASE
+         WHEN starts_with(path, '/tmp/') AND ends_with(path, '.html')
+           THEN '/tmp/*.html$'
+         WHEN starts_with(path, host_allow) THEN host_allow
+         WHEN starts_with(path, '/archive/p3') THEN '/archive/p3'
+         WHEN starts_with(path, '/private/') THEN '/private/'
+         WHEN starts_with(path, '/archive') THEN '/archive'
+         ELSE NULL
+       END AS matched_pattern
+FROM u
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4008,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_warc_pipeline": q61_warc_pipeline,
         "q62_wordpiece_encode": q62_wordpiece_encode,
         "q63_cdx_surt": q63_cdx_surt,
+        "q64_robots_verdict": q64_robots_verdict,
     }
 
 
@@ -4067,4 +4172,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_warc_pipeline": _Q61_SQL,
         "q62_wordpiece_encode": _q62_sql(),
         "q63_cdx_surt": _Q63_SQL,
+        "q64_robots_verdict": _Q64_SQL,
     }
