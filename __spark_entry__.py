@@ -4046,6 +4046,65 @@ FROM u
 """
 
 
+def q65_cdx_dedup(spark, sf_dir):
+    """Pre-fetch digest dedup under the driver gate
+    (sources/cdx.py:dedup_by_digest): a synthesized index where every
+    ~300th document shares a content digest; the operator keeps ONE
+    deterministic capture per digest via a map-side-combined
+    min(struct) — the oracle independently picks the keeper with a
+    window row_number over the same (ts, urlkey, filename, offset)
+    order. Hash match proves the struct-min total order agrees with an
+    explicit sort across engines, including string-ordered urlkeys
+    ('doc/10' < 'doc/2')."""
+    from firepit_spark.sources import cdx as cx
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    cdx = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 2000)
+        .select(
+            F.concat(F.lit("com,example)/doc/"), d.cast("string"))
+            .alias("urlkey"),
+            F.lit("20240601000000").alias("ts"),
+            F.concat(F.lit("http://example.com/doc/"), d.cast("string"))
+            .alias("url"),
+            F.lit("text/html").alias("mime"),
+            F.lit(200).cast("int").alias("status"),
+            F.concat(F.lit("sha1:"), (d % 300).cast("string"))
+            .alias("digest"),
+            F.concat(F.lit("shard"), (d % 10).cast("string"),
+                     F.lit(".warc.gz")).alias("filename"),
+            (d * 1000).cast("long").alias("offset"),
+            (100 + d % 50).cast("long").alias("length"),
+        )
+    )
+    return cx.dedup_by_digest(cdx).select(
+        "digest", "urlkey", "filename", "offset", "length"
+    )
+
+
+_Q65_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), c AS (
+  SELECT 'com,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+         '20240601000000' AS ts,
+         'sha1:' || CAST(doc_id % 300 AS VARCHAR) AS digest,
+         'shard' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz'
+           AS filename,
+         CAST(doc_id * 1000 AS BIGINT) AS "offset",
+         CAST(100 + doc_id % 50 AS BIGINT) AS "length"
+  FROM d
+)
+SELECT digest, urlkey, filename, "offset", "length"
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY digest ORDER BY ts, urlkey, filename, "offset"
+) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4113,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_wordpiece_encode": q62_wordpiece_encode,
         "q63_cdx_surt": q63_cdx_surt,
         "q64_robots_verdict": q64_robots_verdict,
+        "q65_cdx_dedup": q65_cdx_dedup,
     }
 
 
@@ -4173,4 +4233,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_wordpiece_encode": _q62_sql(),
         "q63_cdx_surt": _Q63_SQL,
         "q64_robots_verdict": _Q64_SQL,
+        "q65_cdx_dedup": _Q65_SQL,
     }
