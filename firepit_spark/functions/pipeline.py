@@ -484,6 +484,100 @@ def corpus_prep(
     )
 
 
+def web_corpus_funnel(
+    records: DataFrame,
+    robots: DataFrame | None = None,
+    crawler_agent: str = "*",
+    langs: tuple | None = ("en",),
+    min_quality: float = 0.4,
+    main_content: bool = False,
+) -> DataFrame:
+    """The whole web-corpus funnel as ONE declarative plan:
+    archive records (:func:`firepit_spark.sources.warc.read_warc` /
+    ``stream_warc`` / ``fetch_warc_records`` output) → text extraction
+    → URL parse → robots compliance → language gate → quality gate →
+    exact dedup, with every stage's verdict kept as a FLAG column and
+    ``kept`` as their conjunction. Filtering by flag instead of
+    dropping rows means one pass yields both the corpus
+    (``.filter("kept")``) and the per-stage accounting
+    (:func:`web_funnel_report`) — at 100 TB you cannot afford a second
+    scan just to learn where documents died.
+
+    Stage order is the cheap-to-expensive funnel rule: flags short-
+    circuit via Catalyst (lang/quality expressions never run on rows
+    with no text), the robots join broadcasts the tiny selected-rules
+    frame, and the dedup keeper is a single window over the text
+    fingerprint computed only for rows still alive at that stage."""
+    from firepit_spark.functions.robots import robots_verdict
+    from firepit_spark.functions.text import lang_guess, quality_score
+    from firepit_spark.functions.web import url_host, url_path, url_query
+    from firepit_spark.sources.warc import warc_text
+
+    texted = warc_text(records, main_content=main_content)
+    uri = F.col("target_uri")
+    base = texted.select(
+        uri.alias("uri"),
+        url_host(uri).alias("host"),
+        F.concat(
+            F.coalesce(url_path(uri), F.lit("/")),
+            F.when(F.length(url_query(uri)) > 0,
+                   F.concat(F.lit("?"), url_query(uri))).otherwise(""),
+        ).alias("path"),
+        F.col("text"),
+        (F.col("text").isNotNull() & (F.length("text") > 0)
+         & uri.isNotNull()).alias("has_text"),
+    )
+    if robots is not None:
+        verdicts = robots_verdict(
+            base.filter("has_text").select("uri", "host", "path"),
+            robots, crawler_agent,
+            id_col="uri", host_col="host", path_col="path",
+        ).select("uri", F.col("allowed").alias("robots_ok"))
+        base = base.join(verdicts, "uri", "left").withColumn(
+            "robots_ok", F.coalesce("robots_ok", F.lit(False))
+        )
+    else:
+        base = base.withColumn("robots_ok", F.col("has_text"))
+    alive = F.col("has_text") & F.col("robots_ok")
+    base = base.withColumn(
+        "lang", F.when(alive, lang_guess(F.col("text")))
+    ).withColumn(
+        "lang_ok",
+        alive & (F.col("lang").isin(*langs) if langs else F.lit(True)),
+    ).withColumn(
+        "quality", F.when(F.col("lang_ok"), quality_score(F.col("text")))
+    ).withColumn(
+        "quality_ok", F.col("lang_ok") & (F.col("quality") >= min_quality)
+    )
+    from firepit_spark.functions.text import fingerprint
+
+    w = Window.partitionBy(
+        F.when(F.col("quality_ok"), fingerprint(F.col("text")))
+        .otherwise(F.col("uri"))  # dead rows: singleton groups, no skew
+    )
+    return base.withColumn(
+        "kept",
+        F.col("quality_ok")
+        & (F.min(F.when(F.col("quality_ok"), F.col("uri"))).over(w)
+           == F.col("uri")),
+    )
+
+
+def web_funnel_report(flags: DataFrame) -> DataFrame:
+    """One-row per-stage accounting of a :func:`web_corpus_funnel`
+    frame — a single aggregation pass (map-side-combined sums of the
+    flag columns), no per-stage re-scan."""
+    n = F.count(F.lit(1))
+    return flags.agg(
+        n.alias("n_records"),
+        F.sum(F.col("has_text").cast("long")).alias("n_text"),
+        F.sum(F.col("robots_ok").cast("long")).alias("n_robots_ok"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang_ok"),
+        F.sum(F.col("quality_ok").cast("long")).alias("n_quality_ok"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     key_col: str,

@@ -400,15 +400,21 @@ def write_warc_shards(
     prefix: str = "part",
     compress: bool = True,
     cdx_sidecar: bool = True,
+    warcinfo_fields: dict | None = None,
 ) -> DataFrame:
     """Export a (uri, text) corpus as WET-style archive shards: each
     partition writes ONE ``<prefix>-<partition:05d>.warc.gz`` under
     ``out_dir`` (one ``conversion`` record per row, one gzip member per
     record — the exact layout :func:`read_warc` and the CDX range
     fetcher consume) plus, with ``cdx_sidecar``, a ``.cdx`` index twin
-    whose offsets make every record individually fetchable. Returns the
-    manifest frame ``(shard, n_records, archive_bytes)`` — the WRITE
-    happens when the manifest is acted on, exactly like any Spark sink.
+    whose offsets make every record individually fetchable.
+    ``warcinfo_fields`` (e.g. ``{"software": "...", "description":
+    "..."}``) prepends the conventional ``warcinfo`` record each shard
+    of a real crawl distribution opens with — it carries no Target-URI,
+    so the sidecar skips it and ``n_records`` still counts data rows.
+    Returns the manifest frame ``(shard, n_records, archive_bytes)`` —
+    the WRITE happens when the manifest is acted on, exactly like any
+    Spark sink.
 
     Scale/robustness notes: shard names are derived from partition ids,
     so a task retry overwrites its own shard (idempotent via
@@ -449,6 +455,16 @@ def write_warc_shards(
             ).astype({"shard": str, "n_records": "int64",
                       "archive_bytes": "int64"})
             return
+        n_data = len(records)
+        if warcinfo_fields:
+            info = "".join(
+                f"{k}: {v}\r\n" for k, v in warcinfo_fields.items()
+            ).encode("utf-8")
+            records.insert(
+                0,
+                ({"WARC-Type": "warcinfo",
+                  "Content-Type": "application/warc-fields"}, info),
+            )
         ext = ".warc.gz" if compress else ".warc"
         shard = f"{prefix}-{pid:05d}{ext}"
         blob = warc_encode(records, compress=compress)
@@ -465,7 +481,7 @@ def write_warc_shards(
                 fh.write("\n".join(lines) + "\n")
             os.replace(tmp, os.path.join(out_dir, shard + ".cdx"))
         yield pd.DataFrame(
-            {"shard": [shard], "n_records": [len(records)],
+            {"shard": [shard], "n_records": [n_data],
              "archive_bytes": [len(blob)]}
         )
 

@@ -251,6 +251,58 @@ def test_stream_warc_availablenow(spark, tmp_path):
     }
 
 
+def test_web_corpus_funnel_single_plan(spark, tmp_path):
+    """The one-plan funnel: per-stage flags + kept conjunction from a
+    real archive, with the report agreeing with hand-counted verdicts."""
+    from firepit_spark.functions.pipeline import (
+        web_corpus_funnel, web_funnel_report,
+    )
+    from firepit_spark.functions.robots import robots_rules
+
+    body_good = ("The quick brown fox jumps over the lazy dog and then "
+                 "the dog chases the fox around the old stone house. ") * 3
+    pages = [
+        ("http://h0.example/good", body_good),            # survives
+        ("http://h0.example/dup", body_good),             # exact dup
+        ("http://h0.example/secret/x", body_good),        # robots-blocked
+        ("http://h0.example/short",                       # quality fail:
+         "The and of it is a thing that was !!! ??? ,,, "  # English but
+         ";;; ::: !!! ??? %%% ###"),                       # punct-heavy
+        ("http://h1.example/img", None),                  # non-html
+    ]
+    records = []
+    for uri, body in pages:
+        if body is None:
+            rec = W.http_response_bytes(b"\x89PNG", content_type="image/png")
+        else:
+            rec = W.http_response_bytes(
+                f"<html><body><p>{body}</p></body></html>".encode()
+            )
+        records.append(
+            ({"WARC-Type": "response", "WARC-Target-URI": uri,
+              "Content-Type": "application/http;msgtype=response"}, rec)
+        )
+    (tmp_path / "c.warc.gz").write_bytes(W.warc_encode(records))
+    robots = robots_rules(spark.createDataFrame(
+        [("h0.example", b"User-agent: *\nDisallow: /secret")],
+        "host string, content binary",
+    ))
+    flags = web_corpus_funnel(
+        W.read_warc(spark, str(tmp_path)), robots=robots,
+        min_quality=0.5,
+    )
+    rep = web_funnel_report(flags).collect()[0]
+    assert rep["n_records"] == 5 and rep["n_text"] == 4
+    assert rep["n_robots_ok"] == 3      # /secret dies here
+    assert rep["n_lang_ok"] == 3        # all survivors are English
+    assert rep["n_quality_ok"] == 2     # the punct-heavy page dies here
+    assert rep["n_kept"] == 1           # dup collapses to min uri
+    kept = flags.filter("kept").collect()
+    assert [r["uri"] for r in kept] == ["http://h0.example/dup"]
+    assert kept[0]["lang"] == "en" and kept[0]["quality"] >= 0.5
+    assert kept[0]["path"] == "/dup"  # no spurious '?' without a query
+
+
 def test_end_to_end_warc_html_robots_dedup(spark, tmp_path):
     """The full web-corpus pipeline over real archive files: read_warc →
     warc_text → robots_filter → exact dedup. Hosts h0/h1; h0's robots
