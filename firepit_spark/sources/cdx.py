@@ -368,7 +368,12 @@ def fetch_warc_records(
                 except Exception:  # noqa: BLE001
                     pass
 
-    plan = cdx.select("filename", "offset", "length").repartition(
-        F.col("filename")
+    # range partition on (filename, offset), not hash on filename: hash
+    # would land EVERY range of a hot archive on one task (a whole-crawl
+    # fetch has ~60k files but a single-domain fetch may hit a handful);
+    # range keeps adjacent offsets together (sequential-ish seeks, one
+    # handle) while still splitting a dominant file across tasks
+    plan = cdx.select("filename", "offset", "length").repartitionByRange(
+        F.col("filename"), F.col("offset")
     )
     return plan.mapInPandas(run, schema=WARC_SCHEMA)
