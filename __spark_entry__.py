@@ -1518,6 +1518,17 @@ def q39_media_probe(spark, sf_dir):
                     restart_interval=2 if d % 3 == 0 and not prog else 0,
                     progressive=prog,
                 )
+                # r11 EXIF leg: splice an APP1 with orientation 1+d%8
+                # after SOI; the probe must read it back and the pixel
+                # decode must be undisturbed by the extra segment
+                from firepit_spark.functions.multimodal import (
+                    exif_app1_segment, exif_probe,
+                )
+
+                blob = blob[:2] + exif_app1_segment(
+                    orientation=1 + d % 8, make="FixtureCam"
+                ) + blob[2:]
+                exif = exif_probe(blob) or {}
                 f = jpeg_features(blob)
                 dec = jp.jpeg_decode(blob)
                 ok = bool(np.abs(dec.astype(int) - img.astype(int)).max() <= 16)
@@ -1542,21 +1553,23 @@ def q39_media_probe(spark, sf_dir):
                 recs.append(
                     (d, f["width"], f["height"], f["n_components"],
                      bool(f["progressive"]), ok,
-                     space, int(f4["n_components"]), ok4)
+                     space, int(f4["n_components"]), ok4,
+                     exif.get("orientation"))
                 )
             yield pd.DataFrame(
                 recs,
                 columns=["media_id", "jpg_w", "jpg_h", "jpg_components",
                          "jpg_progressive", "jpg_roundtrip_ok",
                          "jpg4_space", "jpg4_components",
-                         "jpg4_roundtrip_ok"],
+                         "jpg4_roundtrip_ok", "exif_orientation"],
             )
 
     jpg = docs.mapInPandas(
         jpeg_leg,
         schema="media_id long, jpg_w int, jpg_h int, jpg_components int, "
         "jpg_progressive boolean, jpg_roundtrip_ok boolean, "
-        "jpg4_space string, jpg4_components int, jpg4_roundtrip_ok boolean",
+        "jpg4_space string, jpg4_components int, jpg4_roundtrip_ok boolean, "
+        "exif_orientation int",
     )
 
     # r9 audio leg: per-doc triangle wave (max step 7, so even ADPCM's
@@ -1779,6 +1792,7 @@ def q39_media_probe(spark, sf_dir):
             "jpg4_space",
             "jpg4_components",
             "jpg4_roundtrip_ok",
+            "exif_orientation",
             "wav_codec",
             "wav_n_samples",
             "wav_rate",
@@ -1841,6 +1855,9 @@ SELECT doc_id,
          AS jpg4_space,
        4 AS jpg4_components,
        TRUE AS jpg4_roundtrip_ok,
+       -- EXIF leg (r11): APP1 orientation spliced from the arithmetic,
+       -- read back by the probe (decode undisturbed by the segment)
+       CAST(1 + doc_id % 8 AS INT) AS exif_orientation,
        -- audio leg (r9): G.711/ADPCM codec choice, decoded length (ADPCM
        -- pads to whole 505-sample blocks), rate, and the pinned bound
        (CASE doc_id % 3 WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'

@@ -327,6 +327,180 @@ def image_dims(content: bytes | None) -> tuple[int, int] | None:
     return None
 
 
+# ------------------------------------------------------------------ EXIF
+#
+# EXIF is a TIFF IFD embedded in a JPEG APP1 segment ("Exif\0\0" + a
+# self-contained TIFF byte range) — the tiff.py IFD parser reads it
+# as-is. Orientation matters for dedup: cameras store rotated pixels +
+# a tag, so the SAME photo shot in portrait/landscape hashes apart
+# unless the tag is applied before fingerprinting.
+
+_EXIF_ORIENTATION = 0x0112
+_EXIF_MAKE = 0x010F
+_EXIF_MODEL = 0x0110
+_EXIF_DATETIME = 0x0132
+_EXIF_SUBIFD = 0x8769
+_EXIF_DT_ORIGINAL = 0x9003
+
+
+def _exif_ascii(vals) -> str | None:
+    if not vals:
+        return None
+    raw = vals[0]
+    if isinstance(raw, int):  # short string packed inline
+        raw = bytes(vals)
+    return bytes(raw).split(b"\x00", 1)[0].decode("ascii", "replace") or None
+
+
+def exif_probe(content: bytes) -> dict | None:
+    """EXIF metadata from a JPEG's APP1 segment: ``orientation`` (1-8),
+    ``make``/``model``/``datetime`` from IFD0 and ``datetime_original``
+    from the Exif sub-IFD. None when there is no (readable) EXIF —
+    probe semantics, never raises on malformed segments."""
+    if not content or content[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(content)
+    try:
+        while i + 3 < n:
+            if content[i] != 0xFF:
+                i += 1
+                continue
+            marker = content[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker in (0xDA, 0xD9):  # scan data / EOI: no EXIF ahead
+                return None
+            seg_len = struct.unpack(">H", content[i + 2:i + 4])[0]
+            seg = content[i + 4:i + 2 + seg_len]
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                return _parse_exif_tiff(seg[6:])
+            i += 2 + seg_len
+    except Exception:  # noqa: BLE001 — probes never raise
+        return None
+    return None
+
+
+def _parse_exif_tiff(t: bytes) -> dict | None:
+    from firepit_spark.functions import tiff as _tiff
+
+    if t[:4] == b"II\x2a\x00":
+        endian = "<"
+    elif t[:4] == b"MM\x00\x2a":
+        endian = ">"
+    else:
+        return None
+    tags = _tiff._read_ifd(t, endian)
+    out = {
+        "orientation": tags.get(_EXIF_ORIENTATION, [None])[0],
+        "make": _exif_ascii(tags.get(_EXIF_MAKE)),
+        "model": _exif_ascii(tags.get(_EXIF_MODEL)),
+        "datetime": _exif_ascii(tags.get(_EXIF_DATETIME)),
+        "datetime_original": None,
+    }
+    if _EXIF_SUBIFD in tags:
+        try:
+            sub = _tiff._read_ifd_at(t, endian, tags[_EXIF_SUBIFD][0])
+            out["datetime_original"] = _exif_ascii(
+                sub.get(_EXIF_DT_ORIGINAL)
+            )
+        except ValueError:
+            pass  # sub-IFD out of bounds: keep the IFD0 facts
+    return out
+
+
+def apply_exif_orientation(px: "np.ndarray", orientation) -> "np.ndarray":
+    """Pixels as a viewer would display them (EXIF orientation 1-8) —
+    pure numpy flips/transposes, no copy beyond the final contiguity."""
+    o = orientation or 1
+    if o == 2:
+        return px[:, ::-1]
+    if o == 3:
+        return px[::-1, ::-1]
+    if o == 4:
+        return px[::-1, :]
+    if o == 5:
+        return np.transpose(px, (1, 0, 2))
+    if o == 6:  # stored needs 90° CW to display
+        return np.transpose(px, (1, 0, 2))[:, ::-1]
+    if o == 7:
+        return np.transpose(px[::-1, ::-1], (1, 0, 2))
+    if o == 8:  # stored needs 90° CCW to display
+        return np.transpose(px, (1, 0, 2))[::-1, :]
+    return px
+
+
+def decode_image_oriented(content: bytes) -> "np.ndarray":
+    """:func:`decode_image` with the EXIF orientation applied — the
+    right decode for perceptual fingerprints (a portrait shot and its
+    landscape twin land in the same dHash bucket)."""
+    px = decode_image(content)
+    info = exif_probe(content)
+    return apply_exif_orientation(px, info["orientation"] if info else 1)
+
+
+def exif_app1_segment(
+    orientation: int = 1,
+    make: str | None = None,
+    model: str | None = None,
+    datetime_original: str | None = None,
+) -> bytes:
+    """Fixture twin of :func:`exif_probe`: a complete APP1 segment
+    (marker + length + "Exif\\0\\0" + little-endian TIFF with IFD0 and
+    an Exif sub-IFD) to splice after a JPEG's SOI."""
+    entries0: list = [(_EXIF_ORIENTATION, 3, [orientation])]
+    for tag, s in ((_EXIF_MAKE, make), (_EXIF_MODEL, model)):
+        if s is not None:
+            entries0.append((tag, 2, s.encode("ascii") + b"\x00"))
+    sub_entries: list = []
+    if datetime_original is not None:
+        sub_entries.append(
+            (_EXIF_DT_ORIGINAL, 2, datetime_original.encode("ascii") + b"\x00")
+        )
+
+    def build_ifd(entries: list, heap_off: int):
+        body = struct.pack("<H", len(entries))
+        heap = b""
+        for tag, typ, val in sorted(entries):
+            if typ == 2:
+                if len(val) <= 4:
+                    payload = val.ljust(4, b"\x00")
+                    body += struct.pack("<HHI", tag, 2, len(val)) + payload
+                else:
+                    body += struct.pack(
+                        "<HHII", tag, 2, len(val), heap_off + len(heap)
+                    )
+                    heap += val
+            elif typ == 3:
+                body += struct.pack("<HHIHH", tag, 3, len(val), *val, 0)
+            else:  # LONG
+                body += struct.pack("<HHII", tag, 4, len(val), val[0])
+        body += struct.pack("<I", 0)  # next-IFD pointer
+        return body, heap
+
+    # layout: header(8) | IFD0 | sub-IFD | string heap
+    n0 = len(entries0) + (1 if sub_entries else 0)
+    ifd0_size = 2 + 12 * n0 + 4
+    sub_off = 8 + ifd0_size
+    sub_size = (2 + 12 * len(sub_entries) + 4) if sub_entries else 0
+    heap_off = sub_off + sub_size
+    if sub_entries:
+        entries0.append((_EXIF_SUBIFD, 4, [sub_off]))
+    sub_body, sub_heap = (
+        build_ifd(sub_entries, heap_off) if sub_entries else (b"", b"")
+    )
+    ifd0_body, heap0 = build_ifd(entries0, heap_off + len(sub_heap))
+    tiff_bytes = (
+        b"II\x2a\x00" + struct.pack("<I", 8)
+        + ifd0_body + sub_body + sub_heap + heap0
+    )
+    payload = b"Exif\x00\x00" + tiff_bytes
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
 def _webp_dims(b: bytes) -> tuple[int, int] | None:
     """WebP canvas dimensions from the first VP8 / VP8L / VP8X chunk —
     pure header arithmetic per the WebP container/bitstream specs (lossy

@@ -205,6 +205,12 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 def _read_ifd(b: bytes, endian: str) -> dict:
     (ifd_off,) = struct.unpack(endian + "I", b[4:8])
+    return _read_ifd_at(b, endian, ifd_off)
+
+
+def _read_ifd_at(b: bytes, endian: str, ifd_off: int) -> dict:
+    """One IFD's tags at an explicit offset — lets EXIF (a TIFF IFD
+    embedded in JPEG APP1, with sub-IFD pointers) reuse this parser."""
     if ifd_off + 2 > len(b):
         raise ValueError("TIFF: truncated IFD offset")
     (n_entries,) = struct.unpack(endian + "H", b[ifd_off:ifd_off + 2])

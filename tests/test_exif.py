@@ -1,0 +1,120 @@
+"""EXIF probe + orientation: hand-assembled APP1 bytes (independent of
+the fixture writer), the writer/probe round trip, all eight orientation
+transforms against their analytic inverses, and the dedup property the
+feature exists for — a rotated-with-tag twin hashes with its upright
+original through decode_image_oriented."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from firepit_spark.functions import jpeg
+from firepit_spark.functions import multimodal as mm
+
+
+def _img(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.clip(
+        np.stack([xx * 4, yy * 5, (xx + yy) * 2], axis=-1), 0, 255
+    ).astype(np.uint8)
+
+
+def _with_app1(blob: bytes, app1: bytes) -> bytes:
+    return blob[:2] + app1 + blob[2:]
+
+
+def test_hand_assembled_exif_parses_to_spec_values():
+    # built byte-by-byte from the EXIF/TIFF layout, NOT via the writer:
+    # big-endian TIFF, IFD0 with orientation=6 (SHORT) and Make "Ab"
+    # (ASCII, 3 bytes incl. NUL -> packed inline)
+    tiff = (
+        b"MM\x00\x2a" + struct.pack(">I", 8)
+        + struct.pack(">H", 2)
+        + struct.pack(">HHIHH", 0x0112, 3, 1, 6, 0)
+        + struct.pack(">HHI", 0x010F, 2, 3) + b"Ab\x00\x00"
+        + struct.pack(">I", 0)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    blob = _with_app1(jpeg.jpeg_encode(_img(16, 16), quality=90), app1)
+    info = mm.exif_probe(blob)
+    assert info["orientation"] == 6 and info["make"] == "Ab"
+    assert info["model"] is None and info["datetime_original"] is None
+    # the APP1 does not disturb ordinary decode/probe paths
+    assert mm.image_dims(blob) == (16, 16)
+    assert mm.decode_image(blob).shape == (16, 16, 3)
+
+
+def test_exif_writer_probe_round_trip():
+    app1 = mm.exif_app1_segment(
+        orientation=8, make="CamCo", model="X-100 Mark Two",
+        datetime_original="2024:06:01 12:34:56",
+    )
+    blob = _with_app1(jpeg.jpeg_encode(_img(), quality=90), app1)
+    info = mm.exif_probe(blob)
+    assert info == {
+        "orientation": 8, "make": "CamCo", "model": "X-100 Mark Two",
+        "datetime": None,
+        "datetime_original": "2024:06:01 12:34:56",
+    }
+
+
+def test_exif_probe_absent_or_malformed_is_none():
+    plain = jpeg.jpeg_encode(_img(8, 8), quality=90)
+    assert mm.exif_probe(plain) is None
+    assert mm.exif_probe(b"\x89PNG\r\n\x1a\n") is None
+    assert mm.exif_probe(None) is None
+    # APP1 that is XMP, not Exif
+    xmp = b"\xff\xe1" + struct.pack(">H", 12) + b"http://ns.x"[:10]
+    assert mm.exif_probe(_with_app1(plain, xmp)) is None
+    # truncated TIFF inside Exif quarantines to None, never raises
+    bad = b"Exif\x00\x00II\x2a\x00\xff\xff\xff\xff"
+    app1 = b"\xff\xe1" + struct.pack(">H", len(bad) + 2) + bad
+    assert mm.exif_probe(_with_app1(plain, app1)) is None
+
+
+@pytest.mark.parametrize("o,inverse", [
+    (1, 1), (2, 2), (3, 3), (4, 4), (5, 5), (6, 8), (7, 7), (8, 6),
+])
+def test_orientation_transforms_invert_exactly(o, inverse):
+    """apply(o) must undo the camera's storage transform: storing via
+    the INVERSE orientation then applying o is the identity (pure numpy,
+    no codec in the loop)."""
+    up = _img(10, 14)
+    stored = mm.apply_exif_orientation(up, inverse)
+    assert np.array_equal(mm.apply_exif_orientation(stored, o), up)
+
+
+def test_rotated_twin_hashes_with_upright_original():
+    # asymmetric content (sine bands + a bright corner block) so a
+    # rotation genuinely changes the un-oriented fingerprint — a plain
+    # linear gradient rotates into another gradient and can collide
+    yy, xx = np.mgrid[0:48, 0:48]
+    up = np.clip(
+        np.stack(
+            [128 + 100 * np.sin(xx / 5.0), 40 + 4 * yy, xx + 2 * yy],
+            axis=-1,
+        ), 0, 255,
+    ).astype(np.uint8)
+    up[:10, :10] = 250
+    base = mm.dhash64(up)
+
+    def ham(a, b):  # JPEG is lossy: near-dup means SMALL Hamming dist
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for o, inverse in ((6, 8), (8, 6), (3, 3), (2, 2)):
+        stored = np.ascontiguousarray(mm.apply_exif_orientation(up, inverse))
+        blob = _with_app1(
+            jpeg.jpeg_encode(stored, quality=95),
+            mm.exif_app1_segment(orientation=o),
+        )
+        assert ham(mm.dhash64(mm.decode_image_oriented(blob)), base) <= 2, o
+    # without the tag the rotated twin hashes FAR apart — the gap the
+    # oriented decode closes
+    rot = np.ascontiguousarray(mm.apply_exif_orientation(up, 8))
+    plain = jpeg.jpeg_encode(rot, quality=95)
+    assert ham(mm.dhash64(mm.decode_image(plain)), base) > 8
+    assert ham(mm.dhash64(mm.decode_image_oriented(plain)), base) > 8
