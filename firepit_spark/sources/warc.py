@@ -496,11 +496,12 @@ def warc_text(
     main_content: bool = False,
 ) -> DataFrame:
     """Extracted text per record of a :func:`read_warc` frame:
-    ``conversion`` (WET) payloads decode as UTF-8 verbatim; ``response``
-    payloads whose Content-Type says HTML go through the fidelity
-    parser (:func:`firepit_spark.functions.html.html_to_text`, or the
-    boilerplate filter with ``main_content=True``); everything else
-    stays NULL with a reason in ``<out_col>_err``. Map-only Arrow
+    ``conversion`` (WET) payloads decode as UTF-8 verbatim (the WET
+    spec's encoding); ``response`` payloads whose Content-Type says
+    HTML decode via BOM > declared charset > UTF-8 and go through the
+    fidelity parser (:func:`firepit_spark.functions.html.html_to_text`,
+    or the boilerplate filter with ``main_content=True``); everything
+    else stays NULL with a reason in ``<out_col>_err``. Map-only Arrow
     batches — the html/robots/dedup stages downstream never see raw
     archive bytes."""
     import pandas as pd
@@ -519,6 +520,27 @@ def warc_text(
     )
     cols = [f.name for f in fields]
 
+    import codecs
+    import re as _re
+
+    def _decode_html(raw: bytes, ct: str) -> str:
+        # charset priority: BOM > Content-Type header > UTF-8; unknown
+        # names fall back rather than quarantine (replace already
+        # bounds the damage, and mislabeled pages are routine)
+        if raw[:3] == b"\xef\xbb\xbf":
+            return raw[3:].decode("utf-8", "replace")
+        if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            return raw.decode("utf-16", "replace")
+        m = _re.search(r"charset=[\"']?([\w.:-]+)", ct)
+        if m:
+            try:
+                return raw.decode(
+                    codecs.lookup(m.group(1)).name, "replace"
+                )
+            except LookupError:
+                pass
+        return raw.decode("utf-8", "replace")
+
     def one(wtype, http_ct, payload) -> tuple:
         if payload is None:
             return None, "no payload"
@@ -529,7 +551,7 @@ def warc_text(
                 ct = (http_ct or "").lower()
                 if "html" not in ct and "xml" not in ct:
                     return None, f"non-html response ({ct or 'no type'})"
-                html = bytes(payload).decode("utf-8", "replace")
+                html = _decode_html(bytes(payload), ct)
                 return (
                     extract_main_text(html)
                     if main_content

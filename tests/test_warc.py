@@ -216,6 +216,37 @@ def test_warc_text_routes_by_record_type(spark):
     assert out[("warcinfo", None)][0] is None
 
 
+def test_warc_text_honors_declared_charset(spark):
+    latin = "café résumé".encode("latin-1")
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/l1",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             b"<html><body><p>" + latin + b"</p></body></html>",
+             content_type="text/html; charset=ISO-8859-1")),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/bom",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             "﻿<html><body><p>BOM wins ✓</p></body></html>"
+             .encode("utf-8"),
+             content_type="text/html; charset=ISO-8859-1")),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://a/bogus",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             "utf-8 par défaut".encode("utf-8")
+             .join((b"<html><body><p>", b"</p></body></html>")),
+             content_type="text/html; charset=no-such-enc")),
+    ]
+    df = spark.createDataFrame(
+        [("f", W.warc_encode(records))], "warc_file string, content binary"
+    )
+    got = {r["target_uri"]: r["text"]
+           for r in W.warc_text(W.parse_warc_members(df)).collect()}
+    assert got["http://a/l1"] == "café résumé"      # declared latin-1
+    assert got["http://a/bom"] == "BOM wins ✓"       # BOM beats header
+    assert got["http://a/bogus"] == "utf-8 par défaut"  # unknown -> utf-8
+
+
 def test_stream_warc_availablenow(spark, tmp_path):
     """Streaming twin: archives landed in a watched directory parse per
     micro-batch with the same schema/quarantine; map-only, so the
