@@ -1,2 +1,5 @@
 """Source connectors: STIX bundles (batch + distributed), log-format
-converters, and loaders."""
+converters, JSONL corpora with quarantine (``corpus``), WARC/WET web
+archives — batch, streaming, and shard sink (``warc``) — and the CDX
+crawl-index stack with SURT keys and byte-range record fetch
+(``cdx``)."""
