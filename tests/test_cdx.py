@@ -152,6 +152,36 @@ def test_cluster_idx_parse_and_prefix_lookup(spark, tmp_path):
     ]
 
 
+def test_fetched_records_feed_the_corpus_funnel(spark, tmp_path):
+    """Composition lock: index-driven range fetches produce exactly the
+    frame web_corpus_funnel consumes — fetch a filtered subset, run the
+    funnel, and get curated text out."""
+    from firepit_spark.functions.pipeline import (
+        web_corpus_funnel, web_funnel_report,
+    )
+
+    body = ("A perfectly ordinary English paragraph about nothing in "
+            "particular, long enough to pass the quality gate. ") * 2
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": f"http://h.example/{i}",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             f"<html><body><p>{body}{i}</p></body></html>".encode()))
+        for i in range(4)
+    ]
+    (tmp_path / "f.warc.gz").write_bytes(W.warc_encode(records))
+    (tmp_path / "f.cdx").write_text(
+        "\n".join(C.cdx_lines_for(records, "f.warc.gz")) + "\n"
+    )
+    clean, _ = C.read_cdx(spark, str(tmp_path / "f.cdx"))
+    fetched = C.fetch_warc_records(
+        clean.filter(F.col("urlkey") < "example,h)/2"),
+        base_dir=str(tmp_path) + "/",
+    )
+    rep = web_funnel_report(web_corpus_funnel(fetched)).collect()[0]
+    assert rep["n_records"] == 2 and rep["n_kept"] == 2  # distinct bodies
+
+
 def test_index_driven_range_fetch_end_to_end(spark, tmp_path):
     """Write a real 6-record .warc.gz + its CDX index (offsets from the
     fixture twin), then fetch a FILTERED subset by byte range and check
