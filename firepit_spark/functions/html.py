@@ -199,6 +199,107 @@ def html_text(
     return df.mapInPandas(run, schema=schema)
 
 
+class _LinkExtractor(HTMLParser):
+    """href values of anchor tags, in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+def extract_links(html: str) -> list:
+    """All anchor hrefs of a document (tolerant stdlib parse)."""
+    p = _LinkExtractor()
+    p.feed(html or "")
+    p.close()
+    return p.hrefs
+
+
+def html_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    base_uri_col: str | None = None,
+    out_col: str = "href",
+) -> DataFrame:
+    """One row per anchor href: input columns + ``out_col`` (href as
+    written) and, when ``base_uri_col`` is given, ``dst_host`` resolved
+    against the page's URI (absolute links keep their own host;
+    relative/fragment/protocol-relative links resolve per RFC 3986's
+    common cases via ``urllib.parse.urljoin``). Map-only Arrow — the
+    host-graph aggregation downstream is the only shuffle, and it
+    carries (src_host, dst_host) pairs, never documents. The web-graph
+    feed for crawl-frontier and corpus-weighting analyses (compose with
+    groupBy for edge counts or functions/graph.py for reachability)."""
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+    from urllib.parse import urljoin, urlparse
+
+    fields = list(df.schema.fields)
+    for c in (out_col, "dst_host"):
+        if any(f.name == c for f in fields):
+            raise ValueError(f"output column {c!r} already exists")
+    extra = [StructField(out_col, StringType())]
+    if base_uri_col:
+        extra.append(StructField("dst_host", StringType()))
+    schema = StructType(fields + extra)
+    cols = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list = []
+            for tup in pdf.itertuples(index=False):
+                rec = dict(zip(pdf.columns, tup))
+                html = rec.get(html_col)
+                if html is None:
+                    continue
+                try:
+                    hrefs = extract_links(html)
+                except Exception:  # noqa: BLE001 — quarantine silently:
+                    continue      # a link-less row, not a failed one
+                base = rec.get(base_uri_col) if base_uri_col else None
+                for href in hrefs:
+                    out = [rec[c] for c in cols] + [href]
+                    if base_uri_col:
+                        try:
+                            host = urlparse(urljoin(base or "", href)).hostname
+                        except ValueError:
+                            host = None
+                        out.append(host)
+                    rows.append(tuple(out))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def host_graph_edges(
+    links: DataFrame,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+) -> DataFrame:
+    """(src_host, dst_host, n_links) edge list from an outlinks frame —
+    self-loops dropped, NULL hosts dropped, map-side-combined count."""
+    return (
+        links.filter(
+            F.col(dst_host_col).isNotNull()
+            & (F.col(src_host_col) != F.col(dst_host_col))
+        )
+        .groupBy(
+            F.col(src_host_col).alias("src_host"),
+            F.col(dst_host_col).alias("dst_host"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
 # entity set the expression path decodes (the ubiquitous six; anything
 # rarer is the fidelity path's job)
 _EXPR_ENTITIES = [

@@ -97,3 +97,47 @@ def test_strip_tags_expr_agrees_with_parser(spark):
 
     rep = assert_scaleworthy(df.select(H.strip_tags_expr("html").alias("t")))
     assert rep.arrow_evals == 0 and rep.exchanges == 0
+
+
+def test_html_outlinks_and_host_graph(spark):
+    from firepit_spark.functions.html import (
+        extract_links, host_graph_edges, html_outlinks,
+    )
+
+    page = (
+        '<html><body>'
+        '<a href="https://other.example/abs">abs</a>'
+        '<a href="/relative/x">rel</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="//proto.example/p">proto-rel</a>'
+        '<a name="no-href">skip</a>'
+        '</body></html>'
+    )
+    assert extract_links(page) == [
+        "https://other.example/abs", "/relative/x", "#frag",
+        "//proto.example/p",
+    ]
+    df = spark.createDataFrame(
+        [("http://src.example/page", "src.example", page),
+         ("http://src.example/empty", "src.example", "<p>no links</p>"),
+         ("http://src.example/null", "src.example", None)],
+        "uri string, src_host string, html string",
+    )
+    links = html_outlinks(df, base_uri_col="uri")
+    got = {(r["href"], r["dst_host"]) for r in links.collect()}
+    # relative + fragment links resolve back to the page's own host
+    assert got == {
+        ("https://other.example/abs", "other.example"),
+        ("/relative/x", "src.example"),
+        ("#frag", "src.example"),
+        ("//proto.example/p", "proto.example"),
+    }
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph_edges(links).collect()
+    }
+    # self-loops (relative/fragment) dropped; externals counted
+    assert edges == {
+        ("src.example", "other.example"): 1,
+        ("src.example", "proto.example"): 1,
+    }
