@@ -242,7 +242,10 @@ def html_outlinks(
     from urllib.parse import urljoin, urlparse
 
     fields = list(df.schema.fields)
-    for c in (out_col, "dst_host"):
+    # dst_host is only emitted (and thus only collides) when resolving
+    # against a base URI — a raw-href pass over a frame that already
+    # carries a dst_host column is legitimate
+    for c in [out_col] + (["dst_host"] if base_uri_col else []):
         if any(f.name == c for f in fields):
             raise ValueError(f"output column {c!r} already exists")
     extra = [StructField(out_col, StringType())]

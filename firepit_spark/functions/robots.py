@@ -214,11 +214,19 @@ def robots_directives(
     content_col: str = "content",
 ) -> DataFrame:
     """Per-host non-rule directives a polite crawler also needs:
-    ``(host, crawl_delay, sitemaps)`` — Crawl-delay from the group a
-    ``*`` crawler obeys (de-facto extension, seconds, NULL when
-    absent/unparseable), Sitemap URLs collected file-wide (RFC 9309:
-    sitemaps are not group-scoped). Arrow map-only, same shape as
-    :func:`robots_rules`."""
+    ``(host, crawl_delay, sitemaps)`` — Crawl-delay in seconds (de-facto
+    extension, NULL when absent/unparseable), Sitemap URLs collected
+    file-wide (RFC 9309: sitemaps are not group-scoped). Arrow map-only,
+    same shape as :func:`robots_rules`.
+
+    Crawl-delay selection is deliberately CONSERVATIVE politeness, not
+    strict group scoping: the delay from the ``*`` group wins when one
+    exists, otherwise the first delay appearing ANYWHERE in the file
+    (including before any ``User-agent`` line or inside a specific
+    agent's group) is reported — a file that only says ``User-agent:
+    googlebot / Crawl-delay: 10`` yields 10.0, on the theory that a
+    polite generic crawler should honor the strictest signal present
+    rather than hammer a host that expressed *some* delay preference."""
     import pandas as pd
 
     from pyspark.sql.types import (

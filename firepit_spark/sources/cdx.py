@@ -73,10 +73,17 @@ def surt_key_expr(col):
     authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     pathq = F.substring(rest, F.length(authority) + 1, F.lit(1 << 20))
     host = F.regexp_extract(authority, r"^([^:]*)", 1)
-    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    # everything after the FIRST colon, numeric or not — exactly the
+    # python twin's authority.partition(":") (non-numeric "ports" are
+    # kept, so ftp://h:x/ and http://h:8o80/ agree between engines)
+    port = F.regexp_extract(authority, r"^[^:]*:(.*)$", 1)
     host = F.regexp_replace(host, r"^www\d*\.", "")
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    default_port = F.when(scheme == "https", "443").otherwise("80")
+    # default-port drop is scheme-gated like _DEFAULT_PORTS.get(scheme,
+    # ""): only http:80 / https:443 vanish — ftp://h:80/ keeps its port
+    default_port = F.when(scheme == "https", F.lit("443")).when(
+        scheme == "http", F.lit("80")
+    ).otherwise(F.lit(""))
     port_part = F.when(
         (port == "") | (port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
@@ -285,15 +292,22 @@ def dedup_by_digest(cdx: DataFrame,
     single groupBy with MAP-SIDE-COMBINED ``min(struct(...))`` — no
     window sort, the shuffle carries one candidate row per (partition,
     digest). Run BEFORE :func:`fetch_warc_records`: dropping dupes on
-    the index frame is thousands of times cheaper than after fetch."""
+    the index frame is thousands of times cheaper than after fetch.
+
+    Captures with a NULL digest pass through untouched: the clean split
+    does not require a digest, and grouping NULLs would collapse every
+    digest-less capture into one keeper (Spark's groupBy puts all NULL
+    keys in a single group)."""
     cols = cdx.columns
     ordered = [c for c in order_cols if c in cols] + [
         c for c in cols if c not in order_cols
     ]
-    best = cdx.groupBy("digest").agg(
+    with_digest = cdx.filter(F.col("digest").isNotNull())
+    best = with_digest.groupBy("digest").agg(
         F.min(F.struct(*[F.col(c) for c in ordered])).alias("__b")
     )
-    return best.select([F.col(f"__b.{c}").alias(c) for c in cols])
+    deduped = best.select([F.col(f"__b.{c}").alias(c) for c in cols])
+    return cdx.filter(F.col("digest").isNull()).unionByName(deduped)
 
 
 # ------------------------------------------------------- range fetching

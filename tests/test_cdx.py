@@ -230,3 +230,48 @@ def test_index_driven_range_fetch_end_to_end(spark, tmp_path):
         bad, base_dir=str(tmp_path) + "/"
     ).collect()
     assert len(err_rows) == 1 and err_rows[0]["err"] is not None
+
+
+def test_surt_twins_agree_on_schemes_and_weird_ports(spark):
+    """ADVICE r11: the Catalyst expr treated ':80' as the default port
+    for EVERY non-https scheme and silently dropped non-numeric ports;
+    the python twin did neither. Both twins must agree on these."""
+    urls = [
+        "ftp://h.example:80/file",       # 80 is NOT ftp's default: keep
+        "ftp://h.example:21/file",       # (neither is 21 dropped — the
+        "gopher://h.example:80/",        #  subset only knows http/https)
+        "http://h.example:8o80/x",       # non-numeric port: keep verbatim
+        "https://h.example:443x/x",
+        "http://h.example:80:90/x",      # junk after first colon: keep all
+        "http://h.example:80/x",         # the real defaults still drop
+        "https://h.example:443/x",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["urlkey"] for r in C.surt_key(df).collect()}
+    for u in urls:
+        assert got[u] == C.surt_key_py(u), (u, got[u], C.surt_key_py(u))
+    assert C.surt_key_py("ftp://h.example:80/file") == (
+        "example,h:80)/file"
+    )
+    assert C.surt_key_py("http://h.example:8o80/x") == "example,h:8o80)/x"
+    assert C.surt_key_py("http://h.example:80/x") == "example,h)/x"
+
+
+def test_dedup_by_digest_null_digests_pass_through(spark):
+    """ADVICE r11: NULL digests must not collapse into one group — a
+    capture lacking a digest is not a duplicate of anything."""
+    rows = [
+        ("k/a", "20240601000000", "u1", "d1", "f1", 0, 10),
+        ("k/a", "20240602000000", "u1", "d1", "f2", 50, 10),  # dup of ^
+        ("k/b", "20240601000000", "u2", None, "f3", 99, 10),
+        ("k/c", "20240602000000", "u3", None, "f4", 10, 10),
+        ("k/d", "20240603000000", "u4", None, "f5", 20, 10),
+    ]
+    cdx = spark.createDataFrame(
+        rows,
+        "urlkey string, ts string, url string, digest string, "
+        "filename string, offset long, length long",
+    )
+    kept = C.dedup_by_digest(cdx).collect()
+    assert len(kept) == 4  # one d1 keeper + ALL THREE digest-less rows
+    assert sorted(r["filename"] for r in kept) == ["f1", "f3", "f4", "f5"]

@@ -141,3 +141,22 @@ def test_html_outlinks_and_host_graph(spark):
         ("src.example", "other.example"): 1,
         ("src.example", "proto.example"): 1,
     }
+
+
+def test_html_outlinks_raw_pass_tolerates_existing_dst_host(spark):
+    """ADVICE r11: without base_uri_col no dst_host is emitted, so an
+    input frame that already carries one must not be rejected."""
+    from firepit_spark.functions.html import html_outlinks
+
+    df = spark.createDataFrame(
+        [("prev.example", '<a href="/x">x</a>')],
+        "dst_host string, html string",
+    )
+    got = html_outlinks(df).collect()  # raw hrefs, no resolution
+    assert [(r["dst_host"], r["href"]) for r in got] == [
+        ("prev.example", "/x")
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dst_host"):
+        # resolving WOULD emit dst_host: the collision is real here
+        html_outlinks(df, base_uri_col="dst_host")

@@ -204,3 +204,19 @@ def test_robots_filter_and_plan_shape(spark):
 
     rep = assert_scaleworthy(R.robots_verdict(urls, rules))
     assert rep.broadcasts >= 1
+
+
+def test_robots_directives_conservative_delay_fallback(spark):
+    """The documented politeness fallback: no * group delay, but a
+    specific agent (or a pre-group line) expressed one -> report it."""
+    from firepit_spark.functions.robots import robots_directives
+
+    df = spark.createDataFrame(
+        [("specific.example",
+          b"User-agent: googlebot\nCrawl-delay: 10\nDisallow: /x\n"),
+         ("pregroup.example", b"Crawl-delay: 3\nUser-agent: *\nDisallow: /y\n")],
+        "host string, content binary",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in robots_directives(df).collect()}
+    assert got["specific.example"] == 10.0
+    assert got["pregroup.example"] == 3.0
