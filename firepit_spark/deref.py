@@ -10,10 +10,16 @@ double-join merged with COALESCE (firepit/deref.py:28-59), the
 avoidance, and ``paths=`` pruning.
 
 Scale notes: every join here is a left-outer equi-join on ``id`` against an
-SCO dimension table; those dims are small relative to the event stream at
-100 TB, so each join leg is broadcast when under the AQE threshold. Join
-legs not requested via ``paths`` are simply not emitted (cheaper than
-relying on the optimizer to prune them).
+SCO dimension table. The joins carry NO broadcast hint on purpose: the
+dims are parquet-backed, so Spark's size-based planning (and AQE at
+runtime) broadcast-joins them whenever they fit under
+``autoBroadcastJoinThreshold`` — but entity tables grow linearly with the
+corpus, and a FORCED hint on e.g. every ``ipv4-addr`` row in a 100 TB
+warehouse would push the build side past the 8 GB / 512M-row broadcast
+hard limits and fail the job, where the unhinted plan degrades to a
+shuffle join (r11 verdict item 1; plan-gated by
+tests/test_deref_plans.py). Join legs not requested via ``paths`` are
+simply not emitted (cheaper than relying on the optimizer to prune them).
 """
 
 from __future__ import annotations
@@ -146,7 +152,7 @@ class DerefPlanner:
             # prefix as struct access — backtick-quote instead (the alias
             # is unique per hop, so the bare name is unambiguous)
             out = out.join(
-                F.broadcast(renamed),
+                renamed,
                 F.col(f"`{join_col}`") == F.col(f"`{join_id}`"),
                 "inner",
             ).drop(join_id)
@@ -186,7 +192,7 @@ class DerefPlanner:
             tdf = self.storage.table_df(target)
             renamed, join_id = _aliased(tdf, path, local)
             df = df.join(
-                F.broadcast(renamed), df[f"`{col}`"] == renamed[join_id], "left_outer"
+                renamed, df[f"`{col}`"] == renamed[join_id], "left_outer"
             ).drop(join_id)
             if not (target == sco_type):
                 df = self._walk(df, target, prefix=f"{path}.", depth=depth + 1, wanted=wanted)
@@ -203,7 +209,7 @@ class DerefPlanner:
             tdf = self.storage.table_df(t)
             renamed, join_id = _aliased(tdf, f"__{path}{ver}", col)
             df = df.join(
-                F.broadcast(renamed), df[f"`{col}`"] == renamed[join_id], "left_outer"
+                renamed, df[f"`{col}`"] == renamed[join_id], "left_outer"
             ).drop(join_id)
             legs[ver] = [
                 c[len(f"__{path}{ver}.") :]

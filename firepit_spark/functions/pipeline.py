@@ -505,10 +505,12 @@ def web_corpus_funnel(
 
     Stage order is the cheap-to-expensive funnel rule: flags short-
     circuit via Catalyst (lang/quality expressions never run on rows
-    with no text), the robots join broadcasts the tiny selected-rules
-    frame, and the dedup keeper is a single window over the text
+    with no text), the robots verdict is computed INLINE per row after
+    broadcasting one rule ARRAY per host (no per-URL aggregation, no
+    corpus join-back — the whole leg adds zero exchanges, r11 verdict
+    perf item 3), and the dedup keeper is a single window over the text
     fingerprint computed only for rows still alive at that stage."""
-    from firepit_spark.functions.robots import robots_verdict
+    from firepit_spark.functions.robots import _best_match, agent_rule_arrays
     from firepit_spark.functions.text import lang_guess, quality_score
     from firepit_spark.functions.web import url_host, url_path, url_query
     from firepit_spark.sources.warc import warc_text
@@ -528,13 +530,22 @@ def web_corpus_funnel(
          & uri.isNotNull()).alias("has_text"),
     )
     if robots is not None:
-        verdicts = robots_verdict(
-            base.filter("has_text").select("uri", "host", "path"),
-            robots, crawler_agent,
-            id_col="uri", host_col="host", path_col="path",
-        ).select("uri", F.col("allowed").alias("robots_ok"))
-        base = base.join(verdicts, "uri", "left").withColumn(
-            "robots_ok", F.coalesce("robots_ok", F.lit(False))
+        arrays = agent_rule_arrays(robots, crawler_agent).select(
+            F.col("host").alias("__r_host"), "__rules"
+        )
+        best = _best_match("path")
+        base = (
+            base.join(
+                F.broadcast(arrays),
+                F.col("host") == F.col("__r_host"),
+                "left",
+            )
+            .withColumn(
+                "robots_ok",
+                F.col("has_text")
+                & F.coalesce(best["a"] == 1, F.lit(True)),
+            )
+            .drop("__r_host", "__rules")
         )
     else:
         base = base.withColumn("robots_ok", F.col("has_text"))

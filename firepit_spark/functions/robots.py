@@ -19,14 +19,19 @@ Semantics implemented (RFC 9309 + the de-facto Google rules):
 * precedence — the LONGEST matching pattern wins; on a tie, ``Allow``
   wins; no matching rule ⇒ allowed.
 
-Spark shape (:func:`robots_verdict`): agent selection runs on the
-rules frame alone (tiny); the URL corpus LEFT-joins the selected rules
-via **broadcast** on host (the corpus never shuffles for the join) and
-pattern matching is JVM-side ``rlike`` with the regex compiled at parse
-time; the verdict is a map-side-combined ``max(struct(pattern_len,
-allow))`` per URL id — the only shuffle carries (id, int, bool), never
-URLs. Differential-tested against an independent pure-python matcher
-plus the RFC's precedence examples.
+Spark shape (:func:`robots_verdict` / :func:`robots_filter`): agent
+selection runs on the rules frame alone (tiny); the selected rules are
+collected into ONE ARRAY PER HOST (:func:`agent_rule_arrays`, bounded
+by host count — the only frame that broadcasts) and the URL corpus
+LEFT-joins that array frame on host, after which the verdict is a
+purely per-row expression: a higher-order ``filter`` keeps the rules
+whose regex matches (JVM-side ``RLIKE``, compiled at parse time) and
+``array_max`` over ``struct(pattern_len, allow)`` picks the winner —
+longest pattern first, allow on ties. The corpus never shuffles AT ALL
+(r11 verdict item: the old shape re-aggregated per URL id and
+``robots_filter`` force-broadcast an O(corpus) allowed-id frame).
+Differential-tested against an independent pure-python matcher plus
+the RFC's precedence examples.
 
 The reference engine has no web surface; LLM-pipeline family
 (siblings: web.py URL ops, cap_per_key).
@@ -125,7 +130,14 @@ def select_agent_rules(rules: DataFrame, crawler_agent: str) -> DataFrame:
     """The per-host rule group a crawler with ``crawler_agent`` obeys:
     groups whose agent token is a substring of the crawler token
     compete by token length; ``*`` is priority 0. Runs entirely on the
-    rules frame (small)."""
+    rules frame — as a window max over host (ONE shuffle, no self-join,
+    no broadcast of anything; the old groupBy+join-back shape either
+    force-broadcast a frame that grows with the crawl's host count or
+    planned a sort-merge self-join). The host partitioning this
+    produces is exactly what :func:`agent_rule_arrays`' groupBy(host)
+    needs, so composing them adds no further exchange."""
+    from pyspark.sql import Window
+
     crawler = crawler_agent.lower()
     eligible = rules.filter(
         (F.col("agent") == "*")
@@ -136,13 +148,50 @@ def select_agent_rules(rules: DataFrame, crawler_agent: str) -> DataFrame:
             F.length("agent")
         ),
     )
-    best = eligible.groupBy("host").agg(
-        F.max("__prio").alias("__best")
-    )
+    best = F.max("__prio").over(Window.partitionBy("host"))
     return (
-        eligible.join(F.broadcast(best), "host")
+        eligible.withColumn("__best", best)
         .filter(F.col("__prio") == F.col("__best"))
         .drop("__prio", "__best")
+    )
+
+
+def agent_rule_arrays(rules: DataFrame, crawler_agent: str) -> DataFrame:
+    """The selected group's rules folded into ONE row per host:
+    ``(host, __rules array<struct<l,a,p,r>>)`` — pattern length, allow
+    as int, pattern text, compiled regex. This is the frame the URL
+    corpus joins: bounded by host count, one array per host, so the
+    broadcast side stays small even when the rules frame carried many
+    rows per host."""
+    sel = select_agent_rules(rules, crawler_agent)
+    return sel.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("pattern").alias("l"),
+                F.col("allow").cast("int").alias("a"),
+                F.col("pattern").alias("p"),
+                F.col("regex").alias("r"),
+            )
+        ).alias("__rules")
+    )
+
+
+def _best_match(path_col: str):
+    """Per-row winning-rule expression over a joined ``__rules`` array:
+    higher-order filter keeps matching rules, ``array_max`` over
+    ``struct(l, a, p)`` is the same total order as the pure-python
+    matcher — longest pattern, then allow, then pattern text. NULL when
+    no rule matches (or the host has no rules at all)."""
+    matched = F.filter(
+        "__rules", lambda r: F.regexp_like(F.col(path_col), r["r"])
+    )
+    return F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                r["l"].alias("l"), r["a"].alias("a"), r["p"].alias("p")
+            ),
+        )
     )
 
 
@@ -158,36 +207,19 @@ def robots_verdict(
 
     ``urls`` carries (id, host, path+query); ``rules`` is
     :func:`robots_rules` output. See the module docstring for the
-    semantics and the shuffle story."""
-    selected = select_agent_rules(rules, crawler_agent).select(
-        F.col("host").alias("__r_host"), "allow", "pattern", "regex"
+    semantics; the plan is broadcast-join + per-row expression — the
+    corpus side never shuffles."""
+    arrays = agent_rule_arrays(rules, crawler_agent).select(
+        F.col("host").alias("__r_host"), "__rules"
     )
-    joined = urls.select(id_col, host_col, path_col).join(
-        F.broadcast(selected),
-        F.col(host_col) == F.col("__r_host"),
-        "left",
-    )
-    matched = F.col("regex").isNotNull() & F.regexp_like(
-        F.col(path_col), F.col("regex")
-    )
-    # lexicographic struct max = longest pattern first, allow on ties
-    cand = F.when(
-        matched,
-        F.struct(
-            F.length("pattern").alias("l"),
-            F.col("allow").cast("int").alias("a"),
-            F.col("pattern").alias("p"),
-        ),
-    )
+    best = _best_match(path_col)
     return (
-        joined.groupBy(id_col)
-        .agg(F.max(cand).alias("__best"))
+        urls.select(id_col, host_col, path_col)
+        .join(F.broadcast(arrays), F.col(host_col) == F.col("__r_host"), "left")
         .select(
             id_col,
-            F.coalesce(F.col("__best.a") == 1, F.lit(True)).alias(
-                "allowed"
-            ),
-            F.col("__best.p").alias("matched_pattern"),
+            F.coalesce(best["a"] == 1, F.lit(True)).alias("allowed"),
+            best["p"].alias("matched_pattern"),
         )
     )
 
@@ -200,12 +232,25 @@ def robots_filter(
     host_col: str = "host",
     path_col: str = "path",
 ) -> DataFrame:
-    """``urls`` reduced to the rows the crawler may fetch (left-semi on
-    the allowed verdicts, so the output keeps the input's columns)."""
-    allowed = robots_verdict(
-        urls, rules, crawler_agent, id_col, host_col, path_col
-    ).filter(F.col("allowed")).select(id_col)
-    return urls.join(F.broadcast(allowed), id_col, "left_semi")
+    """``urls`` reduced to the rows the crawler may fetch; the output
+    keeps the input's columns. The verdict is computed INLINE on each
+    row (broadcast rule arrays + higher-order match), so the corpus is
+    never aggregated, joined back, or broadcast — the r11 shape
+    (left-semi against a force-broadcast O(corpus) allowed-id frame)
+    was a driver OOM at crawl scale."""
+    arrays = agent_rule_arrays(rules, crawler_agent).select(
+        F.col("host").alias("__r_host"), "__rules"
+    )
+    best = _best_match(path_col)
+    return (
+        urls.join(
+            F.broadcast(arrays),
+            F.col(host_col) == F.col("__r_host"),
+            "left",
+        )
+        .filter(F.coalesce(best["a"] == 1, F.lit(True)))
+        .drop("__r_host", "__rules")
+    )
 
 
 def robots_directives(

@@ -197,13 +197,19 @@ def test_robots_filter_and_plan_shape(spark):
     )
     kept = R.robots_filter(urls, rules)
     assert sorted(r["url_id"] for r in kept.collect()) == [1, 3]
-    # scale shape: the URL side joins the rules via BROADCAST — no
-    # corpus-side exchange for the join; the verdict agg is the only
-    # shuffle and it carries (id, len, bool)
+    assert set(kept.columns) == {"url_id", "host", "path"}  # inputs kept
+    # scale shape (r11 verdict item): the corpus side NEVER shuffles —
+    # per-host rule ARRAYS broadcast and the verdict is a per-row
+    # higher-order expression; no per-URL aggregation, no join-back,
+    # no broadcast of an O(corpus) allowed-id frame
     from firepit_spark.functions.doctor import assert_scaleworthy
 
-    rep = assert_scaleworthy(R.robots_verdict(urls, rules))
-    assert rep.broadcasts >= 1
+    for frame in (R.robots_verdict(urls, rules), kept):
+        rep = assert_scaleworthy(frame)
+        assert rep.broadcasts >= 1
+        plan = frame._jdf.queryExecution().toString()
+        assert "hashpartitioning(url_id" not in plan
+        assert "SortMergeJoin" not in plan
 
 
 def test_robots_directives_conservative_delay_fallback(spark):

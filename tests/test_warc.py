@@ -332,6 +332,11 @@ def test_web_corpus_funnel_single_plan(spark, tmp_path):
     assert [r["uri"] for r in kept] == ["http://h0.example/dup"]
     assert kept[0]["lang"] == "en" and kept[0]["quality"] >= 0.5
     assert kept[0]["path"] == "/dup"  # no spurious '?' without a query
+    # plan gate (r11 verdict perf item 3): the robots leg is inline —
+    # no per-URL re-aggregation, no corpus join-back keyed on uri; the
+    # only corpus exchange left is the dedup window's fingerprint one
+    plan = flags._jdf.queryExecution().toString()
+    assert "hashpartitioning(uri#" not in plan
 
 
 def test_end_to_end_warc_html_robots_dedup(spark, tmp_path):
