@@ -31,8 +31,13 @@ needs":
 Openers: local/NFS paths use plain ``open`` executor-side (no JVM
 gateway exists inside Arrow workers — the Hadoop FileSystem API is a
 driver-only facility). An ``opener`` callable can be injected for
-object stores (s3/gcs range GETs); it must return a file-like with
-``seek``/``read``.
+object stores; it must return a file-like with ``seek``/``read``.
+:func:`firepit_spark.sources.openers.http_range_opener` is the shipped
+one — stdlib HTTP(S) ``Range`` GETs with keep-alive, which is exactly
+how public CommonCrawl is served::
+
+    fetch_warc_records(idx, base_dir="https://data.commoncrawl.org/",
+                       opener=http_range_opener)
 
 The reference engine has no web-archive surface; LLM-pipeline family
 (siblings: sources/warc.py, functions/web.py, functions/robots.py).

@@ -1,0 +1,233 @@
+"""Executor-side file openers for the WARC/CDX record-fetch path.
+
+:func:`firepit_spark.sources.cdx.fetch_warc_records` reads archives
+through an injected ``opener(filename) -> file-like`` so the same plan
+runs against local disk, NFS, or an object store. This module ships the
+object-store half (r11 verdict item 2): real CommonCrawl lives behind
+HTTP(S) endpoints (``https://data.commoncrawl.org/...``) that serve RFC
+9110 ``Range`` requests, and the stdlib is enough to speak that —
+no SDK dependency.
+
+Design constraints, from how the fetch path drives a handle:
+
+* one handle per (task, archive file), reads arrive as monotonically
+  increasing ``seek(offset); read(length)`` pairs — so a handle maps
+  naturally onto ONE persistent HTTP connection issuing sequential
+  ``Range: bytes=o-(o+n-1)`` GETs (keep-alive matters: a single-domain
+  fetch can pull thousands of records from one archive, and paying
+  TCP+TLS per record would dominate),
+* openers run INSIDE Arrow workers — no JVM gateway, no Hadoop
+  FileSystem, plain sockets only,
+* a failed range read must raise (the caller quarantines per record),
+  not hang — bounded timeouts and retries.
+
+``http_range_opener`` is the drop-in: http(s) URLs get a
+:class:`HttpRangeFile`, anything else falls through to local ``open``,
+so ``fetch_warc_records(idx, base_dir="https://data.commoncrawl.org/",
+opener=http_range_opener)`` works with CommonCrawl's relative
+``filename`` column verbatim.
+
+The reference engine has no web-archive surface; LLM-pipeline family
+(siblings: sources/warc.py, sources/cdx.py).
+"""
+
+from __future__ import annotations
+
+import http.client
+import ssl
+import time
+from urllib.parse import urlsplit
+
+#: refuse to buffer a whole body past this when a server ignores Range
+_NO_RANGE_CAP = 256 << 20
+
+
+class HttpRangeFile:
+    """Read-only file-like over an http(s) URL via ``Range`` GETs.
+
+    ``seek`` is free (it only moves the position); each ``read(n)``
+    issues one range request on a persistent connection, retrying once
+    on a dropped keep-alive socket and following up to ``max_redirects``
+    redirects (CommonCrawl's CDN 302s between regions). A server that
+    answers ``200`` instead of ``206`` doesn't do ranges: the body is
+    buffered once and sliced locally, capped at 256 MiB so a misconfig
+    can't OOM an executor — past the cap the read raises and the record
+    quarantines.
+    """
+
+    def __init__(self, url: str, timeout: float = 60.0,
+                 max_retries: int = 3, max_redirects: int = 5):
+        self._url = url
+        self._timeout = timeout
+        self._max_retries = max_retries
+        self._max_redirects = max_redirects
+        self._pos = 0
+        self._conns: dict = {}   # netloc -> HTTPConnection (keep-alive)
+        self._full_body: bytes | None = None  # 200-fallback buffer
+        self.closed = False
+
+    # -------------------------------------------------- file-like API
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = pos
+        elif whence == 1:
+            self._pos += pos
+        else:
+            raise ValueError("SEEK_END unsupported (no cheap length)")
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if self.closed:
+            raise ValueError("read on closed HttpRangeFile")
+        if self._full_body is not None:
+            end = None if n is None or n < 0 else self._pos + n
+            out = self._full_body[self._pos:end]
+            self._pos += len(out)
+            return out
+        out = self._range_get(self._pos, n)
+        self._pos += len(out)
+        return out
+
+    def close(self):
+        self.closed = True
+        for conn in self._conns.values():
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+        self._conns.clear()
+        self._full_body = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------ transport
+
+    def _conn_for(self, scheme: str, netloc: str):
+        key = f"{scheme}://{netloc}"
+        conn = self._conns.get(key)
+        if conn is None:
+            host, _, port = netloc.partition(":")
+            if scheme == "https":
+                conn = http.client.HTTPSConnection(
+                    host, int(port) if port else 443,
+                    timeout=self._timeout,
+                    context=ssl.create_default_context(),
+                )
+            else:
+                conn = http.client.HTTPConnection(
+                    host, int(port) if port else 80,
+                    timeout=self._timeout,
+                )
+            self._conns[key] = conn
+        return conn
+
+    def _drop_conn(self, scheme: str, netloc: str):
+        conn = self._conns.pop(f"{scheme}://{netloc}", None)
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _range_get(self, start: int, n: int) -> bytes:
+        rng = (f"bytes={start}-" if n is None or n < 0
+               else f"bytes={start}-{start + n - 1}")
+        if n == 0:
+            return b""
+        url = self._url
+        last_exc: Exception | None = None
+        hops = 0
+        attempt = 0
+        while attempt < self._max_retries:
+            try:
+                return self._one_request(url, rng, start, n)
+            except _Redirect as r:
+                url = r.location  # retry budget intact: 3xx is progress
+                hops += 1
+                if hops > self._max_redirects:
+                    raise OSError(
+                        f"too many redirects fetching {self._url}"
+                    ) from None
+                continue
+            except (http.client.HTTPException, OSError) as exc:
+                last_exc = exc
+                # dropped keep-alive / transient: new socket, brief pause
+                parts = urlsplit(url)
+                self._drop_conn(parts.scheme, parts.netloc)
+                attempt += 1
+                if attempt < self._max_retries:
+                    time.sleep(min(2.0 ** attempt * 0.1, 2.0))
+        raise OSError(
+            f"range GET failed after {self._max_retries} attempts: "
+            f"{self._url} [{rng}]: {last_exc}"
+        )
+
+    def _one_request(self, url: str, rng: str, start: int, n: int) -> bytes:
+        parts = urlsplit(url)
+        conn = self._conn_for(parts.scheme, parts.netloc)
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        conn.request("GET", path, headers={
+            "Range": rng,
+            "User-Agent": "firepit-spark-range-fetch",
+        })
+        resp = conn.getresponse()
+        if resp.status in (301, 302, 303, 307, 308):
+            resp.read()  # drain so the connection stays reusable
+            loc = resp.getheader("Location")
+            if not loc:
+                raise OSError(f"redirect without Location from {url}")
+            if "://" not in loc:  # relative redirect
+                loc = f"{parts.scheme}://{parts.netloc}{loc}"
+            raise _Redirect(loc)
+        if resp.status == 206:
+            return resp.read()
+        if resp.status == 200:
+            # no range support: buffer the whole body ONCE, serve all
+            # subsequent reads from it
+            clen = resp.getheader("Content-Length")
+            if clen and int(clen) > _NO_RANGE_CAP:
+                resp.close()
+                raise OSError(
+                    f"{url} ignores Range and body is {clen} bytes "
+                    f"(cap {_NO_RANGE_CAP})"
+                )
+            body = resp.read()
+            if len(body) > _NO_RANGE_CAP:
+                raise OSError(f"{url} ignores Range; body past cap")
+            self._full_body = body
+            end = None if n is None or n < 0 else start + n
+            return body[start:end]
+        if resp.status == 416:
+            resp.read()
+            return b""  # range beyond EOF: empty read, like a file
+        body_head = resp.read(200)
+        raise OSError(
+            f"HTTP {resp.status} fetching {url} [{rng}]: {body_head!r}"
+        )
+
+
+class _Redirect(Exception):
+    def __init__(self, location: str):
+        self.location = location
+
+
+def http_range_opener(filename: str):
+    """The injectable ``opener`` for object-store fetches: http(s) URLs
+    open as :class:`HttpRangeFile`, everything else as a local file —
+    compose with ``fetch_warc_records(..., base_dir="https://...",
+    opener=http_range_opener)``."""
+    if filename.startswith(("http://", "https://")):
+        return HttpRangeFile(filename)
+    if filename.startswith("file://"):
+        filename = filename[7:]
+    return open(filename, "rb")

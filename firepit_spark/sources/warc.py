@@ -434,8 +434,17 @@ def write_warc_shards(
     skipped and counted via the manifest delta rather than poisoning an
     archive. Local/NFS ``out_dir`` only (executor-side python ``open`` —
     the JVM committer machinery isn't reachable from Arrow workers);
-    object-store export goes through a mounted path or a custom
-    uploader over the manifest."""
+    object-store export goes through a mounted path, or a manifest-
+    driven uploader — the manifest names every shard file, so a bounded
+    driver-side loop ships them with any client at hand::
+
+        for m in write_warc_shards(df, out).collect():   # bounded: one
+            upload(f"{out}/{m['shard']}", bucket)        # row per shard
+            upload(f"{out}/{m['shard']}.cdx", bucket)
+
+    (reading exported shards back from the object store needs no upload
+    symmetry: ``fetch_warc_records`` + ``openers.http_range_opener``
+    range-GETs them in place.)"""
     import os
     import uuid
 

@@ -1,0 +1,177 @@
+"""HTTP(S) range opener: HttpRangeFile semantics against a live local
+server, and fetch_warc_records end-to-end over HTTP through the
+production path (r11 verdict item 2 — the object-store opener)."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.sources import cdx as C
+from firepit_spark.sources import warc as W
+from firepit_spark.sources.openers import HttpRangeFile, http_range_opener
+
+
+class _RangeHandler(BaseHTTPRequestHandler):
+    """Static file server with RFC 9110 single-range support; paths
+    under /norange/ deliberately IGNORE Range headers (the 200
+    fallback), /redir/ 302s to the real path."""
+
+    root: Path = Path(".")
+
+    def log_message(self, *a):  # noqa: D102 — quiet
+        pass
+
+    def do_GET(self):  # noqa: N802
+        path = self.path.lstrip("/")
+        if path.startswith("redir/"):
+            self.send_response(302)
+            self.send_header("Location", "/" + path[len("redir/"):])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        ignore_range = path.startswith("norange/")
+        if ignore_range:
+            path = path[len("norange/"):]
+        f = self.root / path
+        if not f.is_file():
+            self.send_response(404)
+            body = b"not found"
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        data = f.read_bytes()
+        rng = self.headers.get("Range")
+        if rng and not ignore_range:
+            spec = rng.split("=", 1)[1]
+            start_s, _, end_s = spec.partition("-")
+            start = int(start_s)
+            if start >= len(data):
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(data)}")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            end = min(int(end_s), len(data) - 1) if end_s else len(data) - 1
+            chunk = data[start:end + 1]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {start}-{end}/{len(data)}"
+            )
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+        else:
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+
+@pytest.fixture(scope="module")
+def http_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("httproot")
+    handler = type("H", (_RangeHandler,), {"root": root})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield root, f"http://127.0.0.1:{server.server_address[1]}/"
+    server.shutdown()
+
+
+def test_http_range_file_semantics(http_root):
+    root, base = http_root
+    (root / "blob.bin").write_bytes(bytes(range(256)) * 4)
+
+    with HttpRangeFile(base + "blob.bin") as fh:
+        fh.seek(10)
+        assert fh.read(5) == bytes(range(10, 15))
+        assert fh.tell() == 15
+        fh.seek(256)                      # sequential forward seeks
+        assert fh.read(3) == bytes([0, 1, 2])
+        fh.seek(1020)
+        assert fh.read(100) == bytes([252, 253, 254, 255])  # clamped
+        fh.seek(5000)
+        assert fh.read(10) == b""         # past EOF: empty, like a file
+        fh.seek(0)
+        assert fh.read(1) == b"\x00"      # connection still alive
+
+    # a server that ignores Range: one buffered body, reads still exact
+    with HttpRangeFile(base + "norange/blob.bin") as fh:
+        fh.seek(10)
+        assert fh.read(5) == bytes(range(10, 15))
+        fh.seek(1020)
+        assert fh.read(100) == bytes([252, 253, 254, 255])
+
+    # redirects are followed, ranges intact
+    with HttpRangeFile(base + "redir/blob.bin") as fh:
+        fh.seek(10)
+        assert fh.read(5) == bytes(range(10, 15))
+
+    with pytest.raises(OSError, match="404"):
+        HttpRangeFile(base + "missing.bin").read(10)
+
+
+def test_http_opener_dispatch(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"local bytes")
+    with http_range_opener(str(p)) as fh:
+        assert fh.read() == b"local bytes"
+    with http_range_opener(f"file://{p}") as fh:
+        assert fh.read() == b"local bytes"
+    fh = http_range_opener("https://h.example/a.warc.gz")
+    assert isinstance(fh, HttpRangeFile)
+    fh.close()
+
+
+def test_fetch_warc_records_over_http(spark, http_root):
+    """The production path end-to-end: export shards + CDX sidecars,
+    serve them over HTTP, and range-fetch EXACTLY the indexed records
+    through fetch_warc_records with the injected opener — payloads
+    byte-exact vs the local-disk fetch."""
+    from firepit_spark.sources.warc import write_warc_shards
+
+    root, base = http_root
+    out = root / "export"
+    out.mkdir()
+    docs = spark.createDataFrame(
+        [(f"http://h.example/{i}", f"text body {i}",
+          f"2024-06-0{i + 1}T00:00:00Z") for i in range(6)],
+        "uri string, text string, date string",
+    ).repartition(2)
+    write_warc_shards(docs, str(out), date_col="date").collect()
+
+    clean, quar = C.read_cdx(spark, str(out / "*.cdx"))
+    assert quar.count() == 0
+    local = {
+        r["target_uri"]: bytes(r["payload"])
+        for r in C.fetch_warc_records(
+            clean, base_dir=str(out) + "/"
+        ).collect()
+    }
+    over_http = C.fetch_warc_records(
+        clean, base_dir=base + "export/", opener=http_range_opener
+    ).collect()
+    assert all(r["err"] is None for r in over_http)
+    assert {r["target_uri"]: bytes(r["payload"])
+            for r in over_http} == local
+
+    # and through a Range-blind server: the 200 fallback still fetches
+    blind = C.fetch_warc_records(
+        clean, base_dir=base + "norange/export/", opener=http_range_opener
+    ).collect()
+    assert {r["target_uri"]: bytes(r["payload"]) for r in blind} == local
+
+    # a missing archive quarantines per record, never kills the job
+    bad = clean.withColumn(
+        "filename", F.concat(F.lit("gone-"), F.col("filename"))
+    )
+    failed = C.fetch_warc_records(
+        bad, base_dir=base + "export/", opener=http_range_opener
+    ).collect()
+    assert all(r["err"] is not None and "404" in r["err"] for r in failed)
