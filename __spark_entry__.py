@@ -4122,6 +4122,98 @@ QUALIFY row_number() OVER (
 """
 
 
+def q66_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank under the driver gate
+    (functions/graph.py:pagerank over functions/html.py:
+    host_graph_edges — the corpus-weighting consumer of the r11 edge
+    frame). Per document a (src, dst) host link is built from
+    arithmetic: sources span h0..h15, destinations h0..h22, so h16..h22
+    are DANGLING (in-links only) and their rank mass redistributes
+    every round; self-loops occur whenever d%16 == (7d+3)%23 and
+    host_graph_edges must drop them; repeated pairs fold into n_links
+    edge weights that skew the transition probabilities. The Spark
+    side runs the production path (edges -> weighted PageRank, damping
+    0.85, FIXED 5 iterations, dangling mass as a 1-row broadcast); the
+    oracle re-derives all five rounds as chained CTEs — per round a
+    dangling-mass scalar, a contribution aggregate, and the damped
+    update — entirely independently of the iterative-join
+    implementation. rank6 = round(rank, 6) absorbs float summation
+    order; the Σrank=1 invariant is pinned by tests/test_pagerank.py."""
+    from firepit_spark.functions.graph import pagerank
+    from firepit_spark.functions.html import host_graph_edges
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    links = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 2000)
+        .select(
+            F.concat(F.lit("h"), (d % 16).cast("string"))
+            .alias("src_host"),
+            F.concat(F.lit("h"), ((d * 7 + 3) % 23).cast("string"))
+            .alias("dst_host"),
+        )
+    )
+    ranks = pagerank(
+        host_graph_edges(links), weight_col="n_links",
+        damping=0.85, max_iter=5,
+    )
+    return ranks.select(
+        F.col("node").alias("host"),
+        F.round("rank", 6).alias("rank6"),
+    )
+
+
+def _q66_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE PageRank oracle: round t+1 from round t via a
+    dangling-mass scalar + contribution aggregate — same math, zero
+    shared code with the iterative-join implementation."""
+    head = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), links AS (
+  SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+  FROM d
+), e AS (
+  SELECT src, dst, COUNT(*)::DOUBLE AS w FROM links
+  WHERE src <> dst GROUP BY src, dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT COUNT(*)::DOUBLE AS n FROM nodes
+), outw AS (
+  SELECT src, SUM(w) AS ow FROM e GROUP BY src
+), trans AS (
+  SELECT e.src, e.dst, e.w / outw.ow AS p
+  FROM e JOIN outw ON e.src = outw.src
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    rounds = []
+    for t in range(iters):
+        prev, cur = f"r{t}", f"r{t + 1}"
+        rounds.append(f""", dm{t} AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM outw)
+), c{t} AS (
+  SELECT trans.dst AS node, SUM(trans.p * {prev}.rank) AS c
+  FROM trans JOIN {prev} ON trans.src = {prev}.node
+  GROUP BY trans.dst
+), {cur} AS (
+  SELECT nodes.node,
+         (1.0 - {damping!r}) / (SELECT n FROM nn)
+         + {damping!r} * (COALESCE(c{t}.c, 0.0)
+                          + (SELECT dm FROM dm{t}) / (SELECT n FROM nn))
+           AS rank
+  FROM nodes LEFT JOIN c{t} ON nodes.node = c{t}.node
+)""")
+    tail = f"""
+SELECT node AS host, ROUND(rank, 6) AS rank6 FROM r{iters}
+"""
+    return head + "".join(rounds) + tail
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4190,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_cdx_surt": q63_cdx_surt,
         "q64_robots_verdict": q64_robots_verdict,
         "q65_cdx_dedup": q65_cdx_dedup,
+        "q66_host_pagerank": q66_host_pagerank,
     }
 
 
@@ -4251,4 +4344,5 @@ def oracle_sql() -> dict[str, str]:
         "q63_cdx_surt": _Q63_SQL,
         "q64_robots_verdict": _Q64_SQL,
         "q65_cdx_dedup": _Q65_SQL,
+        "q66_host_pagerank": _q66_sql(),
     }

@@ -186,6 +186,88 @@ def dedup_clusters(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight_col: str | None = None,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank) over a directed edge list — the corpus-weighting /
+    spam-triage consumer of :func:`firepit_spark.functions.html.
+    host_graph_edges` (feed it straight in with
+    ``weight_col="n_links"``).
+
+    Standard damped PageRank with dangling-mass redistribution: ranks
+    start uniform at 1/N and each round becomes ``(1-d)/N + d *
+    (Σ_incoming rank·w/outw + dangling/N)``, where ``dangling`` is the
+    rank mass sitting on nodes with no outgoing edges — redistributing
+    it keeps ``Σ rank = 1`` every round (the invariant the tests pin).
+    A FIXED ``max_iter`` (no convergence probe) keeps the result exactly
+    reproducible by an iteration-for-iteration SQL oracle.
+
+    Plan shape per round: one equi-join of the (src, dst, p) transition
+    frame against the rank frame + a groupBy(dst) partial-agg, plus a
+    ONE-ROW dangling-mass aggregate cross-joined back via broadcast —
+    no driver-side collect in the loop. The transition frame is
+    computed once (edge weights normalized by out-weight) and each
+    round is lineage-truncated like :func:`connected_components`, so
+    the round-k plan stays O(1) instead of doubling."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    nodes = _truncate(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        eager=True,
+        checkpoint_dir=checkpoint_dir,
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outw = e.groupBy("src").agg(F.sum("w").alias("__outw"))
+    trans = _truncate(
+        e.join(outw, "src").select(
+            "src", "dst", (F.col("w") / F.col("__outw")).alias("p")
+        ),
+        eager=True,
+        checkpoint_dir=checkpoint_dir,
+    )
+    sources = trans.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        dangling = (
+            ranks.join(sources, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("__c"))
+        )
+        ranks = _truncate(
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0))
+                       + F.col("__dm") / n)
+                ).alias("rank"),
+            ),
+            eager=True,
+            checkpoint_dir=checkpoint_dir,
+        )
+    return ranks
+
+
 def roots(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
     """Processes with no (known) parent — the tree roots."""
     e = edges_from(df, ref_col)

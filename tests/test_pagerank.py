@@ -1,0 +1,95 @@
+"""PageRank over host-graph edges: hand-computed one-round values, a
+pure-python differential over a seeded random weighted graph (with
+dangling nodes), the Σrank=1 invariant, and composition with
+host_graph_edges."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions.graph import pagerank
+
+
+def _ref_pagerank(edges, damping, iters):
+    """Independent dict/loop reference: edges = [(src, dst, w), ...]."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    outw: dict = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in rank.items() if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            contrib[d] += rank[s] * (w / outw[s])
+        rank = {
+            v: (1.0 - damping) / n
+            + damping * (contrib[v] + dangling / n)
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_one_round_hand_computed(spark):
+    # A->B, B->A, B->C; C dangling. After ONE round from uniform 1/3:
+    # A = C = 0.05 + 0.85*(1/6 + 1/9), B = 0.05 + 0.85*(1/3 + 1/9)
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C")],
+        "src_host string, dst_host string",
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, max_iter=1).collect()}
+    assert got["A"] == pytest.approx(0.05 + 0.85 * (1 / 6 + 1 / 9))
+    assert got["B"] == pytest.approx(0.05 + 0.85 * (1 / 3 + 1 / 9))
+    assert got["C"] == pytest.approx(got["A"])
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_pagerank_weighted_differential(spark):
+    rng = random.Random(11)
+    hosts = [f"h{i}" for i in range(12)]
+    edges = sorted({
+        (rng.choice(hosts[:9]), rng.choice(hosts), rng.randint(1, 5))
+        for _ in range(40)
+    })  # sources only h0..h8: h9..h11 can be dangling
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, weight_col="n_links", max_iter=7).collect()}
+    want = _ref_pagerank([(s, d, float(w)) for s, d, w in edges], 0.85, 7)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0)
+    # more iterations keep the probability-mass invariant
+    long_run = pagerank(df, weight_col="n_links", max_iter=15)
+    assert long_run.agg(F.sum("rank")).collect()[0][0] == pytest.approx(1.0)
+
+
+def test_pagerank_composes_with_host_graph_edges(spark):
+    """The intended feed: html_outlinks -> host_graph_edges -> pagerank.
+    A host every page links to outranks the rest."""
+    from firepit_spark.functions.html import host_graph_edges
+
+    links = spark.createDataFrame(
+        [(f"h{i}.example", "hub.example") for i in range(6)]
+        + [("hub.example", f"h{i}.example") for i in range(3)]
+        + [("h1.example", "h2.example")],
+        "src_host string, dst_host string",
+    )
+    ranks = pagerank(
+        host_graph_edges(links), weight_col="n_links", max_iter=10
+    ).collect()
+    top = max(ranks, key=lambda r: r["rank"])
+    assert top["node"] == "hub.example"
+
+
+def test_pagerank_empty_edges(spark):
+    e = spark.createDataFrame([], "src_host string, dst_host string")
+    assert pagerank(e, max_iter=3).collect() == []
