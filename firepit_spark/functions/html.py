@@ -221,6 +221,39 @@ def extract_links(html: str) -> list:
     return p.hrefs
 
 
+class _TitleExtractor(HTMLParser):
+    """Text content of the first <title> element."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._in_title = False
+        self._done = False
+        self.parts: list = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "title" and not self._done:
+            self._in_title = True
+
+    def handle_endtag(self, tag):
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._done = True
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.parts.append(data)
+
+
+def extract_title(html: str) -> str | None:
+    """The first <title> text, whitespace-collapsed; None when absent
+    or empty (the WAT Head metadata field)."""
+    p = _TitleExtractor()
+    p.feed(html or "")
+    p.close()
+    title = " ".join("".join(p.parts).split())
+    return title or None
+
+
 def html_outlinks(
     df: DataFrame,
     html_col: str = "html",

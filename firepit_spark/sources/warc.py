@@ -39,7 +39,11 @@ The write side (:func:`write_warc_shards`) closes the loop: one
 ``.warc.gz`` shard per partition (conversion/WET records, one gzip
 member each) plus a CDX-J sidecar per shard, so an exported corpus is
 immediately range-fetchable through the same index machinery that reads
-CommonCrawl itself.
+CommonCrawl itself. The WAT leg (:func:`wat_metadata` /
+:func:`write_wat_shards` / :func:`wat_links`) completes the
+WARC/WET/WAT artifact family: per-record JSON envelopes carrying the
+headers, title and outlinks, so link-graph consumers never re-parse
+the HTML.
 
 The reference engine has no web-archive surface; LLM-pipeline family
 (the brief's training-data sources). Fixture writer
@@ -264,6 +268,27 @@ def parse_http_response(block: bytes) -> tuple:
     return status, headers, payload
 
 
+def decode_html_bytes(raw: bytes, content_type: str) -> str:
+    """Decode an HTML payload with the crawl-world charset priority:
+    BOM > Content-Type ``charset=`` parameter > UTF-8. Unknown charset
+    names fall back rather than quarantine (``replace`` already bounds
+    the damage, and mislabeled pages are routine)."""
+    import codecs
+    import re as _re
+
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return raw.decode("utf-16", "replace")
+    m = _re.search(r"charset=[\"']?([\w.:-]+)", content_type or "")
+    if m:
+        try:
+            return raw.decode(codecs.lookup(m.group(1)).name, "replace")
+        except LookupError:
+            pass
+    return raw.decode("utf-8", "replace")
+
+
 def _record_row(fname: str, offset: int, rec: dict, keep_payload: bool):
     """One WARC record dict → a WARC_SCHEMA row tuple."""
     h = rec["headers"]
@@ -413,6 +438,9 @@ def write_warc_shards(
     compress: bool = True,
     cdx_sidecar: bool = True,
     warcinfo_fields: dict | None = None,
+    record_type: str = "conversion",
+    payload_content_type: str = "text/plain",
+    ext: str | None = None,
 ) -> DataFrame:
     """Export a (uri, text) corpus as WET-style archive shards: each
     partition writes ONE ``<prefix>-<partition:05d>.warc.gz`` under
@@ -463,9 +491,9 @@ def write_warc_shards(
                 if uri is None or text is None:
                     continue
                 headers = {
-                    "WARC-Type": "conversion",
+                    "WARC-Type": record_type,
                     "WARC-Target-URI": str(uri),
-                    "Content-Type": "text/plain",
+                    "Content-Type": payload_content_type,
                 }
                 if date_col and date is not None:
                     headers["WARC-Date"] = str(date)
@@ -486,8 +514,10 @@ def write_warc_shards(
                 ({"WARC-Type": "warcinfo",
                   "Content-Type": "application/warc-fields"}, info),
             )
-        ext = ".warc.gz" if compress else ".warc"
-        shard = f"{prefix}-{pid:05d}{ext}"
+        suffix = ext if ext is not None else (
+            ".warc.gz" if compress else ".warc"
+        )
+        shard = f"{prefix}-{pid:05d}{suffix}"
         blob = warc_encode(records, compress=compress)
         tmp = os.path.join(out_dir, f".{shard}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "wb") as fh:
@@ -541,27 +571,6 @@ def warc_text(
     )
     cols = [f.name for f in fields]
 
-    import codecs
-    import re as _re
-
-    def _decode_html(raw: bytes, ct: str) -> str:
-        # charset priority: BOM > Content-Type header > UTF-8; unknown
-        # names fall back rather than quarantine (replace already
-        # bounds the damage, and mislabeled pages are routine)
-        if raw[:3] == b"\xef\xbb\xbf":
-            return raw[3:].decode("utf-8", "replace")
-        if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
-            return raw.decode("utf-16", "replace")
-        m = _re.search(r"charset=[\"']?([\w.:-]+)", ct)
-        if m:
-            try:
-                return raw.decode(
-                    codecs.lookup(m.group(1)).name, "replace"
-                )
-            except LookupError:
-                pass
-        return raw.decode("utf-8", "replace")
-
     def one(wtype, http_ct, payload) -> tuple:
         if payload is None:
             return None, "no payload"
@@ -572,7 +581,7 @@ def warc_text(
                 ct = (http_ct or "").lower()
                 if "html" not in ct and "xml" not in ct:
                     return None, f"non-html response ({ct or 'no type'})"
-                html = _decode_html(bytes(payload), ct)
+                html = decode_html_bytes(bytes(payload), ct)
                 return (
                     extract_main_text(html)
                     if main_content
@@ -597,3 +606,168 @@ def warc_text(
             yield pdf[cols + [out_col, err_col]]
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------------------- WAT
+#
+# CommonCrawl ships three artifacts per crawl: WARC (raw captures), WET
+# (extracted text — write_warc_shards' default output) and WAT (one
+# `metadata` record per capture whose JSON payload carries the WARC
+# headers, the HTTP response line, and the HTML metadata: title and the
+# full outlink list). WAT is how link-graph consumers avoid re-parsing
+# 90 TB of HTML; emitting and reading it closes the artifact family.
+
+
+def wat_metadata(
+    df: DataFrame,
+    out_col: str = "wat",
+) -> DataFrame:
+    """Per-record WAT JSON for a :func:`read_warc` frame: input columns
+    + ``out_col`` (the envelope string) and ``<out_col>_err``. HTML
+    ``response`` payloads contribute Head/Title and the Links array
+    (same extractor as :func:`firepit_spark.functions.html.
+    html_outlinks`, charset-decoded like :func:`warc_text`); every
+    other record type still gets its WARC-header envelope — WAT covers
+    the whole archive, not just pages. Map-only Arrow; a record whose
+    HTML fails to parse quarantines alone."""
+    import json as _json
+
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from firepit_spark.functions.html import extract_links, extract_title
+
+    fields = list(df.schema.fields)
+    if any(f.name == out_col for f in fields):
+        raise ValueError(f"out_col {out_col!r} already exists")
+    err_col = f"{out_col}_err"
+    schema = StructType(
+        fields + [StructField(out_col, StringType()),
+                  StructField(err_col, StringType())]
+    )
+    cols = [f.name for f in fields]
+
+    def one(row: dict) -> tuple:
+        try:
+            header_md = {
+                k: v
+                for k, v in (
+                    ("WARC-Type", row["warc_type"]),
+                    ("WARC-Target-URI", row["target_uri"]),
+                    ("WARC-Date", row["warc_date"]),
+                    ("WARC-Record-ID", row["record_id"]),
+                    ("Content-Type", row["content_type"]),
+                    ("Content-Length", row["content_length"]),
+                )
+                if v is not None
+            }
+            payload_md: dict = {}
+            if row["warc_type"] == "response" and row["http_status"] is not None:
+                resp: dict = {
+                    "Response-Message": {"Status": int(row["http_status"])},
+                }
+                ct = (row["http_content_type"] or "").lower()
+                raw = row["payload"]
+                if raw is not None and ("html" in ct or "xml" in ct):
+                    html = decode_html_bytes(bytes(raw), ct)
+                    html_md: dict = {}
+                    title = extract_title(html)
+                    if title:
+                        html_md["Head"] = {"Title": title}
+                    links = extract_links(html)
+                    if links:
+                        html_md["Links"] = [
+                            {"path": "A@/href", "url": u} for u in links
+                        ]
+                    if html_md:
+                        resp["HTML-Metadata"] = html_md
+                payload_md["HTTP-Response-Metadata"] = resp
+            env = {"Envelope": {
+                "Format": "WARC",
+                "WARC-Header-Metadata": header_md,
+                **({"Payload-Metadata": payload_md} if payload_md else {}),
+            }}
+            return _json.dumps(env, separators=(",", ":")), None
+        except Exception as exc:  # noqa: BLE001 — per-row quarantine
+            return None, str(exc)[:200]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [
+                one(dict(zip(pdf.columns, tup)))
+                for tup in pdf.itertuples(index=False)
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = [p[0] for p in pairs]
+            pdf[err_col] = [p[1] for p in pairs]
+            yield pdf[cols + [out_col, err_col]]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def write_wat_shards(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    wat_col: str = "wat",
+    date_col: str | None = None,
+    prefix: str = "part",
+    compress: bool = True,
+    warcinfo_fields: dict | None = None,
+) -> DataFrame:
+    """Export :func:`wat_metadata` output as WAT shards: ``metadata``
+    records with ``application/json`` payloads in
+    ``<prefix>-<partition:05d>.warc.wat.gz`` files (the CommonCrawl
+    naming), CDX sidecars included — a WAT shard is a valid WARC, so it
+    reads back through :func:`read_warc` / ``fetch_warc_records`` and
+    :func:`wat_links` unpacks it JVM-side. Same manifest contract and
+    scale notes as :func:`write_warc_shards`."""
+    return write_warc_shards(
+        df, out_dir, uri_col=uri_col, text_col=wat_col,
+        date_col=date_col, prefix=prefix, compress=compress,
+        warcinfo_fields=warcinfo_fields,
+        record_type="metadata",
+        payload_content_type="application/json",
+        ext=".warc.wat.gz" if compress else ".warc.wat",
+    )
+
+
+#: just enough of the envelope for link/title consumers — from_json
+#: ignores the rest, so the full WAT round-trips through this pruned view
+WAT_ENVELOPE_SCHEMA = (
+    "Envelope STRUCT<"
+    "`WARC-Header-Metadata` STRUCT<"
+    "`WARC-Target-URI` STRING, `WARC-Type` STRING>, "
+    "`Payload-Metadata` STRUCT<"
+    "`HTTP-Response-Metadata` STRUCT<"
+    "`HTML-Metadata` STRUCT<"
+    "`Head` STRUCT<`Title` STRING>, "
+    "`Links` ARRAY<STRUCT<path STRING, url STRING>>>>>>"
+)
+
+
+def wat_links(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(src_uri, title, href) per outlink from a read-back WAT frame —
+    PURE Catalyst (``from_json`` on the JSON payload + one explode, no
+    Python), which is the point of WAT: the link graph of a whole crawl
+    without touching the HTML again. Feed the result straight into
+    :func:`firepit_spark.functions.html.host_graph_edges` via
+    ``url_host``."""
+    env = F.from_json(
+        F.col(payload_col).cast("string"), WAT_ENVELOPE_SCHEMA
+    )
+    meta = env["Envelope"]
+    html_md = meta["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    return (
+        df.select(
+            meta["WARC-Header-Metadata"]["WARC-Target-URI"].alias("src_uri"),
+            html_md["Head"]["Title"].alias("title"),
+            F.explode(html_md["Links"]).alias("__l"),
+        )
+        .select("src_uri", "title", F.col("__l.url").alias("href"))
+        .filter(F.col("href").isNotNull())
+    )

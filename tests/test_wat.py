@@ -1,0 +1,121 @@
+"""WAT metadata records: envelope production from real archives, the
+.warc.wat.gz sink, read-back through the standard WARC source, and the
+pure-Catalyst link unpacking (the CommonCrawl WARC/WET/WAT family's
+last member)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from firepit_spark.sources import warc as W
+
+
+def _archive(tmp_path):
+    html = (
+        "<html><head><title>  A   Page </title></head><body>"
+        '<a href="https://other.example/x">x</a>'
+        '<a href="/rel">r</a></body></html>'
+    )
+    records = [
+        ({"WARC-Type": "response",
+          "WARC-Target-URI": "http://h.example/page",
+          "WARC-Date": "2024-06-01T00:00:00Z",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(html.encode())),
+        ({"WARC-Type": "response",
+          "WARC-Target-URI": "http://h.example/img",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(b"\x89PNG", content_type="image/png")),
+        ({"WARC-Type": "request",
+          "WARC-Target-URI": "http://h.example/page",
+          "Content-Type": "application/http;msgtype=request"},
+         b"GET /page HTTP/1.1\r\nHost: h.example\r\n\r\n"),
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(W.warc_encode(records))
+    return html
+
+
+def test_wat_metadata_envelopes(spark, tmp_path):
+    _archive(tmp_path)
+    wat = W.wat_metadata(W.read_warc(spark, str(tmp_path)))
+    rows = {(r["target_uri"], r["warc_type"]): r for r in wat.collect()}
+    assert all(r["wat_err"] is None for r in rows.values())
+
+    page = json.loads(rows[("http://h.example/page", "response")]["wat"])
+    env = page["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == (
+        "http://h.example/page"
+    )
+    html_md = env["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"]
+    assert html_md["Head"]["Title"] == "A Page"  # whitespace-collapsed
+    assert [l["url"] for l in html_md["Links"]] == [
+        "https://other.example/x", "/rel",
+    ]
+
+    img = json.loads(rows[("http://h.example/img", "response")]["wat"])
+    assert "HTML-Metadata" not in (
+        img["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    )
+    req = json.loads(rows[("http://h.example/page", "request")]["wat"])
+    assert "Payload-Metadata" not in req["Envelope"]  # headers only
+
+
+def test_wat_shards_round_trip_and_links(spark, tmp_path):
+    """wat_metadata -> write_wat_shards -> read_warc -> wat_links: the
+    link graph comes back without re-touching HTML, and the shard is a
+    valid WARC with a CDX sidecar."""
+    html = _archive(tmp_path)
+    wat = W.wat_metadata(W.read_warc(spark, str(tmp_path / "c.warc.gz")))
+    out = tmp_path / "wat_out"
+    out.mkdir()
+    manifest = W.write_wat_shards(
+        wat, str(out), date_col="warc_date",
+        warcinfo_fields={"software": "firepit-spark"},
+    ).collect()
+    assert sum(m["n_records"] for m in manifest) == 3
+    shards = sorted(p.name for p in out.glob("*.warc.wat.gz"))
+    assert shards and all(s.endswith(".warc.wat.gz") for s in shards)
+    assert all((out / (s + ".cdx")).exists() for s in shards)
+
+    back = W.read_warc(spark, str(out), path_glob="*.warc.wat.gz")
+    recs = [r for r in back.collect() if r["warc_type"] == "metadata"]
+    assert len(recs) == 3
+    assert all(r["content_type"] == "application/json" for r in recs)
+
+    links = W.wat_links(back.filter(F.col("warc_type") == "metadata"))
+    got = [(r["src_uri"], r["title"], r["href"]) for r in links.collect()]
+    assert sorted(got) == [
+        ("http://h.example/page", "A Page", "/rel"),
+        ("http://h.example/page", "A Page", "https://other.example/x"),
+    ]
+    # composes into the host graph without touching HTML again
+    from firepit_spark.functions.html import host_graph_edges
+    from firepit_spark.functions.web import url_host
+
+    edges = host_graph_edges(
+        links.select(
+            url_host(F.col("src_uri")).alias("src_host"),
+            url_host(
+                F.when(F.col("href").startswith("http"), F.col("href"))
+            ).alias("dst_host"),
+        )
+    ).collect()
+    assert [(e["src_host"], e["dst_host"], e["n_links"]) for e in edges] == [
+        ("h.example", "other.example", 1)
+    ]
+
+
+def test_extract_title_edge_cases():
+    from firepit_spark.functions.html import extract_title
+
+    assert extract_title("<title>Hi</title>") == "Hi"
+    assert extract_title("<TITLE> a  b </TITLE>") == "a b"
+    assert extract_title("<title></title>") is None
+    assert extract_title("<p>no title</p>") is None
+    assert extract_title(
+        "<title>first</title><title>second</title>"
+    ) == "first"
+    assert extract_title(None) is None
