@@ -70,6 +70,11 @@ def test_pagerank_weighted_differential(spark):
     # more iterations keep the probability-mass invariant
     long_run = pagerank(df, weight_col="n_links", max_iter=15)
     assert long_run.agg(F.sum("rank")).collect()[0][0] == pytest.approx(1.0)
+    # doctor sweep: no row-Python UDFs, no cartesian (the 1-row dangling
+    # broadcast is the documented-yellow BNL, not a red)
+    from firepit_spark.functions.doctor import assert_scaleworthy
+
+    assert_scaleworthy(long_run)
 
 
 def test_pagerank_composes_with_host_graph_edges(spark):

@@ -86,6 +86,11 @@ def test_wat_shards_round_trip_and_links(spark, tmp_path):
     assert all(r["content_type"] == "application/json" for r in recs)
 
     links = W.wat_links(back.filter(F.col("warc_type") == "metadata"))
+    # the unpack leg is pure Catalyst: no Python eval beyond the archive
+    # parse itself, no exchange at all
+    plan = links._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
     got = [(r["src_uri"], r["title"], r["href"]) for r in links.collect()]
     assert sorted(got) == [
         ("http://h.example/page", "A Page", "/rel"),
