@@ -110,20 +110,22 @@ class HttpRangeFile:
 
     # ------------------------------------------------------ transport
 
-    def _conn_for(self, scheme: str, netloc: str):
-        key = f"{scheme}://{netloc}"
+    def _conn_for(self, parts):
+        key = f"{parts.scheme}://{parts.netloc}"
         conn = self._conns.get(key)
         if conn is None:
-            host, _, port = netloc.partition(":")
-            if scheme == "https":
+            # urlsplit's hostname/port handle bracketed IPv6 literals
+            # that a naive netloc.partition(":") would mangle
+            host, port = parts.hostname, parts.port
+            if parts.scheme == "https":
                 conn = http.client.HTTPSConnection(
-                    host, int(port) if port else 443,
+                    host, port or 443,
                     timeout=self._timeout,
                     context=ssl.create_default_context(),
                 )
             else:
                 conn = http.client.HTTPConnection(
-                    host, int(port) if port else 80,
+                    host, port or 80,
                     timeout=self._timeout,
                 )
             self._conns[key] = conn
@@ -172,7 +174,7 @@ class HttpRangeFile:
 
     def _one_request(self, url: str, rng: str, start: int, n: int) -> bytes:
         parts = urlsplit(url)
-        conn = self._conn_for(parts.scheme, parts.netloc)
+        conn = self._conn_for(parts)
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
