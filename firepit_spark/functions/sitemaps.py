@@ -1,0 +1,117 @@
+"""Sitemap parsing (sitemaps.org XML) — the crawl-discovery leg.
+
+:func:`firepit_spark.functions.robots.robots_directives` surfaces each
+host's ``Sitemap:`` URLs; after fetching those documents (50k URLs or
+50 MB per file by spec, often served gzip-compressed, and frequently a
+``sitemapindex`` pointing at child sitemaps), this module turns the XML
+into the URL-frontier frame the rest of the crawl family consumes:
+``loc`` rows feed :mod:`~firepit_spark.functions.web` URL ops and
+:func:`~firepit_spark.functions.robots.robots_filter`; ``sitemapindex``
+rows name the next fetch round.
+
+Spark shape: map-only Arrow over (host, bytes) rows — one sitemap can
+legally hold 50k URLs, which is a few Arrow batches, not a shuffle. A
+document that fails to decompress or parse contributes ONE ``err`` row
+(discovery must not lose whole hosts silently the way a skip-on-error
+parse would).
+
+The reference engine has no web surface; LLM-pipeline family (siblings:
+robots.py, web.py, sources/warc.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+#: output schema of :func:`sitemap_entries`
+SITEMAP_SCHEMA = (
+    "host string, kind string, loc string, lastmod string, "
+    "changefreq string, priority double, err string"
+)
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_sitemap_xml(data) -> tuple:
+    """One sitemap document → ``(kind, entries)`` where kind is
+    ``urlset`` (leaf: entries are pages) or ``sitemapindex`` (entries
+    are child sitemap URLs) and each entry is a dict of the spec
+    fields (``loc`` required, ``lastmod``/``changefreq``/``priority``
+    optional). Namespace-agnostic (matches on local names — real
+    sitemaps carry the sitemaps.org default namespace, broken ones
+    don't); gzip member bytes are decompressed first. Raises
+    ``ValueError`` on undecodable input or a non-sitemap root."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        raw = bytes(data)
+        if raw[:2] == b"\x1f\x8b":
+            try:
+                raw = gzip.decompress(raw)
+            except OSError as exc:
+                raise ValueError(f"bad gzip: {exc}")
+        src = raw
+    else:
+        src = data or ""
+    try:
+        root = ET.fromstring(src)
+    except ET.ParseError as exc:
+        raise ValueError(f"bad xml: {exc}")
+    kind = _localname(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap root: {kind}")
+    entries = []
+    for child in root:
+        rec = {}
+        for field in child:
+            rec[_localname(field.tag)] = (field.text or "").strip()
+        if rec.get("loc"):
+            entries.append(rec)
+    return kind, entries
+
+
+def sitemap_entries(
+    df: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Parse a (host, sitemap document bytes-or-text) frame into the
+    frontier frame :data:`SITEMAP_SCHEMA` — one row per ``<url>`` /
+    ``<sitemap>`` element, ``priority`` parsed to double (NULL when
+    absent or unparseable), plus one ``err`` row per document that
+    fails to parse. ``kind='sitemapindex'`` rows carry child sitemap
+    URLs in ``loc`` — fetch and feed them back through this same
+    operator for the next level."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in SITEMAP_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for host, content in zip(pdf[host_col], pdf[content_col]):
+                if content is None:
+                    continue
+                try:
+                    kind, entries = parse_sitemap_xml(content)
+                except ValueError as exc:
+                    rows.append((host, None, None, None, None, None,
+                                 str(exc)[:200]))
+                    continue
+                for rec in entries:
+                    prio = None
+                    if "priority" in rec:
+                        try:
+                            prio = float(rec["priority"])
+                        except ValueError:
+                            pass
+                    rows.append((
+                        host, kind, rec["loc"], rec.get("lastmod"),
+                        rec.get("changefreq"), prio, None,
+                    ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=SITEMAP_SCHEMA)

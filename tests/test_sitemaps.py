@@ -1,0 +1,100 @@
+"""Sitemap XML parsing: urlset/sitemapindex, namespaces, gzip bytes,
+per-document error rows, and the robots_directives handoff."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from firepit_spark.functions.sitemaps import parse_sitemap_xml, sitemap_entries
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+URLSET = f"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset {NS}>
+  <url><loc>https://h.example/a</loc><lastmod>2024-06-01</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://h.example/b</loc><priority>junk</priority></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+</urlset>"""
+
+INDEX = f"""<?xml version="1.0"?>
+<sitemapindex {NS}>
+  <sitemap><loc>https://h.example/s1.xml.gz</loc>
+           <lastmod>2024-05-01</lastmod></sitemap>
+  <sitemap><loc>https://h.example/s2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_urlset_and_index():
+    kind, entries = parse_sitemap_xml(URLSET)
+    assert kind == "urlset"
+    # the loc-less element is dropped (loc is the spec's one MUST)
+    assert [e["loc"] for e in entries] == [
+        "https://h.example/a", "https://h.example/b",
+    ]
+    assert entries[0]["changefreq"] == "daily"
+    kind, entries = parse_sitemap_xml(INDEX)
+    assert kind == "sitemapindex"
+    assert [e["loc"] for e in entries] == [
+        "https://h.example/s1.xml.gz", "https://h.example/s2.xml",
+    ]
+    # namespace-free (broken-but-common) documents parse the same
+    bare = URLSET.replace(f" {NS}", "")
+    assert parse_sitemap_xml(bare)[0] == "urlset"
+    # gzip-compressed bytes decompress first
+    assert parse_sitemap_xml(gzip.compress(URLSET.encode()))[0] == "urlset"
+    with pytest.raises(ValueError, match="not a sitemap root"):
+        parse_sitemap_xml("<html></html>")
+    with pytest.raises(ValueError, match="bad xml"):
+        parse_sitemap_xml("<urlset><url>")
+    with pytest.raises(ValueError, match="bad gzip"):
+        parse_sitemap_xml(b"\x1f\x8btruncated")
+
+
+def test_sitemap_entries_frame(spark):
+    df = spark.createDataFrame(
+        [("h.example", URLSET.encode()),
+         ("i.example", gzip.compress(INDEX.encode())),
+         ("bad.example", b"not xml at all"),
+         ("null.example", None)],
+        "host string, content binary",
+    )
+    rows = sitemap_entries(df).collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    got = sorted((r["loc"], r["priority"]) for r in by_host["h.example"])
+    assert got == [("https://h.example/a", 0.8),
+                   ("https://h.example/b", None)]  # junk priority -> NULL
+    assert all(r["kind"] == "urlset" and r["err"] is None
+               for r in by_host["h.example"])
+    idx = by_host["i.example"]
+    assert all(r["kind"] == "sitemapindex" for r in idx)
+    assert sorted(r["loc"] for r in idx) == [
+        "https://h.example/s1.xml.gz", "https://h.example/s2.xml",
+    ]
+    # a broken document yields ONE err row, not silence
+    bad = by_host["bad.example"]
+    assert len(bad) == 1 and bad[0]["err"] and bad[0]["loc"] is None
+    assert "null.example" not in by_host  # no content, no row
+
+
+def test_robots_directives_handoff(spark):
+    """The discovery chain: robots_directives surfaces sitemap URLs;
+    fetched documents flow through sitemap_entries to a frontier."""
+    from firepit_spark.functions.robots import robots_directives
+
+    robots = spark.createDataFrame(
+        [("h.example",
+          b"Sitemap: https://h.example/sitemap.xml\nUser-agent: *\nDisallow: /x\n")],
+        "host string, content binary",
+    )
+    maps = robots_directives(robots).collect()[0]["sitemaps"]
+    assert maps == ["https://h.example/sitemap.xml"]
+    fetched = spark.createDataFrame(
+        [("h.example", URLSET.encode())], "host string, content binary"
+    )
+    frontier = sitemap_entries(fetched).filter("err IS NULL")
+    assert frontier.count() == 2
