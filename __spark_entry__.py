@@ -4214,6 +4214,188 @@ SELECT node AS host, ROUND(rank, 6) AS rank6 FROM r{iters}
     return head + "".join(rounds) + tail
 
 
+def q67_wat_links(spark, sf_dir):
+    """WAT metadata records under the driver gate (sources/warc.py:
+    wat_metadata + wat_links): per document, synthesize a real
+    ``.warc.gz`` whose response HTML carries a deterministic title and
+    link set (1 + d%3 relative links, plus an absolute external link
+    every fourth id), push it through the PRODUCTION chain — archive
+    parse → HTTP parse → wat_metadata envelope JSON → the pure-Catalyst
+    ``wat_links`` unpack (from_json against WAT_ENVELOPE_SCHEMA +
+    explode) — and emit one row per outlink. The oracle recomputes the
+    exact (doc_id, title, href) set from the generation arithmetic, so
+    a hash match proves the envelope JSON the python side WRITES agrees
+    field-for-field with the Catalyst schema the JVM side READS — the
+    seam where a WAT implementation breaks. The title is whitespace-
+    collapsed by extract_title (the fixture embeds ragged spacing to
+    keep that on the hash)."""
+    from firepit_spark.sources import warc as wc
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).filter(F.col("doc_id") < 1000)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                uri = f"http://site{d % 20}.example/doc/{d}"
+                links = "".join(
+                    f'<a href="/l/{j}">l{j}</a>'
+                    for j in range(1 + d % 3)
+                )
+                if d % 4 == 0:
+                    links += (
+                        f'<a href="https://ext{d % 7}.example/x">e</a>'
+                    )
+                html = (
+                    f"<html><head><title>  Doc \n {d} </title></head>"
+                    f"<body>{links}</body></html>"
+                )
+                records = [
+                    ({"WARC-Type": "response", "WARC-Target-URI": uri,
+                      "Content-Type":
+                          "application/http;msgtype=response"},
+                     wc.http_response_bytes(html.encode())),
+                ]
+                recs.append((str(d), wc.warc_encode(records)))
+            yield pd.DataFrame(recs, columns=["warc_file", "content"])
+
+    archives = docs.mapInPandas(
+        build, schema="warc_file string, content binary"
+    )
+    wat = wc.wat_metadata(
+        wc.parse_warc_members(archives)
+    ).filter(F.col("warc_type") == "response")
+    links = wc.wat_links(
+        wat.select(F.col("wat").cast("binary").alias("payload"))
+    )
+    return links.select(
+        F.regexp_extract("src_uri", r"/doc/(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "title", "href",
+    )
+
+
+_Q67_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 1000
+), js AS (
+  SELECT unnest(range(0, 3)) AS j
+)
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       '/l/' || CAST(j AS VARCHAR) AS href
+FROM d JOIN js ON js.j < 1 + doc_id % 3
+UNION ALL
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR),
+       'https://ext' || CAST(doc_id % 7 AS VARCHAR) || '.example/x'
+FROM d WHERE doc_id % 4 = 0
+"""
+
+
+def q68_sitemap_frontier(spark, sf_dir):
+    """Sitemap parsing under the driver gate (functions/sitemaps.py):
+    per document a sitemap XML is synthesized from arithmetic — every
+    97th id a BROKEN document (must yield exactly one error row, never
+    silence), every 50th a two-child ``sitemapindex``, the rest
+    single-url ``urlset`` leaves with lastmod every second id,
+    priority (d%10)/10 every third, changefreq every fifth — and runs
+    through the production Arrow parser. The oracle rebuilds the whole
+    frontier frame (including NULL patterns and the error-flag rows)
+    from the same arithmetic: group routing, namespace parse, field
+    extraction and junk-priority handling all sit on the hash."""
+    from firepit_spark.functions.sitemaps import sitemap_entries
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    docs = r("documents").select(
+        d.cast("long").alias("doc_id")
+    ).filter(d < 2000)
+
+    def build(batches):
+        import pandas as pd
+
+        ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        for pdf in batches:
+            rows = []
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                host = f"h{doc % 10}.example"
+                if doc % 97 == 0:
+                    rows.append((host, doc, b"not xml at all"))
+                    continue
+                if doc % 50 == 0:
+                    body = "".join(
+                        f"<sitemap><loc>https://{host}/s{doc}-{k}.xml"
+                        f"</loc></sitemap>"
+                        for k in range(2)
+                    )
+                    xml = f"<sitemapindex {ns}>{body}</sitemapindex>"
+                else:
+                    fields = [f"<loc>https://{host}/p/{doc}</loc>"]
+                    if doc % 2 == 0:
+                        fields.append(
+                            f"<lastmod>2024-06-{1 + doc % 28:02d}"
+                            f"</lastmod>"
+                        )
+                    if doc % 3 == 0:
+                        fields.append(
+                            f"<priority>{(doc % 10) / 10:.1f}</priority>"
+                        )
+                    if doc % 5 == 0:
+                        fields.append("<changefreq>weekly</changefreq>")
+                    xml = (
+                        f"<urlset {ns}><url>{''.join(fields)}</url>"
+                        f"</urlset>"
+                    )
+                rows.append((host, doc, xml.encode()))
+            yield pd.DataFrame(
+                rows, columns=["host", "doc_id", "content"]
+            )
+
+    fetched = docs.mapInPandas(
+        build, schema="host string, doc_id long, content binary"
+    )
+    out = sitemap_entries(fetched, host_col="host", content_col="content")
+    return out.select(
+        "host", "kind", "loc", "lastmod", "changefreq", "priority",
+        F.col("err").isNotNull().alias("has_err"),
+    )
+
+
+_Q68_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         'h' || CAST(doc_id % 10 AS VARCHAR) || '.example' AS host
+  FROM documents WHERE doc_id < 2000
+)
+SELECT host, NULL AS kind, NULL AS loc, NULL AS lastmod,
+       NULL AS changefreq, NULL::DOUBLE AS priority, TRUE AS has_err
+FROM d WHERE doc_id % 97 = 0
+UNION ALL
+SELECT host, 'sitemapindex',
+       'https://' || host || '/s' || CAST(doc_id AS VARCHAR) || '-'
+         || CAST(k AS VARCHAR) || '.xml',
+       NULL, NULL, NULL::DOUBLE, FALSE
+FROM d JOIN (SELECT unnest(range(0, 2)) AS k) ON TRUE
+WHERE doc_id % 97 <> 0 AND doc_id % 50 = 0
+UNION ALL
+SELECT host, 'urlset',
+       'https://' || host || '/p/' || CAST(doc_id AS VARCHAR),
+       CASE WHEN doc_id % 2 = 0
+            THEN '2024-06-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+       END,
+       CASE WHEN doc_id % 5 = 0 THEN 'weekly' END,
+       CASE WHEN doc_id % 3 = 0 THEN (doc_id % 10) / 10.0 END,
+       FALSE
+FROM d WHERE doc_id % 97 <> 0 AND doc_id % 50 <> 0
+"""
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -4283,6 +4465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_robots_verdict": q64_robots_verdict,
         "q65_cdx_dedup": q65_cdx_dedup,
         "q66_host_pagerank": q66_host_pagerank,
+        "q67_wat_links": q67_wat_links,
+        "q68_sitemap_frontier": q68_sitemap_frontier,
     }
 
 
@@ -4345,4 +4529,6 @@ def oracle_sql() -> dict[str, str]:
         "q64_robots_verdict": _Q64_SQL,
         "q65_cdx_dedup": _Q65_SQL,
         "q66_host_pagerank": _q66_sql(),
+        "q67_wat_links": _Q67_SQL,
+        "q68_sitemap_frontier": _Q68_SQL,
     }
