@@ -4169,38 +4169,38 @@ def _q66_sql(iters: int = 5, damping: float = 0.85) -> str:
     dangling-mass scalar + contribution aggregate — same math, zero
     shared code with the iterative-join implementation."""
     head = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
-), links AS (
+), links AS MATERIALIZED (
   SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) AS src,
          'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
   FROM d
-), e AS (
+), e AS MATERIALIZED (
   SELECT src, dst, COUNT(*)::DOUBLE AS w FROM links
   WHERE src <> dst GROUP BY src, dst
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT src AS node FROM e UNION SELECT dst FROM e
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT COUNT(*)::DOUBLE AS n FROM nodes
-), outw AS (
+), outw AS MATERIALIZED (
   SELECT src, SUM(w) AS ow FROM e GROUP BY src
-), trans AS (
+), trans AS MATERIALIZED (
   SELECT e.src, e.dst, e.w / outw.ow AS p
   FROM e JOIN outw ON e.src = outw.src
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
 )"""
     rounds = []
     for t in range(iters):
         prev, cur = f"r{t}", f"r{t + 1}"
-        rounds.append(f""", dm{t} AS (
+        rounds.append(f""", dm{t} AS MATERIALIZED (
   SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
   WHERE node NOT IN (SELECT src FROM outw)
-), c{t} AS (
+), c{t} AS MATERIALIZED (
   SELECT trans.dst AS node, SUM(trans.p * {prev}.rank) AS c
   FROM trans JOIN {prev} ON trans.src = {prev}.node
   GROUP BY trans.dst
-), {cur} AS (
+), {cur} AS MATERIALIZED (
   SELECT nodes.node,
          (1.0 - {damping!r}) / (SELECT n FROM nn)
          + {damping!r} * (COALESCE(c{t}.c, 0.0)
@@ -4210,6 +4210,94 @@ WITH d AS (
 )""")
     tail = f"""
 SELECT node AS host, ROUND(rank, 6) AS rank6 FROM r{iters}
+"""
+    return head + "".join(rounds) + tail
+
+
+def q69_host_hits(spark, sf_dir):
+    """HITS hubs/authorities under the driver gate
+    (functions/graph.py:hits) — same synthesized host graph as
+    q66_host_pagerank (dangling hosts, dropped self-loops, n_links
+    weights), so the two centrality slots are directly comparable. The
+    Spark side runs 5 fixed power-iteration rounds with L2
+    normalization after each half-step; the oracle re-derives every
+    round as chained CTEs (raw sum join, sqrt-norm scalar, normalized
+    full frame — twice per round) sharing zero code with the
+    iterative-join implementation. hub6/auth6 = round(·, 6) absorbs
+    float summation order; the unit-L2 invariant is pinned by
+    tests/test_pagerank.py."""
+    from firepit_spark.functions.graph import hits
+    from firepit_spark.functions.html import host_graph_edges
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    links = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 2000)
+        .select(
+            F.concat(F.lit("h"), (d % 16).cast("string"))
+            .alias("src_host"),
+            F.concat(F.lit("h"), ((d * 7 + 3) % 23).cast("string"))
+            .alias("dst_host"),
+        )
+    )
+    out = hits(
+        host_graph_edges(links), weight_col="n_links", max_iter=5
+    )
+    return out.select(
+        F.col("node").alias("host"),
+        F.round("hub", 6).alias("hub6"),
+        F.round("authority", 6).alias("auth6"),
+    )
+
+
+def _q69_sql(iters: int = 5) -> str:
+    """Chained-CTE HITS oracle: per round an authority sum-join, its
+    L2-norm scalar, the normalized frame, then the same for hubs."""
+    head = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), links AS MATERIALIZED (
+  SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) AS dst
+  FROM d
+), e AS MATERIALIZED (
+  SELECT src, dst, COUNT(*)::DOUBLE AS w FROM links
+  WHERE src <> dst GROUP BY src, dst
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS MATERIALIZED (
+  SELECT node, 1.0 AS hub FROM nodes
+)"""
+    rounds = []
+    for t in range(iters):
+        rounds.append(f""", ar{t} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(e.w * h{t}.hub) AS a
+  FROM e JOIN h{t} ON e.src = h{t}.node GROUP BY e.dst
+), an{t} AS MATERIALIZED (
+  SELECT sqrt(SUM(a * a)) AS n FROM ar{t}
+), a{t + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN (SELECT n FROM an{t}) > 0
+              THEN COALESCE(ar{t}.a, 0.0) / (SELECT n FROM an{t})
+              ELSE 0.0 END AS auth
+  FROM nodes LEFT JOIN ar{t} ON nodes.node = ar{t}.node
+), hr{t} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(e.w * a{t + 1}.auth) AS h
+  FROM e JOIN a{t + 1} ON e.dst = a{t + 1}.node GROUP BY e.src
+), hn{t} AS MATERIALIZED (
+  SELECT sqrt(SUM(h * h)) AS n FROM hr{t}
+), h{t + 1} AS MATERIALIZED (
+  SELECT nodes.node,
+         CASE WHEN (SELECT n FROM hn{t}) > 0
+              THEN COALESCE(hr{t}.h, 0.0) / (SELECT n FROM hn{t})
+              ELSE 0.0 END AS hub
+  FROM nodes LEFT JOIN hr{t} ON nodes.node = hr{t}.node
+)""")
+    tail = f"""
+SELECT h{iters}.node AS host, ROUND(h{iters}.hub, 6) AS hub6,
+       ROUND(a{iters}.auth, 6) AS auth6
+FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node
 """
     return head + "".join(rounds) + tail
 
@@ -4467,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_host_pagerank": q66_host_pagerank,
         "q67_wat_links": q67_wat_links,
         "q68_sitemap_frontier": q68_sitemap_frontier,
+        "q69_host_hits": q69_host_hits,
     }
 
 
@@ -4531,4 +4620,5 @@ def oracle_sql() -> dict[str, str]:
         "q66_host_pagerank": _q66_sql(),
         "q67_wat_links": _Q67_SQL,
         "q68_sitemap_frontier": _Q68_SQL,
+        "q69_host_hits": _q69_sql(),
     }

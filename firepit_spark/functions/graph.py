@@ -268,6 +268,97 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight_col: str | None = None,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, hub, authority) by Kleinberg's HITS over a directed
+    (optionally weighted) edge list — PageRank's complement for crawl
+    curation: authorities are the content pages worth keeping, hubs the
+    link directories worth crawling but not training on.
+
+    Power iteration with L2 normalization after every half-step:
+    ``auth(v) = Σ_{u→v} w·hub(u)`` then ``auth /= ‖auth‖₂``, then
+    ``hub(u) = Σ_{u→v} w·auth(v)`` then ``hub /= ‖hub‖₂``; hubs start
+    at 1. A FIXED ``max_iter`` keeps the result reproducible by an
+    iteration-for-iteration SQL oracle (same contract as
+    :func:`pagerank`). Nodes without in-edges hold authority 0, without
+    out-edges hub 0.
+
+    Plan shape per round: two equi-joins of the edge frame against the
+    score frame + groupBy partial-aggs, and two ONE-ROW norm aggregates
+    cross-joined back via broadcast — no driver collect in the loop;
+    rounds are lineage-truncated so the plan stays O(1)."""
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    e = _truncate(
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            w.alias("w"),
+        ),
+        eager=True,
+        checkpoint_dir=checkpoint_dir,
+    )
+    nodes = _truncate(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        eager=True,
+        checkpoint_dir=checkpoint_dir,
+    )
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
+    )
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        norm = raw.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__n")
+        )
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("__n") > 0, F.col(col) / F.col("__n"))
+            .otherwise(F.lit(0.0)).alias(col),
+        )
+
+    for _ in range(max_iter):
+        auth_raw = (
+            e.join(scores, e["src"] == scores["node"])
+            .groupBy(e["dst"].alias("node2"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("__a"))
+        )
+        auth = _normalized(
+            nodes.join(auth_raw, nodes["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__a"), F.lit(0.0)).alias("auth"),
+            ),
+            "auth",
+        )
+        hub_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(e["src"].alias("node2"))
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("__h"))
+        )
+        hub = _normalized(
+            nodes.join(hub_raw, nodes["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
+            ),
+            "hub",
+        )
+        scores = _truncate(
+            hub.join(auth, "node"),
+            eager=True,
+            checkpoint_dir=checkpoint_dir,
+        )
+    return scores.select("node", "hub", F.col("auth").alias("authority"))
+
+
 def roots(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
     """Processes with no (known) parent — the tree roots."""
     e = edges_from(df, ref_col)

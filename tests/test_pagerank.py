@@ -98,3 +98,70 @@ def test_pagerank_composes_with_host_graph_edges(spark):
 def test_pagerank_empty_edges(spark):
     e = spark.createDataFrame([], "src_host string, dst_host string")
     assert pagerank(e, max_iter=3).collect() == []
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def _ref_hits(edges, iters):
+    """Independent dict/loop HITS: edges = [(src, dst, w), ...]."""
+    import math
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        auth = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            auth[d] += w * hub[s]
+        n = math.sqrt(sum(x * x for x in auth.values()))
+        auth = {v: (x / n if n > 0 else 0.0) for v, x in auth.items()}
+        hub = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            hub[s] += w * auth[d]
+        n = math.sqrt(sum(x * x for x in hub.values()))
+        hub = {v: (x / n if n > 0 else 0.0) for v, x in hub.items()}
+    return hub, auth
+
+
+def test_hits_one_round_hand_computed(spark):
+    from firepit_spark.functions.graph import hits
+
+    # A->B, A->C, D->C: auth = (B 1, C 2)/sqrt(5); hub = (A 3, D 2)/sqrt(13)
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("D", "C")],
+        "src_host string, dst_host string",
+    )
+    got = {r["node"]: r for r in hits(e, max_iter=1).collect()}
+    s5, s13 = 5 ** 0.5, 13 ** 0.5
+    assert got["B"]["authority"] == pytest.approx(1 / s5)
+    assert got["C"]["authority"] == pytest.approx(2 / s5)
+    assert got["A"]["hub"] == pytest.approx(3 / s13)
+    assert got["D"]["hub"] == pytest.approx(2 / s13)
+    assert got["A"]["authority"] == 0.0 and got["B"]["hub"] == 0.0
+
+
+def test_hits_weighted_differential(spark):
+    from firepit_spark.functions.doctor import assert_scaleworthy
+    from firepit_spark.functions.graph import hits
+
+    rng = random.Random(23)
+    hosts = [f"h{i}" for i in range(10)]
+    edges = sorted({
+        (rng.choice(hosts[:7]), rng.choice(hosts), rng.randint(1, 4))
+        for _ in range(30)
+    })
+    edges = [(s, d, w) for s, d, w in edges if s != d]
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    out = hits(df, weight_col="n_links", max_iter=6)
+    got = {r["node"]: r for r in out.collect()}
+    hub, auth = _ref_hits([(s, d, float(w)) for s, d, w in edges], 6)
+    for v in hub:
+        assert got[v]["hub"] == pytest.approx(hub[v], abs=1e-12), v
+        assert got[v]["authority"] == pytest.approx(auth[v], abs=1e-12), v
+    # unit L2 norm invariants
+    assert sum(r["hub"] ** 2 for r in got.values()) == pytest.approx(1.0)
+    assert sum(r["authority"] ** 2 for r in got.values()) == pytest.approx(1.0)
+    assert_scaleworthy(out)
