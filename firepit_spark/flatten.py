@@ -23,12 +23,18 @@ CONTAINS = "__contains"
 REFLIST = "__reflist"
 
 
-def normalize_obj(d: dict, prefix: str = "", sep: str = ".") -> dict:
+def normalize_obj(
+    d: dict, prefix: str = "", sep: str = ".", flat_lists: bool = False
+) -> dict:
     """Flatten nested dicts to dotted keys (parity: firepit/raft.py:77-100).
 
     STIX quirks preserved: hyphenated key parts get single quotes
     (``hashes.'SHA-1'``), ``extensions`` always recurses, but custom
-    ``x-*`` SCO types do not recurse into their nested dicts.
+    ``x-*`` SCO types do not recurse into their nested dicts. With
+    ``flat_lists=True``, list values explode to indexed keys
+    (``protocols[0]``, ``protocols[1]``, …) exactly like the
+    reference; the default keeps lists opaque (the only mode the
+    reference's own callers use).
     """
     out = {}
     otype = d.get("type", "")
@@ -48,7 +54,10 @@ def normalize_obj(d: dict, prefix: str = "", sep: str = ".") -> dict:
         if key.rpartition(sep)[2] == "extensions" or (
             isinstance(value, dict) and not custom
         ):
-            out.update(normalize_obj(value, key, sep))
+            out.update(normalize_obj(value, key, sep, flat_lists))
+        elif flat_lists and isinstance(value, list):
+            for i, item in enumerate(value):
+                out[f"{key}[{i}]"] = item
         else:
             out[key] = value
     return out
@@ -305,11 +314,9 @@ def get_objects(source, types=None):
             yield obj
 
 
-# reference-compat name (firepit/raft.py:77): same flattening rules for the
-# default flat_lists=False (lists kept opaque); True (indexed list keys)
-# has no counterpart here yet, so fail loudly instead of silently
-# diverging from the reference behavior the caller asked for
+# reference-compat name (firepit/raft.py:77): same flattening rules,
+# including flat_lists=True's indexed list keys (key[i] per element) —
+# the reference's own callers always pass False, but API parity means a
+# user's direct call behaves identically
 def json_normalize(d: dict, prefix: str = "", sep: str = ".", flat_lists: bool = False) -> dict:
-    if flat_lists:
-        raise NotImplementedError("flat_lists=True is not supported; lists stay opaque")
-    return normalize_obj(d, prefix=prefix, sep=sep)
+    return normalize_obj(d, prefix=prefix, sep=sep, flat_lists=flat_lists)

@@ -154,3 +154,23 @@ def test_flatten_dangling_ref_dropped():
     results = flatten(obs)
     nt = next(r for r in results if r["type"] == "network-traffic")
     assert "src_ref" not in nt  # unresolvable 2.0 index ref removed
+
+
+def test_json_normalize_flat_lists_reference_parity():
+    """flat_lists=True explodes lists to indexed keys like the
+    reference (firepit/raft.py:95-97); False keeps them opaque."""
+    from firepit_spark.flatten import json_normalize
+
+    obj = {
+        "type": "network-traffic",
+        "protocols": ["ip", "tcp", "http"],
+        "nested": {"vals": [1, 2]},
+    }
+    flat = json_normalize(obj, flat_lists=True)
+    assert flat["protocols[0]"] == "ip"
+    assert flat["protocols[2]"] == "http"
+    assert flat["nested.vals[0]"] == 1 and flat["nested.vals[1]"] == 2
+    assert "protocols" not in flat
+    opaque = json_normalize(obj)
+    assert opaque["protocols"] == ["ip", "tcp", "http"]
+    assert opaque["nested.vals"] == [1, 2]
