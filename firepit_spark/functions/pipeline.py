@@ -491,6 +491,7 @@ def web_corpus_funnel(
     langs: tuple | None = ("en",),
     min_quality: float = 0.4,
     main_content: bool = False,
+    broadcast_robots: bool = True,
 ) -> DataFrame:
     """The whole web-corpus funnel as ONE declarative plan:
     archive records (:func:`firepit_spark.sources.warc.read_warc` /
@@ -533,10 +534,14 @@ def web_corpus_funnel(
         arrays = agent_rule_arrays(robots, crawler_agent).select(
             F.col("host").alias("__r_host"), "__rules"
         )
+        if broadcast_robots:
+            # right for governance-sized rule sets; False for a
+            # full-crawl robots fetch past the broadcast limits
+            arrays = F.broadcast(arrays)
         best = _best_match("path")
         base = (
             base.join(
-                F.broadcast(arrays),
+                arrays,
                 F.col("host") == F.col("__r_host"),
                 "left",
             )

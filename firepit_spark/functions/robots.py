@@ -202,20 +202,28 @@ def robots_verdict(
     id_col: str = "url_id",
     host_col: str = "host",
     path_col: str = "path",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Per-URL verdict frame ``(id_col, allowed, matched_pattern)``.
 
     ``urls`` carries (id, host, path+query); ``rules`` is
     :func:`robots_rules` output. See the module docstring for the
     semantics; the plan is broadcast-join + per-row expression — the
-    corpus side never shuffles."""
+    corpus side never shuffles. ``broadcast_rules`` is right for
+    governance-sized rule sets (the default assumption: robots for the
+    hosts you actually crawl); pass False when the rules frame comes
+    from a FULL-CRAWL robots fetch (~1e8 hosts — past the broadcast
+    limits), letting size stats/AQE choose, at the cost of a possible
+    corpus shuffle."""
     arrays = agent_rule_arrays(rules, crawler_agent).select(
         F.col("host").alias("__r_host"), "__rules"
     )
+    if broadcast_rules:
+        arrays = F.broadcast(arrays)
     best = _best_match(path_col)
     return (
         urls.select(id_col, host_col, path_col)
-        .join(F.broadcast(arrays), F.col(host_col) == F.col("__r_host"), "left")
+        .join(arrays, F.col(host_col) == F.col("__r_host"), "left")
         .select(
             id_col,
             F.coalesce(best["a"] == 1, F.lit(True)).alias("allowed"),
@@ -231,20 +239,24 @@ def robots_filter(
     id_col: str = "url_id",
     host_col: str = "host",
     path_col: str = "path",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """``urls`` reduced to the rows the crawler may fetch; the output
     keeps the input's columns. The verdict is computed INLINE on each
     row (broadcast rule arrays + higher-order match), so the corpus is
     never aggregated, joined back, or broadcast — the r11 shape
     (left-semi against a force-broadcast O(corpus) allowed-id frame)
-    was a driver OOM at crawl scale."""
+    was a driver OOM at crawl scale. ``broadcast_rules=False`` for
+    full-crawl rules frames (see :func:`robots_verdict`)."""
     arrays = agent_rule_arrays(rules, crawler_agent).select(
         F.col("host").alias("__r_host"), "__rules"
     )
+    if broadcast_rules:
+        arrays = F.broadcast(arrays)
     best = _best_match(path_col)
     return (
         urls.join(
-            F.broadcast(arrays),
+            arrays,
             F.col(host_col) == F.col("__r_host"),
             "left",
         )

@@ -226,3 +226,21 @@ def test_robots_directives_conservative_delay_fallback(spark):
     got = {r["host"]: r["crawl_delay"] for r in robots_directives(df).collect()}
     assert got["specific.example"] == 10.0
     assert got["pregroup.example"] == 3.0
+
+
+def test_robots_filter_unhinted_rules(spark):
+    """broadcast_rules=False (full-crawl rules frames): same answers,
+    join strategy left to size stats/AQE."""
+    rules = R.robots_rules(spark.createDataFrame(
+        [("h.example", b"User-agent: *\nDisallow: /no/")],
+        "host string, content binary",
+    ))
+    urls = spark.createDataFrame(
+        [(1, "h.example", "/ok"), (2, "h.example", "/no/x")],
+        "url_id long, host string, path string",
+    )
+    kept = R.robots_filter(urls, rules, broadcast_rules=False)
+    assert sorted(r["url_id"] for r in kept.collect()) == [1]
+    v = {r["url_id"]: r["allowed"]
+         for r in R.robots_verdict(urls, rules, broadcast_rules=False).collect()}
+    assert v == {1: True, 2: False}
