@@ -159,6 +159,8 @@ class HttpRangeFile:
                         f"too many redirects fetching {self._url}"
                     ) from None
                 continue
+            except _HttpStatusError:
+                raise  # 404 etc. are deterministic: retrying wastes time
             except (http.client.HTTPException, OSError) as exc:
                 last_exc = exc
                 # dropped keep-alive / transient: new socket, brief pause
@@ -213,14 +215,24 @@ class HttpRangeFile:
             resp.read()
             return b""  # range beyond EOF: empty read, like a file
         body_head = resp.read(200)
-        raise OSError(
-            f"HTTP {resp.status} fetching {url} [{rng}]: {body_head!r}"
-        )
+        # the body may not be drained: drop the connection rather than
+        # reuse a socket with bytes still in flight
+        parts = urlsplit(url)
+        self._drop_conn(parts.scheme, parts.netloc)
+        msg = f"HTTP {resp.status} fetching {url} [{rng}]: {body_head!r}"
+        if 400 <= resp.status < 500:
+            raise _HttpStatusError(msg)  # deterministic: fail fast
+        raise OSError(msg)  # 5xx (503 throttling etc.): retryable
 
 
 class _Redirect(Exception):
     def __init__(self, location: str):
         self.location = location
+
+
+class _HttpStatusError(OSError):
+    """A definitive 4xx HTTP status — not retryable (5xx stays plain
+    OSError so throttling/maintenance responses get the retry loop)."""
 
 
 def http_range_opener(filename: str):
