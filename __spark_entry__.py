@@ -4214,6 +4214,97 @@ SELECT node AS host, ROUND(rank, 6) AS rank6 FROM r{iters}
     return head + "".join(rounds) + tail
 
 
+def q70_cdx_diff(spark, sf_dir):
+    """Incremental-crawl diff under the driver gate
+    (sources/cdx.py:cdx_diff + latest_capture_per_urlkey): two CDX
+    index generations are synthesized from arithmetic — membership by
+    residue classes (old: d%5≠4, new: d%7≠6) so every status (new/
+    gone/changed/unchanged) appears at ANY scale factor; content
+    changes every third id; every fourth old urlkey also carries a
+    STALE extra capture whose digest would misclassify the row if the
+    latest-capture collapse ever picked the wrong one. The Spark side
+    is the production two-collapse + full-outer-join plan; the oracle
+    rebuilds the whole diff frame (statuses, both digests, NEW-side
+    fetch coordinates, NULL patterns) from the same arithmetic. This
+    is the 100 TB refresh shape: diff ~200 GB of index, fetch only
+    'new'+'changed'."""
+    from firepit_spark.sources import cdx as cx
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    docs = r("documents").select(
+        d.cast("long").alias("doc_id")
+    ).filter(d < 2000)
+    key = F.concat(F.lit("com,example)/doc/"), d.cast("string"))
+    url = F.concat(F.lit("http://example.com/doc/"), d.cast("string"))
+
+    old = docs.filter(d % 5 != 4).select(
+        key.alias("urlkey"),
+        F.lit("20240101000000").alias("ts"),
+        url.alias("url"),
+        F.concat(F.lit("sha1:"), d.cast("string"), F.lit("v1"))
+        .alias("digest"),
+        F.lit("old.warc.gz").alias("filename"),
+        (d * 100).cast("long").alias("offset"),
+        F.lit(10).cast("long").alias("length"),
+    )
+    stale = docs.filter((d % 5 != 4) & (d % 4 == 0)).select(
+        key.alias("urlkey"),
+        F.lit("20230101000000").alias("ts"),  # older: must LOSE
+        url.alias("url"),
+        F.lit("sha1:stale").alias("digest"),
+        F.lit("older.warc.gz").alias("filename"),
+        (d * 100).cast("long").alias("offset"),
+        F.lit(10).cast("long").alias("length"),
+    )
+    new = docs.filter(d % 7 != 6).select(
+        key.alias("urlkey"),
+        F.lit("20240601000000").alias("ts"),
+        url.alias("url"),
+        F.concat(
+            F.lit("sha1:"), d.cast("string"),
+            F.when(d % 3 == 0, F.lit("v2")).otherwise(F.lit("v1")),
+        ).alias("digest"),
+        F.concat(F.lit("new"), (d % 10).cast("string"),
+                 F.lit(".warc.gz")).alias("filename"),
+        (d * 200).cast("long").alias("offset"),
+        (50 + d % 20).cast("long").alias("length"),
+    )
+    return cx.cdx_diff(old.unionByName(stale), new)
+
+
+_Q70_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), both_or_either AS (
+  SELECT doc_id,
+         (doc_id % 5 <> 4) AS in_old,
+         (doc_id % 7 <> 6) AS in_new
+  FROM d
+)
+SELECT 'com,example)/doc/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       CASE WHEN NOT in_old THEN 'new'
+            WHEN NOT in_new THEN 'gone'
+            WHEN doc_id % 3 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN in_old
+            THEN 'sha1:' || CAST(doc_id AS VARCHAR) || 'v1' END
+         AS old_digest,
+       CASE WHEN in_new
+            THEN 'sha1:' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE 'v1' END END
+         AS new_digest,
+       CASE WHEN in_new
+            THEN 'new' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz' END
+         AS filename,
+       CASE WHEN in_new THEN CAST(doc_id * 200 AS BIGINT) END AS offset,
+       CASE WHEN in_new THEN CAST(50 + doc_id % 20 AS BIGINT) END
+         AS length
+FROM both_or_either
+WHERE in_old OR in_new
+"""
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -4556,6 +4647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_wat_links": q67_wat_links,
         "q68_sitemap_frontier": q68_sitemap_frontier,
         "q69_host_hits": q69_host_hits,
+        "q70_cdx_diff": q70_cdx_diff,
     }
 
 
@@ -4621,4 +4713,5 @@ def oracle_sql() -> dict[str, str]:
         "q67_wat_links": _Q67_SQL,
         "q68_sitemap_frontier": _Q68_SQL,
         "q69_host_hits": _q69_sql(),
+        "q70_cdx_diff": _Q70_SQL,
     }

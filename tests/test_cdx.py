@@ -275,3 +275,35 @@ def test_dedup_by_digest_null_digests_pass_through(spark):
     kept = C.dedup_by_digest(cdx).collect()
     assert len(kept) == 4  # one d1 keeper + ALL THREE digest-less rows
     assert sorted(r["filename"] for r in kept) == ["f1", "f3", "f4", "f5"]
+
+
+def test_cdx_diff_incremental_crawl(spark):
+    """new/gone/changed/unchanged classification, latest-capture
+    collapse per side, and fetch coordinates carried from the NEW
+    index only."""
+    schema = ("urlkey string, ts string, url string, digest string, "
+              "filename string, offset long, length long")
+    old = spark.createDataFrame([
+        ("k/a", "20240101", "u", "d1", "old.warc.gz", 0, 10),
+        ("k/a", "20240301", "u", "d2", "old.warc.gz", 10, 10),  # latest
+        ("k/b", "20240101", "u", "d3", "old.warc.gz", 20, 10),
+        ("k/gone", "20240101", "u", "d4", "old.warc.gz", 30, 10),
+    ], schema)
+    new = spark.createDataFrame([
+        ("k/a", "20240601", "u", "d2", "new.warc.gz", 0, 11),   # same d2
+        ("k/b", "20240601", "u", "dX", "new.warc.gz", 11, 11),  # changed
+        ("k/new", "20240601", "u", "d9", "new.warc.gz", 22, 11),
+    ], schema)
+    got = {r["urlkey"]: r for r in C.cdx_diff(old, new).collect()}
+    assert got["k/a"]["status"] == "unchanged"      # vs LATEST old (d2)
+    assert got["k/b"]["status"] == "changed"
+    assert (got["k/b"]["old_digest"], got["k/b"]["new_digest"]) == ("d3", "dX")
+    assert got["k/new"]["status"] == "new"
+    assert got["k/new"]["old_digest"] is None
+    assert got["k/gone"]["status"] == "gone"
+    assert got["k/gone"]["filename"] is None        # nothing to fetch
+    # the refresh feed: only new+changed carry fetch coordinates
+    fetch = {r["urlkey"] for r in C.cdx_diff(old, new)
+             .filter("status IN ('new','changed')").collect()}
+    assert fetch == {"k/new", "k/b"}
+    assert got["k/b"]["filename"] == "new.warc.gz"
