@@ -4305,6 +4305,87 @@ WHERE in_old OR in_new
 """
 
 
+def q71_line_dedup(spark, sf_dir):
+    """Corpus-global LINE dedup under the driver gate
+    (functions/dedup.py:dedup_lines — the C4/RefinedWeb boilerplate
+    strip that document-level dedup cannot express): per document a
+    text is built from arithmetic with four line kinds — a navigation
+    line shared by every doc in the same d%7 host class (survives only
+    in the class's min doc id), a unique body line (always survives),
+    a footer shared by the EVEN docs of each d%3 class (survives in
+    the min even doc), a within-doc repeat of the body line every 11th
+    id (always removed — keeper is the earlier position in the SAME
+    doc), and a short 'end' line exempt via min_chars. The Spark side
+    runs the production explode → md5-keyed min(struct) → rebuild
+    plan; the oracle derives keepers directly with window mins over
+    the residue classes and rebuilds the expected text — first-
+    occurrence semantics, the exemption, order preservation and the
+    removal counts all sit on the hash."""
+    from firepit_spark.functions.dedup import dedup_lines
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    line_a = F.concat(
+        F.lit("Navigation menu for host h"), (d % 7).cast("string"),
+        F.lit(" with many links and legal text."),
+    )
+    line_b = F.concat(
+        F.lit("Document "), d.cast("string"),
+        F.lit(" body content line that is long enough to count."),
+    )
+    line_d = F.concat(
+        F.lit("Footer boilerplate for parity class f"),
+        (d % 3).cast("string"),
+        F.lit(" repeated across many documents."),
+    )
+    docs = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 2000)
+        .select(
+            "doc_id",
+            F.concat_ws(  # concat_ws skips the NULL optional lines
+                "\n", line_a, line_b,
+                F.when(d % 2 == 0, line_d),
+                F.when(d % 11 == 0, line_b),
+                F.lit("end"),
+            ).alias("text"),
+        )
+    )
+    return dedup_lines(docs)
+
+
+_Q71_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), k AS (
+  SELECT doc_id,
+         doc_id % 7 AS c7, doc_id % 3 AS c3,
+         doc_id % 2 AS c2, doc_id % 11 AS c11,
+         min(doc_id) OVER (PARTITION BY doc_id % 7) AS a_keep,
+         min(CASE WHEN doc_id % 2 = 0 THEN doc_id END)
+           OVER (PARTITION BY doc_id % 3) AS d_keep
+  FROM d
+)
+SELECT doc_id,
+       concat_ws(chr(10),
+         CASE WHEN doc_id = a_keep
+              THEN 'Navigation menu for host h' || CAST(c7 AS VARCHAR)
+                   || ' with many links and legal text.' END,
+         'Document ' || CAST(doc_id AS VARCHAR)
+           || ' body content line that is long enough to count.',
+         CASE WHEN c2 = 0 AND doc_id = d_keep
+              THEN 'Footer boilerplate for parity class f'
+                   || CAST(c3 AS VARCHAR)
+                   || ' repeated across many documents.' END,
+         'end') AS text,
+       (CASE WHEN doc_id = a_keep THEN 0 ELSE 1 END
+        + CASE WHEN c2 = 0 AND doc_id <> d_keep THEN 1 ELSE 0 END
+        + CASE WHEN c11 = 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_lines_removed
+FROM k
+"""
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -4648,6 +4729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_sitemap_frontier": q68_sitemap_frontier,
         "q69_host_hits": q69_host_hits,
         "q70_cdx_diff": q70_cdx_diff,
+        "q71_line_dedup": q71_line_dedup,
     }
 
 
@@ -4714,4 +4796,5 @@ def oracle_sql() -> dict[str, str]:
         "q68_sitemap_frontier": _Q68_SQL,
         "q69_host_hits": _q69_sql(),
         "q70_cdx_diff": _Q70_SQL,
+        "q71_line_dedup": _Q71_SQL,
     }

@@ -1017,3 +1017,64 @@ def simhash_near_dup_pairs(
         bits=bits,
         max_bucket=max_bucket,
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Corpus-GLOBAL line deduplication — the C4/RefinedWeb move that
+    document-level dedup cannot express: any line (≥ ``min_chars``
+    after trim) occurring anywhere else in the corpus survives only at
+    its FIRST occurrence (min ``(id, position)``); every other copy is
+    cut out of its document. This is what strips boilerplate
+    navigation/footer lines that ride along inside otherwise-unique
+    pages. Short lines are exempt (deduping every blank line or "Home"
+    would shred documents).
+
+    Returns ``(id_col, text_col, n_lines_removed)`` — join back on the
+    id for the other columns (returning a rebuilt text column next to
+    a stale one invites bugs).
+
+    Plan shape: posexplode (map-only) → keeper per line = ONE
+    map-side-combined ``min(struct(id, pos))`` groupBy on ``md5(line)``
+    (the 32-byte key, not the line, is what shuffles on the agg side) →
+    join back on the hash → per-doc rebuild as ONE groupBy(id) with an
+    ``array_sort`` + ``array_join`` fold. Two shuffles of (id, pos,
+    line) granularity total; decisions are global, so that lower bound
+    is inherent — but only LINES move, never whole documents."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.col(id_col).isNotNull())
+    lh = F.md5(F.col("line").cast("binary"))
+    eligible = F.length(F.trim(F.col("line"))) >= min_chars
+    keepers = (
+        lines.filter(eligible)
+        .groupBy(lh.alias("__lh"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"))
+    )
+    marked = lines.join(keepers, lh == F.col("__lh"), "left")
+    kept = F.col("__lh").isNull() | (
+        (F.col(f"__k.{id_col}") == F.col(id_col))
+        & (F.col("__k.pos") == F.col("pos"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.sum(F.when(kept, 0).otherwise(1)).alias("n_lines_removed"),
+        )
+    )

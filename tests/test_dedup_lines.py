@@ -1,0 +1,71 @@
+"""Corpus-global line dedup (the C4/RefinedWeb boilerplate strip):
+first occurrence wins, short lines exempt, within-doc repeats removed,
+rebuilt text preserves order."""
+
+from __future__ import annotations
+
+from firepit_spark.functions.dedup import dedup_lines
+
+BOILER = "You are reading this on Example dot com, all rights reserved."
+
+
+def test_dedup_lines_global_first_occurrence(spark):
+    docs = [
+        (1, f"{BOILER}\nUnique first-document body line goes right here OK.\nshort"),
+        (2, f"{BOILER}\nAnother unique body line for the second document !!\nshort"),
+        (3, f"Third doc unique content line long enough to be eligible.\n{BOILER}"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 holds the first occurrence: keeps everything
+    assert out[1]["text"].splitlines()[0] == BOILER
+    assert out[1]["n_lines_removed"] == 0
+    # docs 2/3 lose their copy of the boilerplate, keep the rest
+    assert out[2]["text"] == (
+        "Another unique body line for the second document !!\nshort"
+    )
+    assert out[2]["n_lines_removed"] == 1
+    assert out[3]["text"] == (
+        "Third doc unique content line long enough to be eligible."
+    )
+    # the short line ("short") is exempt and survives in both docs
+    assert out[1]["text"].endswith("short") and out[2]["text"].endswith("short")
+    assert out[4]["text"] == "" and out[4]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_within_doc_and_min_chars(spark):
+    body = "A body line that is clearly long enough to be deduplicated."
+    df = spark.createDataFrame(
+        [(7, f"{body}\nmiddle\n{body}")], "doc_id long, text string"
+    )
+    out = dedup_lines(df).collect()[0]
+    # second in-document occurrence removed; order preserved
+    assert out["text"] == f"{body}\nmiddle"
+    assert out["n_lines_removed"] == 1
+    # with a huge min_chars nothing is eligible: identity
+    out2 = dedup_lines(
+        spark.createDataFrame(
+            [(7, f"{body}\n{body}")], "doc_id long, text string"
+        ),
+        min_chars=1000,
+    ).collect()[0]
+    assert out2["text"] == f"{body}\n{body}"
+    assert out2["n_lines_removed"] == 0
+
+
+def test_dedup_lines_plan_shape(spark):
+    """Two line-granularity hash exchanges (keeper agg + rebuild), no
+    row-Python, no cartesian — the inherent lower bound for a global
+    decision, and nothing more."""
+    from firepit_spark.functions.doctor import assert_scaleworthy
+
+    df = spark.createDataFrame(
+        [(i, f"Shared navigation boilerplate line for host h{i % 3} OK."
+             f"\nDocument {i} unique body line long enough to count in.")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    rep = assert_scaleworthy(dedup_lines(df))
+    assert rep.python_row_udfs == 0 and rep.cartesians == 0
