@@ -4386,6 +4386,68 @@ FROM k
 """
 
 
+def q72_dup_ngram_fraction(spark, sf_dir):
+    """Cross-corpus duplicate n-gram fraction under the driver gate
+    (functions/dedup.py:duplicate_ngram_fraction — the RefinedWeb/
+    Dolma curation signal): per document a lowercase single-spaced
+    text mixes a d%5-class shared sentence, genuinely corpus-wide
+    shared words, and doc-id-bearing grams that can never repeat. The
+    Spark side runs the production explode → md5-keyed min≠max
+    verdict → join-back → per-doc fraction plan; the oracle
+    RE-IMPLEMENTS the metric from scratch in SQL (list_transform
+    3-gram construction, group-by-gram verdict, fraction) — gram
+    tokenization, the cross-doc-only rule and the rounding all sit on
+    the hash."""
+    from firepit_spark.functions.dedup import duplicate_ngram_fraction
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    docs = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 2000)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("class c"), (d % 5).cast("string"),
+                F.lit(" shared sentence words here doc "),
+                d.cast("string"),
+                F.lit(" unique tail words appended now"),
+            ).alias("text"),
+        )
+    )
+    return duplicate_ngram_fraction(docs, n=3)
+
+
+_Q72_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id FROM documents WHERE doc_id < 2000
+), docs AS (
+  SELECT doc_id,
+         'class c' || CAST(doc_id % 5 AS VARCHAR)
+         || ' shared sentence words here doc '
+         || CAST(doc_id AS VARCHAR)
+         || ' unique tail words appended now' AS text
+  FROM d
+), words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           AS g
+  FROM words
+), dup AS (
+  SELECT g, (min(doc_id) <> max(doc_id)) AS is_dup FROM grams GROUP BY g
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+         AS dup_gram_frac
+FROM grams JOIN dup USING (g)
+GROUP BY doc_id
+"""
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -4730,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_host_hits": q69_host_hits,
         "q70_cdx_diff": q70_cdx_diff,
         "q71_line_dedup": q71_line_dedup,
+        "q72_dup_ngram_fraction": q72_dup_ngram_fraction,
     }
 
 
@@ -4797,4 +4860,5 @@ def oracle_sql() -> dict[str, str]:
         "q69_host_hits": _q69_sql(),
         "q70_cdx_diff": _Q70_SQL,
         "q71_line_dedup": _Q71_SQL,
+        "q72_dup_ngram_fraction": _Q72_SQL,
     }

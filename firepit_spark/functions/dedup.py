@@ -1078,3 +1078,51 @@ def dedup_lines(
             F.sum(F.when(kept, 0).otherwise(1)).alias("n_lines_removed"),
         )
     )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document CROSS-corpus duplication signal (the RefinedWeb/
+    Dolma curation feature): the fraction of a document's word
+    ``n``-gram occurrences that also appear in at least one OTHER
+    document. High values mark templated/syndicated/scraped-from-
+    elsewhere pages that per-document quality scores miss and that
+    near-dup clustering only catches when whole documents align —
+    filter or down-weight on it (``.filter("dup_gram_frac < 0.5")``).
+    Within-document repeats do NOT count (that's the intra-doc Gopher
+    family, char_repetition_stats); a gram is duplicated iff its
+    min and max holder ids differ.
+
+    Returns ``(id_col, n_grams, dup_gram_frac)`` — ``n_grams`` = gram
+    occurrences (0 for docs shorter than ``n`` words, fraction 0.0).
+
+    Plan shape: one explode (map-only regex pass) → duplicated-gram
+    verdict as a map-side-combined ``min(id) != max(id)`` groupBy on
+    ``md5(gram)`` (32-byte keys shuffle, not gram text) → hash
+    join-back → per-doc fraction in one groupBy(id). Same two-shuffle
+    lower bound as :func:`dedup_lines`, and the verdict agg carries
+    one candidate per (partition, gram)."""
+    from firepit_spark.functions.text import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    gh = F.md5(F.col("__g").cast("binary"))
+    dup = (
+        grams.filter(F.col("__g").isNotNull())
+        .groupBy(gh.alias("__gh"))
+        .agg((F.min(id_col) != F.max(id_col)).alias("__dup"))
+    )
+    marked = grams.join(dup, gh == F.col("__gh"), "left")
+    n_grams = F.count("__g")
+    dup_cnt = F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+    return marked.groupBy(id_col).agg(
+        n_grams.alias("n_grams"),
+        F.when(n_grams > 0, F.round(dup_cnt / n_grams, 6))
+        .otherwise(F.lit(0.0)).alias("dup_gram_frac"),
+    )

@@ -69,3 +69,26 @@ def test_dedup_lines_plan_shape(spark):
     )
     rep = assert_scaleworthy(dedup_lines(df))
     assert rep.python_row_udfs == 0 and rep.cartesians == 0
+
+
+def test_duplicate_ngram_fraction(spark):
+    """Cross-doc duplication only: shared grams count, within-doc
+    repeats and unique grams don't; short docs get 0 grams / 0.0."""
+    from firepit_spark.functions.dedup import duplicate_ngram_fraction
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma other words here now"),
+        (3, "totally unique text with no overlap at all"),
+        (4, "tiny"),
+        (5, "self self self self self"),  # within-doc repeats only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in duplicate_ngram_fraction(df, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["dup_gram_frac"]) == (4, 0.25)
+    assert (got[2]["n_grams"], got[2]["dup_gram_frac"]) == (5, 0.2)
+    assert got[3]["dup_gram_frac"] == 0.0
+    assert (got[4]["n_grams"], got[4]["dup_gram_frac"]) == (0, 0.0)
+    # 'self self self' repeats within ONE doc: min(id)==max(id), not dup
+    assert got[5]["dup_gram_frac"] == 0.0
