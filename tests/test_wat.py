@@ -124,3 +124,37 @@ def test_extract_title_edge_cases():
         "<title>first</title><title>second</title>"
     ) == "first"
     assert extract_title(None) is None
+
+
+def test_wat_metadata_streams(spark, tmp_path):
+    """WAT production is a stateless map: it composes onto stream_warc
+    unchanged, and the streaming doctor finds no state to flag."""
+    from firepit_spark.functions.doctor import assert_stream_safe
+
+    html = '<html><head><title>S</title></head><body><a href="/s">s</a></body></html>'
+    (tmp_path / "s.warc.gz").write_bytes(W.warc_encode(
+        [({"WARC-Type": "response",
+           "WARC-Target-URI": "http://s.example/page",
+           "Content-Type": "application/http;msgtype=response"},
+          W.http_response_bytes(html.encode()))]
+    ))
+    sdf = W.wat_metadata(
+        W.stream_warc(spark, str(tmp_path), path_glob="*.warc.gz")
+    )
+    rep = assert_stream_safe(sdf)
+    assert rep.stateful_ops == 0 and not rep.findings
+    q = (
+        sdf.writeStream.format("memory").queryName("wat_stream_mem")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    import json as _json
+
+    rows = spark.sql(
+        "SELECT wat, wat_err FROM wat_stream_mem WHERE warc_type = 'response'"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["wat_err"] is None
+    env = _json.loads(rows[0]["wat"])["Envelope"]
+    md = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert md["Head"]["Title"] == "S"
+    assert [l["url"] for l in md["Links"]] == ["/s"]
