@@ -492,6 +492,7 @@ def web_corpus_funnel(
     min_quality: float = 0.4,
     main_content: bool = False,
     broadcast_robots: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """The whole web-corpus funnel as ONE declarative plan:
     archive records (:func:`firepit_spark.sources.warc.read_warc` /
@@ -510,7 +511,14 @@ def web_corpus_funnel(
     broadcasting one rule ARRAY per host (no per-URL aggregation, no
     corpus join-back — the whole leg adds zero exchanges, r11 verdict
     perf item 3), and the dedup keeper is a single window over the text
-    fingerprint computed only for rows still alive at that stage."""
+    fingerprint computed only for rows still alive at that stage.
+
+    The dedup window is the funnel's ONLY stateful stage: pass
+    ``dedup=False`` and the whole plan becomes a stateless map, so the
+    SAME function runs on a ``stream_warc`` frame (flags in real time,
+    ``kept = quality_ok``; global dedup then happens downstream in
+    batch — unbounded streaming dedup state is exactly what the
+    streaming doctor exists to flag)."""
     from firepit_spark.functions.robots import _best_match, agent_rule_arrays
     from firepit_spark.functions.text import lang_guess, quality_score
     from firepit_spark.functions.web import url_host, url_path, url_query
@@ -565,6 +573,8 @@ def web_corpus_funnel(
     ).withColumn(
         "quality_ok", F.col("lang_ok") & (F.col("quality") >= min_quality)
     )
+    if not dedup:
+        return base.withColumn("kept", F.col("quality_ok"))
     from firepit_spark.functions.text import fingerprint
 
     w = Window.partitionBy(

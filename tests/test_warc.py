@@ -381,3 +381,43 @@ def test_end_to_end_warc_html_robots_dedup(spark, tmp_path):
     # /secret dropped by robots; one of b/c dropped by dedup
     assert len(urls) == 2 and urls[0] == "http://h0.example/a"
     assert urls[1] in ("http://h1.example/b", "http://h1.example/c")
+
+
+def test_web_corpus_funnel_streams_without_dedup(spark, tmp_path):
+    """dedup=False makes the funnel a stateless map, so the SAME
+    function runs over stream_warc — flags in real time, doctor-clean."""
+    from firepit_spark.functions.doctor import assert_stream_safe
+    from firepit_spark.functions.pipeline import web_corpus_funnel
+    from firepit_spark.functions.robots import robots_rules
+
+    body = ("The quick brown fox jumps over the lazy dog and then the "
+            "dog chases the fox around the old stone house. ") * 3
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": u,
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             f"<html><body><p>{body}</p></body></html>".encode()))
+        for u in ("http://h0.example/ok", "http://h0.example/secret/x")
+    ]
+    (tmp_path / "s.warc.gz").write_bytes(W.warc_encode(records))
+    robots = robots_rules(spark.createDataFrame(
+        [("h0.example", b"User-agent: *\nDisallow: /secret")],
+        "host string, content binary",
+    ))
+    flags = web_corpus_funnel(
+        W.stream_warc(spark, str(tmp_path), path_glob="*.warc.gz"),
+        robots=robots, min_quality=0.5, dedup=False,
+    )
+    rep = assert_stream_safe(flags)
+    assert rep.stateful_ops == 0 and not rep.findings
+    q = (
+        flags.writeStream.format("memory").queryName("funnel_stream_mem")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["uri"]: r for r in spark.sql(
+        "SELECT uri, robots_ok, kept FROM funnel_stream_mem"
+    ).collect()}
+    assert rows["http://h0.example/ok"]["kept"] is True
+    assert rows["http://h0.example/secret/x"]["robots_ok"] is False
+    assert rows["http://h0.example/secret/x"]["kept"] is False
