@@ -1045,9 +1045,11 @@ def dedup_lines(
     ``array_sort`` + ``array_join`` fold. Two shuffles of (id, pos,
     line) granularity total; decisions are global, so that lower bound
     is inherent — but only LINES move, never whole documents."""
+    # \r?\n: a CRLF copy of a line must dedup against its LF twin (the
+    # rebuilt text joins with plain \n either way)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
     ).filter(F.col(id_col).isNotNull())
     lh = F.md5(F.col("line").cast("binary"))
     eligible = F.length(F.trim(F.col("line"))) >= min_chars

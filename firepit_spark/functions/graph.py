@@ -330,13 +330,21 @@ def hits(
             .groupBy(e["dst"].alias("node2"))
             .agg(F.sum(F.col("w") * F.col("hub")).alias("__a"))
         )
-        auth = _normalized(
-            nodes.join(auth_raw, nodes["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__a"), F.lit(0.0)).alias("auth"),
+        # truncate mid-round: the hub half-step references auth twice
+        # (norm agg + join), which would otherwise re-execute the whole
+        # auth subplan per reference
+        auth = _truncate(
+            _normalized(
+                nodes.join(auth_raw, nodes["node"] == F.col("node2"),
+                           "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__a"), F.lit(0.0)).alias("auth"),
+                ),
+                "auth",
             ),
-            "auth",
+            eager=True,
+            checkpoint_dir=checkpoint_dir,
         )
         hub_raw = (
             e.join(auth, e["dst"] == auth["node"])

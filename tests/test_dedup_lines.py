@@ -92,3 +92,16 @@ def test_duplicate_ngram_fraction(spark):
     assert (got[4]["n_grams"], got[4]["dup_gram_frac"]) == (0, 0.0)
     # 'self self self' repeats within ONE doc: min(id)==max(id), not dup
     assert got[5]["dup_gram_frac"] == 0.0
+
+
+def test_dedup_lines_crlf_normalizes(spark):
+    body = "A boilerplate line long enough for dedup to consider it."
+    df = spark.createDataFrame(
+        [(1, f"{body}\nunique one here"), (2, f"{body}\r\nunique two here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    # the CRLF copy deduped against the LF original
+    assert out[2]["n_lines_removed"] == 1
+    assert out[2]["text"] == "unique two here"
+    assert out[1]["n_lines_removed"] == 0
