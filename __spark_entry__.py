@@ -4448,6 +4448,126 @@ GROUP BY doc_id
 """
 
 
+def q73_web_funnel(spark, sf_dir):
+    """The one-plan web-corpus funnel COMPOSITION under the driver gate
+    (functions/pipeline.py:web_corpus_funnel — previously pytest-only;
+    its stages are gated individually by q21/q23/q42/q61/q64 but the
+    composition was not). Per document a real WET archive wraps the
+    document's OWN text verbatim (conversion records decode byte-exact,
+    so the oracle can reuse the proven q21/q23/q42 SQL formulas for
+    fingerprint/lang/quality); every 13th record carries an EMPTY body
+    (has_text must go false), URIs land under /secret every 9th id,
+    and robots.txt exists only for EVEN hosts — so the robots leg must
+    distinguish 'no rules at all' (allow) from 'rules, no match'
+    (allow) from 'Disallow match' (deny). The full flag ladder —
+    has_text → robots_ok → lang/lang_ok → quality/quality_ok → the
+    min-uri dedup keeper over the text fingerprint — is rebuilt by the
+    oracle stage for stage, NULL patterns included, and the whole
+    frame sits on the hash."""
+    from firepit_spark.functions import robots as rb
+    from firepit_spark.functions.pipeline import web_corpus_funnel
+    from firepit_spark.sources import warc as wc
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") < 1000)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for doc, text in zip(pdf["doc_id"], pdf["text"]):
+                doc = int(doc)
+                host = f"h{doc % 10}.example"
+                seg = "secret" if doc % 9 == 0 else "page"
+                uri = f"http://{host}/{seg}/{doc}"
+                body = b"" if doc % 13 == 0 else (
+                    text or "").encode("utf-8")
+                recs.append((str(doc), wc.warc_encode([
+                    ({"WARC-Type": "conversion", "WARC-Target-URI": uri,
+                      "Content-Type": "text/plain"}, body),
+                ])))
+            yield pd.DataFrame(recs, columns=["warc_file", "content"])
+
+    archives = docs.mapInPandas(
+        build, schema="warc_file string, content binary"
+    )
+    rules = rb.robots_rules(spark.createDataFrame(
+        [(f"h{k}.example", b"User-agent: *\nDisallow: /secret\n")
+         for k in range(0, 10, 2)],
+        "host string, content binary",
+    ))
+    flags = web_corpus_funnel(
+        wc.parse_warc_members(archives), robots=rules,
+        langs=("en",), min_quality=0.5,
+    )
+    return flags.select(
+        F.regexp_extract("uri", r"(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "has_text", "robots_ok", "lang", "lang_ok",
+        F.round("quality", 6).alias("quality6"),
+        "quality_ok", "kept",
+    )
+
+
+def _q73_sql() -> str:
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    quality = (
+        "least(length(text) / 500.0, 1.0) * 0.4"
+        " + least(CASE WHEN len(t) > 0"
+        " THEN CAST(len(list_filter(t, x -> list_contains({sw}, x)))"
+        " AS DOUBLE) / len(t) ELSE 0.0 END * 5.0, 1.0) * 0.4"
+        " + (1.0 - least(CASE WHEN length(text) > 0"
+        " THEN CAST(length(text) - length(regexp_replace(text,"
+        " '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)"
+        " ELSE 0.0 END * 10.0, 1.0)) * 0.2"
+    ).replace("{sw}", _sw_list("en"))
+    return f"""
+WITH d0 AS (
+  SELECT doc_id::BIGINT AS doc_id, COALESCE(text, '') AS rawtext
+  FROM documents WHERE doc_id < 1000
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN '' ELSE rawtext END AS text,
+         'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.example/'
+           || CASE WHEN doc_id % 9 = 0 THEN 'secret' ELSE 'page' END
+           || '/' || CAST(doc_id AS VARCHAR) AS uri
+  FROM d0
+), tk AS (
+  SELECT doc_id, string_split({norm}, ' ') AS t FROM b
+), f0 AS (
+  SELECT b.doc_id, b.uri, b.text, tk.t,
+         length(b.text) > 0 AS has_text,
+         (length(b.text) > 0)
+           AND NOT (b.doc_id % 9 = 0 AND b.doc_id % 2 = 0) AS robots_ok
+  FROM b JOIN tk USING (doc_id)
+), lg AS (
+  SELECT *, CASE WHEN has_text AND robots_ok
+                 THEN {_lang_case()} END AS lang
+  FROM f0
+), lo AS (
+  SELECT *, COALESCE(lang = 'en', FALSE) AS lang_ok FROM lg
+), ql AS (
+  SELECT *, CASE WHEN lang_ok THEN {quality} END AS quality,
+         md5({norm}) AS fp
+  FROM lo
+), qo AS (
+  SELECT *, COALESCE(lang_ok AND quality >= 0.5, FALSE) AS quality_ok
+  FROM ql
+), kp AS (
+  SELECT *, min(CASE WHEN quality_ok THEN uri END)
+              OVER (PARTITION BY fp) AS keeper
+  FROM qo
+)
+SELECT doc_id, has_text, robots_ok, lang, lang_ok,
+       ROUND(quality, 6) AS quality6, quality_ok,
+       COALESCE(quality_ok AND uri = keeper, FALSE) AS kept
+FROM kp
+"""
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -4793,6 +4913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_cdx_diff": q70_cdx_diff,
         "q71_line_dedup": q71_line_dedup,
         "q72_dup_ngram_fraction": q72_dup_ngram_fraction,
+        "q73_web_funnel": q73_web_funnel,
     }
 
 
@@ -4861,4 +4982,5 @@ def oracle_sql() -> dict[str, str]:
         "q70_cdx_diff": _Q70_SQL,
         "q71_line_dedup": _Q71_SQL,
         "q72_dup_ngram_fraction": _Q72_SQL,
+        "q73_web_funnel": _q73_sql(),
     }
