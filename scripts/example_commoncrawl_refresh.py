@@ -1,0 +1,134 @@
+"""Example: an INCREMENTAL CommonCrawl refresh with the round-12 web
+stack — the 100 TB shape where the job touches only the bytes that
+moved:
+
+  1. diff the new crawl's CDX index against the previous generation's
+     (~200 GB of index, never the ~90 TB of WARC) — `cdx_diff` marks
+     every urlkey new/changed/unchanged/gone,
+  2. range-fetch EXACTLY the 'new' + 'changed' captures over HTTP(S)
+     with the stdlib range opener (keep-alive Range GETs; CommonCrawl's
+     public endpoint serves these),
+  3. run the one-plan curation funnel (text → robots → language →
+     quality → dedup) over just the fetched records,
+  4. export the survivors as WET shards + WAT metadata sidecars
+     (link graph without re-parsing HTML downstream),
+  5. refresh host weights with PageRank over the outlink host graph.
+
+Runs under local[*] against two locally written "crawl generations"
+for a smoke test (no network needed):
+
+    python scripts/example_commoncrawl_refresh.py --out /tmp/cc_refresh
+
+Swap `--old-index/--new-index/--base-url` for the real thing, e.g.
+``--base-url https://data.commoncrawl.org/`` with index paths from two
+crawl releases.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _write_generation(spark, out_dir: str, docs: list):
+    """A tiny local 'crawl generation': WET shards + CDX sidecars."""
+    from firepit_spark.sources.warc import write_warc_shards
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = spark.createDataFrame(docs, "uri string, text string")
+    write_warc_shards(df, out_dir).collect()
+    return out_dir
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="working directory")
+    ap.add_argument("--old-index", default=None,
+                    help="CDX path of the PREVIOUS crawl generation")
+    ap.add_argument("--new-index", default=None,
+                    help="CDX path of the NEW crawl generation")
+    ap.add_argument("--base-url", default=None,
+                    help="archive base (dir path or https://... for "
+                         "range GETs over HTTP)")
+    args = ap.parse_args()
+
+    from firepit_spark.functions.graph import pagerank
+    from firepit_spark.functions.html import host_graph_edges, html_outlinks
+    from firepit_spark.functions.pipeline import (
+        web_corpus_funnel, web_funnel_report,
+    )
+    from firepit_spark.session import build_spark
+    from firepit_spark.sources.cdx import cdx_diff, fetch_warc_records, read_cdx
+    from firepit_spark.sources.openers import http_range_opener
+    from firepit_spark.sources.warc import (
+        wat_metadata, write_warc_shards, write_wat_shards,
+    )
+
+    spark = build_spark("cc-refresh-example")
+
+    if args.old_index is None:
+        # smoke mode: synthesize two generations locally. Generation 2
+        # re-crawls page /a unchanged, changes /b, adds /c, drops /d.
+        body = ("An ordinary English paragraph long enough to pass the "
+                "quality gate of the curation funnel. ")
+        gen1 = _write_generation(spark, os.path.join(args.out, "gen1"), [
+            ("http://h.example/a", body + "version one of a"),
+            ("http://h.example/b", body + "version one of b"),
+            ("http://h.example/d", body + "only in generation one"),
+        ])
+        gen2 = _write_generation(spark, os.path.join(args.out, "gen2"), [
+            ("http://h.example/a", body + "version one of a"),
+            ("http://h.example/b", body + "version TWO of b"),
+            ("http://h.example/c", body + "new page c"),
+        ])
+        old_idx, _ = read_cdx(spark, os.path.join(gen1, "*.cdx"))
+        new_idx, _ = read_cdx(spark, os.path.join(gen2, "*.cdx"))
+        base, opener = gen2 + "/", None
+    else:
+        old_idx, _ = read_cdx(spark, args.old_index)
+        new_idx, _ = read_cdx(spark, args.new_index)
+        base, opener = args.base_url, http_range_opener
+
+    # 1. index diff — the only full-corpus-sized frames that ever move
+    diff = cdx_diff(old_idx, new_idx)
+    refresh = diff.filter(F.col("status").isin("new", "changed"))
+
+    # 2. fetch exactly those records (range GETs when base is https)
+    fetched = fetch_warc_records(refresh, base_dir=base, opener=opener)
+
+    # 3. one-plan curation funnel over the fetched records only
+    flags = web_corpus_funnel(fetched)
+    print("funnel:", web_funnel_report(flags).collect()[0].asDict())
+    kept = flags.filter("kept")
+
+    # 4. export survivors: WET shards + WAT metadata (links without HTML)
+    out_wet = os.path.join(args.out, "refresh_wet")
+    os.makedirs(out_wet, exist_ok=True)
+    write_warc_shards(kept, out_wet, uri_col="uri", text_col="text").collect()
+    out_wat = os.path.join(args.out, "refresh_wat")
+    os.makedirs(out_wat, exist_ok=True)
+    write_wat_shards(wat_metadata(fetched), out_wat).collect()
+
+    # 5. host weights from the refreshed outlink graph (responses only;
+    # WET smoke data has no anchors — on a real crawl this is the feed)
+    links = html_outlinks(
+        fetched.filter(F.col("http_content_type").contains("html"))
+        .select(F.col("target_uri").alias("uri"),
+                F.expr("cast(payload as string)").alias("html")),
+        html_col="html", base_uri_col="uri",
+    ).select(F.expr("parse_url(uri, 'HOST')").alias("src_host"), "dst_host")
+    ranks = pagerank(host_graph_edges(links), weight_col="n_links")
+    print("host ranks:", ranks.orderBy(F.desc("rank")).limit(5).collect())
+
+    print("diff:", sorted((r["urlkey"], r["status"])
+                          for r in diff.collect()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
