@@ -4568,6 +4568,61 @@ FROM kp
 """
 
 
+def q74_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints under the driver gate
+    (functions/dedup.py:winnow_fingerprints — the brief's
+    'rolling hash' fingerprint family, Schleimer et al. 2003): over
+    the REAL documents text, hash every word 3-gram (the q25-proven
+    cross-engine 60-bit md5 int) and select each 8-window's minimum
+    with the rightmost tie-break, entirely document-local (the Spark
+    plan has ZERO exchanges — higher-order folds per row). The oracle
+    re-derives the selection from scratch: gram rows with positions,
+    an explicit window×position join, and a QUALIFY row_number over
+    (h ASC, pos DESC) — so gram construction, the window walk, the
+    tie-break direction and the distinct-set semantics all sit on the
+    hash."""
+    from firepit_spark.functions.dedup import winnow_fingerprints
+
+    r = _resolver(spark, sf_dir)
+    docs = r("documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).filter(F.col("doc_id") < 2000)
+    return winnow_fingerprints(docs, k=3, w=8)
+
+
+_Q74_SQL = r"""
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, text FROM documents
+  WHERE doc_id < 2000
+), tk AS (
+  SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                      ' ') AS t
+  FROM d
+), g AS (
+  SELECT doc_id, (n - 1)::INT AS pos,
+         ('0x' || substr(md5(t[n] || ' ' || t[n+1] || ' ' || t[n+2]),
+                         1, 15))::BIGINT AS h
+  FROM tk, UNNEST(range(1, len(t) - 1)) AS r(n)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+), wins AS (
+  SELECT doc_id, s.s AS ws
+  FROM sz, UNNEST(range(0, greatest(n - 8, 0) + 1)) AS s(s)
+), sel AS (
+  SELECT w.doc_id, w.ws, g.pos, g.h
+  FROM wins w
+  JOIN g ON g.doc_id = w.doc_id
+        AND g.pos >= w.ws AND g.pos < w.ws + 8
+  QUALIFY row_number() OVER (
+    PARTITION BY w.doc_id, w.ws ORDER BY g.h ASC, g.pos DESC
+  ) = 1
+)
+SELECT DISTINCT doc_id, pos, h AS fp FROM sel
+"""
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -4914,6 +4969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_line_dedup": q71_line_dedup,
         "q72_dup_ngram_fraction": q72_dup_ngram_fraction,
         "q73_web_funnel": q73_web_funnel,
+        "q74_winnow_fingerprints": q74_winnow_fingerprints,
     }
 
 
@@ -4983,4 +5039,5 @@ def oracle_sql() -> dict[str, str]:
         "q71_line_dedup": _Q71_SQL,
         "q72_dup_ngram_fraction": _Q72_SQL,
         "q73_web_funnel": _q73_sql(),
+        "q74_winnow_fingerprints": _Q74_SQL,
     }

@@ -1128,3 +1128,87 @@ def duplicate_ngram_fraction(
         F.when(n_grams > 0, F.round(dup_cnt / n_grams, 6))
         .otherwise(F.lit(0.0)).alias("dup_gram_frac"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+) -> DataFrame:
+    """Rolling-window document fingerprints by WINNOWING (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS scheme): hash every overlapping
+    word ``k``-gram, slide a window of ``w`` consecutive hashes, and
+    select each window's MINIMUM (rightmost on ties). The selected
+    ``(pos, fp)`` set is a guaranteed-coverage sketch: any shared run
+    of ≥ ``w + k - 1`` words between two documents yields at least one
+    shared fingerprint, at ~1/w the density of full shingling — the
+    position-robust fingerprint family the shingle index lacks (join
+    candidates on ``fp``).
+
+    Gram hashes are the corpus-standard 60-bit md5 ints
+    (:func:`shingle_hash`), reproducible in ANSI SQL. Documents with
+    fewer than ``w`` grams winnow as a single window; documents with
+    no ``k``-gram at all emit no rows.
+
+    Plan shape: ENTIRELY document-local — one regex gram pass + two
+    higher-order folds per row, ZERO shuffles; candidate joins
+    downstream shuffle only (id, pos, fp) triples."""
+    from firepit_spark.functions.text import word_ngrams
+
+    grams = word_ngrams(F.col(text_col), k)
+    hp = F.transform(
+        grams,
+        lambda g, i: F.struct(
+            shingle_hash(g).alias("h"), i.cast("int").alias("pos")
+        ),
+    )
+    n = F.size(grams)
+    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    init = F.struct(
+        F.lit(2 ** 63 - 1).cast("bigint").alias("h"),
+        F.lit(-1).cast("int").alias("pos"),
+    )
+    pick = lambda s: F.aggregate(  # noqa: E731 — rightmost window min
+        F.slice(hp, s + 1, w),
+        init,
+        lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
+    )
+    selected = F.array_distinct(F.transform(starts, pick))
+    return (
+        df.select(F.col(id_col), n.alias("__n"), selected.alias("__sel"))
+        .filter(F.col("__n") > 0)
+        .select(F.col(id_col), F.explode("__sel").alias("__fp"))
+        .select(
+            id_col,
+            F.col("__fp.pos").alias("pos"),
+            F.col("__fp.h").alias("fp"),
+        )
+    )
+
+
+def winnow_fingerprints_py(text: str, k: int = 5, w: int = 8) -> set:
+    """Independent pure-python twin (same spec, loop code) — the
+    differential oracle for :func:`winnow_fingerprints`."""
+    import hashlib
+    import re
+
+    toks = re.sub(r"\s+", " ", (text or "").lower().strip()).split(" ")
+    toks = [t for t in toks if t != ""]
+    grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    hashes = [
+        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        for g in grams
+    ]
+    n = len(hashes)
+    if n == 0:
+        return set()
+    out = set()
+    for s in range(max(n - w, 0) + 1):
+        best_h, best_pos = None, None
+        for pos in range(s, min(s + w, n)):
+            if best_h is None or hashes[pos] <= best_h:  # rightmost tie
+                best_h, best_pos = hashes[pos], pos
+        out.add((best_pos, best_h))
+    return out

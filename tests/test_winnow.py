@@ -1,0 +1,53 @@
+"""Winnowing fingerprints (Schleimer/MOSS): differential vs the
+pure-python twin, the coverage guarantee, short-doc handling, and the
+zero-shuffle plan."""
+
+from __future__ import annotations
+
+import random
+
+from firepit_spark.functions.dedup import (
+    winnow_fingerprints, winnow_fingerprints_py,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]
+
+
+def test_winnow_differential_random(spark):
+    rng = random.Random(31)
+    docs = [
+        (i, " ".join(rng.choice(WORDS) for _ in range(rng.randint(0, 60))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict = {}
+    for r in winnow_fingerprints(df, k=4, w=5).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, text in docs:
+        want = winnow_fingerprints_py(text, k=4, w=5)
+        assert got.get(i, set()) == want, i
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Any shared run of >= w + k - 1 words yields a shared fingerprint
+    HASH (positions may differ); sub-k docs emit nothing; sub-w docs
+    winnow as one window."""
+    rng = random.Random(7)
+    shared = " ".join(rng.choice(WORDS) for _ in range(12))  # w+k-1 = 12
+    docs = [
+        (1, "one unique preamble here " + shared + " tail a"),
+        (2, "completely different other opening words " + shared),
+        (3, "tiny doc"),          # < k words: no fingerprints
+        (4, "exactly five words right here"),  # k<=5<w: one window
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    by_doc: dict = {}
+    for r in winnow_fingerprints(df, k=5, w=8).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # the guarantee
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1            # single window, single pick
+    # plan: document-local — no exchange at all
+    plan = winnow_fingerprints(df)._jdf.queryExecution().toString()
+    assert "Exchange hashpartitioning" not in plan
