@@ -1212,3 +1212,35 @@ def winnow_fingerprints_py(text: str, k: int = 5, w: int = 8) -> set:
                 best_h, best_pos = hashes[pos], pos
         out.add((best_pos, best_h))
     return out
+
+
+def winnow_candidates(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_fp_freq: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs from a :func:`winnow_fingerprints`
+    frame: ``(id_a, id_b, n_shared)`` for documents sharing at least
+    one selected fingerprint — at ~1/w the index size of the shingle
+    join, with the winnowing guarantee bounding what can be missed
+    (no shared run ≥ w+k-1 words escapes). Same scale shape as
+    ngram_jaccard_pairs' index: hot fingerprints (> ``max_fp_freq``
+    docs — boilerplate the line/ngram family handles better) drop via
+    an anti-join AQE can broadcast, then one self-equi-join on the
+    8-byte fp and a map-side-combined pair count."""
+    idx = fps.select(F.col(id_col), "fp").distinct()
+    hot = (
+        idx.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_fp_freq)
+        .select("fp")
+    )
+    idx = idx.join(hot, "fp", "left_anti")
+    a = idx.select(F.col(id_col).alias("id_a"), "fp")
+    b = idx.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -51,3 +51,29 @@ def test_winnow_guarantee_and_edges(spark):
     # plan: document-local — no exchange at all
     plan = winnow_fingerprints(df)._jdf.queryExecution().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_winnow_candidates(spark):
+    """Documents sharing a long run pair up; unrelated ones don't; the
+    guarantee makes the pair unmissable."""
+    from firepit_spark.functions.dedup import (
+        winnow_candidates, winnow_fingerprints,
+    )
+
+    rng = random.Random(13)
+    shared = " ".join(rng.choice(WORDS) for _ in range(20))
+    docs = [
+        (1, "first intro words before the common block " + shared),
+        (2, shared + " and then a completely different ending here"),
+        (3, " ".join(rng.choice(WORDS) for _ in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, w=8)
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_candidates(fps).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs) or (
+        # doc 3 is random over the same small vocab: allow incidental
+        # single-fp overlaps but the true pair must dominate
+        pairs[(1, 2)] == max(pairs.values())
+    )
