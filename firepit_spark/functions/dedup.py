@@ -1036,7 +1036,10 @@ def dedup_lines(
 
     Returns ``(id_col, text_col, n_lines_removed)`` — join back on the
     id for the other columns (returning a rebuilt text column next to
-    a stale one invites bugs).
+    a stale one invites bugs). Documents whose text is NULL pass
+    through untouched (NULL text, ``n_lines_removed = 0``): exploding
+    a NULL split emits zero rows, which would silently drop the id
+    from the output and break the documented join-back contract.
 
     Plan shape: posexplode (map-only) → keeper per line = ONE
     map-side-combined ``min(struct(id, pos))`` groupBy on ``md5(line)``
@@ -1045,6 +1048,15 @@ def dedup_lines(
     ``array_sort`` + ``array_join`` fold. Two shuffles of (id, pos,
     line) granularity total; decisions are global, so that lower bound
     is inherent — but only LINES move, never whole documents."""
+    # NULL-text docs exit here with their id intact; the explode below
+    # would emit zero rows for them
+    null_text = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNull()
+    ).select(
+        F.col(id_col),
+        F.col(text_col).cast("string").alias(text_col),
+        F.lit(0).cast("bigint").alias("n_lines_removed"),
+    )
     # \r?\n: a CRLF copy of a line must dedup against its LF twin (the
     # rebuilt text joins with plain \n either way)
     lines = df.select(
@@ -1063,7 +1075,7 @@ def dedup_lines(
         (F.col(f"__k.{id_col}") == F.col(id_col))
         & (F.col("__k.pos") == F.col("pos"))
     )
-    return (
+    rebuilt = (
         marked.groupBy(id_col)
         .agg(
             F.array_join(
@@ -1077,9 +1089,12 @@ def dedup_lines(
                 ),
                 "\n",
             ).alias(text_col),
-            F.sum(F.when(kept, 0).otherwise(1)).alias("n_lines_removed"),
+            F.sum(F.when(kept, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_lines_removed"),
         )
     )
+    return rebuilt.unionByName(null_text)
 
 
 def duplicate_ngram_fraction(

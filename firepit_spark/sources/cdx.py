@@ -405,16 +405,23 @@ def latest_capture_per_urlkey(cdx: DataFrame) -> DataFrame:
     """One row per urlkey — the LATEST capture (max timestamp; ties
     break on the remaining columns for determinism). Same map-side-
     combined max(struct) shape as :func:`dedup_by_digest`: the shuffle
-    carries one candidate row per (partition, urlkey), never payloads."""
+    carries one candidate row per (partition, urlkey), never payloads.
+
+    Captures with a NULL urlkey pass through untouched, mirroring
+    :func:`dedup_by_digest`'s NULL-digest rule: Spark's groupBy puts
+    every NULL key in ONE group, which would collapse all urlkey-less
+    captures into a single arbitrary keeper."""
     cols = cdx.columns
     ordered = [c for c in ("ts", "digest", "filename", "offset")
                if c in cols] + [
         c for c in cols if c not in ("ts", "digest", "filename", "offset")
     ]
-    best = cdx.groupBy("urlkey").agg(
+    keyed = cdx.filter(F.col("urlkey").isNotNull())
+    best = keyed.groupBy("urlkey").agg(
         F.max(F.struct(*[F.col(c) for c in ordered])).alias("__b")
     )
-    return best.select([F.col(f"__b.{c}").alias(c) for c in cols])
+    latest = best.select([F.col(f"__b.{c}").alias(c) for c in cols])
+    return cdx.filter(F.col("urlkey").isNull()).unionByName(latest)
 
 
 def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
@@ -432,7 +439,15 @@ def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     Plan: each side collapses to its latest capture per urlkey
     (map-side-combined max(struct)), then ONE full-outer equi-join on
     urlkey — the only shuffles carry index rows, never payloads, and
-    both sides shuffle on the same key so the join co-locates."""
+    both sides shuffle on the same key so the join co-locates.
+
+    Captures with a NULL urlkey are EXCLUDED from the diff: the diff
+    is keyed on urlkey, and a full-outer equi-join never matches NULL
+    keys, so a urlkey-less capture present in both generations would
+    otherwise report as both ``new`` and ``gone``. Keyless rows can't
+    be correlated across crawls — filter them out up front."""
+    old = old.filter(F.col("urlkey").isNotNull())
+    new = new.filter(F.col("urlkey").isNotNull())
     o = latest_capture_per_urlkey(old).select(
         F.col("urlkey").alias("__o_key"),
         F.col("digest").alias("old_digest"),

@@ -36,7 +36,7 @@ from __future__ import annotations
 import http.client
 import ssl
 import time
-from urllib.parse import urlsplit
+from urllib.parse import urljoin, urlsplit
 
 #: refuse to buffer a whole body past this when a server ignores Range
 _NO_RANGE_CAP = 256 << 20
@@ -190,9 +190,10 @@ class HttpRangeFile:
             loc = resp.getheader("Location")
             if not loc:
                 raise OSError(f"redirect without Location from {url}")
-            if "://" not in loc:  # relative redirect
-                loc = f"{parts.scheme}://{parts.netloc}{loc}"
-            raise _Redirect(loc)
+            # urljoin handles absolute, scheme-relative (//host/path —
+            # which a "://" check misreads as path-relative), and
+            # path-relative Location values per RFC 3986
+            raise _Redirect(urljoin(url, loc))
         if resp.status == 206:
             return resp.read()
         if resp.status == 200:

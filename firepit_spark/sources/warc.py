@@ -663,9 +663,14 @@ def wat_metadata(
                 if v is not None
             }
             payload_md: dict = {}
-            if row["warc_type"] == "response" and row["http_status"] is not None:
+            # st == st rejects NaN: an Arrow batch mixing NULL and
+            # non-NULL http_status arrives as float64, so a NULL is NaN
+            # here — which passes an `is not None` check but blows up
+            # int(); the record must still get its header envelope
+            st = row["http_status"]
+            if row["warc_type"] == "response" and st is not None and st == st:
                 resp: dict = {
-                    "Response-Message": {"Status": int(row["http_status"])},
+                    "Response-Message": {"Status": int(st)},
                 }
                 ct = (row["http_content_type"] or "").lower()
                 raw = row["payload"]

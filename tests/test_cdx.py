@@ -307,3 +307,37 @@ def test_cdx_diff_incremental_crawl(spark):
              .filter("status IN ('new','changed')").collect()}
     assert fetch == {"k/new", "k/b"}
     assert got["k/b"]["filename"] == "new.warc.gz"
+
+
+def test_latest_capture_null_urlkeys_pass_through(spark):
+    """ADVICE r12: NULL urlkeys must not collapse into one keeper —
+    same NULL-key hazard dedup_by_digest already guards against."""
+    schema = ("urlkey string, ts string, url string, digest string, "
+              "filename string, offset long, length long")
+    cdx = spark.createDataFrame([
+        ("k/a", "20240101", "u", "d1", "f1", 0, 10),
+        ("k/a", "20240301", "u", "d2", "f2", 10, 10),   # latest k/a
+        (None, "20240101", "u", "d3", "f3", 20, 10),
+        (None, "20240601", "u", "d4", "f4", 30, 10),
+    ], schema)
+    kept = C.latest_capture_per_urlkey(cdx).collect()
+    # one k/a keeper (the latest) + BOTH keyless rows untouched
+    assert sorted(r["filename"] for r in kept) == ["f2", "f3", "f4"]
+
+
+def test_cdx_diff_excludes_null_urlkeys(spark):
+    """ADVICE r12: a NULL urlkey present in both generations must not
+    report as both 'new' and 'gone' (full-outer never matches NULLs);
+    keyless captures are excluded from the diff by contract."""
+    schema = ("urlkey string, ts string, url string, digest string, "
+              "filename string, offset long, length long")
+    old = spark.createDataFrame([
+        ("k/a", "20240101", "u", "d1", "o.warc.gz", 0, 10),
+        (None, "20240101", "u", "dZ", "o.warc.gz", 10, 10),
+    ], schema)
+    new = spark.createDataFrame([
+        ("k/a", "20240601", "u", "d1", "n.warc.gz", 0, 11),
+        (None, "20240601", "u", "dZ", "n.warc.gz", 11, 11),
+    ], schema)
+    got = C.cdx_diff(old, new).collect()
+    assert [(r["urlkey"], r["status"]) for r in got] == [("k/a", "unchanged")]

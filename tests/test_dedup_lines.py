@@ -105,3 +105,19 @@ def test_dedup_lines_crlf_normalizes(spark):
     assert out[2]["n_lines_removed"] == 1
     assert out[2]["text"] == "unique two here"
     assert out[1]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_null_text_passthrough(spark):
+    """ADVICE r12: a NULL-text doc must keep its row (NULL text,
+    0 removed) — posexplode(split(NULL)) emits zero rows, which would
+    silently drop the id and break the documented join-back."""
+    body = "A boilerplate line long enough for dedup to consider it."
+    df = spark.createDataFrame(
+        [(1, f"{body}\nunique one"), (2, None), (3, f"{body}\nunique three")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert set(out) == {1, 2, 3}          # every id survives
+    assert out[2]["text"] is None
+    assert out[2]["n_lines_removed"] == 0
+    assert out[3]["n_lines_removed"] == 1  # dedup still ran around it

@@ -34,6 +34,25 @@ class _RangeHandler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
             return
+        if path.startswith("schemerel/"):
+            # scheme-relative Location (//host:port/path) — RFC 3986;
+            # a naive '"://" not in loc' check misreads this as
+            # path-relative (ADVICE r12)
+            host, port = self.server.server_address[:2]
+            self.send_response(302)
+            self.send_header(
+                "Location", f"//{host}:{port}/" + path[len("schemerel/"):]
+            )
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        if path.startswith("relredir/"):
+            # path-relative Location without a leading slash
+            self.send_response(302)
+            self.send_header("Location", "../" + path[len("relredir/"):])
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
         ignore_range = path.startswith("norange/")
         if ignore_range:
             path = path[len("norange/"):]
@@ -110,6 +129,17 @@ def test_http_range_file_semantics(http_root):
 
     # redirects are followed, ranges intact
     with HttpRangeFile(base + "redir/blob.bin") as fh:
+        fh.seek(10)
+        assert fh.read(5) == bytes(range(10, 15))
+
+    # scheme-relative Location (//host/path) resolves to the named
+    # host, not to orig-netloc//host/path (ADVICE r12)
+    with HttpRangeFile(base + "schemerel/blob.bin") as fh:
+        fh.seek(10)
+        assert fh.read(5) == bytes(range(10, 15))
+
+    # path-relative Location without a leading slash
+    with HttpRangeFile(base + "relredir/blob.bin") as fh:
         fh.seek(10)
         assert fh.read(5) == bytes(range(10, 15))
 

@@ -158,3 +158,31 @@ def test_wat_metadata_streams(spark, tmp_path):
     md = env["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
     assert md["Head"]["Title"] == "S"
     assert [l["url"] for l in md["Links"]] == ["/s"]
+
+
+def test_wat_metadata_nan_status_still_enveloped(spark):
+    """ADVICE r12: an Arrow batch mixing NULL and non-NULL http_status
+    arrives as float64 — the NULL becomes NaN, which passes an
+    `is not None` guard and int(NaN) raises, quarantining a record the
+    contract says still gets its WARC-header envelope."""
+    rows = [
+        ("w", 0, "response", "<id1>", "2024-01-01T00:00:00Z",
+         "http://h.example/ok", "application/http; msgtype=response",
+         10, 200, "text/plain", bytearray(b"hi"), None),
+        ("w", 1, "response", "<id2>", "2024-01-01T00:00:00Z",
+         "http://h.example/nostatus", "application/http; msgtype=response",
+         10, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, W.WARC_SCHEMA).coalesce(1)
+    out = {r["target_uri"]: r for r in W.wat_metadata(df).collect()}
+    ok = out["http://h.example/ok"]
+    assert ok["wat_err"] is None
+    env = json.loads(ok["wat"])["Envelope"]
+    assert env["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "Response-Message"]["Status"] == 200
+    ns = out["http://h.example/nostatus"]
+    assert ns["wat_err"] is None          # not quarantined
+    env = json.loads(ns["wat"])["Envelope"]
+    assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == (
+        "http://h.example/nostatus")
+    assert "Payload-Metadata" not in env  # no status -> headers only
