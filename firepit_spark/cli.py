@@ -1,7 +1,11 @@
 """Command-line interface mirroring the reference CLI
 (firepit/cli.py commands: cache, extract, filter, assign, join, lookup,
-values, tables, views, viewdata, columns, type, schema, count, delete,
-set-appdata, get-appdata, sql, plus merge/group/summary/value-counts).
+values, tables, views, viewdata, columns, type, schema, count, remove,
+delete, set-appdata, get-appdata, sql, plus merge/group/summary/
+value-counts). Verb parity with the reference: `remove <name>` drops a
+view (firepit/cli.py:300-305); bare `delete --yes` wipes the whole
+session's data (firepit/cli.py:221-225); `delete <name>` is kept as a
+deprecated alias of `remove <name>`.
 
 argparse-based (no third-party CLI dependency). Views created here are
 materialized to parquet so successive invocations see them — each CLI run
@@ -150,8 +154,27 @@ def main(argv=None):
     p = sub.add_parser("count", parents=[common])
     p.add_argument("name")
 
-    p = sub.add_parser("delete", help="remove a view", parents=[common])
+    p = sub.add_parser("remove", help="remove a view", parents=[common])
     p.add_argument("name")
+
+    # Reference parity (firepit/cli.py:221-225 vs :300-305): the
+    # reference's `delete` takes NO view name and wipes the whole
+    # session's STIX data; its view-removal verb is `remove`. Here
+    # `delete <name>` stays as a DEPRECATED alias of `remove <name>`
+    # (earlier releases of this CLI used it for view removal), and
+    # bare `delete` wipes the session — destructive, so it requires
+    # an explicit --yes.
+    p = sub.add_parser(
+        "delete",
+        help="delete ALL session data (requires --yes); "
+             "'delete <name>' is a deprecated alias of 'remove <name>'",
+        parents=[common],
+    )
+    p.add_argument("name", nargs="?")
+    p.add_argument(
+        "--yes", action="store_true",
+        help="confirm wiping every table and view in the session",
+    )
 
     p = sub.add_parser("set-appdata", parents=[common])
     p.add_argument("name")
@@ -318,8 +341,21 @@ def main(argv=None):
         print_rows(store.schema(args.name), fmt)
     elif cmd == "count":
         print(store.count(args.name))
-    elif cmd == "delete":
+    elif cmd == "remove":
         store.remove_view(args.name)
+    elif cmd == "delete":
+        if args.name is not None:
+            print(
+                "warning: 'delete <name>' is deprecated; use "
+                "'remove <name>' (bare 'delete' wipes the session, "
+                "matching the reference CLI)",
+                file=sys.stderr,
+            )
+            store.remove_view(args.name)
+        elif not args.yes:
+            ap.error("'delete' wipes ALL session data; pass --yes to confirm")
+        else:
+            store.delete()
     elif cmd == "set-appdata":
         store.set_appdata(args.name, args.data)
         if args.name in store._meta:

