@@ -377,9 +377,10 @@ class Group:
 
 class Aggregation:
     """Aggregations as (func, col, alias) tuples
-    (reference firepit/query.py:356-395). ``col=None`` with COUNT is
-    COUNT(*); NUNIQUE is COUNT(DISTINCT col). Group columns are included in
-    the result automatically."""
+    (reference firepit/query.py:356-395). ``col=None`` or ``col='*'``
+    with COUNT is COUNT(*) (the reference accepts both, query.py:370);
+    NUNIQUE is COUNT(DISTINCT col). Group columns are included in the
+    result automatically."""
 
     def __init__(self, aggs):
         self.aggs = []
@@ -391,6 +392,8 @@ class Aggregation:
             func = func.upper()
             if func not in AGG_FUNCS:
                 raise InvalidAggregateFunction(func)
+            if isinstance(col, str) and col == "*":
+                col = None
             if alias is None:
                 alias = f"{func.lower()}_{col}" if col else func.lower()
             self.aggs.append((func, col, alias))

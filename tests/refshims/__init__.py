@@ -1,0 +1,29 @@
+"""Stdlib-only stand-ins for the reference engine's third-party deps
+(ujson, ijson, anytree, dateutil, requests, lark), just rich enough to
+run firepit-on-sqlite inside this sandbox for the differential harness
+(tests/test_reference_differential.py). NOT general replacements.
+
+Activate with :func:`install`, which prepends this directory and the
+reference checkout to ``sys.path`` so ``import firepit`` works.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+SHIM_DIR = os.path.dirname(os.path.abspath(__file__))
+REFERENCE_DIR = "/root/reference"
+
+
+def install() -> bool:
+    """Make ``import firepit`` (the reference engine) work, backed by
+    these shims. Returns False when the reference checkout is absent.
+    Real installations of the shimmed packages, if any, win: the shim
+    path goes AFTER site-packages, before nothing else matters."""
+    if not os.path.isdir(os.path.join(REFERENCE_DIR, "firepit")):
+        return False
+    for p in (SHIM_DIR, REFERENCE_DIR):
+        if p not in sys.path:
+            sys.path.append(p)
+    return True

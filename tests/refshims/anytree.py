@@ -1,0 +1,38 @@
+"""anytree shim: the reference's deref.py uses Node(name, parent=...,
+edge=...), node.parent / node.path / node.name, and PreOrderIter."""
+
+from __future__ import annotations
+
+
+class Node:
+    def __init__(self, name, parent=None, **attrs):
+        self.name = name
+        self.parent = parent
+        self.children: list["Node"] = []
+        for k, v in attrs.items():
+            setattr(self, k, v)
+        if parent is not None:
+            parent.children.append(self)
+
+    @property
+    def path(self):
+        out, n = [], self
+        while n is not None:
+            out.append(n)
+            n = n.parent
+        return tuple(reversed(out))
+
+    def __repr__(self):
+        return f"Node({self.name!r})"
+
+
+def PreOrderIter(root: Node):  # noqa: N802 — anytree's name
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        yield n
+        stack.extend(reversed(n.children))
+
+
+def RenderTree(root: Node):  # noqa: N802 — debug-only in the reference
+    return repr(root)

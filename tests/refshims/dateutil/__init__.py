@@ -1,0 +1,1 @@
+from . import parser  # noqa: F401

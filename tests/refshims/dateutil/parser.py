@@ -1,0 +1,28 @@
+"""dateutil.parser shim: the reference parses RFC 3339 / ISO-8601
+timestamps (firepit/timestamp.py). fromisoformat plus Z/precision
+normalization covers every form the harness's bundles produce."""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+_FRAC = re.compile(r"\.(\d+)")
+
+
+def parse(value: str) -> datetime:
+    s = value.strip()
+    if s.endswith(("Z", "z")):
+        s = s[:-1] + "+00:00"
+    # fromisoformat (3.11) takes 1-6 fractional digits; clamp longer
+    m = _FRAC.search(s)
+    if m and len(m.group(1)) > 6:
+        s = s[: m.start(1)] + m.group(1)[:6] + s[m.end(1):]
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
+
+
+def isoparse(value: str) -> datetime:
+    return parse(value)

@@ -1,0 +1,35 @@
+"""ijson shim: the reference uses ijson.items(fp, 'objects.item') to
+stream a STIX bundle's objects array, catching
+ijson.common.IncompleteJSONError. Non-streaming is fine at test scale:
+load the whole document and walk the prefix."""
+
+from __future__ import annotations
+
+import json
+import types
+
+
+class IncompleteJSONError(ValueError):
+    pass
+
+
+common = types.SimpleNamespace(IncompleteJSONError=IncompleteJSONError)
+
+
+def items(fp, prefix: str):
+    raw = fp.read()
+    if isinstance(raw, bytes):
+        raw = raw.decode("utf-8")
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise IncompleteJSONError(str(e)) from e
+    node = doc
+    parts = prefix.split(".")
+    assert parts[-1] == "item", "shim only supports '...item' prefixes"
+    for key in parts[:-1]:
+        if not isinstance(node, dict) or key not in node:
+            return
+        node = node[key]
+    if isinstance(node, list):
+        yield from node

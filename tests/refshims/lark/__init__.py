@@ -1,0 +1,223 @@
+"""lark shim: just enough to run the reference's stix20.py
+(firepit/stix20.py uses ``Lark(grammar, parser="lalr",
+transformer=...).parse(pattern)`` over firepit/paramstix.lark).
+
+This is NOT a parser generator. It is a hand-written recursive-descent
+parser for that ONE grammar (STIX patterning), reproducing lark's
+observable behavior for it:
+
+- ``?rule`` inlining: a rule reducing to a single child produces no
+  callback; the child passes through.
+- ``v_args(inline=True)`` transformers get children as positional args,
+  invoked bottom-up during the parse.
+- Token values are plain strings (lark Tokens are str subclasses; the
+  reference only ever formats/partitions them).
+
+Constructing Lark with any other grammar raises — the guard keeps the
+shim honest if the reference's grammar ever changes.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class Transformer:
+    """Base class; the reference subclasses it with per-rule methods."""
+
+
+def v_args(inline: bool = False, **_kw):
+    """No-op decorator factory: this shim always calls transformer
+    methods with inline (positional) children, which is the only mode
+    the reference uses."""
+    def deco(cls):
+        return cls
+    return deco
+
+
+class LarkError(ValueError):
+    pass
+
+
+_WS = re.compile(r"\s+")
+_ECNAME = re.compile(r"[A-Za-z][A-Za-z0-9_\-]*")
+_PATH = re.compile(
+    r"[A-Za-z][A-Za-z0-9_\-]*(?:\[\*\])?(?:\.[A-Za-z0-9_\-']*)*"
+)
+_OPE = re.compile(r"(?:NOT )?(?:IN|LIKE|MATCHES|ISSUBSET|ISSUPERSET)\b")
+_OP = re.compile(r"[<>!]?=|[<>]")
+_NUMBER = re.compile(r"[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?")
+_QUOTED = re.compile(r"(?:\\'|[^'])+")
+_ISOTS = re.compile(
+    r"\d{4}-[01]\d-[0-3]\dT[0-2]\d:[0-5]\d:[0-5]\d(?:\.\d+)?Z"
+)
+
+
+class Lark:
+    def __init__(self, grammar: str, parser: str = "earley",
+                 transformer=None, **_kw):
+        if "Parameterized STIX Patterning Grammar" not in grammar:
+            raise NotImplementedError(
+                "refshims.lark only implements firepit's paramstix grammar"
+            )
+        self._t = transformer
+
+    # ------------------------------------------------------------ API
+
+    def parse(self, text: str):
+        p = _Parser(text, self._t)
+        return p.parse()
+
+
+class _Parser:
+    def __init__(self, text: str, transformer):
+        self.s = text
+        self.i = 0
+        self.t = transformer
+
+    # --------------------------------------------------------- lexing
+
+    def _ws(self):
+        m = _WS.match(self.s, self.i)
+        if m:
+            self.i = m.end()
+
+    def _lit(self, token: str) -> bool:
+        self._ws()
+        if self.s.startswith(token, self.i):
+            # keywords must not glue onto a following name char
+            if token.isalpha():
+                j = self.i + len(token)
+                if j < len(self.s) and (self.s[j].isalnum()
+                                        or self.s[j] in "_-"):
+                    return False
+            self.i += len(token)
+            return True
+        return False
+
+    def _rx(self, rx: re.Pattern, what: str) -> str:
+        self._ws()
+        m = rx.match(self.s, self.i)
+        if not m:
+            raise LarkError(f"expected {what} at {self.i}: "
+                            f"{self.s[self.i:self.i + 30]!r}")
+        self.i = m.end()
+        return m.group(0)
+
+    # ------------------------------------------------------ callbacks
+
+    def _call(self, name: str, *children):
+        fn = getattr(self.t, name, None) if self.t is not None else None
+        if fn is None:
+            return (name, *children)
+        return fn(*children)
+
+    # -------------------------------------------------------- grammar
+
+    def parse(self):
+        exp = self._obs_disj()
+        self._ws()
+        if self._lit("START"):
+            t1 = self._timestamp()
+            if not self._lit("STOP"):
+                raise LarkError("qualifier missing STOP")
+            t2 = self._timestamp()
+            exp = self._call("start", exp, ("qualifier", t1, t2))
+        self._ws()
+        if self.i != len(self.s):
+            raise LarkError(f"trailing input at {self.i}: "
+                            f"{self.s[self.i:self.i + 30]!r}")
+        return exp
+
+    def _timestamp(self) -> str:
+        if not self._lit("t'"):
+            raise LarkError("expected t'...' timestamp")
+        ts = self._rx(_ISOTS, "ISO timestamp")
+        if not self._lit("'"):
+            raise LarkError("unterminated timestamp")
+        return ts
+
+    def _obs_disj(self):
+        v = self._obs_conj()
+        while self._lit("OR"):
+            v = self._call("obs_disj", v, self._obs_conj())
+        return v
+
+    def _obs_conj(self):
+        v = self._obs_exp()
+        while self._lit("AND"):
+            v = self._call("obs_conj", v, self._obs_exp())
+        return v
+
+    def _obs_exp(self):
+        if self._lit("["):
+            v = self._comp_disj()
+            if not self._lit("]"):
+                raise LarkError("expected ]")
+            return v            # ?obs_exp: single child inlines
+        if self._lit("("):
+            v = self._obs_disj()
+            if not self._lit(")"):
+                raise LarkError("expected )")
+            return v
+        raise LarkError(f"expected [ or ( at {self.i}")
+
+    def _comp_disj(self):
+        v = self._comp_conj()
+        while self._lit("OR"):
+            v = self._call("comp_disj", v, self._comp_conj())
+        return v
+
+    def _comp_conj(self):
+        v = self._comp_exp()
+        while self._lit("AND"):
+            v = self._call("comp_conj", v, self._comp_exp())
+        return v
+
+    def _comp_exp(self):
+        if self._lit("("):
+            v = self._comp_disj()
+            if not self._lit(")"):
+                raise LarkError("expected )")
+            return self._call("comp_grp", v)
+        lhs = self._object_path()
+        self._ws()
+        m = _OPE.match(self.s, self.i) or _OP.match(self.s, self.i)
+        if not m:
+            raise LarkError(f"expected operator at {self.i}")
+        self.i = m.end()
+        rhs = self._value()
+        return self._call("simple_comp_exp", lhs, m.group(0), rhs)
+
+    def _object_path(self):
+        ec = self._rx(_ECNAME, "ECNAME")
+        if not self._lit(":"):
+            raise LarkError("expected : in object path")
+        path = self._rx(_PATH, "PATH")
+        return self._call("object_path", ec, path)
+
+    def _value(self):
+        self._ws()
+        if self._lit("("):
+            vals = [self._literal()]
+            while self._lit(","):
+                vals.append(self._literal())
+            if not self._lit(")"):
+                raise LarkError("expected ) closing list")
+            return self._call("lit_list", *vals)
+        c = self.s[self.i:self.i + 1]
+        if c == "'" or c.isdigit() or c in "+-.":
+            return self._literal()
+        ec = self._rx(_ECNAME, "ECNAME")     # reference: ECNAME "." PATH
+        if not self._lit("."):
+            raise LarkError("expected . in reference")
+        return self._call("reference", ec, self._rx(_PATH, "PATH"))
+
+    def _literal(self):
+        self._ws()
+        if self._lit("'"):
+            raw = self._rx(_QUOTED, "string body")
+            if not self._lit("'"):
+                raise LarkError("unterminated string")
+            return self._call("quoted_str", raw)
+        return self._rx(_NUMBER, "NUMBER")   # ?literal: token inlines

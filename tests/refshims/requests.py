@@ -1,0 +1,6 @@
+"""requests shim: the reference only hits it for http(s) bundle
+sources, which the differential harness never uses."""
+
+
+def get(*_a, **_kw):
+    raise NotImplementedError("refshims.requests: no network in sandbox")

@@ -1,0 +1,25 @@
+"""ujson shim. Formatting parity matters: firepit's deterministic SCO
+ids are uuid5 over ujson.dumps output (firepit/stix21.py:101), and real
+ujson (a) uses compact separators and (b) escapes forward slashes by
+default (escape_forward_slashes=True). stdlib json does neither, so a
+naive alias silently shifts every uuid5."""
+
+from __future__ import annotations
+
+import json
+
+load = json.load
+loads = json.loads
+
+
+def dumps(obj, ensure_ascii: bool = True, sort_keys: bool = False,
+          **_kw) -> str:
+    text = json.dumps(obj, ensure_ascii=ensure_ascii, sort_keys=sort_keys,
+                      separators=(",", ":"))
+    # ujson escapes '/' by default; outside string values json.dumps
+    # never emits '/', so a global replace is equivalent
+    return text.replace("/", "\\/")
+
+
+def dump(obj, fp, **kw):
+    fp.write(dumps(obj, **kw))

@@ -1,0 +1,343 @@
+"""Differential harness: run the ACTUAL reference engine
+(firepit-on-sqlite, /root/reference, via tests/refshims stdlib shims
+for its third-party deps) and SparkStorage over the SAME synthesized
+bundle, asserting row-level equality of every major storage operation
+(VERDICT r12 item 2 — executable parity evidence instead of
+hand-transcribed goldens; the op corpus follows reference
+tests/test_storage.py).
+
+Documented type upgrades normalized by :func:`canon`:
+- timestamps: reference stores RFC 3339 TEXT, Spark uses TimestampType
+  -> both canonicalized to millisecond RFC 3339 strings
+- booleans: sqlite stores ints -> both canonicalized to int
+- floats rounded to 9 places (agg order differs)
+- list properties: sqlite stores JSON text, Spark keeps ArrayType ->
+  both canonicalized to compact JSON text
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from tests import refshims
+
+if not refshims.install():
+    pytest.skip("reference checkout not present", allow_module_level=True)
+
+from firepit import get_storage as ref_get_storage  # noqa: E402
+from firepit.query import (  # noqa: E402
+    Aggregation as RAggregation,
+    Group as RGroup,
+    Order as ROrder,
+    Query as RQuery,
+)
+
+from firepit_spark.query import (  # noqa: E402
+    Aggregation as SAggregation,
+    Group as SGroup,
+    Order as SOrder,
+    Query as SQuery,
+)
+from firepit_spark.storage import SparkStorage  # noqa: E402
+from tests.conftest import make_bundle  # noqa: E402
+
+N_OBS = 60
+
+
+def canon_value(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, list):
+        return json.dumps(v, ensure_ascii=False, separators=(",", ":"))
+    if isinstance(v, str) and v.startswith("[") and v.endswith("]"):
+        try:
+            parsed = json.loads(v)
+        except ValueError:
+            return v
+        if isinstance(parsed, list):
+            return json.dumps(parsed, ensure_ascii=False,
+                              separators=(",", ":"))
+        return v
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="milliseconds") + "Z"
+    if isinstance(v, str):
+        # RFC 3339 text timestamps: unify fractional precision
+        if len(v) >= 19 and v[4:5] == "-" and v[10:11] == "T":
+            try:
+                dt = datetime.fromisoformat(v.rstrip("Z"))
+                return dt.isoformat(timespec="milliseconds") + "Z"
+            except ValueError:
+                pass
+        return v
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+
+
+def canon(rows: list) -> list:
+    out = []
+    for r in rows:
+        out.append(tuple(sorted((k, canon_value(v)) for k, v in r.items()
+                                if v is not None)))
+    return sorted(out)
+
+
+def assert_rows_equal(ref_rows, spark_rows, what=""):
+    a, b = canon(ref_rows), canon(spark_rows)
+    assert a == b, (
+        f"{what}: {len(ref_rows)} ref vs {len(spark_rows)} spark rows; "
+        f"first diff: "
+        f"{next(((x, y) for x, y in zip(a, b) if x != y), (a[:1], b[:1]))}"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("diff")
+    bundle_file = d / "bundle.json"
+    bundle_file.write_text(json.dumps(make_bundle(N_OBS)))
+    ref = ref_get_storage(str(d / "ref.db"), "diff")
+    sps = SparkStorage(str(d / "wh"), spark=spark)
+    ref.cache("q1", [str(bundle_file)])
+    sps.cache("q1", [str(bundle_file)])
+    return ref, sps
+
+
+PATTERNS = [
+    ("p_like", "url", "[url:value LIKE '%page/1']"),
+    ("p_eq", "url", "[url:value = 'http://www1.example.com/page/2']"),
+    ("p_neq", "user-account", "[user-account:user_id != '1001']"),
+    ("p_in", "network-traffic", "[network-traffic:dst_port IN (22, 443)]"),
+    ("p_cmp", "network-traffic", "[network-traffic:dst_port < 1024]"),
+    ("p_ref", "network-traffic",
+     "[network-traffic:src_ref.value LIKE '10.0.1.%']"),
+    ("p_subnet", "ipv4-addr", "[ipv4-addr:value ISSUBSET '10.0.2.0/24']"),
+    ("p_matches", "user-account",
+     "[user-account:account_login MATCHES 'user1[0-3]']"),
+    ("p_and", "network-traffic",
+     "[network-traffic:dst_port = 22 AND "
+     "network-traffic:src_ref.value LIKE '10.0.%']"),
+    ("p_or_grp", "url",
+     "[(url:value LIKE '%page/1' OR url:value LIKE '%page/2') "
+     "AND url:value LIKE 'http://www1%']"),
+    ("p_obs_or", "url",
+     "[url:value LIKE '%page/3'] OR [url:value LIKE '%page/4']"),
+    ("p_qualifier", "user-account",
+     "[user-account:user_id = '1003'] "
+     "START t'2024-05-01T00:00:00Z' STOP t'2024-05-02T00:00:00Z'"),
+]
+
+
+@pytest.mark.parametrize("name,sco_type,pattern",
+                         PATTERNS, ids=[p[0] for p in PATTERNS])
+def test_extract_patterns(engines, name, sco_type, pattern):
+    ref, sps = engines
+    ref.extract(name, sco_type, "q1", pattern)
+    sps.extract(name, sco_type, "q1", pattern)
+    assert ref.count(name) > 0, f"{name}: empty reference result"
+    assert_rows_equal(ref.lookup(name), sps.lookup(name), name)
+
+
+def test_tables_and_counts(engines):
+    ref, sps = engines
+    assert sorted(ref.tables()) == sorted(sps.tables())
+    for t in ref.tables():
+        assert ref.count(t) == sps.count(t), t
+
+
+def test_columns(engines):
+    ref, sps = engines
+    for t in ("url", "network-traffic", "observed-data"):
+        assert sorted(ref.columns(t)) == sorted(sps.columns(t)), t
+
+
+def test_values(engines):
+    ref, sps = engines
+    ref.extract("v_urls", "url", "q1", "[url:value LIKE '%']")
+    sps.extract("v_urls", "url", "q1", "[url:value LIKE '%']")
+    assert sorted(ref.values("url:value", "v_urls")) == sorted(
+        sps.values("url:value", "v_urls"))
+
+
+def test_lookup_paging_and_cols(engines):
+    ref, sps = engines
+    ref.extract("pg", "url", "q1", "[url:value LIKE '%']")
+    sps.extract("pg", "url", "q1", "[url:value LIKE '%']")
+    # deterministic page: both engines sort via assign(sort) first
+    ref.assign("pgs", "pg", op="sort", by="value")
+    sps.assign("pgs", "pg", op="sort", by="value")
+    r = ref.lookup("pgs", cols=["value"], limit=5, offset=3)
+    s = sps.lookup("pgs", cols=["value"], limit=5, offset=3)
+    assert [x["value"] for x in r] == [x["value"] for x in s]
+
+
+def test_lookup_auto_deref_network_traffic(engines):
+    ref, sps = engines
+    ref.extract("nt", "network-traffic", "q1",
+                "[network-traffic:dst_port = 22]")
+    sps.extract("nt", "network-traffic", "q1",
+                "[network-traffic:dst_port = 22]")
+    assert_rows_equal(ref.lookup("nt"), sps.lookup("nt"), "auto-deref")
+
+
+def test_filter_storage_op(engines):
+    ref, sps = engines
+    ref.extract("f_base", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    sps.extract("f_base", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    ref.filter("f_sel", "network-traffic", "f_base",
+               "[network-traffic:dst_port = 3128]")
+    sps.filter("f_sel", "network-traffic", "f_base",
+               "[network-traffic:dst_port = 3128]")
+    assert_rows_equal(ref.lookup("f_sel"), sps.lookup("f_sel"), "filter")
+
+
+def test_assign_group_and_sort(engines):
+    # the group-by view needs aggregatable columns — the reference's
+    # own corpus groups network-traffic by src_ref.value / dst_port
+    # (reference tests/test_storage.py:215,229); a columns-free view
+    # like url errors inside the reference's auto-agg SQL
+    ref, sps = engines
+    ref.extract("g_conns", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    sps.extract("g_conns", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    ref.assign("g_by_port", "g_conns", op="group", by="dst_port")
+    sps.assign("g_by_port", "g_conns", op="group", by="dst_port")
+    assert_rows_equal(ref.lookup("g_by_port"), sps.lookup("g_by_port"),
+                      "assign group")
+    ref.extract("g_urls", "url", "q1", "[url:value LIKE '%']")
+    sps.extract("g_urls", "url", "q1", "[url:value LIKE '%']")
+    ref.assign("s_urls", "g_urls", op="sort", by="value", limit=7)
+    sps.assign("s_urls", "g_urls", op="sort", by="value", limit=7)
+    r, s = ref.lookup("s_urls"), sps.lookup("s_urls")
+    assert [x["value"] for x in r] == [x["value"] for x in s]
+
+
+def test_assign_query_group_agg(engines):
+    ref, sps = engines
+    # the reference's Query.append mutates and returns None — no chaining
+    rq = RQuery("network-traffic")
+    rq.append(RGroup(["dst_port"]))
+    rq.append(RAggregation([("COUNT", "*", "n"),
+                            ("AVG", "src_port", "avg_src")]))
+    rq.append(ROrder(["dst_port"]))
+    sq = SQuery("network-traffic")
+    sq.append(SGroup(["dst_port"]))
+    sq.append(SAggregation([("COUNT", "*", "n"),
+                            ("AVG", "src_port", "avg_src")]))
+    sq.append(SOrder(["dst_port"]))
+    ref.assign_query("aq", rq)
+    sps.assign_query("aq", sq)
+    r, s = ref.lookup("aq"), sps.lookup("aq")
+    # DOCUMENTED DEVIATION: for a view assigned directly on a base
+    # TABLE the reference's __symtable has no type row, so its lookup
+    # labels rows with the VIEWNAME ('aq'); SparkStorage tracks the
+    # real SCO type and labels 'network-traffic'. Pin both so any
+    # drift in either engine shows up here.
+    assert {x["type"] for x in r} == {"aq"}
+    assert {x["type"] for x in s} == {"network-traffic"}
+    for x in r + s:
+        x.pop("type")
+    assert_rows_equal(r, s, "assign_query")
+
+
+def test_join_storage_op(engines):
+    ref, sps = engines
+    ref.extract("j_nt", "network-traffic", "q1",
+                "[network-traffic:dst_port IN (22, 443)]")
+    sps.extract("j_nt", "network-traffic", "q1",
+                "[network-traffic:dst_port IN (22, 443)]")
+    ref.extract("j_ip", "ipv4-addr", "q1",
+                "[ipv4-addr:value LIKE '10.%']")
+    sps.extract("j_ip", "ipv4-addr", "q1",
+                "[ipv4-addr:value LIKE '10.%']")
+    ref.join("j_out", "j_nt", "src_ref", "j_ip", "id")
+    sps.join("j_out", "j_nt", "src_ref", "j_ip", "id")
+    assert_rows_equal(ref.lookup("j_out"), sps.lookup("j_out"), "join")
+
+
+def test_merge_union(engines):
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("m_a", "url", "q1", "[url:value LIKE '%page/1']")
+        eng.extract("m_b", "url", "q1", "[url:value LIKE '%page/2']")
+        eng.merge("m_ab", ["m_a", "m_b"])
+    assert_rows_equal(ref.lookup("m_ab"), sps.lookup("m_ab"), "merge")
+
+
+def test_summary_and_value_counts(engines):
+    ref, sps = engines
+    ref.extract("sv", "url", "q1", "[url:value LIKE '%']")
+    sps.extract("sv", "url", "q1", "[url:value LIKE '%']")
+    # both return a single dict (the reference docstring says list, the
+    # code returns the dict — sqlstorage.py:992-1026)
+    assert_rows_equal([ref.summary("sv")], [sps.summary("sv")], "summary")
+    assert_rows_equal(ref.value_counts("sv", "value"),
+                      sps.value_counts("sv", "value"), "value_counts")
+
+
+def test_number_observed(engines):
+    ref, sps = engines
+    ref.extract("no", "url", "q1", "[url:value LIKE '%']")
+    sps.extract("no", "url", "q1", "[url:value LIKE '%']")
+    assert ref.number_observed("no", "value") == sps.number_observed(
+        "no", "value")
+    one = ref.values("url:value", "no")[0]
+    assert ref.number_observed("no", "value", one) == sps.number_observed(
+        "no", "value", one)
+
+
+def test_timestamped(engines):
+    ref, sps = engines
+    ref.extract("ts", "user-account", "q1",
+                "[user-account:user_id = '1002']")
+    sps.extract("ts", "user-account", "q1",
+                "[user-account:user_id = '1002']")
+    assert_rows_equal(ref.timestamped("ts"), sps.timestamped("ts"),
+                      "timestamped")
+
+
+def test_extract_observeddata_attribute(engines):
+    ref, sps = engines
+    ref.extract("eo", "url", "q1", "[url:value LIKE '%page/4']")
+    sps.extract("eo", "url", "q1", "[url:value LIKE '%page/4']")
+    r = ref.extract_observeddata_attribute("eo", "number_observed")
+    s = sps.extract_observeddata_attribute("eo", "number_observed")
+    assert_rows_equal(r, s, "extract_observeddata_attribute")
+
+
+def test_view_lifecycle(engines):
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("lc_a", "url", "q1", "[url:value LIKE '%page/3']")
+        eng.rename_view("lc_a", "lc_b")
+    assert ("lc_b" in ref.views()) and ("lc_b" in sps.views())
+    assert ("lc_a" not in ref.views()) and ("lc_a" not in sps.views())
+    assert_rows_equal(ref.lookup("lc_b"), sps.lookup("lc_b"), "renamed")
+    for eng in (ref, sps):
+        eng.remove_view("lc_b")
+    assert ("lc_b" not in ref.views()) and ("lc_b" not in sps.views())
+
+
+def test_appdata(engines):
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("ad", "url", "q1", "[url:value LIKE '%page/0']")
+        eng.set_appdata("ad", '{"owner": "differential"}')
+    assert ref.get_appdata("ad") == sps.get_appdata("ad")
+
+
+def test_load_and_reassign(engines):
+    ref, sps = engines
+    objs = [{"type": "ipv4-addr", "value": f"172.16.0.{i}"}
+            for i in range(1, 6)]
+    ref.load("ld", [dict(o) for o in objs])
+    sps.load("ld", [dict(o) for o in objs])
+    assert_rows_equal(ref.lookup("ld"), sps.lookup("ld"), "load")
