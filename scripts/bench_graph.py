@@ -1,0 +1,76 @@
+"""Graph-centrality scale probe: pagerank + HITS over a synthetic
+5M-edge / 300k-node weighted host graph (the r12 BASELINE.md scale
+point), comparing truncate_every settings (1 = the old
+checkpoint-every-round behavior; 3 = the windowed default).
+
+Usage: python scripts/bench_graph.py [edges] [nodes] [iters]
+Prints one line per (algo, truncate_every) with wall seconds and the
+invariant checks (Σrank, L2 norms).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from firepit_spark.functions.graph import hits, pagerank
+
+EDGES = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000
+NODES = int(sys.argv[2]) if len(sys.argv) > 2 else 300_000
+ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+
+def make_graph(spark):
+    # deterministic pseudo-random edges via hash arithmetic; dedup to
+    # (src, dst, n_links) like host_graph_edges output
+    raw = spark.range(EDGES).select(
+        (F.abs(F.hash(F.col("id"), F.lit(1))) % NODES).alias("src_host"),
+        (F.abs(F.hash(F.col("id"), F.lit(2))) % NODES).alias("dst_host"),
+    )
+    return (
+        raw.filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def main():
+    spark = (
+        SparkSession.builder.appName("bench_graph")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    edges = make_graph(spark)
+    edges.persist().count()  # warm: inputs off the clock
+
+    for k in (1, 3):
+        t0 = time.time()
+        pr = pagerank(edges, weight_col="n_links", max_iter=ITERS,
+                      truncate_every=k)
+        total = pr.agg(F.sum("rank")).collect()[0][0]
+        dt = time.time() - t0
+        print(f"pagerank truncate_every={k}: {dt:.1f}s "
+              f"({dt/ITERS:.2f}s/round)  sum_rank={total:.6f}")
+
+    for k in (1, 3):
+        t0 = time.time()
+        hh = hits(edges, weight_col="n_links", max_iter=ITERS,
+                  truncate_every=k)
+        norms = hh.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("h"),
+            F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("a"),
+        ).collect()[0]
+        dt = time.time() - t0
+        print(f"hits     truncate_every={k}: {dt:.1f}s "
+              f"({dt/ITERS:.2f}s/round)  l2_hub={norms['h']:.6f} "
+              f"l2_auth={norms['a']:.6f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
