@@ -174,16 +174,21 @@ class HttpRangeFile:
             f"{self._url} [{rng}]: {last_exc}"
         )
 
+    def _request_headers(self, url: str, rng: str) -> dict:
+        """Hook: headers for one range GET. S3RangeFile overrides this
+        to SigV4-sign each request (including redirect hops)."""
+        return {
+            "Range": rng,
+            "User-Agent": "firepit-spark-range-fetch",
+        }
+
     def _one_request(self, url: str, rng: str, start: int, n: int) -> bytes:
         parts = urlsplit(url)
         conn = self._conn_for(parts)
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
-        conn.request("GET", path, headers={
-            "Range": rng,
-            "User-Agent": "firepit-spark-range-fetch",
-        })
+        conn.request("GET", path, headers=self._request_headers(url, rng))
         resp = conn.getresponse()
         if resp.status in (301, 302, 303, 307, 308):
             resp.read()  # drain so the connection stays reusable
@@ -246,3 +251,171 @@ def http_range_opener(filename: str):
     if filename.startswith("file://"):
         filename = filename[7:]
     return open(filename, "rb")
+
+
+# -------------------------------------------------- SigV4 / private S3
+
+_EMPTY_SHA256 = (
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+)
+
+
+class SigV4Signer:
+    """AWS Signature Version 4 request signer, stdlib-only (hmac +
+    hashlib + datetime) — the auth half of the private-object-store
+    opener (r12 verdict item 5). Scope: header-signed GETs with an
+    empty payload, which is everything the range-fetch path issues.
+
+    Picklable by design: openers run inside Arrow workers, so the
+    credentials ride into the task closure as plain strings."""
+
+    def __init__(self, access_key: str, secret_key: str,
+                 session_token: str | None = None,
+                 region: str = "us-east-1", service: str = "s3"):
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.session_token = session_token
+        self.region = region
+        self.service = service
+
+    @classmethod
+    def from_env(cls, environ=None) -> "SigV4Signer":
+        """Credentials from the standard AWS env vars. Instance-profile /
+        SSO flows are deliberately out of scope — inject a ready signer
+        instead (the injection point takes any SigV4Signer-shaped
+        object)."""
+        import os as _os
+        env = environ if environ is not None else _os.environ
+        ak = env.get("AWS_ACCESS_KEY_ID")
+        sk = env.get("AWS_SECRET_ACCESS_KEY")
+        if not ak or not sk:
+            raise OSError(
+                "AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY not set"
+            )
+        return cls(
+            ak, sk,
+            session_token=env.get("AWS_SESSION_TOKEN") or None,
+            region=env.get("AWS_REGION")
+            or env.get("AWS_DEFAULT_REGION") or "us-east-1",
+        )
+
+    # ------------------------------------------------------- internals
+
+    @staticmethod
+    def _uri_encode(value: str, keep_slash: bool) -> str:
+        from urllib.parse import quote
+        return quote(value, safe="/-._~" if keep_slash else "-._~")
+
+    def _signing_key(self, datestamp: str) -> bytes:
+        import hashlib
+        import hmac
+
+        def _h(key: bytes, msg: str) -> bytes:
+            return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+        k = _h(b"AWS4" + self.secret_key.encode("utf-8"), datestamp)
+        k = _h(k, self.region)
+        k = _h(k, self.service)
+        return _h(k, "aws4_request")
+
+    def signed_headers(self, method: str, url: str,
+                       headers: dict, now=None) -> dict:
+        """Return ``headers`` plus ``Host``/``x-amz-date``/
+        ``x-amz-content-sha256``(/`x-amz-security-token`)/
+        ``Authorization`` for an empty-payload request. Every header in
+        the returned dict is included in the signature (S3 allows
+        signing any superset of host + x-amz-*)."""
+        import hashlib
+        import hmac
+        from datetime import datetime, timezone
+
+        parts = urlsplit(url)
+        now = now or datetime.now(timezone.utc)
+        amz_date = now.strftime("%Y%m%dT%H%M%SZ")
+        datestamp = now.strftime("%Y%m%d")
+
+        out = dict(headers)
+        out["Host"] = parts.netloc
+        out["x-amz-date"] = amz_date
+        out["x-amz-content-sha256"] = _EMPTY_SHA256
+        if self.session_token:
+            out["x-amz-security-token"] = self.session_token
+
+        canon_uri = self._uri_encode(parts.path or "/", keep_slash=True)
+        query_pairs = []
+        if parts.query:
+            for pair in parts.query.split("&"):
+                k, _, v = pair.partition("=")
+                query_pairs.append((self._uri_encode(k, False),
+                                    self._uri_encode(v, False)))
+        canon_query = "&".join(f"{k}={v}" for k, v in sorted(query_pairs))
+        lower = sorted((k.lower(), v.strip()) for k, v in out.items())
+        canon_headers = "".join(f"{k}:{v}\n" for k, v in lower)
+        signed_names = ";".join(k for k, _ in lower)
+        canonical_request = "\n".join([
+            method, canon_uri, canon_query, canon_headers, signed_names,
+            _EMPTY_SHA256,
+        ])
+        scope = f"{datestamp}/{self.region}/{self.service}/aws4_request"
+        string_to_sign = "\n".join([
+            "AWS4-HMAC-SHA256", amz_date, scope,
+            hashlib.sha256(canonical_request.encode("utf-8")).hexdigest(),
+        ])
+        signature = hmac.new(
+            self._signing_key(datestamp), string_to_sign.encode("utf-8"),
+            hashlib.sha256,
+        ).hexdigest()
+        out["Authorization"] = (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed_names}, Signature={signature}"
+        )
+        return out
+
+
+class S3RangeFile(HttpRangeFile):
+    """:class:`HttpRangeFile` whose requests carry a SigV4 signature —
+    private buckets instead of CommonCrawl's public endpoint. Each
+    request (including each redirect hop) is re-signed against the host
+    it actually targets; the signer's region stays fixed (cross-region
+    307 redirects need a signer for the target region — S3 rejects a
+    mismatched scope with a definitive 400, which fails fast here)."""
+
+    def __init__(self, url: str, signer: SigV4Signer, **kw):
+        super().__init__(url, **kw)
+        self._signer = signer
+
+    def _request_headers(self, url: str, rng: str) -> dict:
+        return self._signer.signed_headers("GET", url, {
+            "Range": rng,
+            "User-Agent": "firepit-spark-range-fetch",
+        })
+
+
+def s3_range_opener(filename: str, signer: SigV4Signer | None = None,
+                    endpoint: str | None = None,
+                    region: str | None = None):
+    """The injectable ``opener`` for PRIVATE object stores: ``s3://``
+    URLs open as a :class:`S3RangeFile` over path-style HTTPS
+    (``https://s3.<region>.amazonaws.com/<bucket>/<key>``, or
+    ``endpoint``/bucket/key for S3-compatible stores — MinIO, Ceph,
+    R2), credentials from ``signer`` or the AWS env vars; plain
+    http(s)/local paths fall through to :func:`http_range_opener`.
+
+    Compose per store with ``functools.partial``::
+
+        opener = partial(s3_range_opener, signer=my_signer,
+                         endpoint="https://minio.internal:9000")
+        fetch_warc_records(idx, base_dir="s3://crawl-bucket/",
+                           opener=opener)
+    """
+    if not filename.startswith("s3://"):
+        return http_range_opener(filename)
+    signer = signer or SigV4Signer.from_env()
+    if region:
+        signer.region = region
+    bucket, _, key = filename[5:].partition("/")
+    base = (endpoint.rstrip("/") if endpoint
+            else f"https://s3.{signer.region}.amazonaws.com")
+    from urllib.parse import quote
+    return S3RangeFile(f"{base}/{bucket}/{quote(key, safe='/-._~')}",
+                       signer)
