@@ -1169,37 +1169,75 @@ def winnow_fingerprints(
 
     Plan shape: ENTIRELY document-local — one regex gram pass + two
     higher-order folds per row, ZERO shuffles; candidate joins
-    downstream shuffle only (id, pos, fp) triples."""
+    downstream shuffle only (id, pos, fp) triples.
+
+    The inner loop packs ``(hash, pos)`` into ONE primitive bigint,
+    ``key = h·w − pos``: within a window positions differ by < w while
+    distinct 60-bit hashes differ by ≥ w after the ·w scaling, so
+    bigint ``<`` reproduces (min h, rightmost pos) exactly — the
+    window pick is a primitive ``array_min(slice(...))`` instead of a
+    struct fold, worth ~5× wall (interpreted lambda steps run once per
+    WINDOW, not once per window element; see BASELINE.md r13).
+    Packing needs ``(2^60−1)·w < 2^63`` — i.e. ``w ≤ 8``; larger
+    windows take the struct-fold path."""
     from firepit_spark.functions.text import word_ngrams
 
-    grams = word_ngrams(F.col(text_col), k)
-    hp = F.transform(
-        grams,
-        lambda g, i: F.struct(
-            shingle_hash(g).alias("h"), i.cast("int").alias("pos")
-        ),
+    if (2 ** 60 - 1) * w >= 2 ** 63:
+        raise ValueError(
+            f"w={w} overflows the bigint (hash, pos) packing; w <= 8"
+        )
+    # each array is bound as a CONCRETE column before any lambda reads
+    # it: a lambda body re-evaluates every non-attribute subexpression
+    # per element, so referencing the transform expression directly
+    # would re-run the md5 pass once per WINDOW (measured 10-26 ms/doc;
+    # attribute-bound it's ~1 ms). localCheckpoint-free: these are
+    # narrow projections, the optimizer keeps them as one codegen stage.
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_ngrams(F.col(text_col), k), shingle_hash)
+        .alias("__h"),
+    ).select(
+        F.col(id_col),
+        "__h",
+        F.size("__h").alias("__n"),
+        F.transform("__h", lambda h, i: h * w - i.cast("bigint"))
+        .alias("__b"),
     )
-    n = F.size(grams)
-    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
-    init = F.struct(
-        F.lit(2 ** 63 - 1).cast("bigint").alias("h"),
-        F.lit(-1).cast("int").alias("pos"),
+    # NB: no pre-explode row filter, and explode_OUTER below — a plain
+    # explode makes InferFiltersFromGenerate synthesize size(__sel)>0,
+    # which predicate pushdown then inlines below these projections,
+    # re-running the ENTIRE winnow (md5 per window) a second time per
+    # row just to evaluate the filter (measured 13-26 ms/doc vs ~1).
+    # Gram-less docs instead surface as one NULL row and drop on the
+    # cheap post-explode attribute filter.
+
+    def pick(s):
+        q = F.array_min(F.slice(F.col("__b"), s + 1, w))
+        relpos = F.pmod(-(q + s), F.lit(w)).cast("int")
+        pos = (s + relpos).cast("int")
+        # h via array lookup, not division: (q+pos)/w is exact only in
+        # integer arithmetic, and Spark's / goes through double
+        # (53-bit mantissa) — lossy for 60-bit hashes
+        return F.struct(
+            F.element_at(F.col("__h"), pos + 1).alias("h"),
+            pos.alias("pos"),
+        )
+
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("__n") - w, F.lit(0))
     )
-    pick = lambda s: F.aggregate(  # noqa: E731 — rightmost window min
-        F.slice(hp, s + 1, w),
-        init,
-        lambda acc, x: F.when(x["h"] <= acc["h"], x).otherwise(acc),
-    )
-    selected = F.array_distinct(F.transform(starts, pick))
     return (
-        df.select(F.col(id_col), n.alias("__n"), selected.alias("__sel"))
-        .filter(F.col("__n") > 0)
-        .select(F.col(id_col), F.explode("__sel").alias("__fp"))
+        hashed.select(
+            F.col(id_col),
+            F.array_distinct(F.transform(starts, pick)).alias("__sel"),
+        )
+        .select(F.col(id_col), F.explode_outer("__sel").alias("__fp"))
         .select(
             id_col,
             F.col("__fp.pos").alias("pos"),
             F.col("__fp.h").alias("fp"),
         )
+        .filter(F.col("pos").isNotNull())
     )
 
 

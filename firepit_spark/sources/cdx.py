@@ -472,3 +472,31 @@ def cdx_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         status.alias("status"),
         "old_digest", "new_digest", "filename", "offset", "length",
     )
+
+
+def fetch_moved_records(
+    old: DataFrame,
+    new: DataFrame,
+    base_dir: str = "",
+    opener=None,
+    keep_payload: bool = True,
+) -> DataFrame:
+    """The incremental-refresh core chain, as one call: diff two CDX
+    index generations (:func:`cdx_diff`), keep only the captures whose
+    bytes actually moved (``status IN ('new','changed')``), and
+    range-fetch exactly those (:func:`fetch_warc_records`) — the
+    100 TB refresh shape where the job touches ~200 GB of index and
+    only the moved records' archive bytes, never the other ~90 TB.
+
+    Tested end-to-end over a live HTTP range server in
+    tests/test_cdx.py; scripts/example_commoncrawl_refresh.py is a
+    thin wrapper around this helper."""
+    moved = cdx_diff(old, new).filter(
+        F.col("status").isin("new", "changed")
+    )
+    return fetch_warc_records(
+        moved.select("urlkey", "filename", "offset", "length"),
+        base_dir=base_dir,
+        opener=opener,
+        keep_payload=keep_payload,
+    )

@@ -1,0 +1,75 @@
+"""Winnowing-family scale probe (VERDICT r12 item 4): wall-clock for
+winnow_fingerprints + winnow_candidates over the real .benchdata
+documents text at sf1 (50k docs) and sf3 (150k docs), plus a SKEWED
+corpus leg that appends one boilerplate paragraph to 30% of docs so the
+max_fp_freq hot-fingerprint cutoff actually fires.
+
+Usage: python scripts/bench_winnow.py [runs]
+Prints per-leg wall seconds; record medians + the sf1->sf3 exponent in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from firepit_spark.functions.dedup import winnow_candidates, winnow_fingerprints
+
+RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+BOILER = (
+    "subscribe to our newsletter for updates terms of service apply "
+    "all rights reserved contact us at the address below privacy policy"
+)
+
+
+def one_leg(docs, skew: bool, max_fp_freq: int):
+    if skew:
+        docs = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 < 3,
+                   F.concat_ws(" ", "text", F.lit(BOILER)))
+            .otherwise(F.col("text")),
+        )
+    fps = winnow_fingerprints(docs)
+    t0 = time.time()
+    n_fps = fps.count()
+    t_fp = time.time() - t0
+    t0 = time.time()
+    pairs = winnow_candidates(fps, max_fp_freq=max_fp_freq)
+    n_pairs = pairs.count()
+    t_cand = time.time() - t0
+    return t_fp, t_cand, n_fps, n_pairs
+
+
+def main():
+    spark = (
+        SparkSession.builder.appName("bench_winnow")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    for sf in ("sf1", "sf3"):
+        docs = spark.read.parquet(
+            f"/root/repo/.benchdata/{sf}/documents.parquet"
+        ).select("doc_id", "text")
+        docs.persist().count()  # inputs off the clock
+        for skew in (False, True):
+            for r in range(RUNS):
+                t_fp, t_cand, n_fps, n_pairs = one_leg(
+                    docs, skew, max_fp_freq=1000
+                )
+                tag = "skewed" if skew else "plain "
+                print(f"{sf} {tag} run{r}: fingerprints {t_fp:.2f}s "
+                      f"({n_fps} fps)  candidates {t_cand:.2f}s "
+                      f"({n_pairs} pairs)")
+        docs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
