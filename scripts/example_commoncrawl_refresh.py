@@ -63,7 +63,9 @@ def main():
         web_corpus_funnel, web_funnel_report,
     )
     from firepit_spark.session import build_spark
-    from firepit_spark.sources.cdx import cdx_diff, fetch_warc_records, read_cdx
+    from firepit_spark.sources.cdx import (
+        cdx_diff, fetch_moved_records, read_cdx,
+    )
     from firepit_spark.sources.openers import http_range_opener
     from firepit_spark.sources.warc import (
         wat_metadata, write_warc_shards, write_wat_shards,
@@ -94,12 +96,12 @@ def main():
         new_idx, _ = read_cdx(spark, args.new_index)
         base, opener = args.base_url, http_range_opener
 
-    # 1. index diff — the only full-corpus-sized frames that ever move
-    diff = cdx_diff(old_idx, new_idx)
-    refresh = diff.filter(F.col("status").isin("new", "changed"))
-
-    # 2. fetch exactly those records (range GETs when base is https)
-    fetched = fetch_warc_records(refresh, base_dir=base, opener=opener)
+    # 1+2. diff the two index generations and range-fetch EXACTLY the
+    # captures whose bytes moved — the tested helper
+    # (tests/test_openers.py::test_incremental_refresh_over_http)
+    diff = cdx_diff(old_idx, new_idx)  # kept for the report below
+    fetched = fetch_moved_records(old_idx, new_idx,
+                                  base_dir=base, opener=opener)
 
     # 3. one-plan curation funnel over the fetched records only
     flags = web_corpus_funnel(fetched)
