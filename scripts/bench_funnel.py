@@ -1,0 +1,99 @@
+"""web_corpus_funnel throughput scale points (VERDICT r12 item 6):
+generate multi-GB local WARC shards from real corpus text, then
+measure end-to-end archive→report wall at two sizes with a stage
+breakdown (parse-only, stateless flags, full funnel incl. dedup).
+
+Usage: python scripts/bench_funnel.py [workdir] [runs]
+Record MB/s and MB/s/core in BASELINE.md; the dominant stage is the
+biggest marginal cost between legs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+CPUS = 32
+WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/funnel_bench"
+RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+
+def build_archive(spark, out_dir: str, copies: int) -> int:
+    """Write `copies` uri-disambiguated copies of the sf3 corpus as
+    WARC shards of ~6 KB HTML pages; returns total bytes on disk."""
+    from firepit_spark.sources.warc import write_warc_shards
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    docs = spark.read.parquet(
+        "/root/repo/.benchdata/sf3/documents.parquet"
+    ).select("doc_id", "text")
+    body = F.concat_ws(
+        " ", *([F.col("text")] * 12)  # ~443 chars -> ~5.3 KB of text
+    )
+    pages = None
+    for c in range(copies):
+        part = docs.select(
+            F.concat(F.lit(f"http://h{c}.example/doc/"),
+                     F.col("doc_id")).alias("uri"),
+            F.concat(F.lit("<html><head><title>d</title></head><body><p>"),
+                     body, F.lit("</p></body></html>")).alias("text"),
+        )
+        pages = part if pages is None else pages.unionByName(part)
+    write_warc_shards(pages.repartition(CPUS), out_dir).collect()
+    return int(subprocess.check_output(
+        ["du", "-sb", out_dir]).split()[0])
+
+
+def main():
+    spark = (
+        SparkSession.builder.appName("bench_funnel")
+        .master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from firepit_spark.functions.pipeline import (
+        web_corpus_funnel, web_funnel_report,
+    )
+    from firepit_spark.sources.warc import read_warc
+
+    for name, copies in (("A", 2), ("B", 6)):
+        out = os.path.join(WORK, f"archive_{name}")
+        t0 = time.time()
+        nbytes = build_archive(spark, out, copies)
+        gb = nbytes / 2**30
+        print(f"[{name}] archive: {gb:.2f} GiB written in "
+              f"{time.time()-t0:.0f}s", flush=True)
+        for r in range(RUNS):
+            legs = {}
+            t0 = time.time()
+            n = read_warc(spark, out).count()
+            legs["parse"] = time.time() - t0
+            t0 = time.time()
+            web_funnel_report(
+                web_corpus_funnel(read_warc(spark, out), dedup=False)
+            ).collect()
+            legs["flags"] = time.time() - t0
+            t0 = time.time()
+            rep = web_funnel_report(
+                web_corpus_funnel(read_warc(spark, out))
+            ).collect()[0].asDict()
+            legs["full"] = time.time() - t0
+            mbs = nbytes / 2**20 / legs["full"]
+            print(f"[{name}] run{r}: records={n} parse={legs['parse']:.1f}s "
+                  f"flags={legs['flags']:.1f}s full={legs['full']:.1f}s "
+                  f"-> {mbs:.0f} MB/s ({mbs/CPUS:.1f} MB/s/core)  "
+                  f"report={rep}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,19 @@ def test_winnow_candidates(spark):
         # single-fp overlaps but the true pair must dominate
         pairs[(1, 2)] == max(pairs.values())
     )
+
+
+def test_winnow_plan_single_hash_pass(spark):
+    """r13 perf regressions pinned: (1) the md5 gram pass must appear
+    exactly ONCE in the optimized plan — a lambda referencing the
+    transform expression (instead of a bound attribute column) re-runs
+    it per window; (2) no InferFiltersFromGenerate size()-filter may
+    re-inline the winnow below the projections (explode_outer keeps the
+    generator inference-free). Measured 44x on real text."""
+    df = spark.createDataFrame(
+        [(1, " ".join(WORDS * 3))], "doc_id long, text string"
+    )
+    out = winnow_fingerprints(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan
+    assert "Exchange" not in plan
