@@ -563,16 +563,28 @@ def web_corpus_funnel(
     else:
         base = base.withColumn("robots_ok", F.col("has_text"))
     alive = F.col("has_text") & F.col("robots_ok")
+    # normalized-lowered text bound ONCE as a column: lang + quality
+    # reference it 7x between them, and multi-referenced non-cheap
+    # aliases survive CollapseProject — without this every reference
+    # re-ran the regexp_replace+lower normalization pass (r13 funnel
+    # profile: the flag stage was ~35 full-text passes per row)
+    from firepit_spark.functions.text import normalize_ws
+
     base = base.withColumn(
-        "lang", F.when(alive, lang_guess(F.col("text")))
+        "__norm", F.when(alive, F.lower(normalize_ws(F.col("text"))))
+    ).withColumn(
+        "lang",
+        F.when(alive, lang_guess(F.col("text"), norm=F.col("__norm"))),
     ).withColumn(
         "lang_ok",
         alive & (F.col("lang").isin(*langs) if langs else F.lit(True)),
     ).withColumn(
-        "quality", F.when(F.col("lang_ok"), quality_score(F.col("text")))
+        "quality",
+        F.when(F.col("lang_ok"),
+               quality_score(F.col("text"), norm=F.col("__norm"))),
     ).withColumn(
         "quality_ok", F.col("lang_ok") & (F.col("quality") >= min_quality)
-    )
+    ).drop("__norm")
     if not dedup:
         return base.withColumn("kept", F.col("quality_ok"))
     from firepit_spark.functions.text import fingerprint

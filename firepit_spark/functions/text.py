@@ -72,38 +72,75 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n > 0, (n - stripped) / n).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column, lang: str = "en") -> Column:
+def _stopword_rx(lang: str) -> str:
+    """One compiled pass counting whole-token stopword matches over the
+    ws-normalized lowercased text — EXACTLY the tokens()-equality count
+    (tokens are single-space separated after normalize_ws, the
+    lookbehind/lookahead pin full tokens, and no stopword is a prefix
+    of another ending at the same boundary)."""
+    return "(?<=^| )(?:" + "|".join(STOPWORDS[lang]) + ")(?= |$)"
+
+
+def stopword_hits(col: Column | None, lang: str,
+                  norm: Column | None = None) -> Column:
+    """Stopword-token count. A single regexp pass, NOT a
+    filter-lambda over tokens(): higher-order lambdas evaluate
+    interpreted per token (and re-evaluate their non-attribute operands
+    per element), which made the r12 funnel's flag stage ~20 full-text
+    passes per row. Pass ``norm`` (pre-lowered, ws-normalized) to share
+    the normalization across expressions."""
+    if norm is None:
+        norm = F.lower(normalize_ws(col))
+    return F.size(F.regexp_extract_all(norm, F.lit(_stopword_rx(lang)), 0))
+
+
+def stopword_ratio(col: Column | None, lang: str = "en",
+                   norm: Column | None = None) -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
-    toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    if norm is None:
+        norm = F.lower(normalize_ws(col))
+    n = F.size(F.split(norm, " "))
+    hits = stopword_hits(None, lang, norm=norm)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
 
 
-def stopword_hits(col: Column, lang: str) -> Column:
-    return F.size(F.filter(tokens(col), lambda t: t.isin(STOPWORDS[lang])))
-
-
-def lang_guess(col: Column) -> Column:
+def lang_guess(col: Column | None, norm: Column | None = None) -> Column:
     """Pick the language whose stopword list hits most (ties -> earlier
-    language in the fixed en/de/fr/es order; no hits -> 'und')."""
-    hit_cols = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
-    best = F.greatest(*hit_cols.values())
-    expr = F.lit("und")
-    # build the CASE in reverse so earlier languages win ties
-    for lang in reversed(list(STOPWORDS)):
-        expr = F.when((best > 0) & (hit_cols[lang] == best), F.lit(lang)).otherwise(expr)
-    return expr
+    language in the fixed en/de/fr/es order; no hits -> 'und').
+
+    Shaped as ONE array_max over (hits, priority, lang) structs so each
+    language's hit count appears exactly once in the expression tree —
+    the previous greatest + CASE-chain form repeated every hit
+    subexpression ~5x (r13 funnel profile). The sentinel row wins when
+    every list hits zero (or the text is NULL: size() returns -1)."""
+    if norm is None:
+        norm = F.lower(normalize_ws(col))
+    entries = [
+        F.struct(
+            stopword_hits(None, lang, norm=norm).alias("h"),
+            F.lit(-i).alias("p"),
+            F.lit(lang).alias("l"),
+        )
+        for i, lang in enumerate(STOPWORDS)
+    ]
+    entries.append(F.struct(F.lit(0).alias("h"), F.lit(1).alias("p"),
+                            F.lit("und").alias("l")))
+    return F.array_max(F.array(*entries))["l"]
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, norm: Column | None = None) -> Column:
     """Cheap monotone quality heuristic in [0, 1]: rewards moderate length
     and stopword presence, penalizes punctuation soup.
 
     score = min(len/500, 1) * 0.4 + min(stopword_ratio*5, 1) * 0.4
           + (1 - min(punct_ratio*10, 1)) * 0.2
+
+    ``norm`` shares the pre-lowered ws-normalized text with sibling
+    expressions (the funnel binds it once as a column); length and
+    punctuation still measure the RAW text like they always did.
     """
     len_part = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
-    stop_part = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    stop_part = F.least(stopword_ratio(col, norm=norm) * 5.0, F.lit(1.0))
     punct_part = F.lit(1.0) - F.least(punct_ratio(col) * 10.0, F.lit(1.0))
     return len_part * 0.4 + stop_part * 0.4 + punct_part * 0.2
 
