@@ -971,15 +971,17 @@ class SparkStorage:
 
         def build(resolve):
             df = resolve(viewname)
-            if deref_paths:
-                df = self._deref.deref(df, sco_type, paths=None)
-                for prop in deref_paths:
-                    if prop not in df.columns:
-                        # reflist / multi-hop path (J3 double hop); applied
-                        # on the deref'ed frame so flat columns survive
-                        df, col = self._deref.deref_path(df, sco_type, prop)
-                        if col != prop:
-                            df = df.withColumn(prop, F.col(f"`{col}`"))
+            # the raw view schema BEFORE any path join: reference
+            # auto-agg runs over schema(sco_type) (sqlstorage.py:
+            # 1049-1056), i.e. NUNIQUE("src_ref") counts raw ref ids —
+            # not the dereferenced values — so path joins must PRESERVE
+            # raw columns (deref_path does; the full auto-deref
+            # replaces *_ref with joined .value columns)
+            raw_schema = df.schema
+            for prop in deref_paths:
+                df, col = self._deref.deref_path(df, sco_type, prop)
+                if col != prop:
+                    df = df.withColumn(prop, F.col(f"`{col}`"))
             plain = [c for c in group_cols if isinstance(c, str)]
             exprs = [
                 c.to_spark() if isinstance(c, BinnedColumn) else F.col(f"`{c}`")
@@ -988,7 +990,7 @@ class SparkStorage:
             if aggs:
                 agg_exprs = Aggregation(aggs).to_spark()
             else:
-                agg_exprs = auto_aggs(sco_type, df.schema, plain)
+                agg_exprs = auto_aggs(sco_type, raw_schema, plain)
                 if not agg_exprs:
                     agg_exprs = [F.count(F.lit(1)).alias("count")]
             names = [
@@ -1018,16 +1020,26 @@ class SparkStorage:
 
         def build(resolve):
             df = resolve(on)
+            raw_cols = df.columns
+            raw_schema = df.schema
+            key = by
             if by and by not in df.columns:
-                df = self._deref.deref(df, sco_type, paths=None)
+                # deref_path, not the full auto-deref: the reference's
+                # path_joins keeps every raw column alongside the joined
+                # path (sqlstorage.py:446-469), so sort projects the raw
+                # view and group auto-aggs the raw schema
+                df, key = self._deref.deref_path(df, sco_type, by)
             if op == "sort":
-                col = F.col(f"`{by}`")
+                col = F.col(f"`{key}`")
                 df = df.orderBy(col.asc() if ascending else col.desc())
                 if limit:
                     df = df.limit(limit)
+                # reference appends Projection(columns of `on`)
+                df = df.select(*[F.col(f"`{c}`") for c in raw_cols])
             elif op == "group":
-                df = df.groupBy(F.col(f"`{by}`")).agg(
-                    *(auto_aggs(sco_type, df.schema, [by]) or [F.count(F.lit(1)).alias("count")])
+                df = df.groupBy(F.col(f"`{key}`").alias(by)).agg(
+                    *(auto_aggs(sco_type, raw_schema, [by])
+                      or [F.count(F.lit(1)).alias("count")])
                 )
             return df
 
@@ -1085,7 +1097,9 @@ class SparkStorage:
             rows = [r.asDict() for r in df.collect()]
         else:
             rows = [r.asDict() for r in df.toLocalIterator(prefetchPartitions=True)]
-        if sco_type:
+        # reference adds the type column only for '*' or when asked
+        # (sqlstorage.py:661-664) — explicit cols stay exactly as given
+        if sco_type and (not cols or "type" in cols):
             for r in rows:
                 r.setdefault("type", sco_type)
         return rows
@@ -1098,9 +1112,10 @@ class SparkStorage:
         had the materialization hazard (firepit/sqlstorage.py:602-665)."""
         df = self._lookup_df(viewname, cols=cols, offset=offset)
         sco_type = self.table_type(viewname)
+        add_type = sco_type and (not cols or "type" in cols)
         for r in df.toLocalIterator(prefetchPartitions=True):
             d = r.asDict()
-            if sco_type:
+            if add_type:
                 d.setdefault("type", sco_type)
             yield d
 

@@ -341,3 +341,76 @@ def test_load_and_reassign(engines):
     ref.load("ld", [dict(o) for o in objs])
     sps.load("ld", [dict(o) for o in objs])
     assert_rows_equal(ref.lookup("ld"), sps.lookup("ld"), "load")
+
+
+def test_values_on_ref_path(engines):
+    """values() through a _ref path — the deref-path resolution both
+    engines must agree on (reference tests/test_storage.py:243-èsque)."""
+    ref, sps = engines
+    ref.extract("vp", "network-traffic", "q1",
+                "[network-traffic:dst_port = 22]")
+    sps.extract("vp", "network-traffic", "q1",
+                "[network-traffic:dst_port = 22]")
+    assert sorted(ref.values("network-traffic:src_ref.value", "vp")) == \
+        sorted(sps.values("network-traffic:src_ref.value", "vp"))
+
+
+def test_assign_group_by_ref_path(engines):
+    """assign(op='group', by='src_ref.value') — grouping through a
+    dereferenced property (reference tests/test_storage.py:215,243)."""
+    ref, sps = engines
+    ref.extract("gr", "network-traffic", "q1",
+                "[network-traffic:dst_port IN (22, 443)]")
+    sps.extract("gr", "network-traffic", "q1",
+                "[network-traffic:dst_port IN (22, 443)]")
+    ref.assign("gr_by_src", "gr", op="group", by="src_ref.value")
+    sps.assign("gr_by_src", "gr", op="group", by="src_ref.value")
+    assert_rows_equal(ref.lookup("gr_by_src"), sps.lookup("gr_by_src"),
+                      "group by ref path")
+
+
+def test_timestamped_path_value(engines):
+    """timestamped() with path and (path, value) args
+    (reference tests/test_storage.py:767-783 shapes)."""
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("tsu", "user-account", "q1",
+                    "[user-account:account_login LIKE 'user%']")
+    assert_rows_equal(ref.timestamped("tsu", "account_login"),
+                      sps.timestamped("tsu", "account_login"),
+                      "timestamped path")
+    assert_rows_equal(ref.timestamped("tsu", "account_login", "user3"),
+                      sps.timestamped("tsu", "account_login", "user3"),
+                      "timestamped path+value")
+
+
+def test_number_observed_value(engines):
+    """number_observed counts observations weighted by number_observed
+    (reference tests/test_storage.py:756-764 shape)."""
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("nou", "user-account", "q1",
+                    "[user-account:user_id != '9999']")
+    assert ref.number_observed("nou", "account_login") == \
+        sps.number_observed("nou", "account_login")
+    assert ref.number_observed("nou", "account_login", "user5") == \
+        sps.number_observed("nou", "account_login", "user5")
+
+
+def test_lookup_ref_path_cols(engines):
+    """lookup with explicit ref-path columns resolves the same rows."""
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("lrp", "network-traffic", "q1",
+                    "[network-traffic:dst_port = 3128]")
+    r = ref.lookup("lrp", cols=["src_ref.value", "dst_port"])
+    s = sps.lookup("lrp", cols=["src_ref.value", "dst_port"])
+    assert_rows_equal(r, s, "lookup ref-path cols")
+
+
+def test_summary_with_path(engines):
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("swp", "url", "q1", "[url:value LIKE '%page/2']")
+    assert_rows_equal([ref.summary("swp", "value")],
+                      [sps.summary("swp", "value")], "summary path")
