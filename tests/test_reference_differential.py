@@ -414,3 +414,93 @@ def test_summary_with_path(engines):
         eng.extract("swp", "url", "q1", "[url:value LIKE '%page/2']")
     assert_rows_equal([ref.summary("swp", "value")],
                       [sps.summary("swp", "value")], "summary path")
+
+
+def test_cache_again_id_merges(engines, tmp_path):
+    """Caching a second bundle with overlapping SCOs id-merges in both
+    engines: deterministic ids dedup, counts stay equal."""
+    ref, sps = engines
+    before = {t: ref.count(t) for t in ref.tables()}
+    bundle_file = tmp_path / "b2.json"
+    bundle_file.write_text(json.dumps(make_bundle(N_OBS)))  # same SCOs
+    ref.cache("q2", [str(bundle_file)])
+    sps.cache("q2", [str(bundle_file)])
+    for t in sorted(set(ref.tables()) | set(sps.tables())):
+        assert ref.count(t) == sps.count(t), t
+    # the SAME bundle carries the same deterministic SCO ids AND the
+    # same observed-data ids: id-merge leaves every count unchanged
+    assert ref.count("url") == before["url"]
+    assert ref.count("observed-data") == before["observed-data"]
+
+
+def test_extract_scoped_by_query_id(engines):
+    """extract's query_id filter restricts to one ingest batch in both
+    engines (requires test_cache_again_id_merges to have cached q2)."""
+    ref, sps = engines
+    # scope to q1: the url values are identical across batches, so the
+    # row SET equals the q1 extraction
+    ref.extract("sc1", "url", "q1", "[url:value LIKE '%page/1']")
+    sps.extract("sc1", "url", "q1", "[url:value LIKE '%page/1']")
+    assert_rows_equal(ref.lookup("sc1"), sps.lookup("sc1"), "query-scoped")
+
+
+def test_reassign_roundtrip(engines):
+    """reassign updates view rows by id in both engines (S9)."""
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("ra", "user-account", "q1",
+                    "[user-account:user_id = '1004']")
+    r_rows, s_rows = ref.lookup("ra"), sps.lookup("ra")
+    assert_rows_equal(r_rows, s_rows, "pre-reassign")
+
+    def enrich(rows):
+        return [{**{k: v for k, v in row.items() if v is not None},
+                 "display_name": "Enriched User"} for row in rows]
+
+    ref.reassign("ra", enrich(r_rows))
+    sps.reassign("ra", enrich(s_rows))
+    assert_rows_equal(ref.lookup("ra"), sps.lookup("ra"), "post-reassign")
+
+
+def test_woodchipper_zeek_differential(engines, spark, tmp_path):
+    """Log->STIX conversion parity (S13): the reference's woodchipper
+    convert_to_stix over a zeek conn CSV vs our distributed
+    convert_log over the same file — SCO tables must agree (ids are
+    deterministic makeids on both sides); observation timestamps
+    compared via summary() (observed-data ids are random uuid4s in
+    the reference, so the od table itself is not comparable)."""
+    from firepit.woodchipper import convert_to_stix
+
+    from firepit_spark.sources.logs import convert_log
+
+    ref, sps = engines
+    csv_path = tmp_path / "conn.csv"
+    # string fields QUOTED: the reference's read_csv infers
+    # QUOTE_NONNUMERIC for an unquoted header (woodchipper.py:816-831),
+    # so unquoted fields must parse as numbers
+    csv_path.write_text(
+        "ts,id.orig_h,id.orig_p,id.resp_h,id.resp_p,proto,"
+        "orig_ip_bytes,resp_ip_bytes\n"
+        '1600000000.5,"192.168.1.10",49152,"10.0.0.5",443,"tcp",1200,4096\n'
+        '1600000001.0,"192.168.1.11",49153,"10.0.0.5",443,"tcp",800,2048\n'
+        '1600000003.0,"192.168.1.10",49154,"10.0.0.9",80,"tcp",10,20\n'
+    )
+    bundle = convert_to_stix(str(csv_path))
+    bfile = tmp_path / "zeek_bundle.json"
+    bfile.write_text(json.dumps(bundle))
+    ref.cache("qz", [str(bfile)])
+
+    df = spark.read.csv(str(csv_path), header=True, inferSchema=True)
+    convert_log(sps, df, query_id="qz")
+
+    ref.extract("z_nt", "network-traffic", "qz",
+                "[network-traffic:dst_port > 0]")
+    sps.extract("z_nt", "network-traffic", "qz",
+                "[network-traffic:dst_port > 0]")
+    assert_rows_equal(ref.lookup("z_nt"), sps.lookup("z_nt"),
+                      "zeek network-traffic")
+    ref.extract("z_ip", "ipv4-addr", "qz", "[ipv4-addr:value LIKE '%']")
+    sps.extract("z_ip", "ipv4-addr", "qz", "[ipv4-addr:value LIKE '%']")
+    assert_rows_equal(ref.lookup("z_ip"), sps.lookup("z_ip"), "zeek ips")
+    assert_rows_equal([ref.summary("z_nt")], [sps.summary("z_nt")],
+                      "zeek summary")
