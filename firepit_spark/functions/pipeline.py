@@ -493,6 +493,7 @@ def web_corpus_funnel(
     main_content: bool = False,
     broadcast_robots: bool = True,
     dedup: bool = True,
+    dedup_strategy: str = "window",
 ) -> DataFrame:
     """The whole web-corpus funnel as ONE declarative plan:
     archive records (:func:`firepit_spark.sources.warc.read_warc` /
@@ -518,7 +519,23 @@ def web_corpus_funnel(
     SAME function runs on a ``stream_warc`` frame (flags in real time,
     ``kept = quality_ok``; global dedup then happens downstream in
     batch — unbounded streaming dedup state is exactly what the
-    streaming doctor exists to flag)."""
+    streaming doctor exists to flag).
+
+    ``dedup_strategy`` picks the keeper mechanism (results identical):
+
+    * ``"window"`` (default) — ONE pass: min(uri) over a window
+      partitioned by the text fingerprint. The right default, but a
+      window partition cannot be split, so a VIRAL duplicate (one
+      text with millions of copies) funnels its whole group — full
+      rows, text included — through a single task.
+    * ``"groupby"`` — skew-tolerant: the keeper set is a map-side-
+      combined ``groupBy(fingerprint).agg(min(uri))`` over a
+      PROJECTED (fingerprint, uri) frame (hot fingerprints collapse
+      in partial aggregation), joined back on ``uri`` — a UNIFORM
+      key, so no task ever sees a hot group, and AQE can split
+      anything residual. Costs a second execution of the flag
+      subtree to build the keeper projection; pick it when the
+      corpus has viral duplicates, the default when it doesn't."""
     from firepit_spark.functions.robots import _best_match, agent_rule_arrays
     from firepit_spark.functions.text import lang_guess, quality_score
     from firepit_spark.functions.web import url_host, url_path, url_query
@@ -589,6 +606,36 @@ def web_corpus_funnel(
         return base.withColumn("kept", F.col("quality_ok"))
     from firepit_spark.functions.text import fingerprint
 
+    if dedup_strategy == "groupby":
+        # kept iff this row's uri is the min uri of ITS OWN fingerprint
+        # group — identical to the window semantics even when the same
+        # uri appears under several fingerprints (re-crawled pages):
+        # the keeper set folds to one row per uri carrying the set of
+        # fingerprints that elected it, and the row checks its own
+        keepers = (
+            base.filter(F.col("quality_ok"))
+            .select(fingerprint(F.col("text")).alias("__fp"), "uri")
+            .groupBy("__fp")
+            .agg(F.min("uri").alias("__k_uri"))
+            .groupBy("__k_uri")
+            .agg(F.collect_set("__fp").alias("__k_fps"))
+        )
+        return (
+            base.join(keepers, base["uri"] == F.col("__k_uri"), "left")
+            .withColumn(
+                "kept",
+                F.col("quality_ok")
+                & F.coalesce(
+                    F.array_contains(
+                        F.col("__k_fps"), fingerprint(F.col("text"))
+                    ),
+                    F.lit(False),
+                ),
+            )
+            .drop("__k_uri", "__k_fps")
+        )
+    if dedup_strategy != "window":
+        raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
     w = Window.partitionBy(
         F.when(F.col("quality_ok"), fingerprint(F.col("text")))
         .otherwise(F.col("uri"))  # dead rows: singleton groups, no skew

@@ -421,3 +421,47 @@ def test_web_corpus_funnel_streams_without_dedup(spark, tmp_path):
     assert rows["http://h0.example/ok"]["kept"] is True
     assert rows["http://h0.example/secret/x"]["robots_ok"] is False
     assert rows["http://h0.example/secret/x"]["kept"] is False
+
+
+def test_web_corpus_funnel_dedup_strategies_agree(spark, tmp_path):
+    """dedup_strategy='groupby' (skew-tolerant uniform-key join-back)
+    must produce EXACTLY the window strategy's flags — including when
+    the same uri appears under different fingerprints (re-crawls) and
+    the same text appears under many uris (the viral-duplicate case
+    the groupby path exists for)."""
+    from firepit_spark.functions.pipeline import web_corpus_funnel
+
+    body_a = ("An ordinary English paragraph that is long enough for "
+              "the quality gate of the curation funnel to accept. ") * 2
+    body_b = ("A different English paragraph that the quality gate "
+              "also accepts without any complaint at all today. ") * 2
+    records = []
+    # viral dup: body_a under 6 uris; re-crawl: uri /re with TWO texts
+    pages = [(f"http://h.example/a{i}", body_a) for i in range(6)]
+    pages += [("http://h.example/re", body_a),
+              ("http://h.example/re", body_b),
+              ("http://h.example/b", body_b)]
+    for uri, body in pages:
+        rec = W.http_response_bytes(
+            f"<html><body><p>{body}</p></body></html>".encode()
+        )
+        records.append(
+            ({"WARC-Type": "response", "WARC-Target-URI": uri,
+              "Content-Type": "application/http;msgtype=response"}, rec)
+        )
+    (tmp_path / "d.warc.gz").write_bytes(W.warc_encode(records))
+    recs = W.read_warc(spark, str(tmp_path))
+
+    def flags_of(strategy):
+        return sorted(
+            (r["uri"], r["quality_ok"], r["kept"])
+            for r in web_corpus_funnel(recs, dedup_strategy=strategy)
+            .select("uri", "quality_ok", "kept").collect()
+        )
+
+    win, grp = flags_of("window"), flags_of("groupby")
+    assert win == grp
+    kept = [u for u, _, k in win if k]
+    # one keeper per distinct text: body_a's min uri is /a0 (beats /re),
+    # body_b's min uri is /b (beats /re) — exactly two keepers
+    assert sorted(kept) == ["http://h.example/a0", "http://h.example/b"]
