@@ -541,7 +541,12 @@ def web_corpus_funnel(
     from firepit_spark.functions.web import url_host, url_path, url_query
     from firepit_spark.sources.warc import warc_text
 
-    texted = warc_text(records, main_content=main_content)
+    # a frame that already carries text (read_warc(extract_text=True),
+    # the fused single-Python-pass scan) skips the second Arrow hop
+    if "text" in records.columns:
+        texted = records
+    else:
+        texted = warc_text(records, main_content=main_content)
     uri = F.col("target_uri")
     base = texted.select(
         uri.alias("uri"),

@@ -352,18 +352,70 @@ def warc_rows(fname: str, content: bytes, keep_payload: bool = True) -> list:
             )
 
 
+def extract_record_text(wtype, http_ct, payload,
+                        main_content: bool = False) -> tuple:
+    """(text, err) for one record: ``conversion`` (WET) payloads decode
+    UTF-8 verbatim; HTML/XML ``response`` payloads decode by
+    BOM > declared charset > UTF-8 and go through the fidelity parser
+    (or the boilerplate filter with ``main_content``); everything else
+    is NULL with a reason. Shared by :func:`warc_text` and the fused
+    ``extract_text=`` scan path — one implementation, byte-identical
+    output either way."""
+    from firepit_spark.functions.html import extract_main_text, html_to_text
+
+    if payload is None:
+        return None, "no payload"
+    try:
+        if wtype == "conversion":
+            return bytes(payload).decode("utf-8", "replace"), None
+        if wtype == "response":
+            ct = (http_ct or "").lower()
+            if "html" not in ct and "xml" not in ct:
+                return None, f"non-html response ({ct or 'no type'})"
+            html = decode_html_bytes(bytes(payload), ct)
+            return (
+                extract_main_text(html)
+                if main_content
+                else html_to_text(html)
+            ), None
+        return None, f"no text extractor for {wtype or 'unknown'}"
+    except Exception as exc:  # noqa: BLE001 — per-row quarantine
+        return None, str(exc)[:200]
+
+
 def parse_warc_members(
     df: DataFrame,
     file_col: str = "warc_file",
     content_col: str = "content",
     keep_payload: bool = True,
+    extract_text: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """Distributed record parse of a ``(file, archive_bytes)`` frame —
     the kernel :func:`read_warc` runs over ``binaryFile`` rows, exposed
     separately so synthesized archives (tests, the driver gate) ride
     the exact production path. Map-only Arrow batches; one output row
-    per record (or per quarantined member)."""
+    per record (or per quarantined member).
+
+    ``extract_text=True`` FUSES text extraction into the same Python
+    pass, appending ``text``/``text_err`` columns: the composed
+    ``warc_text(read_warc(...))`` ships every payload byte across the
+    Arrow boundary four times (JVM→py→JVM→py→JVM); fused it crosses
+    once — and with ``keep_payload=False`` the payload bytes never
+    leave the Python worker at all, the right scan for the curation
+    funnel at 100 TB. Output is byte-identical to composing
+    :func:`warc_text` (same kernel via
+    :func:`extract_record_text`)."""
     import pandas as pd
+
+    out_cols = list(_WARC_COLS)
+    schema = WARC_SCHEMA
+    if extract_text:
+        out_cols += ["text", "text_err"]
+        schema = WARC_SCHEMA + ", text string, text_err string"
+    i_type = _WARC_COLS.index("warc_type")
+    i_ct = _WARC_COLS.index("http_content_type")
+    i_payload = _WARC_COLS.index("payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -371,12 +423,24 @@ def parse_warc_members(
             for fname, content in zip(pdf[file_col], pdf[content_col]):
                 if content is None:
                     continue
-                rows.extend(
-                    warc_rows(str(fname), bytes(content), keep_payload)
-                )
-            yield pd.DataFrame(rows, columns=_WARC_COLS)
+                if not extract_text:
+                    rows.extend(
+                        warc_rows(str(fname), bytes(content), keep_payload)
+                    )
+                    continue
+                # text needs the payload transiently even when the
+                # caller drops it from the output
+                for row in warc_rows(str(fname), bytes(content), True):
+                    text, terr = extract_record_text(
+                        row[i_type], row[i_ct], row[i_payload],
+                        main_content,
+                    )
+                    if not keep_payload:
+                        row = row[:i_payload] + (None,) + row[i_payload + 1:]
+                    rows.append(row + (text, terr))
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.mapInPandas(run, schema=WARC_SCHEMA)
+    return df.mapInPandas(run, schema=schema)
 
 
 def read_warc(
@@ -384,19 +448,27 @@ def read_warc(
     path: str,
     keep_payload: bool = True,
     path_glob: str | None = None,
+    extract_text: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """WARC/WET records from archive files under ``path`` — one task
     per file (the CommonCrawl unit; see the module docstring for why
     that is the right 100 TB shape), per-member quarantine in the
     ``err`` column. ``keep_payload=False`` drops payload bytes at the
-    source for header-only accounting scans."""
+    source for header-only accounting scans. ``extract_text=True``
+    fuses :func:`warc_text` into the scan pass (see
+    :func:`parse_warc_members`) — combine with ``keep_payload=False``
+    for the funnel-optimal scan where payload bytes never cross the
+    Arrow boundary."""
     reader = spark.read.format("binaryFile")
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     binary = reader.load(path).select(
         F.col("path").alias("warc_file"), "content"
     )
-    return parse_warc_members(binary, keep_payload=keep_payload)
+    return parse_warc_members(binary, keep_payload=keep_payload,
+                              extract_text=extract_text,
+                              main_content=main_content)
 
 
 def stream_warc(
@@ -559,8 +631,6 @@ def warc_text(
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    from firepit_spark.functions.html import extract_main_text, html_to_text
-
     fields = list(df.schema.fields)
     if any(f.name == out_col for f in fields):
         raise ValueError(f"out_col {out_col!r} already exists")
@@ -571,30 +641,10 @@ def warc_text(
     )
     cols = [f.name for f in fields]
 
-    def one(wtype, http_ct, payload) -> tuple:
-        if payload is None:
-            return None, "no payload"
-        try:
-            if wtype == "conversion":
-                return bytes(payload).decode("utf-8", "replace"), None
-            if wtype == "response":
-                ct = (http_ct or "").lower()
-                if "html" not in ct and "xml" not in ct:
-                    return None, f"non-html response ({ct or 'no type'})"
-                html = decode_html_bytes(bytes(payload), ct)
-                return (
-                    extract_main_text(html)
-                    if main_content
-                    else html_to_text(html)
-                ), None
-            return None, f"no text extractor for {wtype or 'unknown'}"
-        except Exception as exc:  # noqa: BLE001 — per-row quarantine
-            return None, str(exc)[:200]
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pairs = [
-                one(t, ct, p)
+                extract_record_text(t, ct, p, main_content)
                 for t, ct, p in zip(
                     pdf["warc_type"], pdf["http_content_type"],
                     pdf["payload"],

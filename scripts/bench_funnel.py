@@ -87,10 +87,20 @@ def main():
                 web_corpus_funnel(read_warc(spark, out))
             ).collect()[0].asDict()
             legs["full"] = time.time() - t0
-            mbs = nbytes / 2**20 / legs["full"]
+            # fused scan: text extracted in the SAME python pass,
+            # payload bytes never cross the Arrow boundary
+            t0 = time.time()
+            rep2 = web_funnel_report(
+                web_corpus_funnel(read_warc(spark, out, extract_text=True,
+                                            keep_payload=False))
+            ).collect()[0].asDict()
+            legs["fused"] = time.time() - t0
+            assert rep2 == rep, (rep, rep2)
+            mbs = nbytes / 2**20 / legs["fused"]
             print(f"[{name}] run{r}: records={n} parse={legs['parse']:.1f}s "
                   f"flags={legs['flags']:.1f}s full={legs['full']:.1f}s "
-                  f"-> {mbs:.0f} MB/s ({mbs/CPUS:.1f} MB/s/core)  "
+                  f"fused={legs['fused']:.1f}s "
+                  f"-> {mbs:.0f} MB/s fused ({mbs/CPUS:.1f} MB/s/core)  "
                   f"report={rep}", flush=True)
     spark.stop()
 

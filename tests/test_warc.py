@@ -465,3 +465,68 @@ def test_web_corpus_funnel_dedup_strategies_agree(spark, tmp_path):
     # one keeper per distinct text: body_a's min uri is /a0 (beats /re),
     # body_b's min uri is /b (beats /re) — exactly two keepers
     assert sorted(kept) == ["http://h.example/a0", "http://h.example/b"]
+
+
+def test_read_warc_fused_text_equals_composed(spark, tmp_path):
+    """read_warc(extract_text=True) must be byte-identical to
+    warc_text(read_warc(...)) — WET conversion, HTML response (incl.
+    chunked + gzip content-encoding), non-html, and payload-less
+    records — and keep_payload=False nulls payload without touching
+    text."""
+    from firepit_spark.sources.warc import read_warc, warc_text
+
+    body = "<html><body><p>Fused text extraction test page.</p></body></html>"
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://h/x",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(body.encode(), chunked=True,
+                               gzip_body=True)),
+        ({"WARC-Type": "conversion", "WARC-Target-URI": "http://h/wet",
+          "Content-Type": "text/plain"}, "plain wet text".encode()),
+        ({"WARC-Type": "response", "WARC-Target-URI": "http://h/img",
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(b"\x89PNG", content_type="image/png")),
+        ({"WARC-Type": "request", "WARC-Target-URI": "http://h/x",
+          "Content-Type": "application/http;msgtype=request"}, b""),
+    ]
+    (tmp_path / "f.warc.gz").write_bytes(W.warc_encode(records))
+
+    composed = {
+        (r["target_uri"], r["warc_type"]): (r["text"], r["text_err"])
+        for r in warc_text(read_warc(spark, str(tmp_path)),
+                           out_col="text").withColumnRenamed(
+            "text_err", "text_err").collect()
+    }
+    fused_df = read_warc(spark, str(tmp_path), extract_text=True)
+    fused = {
+        (r["target_uri"], r["warc_type"]): (r["text"], r["text_err"])
+        for r in fused_df.collect()
+    }
+    assert fused == composed
+    assert "Fused text extraction" in fused[("http://h/x", "response")][0]
+
+    # payload dropped at the source, text intact
+    lean = read_warc(spark, str(tmp_path), extract_text=True,
+                     keep_payload=False).collect()
+    assert all(r["payload"] is None for r in lean)
+    assert {(r["target_uri"], r["warc_type"]): (r["text"], r["text_err"])
+            for r in lean} == composed
+
+    # the funnel accepts the fused frame and produces the same flags
+    from firepit_spark.functions.pipeline import web_corpus_funnel
+
+    via_fused = sorted(
+        (r["uri"], r["kept"]) for r in
+        web_corpus_funnel(
+            read_warc(spark, str(tmp_path), extract_text=True,
+                      keep_payload=False),
+            langs=None, min_quality=0.0,
+        ).select("uri", "kept").collect()
+    )
+    via_composed = sorted(
+        (r["uri"], r["kept"]) for r in
+        web_corpus_funnel(
+            read_warc(spark, str(tmp_path)), langs=None, min_quality=0.0,
+        ).select("uri", "kept").collect()
+    )
+    assert via_fused == via_composed
