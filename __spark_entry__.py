@@ -4623,6 +4623,105 @@ SELECT DISTINCT doc_id, pos, h AS fp FROM sel
 """
 
 
+# the duplicated passage q75 plants across documents (10 tokens, no
+# doc id inside, so every fully-interior 8-gram collides corpus-wide)
+_Q75_SHARED = ("quoted syndicated passage appears verbatim across "
+               "many documents in corpus")
+
+
+def q75_dedup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal under the driver gate
+    (functions/dedup.py:dedup_spans — Lee et al. 2022 semantics at
+    word granularity, n=8): synthesized docs plant a 10-token shared
+    passage mid-document for the d%5 class and AGAIN at the tail for
+    the d%7 class (so d%35 docs carry a within-document repeat),
+    against unique id-bearing surroundings; d%13 docs are shorter than
+    one gram, d%17 docs have NULL text (the join-back-contract
+    passthrough). The Spark side runs the production plan (bound token
+    array → posexplode_outer gram hashes → one (count, min(id,pos))
+    groupBy → hash join-back → interval-union rebuild); the oracle
+    RE-IMPLEMENTS the whole algorithm from scratch in SQL
+    (string_split_regex tokens, unnest(range) gram starts, a
+    row_number window for the global-first keeper, list-lambda
+    interval union + index-filtered rebuild) — tokenization, the
+    keep-first rule, overlap merging and the untouched-doc
+    byte-identity all sit on the hash."""
+    from firepit_spark.functions.dedup import dedup_spans
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    docs = (
+        r("documents").select(d.cast("long").alias("doc_id"))
+        .filter(d < 1500)
+        .select(
+            "doc_id",
+            F.when(d % 17 == 0, F.lit(None).cast("string"))
+            .when(
+                d % 13 == 0,
+                F.concat_ws(" ", F.lit("tiny doc"), d.cast("string")),
+            )
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.lit("doc"), d.cast("string"),
+                    F.lit("begins here now"),
+                    F.when(d % 5 == 0, F.lit(_Q75_SHARED)),
+                    F.concat(F.lit("unique body "), d.cast("string"),
+                             F.lit(" words")),
+                    F.when(d % 7 == 0, F.lit(_Q75_SHARED)),
+                    F.lit("closing line ends document"),
+                )
+            ).alias("text"),
+        )
+    )
+    return dedup_spans(docs, n=8)
+
+
+_Q75_SQL = r"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE
+           WHEN doc_id % 17 = 0 THEN NULL
+           WHEN doc_id % 13 = 0
+             THEN concat_ws(' ', 'tiny doc', CAST(doc_id AS VARCHAR))
+           ELSE concat_ws(' ',
+             'doc', CAST(doc_id AS VARCHAR), 'begins here now',
+             CASE WHEN doc_id % 5 = 0 THEN '{SHARED}' END,
+             'unique body ' || CAST(doc_id AS VARCHAR) || ' words',
+             CASE WHEN doc_id % 7 = 0 THEN '{SHARED}' END,
+             'closing line ends document')
+         END AS text
+  FROM documents WHERE doc_id < 1500
+), toks AS MATERIALIZED (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+  FROM d WHERE text IS NOT NULL
+), grams AS MATERIALIZED (
+  SELECT doc_id, u.ps AS pos,
+         md5(array_to_string(t[u.ps + 1 : u.ps + 8], ' ')) AS h
+  FROM toks, unnest(range(0, greatest(len(t) - 7, 0))) AS u(ps)
+), marked AS MATERIALIZED (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS c
+  FROM grams
+), rem AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(flatten(list(range(pos, pos + 8)))) AS cov
+  FROM marked WHERE c > 1 AND rn > 1 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN r.cov IS NULL THEN d.text
+            ELSE array_to_string(
+              list_filter(t.t, (x, i) -> NOT list_contains(r.cov, i - 1)),
+              ' ')
+       END AS text,
+       COALESCE(len(r.cov), 0)::BIGINT AS n_tokens_removed
+FROM d
+LEFT JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN rem r ON d.doc_id = r.doc_id
+""".replace("{SHARED}", _Q75_SHARED)
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -4970,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_dup_ngram_fraction": q72_dup_ngram_fraction,
         "q73_web_funnel": q73_web_funnel,
         "q74_winnow_fingerprints": q74_winnow_fingerprints,
+        "q75_dedup_spans": q75_dedup_spans,
     }
 
 
@@ -5040,4 +5140,5 @@ def oracle_sql() -> dict[str, str]:
         "q72_dup_ngram_fraction": _Q72_SQL,
         "q73_web_funnel": _q73_sql(),
         "q74_winnow_fingerprints": _Q74_SQL,
+        "q75_dedup_spans": _Q75_SQL,
     }

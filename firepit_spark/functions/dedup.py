@@ -1145,6 +1145,118 @@ def duplicate_ngram_fraction(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 15,
+) -> DataFrame:
+    """Corpus-global duplicated-SPAN removal — the ExactSubstr move
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") at word granularity: every occurrence of a word
+    ``n``-gram that appears more than once in the corpus (including
+    within one document) is removed EXCEPT the globally-first
+    occurrence (min ``(id, position)``), and overlapping duplicated
+    spans merge into one cut. This is the surgical sibling of
+    :func:`dedup_lines` (which needs line structure) and of
+    :func:`duplicate_ngram_fraction` (which only measures): syndicated
+    paragraphs, quoted passages and boilerplate embedded mid-document
+    are excised while the unique remainder of the page survives.
+
+    Tokens are whitespace runs, case-SENSITIVE (ExactSubstr is exact
+    match; the lowercase families are the near-dup sketches). Returns
+    ``(id_col, text_col, n_tokens_removed)`` — join back on the id for
+    other columns. Documents with no removal keep their text
+    byte-identical; a rebuilt document is single-space joined (token
+    granularity can't retain interior whitespace). NULL-text documents
+    pass through (NULL text, 0 removed) so the join-back contract
+    holds — same contract as :func:`dedup_lines`.
+
+    Plan shape: gram starts explode map-only from ONE bound token
+    array; the duplicate verdict + keeper is ONE map-side-combined
+    ``(count, min(struct(id, pos)))`` groupBy on ``md5(gram)`` (32-byte
+    keys shuffle, never text); join-back on the hash; removal starts
+    fold into per-doc interval unions with document-local array ops.
+    Two shuffles of (id, pos, hash) granularity — the same
+    decision-is-global lower bound as :func:`dedup_lines` — plus one
+    id-granularity join back to the source frame. Token arrays and the
+    covered-position set are bound as columns BEFORE any lambda reads
+    them (Catalyst re-evaluates non-attribute subexpressions per
+    element)."""
+    null_text = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNull()
+    ).select(
+        F.col(id_col),
+        F.col(text_col).cast("string").alias(text_col),
+        F.lit(0).cast("bigint").alias("n_tokens_removed"),
+    )
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    # bind the token array once; every lambda below reads the attribute
+    toked = base.select(
+        F.col(id_col), F.col(text_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    t = F.col("__toks")
+    # posexplode_outer, NOT posexplode: the non-outer form makes
+    # InferFiltersFromGenerate synthesize a size()>0 filter below the
+    # generate that re-evaluates the whole md5 transform a second time
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.slice(t, 1, F.size(t) - (n - 1)),
+                    lambda _, i: F.md5(
+                        F.array_join(F.slice(t, i + 1, n), " ")
+                        .cast("binary")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "__gh"),
+    ).filter(F.col("__gh").isNotNull())
+    verdict = grams.groupBy(F.col("__gh").alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__k"),
+    ).filter(F.col("__c") > 1)
+    # non-keeper occurrences of duplicated grams = spans to cut
+    removals = (
+        grams.join(verdict, F.col("__gh") == F.col("__h"), "inner")
+        .filter(
+            (F.col(f"__k.{id_col}") != F.col(id_col))
+            | (F.col("__k.pos") != F.col("pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__starts"))
+    )
+    joined = toked.join(removals, on=id_col, how="left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("__starts"), lambda p: F.sequence(p, p + (n - 1))
+            )
+        )
+    )
+    # bind covered before the filter lambda reads it per token
+    staged = joined.select(
+        F.col(id_col), F.col(text_col), t,
+        F.when(F.col("__starts").isNotNull(), covered).alias("__cov"),
+    )
+    rebuilt = F.array_join(
+        F.filter(t, lambda _, i: ~F.array_contains(F.col("__cov"), i)),
+        " ",
+    )
+    return staged.select(
+        F.col(id_col),
+        F.when(F.col("__cov").isNull(), F.col(text_col))
+        .otherwise(rebuilt).alias(text_col),
+        F.coalesce(F.size("__cov"), F.lit(0))
+        .cast("bigint").alias("n_tokens_removed"),
+    ).unionByName(null_text)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,125 @@
+"""dedup_spans (ExactSubstr-style duplicated-span removal, Lee et al.
+2022 at word granularity): differential vs a pure-python twin, the
+keep-first / overlap-merge / passthrough contracts, and the plan
+hygiene pins (no gram-hash re-evaluation blowup, no cartesian)."""
+
+from __future__ import annotations
+
+import random
+
+from firepit_spark.functions.dedup import dedup_spans
+
+WORDS = ["red", "blue", "green", "gold", "gray"]
+
+
+def dedup_spans_py(docs: list, n: int) -> dict:
+    """Independent twin: same semantics, zero shared code with the
+    Spark implementation (dict-of-gram occurrence lists, set cover)."""
+    toks = {i: t.split() for i, t in docs if t is not None}
+    occ: dict = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - n + 1):
+            occ.setdefault(tuple(t[p:p + n]), []).append((i, p))
+    cov: dict = {i: set() for i in toks}
+    for lst in occ.values():
+        if len(lst) > 1:
+            for i, p in sorted(lst)[1:]:
+                cov[i].update(range(p, p + n))
+    out = {}
+    for i, text in docs:
+        if text is None:
+            out[i] = (None, 0)
+        elif not cov[i]:
+            out[i] = (text, 0)
+        else:
+            out[i] = (
+                " ".join(w for j, w in enumerate(toks[i])
+                         if j not in cov[i]),
+                len(cov[i]),
+            )
+    return out
+
+
+def _run(spark, docs, n):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in dedup_spans(df, n=n).collect()
+    }
+
+
+def test_dedup_spans_differential_random(spark):
+    """Tiny vocab forces heavy gram collisions; every doc's rebuilt
+    text and removal count must match the python twin exactly."""
+    rng = random.Random(41)
+    docs = [
+        (i, " ".join(rng.choice(WORDS)
+                     for _ in range(rng.randint(0, 40))) or None)
+        for i in range(60)
+    ]
+    assert _run(spark, docs, 4) == dedup_spans_py(docs, 4)
+
+
+def test_dedup_spans_semantics(spark):
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = [
+        (1, "alpha one " + shared + " tail unique one"),
+        (2, "beta two " + shared + " tail unique two"),
+        (3, "gamma totally unique text with no duplicated grams at all"),
+        (4, None),
+        (5, "self " + shared + " mid " + shared + " end"),
+    ]
+    got = _run(spark, docs, 8)
+    assert got == dedup_spans_py(docs, 8)
+    # first global occurrence survives intact
+    assert got[1] == (docs[0][1], 0)
+    # later cross-doc copy is cut, including the shared "tail unique"
+    # boundary extension both docs carry after the passage
+    assert got[2][1] > 0 and "s0" not in got[2][0]
+    # within-doc repeat: both of doc 5's occurrences lose to doc 1
+    assert got[5][0] == "self mid end"
+    # NULL text passes through with its id (join-back contract)
+    assert got[4] == (None, 0)
+
+
+def test_dedup_spans_untouched_docs_byte_identical(spark):
+    """Docs with no removal keep ORIGINAL text (interior whitespace
+    intact); only rebuilt docs are single-space normalized; sub-n docs
+    are never rebuilt."""
+    docs = [
+        (1, "odd   spacing\tpreserved   here exactly as written okay"),
+        (2, "tiny"),
+        (3, ""),
+    ]
+    got = _run(spark, docs, 8)
+    assert got[1] == (docs[0][1], 0)
+    assert got[2] == ("tiny", 0)
+    assert got[3] == ("", 0)
+
+
+def test_dedup_spans_case_sensitive(spark):
+    """ExactSubstr is exact-match: a case-variant passage is NOT a
+    duplicate."""
+    p = " ".join(f"w{i}" for i in range(8))
+    docs = [(1, p), (2, p.upper())]
+    got = _run(spark, docs, 8)
+    assert got[1] == (p, 0) and got[2] == (p.upper(), 0)
+
+
+def test_dedup_spans_plan_hygiene(spark):
+    """The gram-hash transform must appear at most twice in the
+    optimized plan (once per branch of the verdict join-back — the
+    dedup_lines shape), not once per synthesized filter or lambda
+    element; and nothing degenerates to a cartesian."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    opt = (
+        dedup_spans(df, n=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert opt.count("md5") <= 2, opt
+    phys = dedup_spans(df, n=4)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
