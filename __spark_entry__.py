@@ -4722,6 +4722,157 @@ LEFT JOIN rem r ON d.doc_id = r.doc_id
 """.replace("{SHARED}", _Q75_SHARED)
 
 
+def q76_quality_score(spark, sf_dir):
+    """Trainable linear quality classifier under the driver gate
+    (functions/quality_clf.py — the CCNet/GPT-3 wiki-vs-crawl filter):
+    TRAIN + SCORE end-to-end, cross-engine. 300 synthesized docs
+    (even ids: clean-vocab prose + a p<id%7> residue token, label 1;
+    odd ids: spam vocab + n<id%5>, label 0) featurize to 64 hashed
+    dims (engine-portable 60-bit md5 indices, unigrams + bigrams,
+    tf over token count, bias at idx=-1) and train 3 full-batch
+    logistic GD rounds; 200 held-out docs (clean / spam / mixed /
+    NULL-text classes) score under the learned weights. The oracle
+    re-derives EVERY round as chained MATERIALIZED CTEs (feature
+    frame, e_k error frame, w_k update — zero shared code with the
+    broadcast-join implementation); round(score, 6) absorbs float
+    summation order, the q66/q69 precedent."""
+    from firepit_spark.functions.quality_clf import (
+        quality_features, quality_score, train_quality_classifier,
+    )
+
+    r = _resolver(spark, sf_dir)
+    d = F.col("doc_id")
+    ids = r("documents").select(d.cast("long").alias("doc_id"))
+    train = ids.filter(d < 300).select(
+        "doc_id",
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("the history of science describes evidence "
+                      "theory careful p"),
+                (d % 7).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("buy cheap now click here winner free offer n"),
+                (d % 5).cast("string"),
+            )
+        ).alias("text"),
+        (F.lit(1.0) - (d % 2)).alias("label"),
+    )
+    feats = quality_features(train, dim=64)
+    labels = train.select(
+        "doc_id", F.col("label").cast("double").alias("label")
+    )
+    w = train_quality_classifier(feats, labels, iters=3, lr=1.0)
+    held = ids.filter((d >= 300) & (d < 500)).select(
+        "doc_id",
+        F.when(d % 9 == 0, F.lit(None).cast("string"))
+        .when(d % 3 == 0,
+              F.lit("history science evidence theory careful"))
+        .when(d % 3 == 1, F.lit("buy cheap click winner free"))
+        .otherwise(
+            F.concat(
+                F.lit("science theory buy cheap evidence click p"),
+                (d % 7).cast("string"),
+            )
+        ).alias("text"),
+    )
+    return quality_score(quality_features(held, dim=64), w).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _q76_gd_round(k: int) -> str:
+    """One chained GD round: error frame e{k} off w{k-1}, update w{k}."""
+    return f"""e{k} AS MATERIALIZED (
+  SELECT f.doc_id,
+         1.0 / (1.0 + exp(-(sum(f.x * w.w)))) - any_value(l.label) AS e
+  FROM fx f JOIN w{k - 1} w USING (idx)
+  JOIN lab l ON f.doc_id = l.doc_id
+  GROUP BY f.doc_id
+), w{k} AS MATERIALIZED (
+  SELECT w.idx, w.w - (COALESCE(gs.g, 0.0) / (SELECT n FROM nn)) AS w
+  FROM w{k - 1} w LEFT JOIN (
+    SELECT idx, sum(x * e) AS g
+    FROM fx JOIN e{k} USING (doc_id) GROUP BY idx
+  ) gs USING (idx)
+)"""
+
+
+_Q76_SQL = (r"""
+WITH tr AS MATERIALIZED (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'the history of science describes evidence theory careful p'
+                   || CAST(doc_id % 7 AS VARCHAR)
+              ELSE 'buy cheap now click here winner free offer n'
+                   || CAST(doc_id % 5 AS VARCHAR) END AS text,
+         CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS label
+  FROM documents WHERE doc_id < 300
+), tk AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM tr
+), g AS MATERIALIZED (
+  SELECT doc_id, t[n.n] AS gr
+  FROM tk, unnest(range(1, len(t) + 1)) AS n(n)
+  UNION ALL
+  SELECT doc_id, t[n.n] || ' ' || t[n.n + 1]
+  FROM tk, unnest(range(1, len(t))) AS n(n)
+), fx AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(gr), 1, 15))::BIGINT % 64 AS idx,
+         count(*) / any_value(nt)::DOUBLE AS x
+  FROM (SELECT g.doc_id, gr, len(tk.t) AS nt
+        FROM g JOIN tk USING (doc_id))
+  GROUP BY doc_id, idx
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS idx, 1.0 AS x FROM tr
+), lab AS MATERIALIZED (
+  SELECT doc_id, label FROM tr
+), nn AS MATERIALIZED (
+  SELECT count(*)::DOUBLE AS n FROM lab
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT idx, 0.0::DOUBLE AS w FROM fx
+), """
+    + ", ".join(_q76_gd_round(k) for k in (1, 2, 3))
+    + r""", ho AS MATERIALIZED (
+  SELECT doc_id::BIGINT AS doc_id,
+         CASE
+           WHEN doc_id % 9 = 0 THEN NULL
+           WHEN doc_id % 3 = 0
+             THEN 'history science evidence theory careful'
+           WHEN doc_id % 3 = 1 THEN 'buy cheap click winner free'
+           ELSE 'science theory buy cheap evidence click p'
+                || CAST(doc_id % 7 AS VARCHAR)
+         END AS text
+  FROM documents WHERE doc_id >= 300 AND doc_id < 500
+), htk AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM ho WHERE text IS NOT NULL
+), hg AS MATERIALIZED (
+  SELECT doc_id, t[n.n] AS gr
+  FROM htk, unnest(range(1, len(t) + 1)) AS n(n)
+  UNION ALL
+  SELECT doc_id, t[n.n] || ' ' || t[n.n + 1]
+  FROM htk, unnest(range(1, len(t))) AS n(n)
+), hfx AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(gr), 1, 15))::BIGINT % 64 AS idx,
+         count(*) / any_value(nt)::DOUBLE AS x
+  FROM (SELECT hg.doc_id, gr, len(htk.t) AS nt
+        FROM hg JOIN htk USING (doc_id))
+  GROUP BY doc_id, idx
+  UNION ALL
+  SELECT doc_id, CAST(-1 AS BIGINT) AS idx, 1.0 AS x FROM ho
+)
+SELECT h.doc_id,
+       round(1.0 / (1.0 + exp(-(sum(h.x * COALESCE(w3.w, 0.0))))), 6)
+         AS score
+FROM hfx h LEFT JOIN w3 USING (idx)
+GROUP BY h.doc_id
+""")
+
+
 def q69_host_hits(spark, sf_dir):
     """HITS hubs/authorities under the driver gate
     (functions/graph.py:hits) — same synthesized host graph as
@@ -5070,6 +5221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_web_funnel": q73_web_funnel,
         "q74_winnow_fingerprints": q74_winnow_fingerprints,
         "q75_dedup_spans": q75_dedup_spans,
+        "q76_quality_score": q76_quality_score,
     }
 
 
@@ -5141,4 +5293,5 @@ def oracle_sql() -> dict[str, str]:
         "q73_web_funnel": _q73_sql(),
         "q74_winnow_fingerprints": _Q74_SQL,
         "q75_dedup_spans": _Q75_SQL,
+        "q76_quality_score": _Q76_SQL,
     }

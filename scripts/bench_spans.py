@@ -1,0 +1,72 @@
+"""dedup_spans scale probe: wall-clock over the real .benchdata
+documents text at sf1 (50k docs) and sf3 (150k docs), plus a
+DUPLICATED leg that plants a shared 24-token paragraph inside 30% of
+docs (so the removal path — join-back, interval union, rebuild —
+actually runs corpus-wide instead of short-circuiting on unique text).
+
+Usage: python scripts/bench_spans.py [runs]
+Prints per-leg wall seconds; record medians + the sf1->sf3 exponent in
+BASELINE.md next to the other dedup families.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from firepit_spark.functions.dedup import dedup_spans
+
+RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+PASTE = (
+    "this syndicated paragraph appears verbatim across a large share "
+    "of the corpus pages and must be excised everywhere except its "
+    "globally first occurrence by document id and token position"
+)
+
+
+def one_leg(docs, planted: bool):
+    if planted:
+        docs = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 < 3,
+                   F.concat_ws(" ", "text", F.lit(PASTE)))
+            .otherwise(F.col("text")),
+        )
+    t0 = time.time()
+    out = dedup_spans(docs, n=15)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens_removed").alias("removed"),
+    ).collect()[0]
+    return time.time() - t0, agg["docs"], agg["removed"]
+
+
+def main():
+    spark = (
+        SparkSession.builder.appName("bench_spans")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    for sf in ("sf1", "sf3"):
+        docs = spark.read.parquet(
+            f"/root/repo/.benchdata/{sf}/documents.parquet"
+        ).select("doc_id", "text")
+        docs.persist().count()  # inputs off the clock
+        for planted in (False, True):
+            for r in range(RUNS):
+                wall, n_docs, removed = one_leg(docs, planted)
+                tag = "planted" if planted else "plain  "
+                print(f"{sf} {tag} run{r}: {wall:.2f}s "
+                      f"({n_docs} docs, {removed} tokens removed)",
+                      flush=True)
+        docs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

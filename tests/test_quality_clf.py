@@ -1,0 +1,153 @@
+"""Linear quality classifier (CCNet/GPT-3-style wiki-vs-crawl filter):
+differential vs an independent pure-python GD twin, separation on
+held-out text, the NULL-text bias-only contract, and l2 behavior."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from firepit_spark.functions.quality_clf import (
+    quality_features,
+    quality_score,
+    train_quality_classifier,
+    train_quality_filter,
+)
+
+CLEAN = ["the", "history", "of", "science", "describes", "evidence",
+         "theory", "careful"]
+SPAM = ["buy", "cheap", "now", "click", "here", "winner", "free",
+        "offer"]
+
+
+def _idx(g: str, dim: int) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim
+
+
+def _feats_py(text, dim, bigrams):
+    toks = [] if text is None else text.lower().split()
+    grams = list(toks)
+    if bigrams:
+        grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    f: dict = {}
+    for g in grams:
+        f[_idx(g, dim)] = f.get(_idx(g, dim), 0) + 1
+    f = {k: v / len(toks) for k, v in f.items()}
+    f[-1] = 1.0
+    return f
+
+
+def train_py(docs, labels, dim, iters, lr, l2=0.0, bigrams=True):
+    """Independent twin: same model, zero shared code (dict algebra)."""
+    feats = {i: _feats_py(t, dim, bigrams) for i, t in docs}
+    w = {k: 0.0 for f in feats.values() for k in f}
+    n = len(labels)
+    for _ in range(iters):
+        errs = {
+            i: 1.0 / (1.0 + math.exp(-sum(x * w[k]
+                                          for k, x in f.items())))
+            - labels[i]
+            for i, f in feats.items()
+        }
+        g: dict = {}
+        for i, f in feats.items():
+            for k, x in f.items():
+                g[k] = g.get(k, 0.0) + x * errs[i]
+        w = {
+            k: w[k] - lr * (g.get(k, 0.0) / n
+                            + (l2 * w[k] if k != -1 else 0.0))
+            for k in w
+        }
+    return w
+
+
+def _score_py(text, w, dim, bigrams=True):
+    f = _feats_py(text, dim, bigrams)
+    m = sum(x * w.get(k, 0.0) for k, x in f.items())
+    return 1.0 / (1.0 + math.exp(-m))
+
+
+def test_quality_clf_differential_random(spark):
+    """Exact algorithm parity with the python twin on a random corpus
+    (tiny dim forces hash collisions onto the same folded features)."""
+    rng = random.Random(19)
+    docs = [
+        (i, " ".join(rng.choice(CLEAN + SPAM) for _ in range(12)))
+        for i in range(30)
+    ]
+    labels = {i: float(i % 2) for i, _ in docs}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    feats = quality_features(df, dim=64)
+    ldf = spark.createDataFrame(
+        [(i, v) for i, v in labels.items()], "doc_id long, label double"
+    )
+    w = train_quality_classifier(feats, ldf, iters=5, lr=1.5, l2=0.01)
+    want = train_py(docs, labels, dim=64, iters=5, lr=1.5, l2=0.01)
+    got = {r["idx"]: r["w"] for r in w.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # scoring parity on unseen text (incl. out-of-vocab tokens -> 0)
+    held = [(900, "science winner theory zebra"), (901, None)]
+    hf = quality_features(
+        spark.createDataFrame(held, "doc_id long, text string"), dim=64
+    )
+    scores = {r["doc_id"]: r["score"] for r in quality_score(hf, w).collect()}
+    assert abs(scores[900] - _score_py(held[0][1], want, 64)) < 1e-9
+    # NULL text scores at the model's base rate: sigmoid(bias)
+    assert abs(scores[901] - 1.0 / (1.0 + math.exp(-want[-1]))) < 1e-9
+
+
+def test_quality_clf_separates_held_out(spark):
+    rng = random.Random(3)
+    pos = spark.createDataFrame(
+        [(i, " ".join(rng.choice(CLEAN) for _ in range(20)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, " ".join(rng.choice(SPAM) for _ in range(20)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    w = train_quality_filter(pos, neg, dim=256, iters=12, lr=2.0)
+    held = spark.createDataFrame(
+        [(500, " ".join(rng.choice(CLEAN) for _ in range(15))),
+         (501, " ".join(rng.choice(SPAM) for _ in range(15)))],
+        "doc_id long, text string",
+    )
+    s = {
+        r["doc_id"]: r["score"]
+        for r in quality_score(quality_features(held, dim=256), w).collect()
+    }
+    assert s[500] > 0.6 > 0.5 > 0.4 > s[501]
+
+
+def test_quality_clf_l2_shrinks_weights_not_bias(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, 0.0)], "doc_id long, label double"
+    )
+    feats = quality_features(docs, dim=32, bigrams=False)
+    plain = {r["idx"]: r["w"]
+             for r in train_quality_classifier(
+                 feats, labels, iters=6, lr=1.0).collect()}
+    reg = {r["idx"]: r["w"]
+           for r in train_quality_classifier(
+               feats, labels, iters=6, lr=1.0, l2=0.5).collect()}
+    # every non-bias weight shrinks toward 0 under l2
+    for k in plain:
+        if k != -1 and plain[k] != 0.0:
+            assert abs(reg[k]) < abs(plain[k]), k
+    # the twin agrees on the regularized run too
+    want = train_py([(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+                    {1: 1.0, 2: 0.0}, dim=32, iters=6, lr=1.0, l2=0.5,
+                    bigrams=False)
+    for k in want:
+        assert abs(reg[k] - want[k]) < 1e-9, k
