@@ -477,6 +477,8 @@ def stream_warc(
     keep_payload: bool = True,
     path_glob: str | None = None,
     max_files_per_trigger: int | None = None,
+    extract_text: bool = False,
+    main_content: bool = False,
 ) -> DataFrame:
     """Structured-Streaming twin of :func:`read_warc`: watch ``path``
     for newly landed archive files (the shape of a live crawl dropping
@@ -485,7 +487,10 @@ def stream_warc(
     nothing for the streaming doctor to flag and exactly-once comes
     free from the file source's tracked-files log).
     ``max_files_per_trigger`` paces ingest (one ~1 GB archive is
-    already a healthy task)."""
+    already a healthy task). ``extract_text=True`` fuses text
+    extraction into the same Python pass exactly as in
+    :func:`read_warc` — with ``keep_payload=False`` the streaming
+    funnel's payload bytes never cross the Arrow boundary."""
     reader = spark.readStream.format("binaryFile").schema(
         "path string, modificationTime timestamp, length long, "
         "content binary"
@@ -497,7 +502,9 @@ def stream_warc(
     binary = reader.load(path).select(
         F.col("path").alias("warc_file"), "content"
     )
-    return parse_warc_members(binary, keep_payload=keep_payload)
+    return parse_warc_members(binary, keep_payload=keep_payload,
+                              extract_text=extract_text,
+                              main_content=main_content)
 
 
 def write_warc_shards(

@@ -530,3 +530,52 @@ def test_read_warc_fused_text_equals_composed(spark, tmp_path):
         ).select("uri", "kept").collect()
     )
     assert via_fused == via_composed
+
+
+def test_stream_warc_fused_text(spark, tmp_path):
+    """stream_warc(extract_text=True, keep_payload=False) stays a
+    stateless map (doctor-clean) and the streaming funnel over the
+    fused scan produces the same flags as the composed streaming
+    path."""
+    from firepit_spark.functions.doctor import assert_stream_safe
+    from firepit_spark.functions.pipeline import web_corpus_funnel
+
+    body = ("The quick brown fox jumps over the lazy dog and then the "
+            "dog chases the fox around the old stone house. ") * 3
+    records = [
+        ({"WARC-Type": "response", "WARC-Target-URI": u,
+          "Content-Type": "application/http;msgtype=response"},
+         W.http_response_bytes(
+             f"<html><body><p>{body}</p></body></html>".encode()))
+        for u in ("http://h0.example/a", "http://h0.example/b")
+    ] + [
+        ({"WARC-Type": "conversion",
+          "WARC-Target-URI": "http://h0.example/wet",
+          "Content-Type": "text/plain"}, b"short wet text"),
+    ]
+    (tmp_path / "f.warc.gz").write_bytes(W.warc_encode(records))
+
+    def run(name, **kw):
+        flags = web_corpus_funnel(
+            W.stream_warc(spark, str(tmp_path), path_glob="*.warc.gz",
+                          **kw),
+            min_quality=0.5, dedup=False,
+        )
+        rep = assert_stream_safe(flags)
+        assert rep.stateful_ops == 0 and not rep.findings
+        q = (
+            flags.writeStream.format("memory").queryName(name)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            tuple(r) for r in spark.sql(
+                f"SELECT uri, has_text, lang_ok, quality_ok, kept "
+                f"FROM {name}"
+            ).collect()
+        )
+
+    fused = run("fused_stream_mem", extract_text=True,
+                keep_payload=False)
+    composed = run("composed_stream_mem")
+    assert fused == composed and len(fused) == 3
