@@ -268,7 +268,11 @@ def q10_having(spark, sf_dir):
     q.append(Filter([Predicate("n_orders", ">", 15)]))
     heavy = q.resolve(r)
     cu = Query("orders")
-    cu.append(CountUnique(["o_custkey"]))
+    # reference parity: CountUnique counts distinct ROWS of the result
+    # set (its cols arg is ignored, pinned by the differential
+    # harness) — project the column first for COUNT(DISTINCT col)
+    cu.append(Projection(["o_custkey"]))
+    cu.append(CountUnique())
     n = cu.resolve(r).select(F.col("count").alias("n_custkeys"))
     return heavy.crossJoin(F.broadcast(n))
 

@@ -177,15 +177,25 @@ class BinnedColumn:
     as one Catalyst expression. Numerics: ``floor(col / n) * n``.
     """
 
-    _UNIT_SECONDS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    _UNIT_SECONDS = {
+        "s": 1, "seconds": 1,
+        "m": 60, "minutes": 60,
+        "h": 3600, "hours": 3600,
+        "d": 86400, "days": 86400,
+    }
 
     def __init__(self, prop: str, n: int, unit: str | None = None, alias: str | None = None):
         self.prop = _validate_column_name(prop)
         self.n = int(n)
-        self.unit = unit
-        self.alias = alias or f"{prop}_bin"
-        if unit is not None and unit not in self._UNIT_SECONDS:
-            raise InvalidQuery(f"unknown bin unit: {unit}")
+        # reference parity (firepit/query.py:126,138-144): unit is
+        # lowercased, long and short forms both accepted, and an
+        # UNRECOGNIZED unit silently means "numeric bin" (secs = None
+        # fall-through) — do not raise. Default alias is the property
+        # name itself (reference :134-137), not a derived one.
+        self.unit = unit.lower() if unit else ""
+        if self.unit not in self._UNIT_SECONDS:
+            self.unit = ""
+        self.alias = alias or prop
 
     def to_spark(self):
         col = F.col(f"`{self.prop}`")
@@ -418,7 +428,15 @@ class Unique:
 
 
 class CountUnique:
-    """COUNT(DISTINCT cols) (reference firepit/query.py:438-450)."""
+    """Unique-row count of the result set (reference
+    firepit/query.py:438-450, 576-579). Reference parity quirk, pinned
+    by the differential harness: ``Query.append`` maps this to
+    ``Count + Unique`` and IGNORES ``cols`` — the count is over
+    distinct rows of the current result set. To count distinct values
+    of specific columns, append a ``Projection`` of those columns
+    first (that is the reference's ``COUNT(DISTINCT col)`` render
+    branch). ``cols`` is still accepted/validated like the
+    reference's constructor does."""
 
     def __init__(self, cols=None):
         self.cols = cols
@@ -954,9 +972,8 @@ class Query:
         if self.unique and not self.count_unique:
             df = df.distinct()
         if self.count_unique:
-            cols = self.count_unique.cols
-            base = df.select(*[_colref(c) for c in cols]) if cols else df
-            df = base.distinct().agg(F.count(F.lit(1)).alias("count"))
+            # cols ignored by design — see CountUnique docstring
+            df = df.distinct().agg(F.count(F.lit(1)).alias("count"))
         if self.order:
             df = df.orderBy(*self.order.to_spark())
         if self.offset:

@@ -988,7 +988,18 @@ class SparkStorage:
                 for c in group_cols
             ]
             if aggs:
-                agg_exprs = Aggregation(aggs).to_spark()
+                # explicit aggs may reference a deref path too — the
+                # reference path_joins those attrs exactly like the
+                # group-by legs (sqlstorage.py:1057-1066)
+                resolved_aggs = []
+                for func, attr, alias in aggs:
+                    if (isinstance(attr, str) and attr != "*"
+                            and attr not in df.columns):
+                        df, attr = self._deref.deref_path(
+                            df, sco_type, attr
+                        )
+                    resolved_aggs.append((func, attr, alias))
+                agg_exprs = Aggregation(resolved_aggs).to_spark()
             else:
                 agg_exprs = auto_aggs(sco_type, raw_schema, plain)
                 if not agg_exprs:

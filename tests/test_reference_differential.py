@@ -546,3 +546,161 @@ def test_assign_query_dsl_filter_order_limit(engines):
     for x in r + s:
         x.pop("type")
     assert_rows_equal(r, s, "dsl filter+order+limit")
+
+
+def test_list_property_pattern(engines):
+    """protocols[*] list-property match — sqlite stores the list as
+    JSON text and LIKE-matches it, Spark keeps ArrayType; rows must
+    agree after canon folds both to compact JSON."""
+    ref, sps = engines
+    pat = "[network-traffic:protocols[*] = 'tcp']"
+    ref.extract("lp_tcp", "network-traffic", "q1", pat)
+    sps.extract("lp_tcp", "network-traffic", "q1", pat)
+    assert ref.count("lp_tcp") > 0
+    assert_rows_equal(ref.lookup("lp_tcp"), sps.lookup("lp_tcp"),
+                      "protocols[*]")
+
+
+def test_binned_column_group(engines):
+    """BinnedColumn through the storage group() API (the reference's
+    supported binned-grouping surface — its assign_query Group can
+    only reference a bin via the Projection-alias hack): a 1-minute
+    timestamp bin over observed-data and a numeric 100-wide bin over
+    src_port. The reference renders sqlite strftime/integer-division
+    SQL, we render Catalyst; bin labels and aggregates must agree
+    (timestamp bins canon from RFC 3339 text vs TimestampType)."""
+    from firepit.query import BinnedColumn as RBinned
+
+    from firepit_spark.query import BinnedColumn as SBinned
+
+    ref, sps = engines
+    aggs = [("COUNT", "*", "n"), ("SUM", "number_observed", "sum_obs")]
+    ref.group("bin_t", "observed-data",
+              by=[RBinned("first_observed", 1, "minutes",
+                          alias="bin1m")], aggs=aggs)
+    sps.group("bin_t", "observed-data",
+              by=[SBinned("first_observed", 1, "minutes",
+                          alias="bin1m")], aggs=aggs)
+    r, s = ref.lookup("bin_t"), sps.lookup("bin_t")
+    for x in r + s:
+        x.pop("type", None)
+    assert len(r) > 1, "bin did not aggregate"
+    assert_rows_equal(r, s, "time bin")
+
+    ref.extract("bin_nt", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    sps.extract("bin_nt", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    ref.group("bin_p", "bin_nt",
+              by=[RBinned("src_port", 100, alias="port_bin")],
+              aggs=[("COUNT", "*", "n")])
+    sps.group("bin_p", "bin_nt",
+              by=[SBinned("src_port", 100, alias="port_bin")],
+              aggs=[("COUNT", "*", "n")])
+    r, s = ref.lookup("bin_p"), sps.lookup("bin_p")
+    for x in r + s:
+        x.pop("type", None)
+    assert_rows_equal(r, s, "numeric bin")
+
+
+def test_unique_and_countunique_dsl(engines):
+    from firepit.query import (
+        CountUnique as RCountUnique, Projection as RProjection,
+        Unique as RUnique,
+    )
+
+    from firepit_spark.query import (
+        CountUnique as SCountUnique, Projection as SProjection,
+        Unique as SUnique,
+    )
+
+    ref, sps = engines
+    rq = RQuery("network-traffic")
+    rq.append(RProjection(["dst_port"]))
+    rq.append(RUnique())
+    sq = SQuery("network-traffic")
+    sq.append(SProjection(["dst_port"]))
+    sq.append(SUnique())
+    ref.assign_query("uq", rq)
+    sps.assign_query("uq", sq)
+    r, s = ref.lookup("uq"), sps.lookup("uq")
+    for x in r + s:
+        x.pop("type", None)
+    assert_rows_equal(r, s, "unique")
+
+    # COUNT(DISTINCT col) spelling: Projection THEN CountUnique
+    rq = RQuery("network-traffic")
+    rq.append(RProjection(["dst_port"]))
+    rq.append(RCountUnique())
+    sq = SQuery("network-traffic")
+    sq.append(SProjection(["dst_port"]))
+    sq.append(SCountUnique())
+    ref.assign_query("cuq", rq)
+    sps.assign_query("cuq", sq)
+    r, s = ref.lookup("cuq"), sps.lookup("cuq")
+    for x in r + s:
+        x.pop("type", None)
+    assert_rows_equal(r, s, "countunique")
+
+    # reference quirk, pinned: bare CountUnique(cols) IGNORES cols and
+    # counts distinct full rows (reference query.py:576-579 maps it to
+    # Count + Unique; the cols-aware render branch never fires without
+    # a Projection)
+    rq = RQuery("network-traffic")
+    rq.append(RCountUnique(["dst_port"]))
+    sq = SQuery("network-traffic")
+    sq.append(SCountUnique(["dst_port"]))
+    ref.assign_query("cuq2", rq)
+    sps.assign_query("cuq2", sq)
+    r, s = ref.lookup("cuq2"), sps.lookup("cuq2")
+    for x in r + s:
+        x.pop("type", None)
+    assert_rows_equal(r, s, "countunique cols-ignored quirk")
+
+
+def test_group_storage_op_explicit_aggs(engines):
+    """storage.group with explicit aggs incl. a NUNIQUE over a
+    dereferenced ref path (exercises the reference's path_joins leg
+    inside group)."""
+    ref, sps = engines
+    ref.extract("ga_nt", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    sps.extract("ga_nt", "network-traffic", "q1",
+                "[network-traffic:dst_port > 0]")
+    aggs = [("MAX", "src_port", "max_src"),
+            ("NUNIQUE", "src_ref.value", "n_src")]
+    ref.group("ga_out", "ga_nt", by="dst_port", aggs=aggs)
+    sps.group("ga_out", "ga_nt", by="dst_port", aggs=aggs)
+    r, s = ref.lookup("ga_out"), sps.lookup("ga_out")
+    for x in r + s:
+        x.pop("type", None)
+    assert_rows_equal(r, s, "group explicit aggs")
+
+
+def test_delete_session_wipe(spark, tmp_path):
+    """Reference delete() destroys the whole session's data
+    (reference firepit/sqlstorage.py:731); SparkStorage.delete must
+    leave the same observable state: no tables, no views."""
+    d = tmp_path
+    bundle_file = d / "bundle.json"
+    bundle_file.write_text(json.dumps(make_bundle(12)))
+    ref = ref_get_storage(str(d / "ref.db"), "wipe")
+    sps = SparkStorage(str(d / "wh"), spark=spark)
+    ref.cache("q1", [str(bundle_file)])
+    sps.cache("q1", [str(bundle_file)])
+    ref.extract("w_urls", "url", "q1", "[url:value LIKE '%']")
+    sps.extract("w_urls", "url", "q1", "[url:value LIKE '%']")
+    assert ref.tables() and sps.tables()
+    ref.delete()
+    sps.delete()
+    # reference: the sqlite file is REMOVED and the closed connection
+    # errors on any further use (sqlitestorage.py:323-329)
+    import sqlite3
+
+    assert not (d / "ref.db").exists()
+    with pytest.raises(sqlite3.ProgrammingError):
+        ref.tables()
+    # DOCUMENTED DEVIATION (storage.py delete docstring): SparkStorage
+    # removes the warehouse but stays usable (the SparkSession may be
+    # shared) — observable data state matches: nothing left
+    assert sps.views() == [] and sps.tables() == []
