@@ -684,6 +684,10 @@ def duplicate_spans(
     (boilerplate headers, quoted blocks, templated bodies; the signal behind
     suffix-array dedup a la "Deduplicating Training Data Makes Language
     Models Better", here approximated with k-gram diagonal chaining).
+    This is the PAIR-level report (who shares what, where, how long);
+    for corpus-scale removal prefer :func:`dedup_spans` — a passage
+    shared by m documents yields O(m^2) pair rows here but only O(m)
+    gram occurrences there.
 
     Plan shape: positional k-gram inverted index (8-byte hashes) with the
     standard frequency cutoff -> equi-join on the gram -> matches at the
@@ -1162,6 +1166,13 @@ def dedup_spans(
     :func:`duplicate_ngram_fraction` (which only measures): syndicated
     paragraphs, quoted passages and boilerplate embedded mid-document
     are excised while the unique remainder of the page survives.
+    Relation to the pairwise family: :func:`duplicate_spans` +
+    :func:`remove_duplicate_spans` report/remove MAXIMAL shared
+    passages per document pair (offsets and lengths — the
+    contamination-forensics shape) but a passage shared by m docs
+    costs O(m^2) pair rows there; this keep-first form decides per
+    gram occurrence in one global groupBy, O(m), the right default
+    for corpus-scale removal.
 
     Tokens are whitespace runs, case-SENSITIVE (ExactSubstr is exact
     match; the lowercase families are the near-dup sketches). Returns

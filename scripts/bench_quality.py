@@ -1,0 +1,72 @@
+"""quality_clf scale probe: featurize + train + score wall over the
+real .benchdata documents text at sf1 (50k docs) and sf3 (150k docs).
+Labels are synthetic (doc_id parity) — the probe measures plan cost,
+not model quality: per-round cost is one dim-bounded broadcast join +
+two shuffles of (id, idx, x) / (id, err) granularity, so rounds should
+scale with corpus token count, not dim.
+
+Usage: python scripts/bench_quality.py [iters] [runs]
+Record medians + the sf1->sf3 exponent in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from firepit_spark.functions.quality_clf import (
+    quality_features, quality_score, train_quality_classifier,
+)
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+RUNS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+DIM = 1 << 16
+
+
+def main():
+    spark = (
+        SparkSession.builder.appName("bench_quality")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    for sf in ("sf1", "sf3"):
+        docs = spark.read.parquet(
+            f"/root/repo/.benchdata/{sf}/documents.parquet"
+        ).select("doc_id", "text")
+        docs.persist().count()  # inputs off the clock
+        labels = docs.select(
+            "doc_id", (F.col("doc_id") % 2).cast("double").alias("label")
+        )
+        for r in range(RUNS):
+            t0 = time.time()
+            feats = quality_features(docs, dim=DIM)
+            feats = feats.persist()
+            n_feat = feats.count()
+            t_feat = time.time() - t0
+            t0 = time.time()
+            w = train_quality_classifier(feats, labels, iters=ITERS)
+            n_w = w.count()
+            t_train = time.time() - t0
+            t0 = time.time()
+            scored = quality_score(feats, w)
+            row = scored.agg(F.avg("score").alias("m")).collect()[0]
+            t_score = time.time() - t0
+            feats.unpersist()
+            print(
+                f"{sf} run{r}: featurize {t_feat:.2f}s ({n_feat} rows) "
+                f"train[{ITERS}] {t_train:.2f}s "
+                f"({t_train / ITERS:.2f}s/round, {n_w} weights) "
+                f"score {t_score:.2f}s (mean {row['m']:.4f})",
+                flush=True,
+            )
+        docs.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
