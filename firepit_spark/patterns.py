@@ -380,10 +380,14 @@ def _tree_to_filters(tree):
 
 
 def _filter_as_predicate(flt: Filter):
-    """Collapse a Filter to one composite Predicate so it can nest inside
-    another Filter. Subquery predicates can't nest under OR (no distributed
-    OR-of-semi-joins yet); they surface as InvalidQuery at resolve time."""
+    """Collapse a Filter to one composite Predicate so it can nest
+    inside another Filter — as a compound Predicate TREE (not an
+    eagerly compiled Column), so subquery leaves anywhere inside
+    survive to the Filter level where they compile to membership-flag
+    joins (Query._apply_filters) even under OR/compound nesting."""
     if len(flt.preds) == 1:
         return flt.preds[0]
-    cond = flt.to_spark()
-    return Predicate(cond, "=", True)
+    out = flt.preds[0]
+    for p in flt.preds[1:]:
+        out = Predicate(out, flt.op, p)
+    return out

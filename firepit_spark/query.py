@@ -250,11 +250,28 @@ class Predicate:
             and (self.lhs.is_subquery or self.rhs.is_subquery)
         )
 
-    def to_spark(self):
-        if self.is_subquery:
+    def subquery_leaves(self) -> list:
+        """Subquery leaf predicates anywhere in this (possibly
+        compound) predicate tree, in evaluation order."""
+        if isinstance(self.rhs, Query):
+            return [self]
+        if isinstance(self.lhs, Predicate):
+            return self.lhs.subquery_leaves() + self.rhs.subquery_leaves()
+        return []
+
+    def to_spark(self, subq_map=None):
+        """Compile to a Column. Subquery leaves have no standalone
+        column form — the Filter level materializes each as a
+        membership flag (left join) and passes the flag conditions in
+        ``subq_map`` (keyed by ``id(pred)``) so OR/compound
+        combinations evaluate as plain boolean algebra."""
+        if subq_map is not None and id(self) in subq_map:
+            return subq_map[id(self)]
+        if self.is_subquery and isinstance(self.rhs, Query):
             raise InvalidQuery("subquery predicates compile at Filter level")
         if isinstance(self.lhs, Predicate):  # compound AND/OR of predicates
-            l, r = self.lhs.to_spark(), self.rhs.to_spark()
+            l = self.lhs.to_spark(subq_map)
+            r = self.rhs.to_spark(subq_map)
             return (l & r) if self.op == "AND" else (l | r)
         lhs = _colref(self.lhs)
         rhs = self.rhs
@@ -319,18 +336,11 @@ class Filter:
         self.op = op
 
     def split_subqueries(self):
-        """(plain_predicates, subquery_predicates); subqueries only compose
-        under AND (the distributed semi-join has no OR form)."""
+        """(plain_predicates, subquery_predicates). A returned sub may
+        be a COMPOUND predicate wrapping subquery leaves; only the
+        pure-AND top-level-leaf case has a semi-join form — everything
+        else compiles via membership flags (see Query._apply_filters)."""
         subs = [p for p in self.preds if isinstance(p, Predicate) and p.is_subquery]
-        if subs and self.op == self.OR:
-            raise InvalidQuery("subquery predicates cannot be OR-combined")
-        for p in subs:
-            if isinstance(p.lhs, Predicate):
-                # a compound AND/OR predicate wrapping a subquery has no
-                # distributed semi-join form (same limit as OR above)
-                raise InvalidQuery(
-                    "subquery predicates cannot be nested in compound predicates"
-                )
         return [p for p in self.preds if p not in subs], subs
 
     def to_spark(self, preds=None):
@@ -686,18 +696,66 @@ class Query:
     def _apply_filters(self, df: DataFrame, filters, resolver) -> DataFrame:
         for flt in filters:
             plain, subs = flt.split_subqueries()
-            cond = flt.to_spark(plain) if plain else None
-            if cond is not None:
-                df = df.filter(cond)
-            for pred in subs:
-                sub_df = pred.rhs.resolve(resolver)
+            simple = flt.op == Filter.AND and all(
+                isinstance(p.rhs, Query) for p in subs
+            )
+            if simple:
+                # pure-AND, top-level leaves: semi/anti joins (the
+                # tightest plan — no flag columns, joins prune rows)
+                cond = flt.to_spark(plain) if plain else None
+                if cond is not None:
+                    df = df.filter(cond)
+                for pred in subs:
+                    sub_df = pred.rhs.resolve(resolver)
+                    subcol = sub_df.columns[0]
+                    how = "left_anti" if pred.op.startswith("NOT") else "left_semi"
+                    df = df.join(
+                        sub_df.select(F.col(f"`{subcol}`").alias("__subq__")).distinct(),
+                        on=_colref(pred.lhs) == F.col("__subq__"),
+                        how=how,
+                    )
+                continue
+            # OR-combined or compound-nested subqueries: SQL engines
+            # spell this `a OR x IN (SELECT ...)`; the distributed form
+            # is one LEFT JOIN per subquery leaf against its DISTINCT
+            # value set (small side — AQE broadcasts it), a membership
+            # flag per join, then ONE row filter over the plain boolean
+            # algebra of flags + ordinary predicates. The corpus side
+            # never shuffles for the membership checks. Matches the
+            # reference's OR-of-IN-subqueries SQL semantics (incl. the
+            # NULL-key behavior of the anti form: a NULL lhs never
+            # matches, so NOT-membership keeps it).
+            leaves: list = []
+            for p in flt.preds:
+                if isinstance(p, Predicate):
+                    leaves.extend(p.subquery_leaves())
+            subq_map: dict = {}
+            flags: list = []
+            for j, leaf in enumerate(leaves):
+                sub_df = leaf.rhs.resolve(resolver)
                 subcol = sub_df.columns[0]
-                how = "left_anti" if pred.op.startswith("NOT") else "left_semi"
+                flag = f"__subq{j}__"
                 df = df.join(
-                    sub_df.select(F.col(f"`{subcol}`").alias("__subq__")).distinct(),
-                    on=_colref(pred.lhs) == F.col("__subq__"),
-                    how=how,
+                    sub_df.select(F.col(f"`{subcol}`").alias(flag)).distinct(),
+                    on=_colref(leaf.lhs) == F.col(flag),
+                    how="left",
                 )
+                cond = F.col(flag).isNotNull()
+                if leaf.op.startswith("NOT"):
+                    cond = ~cond
+                subq_map[id(leaf)] = cond
+                flags.append(flag)
+            cols = [
+                p.to_spark(subq_map) if isinstance(p, Predicate)
+                else p.to_spark()
+                for p in flt.preds
+            ]
+            if cols:
+                out = cols[0]
+                for c in cols[1:]:
+                    out = (out | c) if flt.op == Filter.OR else (out & c)
+                df = df.filter(out)
+            df = df.drop(*flags)
         return df
 
     _PUSHABLE_AGGS = {"SUM", "COUNT", "MIN", "MAX"}

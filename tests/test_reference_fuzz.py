@@ -1,0 +1,152 @@
+"""Randomized differential fuzz against the LIVE reference engine:
+seeded random STIX patterns (AND/OR, LIKE, IN, comparisons, ref-path
+values, MATCHES, two-observation OR) followed by random storage ops
+(assign sort ± limit, assign group, lookup paging) run through BOTH
+firepit-on-sqlite and SparkStorage over the same bundle — rows must
+agree. The hand-picked harness (test_reference_differential) covers
+each op once; this walks the composition space no hand-written case
+hits. Sort keys are chosen unique-per-table so ordered pagination is
+engine-deterministic."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from tests import refshims
+
+if not refshims.install():
+    pytest.skip("reference checkout not present", allow_module_level=True)
+
+from firepit import get_storage as ref_get_storage  # noqa: E402
+
+from firepit_spark.storage import SparkStorage  # noqa: E402
+from tests.conftest import make_bundle  # noqa: E402
+from tests.test_reference_differential import (  # noqa: E402
+    assert_rows_equal,
+)
+
+N_PROGRAMS = 24
+
+
+@pytest.fixture(scope="module")
+def fuzz_engines(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fz")
+    bundle_file = d / "bundle.json"
+    bundle_file.write_text(json.dumps(make_bundle(60)))
+    ref = ref_get_storage(str(d / "ref.db"), "fz")
+    sps = SparkStorage(str(d / "wh"), spark=spark)
+    ref.cache("q1", [str(bundle_file)])
+    sps.cache("q1", [str(bundle_file)])
+    return ref, sps
+
+
+def gen_comparison(rng, sco_type: str) -> str:
+    if sco_type == "url":
+        return rng.choice([
+            f"url:value LIKE '%page/{rng.randrange(7)}'",
+            f"url:value LIKE 'http://www{rng.randrange(9)}%'",
+            "url:value = 'http://www1.example.com/page/2'",
+            "url:value != 'http://www0.example.com/page/0'",
+        ])
+    if sco_type == "network-traffic":
+        ports = rng.sample([22, 443, 3128, 49155, 49159], rng.randint(1, 3))
+        in_list = ", ".join(str(p) for p in sorted(ports))
+        return rng.choice([
+            f"network-traffic:dst_port IN ({in_list})",
+            f"network-traffic:src_port > {49000 + rng.randrange(100)}",
+            f"network-traffic:src_port <= {49000 + rng.randrange(100)}",
+            f"network-traffic:dst_port {rng.choice(['=', '!='])} "
+            f"{rng.choice([22, 443, 3128])}",
+            f"network-traffic:src_ref.value LIKE '10.0.{rng.randrange(5)}.%'",
+            "network-traffic:dst_ref.value ISSUBSET "
+            f"'192.168.{rng.randrange(10)}.0/24'",
+        ])
+    return rng.choice([
+        f"user-account:user_id = '{1000 + rng.randrange(14)}'",
+        f"user-account:user_id != '{1000 + rng.randrange(14)}'",
+        f"user-account:account_login LIKE 'user{rng.randrange(14)}%'",
+        f"user-account:account_login MATCHES 'user[0-{rng.randrange(1, 9)}]'",
+    ])
+
+
+def gen_pattern(rng, sco_type: str) -> str:
+    n = rng.randint(1, 3)
+    comps = [gen_comparison(rng, sco_type) for _ in range(n)]
+    expr = comps[0]
+    for c in comps[1:]:
+        op = rng.choice(["AND", "OR"])
+        expr = f"({expr}) {op} ({c})" if rng.random() < 0.5 \
+            else f"{expr} {op} {c}"
+    pat = f"[{expr}]"
+    if rng.random() < 0.25:
+        pat = f"{pat} OR [{gen_comparison(rng, sco_type)}]"
+    return pat
+
+
+SORT_KEY = {"url": "value", "network-traffic": "src_port",
+            "user-account": "account_login"}
+
+
+def test_reference_pattern_and_op_fuzz(fuzz_engines):
+    ref, sps = fuzz_engines
+    rng = random.Random(1309)
+    n_nonempty = 0
+    for i in range(N_PROGRAMS):
+        sco_type = rng.choice(["url", "network-traffic", "user-account"])
+        pattern = gen_pattern(rng, sco_type)
+        view = f"fz{i}"
+        ctx = f"[{i}] {sco_type} {pattern}"
+        ref_err = sps_err = None
+        try:
+            ref.extract(view, sco_type, "q1", pattern)
+            ref_rows = ref.lookup(view)
+        except Exception as e:  # noqa: BLE001 — outcome-compared below
+            ref_err = e
+        try:
+            sps.extract(view, sco_type, "q1", pattern)
+            sps_rows = sps.lookup(view)
+        except Exception as e:  # noqa: BLE001
+            sps_err = e
+        if ref_err is not None or sps_err is not None:
+            assert ref_err is not None and sps_err is not None, (
+                f"{ctx}: one engine errored "
+                f"(ref={ref_err!r}, spark={sps_err!r})"
+            )
+            continue
+        assert_rows_equal(ref_rows, sps_rows, ctx)
+        if ref_rows:
+            n_nonempty += 1
+        # random follow-up op on the extracted view
+        roll = rng.random()
+        if roll < 0.35:
+            by = SORT_KEY[sco_type]
+            limit = rng.choice([None, rng.randint(1, 8)])
+            ref.assign(f"{view}s", view, op="sort", by=by, limit=limit)
+            sps.assign(f"{view}s", view, op="sort", by=by, limit=limit)
+            r = ref.lookup(f"{view}s")
+            s = sps.lookup(f"{view}s")
+            # sorted views page identically: compare IN ORDER
+            assert [x[by] for x in r] == [x[by] for x in s], ctx
+            assert_rows_equal(r, s, f"{ctx} sort")
+        elif roll < 0.5 and sco_type == "network-traffic" and ref_rows:
+            by = rng.choice(["dst_port", "src_ref.value"])
+            ref.assign(f"{view}g", view, op="group", by=by)
+            sps.assign(f"{view}g", view, op="group", by=by)
+            assert_rows_equal(ref.lookup(f"{view}g"),
+                              sps.lookup(f"{view}g"), f"{ctx} group {by}")
+        elif roll < 0.65 and ref_rows:
+            off = rng.randrange(3)
+            lim = rng.randint(1, 6)
+            by = SORT_KEY[sco_type]
+            ref.assign(f"{view}p", view, op="sort", by=by)
+            sps.assign(f"{view}p", view, op="sort", by=by)
+            r = ref.lookup(f"{view}p", limit=lim, offset=off)
+            s = sps.lookup(f"{view}p", limit=lim, offset=off)
+            assert [x[by] for x in r] == [x[by] for x in s], (
+                f"{ctx} page limit={lim} offset={off}"
+            )
+    # the generator must actually exercise data, not just empty sets
+    assert n_nonempty >= N_PROGRAMS // 2, n_nonempty
