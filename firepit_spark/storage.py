@@ -1276,8 +1276,18 @@ class SparkStorage:
         )
 
     def value_counts(self, viewname: str, path: str):
-        """Per-value observation counts (parity: firepit/sqlstorage.py:854-874)."""
-        return [r.asDict() for r in self.value_counts_df(viewname, path).collect()]
+        """Per-value observation counts (parity: firepit/sqlstorage.py:
+        854-874). The value column is labeled with the FULL ``path``
+        string exactly as the reference aliases it (sqlstorage.py:870
+        — ``Column(col, table, path)``), so ``value_counts(v,
+        'url:value')`` rows key on ``'url:value'``; the additive
+        :meth:`value_counts_df` core keeps the bare property name
+        (the join-friendly spelling)."""
+        df = self.value_counts_df(viewname, path)
+        prop = df.columns[0]
+        if prop != path:
+            df = df.withColumnRenamed(prop, path)
+        return [r.asDict() for r in df.collect()]
 
     def observation_stats_df(self, viewname: str, path: str) -> DataFrame:
         """One-pass fusion of :meth:`value_counts` and per-value

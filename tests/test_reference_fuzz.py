@@ -83,6 +83,10 @@ def gen_pattern(rng, sco_type: str) -> str:
     pat = f"[{expr}]"
     if rng.random() < 0.25:
         pat = f"{pat} OR [{gen_comparison(rng, sco_type)}]"
+    if rng.random() < 0.15:
+        h = rng.choice(["12:01:00", "12:03:00"])
+        pat = (f"{pat} START t'2024-05-01T12:00:00Z' "
+               f"STOP t'2024-05-01T{h}Z'")
     return pat
 
 
@@ -137,7 +141,14 @@ def test_reference_pattern_and_op_fuzz(fuzz_engines):
             sps.assign(f"{view}g", view, op="group", by=by)
             assert_rows_equal(ref.lookup(f"{view}g"),
                               sps.lookup(f"{view}g"), f"{ctx} group {by}")
-        elif roll < 0.65 and ref_rows:
+        elif roll < 0.6 and ref_rows:
+            path = {"url": "url:value",
+                    "network-traffic": "network-traffic:dst_port",
+                    "user-account": "user-account:account_login"}[sco_type]
+            assert_rows_equal(ref.value_counts(view, path),
+                              sps.value_counts(view, path),
+                              f"{ctx} value_counts {path}")
+        elif roll < 0.72 and ref_rows:
             off = rng.randrange(3)
             lim = rng.randint(1, 6)
             by = SORT_KEY[sco_type]

@@ -389,7 +389,9 @@ def test_obs_counts_over_ref_paths(spark, tmp_path):
     st.extract("conns", "network-traffic", "q1", "")
     # deref path through src_ref
     vc = st.value_counts("conns", "network-traffic:src_ref.value")
-    assert vc == [{"src_ref.value": "10.0.0.1", "count": 1}]
+    # the value column keys on the FULL path, as the reference labels it
+    assert vc == [{"network-traffic:src_ref.value": "10.0.0.1",
+                   "count": 1}]
     n = st.number_observed("conns", "network-traffic:src_ref.value", "10.0.0.1")
     assert n == 3
 
