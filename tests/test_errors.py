@@ -206,15 +206,22 @@ def test_compound_predicate_compiles(spark):
     assert df.filter(q.to_spark()).count() == 1
 
 
-def test_compound_subquery_predicate_rejected(spark):
-    """A compound predicate wrapping a subquery has no distributed
-    semi-join form: Filter must reject it loudly instead of crashing in
-    the semi-join compiler."""
+def test_compound_subquery_predicate_compiles(spark):
+    """A compound predicate wrapping a subquery HAS a distributed form
+    since the membership-flag rewrite (r13: flag left joins + boolean
+    algebra — the 'a OR x IN (subquery)' shape): split_subqueries
+    surfaces it for the flag path, its leaves are discoverable, and a
+    standalone to_spark (no flag map) still refuses the leaf loudly
+    instead of mis-compiling."""
     from firepit_spark.exceptions import InvalidQuery
     from firepit_spark.query import Filter, Predicate, Query
 
     sub = Query("orders")
-    compound = Predicate(Predicate("a", "=", 1), "AND", Predicate("b", "IN", sub))
+    leaf = Predicate("b", "IN", sub)
+    compound = Predicate(Predicate("a", "=", 1), "AND", leaf)
     assert compound.is_subquery
-    with pytest.raises(InvalidQuery, match="compound"):
-        Filter([compound]).split_subqueries()
+    plain, subs = Filter([compound]).split_subqueries()
+    assert plain == [] and subs == [compound]
+    assert compound.subquery_leaves() == [leaf]
+    with pytest.raises(InvalidQuery, match="Filter level"):
+        leaf.to_spark()
