@@ -291,3 +291,40 @@ def test_pattern_parser_fuzz():
             for prop in props
         }
         assert got == want, pattern
+
+
+def test_subquery_filter_plan_shapes(spark):
+    """Pure-AND top-level subquery predicates keep the tight semi/anti
+    join plan; OR-combined ones take the membership-flag left-join
+    path (r13) with no flag columns leaking into the output."""
+    from pyspark.sql import functions as F
+
+    from firepit_spark.query import Filter, Predicate, Projection, Query
+    from firepit_spark.session import testdata_resolver
+
+    r = testdata_resolver(spark, "/root/testdata/sf0.001")
+
+    def sub(flagval):
+        s = Query("nation")
+        s.append(Filter([Predicate("n_regionkey", "=", flagval)]))
+        s.append(Projection(["n_nationkey"]))
+        return s
+
+    q = Query("customer")
+    q.append(Filter([Predicate("c_nationkey", "IN", sub(1))]))
+    df = q.resolve(r)
+    assert "LeftSemi" in df._jdf.queryExecution().toString()
+    assert not [c for c in df.columns if c.startswith("__subq")]
+
+    q = Query("customer")
+    q.append(Filter([Predicate("c_nationkey", "IN", sub(1)),
+                     Predicate("c_nationkey", "IN", sub(2))], op="OR"))
+    df = q.resolve(r)
+    plan = df._jdf.queryExecution().toString()
+    assert "LeftSemi" not in plan
+    assert not [c for c in df.columns if c.startswith("__subq")]
+    # and the OR semantics are right: union of the two memberships
+    got = {x["c_nationkey"] for x in df.select("c_nationkey").distinct().collect()}
+    want = {x["n_nationkey"] for x in
+            sub(1).resolve(r).unionByName(sub(2).resolve(r)).collect()}
+    assert got == want
