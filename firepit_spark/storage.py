@@ -1242,10 +1242,37 @@ class SparkStorage:
             F.sum("obs.number_observed").alias("number_observed"),
         )
 
-    def summary(self, viewname: str, path=None):
+    def summary(self, viewname: str, path=None, value=None):
         """MIN(first_observed), MAX(last_observed), SUM(number_observed)
-        (parity: firepit/sqlstorage.py:992-1026)."""
-        return self.summary_df(viewname).collect()[0].asDict()
+        (parity: firepit/sqlstorage.py:992-1026), optionally restricted
+        to rows whose (possibly dereferenced) ``path`` equals ``value``.
+        Reference fallback reproduced exactly (sqlstorage.py:1019-1022):
+        when the SUM comes back NULL (empty view / no observation
+        links), the result is NULL first/last with ``number_observed =
+        count(viewname)`` — note the reference quirk that this fallback
+        counts the WHOLE view even when a path/value filter was given."""
+        validate_name(viewname)
+        if path is not None and value is not None:
+            df, prop = self._path_column(viewname, path)
+            res = (
+                self._obs_join(df.filter(F.col(f"`{prop}`") == value))
+                .agg(
+                    F.min("obs.first_observed").alias("first_observed"),
+                    F.max("obs.last_observed").alias("last_observed"),
+                    F.sum("obs.number_observed").alias("number_observed"),
+                )
+                .collect()[0]
+                .asDict()
+            )
+        else:
+            res = self.summary_df(viewname).collect()[0].asDict()
+        if res["number_observed"] is None:
+            res = {
+                "first_observed": None,
+                "last_observed": None,
+                "number_observed": self.count(viewname),
+            }
+        return res
 
     def _path_column(self, viewname: str, path: str):
         """(df, column) for a STIX path over a view: direct column, flat

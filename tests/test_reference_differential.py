@@ -283,6 +283,23 @@ def test_summary_and_value_counts(engines):
                       sps.value_counts("sv", "value"), "value_counts")
 
 
+def test_summary_value_filter_and_empty_fallback(engines):
+    """summary(path, value) restricts to matching rows; summary of an
+    EMPTY view reproduces the reference's NULL-sum fallback
+    (sqlstorage.py:1019-1022: NULL first/last, number_observed =
+    count(viewname)). Caught by the offline fuzz seed sweep."""
+    ref, sps = engines
+    for eng in (ref, sps):
+        eng.extract("sfe", "url", "q1", "[url:value LIKE 'zzz%']")
+        eng.extract("sfv", "url", "q1", "[url:value LIKE '%']")
+    assert_rows_equal([ref.summary("sfe")], [sps.summary("sfe")],
+                      "summary empty view")
+    one = sorted(ref.values("url:value", "sfv"))[0]
+    assert_rows_equal([ref.summary("sfv", "value", one)],
+                      [sps.summary("sfv", "value", one)],
+                      "summary path+value")
+
+
 def test_number_observed(engines):
     ref, sps = engines
     ref.extract("no", "url", "q1", "[url:value LIKE '%']")
