@@ -9,8 +9,13 @@ Four families, all shuffle-conscious:
 * ngram      — exact Jaccard on word shingles via shingle-inverted-index
                self-join (shuffle on shingle; candidate pairs only)
 
-Hash functions are md5-derived so the DuckDB oracle reproduces them exactly
-(Spark's xxhash64/hash are engine-specific).
+Hash functions whose VALUES surface in results (minhash, simhash,
+winnowing fingerprints) are md5-derived so the DuckDB oracle reproduces
+them exactly (Spark's xxhash64/hash are engine-specific). Purely internal
+join/count keys (the shingle inverted indexes behind the Jaccard
+families) use the much cheaper engine-native xxhash64: outputs there are
+ids + counts, identical modulo hash collisions — the same tolerance the
+60-bit md5-derived hash already carried, now at 64 bits.
 """
 
 from __future__ import annotations
@@ -122,26 +127,37 @@ def ngram_jaccard_pairs(
     # fall out map-side as size(array) — no groupBy — and the regex shingler
     # runs exactly once. Measured 1.8x faster end-to-end than persisting the
     # exploded index and computing sizes by aggregation.
+    #
+    # Hash shingles to 64-bit ints INSIDE the persisted array: the freq
+    # groupBy and the index self-join then move 8-byte longs instead of
+    # ~25-byte strings (at corpus scale the exploded index dominates shuffle
+    # volume), the cache holds long arrays (smaller build, smaller memory),
+    # and — because the plan re-derives the exploded index from the cache on
+    # BOTH sides of the self-join and for the hot set — the hash kernel runs
+    # once per shingle instead of once per plan copy. The hash is purely
+    # internal here (the output is ids + counts, never hash values), so the
+    # cheap engine-native xxhash64 replaces the md5-derived portable hash
+    # used where hash values are emitted (minhash/simhash/winnowing); any
+    # (astronomically rare) 64-bit collision only perturbs n_common, the
+    # same tolerance the 60-bit md5 hash already had. r13-opt A/B at sf0.1:
+    # 1.00 vs 1.57 s median; sf1: 2.81 vs 6.31 — and the md5 kernel is gone
+    # from the plan entirely. set_size rides the explode map-side (8
+    # bytes/row) so NO post-aggregation size joins are needed — at corpus
+    # scale the sizes frame has doc cardinality and cannot broadcast, so
+    # joining it onto the pairs frame twice would cost two more full
+    # shuffles.
     df = _ensure_parallelism(df, id_col)
     arr = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles")
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+        ).alias("__shingles"),
     ).persist()
-    # hash shingles to 60-bit ints BEFORE the shuffles: the freq groupBy and
-    # the index self-join then move 8-byte longs instead of ~25-byte strings
-    # (at corpus scale the exploded index dominates shuffle volume). The
-    # md5-derived hash is engine-portable, so the oracle joins on the same
-    # keys and any (astronomically rare, 60-bit) collision affects both
-    # engines identically. set_size rides the explode map-side (8 bytes/row)
-    # so NO post-aggregation size joins are needed — at corpus scale the
-    # sizes frame has doc cardinality and cannot broadcast, so joining it
-    # onto the pairs frame twice would cost two more full shuffles. A/B at
-    # sf0.1: wash-to-slightly-faster locally (1.53 vs 1.60 median), strictly
-    # fewer shuffles at scale.
     sh = arr.select(
         F.col(id_col),
         F.size("__shingles").alias("set_size"),
-        F.explode("__shingles").alias("__s"),
-    ).select(F.col(id_col), "set_size", shingle_hash(F.col("__s")).alias("shingle"))
+        F.explode("__shingles").alias("shingle"),
+    )
 
     # hot-shingle cutoff as an ANTI-join against the (tiny, Zipf-head)
     # hot set instead of an equi-join with the full freq_ok table: AQE
@@ -223,19 +239,20 @@ def cross_ngram_jaccard(
     """
     la = _shingle_arrays(left, text_col, id_col, k).persist()
     ra = _shingle_arrays(right, text_col, id_col, k).persist()
-    # same narrow-shuffle trick as ngram_jaccard_pairs: join on 60-bit
-    # shingle hashes, not strings (freq cutoff + index join both shrink);
+    # same narrow-shuffle trick as ngram_jaccard_pairs: the arrays already
+    # hold 64-bit shingle hashes (hashed once at array build, not per
+    # explode copy); the freq cutoff and the index join move 8-byte longs;
     # set sizes ride the explode map-side so no post-aggregation size joins
     lsh = la.select(
         F.col(id_col).alias("left_id"),
         F.size("__shingles").alias("size_l"),
-        F.explode("__shingles").alias("__s"),
-    ).select("left_id", "size_l", shingle_hash(F.col("__s")).alias("shingle"))
+        F.explode("__shingles").alias("shingle"),
+    )
     rsh = ra.select(
         F.col(id_col).alias("right_id"),
         F.size("__shingles").alias("size_r"),
-        F.explode("__shingles").alias("__s"),
-    ).select("right_id", "size_r", shingle_hash(F.col("__s")).alias("shingle"))
+        F.explode("__shingles").alias("shingle"),
+    )
 
     if bloom_fpp is not None:
         # Bloom-prescreen the (huge) left index down to shingles that might
@@ -294,8 +311,21 @@ def cross_ngram_jaccard(
 
 
 def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, array<long>) distinct hashed word k-shingles per document.
+
+    Shingles are hashed to 64-bit ints inside the array (xxhash64): every
+    consumer (cross_ngram_jaccard, decontaminate, verify_candidate_pairs)
+    uses the values only as join/intersection keys and emits ids + counts,
+    so the hash is internal — the cheap engine-native kernel runs once per
+    shingle here instead of once per explode copy downstream, and shuffles
+    move 8-byte longs (see ngram_jaccard_pairs for the measured A/B)."""
     df = _ensure_parallelism(df, id_col)
-    return df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("__shingles"))
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+        ).alias("__shingles"),
+    )
 
 
 def minhash_signatures(
@@ -487,7 +517,7 @@ def ngram_contamination(
     division of two exact ints (engine-portable, never pre-rounded).
 
     Scale shape: identical to :func:`cross_ngram_jaccard` — per-corpus
-    inverted indexes joined on 60-bit n-gram hashes (8-byte shuffle
+    inverted indexes joined on 64-bit n-gram hashes (8-byte shuffle
     keys), never train×eval; the eval index is tiny and AQE broadcasts
     it. ``max_ngram_freq`` is OFF by default: a frequency cutoff would
     silently un-flag hot n-grams (false negatives — wrong default for a
@@ -505,16 +535,14 @@ def ngram_contamination(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    tsh = (
-        _shingle_arrays(train, text_col, id_col, n)
-        .select(F.col(id_col).alias("train_id"), F.explode("__shingles").alias("__s"))
-        .select("train_id", shingle_hash(F.col("__s")).alias("shingle"))
+    tsh = _shingle_arrays(train, text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), F.explode("__shingles").alias("shingle")
     )
     esh = _shingle_arrays(eval_df, text_col, id_col, n).select(
         F.col(id_col).alias("eval_id"),
         F.size("__shingles").alias("__esize"),
-        F.explode("__shingles").alias("__s"),
-    ).select("eval_id", "__esize", shingle_hash(F.col("__s")).alias("shingle"))
+        F.explode("__shingles").alias("shingle"),
+    )
     if bloom_fpp is not None:
         from .bloom import bloom_build, bloom_params, bloom_prescreen
 
