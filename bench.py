@@ -63,6 +63,8 @@ def run_set(spark, qs, sf_dir: str, runs: int, label: str) -> dict:
     recorded baseline are comparable (single-run host noise pushed
     sub-second queries past the 2x gate in round 4 with zero plan change).
     """
+    from firepit_spark.functions import release
+
     timings = {}
     for name in HEADLINE:
         samples = []
@@ -72,6 +74,17 @@ def run_set(spark, qs, sf_dir: str, runs: int, label: str) -> dict:
             df = qs[name](spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
+            # free operator-attached persists BETWEEN samples (r13-opt
+            # measurement fix): without this, q25/q35's cached
+            # intermediates piled up across samples and scale sections —
+            # a later sample could silently REUSE an earlier sample's
+            # cache via the CacheManager (under-measuring: every sample
+            # must compute from the parquet inputs) or, once enough
+            # caches accumulated, evict/GC-thrash (the recorded 2-3x
+            # sample spreads on identical bytes). The unpersist itself is
+            # outside the timed region, exactly like
+            # scripts/check_correctness.py's per-query release.
+            release(df)
         timings[name] = round(statistics.median(samples), 3)
         print(
             f"# [{label}] {name}: {timings[name]}s median of "
@@ -179,9 +192,13 @@ def main():
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        from firepit_spark.functions import release as _release
+
         for name in HEADLINE:
             try:
-                qs[name](spark, warm_dir).count()
+                wdf = qs[name](spark, warm_dir)
+                wdf.count()
+                _release(wdf)  # don't carry warmup caches into timed passes
             except Exception:
                 pass
 

@@ -310,9 +310,20 @@ def hits(
     Plan shape per round: two equi-joins of the edge frame against the
     score frame + groupBy partial-aggs, and two ONE-ROW norm aggregates
     cross-joined back via broadcast — no driver collect in the loop.
-    Lineage control matches :func:`pagerank`: multiply-referenced
-    intermediates (each half-step's pre-norm frame and the auth frame
-    the hub half-step reads twice) are LAZY localCheckpoints — plan
+
+    Scores stay SPARSE inside the loop (r13-opt): hub and authority ride
+    as separate frames holding only nodes whose raw sum has a
+    contribution — zero-score nodes are dropped, not materialized. That
+    removes the two nodes-left-joins per round AND the hub⋈auth
+    score-frame join per round (5 joins → 2) and shrinks every barrier
+    block. Values are bit-identical to the dense form: an absent node's
+    0.0 contributes nothing to the edge-join sums (IEEE x+0.0 == x, and
+    the oracle's own norm CTE already sums the sparse raw frame), and
+    the single final nodes-left-join reinstates the exact 0.0 the dense
+    per-round coalesce produced. Lineage control matches
+    :func:`pagerank`: multiply-referenced intermediates (each
+    half-step's pre-norm frame and the auth frame the hub half-step and
+    the final select both read) are LAZY localCheckpoints — plan
     barriers with no per-round job — and one eager checkpoint every
     ``truncate_every`` rounds runs the window as a single job and cuts
     lineage; superseded blocks are ContextCleaner-freed."""
@@ -333,13 +344,16 @@ def hits(
         eager=True,
         checkpoint_dir=checkpoint_dir,
     )
-    scores = nodes.select(
-        "node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")
-    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("auth")).filter(F.lit(False))
+
     def _normalized(raw: DataFrame, col: str) -> DataFrame:
         # raw is referenced twice (norm agg + rescale select): a lazy
         # localCheckpoint makes it a shared plan barrier (LogicalRDD
-        # leaf, blocks filled on first compute) without running a job
+        # leaf, blocks filled on first compute) without running a job.
+        # raw is the SPARSE contribution frame — the L2 norm over it is
+        # identical to the dense norm (zero rows add exact 0.0), which
+        # is also precisely how the SQL oracle's norm CTE computes it.
         raw = raw.localCheckpoint(eager=False)
         norm = raw.agg(
             F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__n")
@@ -352,40 +366,35 @@ def hits(
 
     for i in range(max_iter):
         auth_raw = (
-            e.join(scores, e["src"] == scores["node"])
-            .groupBy(e["dst"].alias("node2"))
-            .agg(F.sum(F.col("w") * F.col("hub")).alias("__a"))
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(F.sum(F.col("w") * F.col("hub")).alias("auth"))
         )
-        # the hub half-step references auth twice (edge join + the
-        # final scores join): lazy localCheckpoint, same reasoning
-        auth = _normalized(
-            nodes.join(auth_raw, nodes["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__a"), F.lit(0.0)).alias("auth"),
-            ),
-            "auth",
-        ).localCheckpoint(eager=False)
+        # auth is referenced twice (the hub half-step's edge join + the
+        # final output select on the last round): lazy localCheckpoint
+        auth = _normalized(auth_raw, "auth").localCheckpoint(eager=False)
         hub_raw = (
             e.join(auth, e["dst"] == auth["node"])
-            .groupBy(e["src"].alias("node2"))
-            .agg(F.sum(F.col("w") * F.col("auth")).alias("__h"))
+            .groupBy(e["src"].alias("node"))
+            .agg(F.sum(F.col("w") * F.col("auth")).alias("hub"))
         )
-        hub = _normalized(
-            nodes.join(hub_raw, nodes["node"] == F.col("node2"), "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__h"), F.lit(0.0)).alias("hub"),
-            ),
-            "hub",
-        )
-        new_scores = hub.join(auth, "node")
+        hub = _normalized(hub_raw, "hub")
+        # only hub crosses rounds (next auth half-step reads it); auth
+        # frames are superseded each round, so the window checkpoint
+        # truncates hub alone and auth stays a lazy barrier
         if (i + 1) % max(truncate_every, 1) == 0 or i == max_iter - 1:
-            scores = _truncate(new_scores, eager=True,
-                               checkpoint_dir=checkpoint_dir)
+            hub = _truncate(hub, eager=True, checkpoint_dir=checkpoint_dir)
         else:
-            scores = new_scores.localCheckpoint(eager=False)
-    return scores.select("node", "hub", F.col("auth").alias("authority"))
+            hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("authority"),
+        )
+    )
 
 
 def roots(df: DataFrame, ref_col: str = "parent_ref") -> DataFrame:
