@@ -3133,17 +3133,24 @@ def _stix_store(spark, sf_dir):
     with open(bpath, "w") as f:
         _json.dump(bundle, f)
     st = SparkStorage(tempfile.mkdtemp(prefix="fp_stix_"), spark=spark)
-    st.cache("q1", bundle)
     # companion warehouse ingested through the DISTRIBUTED path (S12,
     # sources/bundles.py cache_distributed — the production ingest,
     # reference firepit/aio/ingest.py:205-556): same bundle, read from
     # JSON on disk, flattened/parsed/merged engine-side. q54 runs its
     # full three-leg oracle over BOTH warehouses, so any divergence
     # between the driver-side and distributed ingest paths hash-fails.
+    # The two ingests write to DIFFERENT warehouses, so they run as
+    # concurrent driver threads (guide-§2.6 job overlap) — each store's
+    # contents are bit-identical to the serial build.
+    from concurrent.futures import ThreadPoolExecutor
+
     from firepit_spark.sources.bundles import cache_distributed
 
     st_dist = SparkStorage(tempfile.mkdtemp(prefix="fp_stix_dist_"), spark=spark)
-    cache_distributed(st_dist, "q1", bpath)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(st.cache, "q1", bundle)
+        f2 = pool.submit(cache_distributed, st_dist, "q1", bpath)
+        f1.result(), f2.result()
     st._dist_store = st_dist
     # second ingest: ten 2.0 observations run through upgrade_2021 (S5:
     # content-addressed ids, objects dict -> top-level SCOs + object_refs)
