@@ -686,7 +686,10 @@ def positional_grams(
     """(id, pos, gram_hash) rows: the k-token gram starting at each word
     position. Unlike :func:`shingle_rows` these are positional and NOT
     deduplicated — the substrate for substring-level duplicate detection.
-    One codegen regex pass; hashes are the engine-portable 60-bit md5."""
+    One codegen regex pass; hashes are internal join keys only (every
+    consumer emits positions/lengths, never hash values), so the cheap
+    engine-native xxhash64 applies — same collision-tolerance contract
+    as :func:`ngram_jaccard_pairs`."""
     from firepit_spark.functions.text import normalize_ws
 
     df = _ensure_parallelism(df, id_col)
@@ -695,7 +698,7 @@ def positional_grams(
     grams = F.regexp_extract_all(norm, F.lit(pattern), 1)
     return df.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "__g")
-    ).select(F.col(id_col), "pos", shingle_hash(F.col("__g")).alias("gram"))
+    ).select(F.col(id_col), "pos", F.xxhash64(F.col("__g")).alias("gram"))
 
 
 def duplicate_spans(
@@ -1074,8 +1077,9 @@ def dedup_lines(
     from the output and break the documented join-back contract.
 
     Plan shape: posexplode (map-only) → keeper per line = ONE
-    map-side-combined ``min(struct(id, pos))`` groupBy on ``md5(line)``
-    (the 32-byte key, not the line, is what shuffles on the agg side) →
+    map-side-combined ``min(struct(id, pos))`` groupBy on
+    ``xxhash64(line)`` (the 8-byte key, not the line, is what shuffles
+    on the agg side) →
     join back on the hash → per-doc rebuild as ONE groupBy(id) with an
     ``array_sort`` + ``array_join`` fold. Two shuffles of (id, pos,
     line) granularity total; decisions are global, so that lower bound
@@ -1095,7 +1099,11 @@ def dedup_lines(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
     ).filter(F.col(id_col).isNotNull())
-    lh = F.md5(F.col("line").cast("binary"))
+    # internal keeper key only (output is rebuilt text + counts): the
+    # engine-native 8-byte xxhash64 shuffles a quarter of the md5 hex
+    # string's bytes and the kernel is ~10x cheaper (same collision
+    # tolerance contract as ngram_jaccard_pairs)
+    lh = F.xxhash64(F.col("line"))
     eligible = F.length(F.trim(F.col("line"))) >= min_chars
     keepers = (
         lines.filter(eligible)
@@ -1151,7 +1159,7 @@ def duplicate_ngram_fraction(
 
     Plan shape: one explode (map-only regex pass) → duplicated-gram
     verdict as a map-side-combined ``min(id) != max(id)`` groupBy on
-    ``md5(gram)`` (32-byte keys shuffle, not gram text) → hash
+    ``xxhash64(gram)`` (8-byte keys shuffle, not gram text) → hash
     join-back → per-doc fraction in one groupBy(id). Same two-shuffle
     lower bound as :func:`dedup_lines`, and the verdict agg carries
     one candidate per (partition, gram)."""
@@ -1161,7 +1169,12 @@ def duplicate_ngram_fraction(
         F.col(id_col),
         F.explode_outer(word_ngrams(F.col(text_col), n)).alias("__g"),
     )
-    gh = F.md5(F.col("__g").cast("binary"))
+    # internal dup-verdict key only (output is counts + a fraction):
+    # 8-byte xxhash64 instead of the 32-byte md5 hex string (see
+    # dedup_lines). NULL grams (explode_outer rows of gram-less docs)
+    # hash non-NULL under xxhash64, but those docs have n_grams = 0 and
+    # emit fraction 0.0 regardless of the join outcome.
+    gh = F.xxhash64(F.col("__g"))
     dup = (
         grams.filter(F.col("__g").isNotNull())
         .groupBy(gh.alias("__gh"))
@@ -1213,8 +1226,8 @@ def dedup_spans(
 
     Plan shape: gram starts explode map-only from ONE bound token
     array; the duplicate verdict + keeper is ONE map-side-combined
-    ``(count, min(struct(id, pos)))`` groupBy on ``md5(gram)`` (32-byte
-    keys shuffle, never text); join-back on the hash; removal starts
+    ``(count, min(struct(id, pos)))`` groupBy on ``xxhash64(gram)``
+    (8-byte keys shuffle, never text); join-back on the hash; removal starts
     fold into per-doc interval unions with document-local array ops.
     Two shuffles of (id, pos, hash) granularity — the same
     decision-is-global lower bound as :func:`dedup_lines` — plus one
@@ -1240,7 +1253,7 @@ def dedup_spans(
     t = F.col("__toks")
     # posexplode_outer, NOT posexplode: the non-outer form makes
     # InferFiltersFromGenerate synthesize a size()>0 filter below the
-    # generate that re-evaluates the whole md5 transform a second time
+    # generate that re-evaluates the whole gram-hash transform twice
     grams = toked.select(
         F.col(id_col),
         F.posexplode_outer(
@@ -1248,12 +1261,13 @@ def dedup_spans(
                 F.size(t) >= n,
                 F.transform(
                     F.slice(t, 1, F.size(t) - (n - 1)),
-                    lambda _, i: F.md5(
+                    # internal keeper key only (output is rebuilt text +
+                    # counts): 8-byte xxhash64, not the 32-byte md5 hex
+                    lambda _, i: F.xxhash64(
                         F.array_join(F.slice(t, i + 1, n), " ")
-                        .cast("binary")
                     ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("pos", "__gh"),
     ).filter(F.col("__gh").isNotNull())
     verdict = grams.groupBy(F.col("__gh").alias("__h")).agg(
