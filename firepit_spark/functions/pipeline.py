@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import fingerprint, quality_score, token_count
+from .text import fingerprint64, quality_score, token_count
 
 
 def hash_threshold(rate: float) -> str:
@@ -466,7 +466,7 @@ def corpus_prep(
     # Spark re-executed the un-persisted subtree — including the model
     # gate's mapInPandas — twice; the window keeps it a single pipeline
     # (one shuffle on fp) and the inference pass runs exactly once
-    w = Window.partitionBy(fingerprint(F.col(text_col)))
+    w = Window.partitionBy(fingerprint64(F.col(text_col)))
     kept = (
         scored.withColumn("__minid", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("__minid"))
@@ -609,7 +609,7 @@ def web_corpus_funnel(
     ).drop("__norm")
     if not dedup:
         return base.withColumn("kept", F.col("quality_ok"))
-    from firepit_spark.functions.text import fingerprint
+    from firepit_spark.functions.text import fingerprint64
 
     if dedup_strategy == "groupby":
         # kept iff this row's uri is the min uri of ITS OWN fingerprint
@@ -619,7 +619,7 @@ def web_corpus_funnel(
         # fingerprints that elected it, and the row checks its own
         keepers = (
             base.filter(F.col("quality_ok"))
-            .select(fingerprint(F.col("text")).alias("__fp"), "uri")
+            .select(fingerprint64(F.col("text")).alias("__fp"), "uri")
             .groupBy("__fp")
             .agg(F.min("uri").alias("__k_uri"))
             .groupBy("__k_uri")
@@ -632,7 +632,7 @@ def web_corpus_funnel(
                 F.col("quality_ok")
                 & F.coalesce(
                     F.array_contains(
-                        F.col("__k_fps"), fingerprint(F.col("text"))
+                        F.col("__k_fps"), fingerprint64(F.col("text"))
                     ),
                     F.lit(False),
                 ),
@@ -642,8 +642,11 @@ def web_corpus_funnel(
     if dedup_strategy != "window":
         raise ValueError(f"unknown dedup_strategy {dedup_strategy!r}")
     w = Window.partitionBy(
-        F.when(F.col("quality_ok"), fingerprint(F.col("text")))
-        .otherwise(F.col("uri"))  # dead rows: singleton groups, no skew
+        # internal 8-byte keys both arms; a (1/2^64) dead-row key
+        # collision into a kept group is harmless — dead rows contribute
+        # NULL to the keeper min and carry kept=False regardless
+        F.when(F.col("quality_ok"), fingerprint64(F.col("text")))
+        .otherwise(F.xxhash64(F.col("uri")))  # dead rows: singleton groups, no skew
     )
     return base.withColumn(
         "kept",

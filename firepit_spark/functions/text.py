@@ -151,6 +151,20 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(normalize_ws(col)))
 
 
+def fingerprint64(col: Column) -> Column:
+    """Internal-key twin of :func:`fingerprint`: same normalization,
+    hashed with the engine-native xxhash64 — an 8-byte shuffle/window
+    key instead of the 32-byte md5 hex string, and a much cheaper
+    kernel. Use ONLY where the hash never surfaces in results (dedup
+    window keys, keeper joins); anywhere the fingerprint value is
+    emitted or oracle-reproduced stays on :func:`fingerprint`. Outputs
+    of consumers are identical modulo 64-bit hash collisions — the
+    tolerance every hash-keyed dedup already carries. Note
+    xxhash64(NULL) is the (constant) seed hash, not NULL, so NULL-text
+    rows still form one group, exactly like md5's NULL group."""
+    return F.xxhash64(F.lower(normalize_ws(col)))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct word k-shingles ('w1 w2 w3' strings) of the text.
 
