@@ -2589,23 +2589,33 @@ def q50_doc_term_stats(spark, sf_dir):
 
     r = _resolver(spark, sf_dir)
     docs = r("documents")
-    base = cp.doc_term_stats(docs, top_k=3)
-    model = L.ngram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0))
-    sc = L.ngram_lm_score(docs, model, with_oov=False).select(
+    # r13-opt: tokenize ONCE and fan every leg out from the persisted
+    # array frame — previously each of the five legs (tf/df, bigram
+    # fit+score, KN fit+score) re-ran the normalize+split kernel over
+    # the corpus (guide §1.2/§2.3: don't recompute; expressions are
+    # unchanged so outputs are bit-identical)
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("__toks")).persist()
+    even = toks.filter(F.col("doc_id") % 2 == 0)
+    base = cp.doc_term_stats(toks, top_k=3, tokens_col="__toks")
+    model = L.ngram_lm_fit(even, tokens_col="__toks")
+    sc = L.ngram_lm_score(
+        toks, model, with_oov=False, tokens_col="__toks"
+    ).select(
         "doc_id",
         F.col("n_trans").alias("lm_n_trans"),
         F.col("unseen_bigrams").alias("lm_unseen_bigrams"),
         F.col("unseen_hist").alias("lm_unseen_hist"),
         F.col("unseen_rate").alias("lm_unseen_rate"),
     )
-    knm = L.kneser_ney_fit(docs.filter(F.col("doc_id") % 2 == 0))
-    knsc = L.kneser_ney_score(docs, knm).select(
+    knm = L.kneser_ney_fit(even, tokens_col="__toks")
+    knsc = L.kneser_ney_score(toks, knm, tokens_col="__toks").select(
         "doc_id", "kn_n_tri", "kn_unseen_tri", "kn_unseen_hist",
         "kn_cont_sum",
     )
     out = base.join(sc, "doc_id").join(knsc, "doc_id")
-    # the fit persisted its trigram type table; hand it to release()
-    out._fp_caches = [knm.tri]
+    # the fit persisted its trigram type table; hand it (and the shared
+    # token cache) to release()
+    out._fp_caches = [knm.tri, toks]
     return out
 
 

@@ -122,7 +122,11 @@ def chunk_documents(
 
 
 def doc_term_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top ``top_k`` distinctive terms per document: term frequency within
     the doc, document frequency across the corpus, ranked by
@@ -136,9 +140,10 @@ def doc_term_stats(
     (AQE handles the head of the Zipf curve), never a broadcast of an
     unbounded vocabulary.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(tx.tokens(F.col(text_col))).alias("term")
+    toks = (
+        F.col(tokens_col) if tokens_col is not None else tx.tokens(F.col(text_col))
     )
+    ex = df.select(F.col(id_col), F.explode(toks).alias("term"))
     tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     joined = tf.join(dfreq, "term")

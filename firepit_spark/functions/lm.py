@@ -54,9 +54,19 @@ class NgramLM:
     k: float  # add-k smoothing constant
 
 
-def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_tokens(
+    df: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
+) -> DataFrame:
     """(id, __t): whitespace tokens of the normalized text (tx.tokens —
-    the engine-wide tokenizer, identical to the oracle's string_split)."""
+    the engine-wide tokenizer, identical to the oracle's string_split).
+
+    ``tokens_col`` skips tokenization and reads a pre-tokenized array
+    column instead — the fan-out shape for jobs that fit AND score
+    several models over one corpus: tokenize once (persist the array
+    frame), hand every leg the same cache, and the normalize+split
+    kernel runs once per document instead of once per leg."""
+    if tokens_col is not None:
+        return df.select(F.col(id_col), F.col(tokens_col).alias("__t"))
     return df.select(F.col(id_col), tx.tokens(F.col(text_col)).alias("__t"))
 
 
@@ -79,6 +89,7 @@ def ngram_lm_fit(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    tokens_col: str | None = None,
 ) -> NgramLM:
     """Fit the add-k bigram model on ``df``'s text.
 
@@ -90,7 +101,7 @@ def ngram_lm_fit(
     """
     if k <= 0:
         raise ValueError(f"smoothing k must be > 0, got {k}")
-    toks = _doc_tokens(df, id_col, text_col)
+    toks = _doc_tokens(df, id_col, text_col, tokens_col)
     uni = (
         toks.select(F.explode("__t").alias("w"))
         .groupBy("w")
@@ -119,6 +130,7 @@ def ngram_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_oov: bool = True,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document score frame against a fitted model.
 
@@ -143,7 +155,7 @@ def ngram_lm_score(
     score is needed.
     """
     kV = lm.k * lm.vocab_size
-    toks = _doc_tokens(df, id_col, text_col)
+    toks = _doc_tokens(df, id_col, text_col, tokens_col)
     base = toks.select(id_col, F.size("__t").alias("n_tokens"))
 
     tr = (
@@ -352,6 +364,7 @@ def kneser_ney_fit(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> KneserNeyLM:
     """Fit the interpolated-KN trigram model on ``df``'s text.
 
@@ -367,7 +380,7 @@ def kneser_ney_fit(
     1-row-per-key DataFrames joined by key, AQE broadcasts small models
     and shuffle-joins corpus-scale ones; no driver-side model object
     ever materializes."""
-    toks = _doc_tokens(df, id_col, text_col)
+    toks = _doc_tokens(df, id_col, text_col, tokens_col)
     tri = (
         _doc_trigrams(toks, id_col)
         .groupBy("w1", "w2", "w3")
@@ -415,6 +428,7 @@ def kneser_ney_score(
     lm: KneserNeyLM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document interpolated-KN trigram score frame.
 
@@ -439,7 +453,7 @@ def kneser_ney_score(
     d3, d2, d1 = float(lm.d3), float(lm.d2), float(lm.d1)
     uni_mass = d1 * lm.u / (lm.vocab_size + 1) if lm.nb else 0.0
 
-    toks = _doc_tokens(df, id_col, text_col)
+    toks = _doc_tokens(df, id_col, text_col, tokens_col)
     base = toks.select(id_col)  # one output row per input doc, always
     tr = (
         _doc_trigrams(toks, id_col)
