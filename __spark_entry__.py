@@ -612,8 +612,11 @@ def q22_text_stats(spark, sf_dir):
         F.round(F.col("model_score"), 6).alias("model_score"),
     )
     # SimHash rides along as one more per-doc signal (merged q27 slot);
-    # docs with <2 tokens have no shingles -> NULL, mirrored by the LEFT JOIN
-    sim = dd.simhash(r("documents"), bits=32)
+    # docs with <2 tokens have no shingles -> NULL, mirrored by the LEFT JOIN.
+    # r13-opt: persisted — the join leg reads it whole and the near-dup leg
+    # filters it, so the shingle+32-bit-vote aggregation runs once instead
+    # of once per branch (guide §1.2; released via _fp_caches)
+    sim = dd.simhash(r("documents"), bits=32).persist()
     # r8 merge: per-doc BM25 inverted-index stats from
     # text_search.build_text_index — n_index_terms / max_tf / dl are exact
     # integers gating the tokenize→tf→stopword-cutoff→join pipeline, and
@@ -675,8 +678,10 @@ def q22_text_stats(spark, sf_dir):
         )
         .drop("__ndc")
     )
-    out._fp_caches = getattr(postings, "_fp_caches", []) + list(
-        getattr(ndp, "_fp_caches", [])
+    out._fp_caches = (
+        [sim]
+        + getattr(postings, "_fp_caches", [])
+        + list(getattr(ndp, "_fp_caches", []))
     )
     return out
 
@@ -928,12 +933,16 @@ def q28_dedup_exact(spark, sf_dir):
 
     r = _resolver(spark, sf_dir)
     docs = r("documents")
+    # r13-opt: zorder_key's min/max scalar probe (an eager .first()) and
+    # the final bloom-probe plan BOTH execute this subtree — persist the
+    # narrow keeper frame so the dedup window + md5 fingerprint run once
+    # (guide §1.2; released via _fp_caches)
     kept = dd.dedup_exact(docs).select(
         "doc_id",
         "source",
         tx.fingerprint(F.col("text")).alias("__fp"),
         F.length("text").alias("__len"),
-    )
+    ).persist()
     sharded = pl.assign_shards(kept, "doc_id", n_shards=8)
     # r8 merge: Z-order/Morton key over (doc_id, text length) — gates
     # layout.zorder_key's affine min/max normalization + bit interleave
@@ -950,9 +959,11 @@ def q28_dedup_exact(spark, sf_dir):
         _Q28_BITS,
         _Q28_HASHES,
     )
-    return bloom_might_contain(
+    out = bloom_might_contain(
         sharded, "__fp", bf, _Q28_BITS, _Q28_HASHES, "seen_even"
     ).drop("__fp", "__len")
+    out._fp_caches = [kept]
+    return out
 
 
 _Q28_BITS, _Q28_HASHES = 1 << 14, 4

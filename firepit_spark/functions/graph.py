@@ -106,12 +106,20 @@ def connected_components(
     id is the smallest node id in the component (deterministic, so the
     result is oracle-checkable against a recursive-CTE closure).
 
-    Min-label propagation: every round each node takes the minimum of its
-    own label and its neighbors' labels — one equi-join + groupBy per
-    round, converging in O(graph diameter) rounds. Near-dup graphs (the
-    use case: dedup clusters from similarity pairs) are clique-ish with
-    tiny diameters, so this typically ends in 2-4 rounds; the convergence
-    probe (count of changed labels) exits early.
+    Min-label propagation with pointer jumping: every round each node
+    takes the minimum of its own label, its neighbors' labels, AND its
+    label's label (path halving — the Shiloach-Vishkin / hash-to-min
+    shortcut). The neighbor step alone converges in O(diameter) rounds,
+    which bites on chain-shaped near-dup graphs (a 0.03-threshold
+    shingle graph at sf0.1 measured diameter ~13); the jump step
+    compresses label paths geometrically, so convergence is
+    O(log diameter) with one extra equi-join per round on the tiny
+    label frame. Labels only ever decrease and every label is a node id
+    inside the component, so the fixpoint — each component uniformly
+    labeled by its min id — is unchanged; only the round count drops.
+    The convergence probe exits early; the changed-count is computed
+    inline from the old-vs-new label in the SAME pass (no separate
+    join-the-two-generations job per round).
 
     Each round is lineage-truncated (``localCheckpoint`` by default,
     reliable ``checkpoint`` when ``checkpoint_dir`` is given — required
@@ -145,26 +153,40 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("comp").alias("nb_comp"))
         )
+        half = labels.join(
+            neighbor_min, labels["node"] == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.col("comp").alias("__old"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+            ).alias("__m"),
+        )
+        # pointer jump: follow the (previous round's) label of the new
+        # label — comp(comp(v)) is in v's component and <= comp(v), so
+        # the min-id fixpoint is untouched while chain distances halve.
+        # Every __m value is a node id present in `labels` (labels carry
+        # node ids only); the left join + coalesce just keeps the row
+        # count invariant obvious.
+        ptr = labels.select(
+            F.col("node").alias("__pn"), F.col("comp").alias("__pc")
+        )
+        jumped = F.least(F.col("__m"), F.coalesce(F.col("__pc"), F.col("__m")))
         new_labels = _truncate(
-            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
-            .select(
+            half.join(ptr, F.col("__m") == F.col("__pn"), "left").select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
-                ).alias("comp"),
+                jumped.alias("comp"),
+                # labels only decrease: changed <=> strictly smaller
+                (jumped < F.col("__old")).alias("__chg"),
             ),
             eager=False,  # materialized by the count below
             checkpoint_dir=checkpoint_dir,
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
         if n_changed == 0:
             break
+    labels = labels.select("node", "comp")
     labels._fp_caches = []
     return labels
 

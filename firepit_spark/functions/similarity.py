@@ -9,7 +9,24 @@ no Python boundary.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dvec(values) -> Column:
+    """Double-array literal parsed from ONE SQL string. ``F.array`` of
+    per-scalar ``F.lit`` nodes costs a py4j round trip per element —
+    seconds of driver time for dim x n_codewords codebook matrices —
+    while ``repr`` round-trips every finite double exactly, so the
+    parsed array is bit-identical. Non-finite values (no SQL literal
+    spelling) fall back to the element-wise form."""
+    vals = [float(v) for v in values]
+    if all(math.isfinite(v) for v in vals):
+        return F.expr(
+            "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+        )
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -82,7 +99,7 @@ def hyperplane_lsh_bucket(vec: Column, planes: list) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(c)) for c in plane]),
+                _dvec(plane),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
@@ -305,25 +322,48 @@ class IvfIndex:
 def centroid_cells(qv: Column, centroids: list, n_probe: int) -> Column:
     """Array of the ``n_probe`` nearest centroid indexes for a vector column
     (Euclidean; ties break on cell index). Centroids are plan literals —
-    tiny (n_cells x dim), evaluated JVM-side per row, no join needed."""
-    dists = F.array(
-        *[
-            F.struct(
-                F.sqrt(
-                    F.aggregate(
-                        F.zip_with(
-                            qv,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-                ).alias("d"),
-                F.lit(i).alias("cell"),
+    tiny (n_cells x dim), evaluated JVM-side per row, no join needed.
+
+    The centroid matrix is ONE nested-array literal walked by an indexed
+    ``transform`` rather than n_cells x dim individual ``F.lit`` column
+    nodes: building the old form cost ~one py4j round trip per scalar
+    (~0.5 s of driver time per call at 8x64, twice per ivf query plan)
+    and left Catalyst a 500+-literal tree to optimize. The literal is
+    parsed from one SQL string (``F.expr``) because ``F.lit`` on a
+    nested Python list pays its own ~0.35 s py4j conversion; ``repr``
+    round-trips doubles exactly, so the parsed values are bit-identical.
+    Same arithmetic in the same order per element, so assignments are
+    bit-identical."""
+    import math
+
+    vals = [[float(x) for x in c] for c in centroids]
+    if all(math.isfinite(x) for c in vals for x in c):
+        cmat = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(x) + "D" for x in c) + ")"
+                for c in vals
             )
-            for i, c in enumerate(centroids)
-        ]
+            + ")"
+        )
+    else:  # inf/nan have no SQL literal spelling — take the slow path
+        cmat = F.lit(vals)
+    dists = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        c,
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("d"),
+            i.alias("cell"),
+        ),
     )
     return F.slice(F.array_sort(dists), 1, n_probe).getField("cell")
 
@@ -737,7 +777,7 @@ def pq_encode(
                     F.aggregate(
                         F.zip_with(
                             sv,
-                            F.array(*[F.lit(float(c)) for c in codebooks[sub][cw]]),
+                            _dvec(codebooks[sub][cw]),
                             lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                         ),
                         F.lit(0.0),
@@ -784,7 +824,7 @@ def pq_search(
                     F.aggregate(
                         F.zip_with(
                             F.slice(qv, sub * dsub + 1, dsub),
-                            F.array(*[F.lit(float(c)) for c in codebooks[sub][cw]]),
+                            _dvec(codebooks[sub][cw]),
                             lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
                         ),
                         F.lit(0.0),
@@ -861,7 +901,7 @@ def ivfpq_encode(
     for ci, c in enumerate(centroids):
         branch = F.zip_with(
             F.col(vec_col),
-            F.array(*[F.lit(float(v)) for v in c]),
+            _dvec(c),
             lambda a, b: a.cast("double") - b,
         )
         resid_expr = (
@@ -879,7 +919,7 @@ def ivfpq_encode(
                     F.aggregate(
                         F.zip_with(
                             sv,
-                            F.array(*[F.lit(float(cc)) for cc in codebooks[sub][cw]]),
+                            _dvec(codebooks[sub][cw]),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -932,7 +972,7 @@ def ivfpq_search(
     qresid = None
     for ci, c in enumerate(centroids):
         branch = F.zip_with(
-            qv, F.array(*[F.lit(float(v)) for v in c]), lambda a, b: a.cast("double") - b
+            qv, _dvec(c), lambda a, b: a.cast("double") - b
         )
         qresid = (
             branch
@@ -947,7 +987,7 @@ def ivfpq_search(
                     F.aggregate(
                         F.zip_with(
                             F.slice(F.col("__qresid"), sub * dsub + 1, dsub),
-                            F.array(*[F.lit(float(cc)) for cc in codebooks[sub][cw]]),
+                            _dvec(codebooks[sub][cw]),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -1020,7 +1060,7 @@ def ivfpq_fit(
     for ci, c in enumerate(centroids):
         branch = F.zip_with(
             F.col(vec_col),
-            F.array(*[F.lit(float(v)) for v in c]),
+            _dvec(c),
             lambda a, b: a.cast("double") - b,
         )
         resid_expr = (
