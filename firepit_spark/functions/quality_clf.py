@@ -145,12 +145,17 @@ def train_quality_classifier(
         F.col(id_col), F.col(label_col).cast("double").alias("__y")
     )
     n_docs = y.count()  # bounded driver scalar (one job, like kmv/bpe)
-    f = feats.join(y, on=id_col, how="inner")
+    # persist the feature-label frame: BOTH the error pass and the
+    # gradient pass read it every round, so without the cache the whole
+    # upstream featurization (tokenize + explode + hash + agg) re-ran
+    # 2x per round — 2 full corpus passes per GD iteration at scale.
+    # Freed below once the final weights are materialized.
+    f = feats.join(y, on=id_col, how="inner").persist()
     w = feats.select("idx").distinct().select(
         "idx", F.lit(0.0).alias("w")
     )
     w = _truncate(w, eager=True, checkpoint_dir=checkpoint_dir)
-    for _ in range(iters):
+    for it in range(iters):
         errs = (
             f.join(F.broadcast(w), on="idx", how="left")
             .groupBy(id_col, "__y")
@@ -179,7 +184,14 @@ def train_quality_classifier(
                 )
             ).alias("w"),
         )
-        w = _truncate(w, eager=False, checkpoint_dir=checkpoint_dir)
+        # final round is eager: materialize the weights while the
+        # feature cache is still alive so it can be freed here — the
+        # returned frame is a truncated leaf, nothing downstream can
+        # reach back into f
+        w = _truncate(
+            w, eager=(it == iters - 1), checkpoint_dir=checkpoint_dir
+        )
+    f.unpersist()
     return w
 
 
