@@ -2059,13 +2059,22 @@ def q45_dedup_clusters(spark, sf_dir):
     from firepit_spark.functions.graph import dedup_clusters
 
     r = _resolver(spark, sf_dir)
-    pairs = dd.ngram_jaccard_pairs(r("documents"), k=3, threshold=0.03)
+    # r13-opt: both legs (k=3 shingle index and k=8 positional gram
+    # index) re-scanned the parquet and re-ran the normalize kernel —
+    # hoist it once into a persisted column, as in q47 (guide §1.2)
+    docs = r("documents").select(
+        "doc_id", F.lower(tx.normalize_ws(F.col("text"))).alias("text")
+    ).persist()
+    pairs = dd.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.03, pre_normalized=True
+    )
     clusters = dedup_clusters(pairs)
     # dedup_clusters materialized its own edge cache eagerly, so the ngram
     # operator's shingle-array caches are dead weight from here — release
-    # them before the label iterations (matters on small-heap drivers)
+    # them before the label iterations (matters on small-heap drivers);
+    # the normalized-text cache stays alive for the span leg below
     release(pairs)
-    spans = dd.duplicate_spans(r("documents"), k=8, min_tokens=12)
+    spans = dd.duplicate_spans(docs, k=8, min_tokens=12, pre_normalized=True)
     nl = F.lit(None).cast("long")
     out = clusters.select(
         F.lit("cluster").alias("leg"),
@@ -2086,7 +2095,7 @@ def q45_dedup_clusters(spark, sf_dir):
             F.col("span_tokens").cast("long"),
         )
     )
-    out._fp_caches = list(getattr(spans, "_fp_caches", []))
+    out._fp_caches = list(getattr(spans, "_fp_caches", [])) + [docs]
     return out
 
 
@@ -2249,11 +2258,23 @@ def q47_decontaminate(spark, sf_dir):
     8-gram index, union-frequency cutoff, diagonal chaining), vs the
     same chaining done with SQL windows."""
     r = _resolver(spark, sf_dir)
-    docs = r("documents")
+    # r13-opt: normalize ONCE into a persisted column — the three legs
+    # build SIX gram indexes (train+heldout sides × doc/span/contain),
+    # and each previously re-scanned the parquet and re-ran the
+    # lower+whitespace-normalize regex kernel (guide §1.2). The gram
+    # regexes themselves differ per leg (k=3/8/5) and still run per
+    # index; only the shared normalize pass and the scan are hoisted.
+    docs = r("documents").select(
+        "doc_id", F.lower(tx.normalize_ws(F.col("text"))).alias("text")
+    ).persist()
     train = docs.filter(F.col("doc_id") % 2 == 0)
     heldout = docs.filter(F.col("doc_id") % 2 == 1)
-    doc_leg = dd.cross_ngram_jaccard(train, heldout, k=3, threshold=0.03)
-    spans = dd.duplicate_spans(train, k=8, min_tokens=12, other=heldout)
+    doc_leg = dd.cross_ngram_jaccard(
+        train, heldout, k=3, threshold=0.03, pre_normalized=True
+    )
+    spans = dd.duplicate_spans(
+        train, k=8, min_tokens=12, other=heldout, pre_normalized=True
+    )
     nl = F.lit(None).cast("long")
     out = doc_leg.select(
         F.lit("doc").alias("leg"),
@@ -2278,7 +2299,7 @@ def q47_decontaminate(spark, sf_dir):
     # containment scoring (ngram_contamination) — containment rides the
     # jaccard column, eval_size in start_a, n_shared in span_tokens
     contain = dd.ngram_contamination(
-        train, heldout, n=5, with_containment=True
+        train, heldout, n=5, with_containment=True, pre_normalized=True
     )
     out = out.unionByName(
         contain.select(
@@ -2291,8 +2312,10 @@ def q47_decontaminate(spark, sf_dir):
             F.col("n_shared").cast("long").alias("span_tokens"),
         )
     )
-    out._fp_caches = list(getattr(doc_leg, "_fp_caches", [])) + list(
-        getattr(spans, "_fp_caches", [])
+    out._fp_caches = (
+        list(getattr(doc_leg, "_fp_caches", []))
+        + list(getattr(spans, "_fp_caches", []))
+        + [docs]
     )
     return out
 

@@ -116,6 +116,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted index.
 
@@ -152,7 +153,8 @@ def ngram_jaccard_pairs(
     arr = df.select(
         F.col(id_col),
         F.transform(
-            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            word_shingles(F.col(text_col), k, pre_normalized),
+            lambda s: F.xxhash64(s),
         ).alias("__shingles"),
     ).persist()
     sh = arr.select(
@@ -219,6 +221,7 @@ def cross_ngram_jaccard(
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
     bloom_fpp: Optional[float] = None,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Train/test decontamination: exact Jaccard-similar pairs ACROSS two
     corpora (every near-dup of a ``right`` document found in ``left``).
@@ -239,8 +242,8 @@ def cross_ngram_jaccard(
 
     Returns (left_id, right_id, jaccard) at or above ``threshold``.
     """
-    la = _shingle_arrays(left, text_col, id_col, k).persist()
-    ra = _shingle_arrays(right, text_col, id_col, k).persist()
+    la = _shingle_arrays(left, text_col, id_col, k, pre_normalized).persist()
+    ra = _shingle_arrays(right, text_col, id_col, k, pre_normalized).persist()
     # same narrow-shuffle trick as ngram_jaccard_pairs: the arrays already
     # hold 64-bit shingle hashes (hashed once at array build, not per
     # explode copy); the freq cutoff and the index join move 8-byte longs;
@@ -312,7 +315,13 @@ def cross_ngram_jaccard(
     return result
 
 
-def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+def _shingle_arrays(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    pre_normalized: bool = False,
+) -> DataFrame:
     """(id, array<long>) distinct hashed word k-shingles per document.
 
     Shingles are hashed to 64-bit ints inside the array (xxhash64): every
@@ -325,7 +334,8 @@ def _shingle_arrays(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     return df.select(
         F.col(id_col),
         F.transform(
-            word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            word_shingles(F.col(text_col), k, pre_normalized),
+            lambda s: F.xxhash64(s),
         ).alias("__shingles"),
     )
 
@@ -497,6 +507,7 @@ def ngram_contamination(
     max_ngram_freq: int | None = None,
     bloom_fpp: Optional[float] = None,
     with_containment: bool = False,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Strict eval-set decontamination (the GPT-3/PaLM standard): flag
     every training document that shares at least one word ``n``-gram
@@ -537,10 +548,10 @@ def ngram_contamination(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    tsh = _shingle_arrays(train, text_col, id_col, n).select(
+    tsh = _shingle_arrays(train, text_col, id_col, n, pre_normalized).select(
         F.col(id_col).alias("train_id"), F.explode("__shingles").alias("shingle")
     )
-    esh = _shingle_arrays(eval_df, text_col, id_col, n).select(
+    esh = _shingle_arrays(eval_df, text_col, id_col, n, pre_normalized).select(
         F.col(id_col).alias("eval_id"),
         F.size("__shingles").alias("__esize"),
         F.explode("__shingles").alias("shingle"),
@@ -683,7 +694,11 @@ def fuzzy_dedup(
 
 
 def positional_grams(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """(id, pos, gram_hash) rows: the k-token gram starting at each word
     position. Unlike :func:`shingle_rows` these are positional and NOT
@@ -695,7 +710,11 @@ def positional_grams(
     from firepit_spark.functions.text import normalize_ws
 
     df = _ensure_parallelism(df, id_col)
-    norm = F.lower(normalize_ws(F.col(text_col)))
+    norm = (
+        F.col(text_col)
+        if pre_normalized
+        else F.lower(normalize_ws(F.col(text_col)))
+    )
     pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (k - 1)
     grams = F.regexp_extract_all(norm, F.lit(pattern), 1)
     return df.select(
@@ -711,6 +730,7 @@ def duplicate_spans(
     min_tokens: int = 16,
     max_gram_freq: int = 1000,
     other: Optional[DataFrame] = None,
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """Shared verbatim passages of >= ``min_tokens`` tokens across document
     pairs — substring-level duplication that document-level Jaccard misses
@@ -742,13 +762,13 @@ def duplicate_spans(
     """
     if min_tokens < k:
         raise ValueError("min_tokens must be >= k (spans are built from k-grams)")
-    pg = positional_grams(df, text_col, id_col, k).persist()
+    pg = positional_grams(df, text_col, id_col, k, pre_normalized).persist()
     caches = [pg]
     if other is None:
         pg_b = pg
         freq_src = pg
     else:
-        pg_b = positional_grams(other, text_col, id_col, k).persist()
+        pg_b = positional_grams(other, text_col, id_col, k, pre_normalized).persist()
         caches.append(pg_b)
         freq_src = pg.unionByName(pg_b)
 

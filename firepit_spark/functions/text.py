@@ -165,24 +165,30 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(F.lower(normalize_ws(col)))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
+def word_shingles(col: Column, k: int = 3, pre_normalized: bool = False) -> Column:
     """Distinct word k-shingles ('w1 w2 w3' strings) of the text.
 
     One overlapping-match regex pass (word-start lookbehind + capture
     lookahead) instead of a higher-order transform: HOF lambdas run
     interpreted per element, while regexp_extract_all stays inside codegen
     — measured ~5x faster at 260k shingles. Output is identical to the
-    index-based formulation (same tokens, same order, distinct)."""
-    norm = F.lower(normalize_ws(col))
+    index-based formulation (same tokens, same order, distinct).
+
+    ``pre_normalized=True`` skips the lower+whitespace-normalize kernel:
+    pass it when ``col`` already holds ``lower(normalize_ws(text))`` —
+    multi-operator slots normalize the corpus ONCE into a persisted
+    column instead of re-running the regex pass per gram build."""
+    norm = col if pre_normalized else F.lower(normalize_ws(col))
     pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (k - 1)
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pattern), 1))
 
 
-def word_ngrams(col: Column, n: int) -> Column:
+def word_ngrams(col: Column, n: int, pre_normalized: bool = False) -> Column:
     """ALL overlapping word n-grams of the text, in order (duplicates
     kept — unlike :func:`word_shingles`, which dedups for index builds).
-    Same codegen-friendly lookahead-regex pass."""
-    norm = F.lower(normalize_ws(col))
+    Same codegen-friendly lookahead-regex pass. ``pre_normalized`` as in
+    :func:`word_shingles`."""
+    norm = col if pre_normalized else F.lower(normalize_ws(col))
     pattern = r"(?<!\S)(?=(\S+(?: \S+){%d}))" % (n - 1)
     return F.regexp_extract_all(norm, F.lit(pattern), 1)
 
