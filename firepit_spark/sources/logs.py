@@ -359,35 +359,39 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> "ScoFrames"
                 continue
         by_type.setdefault(otype, {})[rest] = p
 
-    wide = wide.withColumn(
-        "__obs_id", F.concat(F.lit("observed-data--"), F.expr("uuid()"))
-    ).persist()
-
-    out: dict[str, DataFrame] = {}
-
-    # 1. referenced address/domain objects, split per guessed type
-    # (first matching case wins, so each row lands in exactly one table)
-    addr_ids: dict[str, Column] = {}
-    for path, (otype, rname) in ref_cols.items():
+    # r13-opt: every uuid5 id expression (sha1 over canonical JSON with 8
+    # regexp escapes per string prop, 4-way guess-ladder CASE per ref
+    # path) is bound as a CONCRETE COLUMN of the persisted wide frame
+    # instead of being re-embedded in every consumer projection. Before,
+    # each per-type frame / ref frame / __contains edge / x-oca-event
+    # cross-link carried its own copy of these trees (~178 KB optimized
+    # plan for a 10-column zeek frame), and every ingest write job paid
+    # seconds of planning + whole-stage-codegen compile for 400 rows —
+    # and at scale re-ran the sha1+escape kernel once per consumer.
+    # Bound once: the kernels run once per row at cache materialization
+    # and every consumer reads an 8-byte-pointer attribute. This also
+    # closes the uuid() consistency hazard for types with no
+    # id-contributing props: their random ids are now pinned by the same
+    # cache that already pinned __obs_id.
+    id_cols: dict[str, Column] = {"__obs_id": F.concat(
+        F.lit("observed-data--"), F.expr("uuid()")
+    )}
+    addr_id_name: dict[str, str] = {}
+    addr_filters: dict[str, dict] = {}
+    for i, path in enumerate(ref_cols):
         id_col, case_filters = _addr_split(wide, path)
-        addr_ids[path] = id_col
-        v = F.col(f"`{path}`").cast("string")
-        seen = None
-        for ref_type, cond in case_filters.items():
-            eff = cond if seen is None else cond & ~seen
-            seen = cond if seen is None else (seen | cond)
-            part = wide.filter(v.isNotNull() & eff).select(
-                sco_id_col(ref_type, {"value": (v, "str")}).alias("id"),
-                v.alias("value"),
-                F.col("__obs_id"),
-            )
-            out[ref_type] = (
-                part if ref_type not in out else out[ref_type].unionByName(part)
-            )
+        name = f"__addr_id_{i}"
+        addr_id_name[path] = name
+        addr_filters[path] = case_filters
+        id_cols[name] = id_col
+    wide = wide.withColumns(id_cols)
+    addr_ids: dict[str, Column] = {
+        p: F.col(n) for p, n in addr_id_name.items()
+    }
 
-    # 2. direct-prop SCO types: compute every type's id expression first so
-    # x-oca-event can cross-reference sibling SCOs, then project frames
-    type_exprs: dict[str, tuple] = {}  # otype -> (id_col, any_set, cols)
+    # 2a. per-type id expressions (referencing the addr id ATTRIBUTES),
+    # bound as columns in a second projection, then persist once
+    type_id_exprs: dict[str, Column] = {}
     for otype, props in by_type.items():
         id_contrib = {}
         for prop, path in props.items():
@@ -400,9 +404,43 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> "ScoFrames"
             if ref_otype == otype and rname in ID_PROPS.get(otype, ()):
                 id_contrib[rname] = (addr_ids[path], "str")
         if id_contrib:
-            id_col = sco_id_col(otype, id_contrib)
+            type_id_exprs[otype] = sco_id_col(otype, id_contrib)
         else:
-            id_col = F.concat(F.lit(f"{otype}--"), F.expr("uuid()"))
+            type_id_exprs[otype] = F.concat(
+                F.lit(f"{otype}--"), F.expr("uuid()")
+            )
+    type_id_name = {
+        otype: f"__tid_{i}" for i, otype in enumerate(type_id_exprs)
+    }
+    wide = wide.withColumns(
+        {type_id_name[t]: e for t, e in type_id_exprs.items()}
+    ).persist()
+
+    out: dict[str, DataFrame] = {}
+
+    # 1. referenced address/domain objects, split per guessed type
+    # (first matching case wins, so each row lands in exactly one table).
+    # Under the first-match filter the bound guess-ladder column equals
+    # the per-type id expression it replaced (same branch evaluates).
+    for path, (otype, rname) in ref_cols.items():
+        v = F.col(f"`{path}`").cast("string")
+        seen = None
+        for ref_type, cond in addr_filters[path].items():
+            eff = cond if seen is None else cond & ~seen
+            seen = cond if seen is None else (seen | cond)
+            part = wide.filter(v.isNotNull() & eff).select(
+                addr_ids[path].alias("id"),
+                v.alias("value"),
+                F.col("__obs_id"),
+            )
+            out[ref_type] = (
+                part if ref_type not in out else out[ref_type].unionByName(part)
+            )
+
+    # 2b. per-type frames read the bound id/ref attributes
+    type_exprs: dict[str, tuple] = {}  # otype -> (id_col, any_set, cols)
+    for otype, props in by_type.items():
+        id_col = F.col(type_id_name[otype])
         cols = [id_col.alias("id")]
         any_set = None
         for prop, path in props.items():
