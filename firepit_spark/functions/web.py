@@ -301,20 +301,89 @@ def parse_urls(
 ) -> DataFrame:
     """Attach parsed URL columns (scheme/host/port/path/query/fragment/
     domain/url_norm) to a frame. Map-only; column names take ``prefix``.
-    """
+
+    The eight outputs share most of their work (authority → host →
+    labels; scheme/host/port/path/query feed ``url_norm``), and Catalyst
+    re-evaluates any non-attribute subexpression at every reference —
+    the naive one-projection form ran the authority regexp ~6× and the
+    host extraction ~4× per row. The shared pieces are therefore bound
+    as STAGED intermediate columns (multi-referenced non-cheap aliases
+    survive CollapseProject), so each kernel runs once per row; the
+    intermediates are dropped before returning. Output values are
+    bit-identical to the column-function forms (same expressions, over
+    bound attributes)."""
     u = F.col(url_col)
-    return df.withColumns(
+    t = f"__pu_{prefix}"
+    S, A, P, Q, FR = t + "scheme", t + "auth", t + "path", t + "query", t + "frag"
+    H, PS, PO = t + "host", t + "pstr", t + "port"
+    L, N, K = t + "labels", t + "n", t + "kept"
+    out = df.withColumns(
         {
-            f"{prefix}scheme": url_scheme(u),
-            f"{prefix}host": url_host(u),
-            f"{prefix}port": url_port(u),
-            f"{prefix}path": url_path(u),
-            f"{prefix}query": url_query(u),
-            f"{prefix}fragment": url_fragment(u),
-            f"{prefix}domain": registered_domain(url_host(u)),
-            f"{prefix}url_norm": url_normalize(u),
+            S: url_scheme(u),
+            A: _authority(u),
+            P: url_path(u),
+            Q: url_query(u),
+            FR: url_fragment(u),
+        }
+    ).withColumns(
+        {
+            # url_host / url_port over the bound authority
+            H: F.lower(F.regexp_extract(F.col(A), r"^(?:[^@]*@)?([^:]*)", 1)),
+            PS: F.regexp_extract(F.col(A), r":([0-9]+)$", 1),
         }
     )
+    port_i = F.col(PS).try_cast("int")
+    out = out.withColumns(
+        {
+            PO: F.when(
+                (F.col(PS) != "") & (port_i >= 0) & (port_i <= 65535), port_i
+            ),
+            L: F.split(F.col(H), r"\."),
+            K: _kept_params(F.col(Q), TRACKING_PARAMS),
+        }
+    ).withColumn(N, F.size(F.col(L)))
+    # registered_domain over the bound labels (host is already lowered,
+    # so the inner lower() is a no-op by value)
+    labels, n, host = F.col(L), F.col(N), F.col(H)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    sld_public = F.element_at(labels, -2).isin(*PUBLIC_SECOND_LEVELS)
+    domain = (
+        F.when(n <= 2, host).when((n >= 3) & sld_public, last3).otherwise(last2)
+    )
+    # url_normalize over the bound pieces
+    scheme, port = F.col(S), F.col(PO)
+    default = ((scheme == "http") & (port == 80)) | (
+        (scheme == "https") & (port == 443)
+    )
+    port_part = F.when(
+        port.isNotNull() & ~default, F.concat(F.lit(":"), port.cast("string"))
+    ).otherwise(F.lit(""))
+    path_n = F.when(F.col(P) == "", F.lit("/")).otherwise(F.col(P))
+    query_part = F.when(
+        F.size(F.col(K)) > 0, F.concat(F.lit("?"), F.array_join(F.col(K), "&"))
+    ).otherwise(F.lit(""))
+    url_norm = F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, port_part, path_n, query_part),
+    )
+    return out.withColumns(
+        {
+            f"{prefix}scheme": F.col(S),
+            f"{prefix}host": F.col(H),
+            f"{prefix}port": F.col(PO),
+            f"{prefix}path": F.col(P),
+            f"{prefix}query": F.col(Q),
+            f"{prefix}fragment": F.col(FR),
+            f"{prefix}domain": domain,
+            f"{prefix}url_norm": url_norm,
+        }
+    ).drop(S, A, P, Q, FR, H, PS, PO, L, N, K)
 
 
 def domain_filter(
