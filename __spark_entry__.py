@@ -601,14 +601,43 @@ def q22_text_stats(spark, sf_dir):
 
     r = _resolver(spark, sf_dir)
     t = F.col("text")
-    docs = inf.score_documents(r("documents"))
-    stats = docs.select(
+    # r13-opt: normalize the corpus ONCE into a persisted column and fan
+    # the simhash / text-index / char-repetition legs off it (guide
+    # §1.2) — each previously re-scanned the parquet and re-ran the
+    # lower+whitespace-normalize kernel (char-rep alone ran it 3×). The
+    # Python-boundary leg stays on a PRUNED (doc_id, text) slice (§4:
+    # ship only the columns the function needs through Arrow).
+    docs_n = (
+        r("documents")
+        .select("doc_id", "text", F.lower(tx.normalize_ws(t)).alias("__norm"))
+        .persist()
+    )
+    norm_docs = docs_n.select("doc_id", F.col("__norm").alias("text"))
+    docs = inf.score_documents(docs_n.select("doc_id", "text"))
+    # stats leg: the normalized text, punct ratio and stopword ratio are
+    # each multi-referenced (token count / quality reuse them), so they
+    # are bound ONCE as columns above the Arrow hop — the naive select
+    # ran the normalize kernel ~5× and the punct/stopword regexes 2×
+    # per row (multi-referenced non-cheap aliases survive
+    # CollapseProject; same lesson as parse_urls/lang_guess)
+    sdf = docs.withColumn("__norm", F.lower(tx.normalize_ws(t))).withColumns(
+        {
+            "__punct": tx.punct_ratio(t),
+            "__stopr": tx.stopword_ratio(None, norm=F.col("__norm")),
+        }
+    )
+    quality = (
+        F.least(F.length(t) / F.lit(500.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("__stopr") * 5.0, F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("__punct") * 10.0, F.lit(1.0))) * 0.2
+    )
+    stats = sdf.select(
         "doc_id",
-        tx.token_count(t).alias("n_tokens"),
+        F.size(F.split(F.col("__norm"), " ")).alias("n_tokens"),
         tx.bpe_token_estimate(t).alias("bpe_tokens"),
-        F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(tx.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(tx.quality_score(t), 6).alias("quality"),
+        F.round(F.col("__punct"), 6).alias("punct_ratio"),
+        F.round(F.col("__stopr"), 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
         F.round(F.col("model_score"), 6).alias("model_score"),
     )
     # SimHash rides along as one more per-doc signal (merged q27 slot);
@@ -616,7 +645,7 @@ def q22_text_stats(spark, sf_dir):
     # r13-opt: persisted — the join leg reads it whole and the near-dup leg
     # filters it, so the shingle+32-bit-vote aggregation runs once instead
     # of once per branch (guide §1.2; released via _fp_caches)
-    sim = dd.simhash(r("documents"), bits=32).persist()
+    sim = dd.simhash(norm_docs, bits=32, pre_normalized=True).persist()
     # r8 merge: per-doc BM25 inverted-index stats from
     # text_search.build_text_index — n_index_terms / max_tf / dl are exact
     # integers gating the tokenize→tf→stopword-cutoff→join pipeline, and
@@ -625,7 +654,7 @@ def q22_text_stats(spark, sf_dir):
     # ln() idf is not engine-portable and stays pytest-gated.
     from firepit_spark.functions import text_search as ts
 
-    postings, _doc_lens = ts.build_text_index(r("documents"))
+    postings, _doc_lens = ts.build_text_index(norm_docs, pre_normalized=True)
     per_doc = postings.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_index_terms"),
         F.max("tf").alias("max_tf"),
@@ -635,7 +664,7 @@ def q22_text_stats(spark, sf_dir):
     # r8 merge: Gopher character-fraction repetition metrics (text.py
     # char_repetition_stats) — exact integers + raw IEEE quotients, so
     # the oracle reproduces them bit-for-bit
-    rep = tx.char_repetition_stats(r("documents")).select(
+    rep = tx.char_repetition_stats(norm_docs, pre_normalized=True).select(
         "doc_id",
         "top2_count",
         "top2_cover_chars",
@@ -679,7 +708,7 @@ def q22_text_stats(spark, sf_dir):
         .drop("__ndc")
     )
     out._fp_caches = (
-        [sim]
+        [sim, docs_n]
         + getattr(postings, "_fp_caches", [])
         + list(getattr(ndp, "_fp_caches", []))
     )

@@ -94,18 +94,27 @@ def _ensure_parallelism(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
-def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    pre_normalized: bool = False,
+) -> DataFrame:
     """(id, shingle) exploded inverted-index rows.
 
     Repartitions the input first: shingling inflates each document ~50×, so
     parallelism must be established *before* the explode — a small parquet
     file otherwise arrives as one partition and the whole pipeline runs on
     one core (and at cluster scale, pre-explode rows are the cheap thing to
-    shuffle).
+    shuffle). ``pre_normalized`` as in :func:`~.text.word_shingles`.
     """
     df = _ensure_parallelism(df, id_col)
     return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            word_shingles(F.col(text_col), k, pre_normalized=pre_normalized)
+        ).alias("shingle"),
     )
 
 
@@ -479,15 +488,24 @@ def minhash_lsh_lookup(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    pre_normalized: bool = False,
+) -> DataFrame:
     """Per-document SimHash over word shingle hashes.
 
     Bit ``j`` of the result is 1 when the majority of the doc's shingle
     hashes have bit ``j`` set. Pure aggregation (explode + groupBy), one
     shuffle on the id. 32 bits keeps every intermediate in longs so the
-    ANSI-SQL oracle matches exactly.
+    ANSI-SQL oracle matches exactly. ``pre_normalized`` as in
+    :func:`~.text.word_shingles`.
     """
-    sh = shingle_rows(df, text_col, id_col, 2).withColumn("h", shingle_hash(F.col("shingle")))
+    sh = shingle_rows(
+        df, text_col, id_col, 2, pre_normalized=pre_normalized
+    ).withColumn("h", shingle_hash(F.col("shingle")))
     aggs = [F.count(F.lit(1)).alias("n")]
     for j in range(bits):
         aggs.append(F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"b{j}"))

@@ -199,6 +199,7 @@ def char_repetition_stats(
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 5,
+    pre_normalized: bool = False,
 ):
     """Gopher-style intra-document CHARACTER-fraction repetition metrics
     (Rae et al. 2021, appendix A1.1 — the repetition-removal half of the
@@ -229,15 +230,29 @@ def char_repetition_stats(
     The plan is two map-side gram extractions + one (id, gram) groupBy
     per n — no joins against the corpus, shuffle volume bounded by gram
     occurrence counts.
+
+    ``pre_normalized=True`` means ``text_col`` already holds
+    ``lower(normalize_ws(text))``: the three internal normalize passes
+    (n_chars + one per gram size) are skipped — multi-operator slots
+    normalize the corpus ONCE into a persisted column. All outputs
+    (including ``n_chars``, which always measured the NORMALIZED length)
+    are value-identical.
     """
-    norm = F.lower(normalize_ws(F.col(text_col)))
+    norm = (
+        F.col(text_col)
+        if pre_normalized
+        else F.lower(normalize_ws(F.col(text_col)))
+    )
     base = df.select(
         F.col(id_col), F.length(norm).alias("n_chars"), F.col(text_col)
     )
 
     def per_doc(n: int, prefix: str, dup: bool):
         grams = df.select(
-            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+            F.col(id_col),
+            F.explode(
+                word_ngrams(F.col(text_col), n, pre_normalized=pre_normalized)
+            ).alias("__g"),
         )
         cnt = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__cnt"))
         cover = (F.col("__cnt") * F.length("__g")).cast("long")

@@ -25,6 +25,7 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df_frac: float = 0.5,
+    pre_normalized: bool = False,
 ) -> tuple:
     """Inverted index of a corpus.
 
@@ -40,10 +41,21 @@ def build_text_index(
 
     Write both to parquet to freeze the index; BM25's idf is baked in at
     build time so scoring needs no corpus statistics beyond these frames.
+
+    ``pre_normalized=True`` means ``text_col`` already holds
+    ``lower(normalize_ws(text))``; tokenization is then a plain
+    single-space split (value-identical — the normalizer is idempotent),
+    skipping the lower+regexp pass for slots that normalize the corpus
+    once into a persisted column.
     """
     n_docs = df.count()
+    tok_expr = (
+        F.split(F.col(text_col), " ")
+        if pre_normalized
+        else tokens(F.col(text_col))
+    )
     toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(tok_expr).alias("term")
     ).filter(F.col("term") != "")
     # ONE tokenize pass: tf is the only frame that reads the text; doc
     # lengths (dl = sum of tf) and avgdl both derive from it instead of

@@ -1,0 +1,69 @@
+"""pre_normalized=True parity: every operator that accepts a
+pre-lowered, whitespace-normalized text column must produce rows
+IDENTICAL to its default path when handed exactly
+``lower(normalize_ws(text))`` — the contract the multi-operator slots
+(q22/q45/q47/q50) rely on when they normalize the corpus once into a
+persisted column (r13 optimization)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firepit_spark.functions import dedup as dd
+from firepit_spark.functions import text as tx
+from firepit_spark.functions import text_search as ts
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "The  quick brown fox\tjumps over the lazy dog the quick brown fox"),
+        (2, "  Lorem ipsum dolor sit amet lorem ipsum dolor sit amet  "),
+        (3, "one"),
+        (4, ""),
+        (5, None),
+        (6, "MIXED Case WORDS mixed case words MIXED case\nwords again again"),
+        (7, "a b c d e f g h i j a b c d e f g h i j"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _norm(docs):
+    return docs.select(
+        "doc_id", F.lower(tx.normalize_ws(F.col("text"))).alias("text")
+    )
+
+
+def _assert_same(a, b):
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_simhash_pre_normalized(spark, docs):
+    _assert_same(
+        dd.simhash(docs, bits=32),
+        dd.simhash(_norm(docs), bits=32, pre_normalized=True),
+    )
+
+
+def test_char_repetition_stats_pre_normalized(spark, docs):
+    _assert_same(
+        tx.char_repetition_stats(docs),
+        tx.char_repetition_stats(_norm(docs), pre_normalized=True),
+    )
+
+
+def test_build_text_index_pre_normalized(spark, docs):
+    p_def, dl_def = ts.build_text_index(docs)
+    p_pre, dl_pre = ts.build_text_index(_norm(docs), pre_normalized=True)
+    _assert_same(p_def, p_pre)
+    _assert_same(dl_def, dl_pre)
+
+
+def test_shingle_rows_pre_normalized(spark, docs):
+    _assert_same(
+        dd.shingle_rows(docs, "text", "doc_id", 3),
+        dd.shingle_rows(_norm(docs), "text", "doc_id", 3, pre_normalized=True),
+    )
