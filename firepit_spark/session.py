@@ -22,6 +22,17 @@ def build_spark(app_name: str = "firepit_spark", master: str | None = None) -> S
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
+        # let AQE coalesce the OUTPUT partitioning of cached plans too:
+        # by default InMemoryRelation materializes at the raw pre-AQE
+        # shuffle partition count, so every persisted aggregate (model
+        # tables, keeper frames, shingle caches) pins N tiny partitions
+        # and each downstream job over the cache pays an N-task stage
+        # (measured 3-4x on the KN-trigram fit's scalar jobs). Scale-
+        # neutral: AQE's advisory partition size still governs, so
+        # corpus-scale caches keep many partitions — this only unpins
+        # the small ones.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         # duckdb/oracle comparisons need UTC-naive timestamp agreement
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -40,6 +40,9 @@ def main():
         SparkSession.builder.appName("probe")
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
+        # mirror build_spark (bench.py's session): cached plans coalesce
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
