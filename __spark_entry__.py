@@ -1485,8 +1485,20 @@ def q39_media_probe(spark, sf_dir):
     from firepit_spark.functions import multimodal as mm
 
     r = _resolver(spark, sf_dir)
-    docs = r("documents").select(F.col("doc_id").cast("long").alias("doc_id")).filter(
-        F.col("doc_id") < 200
+    # r13-opt: the 200 probe rows arrive as ONE file split, so every
+    # Python codec leg below (the expensive part — pure-python
+    # encode/decode round-trips per row) ran on a single task. Spread
+    # the tiny id frame BEFORE the heavy mapInPandas work (guide §2.5
+    # input skew: repartition right after the read; rows are 8 bytes,
+    # the codec work is ~ms each). Capped at 8 splits: the 8 codec legs
+    # already run concurrently, and each extra split costs a Python
+    # worker spin-up (numpy import) per leg — measured at sf0.1:
+    # 1 split 2.67 s, 8 splits ~1.9-2.0, 32 splits 4.28 (worker churn)
+    docs = (
+        r("documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 200)
+        .repartition(min(8, spark.sparkContext.defaultParallelism))
     )
 
     def encode(batches):
@@ -1511,9 +1523,12 @@ def q39_media_probe(spark, sf_dir):
                 {"media_id": pdf["doc_id"], "content": blobs, "vcontent": vblobs}
             )
 
+    # r13-opt: three legs (probe_media, image_features, video_probe)
+    # consume this frame — unpersisted, the PNG+MP4 synthesis ran three
+    # times (guide §1.2). 200 small blobs; released via _fp_caches.
     media = docs.mapInPandas(
         encode, schema="media_id long, content binary, vcontent binary"
-    )
+    ).persist()
     probed = mm.probe_media(media)
     feats = mm.image_features(media).select(
         "media_id", F.col("mean_px").cast("double").alias("mean_px")
@@ -1809,7 +1824,7 @@ def q39_media_probe(spark, sf_dir):
         schema="media_id long, tif_comp string, tif_w int, tif_h int, "
         "tif_exact boolean",
     )
-    return (
+    out = (
         probed.join(feats, "media_id")
         .join(vid, "media_id")
         .join(jpg, "media_id")
@@ -1855,6 +1870,8 @@ def q39_media_probe(spark, sf_dir):
             "tif_exact",
         )
     )
+    out._fp_caches = [media]
+    return out
 
 
 _Q39_SQL = """
