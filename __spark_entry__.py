@@ -3012,13 +3012,16 @@ def q53_pii_scrub(spark, sf_dir):
         F.when(d % 6 == 0, F.lit("&fbclid=Z")).otherwise(F.lit("")),
     )
     frag = F.when(d % 2 == 0, F.lit("#f")).otherwise(F.lit(""))
+    # r13-opt: both URL legs (parse_urls and the PSL host leg) consumed
+    # this frame from separate parquet scans — persist the tiny
+    # (doc_id, url) frame once (guide §1.2; released via _fp_caches)
     urls = r("documents").select(
         "doc_id",
         F.concat(
             scheme, F.lit("://"), sub, F.lit("."), zone, port, path,
             F.lit("?"), query, frag,
         ).alias("url"),
-    )
+    ).persist()
     web = wb.parse_urls(urls).select(
         "doc_id",
         F.col("host").alias("url_host"),
@@ -3036,7 +3039,9 @@ def q53_pii_scrub(spark, sf_dir):
     psl = wb.registered_domain_psl(hosts, "h", rules).select(
         "doc_id", F.col("reg_domain").alias("url_domain_psl")
     )
-    return pii.join(web, "doc_id").join(psl, "doc_id")
+    out = pii.join(web, "doc_id").join(psl, "doc_id")
+    out._fp_caches = [urls]
+    return out
 
 
 _Q53_SQL = r"""

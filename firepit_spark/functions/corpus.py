@@ -280,8 +280,13 @@ def line_dedup(
     ``xxhash64`` keys, so the duplicate-count aggregation shuffles
     hashes, not text (map-side partial agg does most of the counting);
     the boilerplate set it produces is a tiny fraction of the corpus and
-    joins back LEFT ANTI — AQE will broadcast it in practice. Document
-    reassembly groups by ``id_col``, so no reduce key can exceed one
+    joins back as a broadcast-size left join whose verdict is consumed
+    INSIDE the reassembly aggregate — the corpus is scanned exactly
+    twice (once to count line hashes, once to rebuild documents), never
+    a third time to restore dropped ids: ``posexplode_outer`` keeps
+    NULL-text documents as one NULL-line row, so every input row
+    reaches the reassembly groupBy. Reassembly groups by the carried
+    columns (one group per input row), so no reduce key can exceed one
     document's line count — no skew amplification anywhere.
     """
     if min_docs < 2:
@@ -289,9 +294,12 @@ def line_dedup(
     others = [c for c in df.columns if c != text_col]
     import re as _re
 
+    # posexplode_outer, not posexplode: a NULL text column must still
+    # produce its document row downstream (as text '', matching the
+    # pre-r13 outer-join-back behavior) instead of vanishing
     lines = df.select(
         *others,
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep))).alias(
             "__pos", "__line"
         ),
     ).withColumn(
@@ -306,23 +314,29 @@ def line_dedup(
         .groupBy("__h")
         .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("__h")
+        .select("__h", F.lit(True).alias("__bp"))
     )
-    # NULL __h (short/blank lines) never matches, so anti-join keeps them
-    kept = lines.join(boilerplate, "__h", "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
+    # NULL __h (short/blank lines) never matches, so the left join keeps
+    # them unmarked; the kept-line filter runs INSIDE the aggregate
+    # (collect_list skips the NULL the when() produces for boilerplate
+    # rows), which removes the third corpus pass the old
+    # anti-join + join-back-to-df shape paid
+    marked = lines.join(boilerplate, "__h", "left")
+    kept_struct = F.when(
+        F.col("__bp").isNull(), F.struct("__pos", "__line")
+    )
+    reassembled = marked.groupBy(*others).agg(
         F.concat_ws(
             sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["__line"],
             ),
         ).alias("__new_text")
     )
-    out = df.join(reassembled, id_col, "left")
-    return out.select(
+    return reassembled.select(
         *[
-            F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col)
+            F.col("__new_text").alias(text_col)
             if c == text_col
             else F.col(c)
             for c in df.columns
