@@ -2693,9 +2693,9 @@ def q50_doc_term_stats(spark, sf_dir):
         "kn_cont_sum",
     )
     out = base.join(sc, "doc_id").join(knsc, "doc_id")
-    # the fit persisted its trigram type table; hand it (and the shared
-    # token cache) to release()
-    out._fp_caches = [knm.tri, toks]
+    # the fit persisted its trigram + continuation-bigram type tables;
+    # hand them (and the shared token cache) to release()
+    out._fp_caches = [knm.tri, knm.contbig, toks]
     return out
 
 

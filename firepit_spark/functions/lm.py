@@ -373,8 +373,12 @@ def kneser_ney_fit(
     every lower-order table is a further aggregation OF THE TRIGRAM
     TABLE, so the corpus is scanned once for the n-gram structure plus
     once for V. The trigram type table is persisted while the derived
-    aggregates and the five scalar jobs run, then handed over still
-    cached — call ``release_kn(lm)`` / unpersist when done scoring.
+    aggregates and the scalar jobs run, and so is the CONTINUATION
+    bigram table — it feeds five consumers (the nb/u and d2 fit
+    scalars, and the score's direct/mid/contuni joins), each of which
+    otherwise re-aggregates it from tri (r13-opt). Both are handed over
+    still cached — call ``release_kn(lm)`` / unpersist when done
+    scoring.
 
     100 TB story: identical to ngram_lm_fit's — model tables are
     1-row-per-key DataFrames joined by key, AQE broadcasts small models
@@ -392,7 +396,7 @@ def kneser_ney_fit(
     )
     contbig = tri.groupBy("w2", "w3").agg(
         F.count(F.lit(1)).alias("cb23")
-    )
+    ).persist()
     mid = contbig.groupBy("w2").agg(
         F.sum("cb23").alias("md2"), F.count(F.lit(1)).alias("nf2")
     )
@@ -428,8 +432,9 @@ def kneser_ney_fit(
 
 
 def release_kn(lm: KneserNeyLM) -> None:
-    """Unpersist the trigram type table kneser_ney_fit cached."""
+    """Unpersist the count tables kneser_ney_fit cached."""
     lm.tri.unpersist()
+    lm.contbig.unpersist()
 
 
 def kneser_ney_score(
