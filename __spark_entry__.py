@@ -1247,11 +1247,17 @@ def q35_event_chain_ancestry(spark, sf_dir):
         F.lag(F.col("event_id").cast("string")).over(w).alias("parent_ref"),
     )
     anc = ancestors(edges, max_depth=3)
-    return anc.select(
+    out = anc.select(
         F.col("descendant_id").cast("long").alias("descendant_id"),
         F.col("ancestor_id").cast("long").alias("ancestor_id"),
         "depth",
     )
+    # _fp_caches is a plain Python attribute — .select() returns a NEW
+    # DataFrame object, so without this the per-level persists inside
+    # ancestors() outlive release(result) and later invocations silently
+    # reuse them via the CacheManager (r13-opt cache audit)
+    out._fp_caches = list(getattr(anc, "_fp_caches", []))
+    return out
 
 
 _Q35_SQL = """
@@ -1353,7 +1359,11 @@ def q38_cosine_near_dup(spark, sf_dir):
     }
     centroids = [seeds[i] for i in sorted(seeds)]
     out = sim.semantic_dedup(vecs, centroids=centroids, threshold=0.35)
-    return out.select("vec_id", "sem_cell")
+    final = out.select("vec_id", "sem_cell")
+    # propagate the operator's persist handles through the projection so
+    # release(result) actually frees them (r13-opt cache audit)
+    final._fp_caches = list(getattr(out, "_fp_caches", []))
+    return final
 
 
 _Q38_SQL = """

@@ -85,6 +85,14 @@ def run_set(spark, qs, sf_dir: str, runs: int, label: str) -> dict:
             # outside the timed region, exactly like
             # scripts/check_correctness.py's per-query release.
             release(df)
+            # belt-and-braces (r13-opt continuation): release() only frees
+            # persists the operator attached to THIS result object; a slot
+            # that wraps an operator result in .select() drops the
+            # attribute (found live for q35/q38), leaving the cache in the
+            # CacheManager for the NEXT sample to silently reuse. Clearing
+            # the whole cache between samples guarantees every sample
+            # computes from the parquet inputs, whatever future slots do.
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 3)
         print(
             f"# [{label}] {name}: {timings[name]}s median of "
@@ -201,6 +209,7 @@ def main():
                 _release(wdf)  # don't carry warmup caches into timed passes
             except Exception:
                 pass
+        spark.catalog.clearCache()  # same guarantee as between samples
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     sf1_dir = os.environ.get(

@@ -98,6 +98,9 @@ def main():
             scols = [c.lower() for c in sdf.columns]
             srows = sdf.collect()
             release(sdf)  # free operator-attached persists (q21/q25/q35)
+            # guarantee the next slot computes from parquet even if a slot
+            # drops its _fp_caches attribute in a projection (r13-opt)
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)

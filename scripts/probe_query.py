@@ -60,6 +60,7 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.monotonic() - t0, 3))
             release(df)
+            spark.catalog.clearCache()  # same guarantee as bench.py
         out[name] = {"samples": samples, "median": statistics.median(samples)}
         if do_explain:
             df = fn(spark, sf_dir)
