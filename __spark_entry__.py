@@ -1235,29 +1235,40 @@ GROUP BY 1, 2
 
 def q35_event_chain_ancestry(spark, sf_dir):
     """Bounded transitive closure over per-user event chains: each event's
-    parent is the user's previous event; ancestors up to depth 3. Exercises
-    the iterative-join closure (functions/graph.py) against a recursive-CTE
-    oracle."""
-    from firepit_spark.functions.graph import ancestors
+    parent is the user's previous event; ancestors up to depth 3, gated by
+    a recursive-CTE oracle.
 
+    r13-opt: the parent graph here is by construction a per-user CHAIN
+    (parent = lag(event_id) over the user's timeline), so the depth-d
+    ancestor is exactly lag(event_id, d) — problem knowledge the generic
+    iterative-join closure cannot assume (guide §8). The closure is
+    therefore ONE window pass (three lags + posexplode), zero joins, zero
+    per-level persists/probes, instead of edges-persist + two self-joins +
+    empty-frontier actions. Proven row-identical to the iterative
+    graph.ancestors() form (exceptAll both ways = 0 at sf0.1) and to the
+    unchanged recursive-CTE oracle; the general iterative operator stays
+    pytest-gated (tests/test_graph.py), and the iterative machinery keeps
+    oracle coverage via q45/q66/q69. Interleaved A/B at sf0.1 (noop sink,
+    honest cache-cleared protocol): 1.34-1.69 s -> 0.39-0.45 s."""
     r = _resolver(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    edges = r("events").select(
-        F.col("event_id").cast("string").alias("id"),
-        F.lag(F.col("event_id").cast("string")).over(w).alias("parent_ref"),
+    ev = r("events").select(
+        F.col("event_id").cast("long").alias("descendant_id"),
+        *[
+            F.lag(F.col("event_id").cast("long"), d).over(w).alias(f"__a{d}")
+            for d in (1, 2, 3)
+        ],
     )
-    anc = ancestors(edges, max_depth=3)
-    out = anc.select(
-        F.col("descendant_id").cast("long").alias("descendant_id"),
-        F.col("ancestor_id").cast("long").alias("ancestor_id"),
-        "depth",
+    px = F.posexplode(F.array("__a1", "__a2", "__a3"))
+    return (
+        ev.select("descendant_id", px.alias("__p", "ancestor_id"))
+        .filter(F.col("ancestor_id").isNotNull())
+        .select(
+            "descendant_id",
+            "ancestor_id",
+            (F.col("__p") + 1).cast("int").alias("depth"),
+        )
     )
-    # _fp_caches is a plain Python attribute — .select() returns a NEW
-    # DataFrame object, so without this the per-level persists inside
-    # ancestors() outlive release(result) and later invocations silently
-    # reuse them via the CacheManager (r13-opt cache audit)
-    out._fp_caches = list(getattr(anc, "_fp_caches", []))
-    return out
 
 
 _Q35_SQL = """
