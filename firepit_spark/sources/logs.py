@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from firepit_spark.functions.ids import sco_id_col
+from firepit_spark.functions.ids import (
+    sco_id_col,
+    sco_id_from_hex,
+    sco_id_hex_col,
+    uuid5_from_hex,
+)
 from firepit_spark.identifiers import ID_PROPS
 from firepit_spark.timestamp import TIMESTAMP_PROPS
 
@@ -296,23 +301,36 @@ def _kind(path_prop: str, dtype) -> str:
     return "str"
 
 
-def _addr_split(wide: DataFrame, path: str):
-    """Per-row ref-target type guess for an address-valued ref column
-    (parity: guess_ref_type, firepit/woodchipper.py:56-68): dotted quad ->
-    ipv4-addr, colon-hex MAC -> mac-addr, other ':' -> ipv6-addr, else
-    domain-name. Returns (id Column, {type: value-filter Column})."""
-    v = F.col(f"`{path}`").cast("string")
-    cases = [
+def _addr_cases(v: Column) -> list:
+    """Ordered per-row ref-target type guesses for an address-valued ref
+    column (parity: guess_ref_type, firepit/woodchipper.py:56-68): dotted
+    quad -> ipv4-addr, colon-hex MAC -> mac-addr, other ':' -> ipv6-addr,
+    else domain-name."""
+    return [
         ("mac-addr", v.rlike(MAC_RE)),
         ("ipv4-addr", v.rlike(V4_RE)),
         ("ipv6-addr", v.contains(":")),
         ("domain-name", F.lit(True)),
     ]
+
+
+def _addr_ladder_from_hex(v: Column, cases: list, hex_col: Column) -> Column:
+    """Guess-ladder id column assembled from a pre-bound uuid5 digest.
+
+    All four guesses share ONE uuid5 — the canonical JSON is
+    {"value": ...} regardless of the guessed type, only the ``<type>--``
+    prefix differs — so the ladder is four cheap concats over the same
+    digest attribute instead of four full sha1+escape trees (the old
+    inline form carried ~24 copies of the JSON tree per id column and
+    blew the ingest stage out of whole-stage codegen; r13-opt). Identical
+    values: the old per-guess sco_id_col's random-uuid fallback was dead
+    code under the outer isNotNull guard."""
+    u = uuid5_from_hex(hex_col)
     id_col = None
     for otype, cond in reversed(cases):
-        this = sco_id_col(otype, {"value": (v, "str")})
+        this = F.concat(F.lit(f"{otype}--"), u)
         id_col = this if id_col is None else F.when(cond, this).otherwise(id_col)
-    return F.when(v.isNotNull(), id_col), dict(cases)
+    return F.when(v.isNotNull(), id_col)
 
 
 class ScoFrames(dict):
@@ -373,26 +391,47 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> "ScoFrames"
     # closes the uuid() consistency hazard for types with no
     # id-contributing props: their random ids are now pinned by the same
     # cache that already pinned __obs_id.
+    # The uuid5 digests (sha1 over canonical JSON with 8 regexp escapes
+    # per string prop) are bound FIRST as their own columns, and the id
+    # columns assemble uuids from the digest ATTRIBUTES: uuid5_from_hex
+    # references its digest six times and the guess ladder four more, so
+    # inlining the digest tree at every reference made ONE bound id
+    # column ~24 JSON-tree copies of generated code — the stacked id
+    # projection blew Janino's 64 KB method limit and the whole ingest
+    # stage fell back out of whole-stage codegen (observed live on the
+    # q55/q56 fixture build; r13-opt). Staged, each projection compiles
+    # and every digest kernel runs once per row. The staging columns are
+    # dropped before the persist so the cache holds only real columns;
+    # the multi-referenced digest aliases survive CollapseProject, so
+    # the stages stay separate projections in the optimized plan.
+    addr_id_name: dict[str, str] = {}
+    addr_filters: dict[str, dict] = {}
+    addr_hex_cols: dict[str, Column] = {}
+    for i, path in enumerate(ref_cols):
+        v = F.col(f"`{path}`").cast("string")
+        addr_id_name[path] = f"__addr_id_{i}"
+        addr_filters[path] = dict(_addr_cases(v))
+        addr_hex_cols[f"__ah_{i}"] = sco_id_hex_col({"value": (v, "str")})
+    wide = wide.withColumns(addr_hex_cols)
     id_cols: dict[str, Column] = {"__obs_id": F.concat(
         F.lit("observed-data--"), F.expr("uuid()")
     )}
-    addr_id_name: dict[str, str] = {}
-    addr_filters: dict[str, dict] = {}
     for i, path in enumerate(ref_cols):
-        id_col, case_filters = _addr_split(wide, path)
-        name = f"__addr_id_{i}"
-        addr_id_name[path] = name
-        addr_filters[path] = case_filters
-        id_cols[name] = id_col
+        v = F.col(f"`{path}`").cast("string")
+        id_cols[addr_id_name[path]] = _addr_ladder_from_hex(
+            v, _addr_cases(v), F.col(f"__ah_{i}")
+        )
     wide = wide.withColumns(id_cols)
     addr_ids: dict[str, Column] = {
         p: F.col(n) for p, n in addr_id_name.items()
     }
 
-    # 2a. per-type id expressions (referencing the addr id ATTRIBUTES),
-    # bound as columns in a second projection, then persist once
-    type_id_exprs: dict[str, Column] = {}
-    for otype, props in by_type.items():
+    # 2a. per-type id digests (referencing the addr id ATTRIBUTES), then
+    # the id columns over the digest attributes, then persist once
+    type_contrib: dict[str, dict | None] = {}
+    type_hex_cols: dict[str, Column] = {}
+    type_hex_name: dict[str, str] = {}
+    for j, (otype, props) in enumerate(by_type.items()):
         id_contrib = {}
         for prop, path in props.items():
             if prop in ID_PROPS.get(otype, ()):
@@ -403,17 +442,26 @@ def wide_to_scos(wide: DataFrame, identity_id: str | None = None) -> "ScoFrames"
         for path, (ref_otype, rname) in ref_cols.items():
             if ref_otype == otype and rname in ID_PROPS.get(otype, ()):
                 id_contrib[rname] = (addr_ids[path], "str")
+        type_contrib[otype] = id_contrib or None
         if id_contrib:
-            type_id_exprs[otype] = sco_id_col(otype, id_contrib)
+            type_hex_name[otype] = f"__th_{j}"
+            type_hex_cols[f"__th_{j}"] = sco_id_hex_col(id_contrib)
+    wide = wide.withColumns(type_hex_cols)
+    type_id_name = {
+        otype: f"__tid_{i}" for i, otype in enumerate(type_contrib)
+    }
+    tid_cols: dict[str, Column] = {}
+    for otype, contrib in type_contrib.items():
+        if contrib is not None:
+            tid_cols[type_id_name[otype]] = sco_id_from_hex(
+                otype, contrib, F.col(type_hex_name[otype])
+            )
         else:
-            type_id_exprs[otype] = F.concat(
+            tid_cols[type_id_name[otype]] = F.concat(
                 F.lit(f"{otype}--"), F.expr("uuid()")
             )
-    type_id_name = {
-        otype: f"__tid_{i}" for i, otype in enumerate(type_id_exprs)
-    }
-    wide = wide.withColumns(
-        {type_id_name[t]: e for t, e in type_id_exprs.items()}
+    wide = wide.withColumns(tid_cols).drop(
+        *addr_hex_cols, *type_hex_cols
     ).persist()
 
     out: dict[str, DataFrame] = {}
