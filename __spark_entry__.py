@@ -613,14 +613,18 @@ def q22_text_stats(spark, sf_dir):
         .persist()
     )
     norm_docs = docs_n.select("doc_id", F.col("__norm").alias("text"))
-    docs = inf.score_documents(docs_n.select("doc_id", "text"))
-    # stats leg: the normalized text, punct ratio and stopword ratio are
-    # each multi-referenced (token count / quality reuse them), so they
-    # are bound ONCE as columns above the Arrow hop — the naive select
-    # ran the normalize kernel ~5× and the punct/stopword regexes 2×
-    # per row (multi-referenced non-cheap aliases survive
-    # CollapseProject; same lesson as parse_urls/lang_guess)
-    sdf = docs.withColumn("__norm", F.lower(tx.normalize_ws(t))).withColumns(
+    # stats leg: the punct/stopword ratios are each multi-referenced
+    # (the emitted ratio + quality), so they are bound ONCE as columns
+    # (multi-referenced non-cheap aliases survive CollapseProject; same
+    # lesson as parse_urls/lang_guess). r13-opt continuation: the leg
+    # previously ran BELOW the Arrow hop and re-ran the normalize kernel
+    # on the scored frame (the hop only received doc_id+text, so the
+    # persisted __norm was out of reach); computing the numeric stats
+    # BEFORE score_documents reads __norm from the cache — one fewer
+    # full normalize pass — and ships only ~40 bytes/row of extra
+    # doubles through Arrow (the heavy text column crosses either way,
+    # §4: the scorer needs it).
+    sdf = docs_n.withColumns(
         {
             "__punct": tx.punct_ratio(t),
             "__stopr": tx.stopword_ratio(None, norm=F.col("__norm")),
@@ -631,13 +635,22 @@ def q22_text_stats(spark, sf_dir):
         + F.least(F.col("__stopr") * 5.0, F.lit(1.0)) * 0.4
         + (F.lit(1.0) - F.least(F.col("__punct") * 10.0, F.lit(1.0))) * 0.2
     )
-    stats = sdf.select(
+    pre = sdf.select(
         "doc_id",
+        "text",
         F.size(F.split(F.col("__norm"), " ")).alias("n_tokens"),
         tx.bpe_token_estimate(t).alias("bpe_tokens"),
         F.round(F.col("__punct"), 6).alias("punct_ratio"),
         F.round(F.col("__stopr"), 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality"),
+    )
+    stats = inf.score_documents(pre).select(
+        "doc_id",
+        "n_tokens",
+        "bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
         F.round(F.col("model_score"), 6).alias("model_score"),
     )
     # SimHash rides along as one more per-doc signal (merged q27 slot);
