@@ -438,16 +438,25 @@ def minhash_lsh_candidates(
     Signatures are split into ``bands``; docs sharing any band hash become a
     candidate pair. The only shuffles are the signature groupBy and the
     band-bucket self-join — never doc×doc.
+
+    The band-hash index is persisted: both sides of the self-join read
+    it, and without the cache the whole signature pipeline (shingle ->
+    md5 -> num_perm universal hashes -> explode -> min-agg -> band md5)
+    executed TWICE per run (r13-opt; the index is id×bands rows of
+    ~44 bytes, far smaller than the work that builds it). Long-lived
+    sessions call :func:`firepit_spark.functions.release` on the result.
     """
-    band_hash = minhash_lsh_index(df, text_col, id_col, k, num_perm, bands)
+    band_hash = minhash_lsh_index(df, text_col, id_col, k, num_perm, bands).persist()
     a = band_hash.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = band_hash.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    return (
+    result = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    result._fp_caches = [band_hash]
+    return result
 
 
 def minhash_lsh_lookup(
