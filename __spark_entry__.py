@@ -2006,12 +2006,31 @@ def q41_context_pack(spark, sf_dir):
     All-integer arithmetic; sums stay under 2^57."""
     r = _resolver(spark, sf_dir)
     docs = r("documents")
-    packed = pl.pack_documents(docs, budget=2048, part_col="lang")
+    # r13-opt: both packers tokenized the corpus independently
+    # (pack_documents via token_count, pack_token_sequences via
+    # hash_token_ids — the same tx.tokens kernel). Tokenize+hash ONCE
+    # into a persisted narrow (doc_id, lang, __ids) frame and feed both
+    # through their existing token_col/ids_col hooks; the token count is
+    # exactly size(__ids) (hash_token_ids emits one id per token and
+    # preserves NULL), so values are unchanged (guide §1.2).
+    ids = (
+        docs.select(
+            "doc_id",
+            "lang",
+            pl.hash_token_ids(F.col("text"), 32768).alias("__ids"),
+        ).persist()
+    )
+    packed = pl.pack_documents(
+        ids.withColumn("__n", F.size("__ids")),
+        budget=2048,
+        token_col="__n",
+        part_col="lang",
+    )
     stats = pl.pack_stats(packed, part_col="lang")
 
     L = 512
     seqs = pl.pack_token_sequences(
-        docs, L, vocab_size=32768, part_col="lang"
+        ids, L, vocab_size=32768, ids_col="__ids", part_col="lang"
     )
     zero = F.lit(0).cast("long")
     ids_sum = F.aggregate("ids", zero, lambda a, x: a + x)
@@ -2040,7 +2059,9 @@ def q41_context_pack(spark, sf_dir):
             F.sum((F.col("seq_id") + 1) * F.col("__ps")).alias("seq_order_chk"),
         )
     )
-    return stats.join(audit, "lang")
+    out = stats.join(audit, "lang")
+    out._fp_caches = [ids]
+    return out
 
 
 _Q41_SQL = f"""
