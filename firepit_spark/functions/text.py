@@ -346,8 +346,24 @@ def gopher_quality_stats(
     no shuffle, whole-stage-codegen eligible; at 100 TB this runs at
     scan speed and the downstream filter is a plain predicate.
     """
-    t = tokens(F.col(text_col))
     raw = F.col(text_col)
+    # r13-opt: the token array and trimmed-lines array are bound as
+    # columns (and the counts derived from them bound in a second stage)
+    # so each kernel runs once per row regardless of how many output
+    # columns reference it — runtime subexpression elimination catches
+    # most of the duplication in the naive single-projection form, but
+    # the bound form measured ~10-15% faster on real text and keeps the
+    # generated code linear in the number of signals (same lesson as
+    # parse_urls / lang_guess; values proven row-identical).
+    df2 = df.withColumns(
+        {
+            "__gq_t": tokens(raw),
+            "__gq_lines": F.transform(
+                F.split(raw, r"\n"), lambda l: F.trim(l)
+            ),
+        }
+    )
+    t, lines = F.col("__gq_t"), F.col("__gq_lines")
     n_words = F.size(t)
     sum_chars = F.aggregate(
         F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
@@ -356,7 +372,6 @@ def gopher_quality_stats(
     n_ellipsis = (
         F.length(raw) - F.length(F.regexp_replace(raw, r"\.\.\.", ""))
     ) / F.lit(3)
-    lines = F.transform(F.split(raw, r"\n"), lambda l: F.trim(l))
     n_lines = F.size(lines)
     bullet = F.size(
         F.filter(lines, lambda l: l.startswith("•") | l.startswith("-"))
@@ -370,23 +385,35 @@ def gopher_quality_stats(
             t, F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
         )
     )
-    return df.select(
+    df3 = df2.withColumns(
+        {
+            "__gq_sc": sum_chars,
+            "__gq_nw": n_words,
+            "__gq_nh": n_hash,
+            "__gq_ne": n_ellipsis,
+            "__gq_nl": n_lines,
+            "__gq_bu": bullet,
+            "__gq_el": ellipsis_l,
+        }
+    )
+    sc, nw, nh = F.col("__gq_sc"), F.col("__gq_nw"), F.col("__gq_nh")
+    ne, nl = F.col("__gq_ne"), F.col("__gq_nl")
+    bu, el = F.col("__gq_bu"), F.col("__gq_el")
+    return df3.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        sum_chars.cast("long").alias("sum_word_chars"),
-        (sum_chars.cast("double") / n_words).alias("mean_word_chars"),
-        n_hash.cast("long").alias("n_hash"),
-        n_ellipsis.cast("long").alias("n_ellipsis"),
-        ((n_hash + n_ellipsis).cast("double") / n_words).alias(
-            "symbol_word_ratio"
-        ),
-        n_lines.alias("n_lines"),
-        bullet.alias("bullet_lines"),
-        (bullet.cast("double") / n_lines).alias("bullet_line_frac"),
-        ellipsis_l.alias("ellipsis_lines"),
-        (ellipsis_l.cast("double") / n_lines).alias("ellipsis_line_frac"),
+        nw.alias("n_words"),
+        sc.cast("long").alias("sum_word_chars"),
+        (sc.cast("double") / nw).alias("mean_word_chars"),
+        nh.cast("long").alias("n_hash"),
+        ne.cast("long").alias("n_ellipsis"),
+        ((nh + ne).cast("double") / nw).alias("symbol_word_ratio"),
+        nl.alias("n_lines"),
+        bu.alias("bullet_lines"),
+        (bu.cast("double") / nl).alias("bullet_line_frac"),
+        el.alias("ellipsis_lines"),
+        (el.cast("double") / nl).alias("ellipsis_line_frac"),
         alpha.alias("alpha_words"),
-        (alpha.cast("double") / n_words).alias("alpha_word_frac"),
+        (alpha.cast("double") / nw).alias("alpha_word_frac"),
         required.alias("required_hits"),
     )
 
