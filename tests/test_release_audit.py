@@ -1,0 +1,59 @@
+"""Regression gate for the r13-opt cache-release audit.
+
+``_fp_caches`` is a plain Python attribute: a slot that wraps an
+operator result in ``.select()`` silently drops the handles, so
+``release(result)`` frees nothing and later invocations reuse the
+previous run's caches through the CacheManager (found live on q35 and
+q38 in round 13; bench medians were under-measurements). This test runs
+the cache-attaching slots end-to-end at sf0.001, releases, and asserts
+the session CacheManager is EMPTY — any future slot that drops its
+handles (or operator that persists without attaching) fails here.
+
+The full 67-slot sweep lives in the round's audit script; this keeps
+the suite fast by covering every slot family that persists: iterative
+closure (q35), ANN/semdedup (q38), shingle index (q25), LSH banding
+(q32), token-cache slots (q41, q50), multi-leg text (q22), keeper
+frames (q28), media (q39), URL legs (q53).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+AUDITED = [
+    "q22_text_stats",
+    "q25_ngram_jaccard",
+    "q28_dedup_exact",
+    "q32_minhash_lsh_pairs",
+    "q35_event_chain_ancestry",
+    "q38_cosine_near_dup",
+    "q39_media_probe",
+    "q41_context_pack",
+    "q45_dedup_clusters",
+    "q50_doc_term_stats",
+    "q53_pii_scrub",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+@pytest.mark.parametrize("slot", AUDITED)
+def test_release_leaves_cache_manager_empty(spark, slot):
+    import __spark_entry__ as entrymod
+    from firepit_spark.functions import release
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    # other session users may have left caches; start clean so the
+    # assertion below isolates THIS slot's behavior
+    spark.catalog.clearCache()
+    qs = entrymod.queries()
+    df = qs[slot](spark, SF_DIR)
+    df.count()
+    release(df)
+    leaked = not cm.isEmpty()
+    if leaked:
+        spark.catalog.clearCache()
+    assert not leaked, f"{slot} left persisted frames after release()"
