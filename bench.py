@@ -5,8 +5,9 @@ JSON line with per-query wall seconds.
 Headline set spans the cost spectrum: scan+agg (q01), star join (q04),
 shuffle join + topk (q07), window sessionize (q20), time binning (q11),
 shingle self-join dedup (q25), minhash (q26), brute-force ANN (q29),
-continuous-aggregate rollup (q34), iterative closure (q35), as-of join
-(q36), bucketized range join (q37).
+continuous-aggregate rollup (q34), bounded chain ancestry — one window
+pass since r13-opt (q35), as-of join (q36), bucketized range join
+(q37).
 
 Besides the primary scale factor, the same set runs at the synthetic sf1
 point (10x data via scripts/make_scale_data.py, built on demand under
