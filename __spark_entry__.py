@@ -2847,12 +2847,24 @@ def q51_corpus_profile(spark, sf_dir):
     from firepit_spark.functions import corpus as cp
 
     r = _resolver(spark, sf_dir)
-    docs = r("documents")
+    # r13-opt continuation 2: five legs scan the same table, and the
+    # mixture + report legs each tokenized the corpus from raw text —
+    # persist the shared columns once with the token count bound, and
+    # hand both legs the precomputed column via their token_col hooks
+    # (guide §1.2; tokenize kernel per row 2 -> 1, and all five legs
+    # read one cache instead of six parquet scans).
+    docs = (
+        r("documents")
+        .withColumn("__ntok", tx.token_count(F.col("text")))
+        .persist()
+    )
     w = cp.mixture_weights(docs, "source", alpha=0.5)
     p = cp.length_percentiles(docs, "n_chars", "source")
     # build_mixture rides along (token-budget selection over 4 sources,
     # bucketed two-pass plan; LEFT JOIN keeps unweighted sources NULL)
-    mix = cp.build_mixture(docs, _MIX_WEIGHTS, _MIX_BUDGET, n_buckets=16)
+    mix = cp.build_mixture(
+        docs, _MIX_WEIGHTS, _MIX_BUDGET, n_buckets=16, token_col="__ntok"
+    )
     msum = mix.groupBy("source").agg(
         F.count(F.lit(1)).alias("mix_docs"),
         F.sum("mix_tokens").alias("mix_tokens"),
@@ -2860,7 +2872,7 @@ def q51_corpus_profile(spark, sf_dir):
     # corpus_report rides the slot too (merged; integer-exact columns only —
     # mean_quality/top_lang stay pytest-gated: float-sum order and modal
     # tie-breaks aren't engine-portable)
-    rep = cp.corpus_report(docs, source_col="source").select(
+    rep = cp.corpus_report(docs, source_col="source", token_col="__ntok").select(
         "source",
         "distinct_docs",
         "dup_ratio",
@@ -2882,12 +2894,14 @@ def q51_corpus_profile(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     dsum = cp.diff_summary(dold, dnew, group_col="source")
-    return (
+    out = (
         w.join(p.select("source", "p50", "p90", "p99"), "source")
         .join(msum, "source", "left")
         .join(rep, "source")
         .join(dsum, "source")
     )
+    out._fp_caches = [docs]
+    return out
 
 
 _MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}

@@ -460,6 +460,7 @@ def corpus_report(
     df: DataFrame,
     text_col: str = "text",
     source_col: Column | str | None = None,
+    token_col: str | None = None,
 ) -> DataFrame:
     """One-aggregation corpus profile: the numbers a mixture/curation
     decision needs, per source (or one global row when ``source_col`` is
@@ -475,6 +476,12 @@ def corpus_report(
     ``percentile`` (one per-group sort worth paying for a report); at
     full corpus scale run it on a ``hash_sample`` slice — membership is
     content-addressed, so the sample is stable across runs.
+
+    ``token_col``: name of a precomputed token-count column to use
+    instead of re-deriving ``token_count(text)`` — the same
+    share-one-tokenize-pass hook :func:`build_mixture` has (r13-opt:
+    a report slot that also builds a mixture otherwise tokenizes the
+    corpus once per consumer).
     """
     from firepit_spark.functions.text import (
         fingerprint,
@@ -490,16 +497,17 @@ def corpus_report(
     else:
         key = source_col.alias("source")
     t = F.col(text_col)
+    ntok = F.col(token_col) if token_col else token_count(t)
     n = F.count(F.lit(1))
     distinct = F.count_distinct(fingerprint(t))
     return df.groupBy(key).agg(
         n.alias("n_docs"),
         distinct.alias("distinct_docs"),
         F.round(F.lit(1.0) - distinct / n, 6).alias("dup_ratio"),
-        F.sum(token_count(t)).alias("total_tokens"),
-        F.round(F.avg(token_count(t)), 6).alias("mean_tokens"),
-        F.round(F.percentile(token_count(t), F.lit(0.5)), 6).alias("p50_tokens"),
-        F.round(F.percentile(token_count(t), F.lit(0.95)), 6).alias("p95_tokens"),
+        F.sum(ntok).alias("total_tokens"),
+        F.round(F.avg(ntok), 6).alias("mean_tokens"),
+        F.round(F.percentile(ntok, F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile(ntok, F.lit(0.95)), 6).alias("p95_tokens"),
         F.round(F.avg(quality_score(t)), 6).alias("mean_quality"),
         F.mode(lang_guess(t)).alias("top_lang"),
     )
