@@ -349,17 +349,6 @@ def _doc_trigrams(toks: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _ney_discount(counts: DataFrame, col: str) -> float:
-    """Ney absolute-discount estimate D = n1 / (n1 + 2·n2) from the
-    count-of-counts of one order (one 1-row aggregate)."""
-    row = counts.agg(
-        F.sum(F.when(F.col(col) == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col(col) == 2, 1).otherwise(0)).alias("n2"),
-    ).first()
-    n1, n2 = int(row["n1"] or 0), int(row["n2"] or 0)
-    return n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.5
-
-
 def kneser_ney_fit(
     df: DataFrame,
     text_col: str = "text",
@@ -401,32 +390,65 @@ def kneser_ney_fit(
         F.sum("cb23").alias("md2"), F.count(F.lit(1)).alias("nf2")
     )
     contuni = contbig.groupBy("w3").agg(F.count(F.lit(1)).alias("cu3"))
-    # one pass over contuni yields nb, u AND d1's count-of-counts —
-    # previously nb_u and _ney_discount(contuni) each re-derived the
-    # whole tri→contbig→contuni chain as separate driver jobs (r13-opt:
-    # 5 scalar fit jobs → 4, one fewer full chain execution)
-    nb_u = contuni.agg(
-        F.sum("cu3").alias("nb"),
-        F.count(F.lit(1)).alias("u"),
-        F.sum(F.when(F.col("cu3") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("cu3") == 2, 1).otherwise(0)).alias("n2"),
-    ).first()
-    n1, n2 = int(nb_u["n1"] or 0), int(nb_u["n2"] or 0)
-    d1 = n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.5
-    v = toks.select(F.explode("__t").alias("w")).agg(
-        F.count_distinct("w").alias("v")
-    ).first()["v"]
+    # ONE driver action for every scalar the fit needs (r14-opt, guide
+    # §1.2/§5): nb/u/d1's count-of-counts (over contuni), V (over the
+    # token stream), and d3/d2's count-of-counts (over the persisted
+    # tri/contbig tables) ride a single tagged union — one collect()
+    # instead of four sequential driver round-trips, and the four
+    # independent aggregate subtrees overlap inside one job (the tri /
+    # contbig caches materialize once under Spark's per-partition cache
+    # locks). The aggregate expressions are unchanged, so every scalar is
+    # bit-identical to the former per-job .first() values (r13-opt had
+    # already fused d1 into the nb/u pass: 5 jobs → 4; this is 4 → 1).
+    def _cc(col):
+        # count-of-counts (n1, n2) fragment of _ney_discount
+        return [
+            F.sum(F.when(F.col(col) == 1, 1).otherwise(0)).alias("c"),
+            F.sum(F.when(F.col(col) == 2, 1).otherwise(0)).alias("d"),
+        ]
+
+    _l0 = F.lit(None).cast("long")
+    stats = (
+        contuni.agg(
+            F.lit("nbu").alias("k"),
+            F.sum("cu3").alias("a"),
+            F.count(F.lit(1)).alias("b"),
+            *_cc("cu3"),
+        )
+        .unionByName(
+            toks.select(F.explode("__t").alias("w")).agg(
+                F.lit("v").alias("k"),
+                F.count_distinct("w").alias("a"),
+                _l0.alias("b"), _l0.alias("c"), _l0.alias("d"),
+            )
+        )
+        .unionByName(
+            tri.agg(F.lit("d3").alias("k"), _l0.alias("a"), _l0.alias("b"),
+                    *_cc("c123"))
+        )
+        .unionByName(
+            contbig.agg(F.lit("d2").alias("k"), _l0.alias("a"),
+                        _l0.alias("b"), *_cc("cb23"))
+        )
+    )
+    rows = {r["k"]: r for r in stats.collect()}
+
+    def _disc(row) -> float:
+        n1, n2 = int(row["c"] or 0), int(row["d"] or 0)
+        return n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.5
+
+    nbu = rows["nbu"]
     return KneserNeyLM(
         tri=tri,
         hist=hist,
         contbig=contbig,
         mid=mid,
-        nb=int(nb_u["nb"] or 0),
-        u=int(nb_u["u"] or 0),
-        vocab_size=int(v or 0),
-        d3=_ney_discount(tri, "c123"),
-        d2=_ney_discount(contbig, "cb23"),
-        d1=d1,
+        nb=int(nbu["a"] or 0),
+        u=int(nbu["b"] or 0),
+        vocab_size=int(rows["v"]["a"] or 0),
+        d3=_disc(rows["d3"]),
+        d2=_disc(rows["d2"]),
+        d1=_disc(nbu),
         contuni=contuni,
     )
 
