@@ -656,7 +656,7 @@ def verify_candidate_pairs(
     joined = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
-    return (
+    out = (
         joined.select(
             "id_a",
             "id_b",
@@ -664,6 +664,12 @@ def verify_candidate_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # propagate the candidate generator's cache handles (e.g.
+    # minhash_lsh_candidates' persisted band-hash index) so
+    # release(result) frees them — dropping them here leaked the persist
+    # in long-lived sessions (r13 advice)
+    out._fp_caches = list(getattr(pairs, "_fp_caches", []))
+    return out
 
 
 def fuzzy_dedup(

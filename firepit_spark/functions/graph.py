@@ -45,7 +45,7 @@ def ancestors(
     caches.append(level)
     out = level
     for d in range(2, max_depth + 1):
-        level = (
+        nxt = (
             level.alias("l")
             .join(edges.alias("e"), F.col("l.ancestor_id") == F.col("e.child"))
             .select(
@@ -53,13 +53,23 @@ def ancestors(
                 F.col("e.parent").alias("ancestor_id"),
                 F.lit(d).alias("depth"),
             )
-        ).persist()
-        if level.isEmpty():
-            # dead frontier: nothing references it, free it immediately
-            level.unpersist()
+        )
+        if d == max_depth:
+            # terminal level: nothing joins after it (only the union output
+            # reads it), so it needs neither the persist nor the
+            # empty-frontier probe — both were one materialization job per
+            # call for zero reuse (r14-opt, guide §1.2). An empty terminal
+            # level unions zero rows: same result.
+            out = out.unionByName(nxt)
             break
-        caches.append(level)
-        out = out.unionByName(level)
+        nxt = nxt.persist()
+        if nxt.isEmpty():
+            # dead frontier: nothing references it, free it immediately
+            nxt.unpersist()
+            break
+        caches.append(nxt)
+        out = out.unionByName(nxt)
+        level = nxt
     out._fp_caches = caches
     return out
 
@@ -187,20 +197,35 @@ def connected_components(
             (jumped < F.col("__old")).alias("__chg"),
         )
 
-    for _ in range((max_iter + 1) // 2):
+    # max_iter is a STRICT propagation-step budget (r14-opt): the loop
+    # runs floor(max_iter/2) double-rounds plus one single round when
+    # max_iter is odd — never max_iter+1 steps as the r13 form could on a
+    # non-converging graph. Converged graphs (every gated case) see the
+    # identical step sequence.
+    steps_left = max_iter
+    while steps_left > 0:
         # two propagation rounds per driver action: the intermediate
         # round is truncated LAZILY (plan barrier, no job of its own)
         # and materializes inside the same count job as the second
-        mid = _truncate(
-            _round(labels).drop("__chg"),
-            eager=False,
-            checkpoint_dir=checkpoint_dir,
-        )
-        new_labels = _truncate(
-            _round(mid),
-            eager=False,  # materialized by the count below
-            checkpoint_dir=checkpoint_dir,
-        )
+        if steps_left >= 2:
+            mid = _truncate(
+                _round(labels).drop("__chg"),
+                eager=False,
+                checkpoint_dir=checkpoint_dir,
+            )
+            new_labels = _truncate(
+                _round(mid),
+                eager=False,  # materialized by the count below
+                checkpoint_dir=checkpoint_dir,
+            )
+            steps_left -= 2
+        else:
+            new_labels = _truncate(
+                _round(labels),
+                eager=False,
+                checkpoint_dir=checkpoint_dir,
+            )
+            steps_left -= 1
         # monotone labels: a no-op SECOND round proves the fixpoint
         # (any round after a no-op round is a no-op)
         n_changed = new_labels.filter(F.col("__chg")).count()

@@ -1,19 +1,20 @@
-"""Regression gate for the r13-opt cache-release audit.
+"""Regression gate for the cache-release audit (r13-opt, widened r14-opt).
 
 ``_fp_caches`` is a plain Python attribute: a slot that wraps an
 operator result in ``.select()`` silently drops the handles, so
 ``release(result)`` frees nothing and later invocations reuse the
 previous run's caches through the CacheManager (found live on q35 and
 q38 in round 13; bench medians were under-measurements). This test runs
-the cache-attaching slots end-to-end at sf0.001, releases, and asserts
-the session CacheManager is EMPTY — any future slot that drops its
-handles (or operator that persists without attaching) fails here.
+EVERY declared slot end-to-end at sf0.001, releases, and asserts the
+session CacheManager is EMPTY — any future slot that drops its handles
+(or operator that persists without attaching) fails here. (r13 pinned
+only the known cache-attaching slots; the full sweep lived in a
+throwaway script — promoted here per the r13 verdict.)
 
-The full 67-slot sweep lives in the round's audit script; this keeps
-the suite fast by covering every slot family that persists: iterative
-closure (q35), ANN/semdedup (q38), shingle index (q25), LSH banding
-(q32), token-cache slots (q41, q50), multi-leg text (q22), keeper
-frames (q28), media (q39), URL legs (q53).
+Two library-level pipeline cases cover operators that COMPOSE
+cache-attaching stages outside any slot (the r13 advice finding:
+fuzzy_dedup dropped minhash_lsh_candidates' band-index handle because
+verify_candidate_pairs didn't propagate it).
 """
 
 from __future__ import annotations
@@ -24,23 +25,15 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
-AUDITED = [
-    "q22_text_stats",
-    "q25_ngram_jaccard",
-    "q28_dedup_exact",
-    "q32_minhash_lsh_pairs",
-    "q35_event_chain_ancestry",
-    "q38_cosine_near_dup",
-    "q39_media_probe",
-    "q41_context_pack",
-    "q45_dedup_clusters",
-    "q50_doc_term_stats",
-    "q53_pii_scrub",
-]
+
+def _slots():
+    import __spark_entry__ as entrymod
+
+    return sorted(entrymod.queries())
 
 
 @pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
-@pytest.mark.parametrize("slot", AUDITED)
+@pytest.mark.parametrize("slot", _slots())
 def test_release_leaves_cache_manager_empty(spark, slot):
     import __spark_entry__ as entrymod
     from firepit_spark.functions import release
@@ -57,3 +50,43 @@ def test_release_leaves_cache_manager_empty(spark, slot):
     if leaked:
         spark.catalog.clearCache()
     assert not leaked, f"{slot} left persisted frames after release()"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_fuzzy_dedup_release_leaves_cache_manager_empty(spark):
+    from firepit_spark.functions import release
+    from firepit_spark.functions.dedup import fuzzy_dedup
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    out = fuzzy_dedup(docs, threshold=0.5)
+    out.count()
+    release(out)
+    leaked = not cm.isEmpty()
+    if leaked:
+        spark.catalog.clearCache()
+    assert not leaked, "fuzzy_dedup left persisted frames after release()"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_contamination_bloom_release_leaves_cache_manager_empty(spark):
+    from firepit_spark.functions import release
+    from firepit_spark.functions.dedup import ngram_contamination
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    train = docs.filter("doc_id % 2 = 0")
+    ev = docs.filter("doc_id % 2 = 1").limit(20)
+    out = ngram_contamination(train, ev, n=5, bloom_fpp=0.01)
+    out.count()
+    release(out)
+    leaked = not cm.isEmpty()
+    if leaked:
+        spark.catalog.clearCache()
+    assert not leaked, "ngram_contamination left persisted frames after release()"

@@ -879,6 +879,30 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     release(labels)
 
 
+def test_connected_components_strict_iteration_budget(spark):
+    """max_iter is a hard propagation-step budget (r14-opt): on a
+    non-converged chain, exactly max_iter steps run — the r13 double-round
+    loop could run max_iter+1. One min-label+jump step over identity
+    labels moves every chain node one hop (the jump reads the PREVIOUS
+    round's identity labels), so after max_iter=1 node v holds v-1; the
+    old behavior (2 steps) would hold v-3 for v>=3."""
+    from firepit_spark.functions import release
+    from firepit_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    labels = connected_components(edges, max_iter=1)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    release(labels)
+    # an even budget still converges the 6-chain (diameter 5, jumps halve)
+    labels = connected_components(edges, max_iter=6)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {n: 0 for n in range(6)}
+    release(labels)
+
+
 def test_connected_components_converges_early(spark):
     """A clique converges in one round regardless of max_iter; labels are
     partitioning-independent."""
